@@ -1,0 +1,39 @@
+"""lindel_spark — PySpark-native space-filling-curve engine.
+
+A from-scratch reimplementation of the capabilities of the
+Query-farm/lindel DuckDB extension (reference: /root/reference,
+src/lindel_extension.cpp:948-1026 registration surface) as an idiomatic
+PySpark library, plus large-scale data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing) built on the
+same locality-preserving-key machinery.
+
+Public surface:
+    hilbert_encode / morton_encode / hilbert_decode / morton_decode
+    morton_encode_native (pure-Column, whole-stage-codegen path)
+    register(spark)  — SQL-name registration
+    zorder_write(df, cols, path, ...)
+"""
+
+from lindel_spark.functions import (
+    hilbert_encode,
+    morton_encode,
+    hilbert_decode,
+    morton_decode,
+    morton_encode_native,
+    morton_decode_native,
+    register,
+)
+from lindel_spark.write import zorder_write
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "hilbert_encode",
+    "morton_encode",
+    "hilbert_decode",
+    "morton_decode",
+    "morton_encode_native",
+    "morton_decode_native",
+    "register",
+    "zorder_write",
+]

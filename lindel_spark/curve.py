@@ -1,0 +1,249 @@
+"""Vectorized NumPy kernels for Hilbert / Morton (Z-order) curves.
+
+Pure NumPy, no Spark dependency. These are the execution primitives
+behind the lindel_spark SQL surface, replacing the reference's per-row
+Rust FFI kernels (reference: duckdb_lindel_rust/src/lib.rs:81-339,
+called per row from src/lindel_extension.cpp:708,735,771) with
+whole-batch vector ops: O(total_bits) NumPy operations per Arrow batch
+instead of one FFI call per row.
+
+Algorithm (verified bit-exact against every golden value in the
+reference repo — test/sql/lindel.test:15-111, docs/README.md:117-287):
+
+* Morton encode = MSB-first bit-interleave of the N fixed-width
+  coordinates; element 0 supplies the most significant bit at each bit
+  level (behavior of the `morton-encoding 2.0.1` crate the reference
+  links, e.g. morton_encode([1,2,3]::tinyint[3]) = 29 = 0b000_011_101).
+* Hilbert encode = Skilling's transform ("Programming the Hilbert
+  curve", J. Skilling, AIP Conf. Proc. 707, 2004) applied axes ->
+  transpose, then the same MSB-first interleave.  Decode is the exact
+  inverse.
+
+Values wider than 64 bits (u128 outputs) are carried as (hi, lo)
+uint64 lane pairs; the Spark layer serializes them big-endian into
+BinaryType so lexicographic binary order == unsigned numeric order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U1 = np.uint64(1)
+_U64_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def unsigned_dtype(bits: int):
+    """The NumPy unsigned dtype for an element width in bits."""
+    return _U64_DTYPES[bits]
+
+
+# ---------------------------------------------------------------------------
+# bit interleave / deinterleave (the Morton primitive)
+# ---------------------------------------------------------------------------
+
+def interleave_bits(X: np.ndarray, elem_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """MSB-first interleave of coordinates.
+
+    X: (rows, n) unsigned array.  Output bit position for coordinate
+    ``i`` bit ``b`` (LSB=0) is ``b*n + (n-1-i)`` — element 0 is most
+    significant within each bit group.
+
+    Returns (hi, lo) uint64 arrays; hi is all-zero when
+    ``elem_bits * n <= 64``.
+    """
+    rows, n = X.shape
+    total = elem_bits * n
+    lo = np.zeros(rows, np.uint64)
+    hi = np.zeros(rows, np.uint64)
+    Xu = np.ascontiguousarray(X, dtype=np.uint64)
+    for b in range(elem_bits):
+        for i in range(n):
+            p = b * n + (n - 1 - i)
+            bit = (Xu[:, i] >> np.uint64(b)) & _U1
+            if p < 64:
+                lo |= bit << np.uint64(p)
+            else:
+                hi |= bit << np.uint64(p - 64)
+    if total <= 64:
+        return hi, lo
+    return hi, lo
+
+
+def deinterleave_bits(
+    hi: np.ndarray, lo: np.ndarray, n: int, elem_bits: int
+) -> np.ndarray:
+    """Inverse of :func:`interleave_bits` → (rows, n) array of uint64."""
+    rows = lo.shape[0]
+    X = np.zeros((rows, n), np.uint64)
+    for b in range(elem_bits):
+        for i in range(n):
+            p = b * n + (n - 1 - i)
+            if p < 64:
+                bit = (lo >> np.uint64(p)) & _U1
+            else:
+                bit = (hi >> np.uint64(p - 64)) & _U1
+            X[:, i] |= bit << np.uint64(b)
+    return X
+
+
+# ---------------------------------------------------------------------------
+# Skilling transform (Hilbert <-> axes)
+# ---------------------------------------------------------------------------
+
+def axes_to_transpose(X: np.ndarray, elem_bits: int) -> np.ndarray:
+    """Skilling axes→transpose, vectorized over rows.
+
+    X: (rows, n) unsigned array of width ``elem_bits``; returns a new
+    array of the same shape/dtype holding the "transpose" form whose
+    MSB-first interleave is the Hilbert index.
+    """
+    X = X.copy()
+    rows, n = X.shape
+    dt = X.dtype
+    M = 1 << (elem_bits - 1)
+    # Inverse-undo pass, top bit down to 2.
+    Q = M
+    while Q > 1:
+        P = Q - 1
+        for i in range(n):
+            cond = (X[:, i] & dt.type(Q)) != 0
+            # if set: X0 ^= P ; else: t = (X0 ^ Xi) & P ; X0 ^= t ; Xi ^= t
+            t = (X[:, 0] ^ X[:, i]) & dt.type(P)
+            t[cond] = 0
+            x0 = X[:, 0].copy()
+            x0[cond] ^= dt.type(P)
+            x0[~cond] ^= t[~cond]
+            X[:, 0] = x0
+            if i != 0:
+                X[:, i] ^= t
+        Q >>= 1
+    # Gray encode across dimensions.
+    for i in range(1, n):
+        X[:, i] ^= X[:, i - 1]
+    t = np.zeros(rows, dt)
+    Q = M
+    while Q > 1:
+        cond = (X[:, n - 1] & dt.type(Q)) != 0
+        t[cond] ^= dt.type(Q - 1)
+        Q >>= 1
+    for i in range(n):
+        X[:, i] ^= t
+    return X
+
+
+def transpose_to_axes(X: np.ndarray, elem_bits: int) -> np.ndarray:
+    """Inverse of :func:`axes_to_transpose`."""
+    X = X.copy()
+    rows, n = X.shape
+    dt = X.dtype
+    M = 1 << (elem_bits - 1)
+    # Gray decode.
+    t = X[:, n - 1] >> dt.type(1)
+    for i in range(n - 1, 0, -1):
+        X[:, i] ^= X[:, i - 1]
+    X[:, 0] ^= t
+    # Undo-excess pass, bit 2 up to the top bit.
+    Q = 2
+    while Q <= M:
+        P = Q - 1
+        for i in range(n - 1, -1, -1):
+            cond = (X[:, i] & dt.type(Q)) != 0
+            t = (X[:, 0] ^ X[:, i]) & dt.type(P)
+            t[cond] = 0
+            x0 = X[:, 0].copy()
+            x0[cond] ^= dt.type(P)
+            x0[~cond] ^= t[~cond]
+            X[:, 0] = x0
+            if i != 0:
+                X[:, i] ^= t
+        Q <<= 1
+    return X
+
+
+# ---------------------------------------------------------------------------
+# public batch kernels
+# ---------------------------------------------------------------------------
+
+def morton_encode_batch(X: np.ndarray, elem_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Morton (Z-order) index of each row of X → (hi, lo) uint64 lanes."""
+    return interleave_bits(X, elem_bits)
+
+
+def hilbert_encode_batch(X: np.ndarray, elem_bits: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hilbert index of each row of X → (hi, lo) uint64 lanes."""
+    dt = unsigned_dtype(elem_bits)
+    T = axes_to_transpose(np.ascontiguousarray(X, dtype=dt), elem_bits)
+    return interleave_bits(T, elem_bits)
+
+
+def morton_decode_batch(
+    hi: np.ndarray, lo: np.ndarray, n: int, elem_bits: int
+) -> np.ndarray:
+    """Inverse of morton_encode_batch → (rows, n) uint64 coordinates."""
+    return deinterleave_bits(hi, lo, n, elem_bits)
+
+
+def hilbert_decode_batch(
+    hi: np.ndarray, lo: np.ndarray, n: int, elem_bits: int
+) -> np.ndarray:
+    """Inverse of hilbert_encode_batch → (rows, n) uint64 coordinates."""
+    dt = unsigned_dtype(elem_bits)
+    T = deinterleave_bits(hi, lo, n, elem_bits).astype(dt)
+    return transpose_to_axes(T, elem_bits).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# bit-cast helpers (reference semantics: raw bits, no order transform;
+# src/lindel_extension.cpp:735,744,752 reinterpret buffer pointers)
+# ---------------------------------------------------------------------------
+
+def bitcast_to_unsigned(a: np.ndarray, elem_bits: int) -> np.ndarray:
+    """Reinterpret signed-int/float array as unsigned of the same width."""
+    dt = unsigned_dtype(elem_bits)
+    if a.dtype == dt:
+        return a
+    if a.dtype.itemsize * 8 != elem_bits:
+        raise ValueError(
+            f"bitcast width mismatch: {a.dtype} is not {elem_bits}-bit"
+        )
+    return a.view(dt)
+
+
+def bitcast_from_unsigned(a: np.ndarray, out_dtype) -> np.ndarray:
+    """Reinterpret unsigned array as the requested same-width dtype."""
+    out_dtype = np.dtype(out_dtype)
+    if a.dtype.itemsize != out_dtype.itemsize:
+        raise ValueError(
+            f"bitcast width mismatch: {a.dtype} -> {out_dtype}"
+        )
+    return a.view(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# (hi, lo) <-> python int / big-endian bytes
+# ---------------------------------------------------------------------------
+
+def lanes_to_ints(hi: np.ndarray, lo: np.ndarray) -> list[int]:
+    """(hi, lo) lanes → Python unsigned ints (test/debug helper)."""
+    return [(int(h) << 64) | int(l) for h, l in zip(hi.tolist(), lo.tolist())]
+
+
+def lanes_to_bytes(hi: np.ndarray, lo: np.ndarray, width_bytes: int) -> np.ndarray:
+    """(hi, lo) lanes → (rows, width_bytes) uint8 big-endian matrix."""
+    rows = lo.shape[0]
+    out = np.zeros((rows, width_bytes), np.uint8)
+    hi_be = hi[:, None].view(np.uint8).reshape(rows, 8)[:, ::-1]
+    lo_be = lo[:, None].view(np.uint8).reshape(rows, 8)[:, ::-1]
+    both = np.concatenate([hi_be, lo_be], axis=1)  # 16 bytes big-endian
+    out[:, :] = both[:, 16 - width_bytes:]
+    return out
+
+
+def bytes_to_lanes(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(rows, w) uint8 big-endian matrix → (hi, lo) uint64 lanes."""
+    rows, w = buf.shape
+    full = np.zeros((rows, 16), np.uint8)
+    full[:, 16 - w:] = buf
+    hi = np.ascontiguousarray(full[:, 7::-1]).view(np.uint64).reshape(rows)
+    lo = np.ascontiguousarray(full[:, 15:7:-1]).view(np.uint64).reshape(rows)
+    return hi, lo
