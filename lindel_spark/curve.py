@@ -31,6 +31,10 @@ import numpy as np
 _U1 = np.uint64(1)
 _U64_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
 
+# lanes_to_bytes / bytes_to_lanes build big-endian byte matrices by
+# byte-reversing a .view(np.uint8) of uint64 lanes — little-endian only.
+assert np.little_endian, "lindel_spark requires a little-endian host"
+
 
 def unsigned_dtype(bits: int):
     """The NumPy unsigned dtype for an element width in bits."""
@@ -64,8 +68,6 @@ def interleave_bits(X: np.ndarray, elem_bits: int) -> tuple[np.ndarray, np.ndarr
                 lo |= bit << np.uint64(p)
             else:
                 hi |= bit << np.uint64(p - 64)
-    if total <= 64:
-        return hi, lo
     return hi, lo
 
 
@@ -229,7 +231,11 @@ def lanes_to_ints(hi: np.ndarray, lo: np.ndarray) -> list[int]:
 
 
 def lanes_to_bytes(hi: np.ndarray, lo: np.ndarray, width_bytes: int) -> np.ndarray:
-    """(hi, lo) lanes → (rows, width_bytes) uint8 big-endian matrix."""
+    """(hi, lo) lanes → (rows, width_bytes) uint8 big-endian matrix.
+
+    Assumes a little-endian host (``.view(np.uint8)`` then byte-reverse);
+    asserted at import below — every supported platform qualifies.
+    """
     rows = lo.shape[0]
     out = np.zeros((rows, width_bytes), np.uint8)
     hi_be = hi[:, None].view(np.uint8).reshape(rows, 8)[:, ::-1]

@@ -199,15 +199,28 @@ def _decode_fn_and_type(kind: str, plan: DecodePlan, binary_input: bool):
             else:
                 lo = v_s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
                 if in_width < 64:
-                    lo = lo & np.uint64((1 << in_width) - 1)
+                    # The reference's unsigned input types make
+                    # out-of-range values unrepresentable
+                    # (src/lindel_extension.cpp:983-1001); raise rather
+                    # than silently truncate to plausible coordinates.
+                    excess = (lo & ~np.uint64((1 << in_width) - 1)) != 0
+                    if (excess & ~mask).any():
+                        raise ValueError(
+                            f"LINDEL: decode input exceeds u{in_width} range; "
+                            "pass the correct input_width"
+                        )
                 hi = np.zeros(rows, np.uint64)
             if in_width == 128 and n == 1:
-                ints = curve.lanes_to_ints(hi, lo)
-                out = [
-                    None if m else [decimal.Decimal(v)]
-                    for v, m in zip(ints, mask)
-                ]
-                yield pd.Series(out, dtype=object)
+                # u128 round-trip: 16-byte big-endian binary carrier.
+                buf = curve.lanes_to_bytes(hi, lo, 16)
+                raw = buf.tobytes()
+                yield pd.Series(
+                    [
+                        None if m else [raw[i * 16:(i + 1) * 16]]
+                        for i, m in enumerate(mask)
+                    ],
+                    dtype=object,
+                )
                 continue
             Xu = kernel(hi, lo, n, elem_bits)
             if plan.want_float:
@@ -249,7 +262,15 @@ def _decode(kind: str, col, nparts: int, want_float: bool, want_unsigned: bool,
             input_width: int | None, binary_input: bool | None):
     col = col if isinstance(col, Column) else F.col(col)
     if input_width is None:
-        input_width = 64
+        # The reference derives the width from the input's unsigned type
+        # (src/lindel_extension.cpp:983-1001); Spark carries every width
+        # in LongType/BinaryType, so a default would silently mis-decode
+        # (e.g. a u32 key decoded as u64). Require it.
+        raise ValueError(
+            "LINDEL: pass input_width= (8/16/32/64/128) — the unsigned "
+            "width the value was encoded at; Spark's carrier types do "
+            "not determine it"
+        )
     plan = resolve_decode(input_width, nparts, want_float, want_unsigned)
     if binary_input is None:
         binary_input = input_width == 128
@@ -265,9 +286,10 @@ def hilbert_decode(col, nparts: int, want_float: bool = False,
     ``nparts``/flags are plain Python args — inherently constant,
     matching the reference's constant-foldability requirement
     (src/lindel_extension.cpp:171-187).  ``input_width`` is the
-    unsigned width of the encoded value (8/16/32/64/128; default 64);
-    pass ``binary_input=True`` when ``col`` is the big-endian
-    BinaryType form (default for width 128).
+    unsigned width of the encoded value (8/16/32/64/128) and is
+    **required** — the reference derives it from its unsigned input
+    types, which Spark lacks; pass ``binary_input=True`` when ``col``
+    is the big-endian BinaryType form (default for width 128).
 
     Reference: hilbert_decode, src/lindel_extension.cpp:152-274,457-490.
     """
@@ -382,6 +404,11 @@ def morton_decode_native(col: Column, nparts: int, elem="int32",
     et = elem_type(elem)
     if et.is_float:
         raise ValueError("LINDEL: native morton decode is integer-only")
+    if encode_output_bits(et.bits, nparts) > 64:
+        raise ValueError(
+            f"LINDEL: native morton limited to 64-bit inputs "
+            f"(got {et.bits}x{nparts}={et.bits * nparts}); use morton_decode()"
+        )
     col = col if isinstance(col, Column) else F.col(col)
     n = nparts
     bits = et.bits
@@ -429,10 +456,21 @@ def _make_encode_array_udf(kind: str, et: ElemType, n: int, out_mode: str):
                 if v is None:
                     mask[i] = True
                     continue
+                # NULL elements surface as None (object arrays/lists) or,
+                # for float element types after Arrow->pandas, as NaN in
+                # a float ndarray. NaN is a *legal* bit-cast input for
+                # float elems only when the source really was NaN, which
+                # Arrow keeps as None in object form — so an object dtype
+                # here always means a NULL element.
+                if isinstance(v, (list, tuple)):
+                    if any(x is None for x in v):
+                        raise ValueError(_NULL_ELEM_MSG)
                 a = np.asarray(v)
-                if a.dtype == object or (
-                    a.dtype.kind == "f" and not et.is_float and np.isnan(a).any()
-                ):
+                if a.dtype == object:
+                    if any(x is None for x in v):
+                        raise ValueError(_NULL_ELEM_MSG)
+                    a = a.astype(np_dtype)
+                if a.dtype.kind == "f" and not et.is_float and np.isnan(a).any():
                     raise ValueError(_NULL_ELEM_MSG)
                 if a.shape != (n,):
                     raise ValueError(
@@ -487,7 +525,28 @@ def register(spark: SparkSession, elems=("int8", "int16", "int32", "int64",
             max_n = 128 // et.bits
             for n in range(1, max_n + 1):
                 name = f"{kind}_encode_{et.name}_{n}"
-                spark.udf.register(name, _make_encode_array_udf(kind, et, n, "auto"))
+                impl = f"__lindel_impl_{name}"
+                spark.udf.register(impl, _make_encode_array_udf(kind, et, n, "auto"))
+                # SQL-UDF wrapper: NULL array -> NULL, NULL element ->
+                # error (reference src/lindel_extension.cpp:684-694),
+                # checked natively *before* Arrow->pandas conversion —
+                # float NULL elements would otherwise arrive as NaN and
+                # be indistinguishable from legal bit-cast NaN inputs.
+                ret = encode_output_spark_type(
+                    encode_output_bits(et.bits, n), "auto"
+                ).simpleString()
+                arr_t = f"array<{et.spark_type.simpleString()}>"
+                spark.sql(f"""
+                    CREATE OR REPLACE TEMPORARY FUNCTION {name}(arr {arr_t})
+                    RETURNS {ret}
+                    RETURN CASE
+                      WHEN arr IS NULL THEN NULL
+                      WHEN size(arr) != {n} THEN
+                        raise_error('LINDEL: expected array of length {n}')
+                      WHEN exists(arr, x -> x IS NULL) THEN
+                        raise_error('{_NULL_ELEM_MSG}')
+                      ELSE {impl}(arr) END
+                """)
                 names.append(name)
         for width in (8, 16, 32, 64, 128):
             for n in range(1, 17):

@@ -125,6 +125,14 @@ def encode_output_spark_type(total_bits: int, output: str) -> T.DataType:
     if output == "binary":
         return T.BinaryType()
     if output == "decimal":
+        if total_bits > 64:
+            # max u128 ~ 3.4e38 > 10^38-1: Decimal(38,0) silently
+            # overflows for the top ~2/3 of the domain.
+            raise ValueError(
+                f"LINDEL: {total_bits}-bit output does not fit "
+                "DecimalType(38,0) (u128 max ~3.4e38 > 10^38-1); "
+                "use output='binary'"
+            )
         return T.DecimalType(38, 0)
     raise ValueError(f"LINDEL: unknown output mode {output!r}")
 
@@ -196,10 +204,12 @@ def resolve_decode(input_width: int, nparts: int, want_float: bool,
         )
     if nparts == 1:
         # same width back (src/lindel_extension.cpp:244-253); u128 1-part
-        # has no Spark integral carrier -> Decimal(38,0) best effort.
+        # has no Spark integral carrier -> 16-byte big-endian binary,
+        # the only faithful u128 form (Decimal(38,0) overflows above
+        # 10^38-1, ~1/3 of the u128 domain).
         if input_width == 128:
             return DecodePlan(128, 1, 128, False, want_unsigned,
-                              T.DecimalType(38, 0))
+                              T.BinaryType())
         spark = (_UNSIGNED_SPARK if want_unsigned else _SIGNED_SPARK)[input_width]
         return DecodePlan(input_width, 1, input_width, False, want_unsigned, spark)
     if input_width == 8:
