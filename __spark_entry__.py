@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship z-order write workload on sf0.001;
+``queries()`` / ``oracle_sql()`` expose the registry in
+:mod:`lindel_spark.queries` (curve goldens, round-trips, native-Morton
+bit-math oracle, z-order readback) plus the data-pipeline operators as
+they land (dedup, similarity, text, multimodal).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: z-order-write sf0.001 lineitem on (l_orderkey,
+    l_partkey) as int32[2], read back, return keyed rows (the
+    reference's motivating workload, docs/README.md:56-70)."""
+    from lindel_spark import functions as LF
+    from lindel_spark import write as LW
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = tempfile.mkdtemp(prefix="lindel_entry_")
+    LW.zorder_write(
+        li,
+        [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        os.path.join(out, "z"),
+        elem="int32",
+        num_files=4,
+    )
+    rb = spark.read.parquet(os.path.join(out, "z"))
+    return rb.select(
+        "l_orderkey",
+        "l_partkey",
+        LF.hilbert_encode(
+            [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+            "int32",
+        ).alias("hilbert_key"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lindel_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lindel_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,369 @@
+"""Driver-facing query inventory with DuckDB oracle SQL.
+
+Each entry pairs a Spark query (``(spark, sf_dir) -> DataFrame``) with
+an ANSI-SQL oracle DuckDB can run over the same parquet tables — the
+correctness gate from the build brief. Since DuckDB (without the
+reference extension) cannot compute the curves, queries are made
+self-checking in ANSI terms, per the two patterns the reference's own
+test corpus uses (test/sql/lindel.test:15-111):
+
+* **golden literals** — Spark computes encodes of fixed inputs; the
+  oracle is the literal expected values (the reference's published
+  goldens, docs/README.md:117-287).
+* **round-trips** — Spark emits ``x, decode(encode(x))``; the oracle
+  emits ``x, x``. A value-hash match proves bit-exact inversion over
+  every row of the sf table.
+* **independent bit-math** — Morton interleave *is* expressible in
+  ANSI SQL (staged magic-number shifts), so the native Morton path
+  gets a true value-level oracle computed independently by DuckDB.
+
+Column names and types are aligned pairwise (everything integral is
+BIGINT, floats are DOUBLE) because the driver hash-compares columns by
+sorted name.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lindel_spark import functions as LF
+from lindel_spark import write as LW
+
+# registry: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# golden literals (reference test corpus values)
+# ---------------------------------------------------------------------------
+
+# 5x5 grid goldens, ordered by (a, b) — test/sql/lindel.test:30-111.
+# Identical for tinyint[2] and int[2] at these magnitudes.
+_GRID_H = [0, 3, 4, 5, 58, 1, 2, 7, 6, 57, 14, 13, 8, 9, 54,
+           15, 12, 11, 10, 53, 16, 17, 30, 31, 32]
+_GRID_M = [0, 1, 4, 5, 16, 2, 3, 6, 7, 18, 8, 9, 12, 13, 24,
+           10, 11, 14, 15, 26, 32, 33, 36, 37, 48]
+
+
+@query(
+    "golden_scalars",
+    """
+    SELECT 22::BIGINT AS h_i8_3,
+           29::BIGINT AS m_i8_3,
+           2303654869236839926::BIGINT AS h_f32_2,
+           '1fffca6dbd7d7d7d7d7d7d7d7d7d7d72' AS h_f64_2_hex,
+           '0000000019db6d2fedb6db6db6db6db6' AS h_f32_3_hex,
+           178258816::BIGINT AS h_str_abcd,
+           1::BIGINT AS hd_x, 2::BIGINT AS hd_y, 3::BIGINT AS hd_z
+    """,
+)
+def q_golden_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar goldens: test/sql/lindel.test:15-28, docs/README.md:173-212."""
+    one = spark.range(1)
+    i8 = [F.lit(v).cast("tinyint") for v in (1, 2, 3)]
+    f32 = [F.lit(37.8).cast("float"), F.lit(0.2).cast("float")]
+    f64 = [F.lit(37.8), F.lit(0.2)]
+    f32_3 = [F.lit(v).cast("float") for v in (1.0, 5.0, 6.0)]
+    abcd = [F.lit(o).cast("tinyint") for o in (97, 98, 99, 100)]
+    dec = LF.hilbert_decode(F.lit(22).cast("long"), 3, input_width=32)
+    return one.select(
+        LF.hilbert_encode(i8, "int8").alias("h_i8_3"),
+        LF.morton_encode(i8, "int8").alias("m_i8_3"),
+        LF.hilbert_encode(f32, "float32").alias("h_f32_2"),
+        F.lower(F.hex(LF.hilbert_encode(f64, "float64"))).alias("h_f64_2_hex"),
+        F.lower(F.hex(LF.hilbert_encode(f32_3, "float32"))).alias("h_f32_3_hex"),
+        LF.hilbert_encode(abcd, "int8").alias("h_str_abcd"),
+        F.element_at(dec, 1).cast("long").alias("hd_x"),
+        F.element_at(dec, 2).cast("long").alias("hd_y"),
+        F.element_at(dec, 3).cast("long").alias("hd_z"),
+    )
+
+
+def _grid_oracle() -> str:
+    rows = ", ".join(
+        f"({a}, {b}, {_GRID_H[a * 5 + b]}, {_GRID_M[a * 5 + b]})"
+        for a in range(5) for b in range(5)
+    )
+    return f"""
+    SELECT a::BIGINT AS a, b::BIGINT AS b, h::BIGINT AS h, m::BIGINT AS m,
+           a::BIGINT AS ha, b::BIGINT AS hb, a::BIGINT AS ma, b::BIGINT AS mb
+    FROM (VALUES {rows}) AS t(a, b, h, m)
+    """
+
+
+def _grid_query(elem: str, decode_width: int):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        a = spark.range(5).select(F.col("id").alias("a"))
+        b = spark.range(5).select(F.col("id").alias("b"))
+        grid = a.crossJoin(b)
+        cols = [F.col("a"), F.col("b")]
+        h = LF.hilbert_encode(cols, elem)
+        m = LF.morton_encode(cols, elem)
+        g = grid.select(
+            "a", "b", h.alias("h"), m.alias("m"),
+            LF.hilbert_decode(h, 2, input_width=decode_width).alias("hd"),
+            LF.morton_decode(m, 2, input_width=decode_width).alias("md"),
+        )
+        return g.select(
+            "a", "b", "h", "m",
+            F.element_at("hd", 1).cast("long").alias("ha"),
+            F.element_at("hd", 2).cast("long").alias("hb"),
+            F.element_at("md", 1).cast("long").alias("ma"),
+            F.element_at("md", 2).cast("long").alias("mb"),
+        )
+    return fn
+
+
+query("golden_grid_i8", _grid_oracle())(_grid_query("int8", 16))
+query("golden_grid_i32", _grid_oracle())(_grid_query("int32", 64))
+
+
+# ---------------------------------------------------------------------------
+# round-trips over lineitem (decode(encode(x)) == x, hash-compared)
+# ---------------------------------------------------------------------------
+
+def _rt2_oracle(x_sql: str, y_sql: str, cast: str) -> str:
+    return f"""
+    SELECT CAST({x_sql} AS {cast}) AS x, CAST({y_sql} AS {cast}) AS y,
+           CAST({x_sql} AS {cast}) AS dx, CAST({y_sql} AS {cast}) AS dy
+    FROM lineitem
+    """
+
+
+# signed 16/8-bit inputs derived from positive keys; exercises the
+# bit-cast negative-value semantics (SURVEY §1.2)
+_X16 = "(l_orderkey * 7919) % 65536 - 32768"
+_Y16 = "(l_partkey * 104729) % 65536 - 32768"
+_X8 = "(l_orderkey * 7919) % 256 - 128"
+_Y8 = "(l_partkey * 104729) % 256 - 128"
+
+
+def _rt2_query(kind: str, elem: str, spark_cast: str, out_cast: str,
+               decode_width: int, x_expr: str = "l_orderkey",
+               y_expr: str = "l_partkey", want_float: bool = False):
+    enc = LF.hilbert_encode if kind == "hilbert" else LF.morton_encode
+    dec = LF.hilbert_decode if kind == "hilbert" else LF.morton_decode
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _lineitem(spark, sf_dir)
+        src = li.select(
+            F.expr(x_expr).cast(spark_cast).alias("x"),
+            F.expr(y_expr).cast(spark_cast).alias("y"),
+        )
+        h = enc([F.col("x"), F.col("y")], elem)
+        d = dec(h, 2, want_float=want_float, input_width=decode_width)
+        return src.select(
+            F.col("x").cast(out_cast).alias("x"),
+            F.col("y").cast(out_cast).alias("y"),
+            F.element_at(d, 1).cast(out_cast).alias("dx"),
+            F.element_at(d, 2).cast(out_cast).alias("dy"),
+        )
+    return fn
+
+
+query("rt_hilbert_i32", _rt2_oracle("l_orderkey", "l_partkey", "BIGINT"))(
+    _rt2_query("hilbert", "int32", "int", "long", 64))
+query("rt_morton_i32", _rt2_oracle("l_orderkey", "l_partkey", "BIGINT"))(
+    _rt2_query("morton", "int32", "int", "long", 64))
+query("rt_hilbert_i64", _rt2_oracle("l_orderkey", "l_partkey", "BIGINT"))(
+    _rt2_query("hilbert", "int64", "long", "long", 128))
+query("rt_hilbert_i16", _rt2_oracle(_X16, _Y16, "BIGINT"))(
+    _rt2_query("hilbert", "int16", "smallint", "long", 32,
+               _X16, _Y16))
+query("rt_morton_i8", _rt2_oracle(_X8, _Y8, "BIGINT"))(
+    _rt2_query("morton", "int8", "tinyint", "long", 16, _X8, _Y8))
+query("rt_hilbert_f64",
+      _rt2_oracle("l_extendedprice", "l_discount", "DOUBLE"))(
+    _rt2_query("hilbert", "float64", "double", "double", 128,
+               "l_extendedprice", "l_discount", want_float=True))
+query("rt_hilbert_f32",
+      """
+      SELECT CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS x,
+             CAST(CAST(l_discount AS REAL) AS DOUBLE) AS y,
+             CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS dx,
+             CAST(CAST(l_discount AS REAL) AS DOUBLE) AS dy
+      FROM lineitem
+      """)(
+    _rt2_query("hilbert", "float32", "float", "double", 64,
+               "l_extendedprice", "l_discount", want_float=True))
+
+
+def _rtn_oracle(exprs: list[str]) -> str:
+    cols = ", ".join(
+        f"CAST({e} AS BIGINT) AS c{i}, CAST({e} AS BIGINT) AS d{i}"
+        for i, e in enumerate(exprs)
+    )
+    return f"SELECT {cols} FROM lineitem"
+
+
+def _rtn_query(kind: str, elem: str, spark_cast: str, decode_width: int,
+               exprs: list[str]):
+    enc = LF.hilbert_encode if kind == "hilbert" else LF.morton_encode
+    dec = LF.hilbert_decode if kind == "hilbert" else LF.morton_decode
+    n = len(exprs)
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        li = _lineitem(spark, sf_dir)
+        src = li.select(
+            *[F.expr(e).cast(spark_cast).alias(f"c{i}")
+              for i, e in enumerate(exprs)]
+        )
+        h = enc([F.col(f"c{i}") for i in range(n)], elem)
+        d = dec(h, n, input_width=decode_width)
+        return src.select(
+            *[F.col(f"c{i}").cast("long").alias(f"c{i}") for i in range(n)],
+            *[F.element_at(d, i + 1).cast("long").alias(f"d{i}")
+              for i in range(n)],
+        )
+    return fn
+
+
+_E8 = [f"(l_orderkey * {7919 + 2 * i} + l_partkey * {104729 + i}) % 256 - 128"
+       for i in range(8)]
+_E16W = [f"(l_orderkey * {7919 + 2 * i} + l_partkey * {104729 + i}) % 65536 - 32768"
+         for i in range(8)]
+_E8W = [f"(l_orderkey * {7919 + 2 * i} + l_partkey * {104729 + i}) % 256 - 128"
+        for i in range(16)]
+
+query("rt_morton_i8_8", _rtn_oracle(_E8))(
+    _rtn_query("morton", "int8", "tinyint", 64, _E8))
+query("rt_hilbert_i16_8", _rtn_oracle(_E16W))(
+    _rtn_query("hilbert", "int16", "smallint", 128, _E16W))
+query("rt_hilbert_i8_16", _rtn_oracle(_E8W))(
+    _rtn_query("hilbert", "int8", "tinyint", 128, _E8W))
+
+
+@query(
+    "rt_unsigned_i16",
+    f"""
+    SELECT CAST({_X16} AS BIGINT) AS x, CAST({_Y16} AS BIGINT) AS y,
+           CAST(CAST({_X16} AS BIGINT) & 65535 AS BIGINT) AS ux,
+           CAST(CAST({_Y16} AS BIGINT) & 65535 AS BIGINT) AS uy
+    FROM lineitem
+    """,
+)
+def q_rt_unsigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """want_unsigned decode: negative i16 inputs come back as u16 values
+    (reference DECODE_TYPE_MAPPINGS, src/lindel_extension.cpp:64-97)."""
+    li = _lineitem(spark, sf_dir)
+    src = li.select(
+        F.expr(_X16).cast("smallint").alias("x"),
+        F.expr(_Y16).cast("smallint").alias("y"),
+    )
+    h = LF.hilbert_encode([F.col("x"), F.col("y")], "int16")
+    d = LF.hilbert_decode(h, 2, want_unsigned=True, input_width=32)
+    return src.select(
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.element_at(d, 1).cast("long").alias("ux"),
+        F.element_at(d, 2).cast("long").alias("uy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# native Morton vs independent DuckDB bit-math (true value oracle)
+# ---------------------------------------------------------------------------
+
+_MORTON2_DUCK = """
+WITH t AS (
+  SELECT l_orderkey::BIGINT AS x, l_partkey::BIGINT AS y FROM lineitem
+), s1 AS (
+  SELECT x, y,
+         (x | (x << 16)) & 281470681808895 AS xa,
+         (y | (y << 16)) & 281470681808895 AS ya
+  FROM t
+), s2 AS (
+  SELECT x, y,
+         (xa | (xa << 8)) & 71777214294589695 AS xb,
+         (ya | (ya << 8)) & 71777214294589695 AS yb
+  FROM s1
+), s3 AS (
+  SELECT x, y,
+         (xb | (xb << 4)) & 1085102592571150095 AS xc,
+         (yb | (yb << 4)) & 1085102592571150095 AS yc
+  FROM s2
+), s4 AS (
+  SELECT x, y,
+         (xc | (xc << 2)) & 3689348814741910323 AS xd,
+         (yc | (yc << 2)) & 3689348814741910323 AS yd
+  FROM s3
+), s5 AS (
+  SELECT x, y,
+         (xd | (xd << 1)) & 6148914691236517205 AS xe,
+         (yd | (yd << 1)) & 6148914691236517205 AS ye
+  FROM s4
+)
+SELECT x, y, ((xe << 1) | ye)::BIGINT AS m FROM s5
+"""
+
+
+@query("morton_native_vals_i32", _MORTON2_DUCK)
+def q_morton_native_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-Column Morton vs DuckDB's own magic-number interleave —
+    independent implementations of the same public bit-math, compared
+    value-by-value over every lineitem row."""
+    li = _lineitem(spark, sf_dir)
+    src = li.select(
+        F.col("l_orderkey").cast("long").alias("x"),
+        F.col("l_partkey").cast("long").alias("y"),
+    )
+    m = LF.morton_encode_native(
+        [F.col("x").cast("int"), F.col("y").cast("int")], "int32"
+    )
+    return src.select("x", "y", m.alias("m"))
+
+
+# ---------------------------------------------------------------------------
+# z-order write path: data-preserving end to end
+# ---------------------------------------------------------------------------
+
+@query(
+    "zorder_readback",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(l_orderkey)::BIGINT AS sum_ok,
+           SUM(l_partkey)::BIGINT AS sum_pk,
+           COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+    FROM lineitem
+    """,
+)
+def q_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zorder_write → read back → aggregate: proves the clustering
+    write is a pure reordering (reference workload, docs/README.md:56-70)."""
+    li = _lineitem(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lindel_zorder_rb_")
+    LW.zorder_write(
+        li, [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        os.path.join(out, "z"), elem="int32", num_files=8,
+    )
+    rb = spark.read.parquet(os.path.join(out, "z"))
+    return rb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_ok"),
+        F.sum("l_partkey").cast("long").alias("sum_pk"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
