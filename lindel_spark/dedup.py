@@ -1,0 +1,194 @@
+"""Deduplication operators: exact (fingerprint groupBy) and near-dup
+(MinHash + LSH banding), built for 100 TB corpora.
+
+Design constraints honored throughout:
+
+* **No all-pairs, no cartesian.** Candidate generation is a self-join
+  on LSH band keys — the shuffle is keyed on uniformly-distributed md5
+  band hashes, so the pair space is bucketed, never quadratic in corpus
+  size (quadratic only within a duplicate cluster, which is the output
+  size itself).
+* **No Python UDFs.** Shingling, MinHash signatures and band keys are
+  native column expressions (split / transform / array_min / md5), so
+  the signature computation runs in whole-stage codegen; md5-string
+  minima stand in for integer minhashes to keep the math engine-
+  portable (md5 is identical everywhere, so the DuckDB oracle can
+  replay the exact pipeline).
+* **Map-side reduction first.** Exact dedup is one groupBy on a
+  16-byte fingerprint with partial aggregation — the canonical
+  hash-groupBy exact dedup at any scale.
+
+The reference has no dedup surface (curve functions only,
+src/lindel_extension.cpp:948-1026); this is the brief's pipeline tier.
+For embedding-space near-dup see :mod:`lindel_spark.similarity`, which
+reuses the hilbert keys as locality buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lindel_spark.text import doc_fingerprint, tokens
+
+# Defaults shared with the DuckDB oracle in queries.py — change both
+# together or the correctness gate drifts.
+DEFAULT_SHINGLE_K = 3
+DEFAULT_NUM_HASHES = 12
+DEFAULT_BANDS = 4
+DEFAULT_THRESHOLD = 0.8
+
+
+def word_shingles(c: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
+    """Distinct word k-shingles of a text column (array<string>)."""
+    t = tokens(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingles: Column,
+                      num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """MinHash signature as an array of per-seed md5-string minima.
+
+    min(md5(seed || ':' || shingle)) over the shingle set is a uniform
+    deterministic minimum per seed — the classic integer minhash with
+    the hash family replaced by seeded md5, which every engine computes
+    identically (the oracle replays it in SQL).
+    """
+    return F.array(*[
+        F.array_min(
+            F.transform(shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
+        )
+        for j in range(num_hashes)
+    ])
+
+
+def lsh_band_keys(sig: Column, bands: int = DEFAULT_BANDS,
+                  num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
+    """Hash each contiguous signature band to one key (array<string>).
+    Docs agreeing on any band key become candidate pairs."""
+    r = num_hashes // bands
+    return F.array(*[
+        F.md5(F.concat_ws(
+            "|", *[F.element_at(sig, b * r + i + 1) for i in range(r)]
+        ))
+        for b in range(bands)
+    ])
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: (fingerprint, keep_id,
+    n_dups). keep_id is the minimum id — the canonical survivor."""
+    return (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum-id row per normalized-text fingerprint.
+
+    One shuffle (window over fingerprint); survives any scale because
+    the key is a uniform 16-byte hash.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """LSH-bucketed near-duplicate pairs with exact Jaccard verification.
+
+    Plan shape (all shuffles keyed on uniform hashes or ids):
+      1. per-doc shingles → minhash signature → band keys   (no shuffle)
+      2. explode band keys; self-join on (band_idx, band_key)
+         with id_a < id_b; distinct                          (1 shuffle)
+      3. join candidate pairs back to shingle sets by id;
+         exact Jaccard on distinct-shingle arrays; filter    (2 shuffles)
+
+    Returns (id_a, id_b, jaccard) for verified pairs ≥ ``threshold``.
+    Identical-doc clusters share all band keys, so bucket size equals
+    cluster size — the unavoidable output-sized quadratic; run
+    :func:`exact_dedup` first to collapse those.
+    """
+    sh = df.filter(F.size(tokens(F.col(text_col))) >= k).select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    sig = sh.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    bands_df = sig.select(
+        "id",
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, num_hashes)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop the higher-id member of every verified near-dup pair.
+
+    Deterministic greedy policy (not full connected components — at
+    corpus scale CC is an iterative join; the greedy rule removes a
+    superset of every non-canonical cluster member when clusters are
+    cliques, which near-exact duplicates are).
+    """
+    pairs = near_dup_pairs(df, text_col, id_col, **kwargs)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")

@@ -31,7 +31,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lindel_spark import dedup as LD
 from lindel_spark import functions as LF
+from lindel_spark import text as LT
 from lindel_spark import write as LW
 
 # registry: name -> (spark_fn, oracle_sql | None)
@@ -366,4 +368,192 @@ def q_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").cast("long").alias("sum_ok"),
         F.sum("l_partkey").cast("long").alias("sum_pk"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (lindel_spark/text.py) — exact-arithmetic oracle parity
+# ---------------------------------------------------------------------------
+
+# DuckDB needs the 'g' flag to match Spark's replace-all regexp_replace.
+_DUCK_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+_TEXT_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(toks)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT
+         AS n_bpe_tokens,
+       (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT
+         AS n_digits,
+       (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))::BIGINT
+         AS n_punct,
+       list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+         / len(toks)::DOUBLE AS avg_token_len,
+       len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS ttr,
+       (CASE WHEN len(toks) BETWEEN 10 AND 10000 THEN 1.0e0 ELSE 0.0e0 END) * 0.25e0
+       + (CASE WHEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                    / len(toks)::DOUBLE BETWEEN 2.0e0 AND 12.0e0
+               THEN 1.0e0 ELSE 0.0e0 END) * 0.25e0
+       + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.25e0
+       + ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+          / greatest(length(text)::DOUBLE, 1.0e0)) * 0.25e0 AS quality,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM d
+"""
+
+
+@query("text_stats", _TEXT_STATS_ORACLE)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats over the documents table — token counts,
+    char-class counts, exact-arithmetic quality score, md5 fingerprint."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.text_stats(docs)
+
+
+def _langid_oracle() -> str:
+    langs = sorted(LT.LANG_STOPWORDS.items())
+    score_exprs = []
+    for code, words in langs:
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(list_filter(string_split(lower(text), ' '), "
+            f"t -> t != ''), t -> list_contains([{lst}], t))) AS s_{code}"
+        )
+    best = "greatest(" + ", ".join(f"s_{c}" for c, _ in langs) + ")"
+    whens = " ".join(
+        f"WHEN s_{c} = {best} THEN '{c}'" for c, _ in langs
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang, {", ".join(score_exprs)} FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE {whens} END AS guess,
+           (CASE {whens} END = lang)::BIGINT AS hit
+    FROM s
+    """
+
+
+@query("text_langid", _langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-argmax language ID vs the labeled lang column."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    guess = LT.language_id(F.col("text"))
+    return docs.select(
+        "doc_id", "lang", guess.alias("guess"),
+        (guess == F.col("lang")).cast("long").alias("hit"),
+    )
+
+
+@query(
+    "text_bigrams",
+    f"""
+    WITH d AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+      FROM d WHERE len(toks) >= 2
+    )
+    SELECT ngram, COUNT(*)::BIGINT AS cnt FROM g GROUP BY ngram
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (map-side-combined groupBy)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.ngram_counts(docs, n=2, min_count=10)
+
+
+# ---------------------------------------------------------------------------
+# dedup (lindel_spark/dedup.py) — oracle replays identical MinHash/LSH math
+# ---------------------------------------------------------------------------
+
+def _near_dup_cte(k: int = LD.DEFAULT_SHINGLE_K,
+                  num_hashes: int = LD.DEFAULT_NUM_HASHES,
+                  bands: int = LD.DEFAULT_BANDS,
+                  threshold: float = LD.DEFAULT_THRESHOLD) -> str:
+    """DuckDB CTE chain computing the same shingle→minhash→band→verify
+    pipeline as :func:`lindel_spark.dedup.near_dup_pairs`."""
+    r = num_hashes // bands
+    shingle = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k)).replace(
+        "toks[i + 0]", "toks[i]"
+    )
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"s{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"x.b{b} = y.b{b}" for b in range(bands))
+    return f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(toks) - {k - 2}),
+                                          i -> {shingle})) AS sh
+      FROM d WHERE len(toks) >= {k}
+    ), sig AS (
+      SELECT id, sh, {sigs} FROM sh
+    ), bnd AS (
+      SELECT id, sh, {band_keys} FROM sig
+    ), pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(x.sh || y.sh))::DOUBLE AS jaccard
+      FROM bnd x JOIN bnd y
+        ON x.id < y.id AND ({band_match})
+    ), verified AS (
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}e0
+    )
+    """
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id)::BIGINT AS keep_id,
+           COUNT(*)::BIGINT AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on the normalized fingerprint."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.exact_dup_groups(docs)
+
+
+@query(
+    "dedup_near_pairs",
+    _near_dup_cte() + "SELECT id_a, id_b, jaccard FROM verified",
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH near-dup pairs with exact-Jaccard verification —
+    value-compared against DuckDB replaying the identical pipeline."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.near_dup_pairs(docs)
+
+
+@query(
+    "dedup_kept_ids",
+    _near_dup_cte()
+    + """
+    SELECT doc_id::BIGINT AS doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+    """,
+)
+def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving ids after greedy near-dup removal."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.drop_near_duplicates(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id")
     )

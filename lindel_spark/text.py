@@ -1,0 +1,175 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a composition of built-in ``pyspark.sql.functions``
+— no Python UDFs anywhere — so the whole module runs inside JVM
+whole-stage codegen and scales linearly with input: per-row expressions
+only (no shuffle), except the corpus-level n-gram frequency which is a
+single map-side-combined ``groupBy``. At 100 TB these are scan-bound,
+exactly what you want for quality filtering ahead of dedup.
+
+Numeric outputs deliberately use only IEEE-exact arithmetic (+,-,*,/ on
+doubles; no transcendentals) so results are bit-identical across
+engines and safely hash-comparable against the DuckDB oracle.
+
+These operators extend the reference's surface (the reference is
+curve-math only, src/lindel_extension.cpp:948-1026); they are the
+brief's LLM-pipeline tier, built beside the curve operators that give
+the pipeline its locality-preserving bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Deliberately small and public-knowledge; the
+# operator contract is "deterministic argmax of stopword hits", not
+# linguistic accuracy.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "and", "is", "of", "to", "a", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single
+# non-alphanumeric-non-space marks — the shape GPT-style BPE regexes
+# split on before merges.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def normalize_text(c: Column) -> Column:
+    """Lowercase, collapse whitespace runs, trim — the canonical form
+    fingerprints and exact dedup key on."""
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens with empties dropped (array<string>)."""
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def bpe_token_count(c: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / marks) —
+    a cheap proxy for tokenizer cost used in length filtering."""
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0)).cast("long")
+
+
+def count_matches(c: Column, char_class: str) -> Column:
+    """How many characters of ``c`` fall in the regex ``char_class``."""
+    return (
+        F.length(c) - F.length(F.regexp_replace(c, char_class, ""))
+    ).cast("long")
+
+
+def avg_token_length(c: Column) -> Column:
+    """Mean token length in characters (double; exact arithmetic)."""
+    t = tokens(c)
+    total = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return total.cast("double") / F.size(t).cast("double")
+
+
+def type_token_ratio(c: Column) -> Column:
+    """Distinct-token / token ratio — low values flag repetitive spam."""
+    t = tokens(c)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+
+
+def stopword_hits(c: Column, stopwords) -> Column:
+    """Number of tokens (with multiplicity) found in ``stopwords``."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(
+        F.filter(tokens(F.lower(c)), lambda t: F.array_contains(sw, t))
+    ).cast("long")
+
+
+def stopword_ratio(c: Column, stopwords) -> Column:
+    return stopword_hits(c, stopwords).cast("double") / token_count(c).cast("double")
+
+
+def language_id(c: Column, lang_stopwords: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Deterministic stopword-hit argmax over candidate languages;
+    ties break to the lexicographically first language code. Returns
+    the language code string."""
+    langs = sorted((lang_stopwords or LANG_STOPWORDS).items())
+    scores = [(code, stopword_hits(c, words)) for code, words in langs]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    # first-match-wins WHEN chain in sorted-code order = argmax with
+    # lexicographic tie-break
+    out = None
+    for code, s in scores:
+        cond = s == best
+        out = F.when(cond, F.lit(code)) if out is None else out.when(cond, F.lit(code))
+    return out
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic from exact-arithmetic signals:
+    token count band, mean token length band, type-token ratio, and
+    alphabetic character share. Weights are fixed; all IEEE-exact."""
+    n = token_count(c).cast("double")
+    atl = avg_token_length(c)
+    ttr = type_token_ratio(c)
+    alpha_share = (
+        count_matches(c, "[A-Za-z]").cast("double")
+        / F.greatest(F.length(c).cast("double"), F.lit(1.0))
+    )
+    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return len_ok * 0.25 + atl_ok * 0.25 + ttr * 0.25 + alpha_share * 0.25
+
+
+def doc_fingerprint(c: Column) -> Column:
+    """md5 of the normalized text — the exact-dedup key."""
+    return F.md5(normalize_text(c))
+
+
+def text_stats(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats frame: one row per doc, all signals."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("long").alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        count_matches(c, "[0-9]").alias("n_digits"),
+        count_matches(c, "[^A-Za-z0-9\\s]").alias("n_punct"),
+        avg_token_length(c).alias("avg_token_len"),
+        type_token_ratio(c).alias("ttr"),
+        quality_score(c).alias("quality"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
+                 min_count: int = 1) -> DataFrame:
+    """Corpus-level n-gram frequency: one explode + one map-side-
+    combined groupBy — the only shuffle in this module, and it shuffles
+    pre-aggregated (ngram, partial_count) pairs, not raw tokens."""
+    t = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        # guard: Spark's sequence(1, k) runs *descending* for k < 1, so
+        # short docs must be dropped before building gram indices
+        df.filter(F.size(t) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -1,0 +1,78 @@
+"""Unit tests for the text-analysis and dedup operator tiers."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import dedup as LD
+from lindel_spark import text as LT
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different content about spark query engines and scale"),
+        (4, "THE  quick   brown fox jumps over the lazy dog near the river bank"),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(docs):
+    r = {x.doc_id: x.n for x in docs.select(
+        "doc_id", LT.token_count(F.col("text")).alias("n")).collect()}
+    assert r[1] == 13 and r[5] == 2
+    assert r[4] == 13  # multiple spaces collapse to no extra tokens
+
+
+def test_fingerprint_normalizes_whitespace_and_case(docs):
+    r = {x.doc_id: x.fp for x in docs.select(
+        "doc_id", LT.doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert r[1] == r[4]
+    assert r[1] != r[2]
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = LD.exact_dedup(docs)
+    ids = sorted(x.doc_id for x in kept.select("doc_id").collect())
+    assert ids == [1, 2, 3, 5]  # 4 is a normalized dup of 1
+
+
+def test_near_dup_pairs_bucketed(docs):
+    pairs = LD.near_dup_pairs(docs, threshold=0.5).collect()
+    got = {(x.id_a, x.id_b) for x in pairs}
+    assert (1, 2) in got          # one-word difference
+    assert (1, 4) in got          # whitespace/case variant
+    assert all({a, b} != {1, 3} for a, b in got)  # unrelated not paired
+    for x in pairs:
+        assert 0.0 <= x.jaccard <= 1.0
+
+
+def test_drop_near_duplicates(docs):
+    kept = LD.drop_near_duplicates(docs, threshold=0.5)
+    ids = sorted(x.doc_id for x in kept.select("doc_id").collect())
+    assert 1 in ids and 3 in ids and 5 in ids
+    assert 2 not in ids and 4 not in ids
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is in of to a house that runs"),
+         (2, "el perro y la casa de que un es en madrid")],
+        "doc_id long, text string")
+    r = {x.doc_id: (x.q, x.lang) for x in df.select(
+        "doc_id",
+        LT.quality_score(F.col("text")).alias("q"),
+        LT.language_id(F.col("text")).alias("lang")).collect()}
+    assert r[1][1] == "en" and r[2][1] == "es"
+    assert 0.0 <= r[1][0] <= 1.0
+
+
+def test_ngram_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string")
+    r = {x.ngram: x.cnt for x in LT.ngram_counts(df, n=2).collect()}
+    assert r["a b"] == 3 and r["b a"] == 2 and r["b c"] == 1
+    assert "x" not in r  # single-token doc contributes nothing
