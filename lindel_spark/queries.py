@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from lindel_spark import dedup as LD
 from lindel_spark import functions as LF
+from lindel_spark import similarity as LS
 from lindel_spark import text as LT
 from lindel_spark import write as LW
 
@@ -557,3 +558,48 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.drop_near_duplicates(docs).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (lindel_spark/similarity.py)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH e AS (
+  SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT id, v FROM e WHERE id % 50 = 0
+), scored AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         list_dot_product(q.v, c.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM q JOIN e c ON q.id != c.id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos, rank::BIGINT AS rank FROM r
+WHERE rank <= 10
+"""
+
+
+@query("knn_brute", _KNN_ORACLE)
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for every 50th vector — similarity values
+    hash-compare exactly because the sequential double fold matches
+    DuckDB's list_dot_product bit-for-bit."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return LS.brute_force_knn(emb, queries_df, k=10)
+
+
+@query("knn_ann_simhash", None)  # probabilistic: rows-only check;
+# recall >= 0.9 vs brute force is pytest-enforced (tests/test_similarity.py)
+def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-LSH approximate top-10 (bucketed candidates only)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return LS.ann_knn(emb, queries_df, k=10)

@@ -1,0 +1,276 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, slowest-exact to fastest-approximate:
+
+1. :func:`brute_force_knn` — exact cosine top-k via native column
+   expressions. The dot product is a *sequential left-to-right double
+   fold* (``aggregate(zip_with(...))``), which is bit-identical to a
+   plain loop — and therefore to the DuckDB oracle's
+   ``list_dot_product`` — so similarity values hash-compare exactly.
+   Correctness baseline; shuffles |Q|·|corpus| scored rows.
+2. :func:`brute_force_knn_fast` — same exact semantics, executed as a
+   NumPy matmul over Arrow batches (``mapInPandas``) with per-batch
+   top-k pruning, so the shuffle carries ≤ |Q|·k rows per input batch
+   instead of every scored pair. The 100 TB brute-force path (one
+   corpus scan, broadcast queries, tiny shuffle). Values may differ
+   from tier 1 in the last ulp (SIMD accumulation order); top-k sets
+   agree in practice and are pytest-checked.
+3. :func:`ann_knn` — SimHash (random-hyperplane) LSH: sign-bit
+   signatures, banded into bucket keys; candidates are corpus rows
+   sharing any band with the query (the query side multi-probes all
+   Hamming-distance-≤`probe` variants of each of its band keys), then
+   exact cosine + top-k within candidates only. Sub-linear scored
+   pairs; recall vs tier 1 is pytest-enforced ≥ 0.9 at sf0.01.
+
+   Note on tuning: the driver's synthetic embeddings are near-random
+   (top-10 neighbor cosine ≈ 0.31, only ~12% of true neighbors share
+   the generator's cluster label), which is close to the worst case
+   for any LSH — hence the generous default probe radius. On real
+   clustered embeddings the same machinery prunes far harder.
+
+For 2-4-D *spatial* vectors, prefer bucketing by the package's own
+hilbert keys (:func:`lindel_spark.write.zorder_key`) — that is the
+reference's native locality primitive (docs/README.md:51-72); SimHash
+is the high-dimensional analogue used here for 64-d embeddings.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_NUM_PLANES = 16
+DEFAULT_BANDS = 4
+DEFAULT_PROBE = 1
+DEFAULT_SEED = 7
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Deterministic sequential-fold dot product (double)."""
+    return F.aggregate(
+        F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos = dot/(|a|·|b|), all IEEE-exact sequential ops."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos, rank).
+
+    ``queries`` is broadcast (small side); the corpus is scanned once.
+    Ties break on neighbor id, so ranks are deterministic.
+    """
+    q = F.broadcast(queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    ))
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+    )
+    scored = q.crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def brute_force_knn_fast(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matmul brute force with per-batch top-k pruning.
+
+    Each Arrow batch computes ``(batch × dim) @ (dim × Q)`` in one BLAS
+    call and emits only its local top-k per query, so the global top-k
+    merge shuffles ≤ batches·|Q|·k rows — the scan dominates, which is
+    the best a brute-force pass can do at 100 TB.
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], np.int64)
+    Q = np.array([np.asarray(r[1], np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(np.int64)
+            V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ Qn.T  # (rows, Q)
+            self_mask = ids[:, None] == q_ids[None, :]
+            S[self_mask] = -np.inf
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, Q)
+            qi = np.repeat(q_ids, kk)
+            ni = ids[top.T.ravel()]
+            cs = S[top.T.ravel(), np.repeat(np.arange(len(q_ids)), kk)]
+            keep = cs != -np.inf
+            yield pd.DataFrame(
+                {"query_id": qi[keep], "neighbor_id": ni[keep],
+                 "cos": cs[keep]}
+            )
+
+    c = corpus.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    )
+    local = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((dim, num_planes))
+
+
+def simhash_band_keys(
+    vec_col: str,
+    dim: int,
+    num_planes: int = DEFAULT_NUM_PLANES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    probe: int = 0,
+):
+    """Pandas UDF: embedding → array of bucket keys.
+
+    Signature bit i = sign(v · h_i) for fixed seeded Gaussian
+    hyperplanes; keys pack each band's bits with the band index so keys
+    from different bands never collide. ``probe > 0`` additionally
+    emits every key within Hamming distance ``probe`` of each band key
+    (query-side multi-probe), all fully vectorized over the batch.
+    """
+    H = _hyperplanes(dim, num_planes, seed)
+    r = num_planes // bands
+    # XOR masks applied to each band key: identity + Hamming<=probe.
+    masks = [0]
+    if probe >= 1:
+        masks += [1 << j for j in range(r)]
+    if probe >= 2:
+        masks += [(1 << j) | (1 << l) for j in range(r) for l in range(j + 1, r)]
+    masks_np = np.array(masks, np.int64)  # (P,)
+    weights = np.array([1 << (r - 1 - i) for i in range(r)], np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.stack([np.asarray(v, np.float64) for v in s])
+            bits = ((V @ H) > 0).astype(np.int64)  # (rows, planes)
+            # (rows, bands) base keys: MSB-first pack of each band's bits
+            base = np.stack(
+                [bits[:, b * r:(b + 1) * r] @ weights for b in range(bands)],
+                axis=1,
+            )
+            # (rows, bands, P) probed keys, tagged with the band index
+            probed = (base[:, :, None] ^ masks_np[None, None, :]) | (
+                np.arange(bands, dtype=np.int64)[None, :, None] << 40
+            )
+            flat = probed.reshape(len(V), -1)
+            yield pd.Series(list(flat), dtype=object)
+
+    return keys(F.col(vec_col))
+
+
+def ann_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = DEFAULT_NUM_PLANES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    probe: int = DEFAULT_PROBE,
+) -> DataFrame:
+    """SimHash-bucketed approximate top-k: (query_id, neighbor_id, cos,
+    rank) over candidates sharing ≥1 LSH band (within Hamming distance
+    ``probe``) with the query.
+
+    The candidate join is keyed on band keys (uniformly distributed),
+    never all-pairs. Multi-probing happens on the (small, broadcast)
+    query side only, so the corpus carries exactly ``bands`` keys per
+    row regardless of probe radius — the corpus-side shuffle is O(rows
+    × bands) at any scale.
+    """
+    cb = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode(
+            simhash_band_keys(vec_col, dim, num_planes, bands, seed)
+        ).alias("band_key"),
+    )
+    qb = F.broadcast(queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            simhash_band_keys(vec_col, dim, num_planes, bands, seed, probe)
+        ).alias("band_key"),
+    ))
+    cand = (
+        qb.join(cb, "band_key")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos",
+                F.col("rank").cast("long").alias("rank"))
+    )

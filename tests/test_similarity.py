@@ -1,0 +1,72 @@
+"""Similarity-search tier tests: exact/fast agreement and ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import similarity as LS
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries_df(emb):
+    return emb.filter(F.col("vec_id") % 50 == 0)
+
+
+@pytest.fixture(scope="module")
+def brute(emb, queries_df):
+    return LS.brute_force_knn(emb, queries_df, k=10).collect()
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_brute_force_shape(brute):
+    by_q = _topk_sets(brute)
+    assert len(by_q) == 10
+    assert all(len(v) == 10 for v in by_q.values())
+    for r in brute:
+        assert -1.0 <= r.cos <= 1.0
+        assert r.neighbor_id != r.query_id
+
+
+def test_fast_matches_exact_topk(emb, queries_df, brute):
+    fast = LS.brute_force_knn_fast(emb, queries_df, k=10).collect()
+    exact_sets = _topk_sets(brute)
+    fast_sets = _topk_sets(fast)
+    assert exact_sets == fast_sets
+    # values agree to float tolerance (SIMD accumulation order differs)
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos for r in brute}
+    for r in fast:
+        assert abs(exact_cos[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+
+
+def test_ann_recall_at_10(emb, queries_df, brute):
+    ann = LS.ann_knn(emb, queries_df, k=10).collect()
+    exact_sets = _topk_sets(brute)
+    ann_sets = _topk_sets(ann)
+    hits = sum(len(exact_sets[q] & ann_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(v) for v in exact_sets.values())
+    recall = hits / total
+    assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
+
+def test_ann_scores_fewer_pairs(emb, queries_df):
+    """The LSH join must actually prune the candidate space."""
+    n_corpus = emb.count()
+    n_q = queries_df.count()
+    cand = LS.ann_knn(emb, queries_df, k=n_corpus)  # keep every candidate
+    n_cand = cand.count()
+    # sf0.01's 500 near-random vectors are close to LSH's worst case
+    # (top-10 neighbor cos ~0.31); even so the bucketed join must beat
+    # all-pairs. Real clustered embeddings prune far harder.
+    assert n_cand < 0.85 * n_q * (n_corpus - 1), (
+        f"ANN scored {n_cand} of {n_q * (n_corpus - 1)} possible pairs"
+    )
