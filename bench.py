@@ -1,0 +1,144 @@
+"""Headline benchmark: BASELINE.md protocol + pipeline-operator timings.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "bench_total", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>, "rows": {...}}
+
+Encode/decode queries are forced through the ``noop`` sink so Catalyst
+cannot prune the measured column; timings are the median of 3 runs for
+the scan-shaped queries and a single run for the write-shaped ones.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf() -> float:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from lindel_spark import dedup as LD
+    from lindel_spark import functions as LF
+    from lindel_spark import similarity as LS
+    from lindel_spark import text as LT
+    from lindel_spark import write as LW
+    from lindel_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    spark = get_spark("lindel-bench")
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_li = li.count()  # warms the JVM + caches file listings
+    n_docs = docs.count()
+    n_emb = emb.count()
+
+    i2 = [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")]
+    d2 = [F.col("l_extendedprice"), F.col("l_discount")]
+
+    def q_hilbert_i32(_):
+        _noop(li.select(LF.hilbert_encode(i2, "int32").alias("h")))
+
+    def q_hilbert_f64(_):
+        _noop(li.select(LF.hilbert_encode(d2, "float64").alias("h")))
+
+    def q_morton_native_i32(_):
+        _noop(li.select(LF.morton_encode_native(i2, "int32").alias("m")))
+
+    def q_morton_udf_i32(_):
+        _noop(li.select(LF.morton_encode(i2, "int32").alias("m")))
+
+    def q_decode_rt_i32(_):
+        h = LF.hilbert_encode(i2, "int32")
+        _noop(li.select(LF.hilbert_decode(h, 2, input_width=64).alias("d")))
+
+    def q_zorder_write(tmp):
+        LW.zorder_write(li, i2, os.path.join(tmp, "z"), elem="int32",
+                        num_files=16)
+
+    def q_plain_write(tmp):
+        li.repartition(16).write.mode("overwrite").parquet(
+            os.path.join(tmp, "p"))
+
+    def q_text_stats(_):
+        _noop(LT.text_stats(docs))
+
+    def q_dedup_near(_):
+        _noop(LD.near_dup_pairs(docs))
+
+    def q_knn_fast(_):
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.brute_force_knn_fast(emb, queries_df, k=10))
+
+    scan_shaped = [
+        ("hilbert_encode_i32x2", q_hilbert_i32, n_li),
+        ("hilbert_encode_f64x2", q_hilbert_f64, n_li),
+        ("morton_native_i32x2", q_morton_native_i32, n_li),
+        ("morton_udf_i32x2", q_morton_udf_i32, n_li),
+        ("hilbert_decode_rt_i32x2", q_decode_rt_i32, n_li),
+        ("text_stats", q_text_stats, n_docs),
+        ("dedup_near_pairs", q_dedup_near, n_docs),
+        ("knn_brute_fast", q_knn_fast, n_emb),
+    ]
+    write_shaped = [
+        ("zorder_write_i32x2", q_zorder_write, n_li),
+        ("plain_write", q_plain_write, n_li),
+    ]
+
+    queries: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    tmp = tempfile.mkdtemp(prefix="lindel_bench_")
+    try:
+        for name, fn, n in scan_shaped:
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(tmp)
+                times.append(time.perf_counter() - t0)
+            queries[name] = round(statistics.median(times), 4)
+            rows[name] = n
+        for name, fn, n in write_shaped:
+            t0 = time.perf_counter()
+            fn(tmp)
+            queries[name] = round(time.perf_counter() - t0, 4)
+            rows[name] = n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "bench_total",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(),
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

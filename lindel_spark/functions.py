@@ -23,14 +23,15 @@ error "Lindel functions cannot handle arrays containing NULL values".
 from __future__ import annotations
 
 import decimal
-from typing import Iterator, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import ArrowUDFType, arrow_udf
 
 from lindel_spark import curve
 from lindel_spark.types import (
@@ -44,6 +45,86 @@ from lindel_spark.types import (
 )
 
 _NULL_ELEM_MSG = "Lindel functions cannot handle arrays containing NULL values"
+
+
+# ---------------------------------------------------------------------------
+# Arrow plumbing (zero-copy between the JVM batch and the NumPy kernel)
+# ---------------------------------------------------------------------------
+
+def _chunked(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _np_bool(a: pa.Array) -> np.ndarray:
+    return _chunked(a).to_numpy(zero_copy_only=False).astype(bool, copy=False)
+
+
+def _np_to_binary_array(data2d: np.ndarray, mask: np.ndarray) -> pa.Array:
+    """(rows, w) uint8 matrix -> variable-width pa.binary() without any
+    per-row Python objects: one offsets buffer + the matrix itself."""
+    rows, w = data2d.shape
+    offsets = pa.py_buffer(np.arange(rows + 1, dtype=np.int32) * w)
+    databuf = pa.py_buffer(np.ascontiguousarray(data2d))
+    validity = None
+    nulls = 0
+    if mask.any():
+        validity = pa.py_buffer(np.packbits(~mask, bitorder="little"))
+        nulls = int(mask.sum())
+    return pa.Array.from_buffers(
+        pa.binary(), rows, [validity, offsets, databuf], null_count=nulls
+    )
+
+
+def _binary_to_matrix(v: pa.Array, in_bytes: int,
+                      mask: np.ndarray) -> np.ndarray:
+    """pa.binary() array -> (rows, in_bytes) uint8 matrix, vectorized.
+
+    Raises if any non-null value has the wrong width (the reference's
+    unsigned input types make that unrepresentable)."""
+    rows = len(v)
+    lengths = pc.binary_length(v).fill_null(in_bytes).to_numpy(
+        zero_copy_only=False
+    )
+    if (lengths != in_bytes).any():
+        bad = int(lengths[lengths != in_bytes][0])
+        raise ValueError(
+            f"LINDEL: decode expected {in_bytes}-byte binary, got {bad} bytes"
+        )
+    filled = pc.fill_null(v, b"\x00" * in_bytes)
+    validity, offbuf, databuf = filled.buffers()
+    off = np.frombuffer(offbuf, np.int32, rows + 1 + filled.offset)[
+        filled.offset:
+    ]
+    data = np.frombuffer(databuf, np.uint8)
+    return data[off[0]:off[0] + rows * in_bytes].reshape(rows, in_bytes)
+
+
+def _list_array(values: pa.Array, n: int, mask: np.ndarray) -> pa.Array:
+    """Flat values + fixed arity -> pa.list_ with nulls from ``mask``."""
+    rows = len(mask)
+    offs = np.arange(rows + 1, dtype=np.int32) * n
+    if mask.any():
+        offsets = pa.array(offs, pa.int32(),
+                           mask=np.append(mask, False))
+    else:
+        offsets = pa.array(offs, pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+def _encode_output(ret_type, hi, lo, mask, width_bytes) -> pa.Array:
+    if isinstance(ret_type, T.LongType):
+        return pa.array(lo.view(np.int64), pa.int64(), mask=mask)
+    if isinstance(ret_type, T.BinaryType):
+        return _np_to_binary_array(
+            curve.lanes_to_bytes(hi, lo, width_bytes), mask
+        )
+    # Decimal(38,0) display helper (opt-in; widths > 126 bits rejected
+    # at bind time in types.py — u128 values overflow 38 digits)
+    ints = curve.lanes_to_ints(hi, lo)
+    return pa.array(
+        [None if m else decimal.Decimal(v) for v, m in zip(ints, mask)],
+        pa.decimal128(38, 0),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -66,42 +147,24 @@ def _make_encode_udf(kind: str, et: ElemType, n: int, out_mode: str):
     np_dtype = et.np_dtype
     elem_bits = et.bits
 
-    def fn(it: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
-        for cols in it:
-            null_s, bad_s = cols[0], cols[1]
-            elems = cols[2:]
-            mask = null_s.to_numpy(dtype=bool, na_value=True)
-            bad = bad_s.to_numpy(dtype=bool, na_value=False)
-            if (bad & ~mask).any():
-                raise ValueError(_NULL_ELEM_MSG + f" (or array length != {n})")
-            X = np.column_stack(
-                [e.to_numpy(dtype=np_dtype, na_value=0) for e in elems]
-            )
-            U = curve.bitcast_to_unsigned(np.ascontiguousarray(X), elem_bits)
-            hi, lo = kernel(U, elem_bits)
-            if isinstance(ret_type, T.LongType):
-                out = pd.array(lo.view(np.int64), dtype="Int64")
-                if mask.any():
-                    out[mask] = pd.NA
-                yield pd.Series(out)
-            elif isinstance(ret_type, T.BinaryType):
-                buf = curve.lanes_to_bytes(hi, lo, width_bytes)
-                raw = buf.tobytes()
-                yield pd.Series(
-                    [
-                        None if m else raw[i * width_bytes:(i + 1) * width_bytes]
-                        for i, m in enumerate(mask)
-                    ],
-                    dtype=object,
-                )
-            else:  # Decimal(38,0)
-                ints = curve.lanes_to_ints(hi, lo)
-                yield pd.Series(
-                    [None if m else decimal.Decimal(v) for v, m in zip(ints, mask)],
-                    dtype=object,
-                )
+    def fn(*cols: pa.Array) -> pa.Array:
+        null_a, bad_a = _chunked(cols[0]), _chunked(cols[1])
+        elems = [_chunked(c) for c in cols[2:]]
+        mask = _np_bool(null_a)
+        bad = _np_bool(bad_a)
+        if (bad & ~mask).any():
+            raise ValueError(_NULL_ELEM_MSG + f" (or array length != {n})")
+        X = np.column_stack(
+            [
+                e.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
+                for e in elems
+            ]
+        )
+        U = curve.bitcast_to_unsigned(np.ascontiguousarray(X), elem_bits)
+        hi, lo = kernel(U, elem_bits)
+        return _encode_output(ret_type, hi, lo, mask, width_bytes)
 
-    return pandas_udf(ret_type)(fn)
+    return arrow_udf(fn, ret_type, ArrowUDFType.SCALAR)
 
 
 def _encode(kind: str, arr, elem, n, output):
@@ -174,88 +237,65 @@ def morton_encode(arr, elem="int32", n: int | None = None,
 # decode
 # ---------------------------------------------------------------------------
 
-def _decode_fn_and_type(kind: str, plan: DecodePlan, binary_input: bool):
+def _make_decode_udf(kind: str, plan: DecodePlan, binary_input: bool):
     ret_type = T.ArrayType(plan.spark_elem, containsNull=False)
     kernel = _decode_kernel(kind)
     n, elem_bits, in_width = plan.nparts, plan.elem_bits, plan.input_width
     in_bytes = in_width // 8
 
-    def fn(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for null_s, v_s in it:
-            mask = null_s.to_numpy(dtype=bool, na_value=True)
-            rows = len(mask)
-            if binary_input:
-                buf = np.zeros((rows, in_bytes), np.uint8)
-                for i, b in enumerate(v_s):
-                    if mask[i] or b is None:
-                        continue
-                    if len(b) != in_bytes:
-                        raise ValueError(
-                            f"LINDEL: decode expected {in_bytes}-byte binary, "
-                            f"got {len(b)} bytes"
-                        )
-                    buf[i] = np.frombuffer(b, np.uint8)
-                hi, lo = curve.bytes_to_lanes(buf)
-            else:
-                lo = v_s.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-                if in_width < 64:
-                    # The reference's unsigned input types make
-                    # out-of-range values unrepresentable
-                    # (src/lindel_extension.cpp:983-1001); raise rather
-                    # than silently truncate to plausible coordinates.
-                    excess = (lo & ~np.uint64((1 << in_width) - 1)) != 0
-                    if (excess & ~mask).any():
-                        raise ValueError(
-                            f"LINDEL: decode input exceeds u{in_width} range; "
-                            "pass the correct input_width"
-                        )
-                hi = np.zeros(rows, np.uint64)
-            if in_width == 128 and n == 1:
-                # u128 round-trip: 16-byte big-endian binary carrier.
-                buf = curve.lanes_to_bytes(hi, lo, 16)
-                raw = buf.tobytes()
-                yield pd.Series(
-                    [
-                        None if m else [raw[i * 16:(i + 1) * 16]]
-                        for i, m in enumerate(mask)
-                    ],
-                    dtype=object,
-                )
-                continue
-            Xu = kernel(hi, lo, n, elem_bits)
-            if plan.want_float:
-                dt = np.float32 if elem_bits == 32 else np.float64
-                Xc = curve.bitcast_from_unsigned(
-                    Xu.astype(curve.unsigned_dtype(elem_bits)), dt
-                )
-            elif plan.want_unsigned:
-                if elem_bits == 64:
-                    ints = [
-                        [decimal.Decimal(int(v)) for v in row]
-                        for row in Xu.tolist()
-                    ]
-                    yield pd.Series(
-                        [None if m else r for r, m in zip(ints, mask)],
-                        dtype=object,
-                    )
-                    continue
-                else:
-                    Xc = Xu.astype(signed_np_dtype(elem_bits * 2))
-            else:
-                Xc = curve.bitcast_from_unsigned(
-                    Xu.astype(curve.unsigned_dtype(elem_bits)),
-                    signed_np_dtype(elem_bits),
-                )
-            yield pd.Series(
-                [None if m else Xc[i] for i, m in enumerate(mask)], dtype=object
+    def fn(v: pa.Array) -> pa.Array:
+        v = _chunked(v)
+        mask = _np_bool(v.is_null())
+        rows = len(v)
+        if binary_input:
+            hi, lo = curve.bytes_to_lanes(_binary_to_matrix(v, in_bytes, mask))
+        else:
+            lo = (
+                pc.fill_null(v, 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False)
+                .view(np.uint64)
             )
+            if in_width < 64:
+                # The reference's unsigned input types make out-of-range
+                # values unrepresentable (src/lindel_extension.cpp:983-
+                # 1001); raise rather than silently truncate to
+                # plausible coordinates.
+                excess = (lo & ~np.uint64((1 << in_width) - 1)) != 0
+                if (excess & ~mask).any():
+                    raise ValueError(
+                        f"LINDEL: decode input exceeds u{in_width} range; "
+                        "pass the correct input_width"
+                    )
+            hi = np.zeros(rows, np.uint64)
+        if in_width == 128 and n == 1:
+            # u128 round-trip: 16-byte big-endian binary carrier.
+            values = _np_to_binary_array(
+                curve.lanes_to_bytes(hi, lo, 16), np.zeros(rows, bool)
+            )
+            return _list_array(values, 1, mask)
+        Xu = kernel(hi, lo, n, elem_bits)
+        if plan.want_float:
+            dt = np.float32 if elem_bits == 32 else np.float64
+            Xc = curve.bitcast_from_unsigned(
+                Xu.astype(curve.unsigned_dtype(elem_bits)), dt
+            )
+        elif plan.want_unsigned:
+            if elem_bits == 64:
+                vals = pa.array(
+                    [decimal.Decimal(int(x)) for x in Xu.ravel().tolist()],
+                    pa.decimal128(38, 0),
+                )
+                return _list_array(vals, n, mask)
+            Xc = Xu.astype(signed_np_dtype(elem_bits * 2))
+        else:
+            Xc = curve.bitcast_from_unsigned(
+                Xu.astype(curve.unsigned_dtype(elem_bits)),
+                signed_np_dtype(elem_bits),
+            )
+        return _list_array(pa.array(Xc.ravel()), n, mask)
 
-    return fn, ret_type
-
-
-def _make_decode_udf(kind: str, plan: DecodePlan, binary_input: bool):
-    fn, ret_type = _decode_fn_and_type(kind, plan, binary_input)
-    return pandas_udf(ret_type)(fn)
+    return arrow_udf(fn, ret_type, ArrowUDFType.SCALAR)
 
 
 def _decode(kind: str, col, nparts: int, want_float: bool, want_unsigned: bool,
@@ -275,7 +315,7 @@ def _decode(kind: str, col, nparts: int, want_float: bool, want_unsigned: bool,
     if binary_input is None:
         binary_input = input_width == 128
     udf = _make_decode_udf(kind, plan, binary_input)
-    return udf(col.isNull(), col)
+    return udf(col)
 
 
 def hilbert_decode(col, nparts: int, want_float: bool = False,
@@ -439,7 +479,13 @@ def morton_decode_native(col: Column, nparts: int, elem="int32",
 # ---------------------------------------------------------------------------
 
 def _make_encode_array_udf(kind: str, et: ElemType, n: int, out_mode: str):
-    """Array-column-input variant for SQL registration (one arg)."""
+    """Array-column-input variant for SQL registration (one arg).
+
+    Fully vectorized: Arrow keeps NULL list elements as true nulls (no
+    pandas NaN ambiguity), so the null-element error (reference
+    src/lindel_extension.cpp:690-694) is one ``null_count`` check and a
+    genuine float NaN remains a legal bit-cast input.
+    """
     total_bits = encode_output_bits(et.bits, n)
     ret_type = encode_output_spark_type(total_bits, out_mode)
     width_bytes = total_bits // 8
@@ -447,61 +493,32 @@ def _make_encode_array_udf(kind: str, et: ElemType, n: int, out_mode: str):
     np_dtype = et.np_dtype
     elem_bits = et.bits
 
-    def fn(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            rows = len(s)
-            mask = np.zeros(rows, bool)
+    def fn(v: pa.Array) -> pa.Array:
+        v = _chunked(v)
+        rows = len(v)
+        mask = _np_bool(v.is_null())
+        lengths = pc.list_value_length(v).fill_null(n).to_numpy(
+            zero_copy_only=False
+        )
+        if (lengths != n).any():
+            bad = int(lengths[lengths != n][0])
+            raise ValueError(
+                f"LINDEL: expected array of length {n}, got ({bad},)"
+            )
+        flat = v.flatten()  # non-null lists' values, in row order
+        if flat.null_count:
+            raise ValueError(_NULL_ELEM_MSG)
+        vals = flat.to_numpy(zero_copy_only=False).astype(np_dtype, copy=False)
+        if mask.any():
             X = np.zeros((rows, n), dtype=np_dtype)
-            for i, v in enumerate(s):
-                if v is None:
-                    mask[i] = True
-                    continue
-                # NULL elements surface as None (object arrays/lists) or,
-                # for float element types after Arrow->pandas, as NaN in
-                # a float ndarray. NaN is a *legal* bit-cast input for
-                # float elems only when the source really was NaN, which
-                # Arrow keeps as None in object form — so an object dtype
-                # here always means a NULL element.
-                if isinstance(v, (list, tuple)):
-                    if any(x is None for x in v):
-                        raise ValueError(_NULL_ELEM_MSG)
-                a = np.asarray(v)
-                if a.dtype == object:
-                    if any(x is None for x in v):
-                        raise ValueError(_NULL_ELEM_MSG)
-                    a = a.astype(np_dtype)
-                if a.dtype.kind == "f" and not et.is_float and np.isnan(a).any():
-                    raise ValueError(_NULL_ELEM_MSG)
-                if a.shape != (n,):
-                    raise ValueError(
-                        f"LINDEL: expected array of length {n}, got {a.shape}"
-                    )
-                X[i] = a
-            U = curve.bitcast_to_unsigned(np.ascontiguousarray(X), elem_bits)
-            hi, lo = kernel(U, elem_bits)
-            if isinstance(ret_type, T.LongType):
-                out = pd.array(lo.view(np.int64), dtype="Int64")
-                if mask.any():
-                    out[mask] = pd.NA
-                yield pd.Series(out)
-            elif isinstance(ret_type, T.BinaryType):
-                buf = curve.lanes_to_bytes(hi, lo, width_bytes)
-                raw = buf.tobytes()
-                yield pd.Series(
-                    [
-                        None if m else raw[i * width_bytes:(i + 1) * width_bytes]
-                        for i, m in enumerate(mask)
-                    ],
-                    dtype=object,
-                )
-            else:
-                ints = curve.lanes_to_ints(hi, lo)
-                yield pd.Series(
-                    [None if m else decimal.Decimal(v) for v, m in zip(ints, mask)],
-                    dtype=object,
-                )
+            X[~mask] = vals.reshape(-1, n)
+        else:
+            X = vals.reshape(rows, n)
+        U = curve.bitcast_to_unsigned(np.ascontiguousarray(X), elem_bits)
+        hi, lo = kernel(U, elem_bits)
+        return _encode_output(ret_type, hi, lo, mask, width_bytes)
 
-    return pandas_udf(ret_type)(fn)
+    return arrow_udf(fn, ret_type, ArrowUDFType.SCALAR)
 
 
 def register(spark: SparkSession, elems=("int8", "int16", "int32", "int64",
@@ -558,18 +575,7 @@ def register(spark: SparkSession, elems=("int8", "int16", "int32", "int64",
                         continue
                     name = f"{kind}_decode_{width}_{n}{suffix}"
                     spark.udf.register(
-                        name, _make_decode_sql_udf(kind, plan, width == 128)
+                        name, _make_decode_udf(kind, plan, width == 128)
                     )
                     names.append(name)
     return names
-
-
-def _make_decode_sql_udf(kind: str, plan: DecodePlan, binary_input: bool):
-    """One-arg decode UDF for SQL registration (derives null mask itself)."""
-    inner_fn, ret_type = _decode_fn_and_type(kind, plan, binary_input)
-
-    def outer(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield from inner_fn(iter([(s.isna(), s)]))
-
-    return pandas_udf(ret_type)(outer)
