@@ -1,0 +1,93 @@
+"""Effect test (SURVEY §5.2.5): z-ordered vs unordered Parquet.
+
+The reference's entire point (reference docs/README.md:51-72) is that
+`ORDER BY hilbert_encode(...)` before writing Parquet clusters the
+row-group min/max statistics so 2-D range predicates skip row groups.
+This test writes sf0.01 lineitem both ways with small row groups and
+evaluates the footer statistics exactly the way a stats-pruning reader
+does: a row group survives only if [min, max] intersects the predicate
+on BOTH dimensions.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import write as LW
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _row_group_stats(path: str, cols):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = {}
+            for c in cols:
+                s = g.column(idx[c]).statistics
+                stats[c] = (s.min, s.max)
+            out.append(stats)
+    return out
+
+
+def _surviving(groups, predicate):
+    keep = 0
+    for g in groups:
+        if all(g[c][0] <= hi and g[c][1] >= lo
+               for c, (lo, hi) in predicate.items()):
+            keep += 1
+    return keep
+
+
+@pytest.fixture(scope="module")
+def written(spark, tmp_path_factory):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    base = tmp_path_factory.mktemp("effect")
+    zpath, upath = str(base / "z"), str(base / "u")
+    cols = [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")]
+    # small row groups so sf0.01 yields enough groups to measure skipping
+    LW.zorder_write(li, cols, zpath, elem="int32", num_files=4,
+                    **{"parquet.block.size": str(256 * 1024)})
+    (li.repartition(4).write.mode("overwrite")
+       .option("parquet.block.size", str(256 * 1024)).parquet(upath))
+    return zpath, upath, li
+
+
+def test_zorder_skips_row_groups(written):
+    zpath, upath, li = written
+    ok_max = li.agg(F.max("l_orderkey")).first()[0]
+    pk_max = li.agg(F.max("l_partkey")).first()[0]
+    # a 2-D square covering ~1/8 of each dimension (~1/64 of the space)
+    pred = {
+        "l_orderkey": (int(ok_max * 0.4), int(ok_max * 0.525)),
+        "l_partkey": (int(pk_max * 0.4), int(pk_max * 0.525)),
+    }
+    cols = list(pred)
+    zg = _row_group_stats(zpath, cols)
+    ug = _row_group_stats(upath, cols)
+    assert len(zg) >= 8 and len(ug) >= 8, (len(zg), len(ug))
+    z_keep, u_keep = _surviving(zg, pred), _surviving(ug, pred)
+    z_skip = 1 - z_keep / len(zg)
+    u_skip = 1 - u_keep / len(ug)
+    # unordered data: every row group spans the whole key space -> ~0 skipped;
+    # z-ordered: the square predicate touches a contiguous curve range
+    assert z_skip > u_skip, (z_skip, u_skip)
+    assert z_skip >= 0.5, f"z-ordered skip ratio {z_skip:.2f} < 0.5"
+
+
+def test_zorder_preserves_rows(written):
+    zpath, _, li = written
+    spark = li.sparkSession
+    rb = spark.read.parquet(zpath)
+    assert rb.count() == li.count()
+    # decimal sum is order-independent (double sums differ after reorder)
+    price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    a = li.agg(F.sum("l_orderkey"), price).first()
+    b = rb.agg(F.sum("l_orderkey"), price).first()
+    assert tuple(a) == tuple(b)
