@@ -1,0 +1,217 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference has no multimodal surface (it is a scalar-function
+extension); this tier is the large-scale training-pipeline requirement
+from the build brief. Design:
+
+* image/audio/video payloads ride in an opaque ``BinaryType`` column
+  next to a typed metadata struct (:func:`content_meta`) — schema-first
+  so Catalyst prunes/pushes around the blob and only the stages that
+  truly need bytes ever deserialize them;
+* content-level exact dedup (:func:`content_dedup_groups`) is a
+  JVM-native ``sha2``-groupBy — never ships bytes to Python;
+* decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages with an *injectable decoder*. The container
+  has no image/audio codecs, so the default decoder raises
+  ``NotImplementedError`` (clearly marked stub) and tests/benchmarks
+  inject :func:`fake_decode_image` — a deterministic pseudo-decoder —
+  so the Spark-side plumbing (schema, partitioning, UDF signature,
+  batch shape) is real and tested end to end.
+
+At 100 TB the blob column dominates I/O: every helper here keeps the
+bytes inside one ``mapInPandas`` pass (no shuffle of payloads), and
+dedup/metadata operations touch only hashes and struct fields.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# metadata
+# ---------------------------------------------------------------------------
+
+def content_meta(content: Column, mime: str) -> Column:
+    """Typed metadata struct for an opaque binary payload.
+
+    Computed JVM-side (octet_length / sha2 are codegen built-ins): the
+    blob never crosses into Python to be catalogued.
+    """
+    return F.struct(
+        F.octet_length(content).cast("long").alias("n_bytes"),
+        F.lit(mime).alias("mime"),
+        F.sha2(content, 256).alias("sha256"),
+    )
+
+
+def attach_content_meta(df: DataFrame, content_col: str = "content",
+                        mime: str = "application/octet-stream") -> DataFrame:
+    """Add a ``meta`` struct column describing ``content_col``."""
+    return df.withColumn("meta", content_meta(F.col(content_col), mime))
+
+
+def content_dedup_groups(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact byte-level dedup groups: (sha256, keep_id, n_dups).
+
+    Pure hash-groupBy — map-side partial aggregation, shuffles one
+    64-char digest + two longs per distinct payload, regardless of
+    payload size. Composes with :func:`lindel_spark.dedup` for
+    text-level near-dup on the decoded form.
+    """
+    return df.groupBy(F.sha2(F.col(content_col), 256).alias("sha256")).agg(
+        F.min(id_col).cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoders (stub boundary — no codecs in this container)
+# ---------------------------------------------------------------------------
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode image bytes -> (H, W, 3) uint8 array.
+
+    **STUB**: real decoding needs an image codec (Pillow / opencv),
+    which is not installed in this environment. Inject a decoder into
+    the pipeline helpers instead (tests use :func:`fake_decode_image`).
+    """
+    raise NotImplementedError(
+        "LINDEL: no image codec in this environment — pass "
+        "decoder=<your fn(bytes)->ndarray> (e.g. PIL.Image.open); "
+        "tests inject fake_decode_image"
+    )
+
+
+def fake_decode_image(data: bytes, size: int = 8) -> np.ndarray:
+    """Deterministic pseudo-decoder: bytes -> (size, size, 3) uint8.
+
+    Pixels derive from the payload's sha256 stream, so every stage
+    downstream of "decode" (resize, features, hashing) exercises real
+    data flow with reproducible values.
+    """
+    need = size * size * 3
+    out = bytearray()
+    seed = hashlib.sha256(data).digest()
+    block = seed
+    while len(out) < need:
+        out.extend(block)
+        block = hashlib.sha256(block).digest()
+    return np.frombuffer(bytes(out[:need]), np.uint8).reshape(size, size, 3)
+
+
+# ---------------------------------------------------------------------------
+# decode / feature-extract / resize (mapInPandas stages)
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("brightness", T.DoubleType()),
+])
+
+
+def image_features(df: DataFrame, content_col: str = "content",
+                   id_col: str = "doc_id",
+                   decoder: Callable[[bytes], np.ndarray] = decode_image,
+                   ) -> DataFrame:
+    """Decode each payload and emit per-image summary features.
+
+    One ``mapInPandas`` pass: bytes are decoded and reduced to a few
+    doubles inside the same Arrow batch — the (large) pixel arrays
+    never leave the Python worker, so nothing wide is shuffled.
+    """
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(content_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["data"]):
+                img = decoder(bytes(b))
+                means = img.reshape(-1, img.shape[2]).mean(axis=0)
+                rows.append((int(i), img.shape[0], img.shape[1],
+                             float(means[0]), float(means[1]),
+                             float(means[2]), float(means.mean())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              IMAGE_FEATURES_SCHEMA.fields])
+
+    return src.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, height: int, width: int,
+                  content_col: str = "content", id_col: str = "doc_id",
+                  decoder: Callable[[bytes], np.ndarray] = decode_image,
+                  ) -> DataFrame:
+    """Decode + nearest-neighbor resize -> (id, height, width, pixels).
+
+    ``pixels`` is the flat HWC uint8 buffer as binary — a real pipeline
+    would re-encode; the plumbing (schema + batch shape) is identical.
+    """
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ])
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(content_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf["id"], pdf["data"]):
+                img = decoder(bytes(b))
+                ys = (np.arange(height) * img.shape[0] // height)
+                xs = (np.arange(width) * img.shape[1] // width)
+                small = img[ys][:, xs]
+                rows.append((int(i), height, width,
+                             small.tobytes()))
+            yield pd.DataFrame(rows, columns=["id", "height", "width",
+                                              "pixels"])
+
+    return src.mapInPandas(run, schema)
+
+
+def sample_frames(df: DataFrame, frame_bytes: int, every_n: int = 10,
+                  content_col: str = "content", id_col: str = "doc_id",
+                  ) -> DataFrame:
+    """Treat each payload as fixed-size frames; keep every ``every_n``-th.
+
+    Deterministic byte-slicing stand-in for video frame sampling (no
+    video codec in the container): emits (id, frame_no, frame binary).
+    The explode happens inside ``mapInPandas`` so only sampled frames
+    materialize.
+    """
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+    src = df.select(F.col(id_col).cast("long").alias("id"),
+                    F.col(content_col).alias("data"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for i, b in zip(pdf["id"], pdf["data"]):
+                raw = bytes(b)
+                n_frames = len(raw) // frame_bytes
+                for f in range(0, n_frames, every_n):
+                    ids.append(int(i))
+                    nos.append(f)
+                    frames.append(raw[f * frame_bytes:(f + 1) * frame_bytes])
+            yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": frames})
+
+    return src.mapInPandas(run, schema)

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from lindel_spark import dedup as LD
 from lindel_spark import functions as LF
+from lindel_spark import multimodal as MM
 from lindel_spark import similarity as LS
 from lindel_spark import text as LT
 from lindel_spark import write as LW
@@ -558,6 +559,60 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.drop_near_duplicates(docs).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (lindel_spark/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_content_dedup",
+    """
+    SELECT sha256(text) AS sha256,
+           MIN(doc_id)::BIGINT AS keep_id,
+           COUNT(*)::BIGINT AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level content dedup over binary payloads: JVM-native
+    sha2-groupBy (DuckDB's sha256(varchar) hashes the same UTF-8
+    bytes, so digests hash-compare exactly)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return MM.content_dedup_groups(blobs)
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id::BIGINT AS doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           'text/plain' AS mime,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata struct over an opaque binary column."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    m = MM.attach_content_meta(blobs, mime="text/plain")
+    return m.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@query("multimodal_image_features", None)  # stubbed decoder: rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode+feature stage with the deterministic fake
+    decoder (no codecs in this container; plumbing is real)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return MM.image_features(blobs, decoder=MM.fake_decode_image)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: metadata, byte dedup, stubbed decode stages."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    ).cache()
+
+
+def test_content_meta(blobs):
+    df = MM.attach_content_meta(blobs, mime="text/plain")
+    r = df.select("content", "meta").first()
+    assert r.meta.n_bytes == len(r.content)
+    assert r.meta.mime == "text/plain"
+    assert r.meta.sha256 == hashlib.sha256(bytes(r.content)).hexdigest()
+
+
+def test_content_dedup_matches_distinct_payloads(blobs):
+    groups = MM.content_dedup_groups(blobs)
+    n_distinct = blobs.select("content").distinct().count()
+    assert groups.count() == n_distinct
+    assert groups.agg(F.sum("n_dups")).first()[0] == blobs.count()
+
+
+def test_default_decoder_is_stub(blobs):
+    with pytest.raises(Exception, match="no image codec"):
+        MM.image_features(blobs).collect()
+
+
+def test_fake_decode_deterministic():
+    a = MM.fake_decode_image(b"payload")
+    b = MM.fake_decode_image(b"payload")
+    c = MM.fake_decode_image(b"other")
+    assert a.shape == (8, 8, 3) and a.dtype == np.uint8
+    assert (a == b).all() and (a != c).any()
+
+
+def test_image_features_plumbing(blobs):
+    feats = MM.image_features(blobs, decoder=MM.fake_decode_image)
+    rows = feats.collect()
+    assert len(rows) == blobs.count()
+    for r in rows[:5]:
+        assert r.height == 8 and r.width == 8
+        assert 0.0 <= r.brightness <= 255.0
+    # deterministic: same payload -> same features
+    again = {r.id: r.brightness
+             for r in MM.image_features(
+                 blobs, decoder=MM.fake_decode_image).collect()}
+    assert all(again[r.id] == r.brightness for r in rows)
+
+
+def test_resize_images_shape(blobs):
+    out = MM.resize_images(blobs.limit(10), 4, 6,
+                           decoder=MM.fake_decode_image).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.height, r.width) == (4, 6)
+        assert len(r.pixels) == 4 * 6 * 3
+
+
+def test_sample_frames(blobs):
+    out = MM.sample_frames(blobs.limit(5), frame_bytes=16, every_n=4)
+    rows = out.collect()
+    assert rows, "expected at least one sampled frame"
+    for r in rows:
+        assert len(r.frame) == 16
+        assert r.frame_no % 4 == 0
