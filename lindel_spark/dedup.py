@@ -37,6 +37,14 @@ DEFAULT_SHINGLE_K = 3
 DEFAULT_NUM_HASHES = 12
 DEFAULT_BANDS = 4
 DEFAULT_THRESHOLD = 0.8
+DEFAULT_CHAR_NGRAM = 5
+# SimHash: 60-bit hashes (15 md5 hex chars — fits signed 64 everywhere),
+# 32-bit signature, 4 bands of 8 bits. bands > max_hamming makes the
+# banded candidate join EXACT by pigeonhole: a pair within hamming 3
+# cannot differ in all 4 bands.
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+DEFAULT_MAX_HAMMING = 3
 
 
 def word_shingles(c: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
@@ -48,6 +56,19 @@ def word_shingles(c: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
             lambda i: F.concat_ws(
                 " ", *[F.element_at(t, i + j) for j in range(k)]
             ),
+        )
+    )
+
+
+def char_shingles(c: Column, n: int = DEFAULT_CHAR_NGRAM) -> Column:
+    """Distinct character n-grams of a text column (array<string>).
+
+    The n-gram-Jaccard dedup primitive: robust to word-boundary edits
+    that break word shingles (typo-level near-dups)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - (n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
         )
     )
 
@@ -125,8 +146,13 @@ def near_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = DEFAULT_THRESHOLD,
+    shingles: str = "word",
 ) -> DataFrame:
     """LSH-bucketed near-duplicate pairs with exact Jaccard verification.
+
+    ``shingles="word"`` uses word ``k``-shingles (MinHash classic);
+    ``shingles="char"`` uses character ``k``-grams (n-gram Jaccard —
+    pass e.g. ``k=5``), same signature/banding machinery.
 
     Plan shape (all shuffles keyed on uniform hashes or ids):
       1. per-doc shingles → minhash signature → band keys   (no shuffle)
@@ -140,9 +166,17 @@ def near_dup_pairs(
     cluster size — the unavoidable output-sized quadratic; run
     :func:`exact_dedup` first to collapse those.
     """
-    sh = df.filter(F.size(tokens(F.col(text_col))) >= k).select(
+    if shingles == "word":
+        guard = F.size(tokens(F.col(text_col))) >= k
+        sh_col = word_shingles(F.col(text_col), k)
+    elif shingles == "char":
+        guard = F.length(F.col(text_col)) >= k
+        sh_col = char_shingles(F.col(text_col), k)
+    else:
+        raise ValueError(f"LINDEL: unknown shingle mode {shingles!r}")
+    sh = df.filter(guard).select(
         F.col(id_col).cast("long").alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
+        sh_col.alias("sh"),
     )
     sig = sh.select(
         "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
@@ -174,6 +208,90 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (text): native-column 32-bit signature, exact banded pairing
+# ---------------------------------------------------------------------------
+
+def _token_hash(t: Column) -> Column:
+    """Deterministic 60-bit token hash both engines compute identically:
+    first 15 md5 hex chars as an integer (fits signed 64 everywhere)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Charikar SimHash of a text column as a ``bits``-wide LongType.
+
+    Per bit b: sign of the sum over tokens of (2*bit_b(hash(token))-1).
+    Pure column algebra (md5/conv/aggregate) — whole-stage codegen, no
+    Python, and exactly replayable in the DuckDB oracle.
+    """
+    hashes = F.transform(tokens(c), _token_hash)
+
+    def bit_vote(b: int):
+        # NB: pyspark HOF lambdas are arity-introspected — a `b=b`
+        # default would be mistaken for a third lambda argument.
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        return merge
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        out = out.bitwiseOR(F.shiftleft((vote > 0).cast("long"), b))
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = DEFAULT_MAX_HAMMING,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    **Exact, not approximate**: with ``bands > max_hamming``, any pair
+    within the hamming budget agrees on at least one band (pigeonhole),
+    so the banded self-join generates every qualifying candidate and
+    the ``bit_count`` verification keeps exactly the true pairs. The
+    shuffle stays bucketed on uniform band keys — never all-pairs.
+
+    Returns (id_a, id_b, hamming).
+    """
+    band_bits = bits // bands
+    band_mask = (1 << band_bits) - 1
+    sig = df.filter(F.size(tokens(F.col(text_col))) > 0).select(
+        F.col(id_col).cast("long").alias("id"),
+        simhash(F.col(text_col), bits).alias("sim"),
+    )
+    keyed = sig.select(
+        "id", "sim",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("sim"), b * band_bits)
+                .bitwiseAND(F.lit(band_mask))
+                for b in range(bands)
+            ])
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
 
 
 def drop_near_duplicates(

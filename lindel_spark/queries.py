@@ -474,6 +474,50 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup (lindel_spark/dedup.py) — oracle replays identical MinHash/LSH math
 # ---------------------------------------------------------------------------
 
+def _minhash_tail(num_hashes: int, bands: int, threshold: float) -> str:
+    """Shared minhash→band→verify SQL tail over an ``sh(id, sh)`` CTE."""
+    r = num_hashes // bands
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"s{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"x.b{b} = y.b{b}" for b in range(bands))
+    return f"""
+    , sig AS (
+      SELECT id, sh, {sigs} FROM sh
+    ), bnd AS (
+      SELECT id, sh, {band_keys} FROM sig
+    ), pairs AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             len(list_intersect(x.sh, y.sh))::DOUBLE
+               / len(list_distinct(x.sh || y.sh))::DOUBLE AS jaccard
+      FROM bnd x JOIN bnd y
+        ON x.id < y.id AND ({band_match})
+    ), verified AS (
+      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}e0
+    )
+    """
+
+
+def _near_dup_char_cte(n: int = LD.DEFAULT_CHAR_NGRAM,
+                       num_hashes: int = LD.DEFAULT_NUM_HASHES,
+                       bands: int = LD.DEFAULT_BANDS,
+                       threshold: float = LD.DEFAULT_THRESHOLD) -> str:
+    """Char-n-gram variant of the near-dup pipeline (n-gram Jaccard)."""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id::BIGINT AS id,
+             list_distinct(list_transform(range(1, length(text) - {n - 2}),
+                                          i -> substr(text, i, {n}))) AS sh
+      FROM documents WHERE length(text) >= {n}
+    )
+    """ + _minhash_tail(num_hashes, bands, threshold)
+
+
 def _near_dup_cte(k: int = LD.DEFAULT_SHINGLE_K,
                   num_hashes: int = LD.DEFAULT_NUM_HASHES,
                   bands: int = LD.DEFAULT_BANDS,
@@ -543,6 +587,69 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-compared against DuckDB replaying the identical pipeline."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LD.near_dup_pairs(docs)
+
+
+def _simhash_cte(bits: int = LD.SIMHASH_BITS,
+                 bands: int = LD.SIMHASH_BANDS,
+                 max_hamming: int = LD.DEFAULT_MAX_HAMMING) -> str:
+    """DuckDB replay of the native-column SimHash pipeline."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sim_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> {b}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    band_match = " OR ".join(
+        f"((x.sim >> {b * band_bits}) & {mask}) = ((y.sim >> {b * band_bits}) & {mask})"
+        for b in range(bands)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents
+    ), h AS (
+      SELECT id,
+             list_transform(toks,
+                            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+      FROM d WHERE len(toks) > 0
+    ), s AS (
+      SELECT id, ({sim_terms}) AS sim FROM h
+    ), p AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             bit_count(xor(x.sim, y.sim))::BIGINT AS hamming
+      FROM s x JOIN s y ON x.id < y.id AND ({band_match})
+    )
+    SELECT DISTINCT id_a, id_b, hamming FROM p WHERE hamming <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_pairs", _simhash_cte())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over a 32-bit signature).
+    Exact by pigeonhole (bands > max_hamming), so the DuckDB replay of
+    the identical md5-bit pipeline hash-compares value-for-value."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.simhash_near_dup_pairs(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    _near_dup_char_cte() + "SELECT id_a, id_b, jaccard FROM verified",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup pairs (MinHash/LSH bucketed)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.near_dup_pairs(docs, k=LD.DEFAULT_CHAR_NGRAM, shingles="char")
+
+
+@query("dedup_embedding_cosine", None)  # LSH-approximate: rows-only;
+# recall vs brute force is pytest-enforced (tests/test_similarity.py)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SimHash-banded self-join."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return LS.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
 @query(

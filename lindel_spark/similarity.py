@@ -168,6 +168,60 @@ def brute_force_knn_fast(
     )
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = DEFAULT_NUM_PLANES,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+    probe: int = DEFAULT_PROBE,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cos ≥ ``threshold``.
+
+    SimHash-banded self-join (one side multi-probed to Hamming ≤
+    ``probe``), exact cosine verification within buckets — the
+    embedding analogue of MinHash near-dup, never all-pairs. High
+    thresholds (the near-dup regime) are where random-hyperplane LSH
+    is sharpest: P(bit agree) = 1 - arccos(cos)/π → 1.
+
+    Returns (id_a, id_b, cos); recall vs brute force is pytest-checked.
+    """
+    plain = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(
+            simhash_band_keys(vec_col, dim, num_planes, bands, seed)
+        ).alias("band_key"),
+    )
+    probed = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("__v"),
+        F.explode(
+            simhash_band_keys(vec_col, dim, num_planes, bands, seed, probe)
+        ).alias("band_key"),
+    )
+    a, b = probed.alias("a"), plain.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((dim, num_planes))
 

@@ -70,3 +70,25 @@ def test_ann_scores_fewer_pairs(emb, queries_df):
     assert n_cand < 0.85 * n_q * (n_corpus - 1), (
         f"ANN scored {n_cand} of {n_q * (n_corpus - 1)} possible pairs"
     )
+
+
+def test_embedding_near_dup_recall(emb):
+    """LSH near-dup pairs vs brute force at cos >= 0.4."""
+    rows = emb.collect()
+    import numpy as np
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), 1)
+    qual = S[iu] >= 0.4
+    brute = {(int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+             for a, b in zip(iu[0][qual], iu[1][qual])}
+    assert brute, "expected some pairs at this threshold"
+    got = {(r.id_a, r.id_b)
+           for r in LS.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    assert got <= brute or all(  # verification keeps only true pairs
+        S[np.where(ids == a)[0][0], np.where(ids == b)[0][0]] >= 0.4 - 1e-12
+        for a, b in got)
+    recall = len(got & brute) / len(brute)
+    assert recall >= 0.8, f"near-dup recall {recall:.3f} < 0.8"

@@ -76,3 +76,39 @@ def test_ngram_counts(spark):
     r = {x.ngram: x.cnt for x in LT.ngram_counts(df, n=2).collect()}
     assert r["a b"] == 3 and r["b a"] == 2 and r["b c"] == 1
     assert "x" not in r  # single-token doc contributes nothing
+
+
+def test_char_ngram_near_dup(docs):
+    pairs = LD.near_dup_pairs(docs, k=5, shingles="char",
+                              threshold=0.5).collect()
+    got = {(x.id_a, x.id_b) for x in pairs}
+    assert (1, 2) in got  # single-word edit keeps most char 5-grams
+    assert all({a, b} != {1, 3} for a, b in got)
+
+
+def test_simhash_native_and_deterministic(docs):
+    sims = docs.select("doc_id", LD.simhash(F.col("text")).alias("s")).collect()
+    vals = {r.doc_id: r.s for r in sims}
+    assert all(0 <= v < (1 << LD.SIMHASH_BITS) for v in vals.values())
+    # near-identical docs land within the hamming budget; unrelated far
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(vals[1], vals[2]) <= LD.DEFAULT_MAX_HAMMING
+    assert ham(vals[1], vals[3]) > LD.DEFAULT_MAX_HAMMING
+
+
+def test_simhash_pairs_exact_by_pigeonhole(spark):
+    """The banded join must find EVERY pair within the hamming budget —
+    compare against the brute-force pair set on real sf0.001 docs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sims = docs.select("doc_id", LD.simhash(F.col("text")).alias("s")).collect()
+    vals = [(r.doc_id, r.s) for r in sims]
+    brute = set()
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            a, b = vals[i], vals[j]
+            if bin(a[1] ^ b[1]).count("1") <= LD.DEFAULT_MAX_HAMMING:
+                brute.add((min(a[0], b[0]), max(a[0], b[0])))
+    got = {(r.id_a, r.id_b)
+           for r in LD.simhash_near_dup_pairs(docs).collect()}
+    assert got == brute
