@@ -45,6 +45,70 @@ def unsigned_dtype(bits: int):
 # bit interleave / deinterleave (the Morton primitive)
 # ---------------------------------------------------------------------------
 
+def _spread_plan(elem_bits: int, n: int):
+    """(shift, mask_before, mask_after) steps moving bit j to j*n.
+
+    Derived by simulation (positions tracked explicitly, high power of
+    two first — the classic "magic numbers" doubling generalized to any
+    stride); validated exhaustively against the per-bit reference in
+    tests/test_curve.py. Masks are 128-bit Python ints, split into
+    (hi, lo) lanes at execution time.
+    """
+    key = (elem_bits, n)
+    cached = _SPREAD_PLANS.get(key)
+    if cached is not None:
+        return cached
+    pos = list(range(elem_bits))
+    plan = []
+    for k in range((elem_bits - 1).bit_length() - 1, -1, -1):
+        s = (1 << k) * (n - 1)
+        move = [j for j in range(elem_bits) if j & (1 << k)]
+        if not move or s == 0:
+            continue
+        mask_before = 0
+        for p in pos:
+            mask_before |= 1 << p
+        newpos = pos.copy()
+        for j in move:
+            newpos[j] = pos[j] + s
+        mask_after = 0
+        for p in newpos:
+            mask_after |= 1 << p
+        plan.append((s, mask_before, mask_after))
+        pos = newpos
+    assert pos == [j * n for j in range(elem_bits)]
+    _SPREAD_PLANS[key] = tuple(plan)
+    return _SPREAD_PLANS[key]
+
+
+_SPREAD_PLANS: dict = {}
+
+
+def _shl128(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s >= 64:
+        return lo << np.uint64(s - 64), np.zeros_like(lo)
+    su = np.uint64(s)
+    return (hi << su) | (lo >> np.uint64(64 - s)), lo << su
+
+
+def _shr128(hi, lo, s: int):
+    if s == 0:
+        return hi, lo
+    if s >= 64:
+        return np.zeros_like(hi), hi >> np.uint64(s - 64)
+    su = np.uint64(s)
+    return hi >> su, (lo >> su) | (hi << np.uint64(64 - s))
+
+
+def _mask128(hi, lo, mask: int):
+    return hi & np.uint64(mask >> 64), lo & np.uint64(mask & _M64)
+
+
+_M64 = (1 << 64) - 1
+
+
 def interleave_bits(X: np.ndarray, elem_bits: int) -> tuple[np.ndarray, np.ndarray]:
     """MSB-first interleave of coordinates.
 
@@ -52,22 +116,25 @@ def interleave_bits(X: np.ndarray, elem_bits: int) -> tuple[np.ndarray, np.ndarr
     ``i`` bit ``b`` (LSB=0) is ``b*n + (n-1-i)`` — element 0 is most
     significant within each bit group.
 
-    Returns (hi, lo) uint64 arrays; hi is all-zero when
-    ``elem_bits * n <= 64``.
+    Runs O(n·log(elem_bits)) vectorized passes (staged magic-number
+    spreading), not O(n·elem_bits). Returns (hi, lo) uint64 arrays; hi
+    is all-zero when ``elem_bits * n <= 64``.
     """
     rows, n = X.shape
-    total = elem_bits * n
     lo = np.zeros(rows, np.uint64)
     hi = np.zeros(rows, np.uint64)
-    Xu = np.ascontiguousarray(X, dtype=np.uint64)
-    for b in range(elem_bits):
-        for i in range(n):
-            p = b * n + (n - 1 - i)
-            bit = (Xu[:, i] >> np.uint64(b)) & _U1
-            if p < 64:
-                lo |= bit << np.uint64(p)
-            else:
-                hi |= bit << np.uint64(p - 64)
+    if n == 1:
+        return hi, lo | np.ascontiguousarray(X[:, 0], dtype=np.uint64)
+    plan = _spread_plan(elem_bits, n)
+    for i in range(n):
+        xl = np.ascontiguousarray(X[:, i]).astype(np.uint64)
+        xh = np.zeros_like(xl)
+        for s, _, mask_after in plan:
+            sh, sl = _shl128(xh, xl, s)
+            xh, xl = _mask128(xh | sh, xl | sl, mask_after)
+        xh, xl = _shl128(xh, xl, n - 1 - i)
+        hi |= xh
+        lo |= xl
     return hi, lo
 
 
@@ -76,15 +143,21 @@ def deinterleave_bits(
 ) -> np.ndarray:
     """Inverse of :func:`interleave_bits` → (rows, n) array of uint64."""
     rows = lo.shape[0]
-    X = np.zeros((rows, n), np.uint64)
-    for b in range(elem_bits):
-        for i in range(n):
-            p = b * n + (n - 1 - i)
-            if p < 64:
-                bit = (lo >> np.uint64(p)) & _U1
-            else:
-                bit = (hi >> np.uint64(p - 64)) & _U1
-            X[:, i] |= bit << np.uint64(b)
+    X = np.empty((rows, n), np.uint64)
+    if n == 1:
+        X[:, 0] = lo
+        return X
+    plan = _spread_plan(elem_bits, n)
+    stride_mask = 0
+    for j in range(elem_bits):
+        stride_mask |= 1 << (j * n)
+    for i in range(n):
+        xh, xl = _shr128(hi, lo, n - 1 - i)
+        xh, xl = _mask128(xh, xl, stride_mask)
+        for s, mask_before, _ in reversed(plan):
+            sh, sl = _shr128(xh, xl, s)
+            xh, xl = _mask128(xh | sh, xl | sl, mask_before)
+        X[:, i] = xl
     return X
 
 
@@ -99,67 +172,69 @@ def axes_to_transpose(X: np.ndarray, elem_bits: int) -> np.ndarray:
     array of the same shape/dtype holding the "transpose" form whose
     MSB-first interleave is the Hilbert index.
     """
-    X = X.copy()
     rows, n = X.shape
     dt = X.dtype
+    # contiguous per-coordinate arrays: every pass below is a dense
+    # single-stride op (column views of a (rows, n) matrix are strided
+    # and ~2-3x slower per pass)
+    cols = [np.ascontiguousarray(X[:, i]) for i in range(n)]
+    zero = dt.type(0)
     M = 1 << (elem_bits - 1)
     # Inverse-undo pass, top bit down to 2.
     Q = M
     while Q > 1:
-        P = Q - 1
+        P = dt.type(Q - 1)
+        Qt = dt.type(Q)
+        x0 = cols[0]
         for i in range(n):
-            cond = (X[:, i] & dt.type(Q)) != 0
+            xi = cols[i] if i else x0
+            cond = (xi & Qt) != 0
             # if set: X0 ^= P ; else: t = (X0 ^ Xi) & P ; X0 ^= t ; Xi ^= t
-            t = (X[:, 0] ^ X[:, i]) & dt.type(P)
-            t[cond] = 0
-            x0 = X[:, 0].copy()
-            x0[cond] ^= dt.type(P)
-            x0[~cond] ^= t[~cond]
-            X[:, 0] = x0
+            t = np.where(cond, zero, (x0 ^ xi) & P)
+            x0 = x0 ^ np.where(cond, P, t)
             if i != 0:
-                X[:, i] ^= t
+                cols[i] = xi ^ t
+        cols[0] = x0
         Q >>= 1
-    # Gray encode across dimensions.
+    # Gray encode across dimensions (sequential: uses updated X[i-1]).
     for i in range(1, n):
-        X[:, i] ^= X[:, i - 1]
+        cols[i] = cols[i] ^ cols[i - 1]
     t = np.zeros(rows, dt)
     Q = M
     while Q > 1:
-        cond = (X[:, n - 1] & dt.type(Q)) != 0
-        t[cond] ^= dt.type(Q - 1)
+        t = np.where((cols[n - 1] & dt.type(Q)) != 0, t ^ dt.type(Q - 1), t)
         Q >>= 1
-    for i in range(n):
-        X[:, i] ^= t
-    return X
+    return np.column_stack([c ^ t for c in cols])
 
 
 def transpose_to_axes(X: np.ndarray, elem_bits: int) -> np.ndarray:
     """Inverse of :func:`axes_to_transpose`."""
-    X = X.copy()
     rows, n = X.shape
     dt = X.dtype
+    cols = [np.ascontiguousarray(X[:, i]) for i in range(n)]
+    zero = dt.type(0)
     M = 1 << (elem_bits - 1)
     # Gray decode.
-    t = X[:, n - 1] >> dt.type(1)
+    t = cols[n - 1] >> dt.type(1)
     for i in range(n - 1, 0, -1):
-        X[:, i] ^= X[:, i - 1]
-    X[:, 0] ^= t
+        cols[i] = cols[i] ^ cols[i - 1]
+    cols[0] = cols[0] ^ t
     # Undo-excess pass, bit 2 up to the top bit.
     Q = 2
     while Q <= M:
-        P = Q - 1
+        P = dt.type(Q - 1)
+        Qt = dt.type(Q)
+        x0 = cols[0]
         for i in range(n - 1, -1, -1):
-            cond = (X[:, i] & dt.type(Q)) != 0
-            t = (X[:, 0] ^ X[:, i]) & dt.type(P)
-            t[cond] = 0
-            x0 = X[:, 0].copy()
-            x0[cond] ^= dt.type(P)
-            x0[~cond] ^= t[~cond]
-            X[:, 0] = x0
+            xi = cols[i] if i else x0
+            cond = (xi & Qt) != 0
+            t = np.where(cond, zero, (x0 ^ xi) & P)
+            x0 = x0 ^ np.where(cond, P, t)
             if i != 0:
-                X[:, i] ^= t
+                cols[i] = xi ^ t
+        cols[0] = x0
         Q <<= 1
-    return X
+    return np.column_stack(cols)
 
 
 # ---------------------------------------------------------------------------

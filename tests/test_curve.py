@@ -131,3 +131,41 @@ def test_lanes_bytes_roundtrip():
         raw = [bytes(buf[i]) for i in range(64)]
         assert sorted(range(64), key=lambda i: raw[i]) == \
             sorted(range(64), key=lambda i: ints[i])
+
+
+def test_magic_interleave_matches_per_bit_reference():
+    """Exhaustive (elem_bits, n) sweep: the staged magic-number spread
+    must equal the naive per-bit interleave, both directions."""
+    import numpy as np
+    from lindel_spark import curve
+
+    def ref_interleave(X, elem_bits):
+        rows, n = X.shape
+        lo = np.zeros(rows, np.uint64)
+        hi = np.zeros(rows, np.uint64)
+        Xu = X.astype(np.uint64)
+        for b in range(elem_bits):
+            for i in range(n):
+                p = b * n + (n - 1 - i)
+                bit = (Xu[:, i] >> np.uint64(b)) & np.uint64(1)
+                if p < 64:
+                    lo |= bit << np.uint64(p)
+                else:
+                    hi |= bit << np.uint64(p - 64)
+        return hi, lo
+
+    rng = np.random.RandomState(0)
+    for elem_bits in (8, 16, 32, 64):
+        dt = curve.unsigned_dtype(elem_bits)
+        max_n = 128 // elem_bits
+        for n in range(1, max_n + 1):
+            X = rng.randint(0, 2 ** 63, size=(257, n)).astype(np.uint64)
+            X = (X & np.uint64((1 << elem_bits) - 1)).astype(dt)
+            # include all-ones / zero edge rows
+            X[0] = dt(0)
+            X[1] = dt((1 << elem_bits) - 1)
+            hi, lo = curve.interleave_bits(X.astype(np.uint64), elem_bits)
+            rhi, rlo = ref_interleave(X, elem_bits)
+            assert (hi == rhi).all() and (lo == rlo).all(), (elem_bits, n)
+            back = curve.deinterleave_bits(hi, lo, n, elem_bits)
+            assert (back == X.astype(np.uint64)).all(), (elem_bits, n)
