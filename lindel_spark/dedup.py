@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lindel_spark.text import doc_fingerprint, tokens
+from lindel_spark.util import ensure_parallelism
 
 # Defaults shared with the DuckDB oracle in queries.py — change both
 # together or the correctness gate drifts.
@@ -147,6 +148,7 @@ def near_dup_pairs(
     bands: int = DEFAULT_BANDS,
     threshold: float = DEFAULT_THRESHOLD,
     shingles: str = "word",
+    cache: bool = True,
 ) -> DataFrame:
     """LSH-bucketed near-duplicate pairs with exact Jaccard verification.
 
@@ -174,10 +176,17 @@ def near_dup_pairs(
         sh_col = char_shingles(F.col(text_col), k)
     else:
         raise ValueError(f"LINDEL: unknown shingle mode {shingles!r}")
-    sh = df.filter(guard).select(
+    sh = ensure_parallelism(df).filter(guard).select(
         F.col(id_col).cast("long").alias("id"),
         sh_col.alias("sh"),
     )
+    if cache:
+        # the plan is a diamond — sh feeds the band join AND both sides
+        # of the verification join; shingling is the expensive stage and
+        # would otherwise run 3x. MEMORY_AND_DISK spills cleanly at scale.
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = sh.select(
         "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     )
@@ -263,6 +272,7 @@ def simhash_near_dup_pairs(
     """
     band_bits = bits // bands
     band_mask = (1 << band_bits) - 1
+    df = ensure_parallelism(df)
     sig = df.filter(F.size(tokens(F.col(text_col))) > 0).select(
         F.col(id_col).cast("long").alias("id"),
         simhash(F.col(text_col), bits).alias("sim"),

@@ -34,6 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lindel_spark.util import ensure_parallelism
+
 # ---------------------------------------------------------------------------
 # metadata
 # ---------------------------------------------------------------------------
@@ -132,8 +134,9 @@ def image_features(df: DataFrame, content_col: str = "content",
     doubles inside the same Arrow batch — the (large) pixel arrays
     never leave the Python worker, so nothing wide is shuffled.
     """
-    src = df.select(F.col(id_col).cast("long").alias("id"),
-                    F.col(content_col).alias("data"))
+    src = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(content_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -165,8 +168,9 @@ def resize_images(df: DataFrame, height: int, width: int,
         T.StructField("width", T.IntegerType()),
         T.StructField("pixels", T.BinaryType()),
     ])
-    src = df.select(F.col(id_col).cast("long").alias("id"),
-                    F.col(content_col).alias("data"))
+    src = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(content_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,8 +203,9 @@ def sample_frames(df: DataFrame, frame_bytes: int, every_n: int = 10,
         T.StructField("frame_no", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
     ])
-    src = df.select(F.col(id_col).cast("long").alias("id"),
-                    F.col(content_col).alias("data"))
+    src = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(content_col).alias("data"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

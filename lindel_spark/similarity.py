@@ -44,6 +44,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lindel_spark.util import ensure_parallelism
+
 DEFAULT_NUM_PLANES = 16
 DEFAULT_BANDS = 4
 DEFAULT_PROBE = 1
@@ -88,7 +90,7 @@ def brute_force_knn(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("__qv"),
     ))
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
     )
@@ -153,7 +155,7 @@ def brute_force_knn_fast(
                  "cos": cs[keep]}
             )
 
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
     )
     local = c.mapInPandas(score, out_schema)
@@ -189,6 +191,7 @@ def embedding_near_dup_pairs(
 
     Returns (id_a, id_b, cos); recall vs brute force is pytest-checked.
     """
+    corpus = ensure_parallelism(corpus)
     plain = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("__v"),
@@ -295,7 +298,7 @@ def ann_knn(
     row regardless of probe radius — the corpus-side shuffle is O(rows
     × bands) at any scale.
     """
-    cb = corpus.select(
+    cb = ensure_parallelism(corpus).select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.explode(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lindel_spark.util import ensure_parallelism
+
 # Minimal per-language stopword lists for the n-gram/stopword heuristic
 # language identifier. Deliberately small and public-knowledge; the
 # operator contract is "deterministic argmax of stopword hits", not
@@ -138,7 +140,7 @@ def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: one row per doc, all signals."""
     c = F.col(text_col)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.length(c).cast("long").alias("n_chars"),
         token_count(c).alias("n_tokens"),
@@ -167,7 +169,7 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
     return (
         # guard: Spark's sequence(1, k) runs *descending* for k < 1, so
         # short docs must be dropped before building gram indices
-        df.filter(F.size(t) >= n)
+        ensure_parallelism(df).filter(F.size(t) >= n)
         .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
