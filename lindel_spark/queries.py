@@ -669,6 +669,140 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event streams (lindel_spark/streaming.py, batch form of shared ops)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark reads only
+    as LongType (legacy conf). Rebuilding the instant from integer
+    nanos via timestamp_micros keeps every derived value absolute
+    (epoch math), so results are independent of the session timezone;
+    UTC is pinned anyway so F.window's epoch alignment is fixed."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return ev.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+@query(
+    "events_windowed_rollup",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type — the batch face of
+    streaming.windowed_rollup (window() is engine-shared)."""
+    from lindel_spark import streaming as ST
+
+    ev = _events(spark, sf_dir)
+    r = ST.windowed_rollup(ev, window="1 hour")
+    return r.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id::BIGINT AS u, epoch_us(ts)::BIGINT AS tus FROM events
+    ), o AS (
+      SELECT u, tus,
+             CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w >= {_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY u ORDER BY tus)
+    ), g AS (
+      SELECT u, tus,
+             SUM(brk) OVER (PARTITION BY u ORDER BY tus
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT u AS user_id,
+           MIN(tus) // 1000000 AS session_start,
+           (MAX(tus) + {_GAP_US}) // 1000000 AS session_end,
+           COUNT(*)::BIGINT AS n_events
+    FROM g GROUP BY u, sid
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window gap sessionization vs the classic gaps-and-islands
+    SQL (lag + cumulative break-sum) — same sessions, value-exact."""
+    from lindel_spark import streaming as ST
+
+    ev = _events(spark, sf_dir)
+    s = ST.sessionize(ev, gap="30 minutes")
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "events_rolling_value",
+    """
+    SELECT event_id::BIGINT AS event_id,
+           user_id::BIGINT AS user_id,
+           SUM(value::DECIMAL(18,2)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           )::DOUBLE AS rolling_value,
+           row_number() OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           )::BIGINT AS rn
+    FROM events
+    """,
+)
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-ordered rolling window (ANSI frame semantics)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    return ev.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(-3, 0)).cast("double").alias("rolling_value"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation over the props column."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (lindel_spark/multimodal.py)
 # ---------------------------------------------------------------------------
 

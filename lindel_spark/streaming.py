@@ -1,0 +1,122 @@
+"""Structured-Streaming surface: curve-clustered sinks + event rollups.
+
+The reference is batch-only (a DuckDB extension has no streaming
+surface); its functions are stateless scalar maps, so they are
+streaming-safe for free. This module packages the idiomatic streaming
+compositions a lindel user needs:
+
+* :func:`zorder_stream_writer` — the reference's motivating workload
+  (cluster-then-write, docs/README.md:56-70) as a ``foreachBatch``
+  sink: every micro-batch is range-partitioned and sorted along the
+  curve before appending, so each batch's files carry tight row-group
+  min/max stats and historical queries skip row groups exactly like
+  the batch path.
+* :func:`windowed_rollup` — event-time tumbling-window aggregation
+  with a watermark (late-data bound). Works identically on batch
+  frames (window() is engine-shared), which is how the driver's
+  correctness gate exercises it.
+* :func:`sessionize` — native ``session_window`` gap sessionization,
+  batch and streaming.
+
+State at scale: windowed aggs keep one row of state per (window, key)
+bounded by the watermark horizon; no custom state store needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lindel_spark import write as LW
+
+
+def zorder_stream_writer(
+    stream_df: DataFrame,
+    cols: Sequence,
+    path: str,
+    elem="int32",
+    curve: str = "hilbert",
+    num_files: int | None = None,
+    checkpoint: str | None = None,
+):
+    """``writeStream`` sink that z-order-clusters every micro-batch.
+
+    Returns the DataStreamWriter (caller picks trigger and starts).
+    Each micro-batch runs the same repartitionByRange + sortWithin-
+    Partitions + parquet-append pipeline as :func:`~lindel_spark.write.
+    zorder_write`; the curve key never lands in the output.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        LW.zorder_write(
+            batch_df, cols, path, elem=elem, curve=curve,
+            num_files=num_files, mode="append",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def windowed_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window rollup: (window_start, key, n_events, sum_value,
+    n_users). Pass ``watermark`` on streaming input to bound state and
+    admit late data up to that horizon; omit it for batch frames.
+
+    ``sum_value`` aggregates in DECIMAL so results are bit-stable under
+    reordering (stream vs batch vs oracle all agree exactly).
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions per user: (user_id, session_start,
+    session_end, n_events). Native ``session_window`` — merges windows
+    within ``gap``, identical semantics batch and streaming."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )

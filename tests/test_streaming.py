@@ -1,0 +1,79 @@
+"""Structured Streaming tests: streaming results == batch results, and
+the z-order foreachBatch sink clusters every micro-batch."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import streaming as ST
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    return ev.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+@pytest.fixture(scope="module")
+def stream_src(events, tmp_path_factory):
+    """Events split into 2 files so availableNow yields micro-batches."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    events.repartition(2).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _rollup_key(rows):
+    return sorted(
+        (r.window_start, r.event_type, r.n_events, str(r.sum_value))
+        for r in rows
+    )
+
+
+def test_streaming_rollup_matches_batch(spark, events, stream_src,
+                                        tmp_path_factory):
+    schema = events.schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(stream_src))
+    rolled = ST.windowed_rollup(src, window="1 hour", watermark="2 hours")
+    q = (rolled.select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "event_type", "n_events", "sum_value")
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("rollup_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM rollup_t").collect()
+    want = (ST.windowed_rollup(events, window="1 hour")
+            .select(F.unix_timestamp("window_start").alias("window_start"),
+                    "event_type", "n_events", "sum_value").collect())
+    assert _rollup_key(got) == _rollup_key(want)
+
+
+def test_zorder_stream_sink(spark, tmp_path_factory):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    src_dir = str(tmp_path_factory.mktemp("zsrc"))
+    li.repartition(2).write.mode("overwrite").parquet(src_dir)
+    out = str(tmp_path_factory.mktemp("zout") / "z")
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    src = (spark.readStream.schema(li.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    writer = ST.zorder_stream_writer(
+        src,
+        [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        out, elem="int32", num_files=2, checkpoint=ckpt,
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rb = spark.read.parquet(out)
+    assert rb.count() == li.count()
+    assert sorted(rb.columns) == sorted(li.columns)  # key column dropped
+    # each micro-batch produced clustered files
+    assert len(glob.glob(os.path.join(out, "*.parquet"))) >= 2
