@@ -12,6 +12,13 @@ Public surface:
     morton_encode_native (pure-Column, whole-stage-codegen path)
     register(spark)  — SQL-name registration
     zorder_write(df, cols, path, ...)
+
+Operator modules (import as submodules):
+    lindel_spark.dedup       exact / MinHash-LSH / n-gram-Jaccard / SimHash
+    lindel_spark.similarity  exact + matmul + LSH-ANN cosine search
+    lindel_spark.text        token stats, quality, language ID, n-grams
+    lindel_spark.multimodal  binary payload columns, decode stages
+    lindel_spark.streaming   curve-clustered sink, windowed rollups
 """
 
 from lindel_spark.functions import (
