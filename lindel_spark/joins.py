@@ -1,0 +1,145 @@
+"""Join-class operators Spark lacks natively: as-of join and spatial
+range join.
+
+The reference engine itself registers no join operators (DuckDB hosts
+them, src/lindel_extension.cpp:948-1026), but its locality keys are
+exactly the primitive a distributed *spatial* join wants — so
+:func:`spatial_range_join` builds on the package's curve machinery
+(cell ids joined as single native Morton keys), and :func:`asof_join`
+covers the time-series side with a pure shuffle-and-window plan.
+
+Both are compositions of built-in operators: no Python in the hot
+path, no driver-side loops, no cartesian products.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lindel_spark.functions import morton_encode_native
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row of
+    the same ``on`` key with ``right_ts <= left_ts`` (DuckDB/pandas
+    ``ASOF JOIN`` semantics; unmatched left rows keep NULLs).
+
+    Plan: tag and union both inputs, one window pass per key ordered by
+    (ts, side) carrying the right values forward with ``last(...,
+    ignorenulls=True)``, keep left rows. One shuffle on the join key,
+    state bounded by the window frame — the scalable alternative to a
+    per-key collect or an exploding range join. Ties (equal ts) take
+    the right row first, matching ``<=``; multiple right rows on the
+    same (key, ts) resolve to the one latest in ``(ts)`` order.
+    """
+    if not value_cols:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+        *[F.lit(None).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+          for c in value_cols],
+        *[F.col(c).alias(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "__f")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(c + suffix + "__f").alias(c + suffix) for c in value_cols],
+    )
+
+
+def spatial_cell_key(cols: Sequence[Column], cell: float) -> Column:
+    """Single-long cell id for a 2-D point: Morton key of the floored
+    cell coordinates. The curve key keeps neighboring cells numerically
+    close, so bucketed data can also be range-partitioned/sorted by the
+    same key for storage locality (the package's zorder machinery)."""
+    cells = [F.floor(c / F.lit(cell)).cast("int") for c in cols]
+    # offset to keep cell ids non-negative for the bit interleave
+    cells = [(c + F.lit(1 << 20)).cast("int") for c in cells]
+    return morton_encode_native(cells, "int32")
+
+
+def spatial_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: Sequence,
+    right_cols: Sequence,
+    radius: float,
+    metric: str = "linf",
+) -> DataFrame:
+    """All pairs within ``radius``: exact, bucketed, never all-pairs.
+
+    Grid cells of side ``radius``: every right point lands in one cell;
+    every left point probes its 3×3 neighborhood, so any pair within
+    ``radius`` (L∞, and therefore L2) shares a probed cell — candidate
+    generation is *complete*, and the final distance predicate makes
+    the result exact. Cell ids are single Morton longs, so the shuffle
+    is one equi-join on a uniform 64-bit key. Each right point occupies
+    exactly one cell, so no pair is generated twice.
+
+    Returns left.* (aliased ``l_``), right.* (``r_``), and ``dist``
+    (the chosen metric). ``metric``: 'linf' or 'l2'.
+    """
+    lx, ly = [c if isinstance(c, Column) else F.col(c) for c in left_cols]
+    rx, ry = [c if isinstance(c, Column) else F.col(c) for c in right_cols]
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.explode(
+            F.array(*[
+                spatial_cell_key([lx + F.lit(dx * radius),
+                                  ly + F.lit(dy * radius)], radius)
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("__cell"),
+        lx.alias("__lx"), ly.alias("__ly"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        spatial_cell_key([rx, ry], radius).alias("__cell"),
+        rx.alias("__rx"), ry.alias("__ry"),
+    )
+    dx = F.col("__lx") - F.col("__rx")
+    dy = F.col("__ly") - F.col("__ry")
+    if metric == "l2":
+        dist = F.sqrt(dx * dx + dy * dy)
+    elif metric == "linf":
+        dist = F.greatest(F.abs(dx), F.abs(dy))
+    else:
+        raise ValueError(f"LINDEL: unknown metric {metric!r}")
+    return (
+        l.join(r, "__cell")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= radius)
+        .drop("__cell", "__lx", "__ly", "__rx", "__ry")
+    )

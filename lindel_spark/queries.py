@@ -684,9 +684,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return ev.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer division: `/` would route epoch *nanos* (~1.7e18) through
+    # a double, which holds only 53 integer bits -> off-by-1-us values
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @query(
@@ -799,6 +799,82 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-class operators (lindel_spark/joins.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join_events",
+    """
+    WITH c AS (
+      SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+             epoch_us(ts)::BIGINT AS tus
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.tus, p.pval AS value_r
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.tus >= p.tus
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click gets the user's latest
+    prior-or-equal purchase value — vs DuckDB's native ASOF JOIN."""
+    from lindel_spark.joins import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("tus", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "tus",
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "tus")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(clicks, purchases, on="user_id",
+                     left_ts="tus", right_ts="tus", value_cols=["value"])
+
+
+@query(
+    "spatial_range_join",
+    """
+    WITH p AS (
+      SELECT vec_id::BIGINT AS id,
+             CAST(embedding[1] AS DOUBLE) * 1000 AS x,
+             CAST(embedding[2] AS DOUBLE) * 1000 AS y
+      FROM embeddings
+    )
+    SELECT a.id AS l_id, b.id AS r_id,
+           greatest(abs(a.x - b.x), abs(a.y - b.y)) AS dist
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE greatest(abs(a.x - b.x), abs(a.y - b.y)) <= 25
+    """,
+)
+def q_spatial_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L-inf range self-join via Morton-keyed grid cells (3x3
+    probe makes candidates complete; distance filter makes it exact) —
+    value-compared against DuckDB's brute-force quadratic join."""
+    from lindel_spark.joins import spatial_range_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        (F.element_at("embedding", 1).cast("double") * 1000).alias("x"),
+        (F.element_at("embedding", 2).cast("double") * 1000).alias("y"),
+    )
+    out = spatial_range_join(pts, pts, ["x", "y"], ["x", "y"],
+                             radius=25.0, metric="linf")
+    return (
+        out.filter(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id", "dist")
     )
 
 

@@ -1,0 +1,66 @@
+"""As-of join and spatial range join semantics tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark.joins import asof_join, spatial_range_join
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 10), (3, 10)],
+        "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 10, 110.0), (1, 15, 120.0), (2, 99, 130.0)],
+        "k long, ts long, v double")
+    out = {(r.k, r.ts): r.v_r for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     value_cols=["v"]).collect()}
+    assert out[(1, 10)] == 110.0   # equal ts matches (<=)
+    assert out[(1, 20)] == 120.0   # latest prior
+    assert out[(1, 5)] is None     # nothing at-or-before
+    assert out[(2, 10)] is None    # right is later
+    assert out[(3, 10)] is None    # key absent from right
+
+
+def test_asof_keeps_all_left_rows(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"))
+    right = spark.range(10).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 11).alias("ts"),
+        F.col("id").cast("double").alias("v"))
+    out = asof_join(left, right, on="k", value_cols=["v"],
+                    left_ts="ts", right_ts="ts")
+    assert out.count() == 100
+    assert set(out.columns) == {"k", "ts", "v_r"}
+
+
+def test_spatial_range_join_exact_vs_brute(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(0, 100, size=(200, 2)))]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    r = 7.5
+    got = {(p.l_id, p.r_id) for p in
+           spatial_range_join(df, df, ["x", "y"], ["x", "y"], r)
+           .filter(F.col("l_id") < F.col("r_id")).collect()}
+    arr = np.array([(x, y) for _, x, y in pts])
+    want = set()
+    for i in range(len(pts)):
+        d = np.abs(arr - arr[i]).max(axis=1)
+        for j in np.where(d <= r)[0]:
+            if i < j:
+                want.add((i, int(j)))
+    assert got == want  # complete AND exact
+
+
+def test_spatial_range_join_l2(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 4.0), (3, 10.0, 0.0)],
+        "id long, x double, y double")
+    got = {(p.l_id, p.r_id): p.dist for p in
+           spatial_range_join(df, df, ["x", "y"], ["x", "y"], 5.0,
+                              metric="l2")
+           .filter(F.col("l_id") < F.col("r_id")).collect()}
+    assert got == {(1, 2): 5.0}  # L2 dist exactly 5; (1,3) at 10 excluded

@@ -15,9 +15,9 @@ def events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    return ev.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer division — `/` routes epoch nanos through a double (53
+    # integer bits), silently corrupting the low microsecond
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 @pytest.fixture(scope="module")
