@@ -975,3 +975,23 @@ def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return LS.ann_knn(emb, queries_df, k=10)
+
+
+@query("knn_ivf", None)  # probabilistic (nprobe < n_centroids): rows-only;
+# recall is pytest-enforced (tests/test_similarity.py)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with nprobe=8 of 16 cells."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8)
+
+
+@query("knn_ivf_exhaustive", _KNN_ORACLE)
+def q_knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = n_centroids: probes every cell, so the result
+    must equal brute force value-for-value — validates the whole IVF
+    pipeline (training, assignment, probe join, ranking) against the
+    exact-cosine DuckDB oracle."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=16)

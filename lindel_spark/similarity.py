@@ -225,6 +225,110 @@ def embedding_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe cells
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_limit: int = 65536,
+    iters: int = 10,
+    seed: int = DEFAULT_SEED,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded driver-side sample.
+
+    Training reads at most ``sample_limit`` vectors (the standard IVF
+    recipe at any corpus size — centroid quality needs a sample, not a
+    pass over 100 TB); assignment below stays fully distributed.
+    """
+    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    V = np.array([r[0] for r in rows], np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    C = Vn[rng.choice(len(Vn), n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(Vn @ C.T, axis=1)
+        for c in range(n_centroids):
+            members = Vn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def _cell_assign_udf(C: np.ndarray, nprobe: int):
+    """embedding -> array of the ``nprobe`` nearest centroid ids."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            V = np.stack([np.asarray(v, np.float64) for v in s])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ C.T
+            top = np.argsort(-S, axis=1)[:, :nprobe].astype(np.int32)
+            yield pd.Series(list(top), dtype=object)
+
+    return cells
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    cell; each query probes its ``nprobe`` nearest cells; exact cosine
+    + top-k within probed cells only.
+
+    The corpus-side shuffle key is the cell id (bounded, ~uniform under
+    spherical k-means); scored pairs shrink by ~nprobe/n_centroids. An
+    IVF-clustered corpus can also be *stored* sorted by cell id (one
+    `zorder_write`-style range partition) so probes become partition-
+    pruned scans.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids, vec_col, seed=seed)
+    cb = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(_cell_assign_udf(centroids, 1)(F.col(vec_col)), 1)
+        .alias("cell"),
+    )
+    qb = F.broadcast(queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _cell_assign_udf(centroids, nprobe)(F.col(vec_col))
+        ).alias("cell"),
+    ))
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((dim, num_planes))
 

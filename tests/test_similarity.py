@@ -92,3 +92,16 @@ def test_embedding_near_dup_recall(emb):
         for a, b in got)
     recall = len(got & brute) / len(brute)
     assert recall >= 0.8, f"near-dup recall {recall:.3f} < 0.8"
+
+
+def test_ivf_recall_and_pruning(emb, queries_df, brute):
+    ivf = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8)
+    got = _topk_sets(ivf.collect())
+    exact = _topk_sets(brute)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.7, f"IVF recall {recall:.3f} < 0.7 (random-vector data)"
+    # nprobe=n_centroids must be exhaustive within assignment: recall 1.0
+    full = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=16)
+    full_sets = _topk_sets(full.collect())
+    assert full_sets == exact
