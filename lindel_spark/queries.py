@@ -753,6 +753,36 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_multi_grain_rollup",
+    """
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+           '1 hour' AS grain
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT (epoch_us(ts) // 86400000000) * 86400,
+           event_type, COUNT(*)::BIGINT,
+           SUM(value::DECIMAL(18,2))::DOUBLE, '1 day'
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup at hour and day grains in one frame."""
+    from lindel_spark import streaming as ST
+
+    ev = _events(spark, sf_dir)
+    r = ST.multi_grain_rollup(ev, grains=("1 hour", "1 day"))
+    return r.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "grain",
+    )
+
+
+@query(
     "events_rolling_value",
     """
     SELECT event_id::BIGINT AS event_id,

@@ -95,6 +95,32 @@ def windowed_rollup(
     )
 
 
+def multi_grain_rollup(
+    df: DataFrame,
+    grains: Sequence[str] = ("1 hour", "1 day"),
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one frame holding the
+    tumbling-window aggregate at every grain, tagged by a ``grain``
+    column. Each grain is an independent map-side-combined aggregation
+    of the shared scan; Spark reuses the exchange where possible.
+    Coarser grains are *not* re-aggregated from finer ones, so any
+    grain set is valid (not just nested ones).
+    """
+    parts = []
+    for g in grains:
+        parts.append(
+            windowed_rollup(df, ts_col, key_col, value_col, window=g)
+            .withColumn("grain", F.lit(g))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

@@ -58,6 +58,7 @@ def zorder_write(
     num_files: int | None = None,
     mode: str = "overwrite",
     format: str = "parquet",
+    partition_by: Sequence[str] | None = None,
     **writer_options,
 ) -> None:
     """Write ``df`` clustered along a space-filling curve over ``cols``.
@@ -69,15 +70,26 @@ def zorder_write(
 
     ``num_files`` bounds output file count (defaults to Spark's
     shuffle parallelism).  The curve key is dropped before writing.
+
+    With ``partition_by``, rows are hive-partitioned on those columns
+    and curve-clustered *within* each partition: one range shuffle on
+    (partition cols, key) keeps each task writing a contiguous slice
+    of one partition directory — no small-files explosion, and range
+    predicates get partition pruning AND row-group skipping.
     """
     key = zorder_key(cols, elem, curve)
     keyed = df.withColumn(_KEY, key)
+    range_cols = (
+        [F.col(c) for c in partition_by] if partition_by else []
+    ) + [F.col(_KEY)]
     if num_files is not None:
-        keyed = keyed.repartitionByRange(num_files, F.col(_KEY))
+        keyed = keyed.repartitionByRange(num_files, *range_cols)
     else:
-        keyed = keyed.repartitionByRange(F.col(_KEY))
-    out = keyed.sortWithinPartitions(_KEY).drop(_KEY)
+        keyed = keyed.repartitionByRange(*range_cols)
+    out = keyed.sortWithinPartitions(*range_cols).drop(_KEY)
     writer = out.write.mode(mode).format(format)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     for k, v in writer_options.items():
         writer = writer.option(k, v)
     writer.save(path)

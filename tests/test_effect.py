@@ -91,3 +91,22 @@ def test_zorder_preserves_rows(written):
     a = li.agg(F.sum("l_orderkey"), price).first()
     b = rb.agg(F.sum("l_orderkey"), price).first()
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_write_hive_partitioned(spark, tmp_path):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    out = str(tmp_path / "zp")
+    LW.zorder_write(
+        li, [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        out, elem="int32", num_files=4, partition_by=["l_returnflag"],
+    )
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out, "l_returnflag=*"))}
+    flags = {f"l_returnflag={r[0]}" for r in
+             li.select("l_returnflag").distinct().collect()}
+    assert dirs == flags
+    rb = spark.read.parquet(out)
+    assert rb.count() == li.count()
+    # partition pruning: scanning one flag reads only that directory
+    one = sorted(flags)[0].split("=")[1]
+    assert (rb.filter(F.col("l_returnflag") == one).count()
+            == li.filter(F.col("l_returnflag") == one).count())

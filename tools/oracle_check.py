@@ -1,0 +1,113 @@
+"""Oracle-diff harness (SURVEY §5.2 t2): Spark vs DuckDB, value-level.
+
+Runs ``entry(spark)`` plus every ``queries()`` entry from
+``__spark_entry__`` against its ``oracle_sql()`` in DuckDB over the
+same parquet tables, comparing row counts and an order-insensitive
+value hash with columns sorted by name — the same canonicalization the
+build driver applies, so a green run here predicts a green
+CORRECTNESS row.
+
+Usage::
+
+    python tools/oracle_check.py [query-name ...]   # default: all
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/oracle_check.py
+
+Known benign divergence (SURVEY §2.4): the reference's float[4] morton
+actually computes hilbert (src/lindel_extension.cpp:752 calls the
+wrong kernel); this port implements intended Morton semantics, and the
+oracles here encode the *intended* values, so no whitelist entry is
+needed when comparing against DuckDB-computed math.
+"""
+
+import hashlib
+import math
+import os
+import sys
+import traceback
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def canon(df) -> tuple[int, str]:
+    """(row_count, md5) of the sorted, name-ordered, normalized rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return f"{v:.10g}"
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return str(v)
+
+    rows = sorted(
+        ",".join(norm(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    return len(rows), hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    from lindel_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("lindel-oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    try:
+        r = entry_mod.entry(spark)
+        print(f"ENTRY OK rows={r.count()} "
+              f"schema={[f.name for f in r.schema.fields]}")
+    except Exception:
+        print("ENTRY FAIL")
+        traceback.print_exc()
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:]) or None
+    print(f"{len(qs)} queries, {len(oracles)} oracles")
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            if name in oracles:
+                odf = con.execute(oracles[name]).fetchdf()
+                sn, sh = canon(sdf)
+                on, oh = canon(odf)
+                ok = sn == on and sh == oh
+                if not ok:
+                    fails.append(name)
+                print(f"{'OK  ' if ok else 'FAIL'} {name}: "
+                      f"spark rows={sn} hash={sh[:10]} | "
+                      f"oracle rows={on} hash={oh[:10]}")
+                if not ok and sorted(sdf.columns) != sorted(odf.columns):
+                    print(f"     cols spark={sorted(sdf.columns)} "
+                          f"oracle={sorted(odf.columns)}")
+            else:
+                print(f"ROWS {name}: rows={len(sdf)} (no oracle)")
+        except Exception as e:
+            fails.append(name)
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+    print("FAILS:", fails if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
