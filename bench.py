@@ -95,6 +95,31 @@ def main() -> None:
         queries_df = emb.filter(F.col("vec_id") % 50 == 0)
         _noop(LS.brute_force_knn_fast(emb, queries_df, k=10))
 
+    def q_dedup_simhash(_):
+        _noop(LD.simhash_near_dup_pairs(docs))
+
+    def q_asof(_):
+        from lindel_spark.joins import asof_join
+        # events.parquet stores TIMESTAMP(NANOS): readable only as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        ev = ev.withColumn("tus", F.expr("ts div 1000"))
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "tus")
+        purch = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "tus").agg(F.max("value").alias("value")))
+        _noop(asof_join(clicks, purch, on="user_id",
+                        left_ts="tus", right_ts="tus", value_cols=["value"]))
+
+    def q_spatial_join(_):
+        from lindel_spark.joins import spatial_range_join
+        pts = emb.select(
+            F.col("vec_id").cast("long").alias("id"),
+            (F.element_at("embedding", 1).cast("double") * 1000).alias("x"),
+            (F.element_at("embedding", 2).cast("double") * 1000).alias("y"),
+        )
+        _noop(spatial_range_join(pts, pts, ["x", "y"], ["x", "y"], 25.0))
+
     scan_shaped = [
         ("hilbert_encode_i32x2", q_hilbert_i32, n_li),
         ("hilbert_encode_f64x2", q_hilbert_f64, n_li),
@@ -103,7 +128,10 @@ def main() -> None:
         ("hilbert_decode_rt_i32x2", q_decode_rt_i32, n_li),
         ("text_stats", q_text_stats, n_docs),
         ("dedup_near_pairs", q_dedup_near, n_docs),
+        ("dedup_simhash_pairs", q_dedup_simhash, n_docs),
         ("knn_brute_fast", q_knn_fast, n_emb),
+        ("asof_join_events", q_asof, 0),
+        ("spatial_range_join", q_spatial_join, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),

@@ -90,6 +90,13 @@ def spatial_cell_key(cols: Sequence[Column], cell: float) -> Column:
     return morton_encode_native(cells, "int32")
 
 
+def _cell_coords(cols: Sequence[Column], cell: float) -> list[Column]:
+    return [
+        (F.floor(c / F.lit(cell)).cast("int") + F.lit(1 << 20)).cast("int")
+        for c in cols
+    ]
+
+
 def spatial_range_join(
     left: DataFrame,
     right: DataFrame,
@@ -113,21 +120,37 @@ def spatial_range_join(
     """
     lx, ly = [c if isinstance(c, Column) else F.col(c) for c in left_cols]
     rx, ry = [c if isinstance(c, Column) else F.col(c) for c in right_cols]
-    l = left.select(
+    # project the cell coordinates into real int columns first: the 9
+    # probe keys then interleave plain attributes, keeping the codegen
+    # expression tree small (9 inlined floor-chains blow up compile time)
+    lc = left.select(
         *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        lx.alias("__lx"), ly.alias("__ly"),
+        _cell_coords([lx, ly], radius)[0].alias("__cx"),
+        _cell_coords([lx, ly], radius)[1].alias("__cy"),
+    )
+    l = lc.select(
+        *[c for c in lc.columns if c not in ("__cx", "__cy")],
         F.explode(
             F.array(*[
-                spatial_cell_key([lx + F.lit(dx * radius),
-                                  ly + F.lit(dy * radius)], radius)
+                morton_encode_native(
+                    [F.col("__cx") + F.lit(dx), F.col("__cy") + F.lit(dy)],
+                    "int32",
+                )
                 for dx in (-1, 0, 1) for dy in (-1, 0, 1)
             ])
         ).alias("__cell"),
-        lx.alias("__lx"), ly.alias("__ly"),
     )
-    r = right.select(
+    rc = right.select(
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
-        spatial_cell_key([rx, ry], radius).alias("__cell"),
         rx.alias("__rx"), ry.alias("__ry"),
+        _cell_coords([rx, ry], radius)[0].alias("__cx"),
+        _cell_coords([rx, ry], radius)[1].alias("__cy"),
+    )
+    r = rc.select(
+        *[c for c in rc.columns if c not in ("__cx", "__cy")],
+        morton_encode_native([F.col("__cx"), F.col("__cy")], "int32")
+        .alias("__cell"),
     )
     dx = F.col("__lx") - F.col("__rx")
     dy = F.col("__ly") - F.col("__ry")

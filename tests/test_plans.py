@@ -1,0 +1,113 @@
+"""Physical-plan audits: the properties that matter at 100 TB.
+
+Asserts the plans we designed for are the plans Catalyst actually
+produces — codegen-only native paths, column pruning through the
+operators, predicate pushdown into parquet, broadcasts where a side is
+small, and the absence of cartesian products in every bucketed join.
+"""
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import dedup as LD
+from lindel_spark import functions as LF
+from lindel_spark import similarity as LS
+from lindel_spark import text as LT
+from lindel_spark.joins import asof_join, spatial_range_join
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_native_morton_is_pure_codegen(li):
+    df = li.select(LF.morton_encode_native(
+        [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        "int32").alias("m"))
+    p = plan_of(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # formatted mode marks whole-stage-codegen stages as [codegen id : N]
+    assert "codegen id" in p
+
+
+def test_encode_udf_prunes_scan_columns(li):
+    """Only the two key columns may reach the parquet scan."""
+    df = li.select(LF.hilbert_encode(
+        [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        "int32").alias("h"))
+    p = plan_of(df)
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" in read[0] and "l_partkey" in read[0]
+    assert "l_comment" not in read[0] and "l_extendedprice" not in read[0]
+
+
+def test_text_stats_prunes_scan_columns(docs):
+    p = plan_of(LT.text_stats(docs))
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read and "text" in read[0]
+    assert "lang" not in read[0]  # unused label column pruned
+
+
+def test_filter_pushdown_reaches_parquet(li):
+    df = li.filter((F.col("l_orderkey") > 100) & (F.col("l_partkey") < 50))
+    p = plan_of(df.select("l_orderkey", "l_partkey"))
+    assert "PushedFilters" in p
+    assert "GreaterThan(l_orderkey" in p and "LessThan(l_partkey" in p
+
+
+def test_knn_broadcasts_query_side(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    p = plan_of(LS.brute_force_knn(emb, q, k=5))
+    assert "Broadcast" in p
+
+
+def test_bucketed_joins_never_cartesian(spark, docs):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        (F.element_at("embedding", 1).cast("double") * 1000).alias("x"),
+        (F.element_at("embedding", 2).cast("double") * 1000).alias("y"),
+    )
+    plans = {
+        "near_dup": plan_of(LD.near_dup_pairs(docs, cache=False)),
+        "simhash": plan_of(LD.simhash_near_dup_pairs(docs)),
+        "spatial": plan_of(spatial_range_join(
+            pts, pts, ["x", "y"], ["x", "y"], 25.0)),
+        "emb_near_dup": plan_of(LS.embedding_near_dup_pairs(emb, 0.4)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_asof_join_single_window_no_join_explosion(spark):
+    left = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"))
+    right = spark.range(50).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 3).alias("ts"),
+        F.col("id").cast("double").alias("v"))
+    p = plan_of(asof_join(left, right, on="k", value_cols=["v"],
+                          left_ts="ts", right_ts="ts"))
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p

@@ -112,3 +112,12 @@ def test_simhash_pairs_exact_by_pigeonhole(spark):
     got = {(r.id_a, r.id_b)
            for r in LD.simhash_near_dup_pairs(docs).collect()}
     assert got == brute
+
+
+def test_simhash_fast_matches_column_form(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    both = docs.select(
+        LD.simhash(F.col("text")).alias("a"),
+        LD.simhash_fast(F.col("text")).alias("b"),
+    ).collect()
+    assert all(r.a == r.b for r in both)
