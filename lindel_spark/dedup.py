@@ -381,6 +381,57 @@ def simhash_near_dup_pairs(
     return pairs
 
 
+def dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    max_iter: int = 15,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: (id, cluster)
+    where ``cluster`` is the minimum id reachable from ``id`` (docs in
+    no pair form singleton clusters).
+
+    Iterative min-label propagation: per round, every vertex takes the
+    min of its own and its neighbors' labels — one shuffle join per
+    round, lineage cut with ``localCheckpoint``, stop when the
+    (monotonically decreasing) label sum is unchanged. Rounds needed =
+    graph diameter; near-dup clusters are near-cliques, so this
+    converges in 2-3 rounds at any corpus size. The canonical scalable
+    CC formulation (no driver-side graph, no recursion depth limits).
+    """
+    if pairs is None:
+        pairs = near_dup_pairs(df, text_col, id_col, **near_dup_kwargs)
+    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
+    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    sym = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint()
+    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s").agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nl"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
 def drop_near_duplicates(
     df: DataFrame,
     text_col: str = "text",

@@ -653,6 +653,29 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    _near_dup_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT doc_id::BIGINT AS id, doc_id::BIGINT AS label FROM documents
+      UNION
+      SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+    )
+    SELECT id, MIN(label)::BIGINT AS cluster FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (iterative min-
+    label propagation) vs DuckDB's recursive-CTE reachability minimum."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.dup_clusters(docs)
+
+
+@query(
     "dedup_kept_ids",
     _near_dup_cte()
     + """

@@ -121,3 +121,20 @@ def test_simhash_fast_matches_column_form(spark):
         LD.simhash_fast(F.col("text")).alias("b"),
     ).collect()
     assert all(r.a == r.b for r in both)
+
+
+def test_dup_clusters_transitive(spark):
+    """1-2 and 2-6 near-dups must land in ONE cluster (transitivity),
+    even when 1 and 6 are not themselves a verified pair."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (6, "alpha beta gamma delta epsilon zeta kappa iota"),
+        (9, "totally unrelated words appear in this document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 6, 0.9)], "id_a long, id_b long, jaccard double")
+    out = {r.id: r.cluster
+           for r in LD.dup_clusters(df, pairs=pairs).collect()}
+    assert out == {1: 1, 2: 1, 6: 1, 9: 9}
