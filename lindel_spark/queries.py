@@ -692,6 +692,131 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# host-engine analytics coverage (SURVEY §2.5: joins/aggs/sorts are
+# Spark-native; these classic queries prove the surface end to end)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+           SUM((l_extendedprice::DECIMAL(18,2)) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+             AS sum_disc_price,
+           COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (filter→groupBy→decimal aggs)."""
+    li = _lineitem(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping",
+    """
+    SELECT l.l_orderkey::BIGINT AS l_orderkey,
+           SUM((l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1997-03-15'
+      AND l.l_shipdate > DATE '1997-03-15'
+    GROUP BY 1, 3, 4
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority (3-way join, small dims
+    broadcast by AQE, decimal revenue)."""
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .filter(F.col("o_orderdate") < F.lit("1997-03-15").cast("date"))
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("date"))
+        .groupBy(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_local_volume",
+    """
+    SELECT n.n_name,
+           SUM((l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                     AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume (6-way join; nation/region
+    broadcast)."""
+    rd = os.path.join
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    s = spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+    n = F.broadcast(spark.read.parquet(rd(sf_dir, "nation.parquet")))
+    r = F.broadcast(spark.read.parquet(rd(sf_dir, "region.parquet")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, (li["l_suppkey"] == s["s_suppkey"])
+              & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # event streams (lindel_spark/streaming.py, batch form of shared ops)
 # ---------------------------------------------------------------------------
 
