@@ -980,6 +980,99 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered-set aggregates: Spark percentile() and DuckDB
+    quantile_cont share the (n-1)*q linear-interpolation definition, so
+    values hash-compare bit-for-bit."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@query(
+    "sql_registration_surface",
+    """
+    SELECT 22::BIGINT AS h, 29::BIGINT AS m,
+           1::BIGINT AS dx, 2::BIGINT AS dy, 3::BIGINT AS dz
+    """,
+)
+def q_sql_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-name surface end to end: register() then pure
+    spark.sql() calls (reference catalog registration parity,
+    src/lindel_extension.cpp:948-1026)."""
+    LF.register(spark, elems=("int8",))
+    return spark.sql("""
+        SELECT CAST(hilbert_encode_int8_3(array(1Y, 2Y, 3Y)) AS BIGINT) AS h,
+               CAST(morton_encode_int8_3(array(1Y, 2Y, 3Y)) AS BIGINT) AS m,
+               CAST(hilbert_decode_32_3(CAST(22 AS BIGINT))[0] AS BIGINT) AS dx,
+               CAST(hilbert_decode_32_3(CAST(22 AS BIGINT))[1] AS BIGINT) AS dy,
+               CAST(hilbert_decode_32_3(CAST(22 AS BIGINT))[2] AS BIGINT) AS dz
+    """)
+
+
+# ---------------------------------------------------------------------------
+# skew-robust patterns (lindel_spark/skew.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*)::BIGINT AS n,
+           SUM(l.l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join == plain join, aggregated per order status (salt
+    invariance makes the random salt irrelevant to the result)."""
+    from lindel_spark.skew import salted_join
+
+    li = _lineitem(spark, sf_dir)
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    j = salted_join(li.select("l_orderkey", "l_quantity"), o,
+                    "l_orderkey", salt=8)
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"),
+    )
+
+
+@query(
+    "skew_two_phase_distinct",
+    """
+    SELECT l_returnflag AS k, COUNT(DISTINCT l_suppkey)::BIGINT AS n_distinct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT) as dedupe-then-count."""
+    from lindel_spark.skew import two_phase_distinct
+
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_returnflag").alias("k"), "l_suppkey"
+    )
+    return two_phase_distinct(li, "k", "l_suppkey")
+
+
 # ---------------------------------------------------------------------------
 # join-class operators (lindel_spark/joins.py)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,65 @@
+"""Skew-robust shuffle patterns: salted joins and two-phase aggregates.
+
+At 100 TB a single hot key turns one reducer into the whole job's
+critical path. AQE's skew-join split (enabled in
+:mod:`lindel_spark.session`) handles moderate skew adaptively; these
+helpers are the explicit, planner-independent forms for extreme skew:
+
+* :func:`salted_join` — spread one hot key across ``salt`` reducers by
+  salting the skewed side and replicating the other side ``salt``
+  times. The result set is provably salt-invariant (every (l, r) pair
+  with equal keys meets in exactly one salted bucket).
+* :func:`two_phase_distinct` — COUNT(DISTINCT x) BY k without sending
+  every x of a hot k to one reducer: dedupe on (k, x) first (spread
+  shuffle), then count per k (tiny shuffle).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left (skewed) side salted ``salt`` ways.
+
+    The left side gets a uniform salt; the right side is replicated
+    once per salt value (an ``explode`` of ``salt`` literals — cheap
+    when the right side is the smaller/dimension side, which is the
+    normal skew-join shape). Join keys become (on..., salt), so a hot
+    key's rows land on ``salt`` different reducers.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")
+
+
+def two_phase_distinct(
+    df: DataFrame,
+    key: str,
+    col: str,
+) -> DataFrame:
+    """COUNT(DISTINCT col) GROUP BY key, skew-safely: (key, n_distinct).
+
+    Phase 1 shuffles on (key, col) — a hot key spreads over as many
+    reducers as it has distinct values; phase 2 aggregates pre-deduped
+    pairs, so the per-key reducer sees one row per distinct value.
+    """
+    return (
+        df.select(key, col).distinct()
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )

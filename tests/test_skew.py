@@ -1,0 +1,38 @@
+"""Salted join / two-phase distinct: result equivalence under skew."""
+
+from pyspark.sql import functions as F
+
+from lindel_spark.skew import salted_join, two_phase_distinct
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed left: 90% of rows share key 7
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("lv"))
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("rv"))
+    plain = {(r.k, r.lv, r.rv) for r in left.join(right, "k").collect()}
+    salted = {(r.k, r.lv, r.rv)
+              for r in salted_join(left, right, "k", salt=8).collect()}
+    assert salted == plain
+
+
+def test_salted_left_join(spark):
+    left = spark.range(100).select((F.col("id") % 5).alias("k"),
+                                   F.col("id").alias("lv"))
+    right = spark.range(3).select(F.col("id").alias("k"),
+                                  F.lit("x").alias("rv"))
+    out = salted_join(left, right, "k", salt=4, how="left")
+    assert out.count() == 100
+    assert out.filter(F.col("rv").isNull()).count() == 40  # keys 3,4
+
+
+def test_two_phase_distinct(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 17).alias("v"))
+    got = {r.k: r.n_distinct
+           for r in two_phase_distinct(df, "k", "v").collect()}
+    want = {r.k: r.cnt for r in
+            df.groupBy("k").agg(F.countDistinct("v").alias("cnt")).collect()}
+    assert got == want
