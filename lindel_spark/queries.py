@@ -1266,3 +1266,271 @@ def q_knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     return LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=16)
+
+
+@query("knn_ivf_recall", None)  # approximate by construction: rows-only;
+# the returned frame *is* the recall measurement (brief asks recall@10>=0.9)
+def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of IVF (nprobe=8/16) against in-Spark brute
+    force — emits (n_queries, recall_at_10) so the gate records the
+    number every round."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = LS.brute_force_knn(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    j = brute.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("recall_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# wider TPC-H-style analytics (joins/semi-joins/top-k/ratio aggregates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q6_forecast",
+    """
+    SELECT SUM((l_extendedprice::DECIMAL(18,2)) * (l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting revenue change: pure filter->agg.
+    All three predicates reach the parquet scan (PushedFilters), so at
+    100 TB this is a scan-bound map-only job with one partial-agg
+    exchange of a single row."""
+    li = _lineitem(spark, sf_dir)
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01'
+      AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style priority check as a LEFT SEMI join (EXISTS):
+    the semi join keeps orders rows only, never multiplies them, and
+    Spark plans it as a shuffled semi-hash-join on l_orderkey with the
+    date filter pushed to the orders scan. (Adapted: the synthetic
+    lineitem has no commit/receipt dates, so 'late' = shipped more
+    than 60 days after the order date.)"""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("date"))
+    )
+    late = (o_f["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o_f["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o_f.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q10_returned",
+    """
+    SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+           SUM((l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: 4-way join + top-20.
+    nation broadcasts; the global top-20 plans as TakeOrderedAndProject
+    (per-partition heaps, no full sort shuffle). Ties break on
+    c_custkey so the row set is deterministic."""
+    rd = os.path.join
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    n = F.broadcast(spark.read.parquet(rd(sf_dir, "nation.parquet")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+            & (F.col("l_returnflag") == "R")
+        )
+        .groupBy(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name", "c_acctbal", "n_name",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo",
+    """
+    SELECT (100.0e0 *
+            SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN (l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2))
+                     ELSE 0 END)::DOUBLE
+            / SUM((l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE)
+             AS promo_revenue,
+           COUNT(*)::BIGINT AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: broadcast dim join +
+    conditional aggregate. Both sums stay decimal (exact) and the
+    final ratio is one double division, so the value hash-matches
+    DuckDB bit-for-bit."""
+    li = _lineitem(spark, sf_dir)
+    p = F.broadcast(spark.read.parquet(os.path.join(sf_dir, "part.parquet")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("date"))
+        )
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double")
+             / F.sum(rev).cast("double")).alias("promo_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    """
+    SELECT c.c_custkey::BIGINT AS c_custkey, c.c_name,
+           o.o_orderkey::BIGINT AS o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o.o_totalprice, t.sum_qty
+    FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN (
+        SELECT l_orderkey, SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+        FROM lineitem GROUP BY 1
+        HAVING SUM(l_quantity::DECIMAL(18,2)) > 250
+      ) t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: aggregate-then-join.
+    The HAVING shrinks lineitem to a tiny key set *before* touching
+    orders/customer, so the expensive table is reduced map-side first
+    — the shape that survives 100 TB (never join raw lineitem rows to
+    customer)."""
+    rd = os.path.join
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@query(
+    "events_topk_users",
+    """
+    WITH agg AS (
+      SELECT event_type, user_id::BIGINT AS user_id,
+             SUM(value::DECIMAL(18,2))::DOUBLE AS total
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type ORDER BY total DESC, user_id
+             ) AS rk
+      FROM agg
+    )
+    SELECT event_type, user_id, total, rk::BIGINT AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (rank-filter pattern): aggregate first, then a
+    window over the *aggregated* frame — the window input is one row
+    per (type,user), not per event, so state stays small at scale."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        "event_type", F.col("user_id").cast("long").alias("user_id")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)"))
+          .cast("double").alias("total"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
