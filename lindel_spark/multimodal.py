@@ -98,14 +98,19 @@ def fake_decode_image(data: bytes, size: int = 8) -> np.ndarray:
     Pixels derive from the payload's sha256 stream, so every stage
     downstream of "decode" (resize, features, hashing) exercises real
     data flow with reproducible values.
+
+    The stream chains over *hex digests* (``sha256(data).hexdigest()``,
+    then repeatedly ``sha256(prev_hex)``): every link is ASCII, so an
+    independent SQL engine whose ``sha256`` takes VARCHAR (DuckDB) can
+    replay the exact pixel bytes — this is what makes the
+    ``multimodal_image_features`` query value-level oracle-checkable.
     """
     need = size * size * 3
     out = bytearray()
-    seed = hashlib.sha256(data).digest()
-    block = seed
+    h = hashlib.sha256(data).hexdigest()
     while len(out) < need:
-        out.extend(block)
-        block = hashlib.sha256(block).digest()
+        out.extend(bytes.fromhex(h))
+        h = hashlib.sha256(h.encode("ascii")).hexdigest()
     return np.frombuffer(bytes(out[:need]), np.uint8).reshape(size, size, 3)
 
 

@@ -644,12 +644,45 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.near_dup_pairs(docs, k=LD.DEFAULT_CHAR_NGRAM, shingles="char")
 
 
-@query("dedup_embedding_cosine", None)  # LSH-approximate: rows-only;
-# recall vs brute force is pytest-enforced (tests/test_similarity.py)
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT COUNT(*)::BIGINT AS n_true_pairs, true AS recall_ok
+    FROM e a JOIN e b ON a.id < b.id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via SimHash-banded self-join."""
+    """Embedding-cosine near-dup via SimHash-banded self-join —
+    self-checking: emits the exact ground-truth pair count (Spark brute
+    force; the sequential fold is bit-identical to DuckDB's
+    list_dot_product, so the count hash-matches the quadratic oracle)
+    plus a recall_ok >= 0.8 boolean for the LSH pipeline against it."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return LS.embedding_near_dup_pairs(emb, threshold=0.4)
+    found = LS.embedding_near_dup_pairs(emb, threshold=0.4).select(
+        "id_a", "id_b", F.lit(1).alias("hit"))
+    e = emb.select(F.col("vec_id").cast("long").alias("id"),
+                   F.col("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    true_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                LS.cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos"))
+        .filter(F.col("cos") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    j = true_pairs.join(found, ["id_a", "id_b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+         / F.count(F.lit(1)).cast("double") >= F.lit(0.8)).alias("recall_ok"),
+    )
 
 
 @query(
@@ -1194,10 +1227,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_image_features", None)  # stubbed decoder: rows-only
+# The fake decoder chains sha256 over *hex digests* (ASCII-safe), so
+# DuckDB's VARCHAR-only sha256 can replay the exact pixel stream: 6
+# chained digests cover the 8*8*3 = 192 pixel bytes, byte i is hex pair
+# 2i of the concatenation, channel means are exact (integer sums / 64).
+_IMAGE_FEATURES_ORACLE = """
+WITH c1 AS (
+  SELECT doc_id::BIGINT AS id, sha256(text) AS b1 FROM documents
+), c2 AS (SELECT *, sha256(b1) AS b2 FROM c1),
+c3 AS (SELECT *, sha256(b2) AS b3 FROM c2),
+c4 AS (SELECT *, sha256(b3) AS b4 FROM c3),
+c5 AS (SELECT *, sha256(b4) AS b5 FROM c4),
+c6 AS (SELECT id, b1||b2||b3||b4||b5||sha256(b5) AS hx FROM c5),
+px AS (
+  SELECT id, i, ('0x'||substr(hx, 2*i+1, 2))::INT AS v
+  FROM c6, generate_series(0, 191) g(i)
+), m AS (
+  SELECT id,
+         avg(v) FILTER (i % 3 = 0) AS mean_r,
+         avg(v) FILTER (i % 3 = 1) AS mean_g,
+         avg(v) FILTER (i % 3 = 2) AS mean_b
+  FROM px GROUP BY id
+)
+SELECT id, 8::INT AS height, 8::INT AS width, mean_r, mean_g, mean_b,
+       (mean_r + mean_g + mean_b) / 3.0 AS brightness
+FROM m
+"""
+
+
+@query("multimodal_image_features", _IMAGE_FEATURES_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode+feature stage with the deterministic fake
-    decoder (no codecs in this container; plumbing is real)."""
+    decoder (no codecs in this container; plumbing is real). The
+    decoder's sha256-hex-chain pixel stream is replayed independently
+    by the DuckDB oracle, so features hash-compare value-for-value."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
     return MM.image_features(blobs, decoder=MM.fake_decode_image)
@@ -1239,22 +1302,62 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LS.brute_force_knn(emb, queries_df, k=10)
 
 
-@query("knn_ann_simhash", None)  # probabilistic: rows-only check;
-# recall >= 0.9 vs brute force is pytest-enforced (tests/test_similarity.py)
+_N_QUERIES_ORACLE = """
+SELECT COUNT(*)::BIGINT AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+def _recall_check(brute: DataFrame, approx: DataFrame,
+                  floor: float) -> DataFrame:
+    """(n_queries, recall_ok): share of brute-force top-k pairs the
+    approximate result recovered, thresholded in-frame so the driver's
+    oracle gate records a pass/fail signal for a probabilistic query."""
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    j = brute.select("query_id", "neighbor_id").join(
+        a, ["query_id", "neighbor_id"], "left")
+    return j.agg(
+        F.count_distinct("query_id").cast("long").alias("n_queries"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+         / F.count(F.lit(1)).cast("double")
+         >= F.lit(floor)).alias("recall_ok"),
+    )
+
+
+@query("knn_ann_simhash", _N_QUERIES_ORACLE)
 def q_knn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-LSH approximate top-10 (bucketed candidates only)."""
+    """SimHash-LSH approximate top-10 — self-checking: emits
+    (n_queries, recall_ok = recall@10 >= 0.9 vs in-Spark brute force),
+    so the probabilistic query carries a driver-visible pass signal."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return LS.ann_knn(emb, queries_df, k=10)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.ann_knn(emb, queries_df, k=10)
+    return _recall_check(brute, approx, 0.9)
 
 
-@query("knn_ivf", None)  # probabilistic (nprobe < n_centroids): rows-only;
-# recall is pytest-enforced (tests/test_similarity.py)
+@query(
+    "knn_ivf",
+    """
+    SELECT vec_id::BIGINT AS query_id, 10::BIGINT AS n_results,
+           true AS ranks_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 with nprobe=8 of 16 cells."""
+    """IVF top-10 with nprobe=8 of 16 cells — self-checking per query:
+    every query must return exactly k=10 results ranked 1..10 (probing
+    half the cells of a 500-row corpus always yields >= 10 candidates);
+    aggregate recall is gated separately by knn_ivf_recall."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    return LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8)
+    res = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8)
+    return res.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        (F.array_sort(F.collect_list("rank"))
+         == F.sequence(F.lit(1).cast("long"),
+                       F.lit(10).cast("long"))).alias("ranks_ok"),
+    )
 
 
 @query("knn_ivf_exhaustive", _KNN_ORACLE)
@@ -1268,25 +1371,16 @@ def q_knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=16)
 
 
-@query("knn_ivf_recall", None)  # approximate by construction: rows-only;
-# the returned frame *is* the recall measurement (brief asks recall@10>=0.9)
+@query("knn_ivf_recall", _N_QUERIES_ORACLE)
 def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall@10 of IVF (nprobe=8/16) against in-Spark brute
-    force — emits (n_queries, recall_at_10) so the gate records the
-    number every round."""
+    force, thresholded in-frame (>= 0.7 on near-random vectors, the
+    pytest floor) so the driver gate records pass/fail every round."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    brute = LS.brute_force_knn(emb, queries_df, k=10).select(
-        "query_id", "neighbor_id"
-    )
-    approx = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8) \
-        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    j = brute.join(approx, ["query_id", "neighbor_id"], "left")
-    return j.agg(
-        F.count_distinct("query_id").cast("long").alias("n_queries"),
-        (F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-         / F.count(F.lit(1)).cast("double")).alias("recall_at_10"),
-    )
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8)
+    return _recall_check(brute, approx, 0.7)
 
 
 # ---------------------------------------------------------------------------
