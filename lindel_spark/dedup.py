@@ -271,16 +271,18 @@ def simhash(c: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_fast(c: Column, bits: int = SIMHASH_BITS) -> Column:
-    """Arrow-vectorized SimHash, bit-identical to :func:`simhash`.
+    """Vectorized SimHash, bit-identical to :func:`simhash`.
 
     The column form evaluates one interpreted HOF aggregate per
-    signature bit; this path hashes each *distinct* token once per
-    batch (md5 is md5 everywhere, so values still match the DuckDB
-    oracle) and computes all bit votes as one segmented NumPy
-    reduction. ~5× faster on repetitive corpora; the pipeline default.
+    signature bit (bits× passes over the hash array); this path hashes
+    tokens **JVM-side** (``transform(tokens, md5→conv)`` — md5 is md5
+    everywhere, so values still match the DuckDB oracle) and ships only
+    the ``array<long>`` hash lists to an Arrow UDF that computes all
+    bit votes as one segmented NumPy reduction. No Python ever touches
+    a token string — the former per-distinct-token ``hashlib`` loop was
+    O(vocabulary) Python in the hot path, which an open 100 TB corpus
+    would not forgive. The pipeline default.
     """
-    import hashlib
-
     import pyarrow as pa
     import pyarrow.compute as pc
     from pyspark.sql import types as T
@@ -293,15 +295,7 @@ def simhash_fast(c: Column, bits: int = SIMHASH_BITS) -> Column:
         rows = len(v)
         mask = np.asarray(v.is_null())
         lengths = np.asarray(pc.list_value_length(v).fill_null(0))
-        flat = v.flatten().to_pylist()
-        cache: dict[str, int] = {}
-        hv = np.empty(len(flat), np.uint64)
-        for i, t in enumerate(flat):
-            h = cache.get(t)
-            if h is None:
-                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                cache[t] = h
-            hv[i] = h
+        hv = np.asarray(v.flatten()).view(np.uint64)
         votes = np.zeros((rows, bits), np.int64)
         nonempty = lengths > 0
         if len(hv) and nonempty.any():
@@ -321,7 +315,7 @@ def simhash_fast(c: Column, bits: int = SIMHASH_BITS) -> Column:
         return pa.array(sim.view(np.int64), pa.int64(), mask=mask)
 
     udf = arrow_udf(fn, T.LongType(), ArrowUDFType.SCALAR)
-    return udf(tokens(c))
+    return udf(F.transform(tokens(c), _token_hash))
 
 
 def simhash_near_dup_pairs(
