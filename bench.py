@@ -120,6 +120,12 @@ def main() -> None:
         )
         _noop(spatial_range_join(pts, pts, ["x", "y"], ["x", "y"], 25.0))
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_clicks = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .filter(F.col("event_type") == "click").count()
+    )  # = asof result rows (one output row per left click)
+
     scan_shaped = [
         ("hilbert_encode_i32x2", q_hilbert_i32, n_li),
         ("hilbert_encode_f64x2", q_hilbert_f64, n_li),
@@ -130,7 +136,7 @@ def main() -> None:
         ("dedup_near_pairs", q_dedup_near, n_docs),
         ("dedup_simhash_pairs", q_dedup_simhash, n_docs),
         ("knn_brute_fast", q_knn_fast, n_emb),
-        ("asof_join_events", q_asof, 0),
+        ("asof_join_events", q_asof, n_clicks),
         ("spatial_range_join", q_spatial_join, n_emb),
     ]
     write_shaped = [
@@ -151,9 +157,12 @@ def main() -> None:
             queries[name] = round(statistics.median(times), 4)
             rows[name] = n
         for name, fn, n in write_shaped:
-            t0 = time.perf_counter()
-            fn(tmp)
-            queries[name] = round(time.perf_counter() - t0, 4)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(tmp)
+                times.append(time.perf_counter() - t0)
+            queries[name] = round(statistics.median(times), 4)
             rows[name] = n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

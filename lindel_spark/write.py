@@ -49,6 +49,42 @@ def zorder_key(cols: Sequence, elem="int32", curve: str = "hilbert") -> Column:
     return hilbert_encode(list(cols), elem, output="auto")
 
 
+def _prepare_zorder_frame(
+    df: DataFrame,
+    cols: Sequence,
+    elem,
+    curve: str,
+    num_files: int | None,
+    partition_by: Sequence[str] | None,
+    persist_key: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(keyed, ranged+sorted) frames behind :func:`zorder_write`.
+
+    Split out so tests can assert the physical plan: with
+    ``persist_key`` the range shuffle must read ``InMemoryTableScan``
+    (one curve-key evaluation total), not re-run the encode UDF for
+    the range sampler.
+    """
+    from pyspark import StorageLevel
+
+    key = zorder_key(cols, elem, curve)
+    keyed = df.withColumn(_KEY, key)
+    if persist_key:
+        # Deserialized level: the cache exists only for the duration of
+        # one write (sampler job fills it, shuffle job drains it), so
+        # paying columnar compression for it is pure overhead.
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    range_cols = (
+        [F.col(c) for c in partition_by] if partition_by else []
+    ) + [F.col(_KEY)]
+    if num_files is not None:
+        ranged = keyed.repartitionByRange(num_files, *range_cols)
+    else:
+        ranged = keyed.repartitionByRange(*range_cols)
+    out = ranged.sortWithinPartitions(*range_cols).drop(_KEY)
+    return keyed, out
+
+
 def zorder_write(
     df: DataFrame,
     cols: Sequence,
@@ -59,6 +95,7 @@ def zorder_write(
     mode: str = "overwrite",
     format: str = "parquet",
     partition_by: Sequence[str] | None = None,
+    persist_key: bool = True,
     **writer_options,
 ) -> None:
     """Write ``df`` clustered along a space-filling curve over ``cols``.
@@ -76,20 +113,27 @@ def zorder_write(
     (partition cols, key) keeps each task writing a contiguous slice
     of one partition directory — no small-files explosion, and range
     predicates get partition pruning AND row-group skipping.
+
+    ``repartitionByRange`` derives its bounds by *sampling the child
+    plan*, which would evaluate the (UDF-computed) curve key twice —
+    once for the range sampler, once for the shuffle.  With
+    ``persist_key`` (default) the keyed frame is cached before the
+    range shuffle, so the sampling job fills the cache and the shuffle
+    reads it: one encode pass total, at the cost of materializing the
+    input once on executor-local storage.  Set ``persist_key=False``
+    when local storage is the scarcer resource (e.g. very wide rows
+    with a cheap native morton key, where re-scanning beats spilling
+    the dataset to disk).
     """
-    key = zorder_key(cols, elem, curve)
-    keyed = df.withColumn(_KEY, key)
-    range_cols = (
-        [F.col(c) for c in partition_by] if partition_by else []
-    ) + [F.col(_KEY)]
-    if num_files is not None:
-        keyed = keyed.repartitionByRange(num_files, *range_cols)
-    else:
-        keyed = keyed.repartitionByRange(*range_cols)
-    out = keyed.sortWithinPartitions(*range_cols).drop(_KEY)
+    keyed, out = _prepare_zorder_frame(
+        df, cols, elem, curve, num_files, partition_by, persist_key)
     writer = out.write.mode(mode).format(format)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     for k, v in writer_options.items():
         writer = writer.option(k, v)
-    writer.save(path)
+    try:
+        writer.save(path)
+    finally:
+        if persist_key:
+            keyed.unpersist()

@@ -111,3 +111,19 @@ def test_asof_join_single_window_no_join_explosion(spark):
     assert "Window" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_zorder_write_single_encode_pass(li):
+    """The range shuffle must read the cached keyed frame, not re-run
+    the encode UDF for the range sampler (write.py persist_key)."""
+    from lindel_spark.write import _prepare_zorder_frame
+
+    keyed, out = _prepare_zorder_frame(
+        li, [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int")],
+        "int32", "hilbert", 8, None, True)
+    try:
+        p = plan_of(out)
+        assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+        assert "rangepartitioning" in p.lower()
+    finally:
+        keyed.unpersist()
