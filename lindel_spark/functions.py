@@ -216,6 +216,15 @@ def hilbert_encode(arr, elem="int32", n: int | None = None,
     ``output``: auto|long|binary|decimal — long for total width <= 64,
     big-endian binary (unsigned sort order) otherwise.
 
+    NULL handling differs by call form: the array-column form raises on
+    NULL *elements* (reference semantics,
+    src/lindel_extension.cpp:690-694), while the list-of-scalar-columns
+    form follows SQL scalar-function null propagation — a NULL in any
+    input column yields a NULL key for that row. Multi-column relational
+    inputs have no "array with a hole" to reject; the row is simply
+    incomplete. A NULL array (as opposed to a NULL element) maps to a
+    NULL key in both forms.
+
     Reference: hilbert_encode, src/lindel_extension.cpp:495-660,950-967.
     """
     return _encode("hilbert", arr, elem, n, output)

@@ -41,7 +41,10 @@ def asof_join(
     state bounded by the window frame — the scalable alternative to a
     per-key collect or an exploding range join. Ties (equal ts) take
     the right row first, matching ``<=``; multiple right rows on the
-    same (key, ts) resolve to the one latest in ``(ts)`` order.
+    same (key, ts) resolve deterministically to the greatest
+    ``value_cols`` tuple (the window sorts them as tertiary keys —
+    without that, Spark's unstable sort would pick a run-dependent
+    winner).
     """
     if not value_cols:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
@@ -63,7 +66,8 @@ def asof_join(
     )
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
+                 *[F.col(c + suffix).asc_nulls_first() for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = tagged_r.unionByName(tagged_l).select(
@@ -84,17 +88,34 @@ def spatial_cell_key(cols: Sequence[Column], cell: float) -> Column:
     cell coordinates. The curve key keeps neighboring cells numerically
     close, so bucketed data can also be range-partitioned/sorted by the
     same key for storage locality (the package's zorder machinery)."""
-    cells = [F.floor(c / F.lit(cell)).cast("int") for c in cols]
-    # offset to keep cell ids non-negative for the bit interleave
-    cells = [(c + F.lit(1 << 20)).cast("int") for c in cells]
-    return morton_encode_native(cells, "int32")
+    return morton_encode_native(_cell_coords(cols, cell), "int32")
 
 
 def _cell_coords(cols: Sequence[Column], cell: float) -> list[Column]:
-    return [
-        (F.floor(c / F.lit(cell)).cast("int") + F.lit(1 << 20)).cast("int")
-        for c in cols
-    ]
+    """Non-negative int cell indices, offset by 2^20.
+
+    The supported domain is |floor(coord / cell)| < 2^20 (~10^6 cells
+    per axis); outside it the +2^20 offset and int cast would wrap
+    silently and alias Morton cell ids, so out-of-range coordinates
+    raise instead of returning wrong join pairs.
+    """
+    out = []
+    for c in cols:
+        idx = F.floor(c / F.lit(cell))
+        guarded = F.when(
+            (idx >= F.lit(-(1 << 20))) & (idx < F.lit(1 << 20)), idx
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("LINDEL: spatial coordinate out of range for "
+                          "cell grid (|floor(coord/cell)| must be < 2^20); "
+                          "got cell index "),
+                    idx.cast("string"),
+                )
+            ).cast("long")
+        )
+        out.append((guarded.cast("int") + F.lit(1 << 20)).cast("int"))
+    return out
 
 
 def spatial_range_join(

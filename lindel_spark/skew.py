@@ -36,7 +36,21 @@ def salted_join(
     when the right side is the smaller/dimension side, which is the
     normal skew-join shape). Join keys become (on..., salt), so a hot
     key's rows land on ``salt`` different reducers.
+
+    Only join modes that never emit unmatched *right* rows are legal:
+    the right side is replicated ``salt`` times, so a right/full outer
+    join would silently duplicate each unmatched right row once per
+    salt value. Those modes raise; use AQE's skew-join handling or
+    salt the right side instead for outer semantics.
     """
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {m.replace("_", "") for m in safe}:
+        raise ValueError(
+            f"LINDEL: salted_join(how={how!r}) would duplicate unmatched "
+            "right rows salt-fold; only inner/left/left_semi/left_anti "
+            "are salt-invariant"
+        )
     on = [on] if isinstance(on, str) else list(on)
     l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")

@@ -68,29 +68,35 @@ def windowed_rollup(
     value_col: str = "value",
     window: str = "1 hour",
     watermark: str | None = None,
+    user_col: str | None = "user_id",
 ) -> DataFrame:
-    """Tumbling-window rollup: (window_start, key, n_events, sum_value,
-    n_users). Pass ``watermark`` on streaming input to bound state and
-    admit late data up to that horizon; omit it for batch frames.
+    """Tumbling-window rollup: (window_start, key, n_events, sum_value
+    [, approx_users]). Pass ``watermark`` on streaming input to bound
+    state and admit late data up to that horizon; omit it for batch
+    frames. ``approx_users`` (HLL distinct count of ``user_col``) is
+    emitted only when ``user_col`` is set — pass ``None`` for frames
+    without a user column.
 
     ``sum_value`` aggregates in DECIMAL so results are bit-stable under
     reordering (stream vs batch vs oracle all agree exactly).
     """
     if watermark is not None:
         df = df.withWatermark(ts_col, watermark)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
+    ]
+    if user_col is not None:
+        aggs.append(F.approx_count_distinct(user_col).alias("approx_users"))
     return (
         df.groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_value"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col(key_col),
             "n_events",
             "sum_value",
-            "approx_users",
+            *(["approx_users"] if user_col is not None else []),
         )
     )
 

@@ -157,6 +157,17 @@ def test_null_element_raises(spark):
         df.select(LF.hilbert_encode(F.col("arr"), "int8", n=2).alias("h")).collect()
 
 
+def test_null_scalar_column_gives_null(spark):
+    """List-of-columns form follows SQL null propagation (a NULL input
+    column -> NULL key), unlike the array form which raises on NULL
+    elements — divergence documented in the hilbert_encode docstring."""
+    df = spark.createDataFrame([(1, 2), (1, None)], "x int, y int")
+    r = df.select(
+        LF.hilbert_encode([F.col("x"), F.col("y")], "int8").alias("h")
+    ).collect()
+    assert [x.h for x in r] == [7, None]
+
+
 def test_wrong_length_raises(spark):
     df = spark.createDataFrame([([1, 2, 3],)], "arr array<int>")
     with pytest.raises(Exception, match="NULL values|length"):

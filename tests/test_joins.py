@@ -64,3 +64,22 @@ def test_spatial_range_join_l2(spark):
                               metric="l2")
            .filter(F.col("l_id") < F.col("r_id")).collect()}
     assert got == {(1, 2): 5.0}  # L2 dist exactly 5; (1,3) at 10 excluded
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Multiple right rows on the same (key, ts) resolve to the
+    greatest value tuple, deterministically."""
+    left = spark.createDataFrame([("u", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("u", 5, 1.0), ("u", 5, 9.0), ("u", 5, 4.0)],
+        "k string, ts long, v double")
+    for _ in range(3):
+        r = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      value_cols=["v"]).collect()
+        assert len(r) == 1 and r[0].v_r == 9.0
+
+
+def test_spatial_out_of_range_raises(spark):
+    df = spark.createDataFrame([(1, 3.0e9, 0.0)], "id long, x double, y double")
+    with pytest.raises(Exception, match="out of range"):
+        spatial_range_join(df, df, ["x", "y"], ["x", "y"], 1.0).collect()

@@ -1,5 +1,6 @@
 """Salted join / two-phase distinct: result equivalence under skew."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from lindel_spark.skew import salted_join, two_phase_distinct
@@ -36,3 +37,10 @@ def test_two_phase_distinct(spark):
     want = {r.k: r.cnt for r in
             df.groupBy("k").agg(F.countDistinct("v").alias("cnt")).collect()}
     assert got == want
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salt-invariant"):
+            salted_join(df, df, on="k", how=how)

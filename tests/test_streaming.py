@@ -77,3 +77,14 @@ def test_zorder_stream_sink(spark, tmp_path_factory):
     assert sorted(rb.columns) == sorted(li.columns)  # key column dropped
     # each micro-batch produced clustered files
     assert len(glob.glob(os.path.join(out, "*.parquet"))) >= 2
+
+
+def test_windowed_rollup_without_user_col(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:20:00", "a", 2.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = ST.windowed_rollup(df, user_col=None).collect()
+    assert len(r) == 1
+    assert "approx_users" not in r[0].asDict()
+    assert float(r[0].sum_value) == 3.0
