@@ -214,6 +214,50 @@ query("rt_hilbert_f32",
       """)(
     _rt2_query("hilbert", "float32", "float", "double", 64,
                "l_extendedprice", "l_discount", want_float=True))
+query("rt_morton_f32",
+      """
+      SELECT CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS x,
+             CAST(CAST(l_discount AS REAL) AS DOUBLE) AS y,
+             CAST(CAST(l_extendedprice AS REAL) AS DOUBLE) AS dx,
+             CAST(CAST(l_discount AS REAL) AS DOUBLE) AS dy
+      FROM lineitem
+      """)(
+    _rt2_query("morton", "float32", "float", "double", 64,
+               "l_extendedprice", "l_discount", want_float=True))
+
+
+_F4 = ["l_extendedprice", "l_discount", "l_quantity", "l_tax"]
+
+
+def _rtf4_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(CAST({e} AS REAL) AS DOUBLE) AS c{i}, "
+        f"CAST(CAST({e} AS REAL) AS DOUBLE) AS d{i}"
+        for i, e in enumerate(_F4)
+    )
+    return f"SELECT {cols} FROM lineitem"
+
+
+@query("rt_morton_f32_4", _rtf4_oracle())
+def q_rt_morton_f32_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float[4] Morton round-trip — the one documented reference bug
+    (SURVEY §2.4): the reference's float[4] morton_encode actually
+    dispatches to the *hilbert* kernel (src/lindel_extension.cpp:752).
+    This port implements the intended Morton interleave; the
+    decode(encode(x)) == x oracle is curve-implementation-independent,
+    so it validates the intended semantics without whitelisting."""
+    li = _lineitem(spark, sf_dir)
+    src = li.select(
+        *[F.expr(e).cast("float").alias(f"c{i}")
+          for i, e in enumerate(_F4)]
+    )
+    h = LF.morton_encode([F.col(f"c{i}") for i in range(4)], "float32")
+    d = LF.morton_decode(h, 4, want_float=True, input_width=128)
+    return src.select(
+        *[F.col(f"c{i}").cast("double").alias(f"c{i}") for i in range(4)],
+        *[F.element_at(d, i + 1).cast("double").alias(f"d{i}")
+          for i in range(4)],
+    )
 
 
 def _rtn_oracle(exprs: list[str]) -> str:
