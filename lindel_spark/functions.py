@@ -167,6 +167,53 @@ def _make_encode_udf(kind: str, et: ElemType, n: int, out_mode: str):
     return arrow_udf(fn, ret_type, ArrowUDFType.SCALAR)
 
 
+def _infer_elem(df, arr) -> str:
+    """Element type from ``df.schema`` — the PySpark equivalent of the
+    reference's bind-time type derivation (the bound argument's element
+    type, src/lindel_extension.cpp:516-519). Only *named* columns can
+    be looked up in a schema; expressions still need an explicit
+    ``elem=``.
+    """
+    if isinstance(arr, (list, tuple)):
+        names = [c for c in arr if isinstance(c, str)]
+        if len(names) != len(arr):
+            raise ValueError(
+                "LINDEL: elem inference needs plain column names; pass "
+                "elem= for column expressions"
+            )
+        ets = [elem_type(df.schema[c].dataType) for c in names]
+        if len({e.name for e in ets}) != 1:
+            raise TypeError(
+                "LINDEL: input columns have mixed element types "
+                f"({sorted({e.name for e in ets})}); pass elem= to pick "
+                "the encode width explicitly"
+            )
+        return ets[0].name
+    if not isinstance(arr, str):
+        raise ValueError(
+            "LINDEL: elem inference needs a plain column name; pass "
+            "elem= for column expressions"
+        )
+    dt = df.schema[arr].dataType
+    if not isinstance(dt, T.ArrayType):
+        raise TypeError(
+            f"LINDEL: column {arr!r} is {dt.simpleString()}, expected an "
+            "array column (or pass a list of scalar columns)"
+        )
+    return elem_type(dt.elementType).name
+
+
+def _resolve_elem(arr, elem, df):
+    if elem is not None:
+        return elem
+    if df is None:
+        raise ValueError(
+            "LINDEL: pass elem= (element type) or df= (a DataFrame whose "
+            "schema to infer it from, reference bind-time semantics)"
+        )
+    return _infer_elem(df, arr)
+
+
 def _encode(kind: str, arr, elem, n, output):
     et = elem_type(elem)
     if isinstance(arr, (list, tuple)):
@@ -205,14 +252,18 @@ def _encode(kind: str, arr, elem, n, output):
     return udf(is_null, bad, *elems)
 
 
-def hilbert_encode(arr, elem="int32", n: int | None = None,
-                   output: str = "auto") -> Column:
+def hilbert_encode(arr, elem: str | None = "int32", n: int | None = None,
+                   output: str = "auto", df=None) -> Column:
     """Hilbert-curve index of an N-dimensional point.
 
     ``arr`` is an array Column (pass ``n``) or a list of scalar Columns.
     ``elem`` names the element width/kind (int8/int16/int32/int64/
     float32/float64 and SQL aliases); floats and signed ints are
     *bit-cast* (reference semantics, src/lindel_extension.cpp:735-752).
+    Pass ``elem=None`` with ``df=`` to infer the element type from the
+    DataFrame's schema (the reference derives it from the bound input
+    type at bind time, src/lindel_extension.cpp:516-519); an explicit
+    ``elem`` always wins.
     ``output``: auto|long|binary|decimal — long for total width <= 64,
     big-endian binary (unsigned sort order) otherwise.
 
@@ -227,19 +278,20 @@ def hilbert_encode(arr, elem="int32", n: int | None = None,
 
     Reference: hilbert_encode, src/lindel_extension.cpp:495-660,950-967.
     """
-    return _encode("hilbert", arr, elem, n, output)
+    return _encode("hilbert", arr, _resolve_elem(arr, elem, df), n, output)
 
 
-def morton_encode(arr, elem="int32", n: int | None = None,
-                  output: str = "auto") -> Column:
+def morton_encode(arr, elem: str | None = "int32", n: int | None = None,
+                  output: str = "auto", df=None) -> Column:
     """Morton (Z-order) index — MSB-first bit-interleave; element 0 is
-    most significant.  Same signature as :func:`hilbert_encode`.
+    most significant.  Same signature as :func:`hilbert_encode`
+    (including ``elem=None`` + ``df=`` schema inference).
 
     Reference: morton_encode, src/lindel_extension.cpp:498-510,969-978.
     Note: for integer inputs with total width <= 64 prefer
     :func:`morton_encode_native` (pure-Column, no Python round-trip).
     """
-    return _encode("morton", arr, elem, n, output)
+    return _encode("morton", arr, _resolve_elem(arr, elem, df), n, output)
 
 
 # ---------------------------------------------------------------------------
@@ -403,14 +455,16 @@ def _compact2(v: Column, bits: int) -> Column:
     return x
 
 
-def morton_encode_native(cols: Sequence, elem="int32") -> Column:
+def morton_encode_native(cols: Sequence, elem: str | None = "int32",
+                         df=None) -> Column:
     """Pure-Column Morton encode for integer inputs, total width <= 64.
 
     Generates staged shift-or bit spreading that runs entirely inside
     JVM whole-stage codegen — the scale path for z-order writes (no
     JVM<->Python Arrow hop).  Bit-identical to :func:`morton_encode`.
+    ``elem=None`` + ``df=`` infers the element type from the schema.
     """
-    et = elem_type(elem)
+    et = elem_type(_resolve_elem(cols, elem, df))
     if et.is_float:
         raise ValueError(
             "LINDEL: native morton path is integer-only (floats need a "
@@ -558,13 +612,21 @@ def register(spark: SparkSession, elems=("int8", "int16", "int32", "int64",
                 # checked natively *before* Arrow->pandas conversion —
                 # float NULL elements would otherwise arrive as NaN and
                 # be indistinguishable from legal bit-cast NaN inputs.
-                ret = encode_output_spark_type(
-                    encode_output_bits(et.bits, n), "auto"
-                ).simpleString()
+                total = encode_output_bits(et.bits, n)
+                ret = encode_output_spark_type(total, "auto").simpleString()
                 arr_t = f"array<{et.spark_type.simpleString()}>"
+                curve_desc = ("Hilbert curve index" if kind == "hilbert"
+                              else "Morton (Z-order) index")
+                comment = (
+                    f"{curve_desc} of a {n}-element {et.name} array as a "
+                    f"u{total} ({ret}). Raises on NULL elements or wrong "
+                    f"length; NULL array returns NULL. Example: "
+                    f"SELECT {name}(array({', '.join(['1'] * n)}))"
+                )
                 spark.sql(f"""
                     CREATE OR REPLACE TEMPORARY FUNCTION {name}(arr {arr_t})
                     RETURNS {ret}
+                    COMMENT '{comment}'
                     RETURN CASE
                       WHEN arr IS NULL THEN NULL
                       WHEN size(arr) != {n} THEN
@@ -583,8 +645,27 @@ def register(spark: SparkSession, elems=("int8", "int16", "int32", "int64",
                     except ValueError:
                         continue
                     name = f"{kind}_decode_{width}_{n}{suffix}"
+                    impl = f"__lindel_impl_{name}"
                     spark.udf.register(
-                        name, _make_decode_udf(kind, plan, width == 128)
+                        impl, _make_decode_udf(kind, plan, width == 128)
                     )
+                    in_t = "binary" if width == 128 else "bigint"
+                    ret_t = T.ArrayType(
+                        plan.spark_elem, False).simpleString()
+                    flavor = {"": "signed", "_u": "unsigned",
+                              "_f": "float"}[suffix]
+                    comment = (
+                        f"Decode a u{width} {kind} key into {n} {flavor} "
+                        f"coordinate(s) as {ret_t}. Inverse of "
+                        f"{kind}_encode_*_{n}. Example: SELECT "
+                        f"{name}({'X' if width == 128 else '7'})"
+                    )
+                    spark.sql(f"""
+                        CREATE OR REPLACE TEMPORARY FUNCTION
+                        {name}(v {in_t})
+                        RETURNS {ret_t}
+                        COMMENT '{comment}'
+                        RETURN {impl}(v)
+                    """)
                     names.append(name)
     return names

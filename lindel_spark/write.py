@@ -29,7 +29,8 @@ from lindel_spark.types import elem_type, encode_output_bits
 _KEY = "__lindel_zorder_key__"
 
 
-def zorder_key(cols: Sequence, elem="int32", curve: str = "hilbert") -> Column:
+def zorder_key(cols: Sequence, elem: str | None = "int32",
+               curve: str = "hilbert", df: DataFrame | None = None) -> Column:
     """The sort-key Column for a z-order/hilbert clustering of ``cols``.
 
     Picks the cheapest bit-identical implementation: the pure-Column
@@ -37,7 +38,11 @@ def zorder_key(cols: Sequence, elem="int32", curve: str = "hilbert") -> Column:
     Arrow-vectorized pandas UDF.  For 128-bit keys the key is
     big-endian binary, whose lexicographic order equals unsigned
     numeric order, so range partitioning still clusters correctly.
+    ``elem=None`` + ``df=`` infers the element type from the schema.
     """
+    from lindel_spark.functions import _resolve_elem
+
+    elem = _resolve_elem(list(cols), elem, df)
     et = elem_type(elem)
     total = encode_output_bits(et.bits, len(cols))
     if curve == "morton":
@@ -67,7 +72,7 @@ def _prepare_zorder_frame(
     """
     from pyspark import StorageLevel
 
-    key = zorder_key(cols, elem, curve)
+    key = zorder_key(cols, elem, curve, df=df)
     keyed = df.withColumn(_KEY, key)
     if persist_key:
         # Deserialized level: the cache exists only for the duration of
@@ -89,7 +94,7 @@ def zorder_write(
     df: DataFrame,
     cols: Sequence,
     path: str,
-    elem="int32",
+    elem: str | None = "int32",
     curve: str = "hilbert",
     num_files: int | None = None,
     mode: str = "overwrite",
@@ -104,6 +109,9 @@ def zorder_write(
     (docs/README.md:56-70) as one call:
 
         zorder_write(df, ["pickup_x", "pickup_y"], path, elem="int32")
+
+    ``elem=None`` infers the element type from ``df.schema`` when
+    ``cols`` are plain column names.
 
     ``num_files`` bounds output file count (defaults to Spark's
     shuffle parallelism).  The curve key is dropped before writing.

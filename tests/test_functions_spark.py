@@ -207,3 +207,31 @@ def test_sql_registration(spark):
     ).collect()[0]
     assert r.h == 22
     assert list(r.d) == [1, 2, 3]
+
+
+def test_elem_inference_from_schema(spark):
+    """elem=None + df= derives the element type from the schema, the
+    PySpark equivalent of the reference's bind-time type derivation."""
+    df = spark.createDataFrame([([1, 2],)], "arr array<tinyint>")
+    r = df.select(
+        LF.hilbert_encode("arr", elem=None, n=2, df=df).alias("h")
+    ).collect()
+    assert r[0].h == 7  # int8 golden
+
+    df2 = spark.createDataFrame([(1, 3)], "x tinyint, y tinyint")
+    r2 = df2.select(
+        LF.morton_encode(["x", "y"], elem=None, df=df2).alias("m"),
+        LF.morton_encode_native(["x", "y"], elem=None, df=df2).alias("mn"),
+    ).collect()
+    assert r2[0].m == r2[0].mn == 7  # grid golden morton(1,3)
+
+
+def test_elem_inference_errors(spark):
+    df = spark.createDataFrame([(1, 2.5)], "x int, y double")
+    with pytest.raises(TypeError, match="mixed element types"):
+        LF.hilbert_encode(["x", "y"], elem=None, df=df)
+    with pytest.raises(ValueError, match="pass elem="):
+        LF.hilbert_encode(["x", "y"], elem=None)
+    df3 = spark.createDataFrame([("s",)], "t string")
+    with pytest.raises(TypeError, match="unsupported element type|expected"):
+        LF.hilbert_encode("t", elem=None, n=1, df=df3)
