@@ -1672,3 +1672,213 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,
+           SUM((l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1998-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: the same dimension table
+    (nation) joined twice under different roles — both sides broadcast,
+    so the only shuffles are the fact-side joins."""
+    rd = os.path.join
+    s = spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+    li = _lineitem(spark, sf_dir)
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    nat = spark.read.parquet(rd(sf_dir, "nation.parquet"))
+    n1 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+            & F.col("l_shipdate").between("1995-01-01", "1998-12-31")
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q13_custdist",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*)::BIGINT AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order distribution: left outer join
+    (zero-order customers must survive) then a two-level aggregate.
+    The second groupBy input is one row per customer — tiny."""
+    rd = os.path.join
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+@query(
+    "tpch_q19_disjunctive",
+    """
+    SELECT SUM((l.l_extendedprice::DECIMAL(18,2)) * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE
+             AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive predicate join: Catalyst extracts
+    the common l_quantity bounds from the OR for scan-level pushdown,
+    and the part side broadcasts."""
+    rd = os.path.join
+    li = _lineitem(spark, sf_dir)
+    p = F.broadcast(spark.read.parquet(rd(sf_dir, "part.parquet")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS numcust,
+           SUM(c.c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: scalar-subquery threshold + anti join (rich
+    customers with no half-million order). The anti join shuffles only
+    the filtered key set; the scalar average is a one-row broadcast."""
+    rd = os.path.join
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("a"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o.filter(F.col("o_totalprice") > 450000).select("o_custkey"),
+              c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "setop_active_returned_customers",
+    """
+    WITH returned AS (
+      SELECT DISTINCT o.o_custkey AS k
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+    ), big AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT 'both' AS tier, COUNT(*)::BIGINT AS n
+      FROM (SELECT k FROM returned INTERSECT SELECT k FROM big) t
+    UNION ALL
+    SELECT 'returned_only', COUNT(*)::BIGINT
+      FROM (SELECT k FROM returned EXCEPT SELECT k FROM big) t
+    UNION ALL
+    SELECT 'big_only', COUNT(*)::BIGINT
+      FROM (SELECT k FROM big EXCEPT SELECT k FROM returned) t
+    """,
+)
+def q_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage (INTERSECT / EXCEPT over key sets):
+    customers with returned lines vs customers with big orders."""
+    rd = os.path.join
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    returned = (
+        o.join(li, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("k")).distinct()
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("k")).distinct()
+    )
+    def tier(name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")) \
+                 .select(F.lit(name).alias("tier"), "n")
+    return (
+        tier("both", returned.intersect(big))
+        .unionByName(tier("returned_only", returned.exceptAll(big).distinct()))
+        .unionByName(tier("big_only", big.exceptAll(returned).distinct()))
+    )
