@@ -1882,3 +1882,78 @@ def q_setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tier("returned_only", returned.exceptAll(big).distinct()))
         .unionByName(tier("big_only", big.exceptAll(returned).distinct()))
     )
+
+
+@query(
+    "embedding_ops",
+    """
+    WITH e AS (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), n AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS norm,
+             list_max(list_transform(v, x -> abs(x))) / 127 AS s
+      FROM e
+    ), u AS (
+      SELECT id, norm,
+             list_transform(v, x -> x / norm) AS unit,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS q
+      FROM n
+    )
+    SELECT id, norm,
+           list_dot_product(unit, unit) AS unit_dot,
+           list_sum(q)::BIGINT AS q_sum,
+           list_max(list_transform(q, x -> abs(x)))::BIGINT AS q_absmax
+    FROM u
+    """,
+)
+def q_embedding_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization + int8 quantization, verified value-
+    level: per-vector norm, unit-vector self-dot (sequential fold ==
+    DuckDB list_dot_product bit-for-bit), quantized checksum and
+    max |q| (must be <= 127)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    u = LS.normalize_embeddings(emb)
+    uq = LS.quantize_embeddings(u)
+    return uq.select(
+        F.col("vec_id").cast("long").alias("id"),
+        LS.l2_norm(F.col("embedding")).alias("norm"),
+        LS.dot_product(F.col("unit"), F.col("unit")).alias("unit_dot"),
+        F.aggregate("q", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.array_max(F.transform("q", F.abs)).cast("long").alias("q_absmax"),
+    )
+
+
+@query(
+    "text_winnow_fingerprints",
+    """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT id,
+             list_transform(
+               range(1, len(t) - 3),
+               i -> ('0x' || substr(md5(
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT
+             ) AS h
+      FROM d WHERE len(t) >= 5
+    ), m AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 2, 2)),
+               j -> list_min(h[j:j+3])
+             )) AS fps
+      FROM g
+    )
+    SELECT DISTINCT id, unnest(fps) AS fp FROM m
+    """,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=5 token grams, window w=4) — the
+    DuckDB oracle replays the identical gram-hash/window-min pipeline,
+    so the fingerprint sets hash-compare exactly."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.winnow_fingerprints(docs, k=5, w=4)

@@ -225,6 +225,62 @@ def embedding_near_dup_pairs(
     )
 
 
+def normalize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "unit",
+) -> DataFrame:
+    """Add a unit-L2 ``array<double>`` column.
+
+    The norm is projected into a real column first so Catalyst computes
+    it once per row, not once per element; all arithmetic is sequential
+    IEEE ops, so values are exactly replayable by any engine that folds
+    left-to-right (DuckDB ``list_dot_product``). Zero vectors produce
+    ±inf elements rather than an error — filter them upstream.
+    """
+    return (
+        df.withColumn("__norm", l2_norm(F.col(vec_col)))
+        .withColumn(
+            out_col,
+            F.transform(_to_double(F.col(vec_col)),
+                        lambda x: x / F.col("__norm")),
+        )
+        .drop("__norm")
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    levels: int = 127,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization: ``array<int>`` in
+    [-levels, levels], scale = max(|x|)/levels.
+
+    Rounding is ``floor(x/scale + 0.5)`` — half-up toward +inf — chosen
+    over round() because floor is bit-deterministic across engines
+    (SQL round() ties differ by dialect). 4× smaller than float32 at
+    recall cost ~0 for cosine ranking; the standard storage tier for
+    100 TB embedding corpora.
+    """
+    vd = _to_double(F.col(vec_col))
+    return (
+        df.withColumn(
+            "__scale",
+            F.array_max(F.transform(vd, F.abs)) / F.lit(float(levels)),
+        )
+        .withColumn(
+            out_col,
+            F.transform(
+                vd, lambda x: F.floor(x / F.col("__scale") + F.lit(0.5))
+                .cast("int")
+            ),
+        )
+        .drop("__scale")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + nprobe cells
 # ---------------------------------------------------------------------------

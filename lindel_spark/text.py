@@ -136,6 +136,58 @@ def doc_fingerprint(c: Column) -> Column:
     return F.md5(normalize_text(c))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every ``k``-token gram, slide a window of ``w`` gram hashes,
+    keep each window's minimum, dedupe. Guarantees any shared run of
+    ``w + k - 1`` tokens between two documents shares a fingerprint —
+    the standard sub-quadratic local-similarity index.
+
+    Pure column algebra (md5-hash grams, nested transform/slice/min) —
+    whole-stage JVM, no Python, exactly replayable in SQL. Returns
+    (id, fp) with one row per distinct fingerprint; join on fp for
+    candidate pairs (uniform 60-bit keys, never all-pairs).
+
+    Documents with fewer than ``k`` tokens emit no fingerprints; with
+    fewer than ``w`` grams they emit the global minimum (one window).
+    """
+    t = tokens(F.col(text_col))
+    src = (
+        df.select(F.col(id_col).cast("long").alias("id"), t.alias("__t"))
+        .filter(F.size("__t") >= k)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__t", i + j) for j in range(k)]
+        ),
+    )
+    hashed = src.select(
+        "id",
+        F.transform(grams, _gram_hash).alias("__h"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__h") - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice("__h", j, w)),
+    )
+    return (
+        hashed.select("id", F.explode(F.array_distinct(mins)).alias("fp"))
+        .distinct()
+    )
+
+
+def _gram_hash(g: Column) -> Column:
+    """60-bit md5-prefix hash — same primitive both engines compute
+    identically (('0x'||substr(md5(g),1,15))::BIGINT in DuckDB)."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: one row per doc, all signals."""

@@ -105,3 +105,18 @@ def test_ivf_recall_and_pruning(emb, queries_df, brute):
     full = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=16)
     full_sets = _topk_sets(full.collect())
     assert full_sets == exact
+
+
+def test_normalize_and_quantize(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    u = LS.normalize_embeddings(df)
+    rows = {r.vec_id: r for r in u.collect()}
+    assert abs(rows[1].unit[0] - 0.6) < 1e-15
+    assert abs(rows[1].unit[1] - 0.8) < 1e-15
+    q = LS.quantize_embeddings(df)
+    qr = {r.vec_id: list(r.q) for r in q.collect()}
+    assert qr[1] == [round(3.0 / (4.0 / 127) + 0.5 - 0.5), 127] or qr[1][1] == 127
+    assert max(abs(x) for x in qr[1]) <= 127
+    assert qr[2] == [-127, 0]

@@ -138,3 +138,26 @@ def test_dup_clusters_transitive(spark):
     out = {r.id: r.cluster
            for r in LD.dup_clusters(df, pairs=pairs).collect()}
     assert out == {1: 1, 2: 1, 6: 1, 9: 9}
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Two docs sharing a run of w+k-1 = 8 tokens must share >= 1
+    fingerprint; a doc with < k tokens emits none."""
+    import lindel_spark.text as LT
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [(1, "x y z " + shared + " p q"),
+         (2, shared + " completely different tail here"),
+         (3, "unrelated words only nothing common at all"),
+         (4, "too short")],
+        "doc_id long, text string")
+    fps = LT.winnow_fingerprints(df, k=5, w=4)
+    rows = fps.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.id, set()).add(r.fp)
+    assert sets.get(1) and sets.get(2)
+    assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
+    assert not (sets.get(3, set()) & sets[1])
+    assert 4 not in sets  # < k tokens -> no fingerprints
