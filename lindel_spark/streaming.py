@@ -28,6 +28,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lindel_spark import write as LW
 
@@ -125,6 +126,59 @@ def multi_grain_rollup(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def first_seen_dedup(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    fp_col: str = "fp",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming exact-dedup with custom state: emit each (key,
+    fingerprint) pair the *first* time it is seen, drop every later
+    occurrence. The custom-stateful-operator pattern
+    (``applyInPandasWithState``) the built-in ``dropDuplicates``
+    cannot express once you need per-key state control or timeouts.
+
+    State per key is the set of seen fingerprints (an array column in
+    the state store — scales with distinct fingerprints per key, not
+    events). ``timeout='ProcessingTimeTimeout'`` plus a deadline set by
+    the caller's fork of this function can expire idle keys; the
+    default keeps state for the stream's lifetime, which is correct
+    for bounded keyspaces (exact streaming dedup is impossible with
+    less state — use SimHash banding upstream to shrink the domain).
+
+    Batch equivalence: the emitted set equals
+    ``df.dropDuplicates([key, fp])`` (pytest-checked via a real
+    ``availableNow`` stream against the batch result).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_f = stream_df.schema[key_col]
+    fp_f = stream_df.schema[fp_col]
+    out_schema = T.StructType([key_f, fp_f])
+    state_schema = T.StructType([
+        T.StructField("seen", T.ArrayType(fp_f.dataType)),
+    ])
+
+    def fn(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        outs = []
+        for pdf in pdfs:
+            fresh_in_batch = ~pdf[fp_col].duplicated()
+            unseen = ~pdf[fp_col].isin(seen)
+            kept = pdf.loc[fresh_in_batch & unseen, [key_col, fp_col]]
+            seen.update(kept[fp_col])
+            outs.append(kept)
+        state.update((list(seen),))
+        yield pd.concat(outs) if outs else pd.DataFrame(
+            columns=[key_col, fp_col])
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update",
+        getattr(GroupStateTimeout, timeout),
+    )
 
 
 def sessionize(

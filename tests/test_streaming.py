@@ -88,3 +88,26 @@ def test_windowed_rollup_without_user_col(spark):
     assert len(r) == 1
     assert "approx_users" not in r[0].asDict()
     assert float(r[0].sum_value) == 3.0
+
+
+def test_first_seen_dedup_matches_batch(spark, events, stream_src):
+    """applyInPandasWithState streaming dedup emits exactly the batch
+    dropDuplicates (key, fp) set, across micro-batch boundaries."""
+    schema = spark.read.parquet(stream_src).schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(stream_src))
+    # coarse fingerprint with plenty of cross-batch repeats
+    with_fp = src.withColumn(
+        "fp", (F.col("event_id") % 25).cast("long"))
+    deduped = ST.first_seen_dedup(with_fp, key_col="user_id", fp_col="fp")
+    q = (deduped.writeStream.outputMode("update")
+         .format("memory").queryName("dedup_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.fp)
+           for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    batch = spark.read.parquet(stream_src).withColumn(
+        "fp", (F.col("event_id") % 25).cast("long"))
+    want = {(r.user_id, r.fp)
+            for r in batch.dropDuplicates(["user_id", "fp"]).collect()}
+    assert got == want and len(got) > 0
