@@ -1957,3 +1957,51 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the fingerprint sets hash-compare exactly."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LT.winnow_fingerprints(docs, k=5, w=4)
+
+
+@query(
+    "dedup_winnow_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT id,
+             list_transform(
+               range(1, len(t) - 3),
+               i -> ('0x' || substr(md5(
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT
+             ) AS h
+      FROM d WHERE len(t) >= 5
+    ), m AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 2, 2)),
+               j -> list_min(h[j:j+3])
+             )) AS fps
+      FROM g
+    ), f AS (
+      SELECT DISTINCT id, unnest(fps) AS fp FROM m
+    ), sizes AS (
+      SELECT id, COUNT(*)::BIGINT AS n_fp FROM f GROUP BY id
+    ), shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS n_shared
+      FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT s.id_a, s.id_b,
+           s.n_shared::DOUBLE / (sa.n_fp + sb.n_fp - s.n_shared) AS jaccard
+    FROM shared s
+      JOIN sizes sa ON sa.id = s.id_a
+      JOIN sizes sb ON sb.id = s.id_b
+    WHERE s.n_shared::DOUBLE / (sa.n_fp + sb.n_fp - s.n_shared) >= 0.2
+    """,
+)
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Jaccard >= 0.2) — the
+    fourth dedup family (exact / MinHash / SimHash / winnowing), with
+    the DuckDB oracle replaying the identical fingerprint pipeline."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.winnow_near_dup_pairs(docs)

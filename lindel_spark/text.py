@@ -188,6 +188,54 @@ def _gram_hash(g: Column) -> Column:
     return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
 
 
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint Jaccard >= ``threshold``.
+
+    Candidates are documents sharing >= 1 fingerprint (equi-join on the
+    uniform 60-bit fp key — never all-pairs; any shared run of
+    ``w + k - 1`` tokens guarantees candidacy); verification scores
+    |fpA ∩ fpB| / |fpA ∪ fpB| from three aggregate counts, no set
+    materialization. Returns (id_a, id_b, jaccard).
+
+    The fp frame is persisted once: it feeds both join sides and the
+    per-doc size aggregate (diamond plan).
+    """
+    from pyspark import StorageLevel
+
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    sizes = fps.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"),
+                      F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"),
+                      F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_shared").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+             .cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Per-document stats frame: one row per doc, all signals."""
