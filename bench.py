@@ -148,15 +148,8 @@ def main() -> None:
     rows: dict[str, int] = {}
     tmp = tempfile.mkdtemp(prefix="lindel_bench_")
     try:
-        for name, fn, n in scan_shaped:
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn(tmp)
-                times.append(time.perf_counter() - t0)
-            queries[name] = round(statistics.median(times), 4)
-            rows[name] = n
-        for name, fn, n in write_shaped:
+        for name, fn, n in scan_shaped + write_shaped:
+            fn(tmp)  # warmup: codegen compile + JIT outside the timings
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()

@@ -95,27 +95,41 @@ def _cell_coords(cols: Sequence[Column], cell: float) -> list[Column]:
     """Non-negative int cell indices, offset by 2^20.
 
     The supported domain is |floor(coord / cell)| < 2^20 (~10^6 cells
-    per axis); outside it the +2^20 offset and int cast would wrap
-    silently and alias Morton cell ids, so out-of-range coordinates
-    raise instead of returning wrong join pairs.
+    per axis). The expression is deliberately tiny: the morton bit-
+    spread downstream references its input ~2^5 times (each stage of
+    the shift-or chain embeds the previous one twice), and
+    CollapseProject inlines deterministic producers regardless of
+    reference count — any fat here is multiplied 32x in the generated
+    code and breaks janino's 64 KB method limit (interpreted-fallback,
+    ~2x slower). Domain enforcement lives in :func:`_domain_guard`,
+    a separate filter predicate that is never inlined into the chain.
     """
-    out = []
+    return [
+        (F.floor(c / F.lit(cell)).cast("int") + F.lit(1 << 20)).cast("int")
+        for c in cols
+    ]
+
+
+def _domain_guard(df: DataFrame, cols: Sequence[Column],
+                  cell: float) -> DataFrame:
+    """Raise on coordinates outside the cell grid domain: the +2^20
+    offset and int cast in :func:`_cell_coords` would wrap silently and
+    alias Morton cell ids, returning wrong join pairs with no error.
+    Applied as a standalone filter so the check never bloats the
+    bit-interleave expression tree (see _cell_coords docstring).
+    """
+    ok = F.lit(True)
     for c in cols:
         idx = F.floor(c / F.lit(cell))
-        guarded = F.when(
-            (idx >= F.lit(-(1 << 20))) & (idx < F.lit(1 << 20)), idx
-        ).otherwise(
+        ok = ok & (idx >= F.lit(-(1 << 20))) & (idx < F.lit(1 << 20))
+    return df.filter(
+        F.when(ok, F.lit(True)).otherwise(
             F.raise_error(
-                F.concat(
-                    F.lit("LINDEL: spatial coordinate out of range for "
-                          "cell grid (|floor(coord/cell)| must be < 2^20); "
-                          "got cell index "),
-                    idx.cast("string"),
-                )
-            ).cast("long")
+                F.lit("LINDEL: spatial coordinate out of range for cell "
+                      "grid (|floor(coord/cell)| must be < 2^20)")
+            ).cast("boolean")
         )
-        out.append((guarded.cast("int") + F.lit(1 << 20)).cast("int"))
-    return out
+    )
 
 
 def spatial_range_join(
@@ -141,6 +155,8 @@ def spatial_range_join(
     """
     lx, ly = [c if isinstance(c, Column) else F.col(c) for c in left_cols]
     rx, ry = [c if isinstance(c, Column) else F.col(c) for c in right_cols]
+    left = _domain_guard(left, [lx, ly], radius)
+    right = _domain_guard(right, [rx, ry], radius)
     # project the cell coordinates into real int columns first: the 9
     # probe keys then interleave plain attributes, keeping the codegen
     # expression tree small (9 inlined floor-chains blow up compile time)
@@ -150,16 +166,21 @@ def spatial_range_join(
         _cell_coords([lx, ly], radius)[0].alias("__cx"),
         _cell_coords([lx, ly], radius)[1].alias("__cy"),
     )
-    l = lc.select(
+    # 3x3 probe via a broadcast 9-row offsets dim instead of exploding
+    # an array of 9 precomputed keys: Generate inlines its child
+    # expression into one generated doConsume, and 9 inlined bit-spread
+    # chains blow janino's 64 KB method limit — whole-stage codegen then
+    # silently falls back to interpreted mode (~2x slower, jittery).
+    # After the broadcast multiply each row computes ONE morton chain.
+    offsets_sql = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    offsets = F.broadcast(left.sparkSession.sql(
+        f"SELECT * FROM VALUES {offsets_sql} AS t(__dx, __dy)"))
+    l = lc.join(offsets).select(
         *[c for c in lc.columns if c not in ("__cx", "__cy")],
-        F.explode(
-            F.array(*[
-                morton_encode_native(
-                    [F.col("__cx") + F.lit(dx), F.col("__cy") + F.lit(dy)],
-                    "int32",
-                )
-                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-            ])
+        morton_encode_native(
+            [F.col("__cx") + F.col("__dx"), F.col("__cy") + F.col("__dy")],
+            "int32",
         ).alias("__cell"),
     )
     rc = right.select(

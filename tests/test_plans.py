@@ -97,7 +97,14 @@ def test_bucketed_joins_never_cartesian(spark, docs):
     }
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
+        if name == "spatial":
+            # the only unconditioned join allowed is the *bounded* 9-row
+            # offsets multiply (broadcast of a LocalTableScan literal
+            # dim) — the codegen-friendly form of the 3x3 probe explode
+            assert ("BroadcastNestedLoopJoin" not in p
+                    or "LocalTableScan" in p), name
+        else:
+            assert "BroadcastNestedLoopJoin" not in p, name
 
 
 def test_asof_join_single_window_no_join_explosion(spark):
@@ -127,3 +134,30 @@ def test_zorder_write_single_encode_pass(li):
         assert "rangepartitioning" in p.lower()
     finally:
         keyed.unpersist()
+
+
+def test_spatial_join_codegen_compiles(spark):
+    """The whole-stage-generated methods must stay under janino's 64 KB
+    limit — the morton bit-spread references its input ~32x, so any fat
+    expression inlined into it (CollapseProject inlines deterministic
+    producers) silently drops the plan to interpreted mode (regression:
+    the 9-key explode + inlined domain guard did exactly that)."""
+    import re
+
+    from lindel_spark.joins import spatial_range_join
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    pts = emb.select(
+        F.col("vec_id").cast("long").alias("id"),
+        (F.element_at("embedding", 1).cast("double") * 1000).alias("x"),
+        (F.element_at("embedding", 2).cast("double") * 1000).alias("y"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = spatial_range_join(pts, pts, ["x", "y"], ["x", "y"], 25.0)
+        s = spark._jvm.org.apache.spark.sql.execution.debug.package.codegenString(
+            df._jdf.queryExecution().executedPlan())
+        sizes = [int(x) for x in re.findall(r"maxMethodCodeSize:(-?\d+)", s)]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert sizes, "expected codegen subtrees"
+    assert all(0 < x < 65536 for x in sizes), f"codegen failed/fell back: {sizes}"
