@@ -2005,3 +2005,54 @@ def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle replaying the identical fingerprint pipeline."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LT.winnow_near_dup_pairs(docs)
+
+
+_SRC_AGG_ORACLE = """
+SELECT 'csv' AS source, COUNT(*)::BIGINT AS n_rows,
+       SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+       strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+       strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+FROM lineitem
+UNION ALL
+SELECT 'jsonl', COUNT(*)::BIGINT,
+       SUM(l_quantity::DECIMAL(18,2))::DOUBLE,
+       SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE,
+       strftime(MIN(l_shipdate), '%Y-%m-%d'),
+       strftime(MAX(l_shipdate), '%Y-%m-%d')
+FROM lineitem
+"""
+
+
+@query("sources_csv_jsonl_roundtrip", _SRC_AGG_ORACLE)
+def q_sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink fidelity: lineitem -> CSV and JSONL sinks -> schema-
+    disciplined readers (FAILFAST, no inference pass) -> aggregate.
+    Counts, decimal sums, and date extrema must equal the parquet-
+    sourced oracle exactly — proving the interchange formats round-trip
+    values losslessly through the lindel_spark.sources surface."""
+    from lindel_spark import sources as SRC
+
+    li = _lineitem(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lindel_src_rt_")
+    SRC.write_csv(li, os.path.join(out, "csv"))
+    SRC.write_jsonl(li, os.path.join(out, "jsonl"))
+    faces = [
+        ("csv", SRC.read_csv(spark, os.path.join(out, "csv"), li.schema)),
+        ("jsonl", SRC.read_jsonl(spark, os.path.join(out, "jsonl"),
+                                 li.schema)),
+    ]
+    parts = []
+    for tag, df in faces:
+        parts.append(df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_price"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd")
+            .alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd")
+            .alias("max_ship"),
+        ).select(F.lit(tag).alias("source"), "*"))
+    return parts[0].unionByName(parts[1])
