@@ -2056,3 +2056,96 @@ def q_sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_ship"),
         ).select(F.lit(tag).alias("source"), "*"))
     return parts[0].unionByName(parts[1])
+
+
+@query(
+    "events_cube_rollup",
+    """
+    WITH e AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             value
+      FROM events
+    )
+    SELECT COALESCE(event_type, 'ALL') AS event_type,
+           COALESCE(day, 'ALL') AS day,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(value::DECIMAL(18,2))::DOUBLE AS sum_value
+    FROM e
+    GROUP BY CUBE (event_type, day)
+    """,
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage: CUBE over (event_type, day) — all four
+    grouping combinations in one map-side-combined pass (SURVEY §2.5
+    'aggregation / grouping sets' host category)."""
+    ev = _events(spark, sf_dir)
+    e = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id::BIGINT AS user_id,
+             MIN(ts) FILTER (event_type = 'view') AS t_view,
+             MIN(ts) FILTER (event_type = 'click') AS t_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT
+      COUNT(*) FILTER (t_view IS NOT NULL)::BIGINT AS n_view,
+      COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view)::BIGINT
+        AS n_click_after_view,
+      COUNT(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click)::BIGINT
+        AS n_full_funnel
+    FROM firsts
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): one
+    conditional-MIN aggregate per user, then funnel predicates over the
+    firsts — a single shuffle on user_id regardless of event volume
+    (never a self-join per stage, which explodes at 100 TB).
+
+    Timestamps compare as raw integer nanos (`ts` pre-conversion) so
+    the oracle comparison is exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    firsts = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1))
+        .cast("long").alias("n_view"),
+        F.count(F.when(F.col("t_view").isNotNull()
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .cast("long").alias("n_click_after_view"),
+        F.count(F.when(F.col("t_view").isNotNull()
+                       & (F.col("t_click") > F.col("t_view"))
+                       & (F.col("t_purchase") > F.col("t_click")), 1))
+        .cast("long").alias("n_full_funnel"),
+    )
