@@ -385,6 +385,43 @@ def ivf_knn(
     )
 
 
+def ivf_write(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+    mode: str = "overwrite",
+) -> np.ndarray:
+    """Store the corpus hive-partitioned by IVF cell id.
+
+    The storage-side half of :func:`ivf_knn`: probing ``nprobe`` cells
+    then reads only those partition directories — Spark's partition
+    pruning turns each query into a scan of ~nprobe/n_centroids of the
+    data with zero shuffle (tests assert ``PartitionFilters`` in the
+    plan). Returns the centroid matrix; persist it next to the data
+    and pass it back as ``centroids=`` for queries.
+    """
+    if centroids is None:
+        centroids = train_centroids(
+            corpus, n_centroids, vec_col, seed=seed)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(_cell_assign_udf(centroids, 1)(F.col(vec_col)), 1)
+        .alias("cell"),
+    )
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    return centroids
+
+
+def ivf_scan_cells(spark, path: str, cells) -> DataFrame:
+    """Read only the probed cells (partition-pruned scan)."""
+    df = spark.read.parquet(path)
+    return df.filter(F.col("cell").isin([int(c) for c in cells]))
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((dim, num_planes))
 

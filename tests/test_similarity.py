@@ -120,3 +120,31 @@ def test_normalize_and_quantize(spark):
     assert qr[1] == [round(3.0 / (4.0 / 127) + 0.5 - 0.5), 127] or qr[1][1] == 127
     assert max(abs(x) for x in qr[1]) <= 127
     assert qr[2] == [-127, 0]
+
+
+def test_ivf_write_partition_pruned_scan(spark, tmp_path):
+    """Stored-IVF probes must be partition-pruned scans: the plan reads
+    only the probed cell directories, and results equal a full-scan
+    filter."""
+    import contextlib, io
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    C = LS.ivf_write(emb, path, n_centroids=8)
+    assert C.shape[0] == 8
+    probe = LS.ivf_scan_cells(spark, path, [0, 3])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "cell" in p
+    full = spark.read.parquet(path)
+    assert probe.count() == full.filter(F.col("cell").isin([0, 3])).count()
+    assert probe.count() > 0
+    # every row's nearest centroid really is its stored cell
+    ids = {r.vec_id for r in probe.collect()}
+    reassigned = emb.select(
+        "vec_id",
+        F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
+        .alias("c")).filter(F.col("c").isin([0, 3]))
+    assert ids == {r.vec_id for r in reassigned.collect()}
