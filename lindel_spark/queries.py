@@ -2149,3 +2149,134 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("t_purchase") > F.col("t_click")), 1))
         .cast("long").alias("n_full_funnel"),
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey::BIGINT AS s_key,
+             SUM((l_extendedprice::DECIMAL(18,2)) * (1 - l_discount::DECIMAL(18,2)))::DOUBLE
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey::BIGINT AS s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.s_key
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: aggregate revenue per supplier,
+    keep the max via a rank-1 window over the (small) aggregated frame,
+    then join supplier names — the scalar-max subquery shape without a
+    second scan of lineitem."""
+    from pyspark.sql import Window
+
+    rd = os.path.join
+    li = _lineitem(spark, sf_dir)
+    s = spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date")))
+        .groupBy(F.col("l_suppkey").cast("long").alias("s_key"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                   * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+             .cast("double").alias("total_revenue"))
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = (rev.withColumn("__r", F.rank().over(w))
+           .filter(F.col("__r") == 1).drop("__r"))
+    return (
+        F.broadcast(top).join(s, top["s_key"] == s["s_suppkey"])
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+      FROM lineitem GROUP BY 1
+    )
+    SELECT (SUM(l.l_extendedprice::DECIMAL(18,2)) / 7.0)::DOUBLE
+             AS avg_yearly,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < pa.half_avg
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: the correlated
+    per-part AVG subquery decorrelated into an aggregate-then-join —
+    lineitem is scanned twice but joined on its own key, never
+    row-by-row correlated."""
+    rd = os.path.join
+    li = _lineitem(spark, sf_dir)
+    p = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "part.parquet"))
+        .filter(F.col("p_brand") == "Brand#1").select("p_partkey"))
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg"))
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(pa.withColumnRenamed("l_partkey", "pa_key"),
+              F.col("l_partkey") == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             / F.lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id::BIGINT AS user_id,
+             date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id::BIGINT AS user_id,
+             f.cohort,
+             datediff('week', f.cohort, date_trunc('week', e.ts))::BIGINT
+               AS week_n
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, week_n,
+           COUNT(*)::BIGINT AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: cohort = week of first activity,
+    counted distinct-active per (cohort, week offset). Two shuffles on
+    user_id (first-seen aggregate + cohort join) and one on the
+    (cohort, week) pair — the standard training-data engagement
+    rollup."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"))
+    activity = (
+        ev.select(F.col("user_id").cast("long").alias("user_id"), "ts")
+        .join(firsts, "user_id")
+        .select(
+            "user_id", "cohort",
+            (F.datediff(F.date_trunc("week", "ts"), F.col("cohort"))
+             / 7).cast("long").alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_n",
+    ).agg(F.count(F.lit(1)).cast("long").alias("active_users"))
