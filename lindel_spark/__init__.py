@@ -15,10 +15,16 @@ Public surface:
 
 Operator modules (import as submodules):
     lindel_spark.dedup       exact / MinHash-LSH / n-gram-Jaccard / SimHash
-    lindel_spark.similarity  exact + matmul + LSH-ANN cosine search
-    lindel_spark.text        token stats, quality, language ID, n-grams
+    lindel_spark.similarity  exact + matmul + LSH-ANN + IVF cosine search,
+                             embedding normalize/quantize, IVF storage
+    lindel_spark.text        token stats, quality, language ID, n-grams,
+                             winnowing fingerprints + near-dup
     lindel_spark.multimodal  binary payload columns, decode stages
-    lindel_spark.streaming   curve-clustered sink, windowed rollups
+    lindel_spark.streaming   curve-clustered sink, windowed rollups,
+                             stateful first-seen dedup
+    lindel_spark.joins       as-of join, spatial range join
+    lindel_spark.skew        salted join, two-phase distinct
+    lindel_spark.sources     schema-disciplined CSV/JSONL readers+sinks
 """
 
 from lindel_spark.functions import (
