@@ -2280,3 +2280,80 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
         "week_n",
     ).agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (
+      SELECT doc_id::BIGINT AS id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ), f AS (
+      SELECT id, g.i AS frame_no,
+             substr(hx, g.i * 64 + 1, 64) AS frame_hex
+      FROM b, generate_series(0, 10000) g(i)
+      WHERE g.i < n // 32 AND g.i % 3 = 0
+    )
+    SELECT id, frame_no::INT AS frame_no, frame_hex FROM f
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque payloads (every 3rd
+    32-byte frame), verified value-level: the oracle replays the byte
+    slicing through the hex string of the same payload."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    frames = MM.sample_frames(blobs, frame_bytes=32, every_n=3)
+    return frames.select(
+        "id", F.col("frame_no").cast("int").alias("frame_no"),
+        F.hex("frame").alias("frame_hex"),
+    )
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH c1 AS (
+      SELECT doc_id::BIGINT AS id, sha256(text) AS b1 FROM documents
+    ), c2 AS (SELECT *, sha256(b1) AS b2 FROM c1),
+    c3 AS (SELECT *, sha256(b2) AS b3 FROM c2),
+    c4 AS (SELECT *, sha256(b3) AS b4 FROM c3),
+    c5 AS (SELECT *, sha256(b4) AS b5 FROM c4),
+    c6 AS (SELECT id, b1||b2||b3||b4||b5||sha256(b5) AS hx FROM c5),
+    -- nearest-neighbor 8x8 -> 4x4: out pixel (r,c,ch) reads source
+    -- byte (2r*8 + 2c)*3 + ch of the decoder's 192-byte stream
+    px AS (
+      SELECT id, o.i AS i,
+             ('0x' || substr(hx,
+               2 * (((o.i // 12) * 2 * 8 + ((o.i // 3) % 4) * 2) * 3
+                    + o.i % 3) + 1, 2))::INT AS v
+      FROM c6, generate_series(0, 47) o(i)
+    )
+    SELECT id, 4::INT AS height, 4::INT AS width,
+           SUM(v)::BIGINT AS pixel_sum,
+           MAX(v)::BIGINT AS pixel_max
+    FROM px GROUP BY id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize (8x8 -> 4x4) through the
+    mapInPandas stage, verified value-level: the oracle recomputes the
+    selected pixels straight from the sha256 hex stream."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blobs = docs.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    small = MM.resize_images(blobs, height=4, width=4,
+                             decoder=MM.fake_decode_image)
+    px = small.select(
+        "id", "height", "width",
+        F.explode(
+            F.transform(
+                F.split(F.hex("pixels"), "(?<=\\G..)"),
+                lambda h: F.conv(h, 16, 10).cast("long"),
+            )
+        ).alias("v"),
+    ).filter(F.col("v").isNotNull())
+    return px.groupBy("id", "height", "width").agg(
+        F.sum("v").cast("long").alias("pixel_sum"),
+        F.max("v").cast("long").alias("pixel_max"),
+    )
