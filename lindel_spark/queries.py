@@ -2357,3 +2357,68 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("long").alias("pixel_sum"),
         F.max("v").cast("long").alias("pixel_max"),
     )
+
+
+@query(
+    "sampling_deterministic_split",
+    """
+    WITH f AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac
+      FROM documents
+    )
+    SELECT CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*)::BIGINT AS n_docs,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM f GROUP BY 1
+    """,
+)
+def q_sampling_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic 80/10/10 split over document ids —
+    exactly replayable cross-engine (md5-hash fraction), stable under
+    any repartitioning, unlike randomSplit."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    s = SMP.deterministic_split(docs, "doc_id", [0.8, 0.1, 0.1])
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
+    "sampling_stratified",
+    """
+    WITH f AS (
+      SELECT event_type, event_id::BIGINT AS event_id,
+             ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac
+      FROM events
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_kept
+    FROM f
+    WHERE frac < CASE event_type WHEN 'view' THEN 0.1
+                                 WHEN 'click' THEN 0.5
+                                 ELSE 1.0 END
+    GROUP BY 1
+    """,
+)
+def q_sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (views 10%, clicks 50%,
+    everything else kept) — the class-rebalancing pass of a training
+    pipeline, content-stable and oracle-replayable."""
+    from lindel_spark import sampling as SMP
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("event_id").cast("long").alias("event_id"))
+    kept = SMP.stratified_deterministic_sample(
+        ev, "event_id", "event_type",
+        {"view": 0.1, "click": 0.5}, default_fraction=1.0)
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"))

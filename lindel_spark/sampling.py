@@ -1,0 +1,94 @@
+"""Deterministic sampling & dataset splitting.
+
+``df.randomSplit`` / ``df.sample`` are seed-dependent AND
+partitioning-dependent — rerun the same pipeline after a repartition
+and rows migrate between train and test, silently contaminating
+evaluation. Training pipelines want *content-deterministic* splits:
+the assignment is a pure function of a stable key, reproducible on any
+cluster layout, any engine, any day.
+
+Mechanism: a 60-bit md5 hash of the key column scaled to [0, 1) — the
+same primitive both Spark and any SQL engine compute identically, so
+splits are exactly replayable (and oracle-checkable) cross-engine.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 60)
+
+
+def split_fraction(key: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) fraction from a stable key: first 15 md5 hex
+    chars as an integer / 2^60. Pure column algebra; identical in any
+    engine with md5 (DuckDB: ``('0x'||substr(md5(..),1,15))::BIGINT``).
+    """
+    return (
+        F.conv(F.substring(F.md5(F.concat(key.cast("string"),
+                                          F.lit(salt))), 1, 15), 16, 10)
+        .cast("double") / F.lit(_HASH_SPACE)
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float],
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hashing ``key_col``.
+
+    Properties ``randomSplit`` cannot give you:
+    - stable under repartitioning, reordering, and engine changes;
+    - all rows sharing a key land in the same split (no leakage of a
+      near-duplicate group across train/test — pass a dedup cluster id
+      or document fingerprint as the key);
+    - ``salt`` derives independent re-splits from the same keys.
+
+    ``weights`` are normalized; one ``when`` chain over cumulative
+    thresholds, no shuffle at all.
+    """
+    if len(weights) != len(names):
+        raise ValueError("LINDEL: weights and names must align")
+    total = float(sum(weights))
+    frac = split_fraction(F.col(key_col), salt)
+    out = None
+    acc = 0.0
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        cond = frac < F.lit(acc)
+        out = F.when(cond, F.lit(name)) if out is None else out.when(
+            cond, F.lit(name))
+    out = (F.lit(names[-1]) if out is None
+           else out.otherwise(F.lit(names[-1])))
+    return df.withColumn(out_col, out)
+
+
+def stratified_deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its key hash
+    falls under its stratum's fraction. The content-stable analogue of
+    ``df.sampleBy`` — same rows survive on any layout. Strata missing
+    from ``fractions`` use ``default_fraction``.
+    """
+    frac = split_fraction(F.col(key_col), salt)
+    thresh = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == F.lit(stratum)
+        thresh = (F.when(cond, F.lit(float(f))) if thresh is None
+                  else thresh.when(cond, F.lit(float(f))))
+    thresh = (F.lit(float(default_fraction)) if thresh is None
+              else thresh.otherwise(F.lit(float(default_fraction))))
+    return df.filter(frac < thresh)
