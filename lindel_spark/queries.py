@@ -2422,3 +2422,75 @@ def q_sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"view": 0.1, "click": 0.5}, default_fraction=1.0)
     return kept.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"))
+
+
+@query(
+    "events_hll_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           true AS hll_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier coverage: Datasketches HLL distinct-user estimate
+    per event type, self-checked against the in-frame exact count
+    (relative error < 5% at lgK=14) — the mergeable-sketch shape that
+    replaces COUNT(DISTINCT) at 100 TB (partial sketches merge
+    map-side; exact distinct needs a full shuffle of every key)."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("long"), F.lit(14))
+        ).alias("__est"),
+    )
+    return agg.select(
+        "event_type", "exact_users",
+        (F.abs(F.col("__est") - F.col("exact_users"))
+         <= F.greatest(
+             (F.col("exact_users") * F.lit(0.05)).cast("long"), F.lit(2))
+         ).alias("hll_ok"),
+    )
+
+
+@query(
+    "dedup_minhash_estimate_quality",
+    _near_dup_cte() + """
+    SELECT COUNT(*)::BIGINT AS n_pairs, true AS est_ok
+    FROM verified
+    """,
+)
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimation-quality gate for the MinHash signatures themselves:
+    over the verified near-dup pairs, the signature-agreement estimate
+    of Jaccard must track the exact shingle Jaccard (mean absolute
+    error <= 0.15 for 32 hashes). Emits the oracle-exact pair count
+    plus the in-frame quality boolean."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = LD.near_dup_pairs(docs)  # (id_a, id_b, jaccard) exact
+    sigs = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        LD.minhash_signature(
+            LD.word_shingles(F.col("text"))).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # zip_with + filter: fraction of agreeing minhash positions
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: (x == y).cast("int")),
+                            lambda v: v == 1))
+    est = (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "jaccard",
+            (agree.cast("double")
+             / F.size("sig_a").cast("double")).alias("est"),
+        )
+    )
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.avg(F.abs(F.col("est") - F.col("jaccard")))
+         <= F.lit(0.15)).alias("est_ok"),
+    )
