@@ -111,6 +111,18 @@ def main() -> None:
         _noop(asof_join(clicks, purch, on="user_id",
                         left_ts="tus", right_ts="tus", value_cols=["value"]))
 
+    def q_winnow_fps(_):
+        from lindel_spark import text as LTT
+        _noop(LTT.winnow_fingerprints(docs))
+
+    def q_embedding_ops(_):
+        u = LS.quantize_embeddings(LS.normalize_embeddings(emb))
+        _noop(u.select("vec_id", "unit", "q"))
+
+    def q_knn_ivf(_):
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8))
+
     def q_spatial_join(_):
         from lindel_spark.joins import spatial_range_join
         pts = emb.select(
@@ -138,6 +150,9 @@ def main() -> None:
         ("knn_brute_fast", q_knn_fast, n_emb),
         ("asof_join_events", q_asof, n_clicks),
         ("spatial_range_join", q_spatial_join, n_emb),
+        ("winnow_fingerprints", q_winnow_fps, n_docs),
+        ("embedding_ops", q_embedding_ops, n_emb),
+        ("knn_ivf", q_knn_ivf, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),

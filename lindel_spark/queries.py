@@ -2494,3 +2494,43 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg(F.abs(F.col("est") - F.col("jaccard")))
          <= F.lit(0.15)).alias("est_ok"),
     )
+
+
+@query(
+    "events_step_durations",
+    """
+    WITH s AS (
+      SELECT user_id::BIGINT AS user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(prev_ts)::BIGINT AS n_steps,
+           SUM(epoch_us(ts) - epoch_us(prev_ts))::BIGINT AS total_gap_us,
+           MAX(epoch_us(ts) - epoch_us(prev_ts))::BIGINT AS max_gap_us
+    FROM s WHERE prev_ts IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_events_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window coverage: per-user inter-event gaps (duration
+    from the previous event of the same user), aggregated by the type
+    of the *arriving* event. Deterministic ordering via (ts, event_id)
+    tie-break; gaps compared in integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros(F.lag("ts").over(w)).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum(F.col("us") - F.col("prev_us")).cast("long")
+        .alias("total_gap_us"),
+        F.max(F.col("us") - F.col("prev_us")).cast("long")
+        .alias("max_gap_us"),
+    )
