@@ -119,6 +119,9 @@ def main() -> None:
         u = LS.quantize_embeddings(LS.normalize_embeddings(emb))
         _noop(u.select("vec_id", "unit", "q"))
 
+    def q_embedding_ops_fast(_):
+        _noop(LS.normalize_quantize_fast(emb).select("vec_id", "unit", "q"))
+
     def q_knn_ivf(_):
         queries_df = emb.filter(F.col("vec_id") % 50 == 0)
         _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8))
@@ -152,6 +155,7 @@ def main() -> None:
         ("spatial_range_join", q_spatial_join, n_emb),
         ("winnow_fingerprints", q_winnow_fps, n_docs),
         ("embedding_ops", q_embedding_ops, n_emb),
+        ("embedding_ops_fast", q_embedding_ops_fast, n_emb),
         ("knn_ivf", q_knn_ivf, n_emb),
     ]
     write_shaped = [

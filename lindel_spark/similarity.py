@@ -281,6 +281,46 @@ def quantize_embeddings(
     )
 
 
+def normalize_quantize_fast(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    levels: int = 127,
+) -> DataFrame:
+    """Bulk tier of normalize+quantize: one ``mapInPandas`` pass doing
+    both in NumPy — the 100 TB path (the column forms above evaluate
+    interpreted HOF lambdas per element).
+
+    Quantized values are **bit-identical** to :func:`quantize_embeddings`
+    (elementwise IEEE ops + an exact max); unit vectors agree to the
+    last ulp or so (NumPy's pairwise-summed norm vs the sequential
+    fold) — pytest pins both.
+    """
+    import pyarrow as pa  # noqa: F401  (mapInPandas arrow transport)
+    from pyspark.sql import types as T
+
+    in_fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(in_fields + [
+        T.StructField("unit", T.ArrayType(T.DoubleType())),
+        T.StructField("q", T.ArrayType(T.IntegerType())),
+    ])
+    lv = float(levels)
+
+    def run(batches):
+        for pdf in batches:
+            V = np.stack([np.asarray(v, np.float64)
+                          for v in pdf[vec_col]])
+            norms = np.sqrt((V * V).sum(axis=1, keepdims=True))
+            U = V / norms
+            scale = np.abs(V).max(axis=1, keepdims=True) / lv
+            Q = np.floor(V / scale + 0.5).astype(np.int32)
+            pdf = pdf.copy()
+            pdf["unit"] = list(U)
+            pdf["q"] = list(Q)
+            yield pdf
+
+    return ensure_parallelism(df).mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN: k-means coarse quantizer + nprobe cells
 # ---------------------------------------------------------------------------

@@ -148,3 +148,15 @@ def test_ivf_write_partition_pruned_scan(spark, tmp_path):
         F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
         .alias("c")).filter(F.col("c").isin([0, 3]))
     assert ids == {r.vec_id for r in reassigned.collect()}
+
+
+def test_normalize_quantize_fast_matches_column_form(emb):
+    cols = LS.quantize_embeddings(LS.normalize_embeddings(emb))
+    fast = LS.normalize_quantize_fast(emb)
+    a = {r.vec_id: (list(r.q), list(r.unit)) for r in cols.collect()}
+    b = {r.vec_id: (list(r.q), list(r.unit)) for r in fast.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k][0] == b[k][0], f"quantized mismatch at {k}"
+        assert all(abs(x - y) < 1e-12
+                   for x, y in zip(a[k][1], b[k][1]))
