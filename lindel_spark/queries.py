@@ -2534,3 +2534,36 @@ def q_events_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("us") - F.col("prev_us")).cast("long")
         .alias("max_gap_us"),
     )
+
+
+@query(
+    "profile_lineitem",
+    """
+    SELECT 'l_orderkey' AS "column", COUNT(*)::BIGINT AS n_rows,
+           (COUNT(*) - COUNT(l_orderkey))::BIGINT AS n_nulls,
+           COUNT(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+           MIN(l_orderkey)::VARCHAR AS min_str,
+           MAX(l_orderkey)::VARCHAR AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', COUNT(*)::BIGINT,
+           (COUNT(*) - COUNT(l_returnflag))::BIGINT,
+           COUNT(DISTINCT l_returnflag)::BIGINT,
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*)::BIGINT,
+           (COUNT(*) - COUNT(l_quantity))::BIGINT,
+           COUNT(DISTINCT l_quantity)::BIGINT,
+           MIN(l_quantity)::VARCHAR, MAX(l_quantity)::VARCHAR
+    FROM lineitem
+    """,
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profiling (nulls / exact distinct / min /
+    max) over three representative column types, long format."""
+    from lindel_spark import profile as PR
+
+    li = _lineitem(spark, sf_dir)
+    return PR.profile_table(
+        li, ["l_orderkey", "l_returnflag", "l_quantity"])
