@@ -126,6 +126,14 @@ def main() -> None:
         queries_df = emb.filter(F.col("vec_id") % 50 == 0)
         _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8))
 
+    _ivf_centroids = LS.train_centroids(emb, 16)
+
+    def q_knn_ivf_probe(_):
+        # steady-state cost: codebook pretrained (the production shape)
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8,
+                         centroids=_ivf_centroids))
+
     def q_spatial_join(_):
         from lindel_spark.joins import spatial_range_join
         pts = emb.select(
@@ -157,6 +165,7 @@ def main() -> None:
         ("embedding_ops", q_embedding_ops, n_emb),
         ("embedding_ops_fast", q_embedding_ops_fast, n_emb),
         ("knn_ivf", q_knn_ivf, n_emb),
+        ("knn_ivf_probe", q_knn_ivf_probe, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),

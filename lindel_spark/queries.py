@@ -2567,3 +2567,37 @@ def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     return PR.profile_table(
         li, ["l_orderkey", "l_returnflag", "l_quantity"])
+
+
+@query(
+    "pipeline_dedup_splits",
+    _near_dup_cte() + """
+    , kept AS (
+      SELECT doc_id::BIGINT AS doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM verified)
+    ), f AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac
+      FROM kept
+    )
+    SELECT CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*)::BIGINT AS n_docs
+    FROM f GROUP BY 1
+    """,
+)
+def q_pipeline_dedup_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline showcase: MinHash near-dup removal feeding a
+    content-deterministic 80/10/10 split — the two stages a corpus
+    passes between raw drop and training, composed, with the whole
+    chain replayed by the oracle."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept = LD.drop_near_duplicates(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+    s = SMP.deterministic_split(kept, "doc_id", [0.8, 0.1, 0.1])
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
