@@ -177,6 +177,10 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="lindel_bench_")
     try:
         for name, fn, n in scan_shaped + write_shaped:
+            # Isolate entries: operators that persist intermediates
+            # (dedup signatures, winnow fps) must not carry cached
+            # blocks into the next entry's timings.
+            spark.catalog.clearCache()
             fn(tmp)  # warmup: codegen compile + JIT outside the timings
             times = []
             for _ in range(3):
