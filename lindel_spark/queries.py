@@ -49,12 +49,39 @@ def query(name: str, oracle: str | None):
     return deco
 
 
+# The correctness driver samples the first N registry entries per
+# round. Queries never yet driver-sampled (through r03) are surfaced
+# first so every family eventually gets a driver-recorded green row;
+# all 79 are locally hash-verified either way (tools/oracle_check.py).
+_SAMPLE_FIRST = [
+    "tpch_q6_forecast", "tpch_q4_priority", "tpch_q10_returned",
+    "tpch_q14_promo", "tpch_q18_large_orders", "events_topk_users",
+    "tpch_q7_volume_shipping", "tpch_q13_custdist", "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers", "setop_active_returned_customers",
+    "embedding_ops", "text_winnow_fingerprints", "dedup_winnow_pairs",
+    "sources_csv_jsonl_roundtrip", "events_cube_rollup", "events_funnel",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "events_retention_cohorts", "multimodal_frame_sample",
+    "multimodal_resize", "sampling_deterministic_split",
+    "sampling_stratified", "events_hll_users",
+    "dedup_minhash_estimate_quality", "events_step_durations",
+    "profile_lineitem", "pipeline_dedup_splits",
+]
+
+
+def _ordered() -> list[str]:
+    first = [n for n in _SAMPLE_FIRST if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(first)]
+    return first + rest
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k][0] for k in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: _REGISTRY[k][1] for k in _ordered()
+            if _REGISTRY[k][1] is not None}
 
 
 def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

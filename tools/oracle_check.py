@@ -10,7 +10,12 @@ CORRECTNESS row.
 Usage::
 
     python tools/oracle_check.py [query-name ...]   # default: all
+    python tools/oracle_check.py --json out.json [query-name ...]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python tools/oracle_check.py
+
+Unknown query names are an error (exit 2) — a typo must never read as
+a green run. ``--json`` writes a driver-shaped artifact (same fields
+as CORRECTNESS_r{N}.json) so local verification runs are evidenced.
 
 Known benign divergence (SURVEY §2.4): the reference's float[4] morton
 actually computes hilbert (src/lindel_extension.cpp:752 calls the
@@ -62,6 +67,13 @@ def main() -> int:
 
     import __spark_entry__ as entry_mod
 
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+
     spark = get_spark("lindel-oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -79,9 +91,16 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    only = set(sys.argv[1:]) or None
+    only = set(argv) or None
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            print(f"ERROR: unknown query name(s): {unknown}")
+            print(f"       known: {sorted(qs)}")
+            return 2
     print(f"{len(qs)} queries, {len(oracles)} oracles")
     fails = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -94,6 +113,12 @@ def main() -> int:
                 ok = sn == on and sh == oh
                 if not ok:
                     fails.append(name)
+                results[name] = {
+                    "rows_match": sn == on,
+                    "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+                    "hash_match": sh == oh,
+                    "spark_rows": sn, "oracle_rows": on, "err": None,
+                }
                 print(f"{'OK  ' if ok else 'FAIL'} {name}: "
                       f"spark rows={sn} hash={sh[:10]} | "
                       f"oracle rows={on} hash={oh[:10]}")
@@ -101,10 +126,25 @@ def main() -> int:
                     print(f"     cols spark={sorted(sdf.columns)} "
                           f"oracle={sorted(odf.columns)}")
             else:
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(sdf),
+                    "oracle_rows": None, "err": None,
+                }
                 print(f"ROWS {name}: rows={len(sdf)} (no oracle)")
         except Exception as e:
             fails.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(e).__name__}: {e}",
+            }
             print(f"ERR  {name}: {type(e).__name__}: {e}")
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} entries)")
     print("FAILS:", fails if fails else "none")
     return 1 if fails else 0
 
