@@ -22,7 +22,6 @@ error "Lindel functions cannot handle arrays containing NULL values".
 
 from __future__ import annotations
 
-import decimal
 from typing import Sequence
 
 import numpy as np
@@ -111,6 +110,33 @@ def _list_array(values: pa.Array, n: int, mask: np.ndarray) -> pa.Array:
     return pa.ListArray.from_arrays(offsets, values)
 
 
+def _lanes_to_decimal128(hi: np.ndarray, lo: np.ndarray,
+                         mask: np.ndarray) -> pa.Array:
+    """(hi, lo) u64 lane pairs -> pa.decimal128(38, 0), vectorized.
+
+    Arrow decimal128 storage is a little-endian 128-bit integer; at
+    scale=0 the storage value IS the value, so the array is assembled
+    straight from the lane bytes — no per-row Python Decimal objects.
+    Callers guarantee values < 10^38 (the ≤126-bit bind-time cap in
+    types.py keeps 2^126 ≈ 8.5e37 inside decimal(38)).
+    """
+    rows = len(lo)
+    buf = np.empty((rows, 16), np.uint8)
+    buf[:, :8] = np.ascontiguousarray(
+        lo.astype("<u8", copy=False)).view(np.uint8).reshape(rows, 8)
+    buf[:, 8:] = np.ascontiguousarray(
+        hi.astype("<u8", copy=False)).view(np.uint8).reshape(rows, 8)
+    validity = None
+    nulls = 0
+    if mask.any():
+        validity = pa.py_buffer(np.packbits(~mask, bitorder="little"))
+        nulls = int(mask.sum())
+    return pa.Array.from_buffers(
+        pa.decimal128(38, 0), rows, [validity, pa.py_buffer(buf)],
+        null_count=nulls,
+    )
+
+
 def _encode_output(ret_type, hi, lo, mask, width_bytes) -> pa.Array:
     if isinstance(ret_type, T.LongType):
         return pa.array(lo.view(np.int64), pa.int64(), mask=mask)
@@ -118,13 +144,9 @@ def _encode_output(ret_type, hi, lo, mask, width_bytes) -> pa.Array:
         return _np_to_binary_array(
             curve.lanes_to_bytes(hi, lo, width_bytes), mask
         )
-    # Decimal(38,0) display helper (opt-in; widths > 126 bits rejected
-    # at bind time in types.py — u128 values overflow 38 digits)
-    ints = curve.lanes_to_ints(hi, lo)
-    return pa.array(
-        [None if m else decimal.Decimal(v) for v, m in zip(ints, mask)],
-        pa.decimal128(38, 0),
-    )
+    # Decimal(38,0) output (opt-in; the 128-bit width is rejected at
+    # bind time in types.py — u128 values overflow 38 digits)
+    return _lanes_to_decimal128(hi, lo, mask)
 
 
 # ---------------------------------------------------------------------------
@@ -343,9 +365,10 @@ def _make_decode_udf(kind: str, plan: DecodePlan, binary_input: bool):
             )
         elif plan.want_unsigned:
             if elem_bits == 64:
-                vals = pa.array(
-                    [decimal.Decimal(int(x)) for x in Xu.ravel().tolist()],
-                    pa.decimal128(38, 0),
+                flat = np.ascontiguousarray(Xu.ravel().astype(np.uint64))
+                vals = _lanes_to_decimal128(
+                    np.zeros(flat.size, np.uint64), flat,
+                    np.zeros(flat.size, bool),
                 )
                 return _list_array(vals, n, mask)
             Xc = Xu.astype(signed_np_dtype(elem_bits * 2))

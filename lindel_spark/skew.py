@@ -52,8 +52,15 @@ def salted_join(
             "are salt-invariant"
         )
     on = [on] if isinstance(on, str) else list(on)
+    # Salt = row-content hash, not rand(): rand(seed) is deterministic
+    # only per partition *index*, so a repartitioned rerun moves rows
+    # between buckets. A content hash is layout-independent — reruns
+    # are bit-reproducible under any partitioning. Rows identical in
+    # every column share a bucket; that cannot change the join result
+    # (the pair set is salt-invariant) and only concentrates skew when
+    # the hot key's rows are full duplicates.
     l = left.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
     )
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

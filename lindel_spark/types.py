@@ -126,8 +126,10 @@ def encode_output_spark_type(total_bits: int, output: str) -> T.DataType:
         return T.BinaryType()
     if output == "decimal":
         if total_bits > 64:
-            # max u128 ~ 3.4e38 > 10^38-1: Decimal(38,0) silently
-            # overflows for the top ~2/3 of the domain.
+            # Output widths follow the u8->u128 ladder, so the only
+            # width above 64 is exactly 128 — and max u128 ~ 3.4e38 >
+            # 10^38-1: Decimal(38,0) silently overflows for the top
+            # ~2/3 of that domain.
             raise ValueError(
                 f"LINDEL: {total_bits}-bit output does not fit "
                 "DecimalType(38,0) (u128 max ~3.4e38 > 10^38-1); "

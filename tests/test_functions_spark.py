@@ -126,6 +126,37 @@ def test_decode_return_types(spark):
     assert c3.schema["d"].dataType == T.ArrayType(T.FloatType(), False)
 
 
+def test_decimal_output_vectorized_matches_long(spark):
+    # output="decimal" is built straight from the u64 lanes (no per-row
+    # Python Decimal); values must equal the long carrier mod 2^64,
+    # NULLs must propagate.
+    df = spark.createDataFrame(
+        [(5, 9), (2_000_000_000, 2_000_000_000), (None, 1)], "a int, b int")
+    cols = [F.col("a"), F.col("b")]
+    rows = df.select(
+        LF.hilbert_encode(cols, "int32", output="decimal").alias("d"),
+        LF.hilbert_encode(cols, "int32").alias("l")).collect()
+    for r in rows:
+        if r.l is None:
+            assert r.d is None
+        else:
+            assert int(r.d) == (r.l + 2**64 if r.l < 0 else r.l)
+
+
+def test_decode_unsigned_u64_parts_vectorized(spark):
+    # 128-bit key -> 2x u64 parts with want_unsigned: Decimal(38,0)
+    # carrier, values exactly the unsigned reinterpretation.
+    df = spark.createDataFrame([(-1, -1), (3, 4)], "a long, b long")
+    out = df.select(
+        "a", "b",
+        LF.hilbert_decode(
+            LF.hilbert_encode([F.col("a"), F.col("b")], "int64"),
+            2, want_unsigned=True, input_width=128).alias("d"))
+    for r in out.collect():
+        want = [x + 2**64 if x < 0 else x for x in (r.a, r.b)]
+        assert [int(x) for x in r.d] == want
+
+
 def test_decode_invalid_parts():
     from lindel_spark.types import resolve_decode
     with pytest.raises(ValueError, match="greater than 0"):

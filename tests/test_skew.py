@@ -39,6 +39,37 @@ def test_two_phase_distinct(spark):
     assert got == want
 
 
+def test_salted_join_reproducible_across_repartition(spark):
+    # Content-hash salt: the same input under a different physical
+    # layout must produce the identical multiset of rows (rand(seed)
+    # salting broke this — it depends on the partition index).
+    left = spark.range(500).select(
+        F.when(F.col("id") % 10 < 8, 3).otherwise(F.col("id") % 20)
+        .alias("k"), F.col("id").alias("lv"))
+    right = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    a = sorted((r.k, r.lv, r.rv)
+               for r in salted_join(left, right, "k", salt=8).collect())
+    b = sorted((r.k, r.lv, r.rv)
+               for r in salted_join(left.repartition(7), right.repartition(3),
+                                    "k", salt=8).collect())
+    assert a == b
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # The hot key's rows must land in >1 salt bucket (the point of
+    # salting); distinct lv values hash to distinct-enough buckets.
+    left = spark.range(1000).select(F.lit(7).alias("k"),
+                                    F.col("id").alias("lv"))
+    n_buckets = (
+        left.withColumn("__salt",
+                        F.pmod(F.hash(*[F.col(c) for c in left.columns]),
+                               F.lit(8)))
+        .select("__salt").distinct().count()
+    )
+    assert n_buckets == 8
+
+
 def test_salted_join_rejects_outer_modes(spark):
     df = spark.createDataFrame([(1, "a")], "k long, v string")
     for how in ("right", "full", "outer", "right_outer", "full_outer"):
