@@ -78,13 +78,39 @@ def content_dedup_groups(df: DataFrame, content_col: str = "content",
 # decoders (stub boundary — no codecs in this container)
 # ---------------------------------------------------------------------------
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Decode image bytes -> (H, W, 3) uint8 array.
+def _pil_decode_image(data: bytes) -> np.ndarray:
+    """Pillow-backed decoder: bytes -> (H, W, 3) uint8 RGB."""
+    import io
 
-    **STUB**: real decoding needs an image codec (Pillow / opencv),
-    which is not installed in this environment. Inject a decoder into
-    the pipeline helpers instead (tests use :func:`fake_decode_image`).
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def _find_codec() -> Callable[[bytes], np.ndarray] | None:
+    """Best real decoder importable here, else None (stub regime)."""
+    try:
+        import PIL.Image  # noqa: F401
+        return _pil_decode_image
+    except ImportError:
+        return None
+
+
+_REAL_DECODER = _find_codec()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode image bytes -> (H, W, 3) uint8 RGB array.
+
+    Auto-detects a real codec at import: when Pillow is installed this
+    decodes for real; otherwise it is a **clearly-marked stub** (no
+    image codec ships in this container) and raises — inject a decoder
+    into the pipeline helpers instead (tests use
+    :func:`fake_decode_image`, which keeps the whole Spark-side data
+    path real and oracle-checkable).
     """
+    if _REAL_DECODER is not None:
+        return _REAL_DECODER(data)
     raise NotImplementedError(
         "LINDEL: no image codec in this environment — pass "
         "decoder=<your fn(bytes)->ndarray> (e.g. PIL.Image.open); "

@@ -66,6 +66,7 @@ _SAMPLE_FIRST = [
     "sampling_stratified", "events_hll_users",
     "dedup_minhash_estimate_quality", "events_step_durations",
     "profile_lineitem", "pipeline_dedup_splits",
+    "streaming_first_seen", "knn_ivf_pipeline",
 ]
 
 
@@ -2628,3 +2629,112 @@ def q_pipeline_dedup_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = SMP.deterministic_split(kept, "doc_id", [0.8, 0.1, 0.1])
     return s.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@query(
+    "streaming_first_seen",
+    """
+    SELECT DISTINCT user_id::BIGINT AS user_id, event_type AS fp
+    FROM events
+    """,
+)
+def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator, driver-checked: replay
+    the events table through a REAL ``readStream`` →
+    ``applyInPandasWithState`` (first_seen_dedup) → ``foreachBatch``
+    parquet sink with an availableNow trigger, then return the sink's
+    contents. The emitted set must equal batch
+    ``dropDuplicates([user_id, fp])`` — exactly the DISTINCT oracle."""
+    import shutil
+
+    from lindel_spark import streaming as ST
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # The streaming file source requires a *directory*; the test table
+    # is a single file, so expose it through a symlinked temp dir.
+    src_dir = tempfile.mkdtemp(prefix="lindel_fsrc_")
+    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    src = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").alias("fp"),
+        )
+    )
+    dedup = ST.first_seen_dedup(src, "user_id", "fp")
+    out = tempfile.mkdtemp(prefix="lindel_fsq_")
+    sink, cp = os.path.join(out, "sink"), os.path.join(out, "cp")
+
+    def write_batch(bdf: DataFrame, bid: int) -> None:
+        bdf.write.mode("append").parquet(sink)
+
+    q = (
+        dedup.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(sink).cache()
+    res.count()  # materialize before the tmp sink is reclaimed
+    shutil.rmtree(cp, ignore_errors=True)
+    return res
+
+
+@query(
+    "knn_ivf_pipeline",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS corpus_rows,
+           true AS prune_exact,
+           true AS store_matches_memory,
+           10::BIGINT AS n_top
+    """,
+)
+def q_knn_ivf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF storage round-trip, end to end: ``ivf_write`` the corpus
+    hive-partitioned by cell, probe one query's nprobe=4 cells through
+    ``ivf_scan_cells`` (a partition-pruned read — plan-asserted in
+    tests/test_plans.py), and check in-frame that (a) the store holds
+    every corpus row, (b) the pruned read returns exactly the rows the
+    in-memory assignment puts in those cells, and (c) top-10 computed
+    from the pruned store equals ``ivf_knn`` computed in memory with
+    the same centroids."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = tempfile.mkdtemp(prefix="lindel_ivfq_")
+    store = os.path.join(out, "ivf")
+    C = LS.train_centroids(emb, 16)
+    LS.ivf_write(emb, store, n_centroids=16, centroids=C)
+
+    qdf = emb.filter(F.col("vec_id") == 0)
+    qvec = np.asarray(qdf.first()["embedding"], np.float64)
+    qn = qvec / np.linalg.norm(qvec)
+    cells = [int(c) for c in np.argsort(-(qn @ C.T))[:4]]
+
+    pruned = LS.ivf_scan_cells(spark, store, cells)
+    n_cand = pruned.count()
+    assigned = emb.select(
+        F.col("vec_id"),
+        F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
+        .alias("cell"),
+    )
+    n_expected = assigned.filter(F.col("cell").isin(cells)).count()
+
+    store_top = LS.brute_force_knn(
+        pruned.drop("cell"), qdf, k=10).select(
+            "query_id", "neighbor_id", "rank").collect()
+    mem_top = LS.ivf_knn(
+        emb, qdf, k=10, n_centroids=16, nprobe=4, centroids=C).select(
+            "query_id", "neighbor_id", "rank").collect()
+    match = sorted(map(tuple, store_top)) == sorted(map(tuple, mem_top))
+
+    corpus_rows = spark.read.parquet(store).count()
+    return spark.createDataFrame(
+        [(corpus_rows, n_cand == n_expected, match, len(store_top))],
+        "corpus_rows long, prune_exact boolean, "
+        "store_matches_memory boolean, n_top long",
+    )

@@ -33,8 +33,32 @@ def test_content_dedup_matches_distinct_payloads(blobs):
 
 
 def test_default_decoder_is_stub(blobs):
+    if MM._REAL_DECODER is not None:
+        pytest.skip("a real codec is installed; stub regime not active")
     with pytest.raises(Exception, match="no image codec"):
         MM.image_features(blobs).collect()
+
+
+def test_codec_autodetect_uses_pillow_when_present(monkeypatch):
+    # Simulate an environment with Pillow: _find_codec must return the
+    # PIL-backed decoder (decoder=auto escape hatch); without it, the
+    # stub and its error message stay intact.
+    import sys
+    import types as _pytypes
+
+    fake_pil = _pytypes.ModuleType("PIL")
+    fake_image_mod = _pytypes.ModuleType("PIL.Image")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    assert MM._find_codec() is MM._pil_decode_image
+
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    if MM._find_codec() is not None:  # genuinely installed
+        pytest.skip("Pillow genuinely installed")
+    with pytest.raises(NotImplementedError, match="no image codec"):
+        MM.decode_image(b"\x89PNG")
 
 
 def test_fake_decode_deterministic():
