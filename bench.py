@@ -134,6 +134,16 @@ def main() -> None:
         _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8,
                          centroids=_ivf_centroids))
 
+    _auto_nc, _auto_np = LS.auto_ivf_config(n_emb)
+    _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
+
+    def q_knn_ivf_auto(_):
+        # scale-correct operating point: n_centroids ~ sqrt(corpus),
+        # probe ~12% — what ivf_knn picks by default at any SF
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=_auto_nc,
+                         nprobe=_auto_np, centroids=_ivf_auto_centroids))
+
     def q_spatial_join(_):
         from lindel_spark.joins import spatial_range_join
         pts = emb.select(
@@ -166,6 +176,7 @@ def main() -> None:
         ("embedding_ops_fast", q_embedding_ops_fast, n_emb),
         ("knn_ivf", q_knn_ivf, n_emb),
         ("knn_ivf_probe", q_knn_ivf_probe, n_emb),
+        ("knn_ivf_auto", q_knn_ivf_auto, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),

@@ -36,6 +36,7 @@ is the high-dimensional analogue used here for 64-d embeddings.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -325,6 +326,20 @@ def normalize_quantize_fast(
 # IVF (inverted-file) ANN: k-means coarse quantizer + nprobe cells
 # ---------------------------------------------------------------------------
 
+def auto_ivf_config(corpus_rows: int) -> tuple[int, int]:
+    """Scale-correct (n_centroids, nprobe) for a corpus size.
+
+    ``n_centroids ~ sqrt(n)`` (clamped to [16, 4096]) keeps cells at
+    ~sqrt(n) rows each, and ``nprobe = n_centroids // 8`` (>= 4)
+    probes ~12% of the corpus — the standard IVF operating point. A
+    fixed small codebook degrades to near-brute-force as the corpus
+    grows (at 10x data, 16 cells x nprobe 8 scans half the corpus
+    through a join); this keeps probe cost ~O(sqrt(n)) per query.
+    """
+    nc = int(max(16, min(4096, round(math.sqrt(max(corpus_rows, 1))))))
+    return nc, max(4, nc // 8)
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -343,6 +358,7 @@ def train_centroids(
     V = np.array([r[0] for r in rows], np.float64)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
     rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(Vn))
     C = Vn[rng.choice(len(Vn), n_centroids, replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(Vn @ C.T, axis=1)
@@ -375,8 +391,8 @@ def ivf_knn(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
-    nprobe: int = 8,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
@@ -384,12 +400,27 @@ def ivf_knn(
     cell; each query probes its ``nprobe`` nearest cells; exact cosine
     + top-k within probed cells only.
 
+    ``n_centroids=None`` picks :func:`auto_ivf_config` from the corpus
+    row count (one cheap parquet-metadata count) so the operating
+    point tracks corpus scale instead of silently degrading to
+    near-brute-force on big data; ``nprobe=None`` derives from
+    ``n_centroids`` the same way. Explicit values are honored as-is.
+
     The corpus-side shuffle key is the cell id (bounded, ~uniform under
     spherical k-means); scored pairs shrink by ~nprobe/n_centroids. An
     IVF-clustered corpus can also be *stored* sorted by cell id (one
     `zorder_write`-style range partition) so probes become partition-
     pruned scans.
     """
+    if n_centroids is None:
+        if centroids is not None:
+            n_centroids = len(centroids)
+        else:
+            n_centroids, auto_probe = auto_ivf_config(corpus.count())
+            nprobe = auto_probe if nprobe is None else nprobe
+    if nprobe is None:
+        nprobe = max(4, n_centroids // 8)
+    nprobe = min(nprobe, n_centroids)
     if centroids is None:
         centroids = train_centroids(
             corpus, n_centroids, vec_col, seed=seed)
@@ -430,7 +461,7 @@ def ivf_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
     mode: str = "overwrite",
@@ -441,10 +472,13 @@ def ivf_write(
     then reads only those partition directories — Spark's partition
     pruning turns each query into a scan of ~nprobe/n_centroids of the
     data with zero shuffle (tests assert ``PartitionFilters`` in the
-    plan). Returns the centroid matrix; persist it next to the data
-    and pass it back as ``centroids=`` for queries.
+    plan). ``n_centroids=None`` -> :func:`auto_ivf_config` sizing.
+    Returns the centroid matrix; persist it next to the data and pass
+    it back as ``centroids=`` for queries.
     """
     if centroids is None:
+        if n_centroids is None:
+            n_centroids, _ = auto_ivf_config(corpus.count())
         centroids = train_centroids(
             corpus, n_centroids, vec_col, seed=seed)
     assigned = corpus.select(

@@ -160,3 +160,38 @@ def test_normalize_quantize_fast_matches_column_form(emb):
         assert a[k][0] == b[k][0], f"quantized mismatch at {k}"
         assert all(abs(x - y) < 1e-12
                    for x, y in zip(a[k][1], b[k][1]))
+
+
+def test_auto_ivf_config_scales_with_corpus():
+    # ~sqrt(n), clamped; nprobe ~ nc/8 with a floor of 4
+    assert LS.auto_ivf_config(100) == (16, 4)
+    assert LS.auto_ivf_config(2000) == (45, 5)
+    assert LS.auto_ivf_config(20000) == (141, 17)
+    nc, npb = LS.auto_ivf_config(100_000_000_000)
+    assert nc == 4096 and npb == 512  # clamp holds at 100 TB scale
+
+
+def test_ivf_knn_adaptive_defaults(emb, queries_df, brute):
+    # defaults (no n_centroids/nprobe) must pick the auto config and
+    # still hit the recall bar; centroids= without n_centroids infers
+    # the codebook size from the matrix
+    ivf = LS.ivf_knn(emb, queries_df, k=10)
+    got = _topk_sets(ivf.collect())
+    exact = _topk_sets(brute)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.5, f"adaptive IVF recall {recall:.3f}"
+    C = LS.train_centroids(emb, 8)
+    again = LS.ivf_knn(emb, queries_df, k=10, centroids=C, nprobe=8)
+    # nprobe == len(C): exhaustive within assignment -> exact top-k
+    assert _topk_sets(again.collect()) == exact
+
+
+def test_train_centroids_clamps_to_sample():
+    # asking for more centroids than sample rows must not crash
+    from lindel_spark.session import get_spark
+    spark = get_spark("test-clamp")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(5)
+    C = LS.train_centroids(emb, 64)
+    assert C.shape[0] == 5
