@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None):
 # The correctness driver samples the first N registry entries per
 # round. Queries never yet driver-sampled (through r03) are surfaced
 # first so every family eventually gets a driver-recorded green row;
-# all 79 are locally hash-verified either way (tools/oracle_check.py).
+# every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
     "tpch_q6_forecast", "tpch_q4_priority", "tpch_q10_returned",
     "tpch_q14_promo", "tpch_q18_large_orders", "events_topk_users",
@@ -67,6 +67,10 @@ _SAMPLE_FIRST = [
     "dedup_minhash_estimate_quality", "events_step_durations",
     "profile_lineitem", "pipeline_dedup_splits",
     "streaming_first_seen", "knn_ivf_pipeline",
+    "tpch_q2_top_supplier_per_part", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q11_important_parts",
+    "tpch_q12_late_lines", "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
 ]
 
 
@@ -2737,4 +2741,472 @@ def q_knn_ivf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(corpus_rows, n_cand == n_expected, match, len(store_top))],
         "corpus_rows long, prune_exact boolean, "
         "store_matches_memory boolean, n_top long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 4): q2/q8/q9/q11/q12/q16/q20/q21 shapes.
+# The driver schema is simplified TPC-H (no partsupp; lineitem has no
+# shipmode/commitdate/receiptdate), so where the official query needs
+# a missing column these are "-style" adaptations — same join graph,
+# subquery shape, and physical strategy, driver-verified vs DuckDB.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q8_market_share",
+    """
+    WITH flat AS (
+      SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+             (l.l_extendedprice::DECIMAL(18,2))
+               * (1 - l.l_discount::DECIMAL(18,2)) AS volume,
+             n2.n_name AS nation
+      FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    )
+    SELECT o_year,
+           (SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)::DOUBLE)
+             / (SUM(volume)::DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: the deepest join graph in the
+    suite (8 tables). Every dimension (part, supplier, customer-side
+    nation+region, supplier-side nation) broadcasts, so the physical
+    plan is fact-table scans + broadcast hash joins with lineitem
+    shuffled at most for the orders join — no dimension shuffle at any
+    scale. Shares are exact-decimal sums divided as doubles so the
+    oracle is bit-comparable."""
+    rd = os.path.join
+    p = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "part.parquet"))
+        .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+                    .select("s_suppkey", "s_nationkey"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet")).filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59"))
+    c = spark.read.parquet(rd(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey")
+    nat = spark.read.parquet(rd(sf_dir, "nation.parquet"))
+    reg = spark.read.parquet(rd(sf_dir, "region.parquet"))
+    n1 = F.broadcast(
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cust_nkey")))
+    n2 = F.broadcast(nat.select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("nation")))
+    li = _lineitem(spark, sf_dir)
+    vol = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+    flat = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(n1, F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(n2, F.col("s_nationkey") == F.col("supp_nkey"))
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                vol.alias("volume"), "nation")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return flat.groupBy("o_year").agg(
+        (F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume"))
+               .otherwise(zero)).cast("double")
+         / F.sum("volume").cast("double")).alias("mkt_share"))
+
+
+@query(
+    "tpch_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+           SUM((l.l_extendedprice::DECIMAL(18,2))
+                 * (1 - l.l_discount::DECIMAL(18,2))
+               - (p.p_retailprice::DECIMAL(18,2))
+                 * (l.l_quantity::DECIMAL(18,2)))::DOUBLE AS profit
+    FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit. The official query prices
+    cost from partsupp.ps_supplycost (table absent here), so the
+    adaptation uses p_retailprice * quantity as the cost leg — the
+    join graph (part ⋈ lineitem ⋈ supplier ⋈ orders ⋈ nation) and
+    LIKE-filtered part dimension are faithful. part/supplier/nation
+    broadcast; only lineitem⋈orders shuffles."""
+    rd = os.path.join
+    p = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "part.parquet"))
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice"))
+    s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+                    .select("s_suppkey", "s_nationkey"))
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate")
+    nat = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "nation.parquet"))
+        .select(F.col("n_nationkey"), F.col("n_name").alias("nation")))
+    li = _lineitem(spark, sf_dir)
+    amount = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch_q12_late_lines",
+    """
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 60
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-priority split. The official query
+    groups by l_shipmode and defines "late" from commit/receipt dates
+    (columns absent here); the adaptation groups by l_returnflag and
+    defines late as shipped > 60 days after order date — the same
+    fact-fact join + conditional-aggregation shape. The date filter
+    reaches the lineitem parquet scan (predicate pushdown); the only
+    shuffle is the orderkey join."""
+    rd = os.path.join
+    o = spark.read.parquet(rd(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .filter(F.datediff("l_shipdate", "o_orderdate") > 60)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_top_supplier_per_part",
+    """
+    WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name
+      FROM part p
+        JOIN link k ON k.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = k.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size BETWEEN 10 AND 20
+    ), ranked AS (
+      SELECT *, MAX(s_acctbal) OVER (PARTITION BY p_partkey) AS best
+      FROM cand
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey::BIGINT AS p_partkey,
+           p_name
+    FROM ranked WHERE s_acctbal = best
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style best supplier per part. The official query picks
+    the min-ps_supplycost supplier from partsupp (absent); the
+    adaptation derives the part↔supplier relation from lineitem and
+    picks the max-acctbal European supplier per part — preserving the
+    correlated-aggregate shape, implemented Spark-style as a window
+    max over the candidate set instead of a rejoin. The distinct link
+    is a map-side-combined aggregate on (partkey, suppkey); all
+    dimensions broadcast."""
+    rd = os.path.join
+    li = _lineitem(spark, sf_dir)
+    link = li.select("l_partkey", "l_suppkey").distinct()
+    p = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "part.parquet"))
+        .filter(F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_name"))
+    nat = spark.read.parquet(rd(sf_dir, "nation.parquet"))
+    reg = spark.read.parquet(rd(sf_dir, "region.parquet"))
+    eu = F.broadcast(
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name"))
+    s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+                    .select("s_suppkey", "s_name", "s_acctbal",
+                            "s_nationkey"))
+    from pyspark.sql import Window
+
+    cand = (
+        link.join(p, link["l_partkey"] == p["p_partkey"])
+        .join(s, link["l_suppkey"] == s["s_suppkey"])
+        .join(eu, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("best", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("best"))
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("p_partkey").cast("long").alias("p_partkey"),
+                "p_name")
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l.l_partkey AS p_key,
+             SUM((l.l_quantity::DECIMAL(18,2))
+                 * (l.l_extendedprice::DECIMAL(18,2))) AS v
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    )
+    SELECT p_key::BIGINT AS p_key, v::DOUBLE AS value
+    FROM val
+    WHERE v::DOUBLE > (SELECT SUM(v)::DOUBLE FROM val)
+                        * (2.0 / (SELECT COUNT(*) FROM val))
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock. Official value is
+    ps_availqty * ps_supplycost over partsupp (absent); the adaptation
+    values each part by quantity*price shipped by NATION_3 suppliers.
+    The global-scalar-subquery HAVING is the point: Spark computes the
+    1-row total and cross-joins it (broadcast) — no second pass over
+    the fact table, and the per-part aggregate is reused for both
+    sides. The threshold is 2x the mean per-part value (TPC-H scales
+    its fraction by 1/SF for the same reason — a fixed fraction of the
+    total selects nothing as the part population grows). Sums are
+    exact decimals; the comparison happens in identical IEEE doubles
+    on both engines."""
+    rd = os.path.join
+    s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+                    .select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "nation.parquet"))
+        .filter(F.col("n_name") == "NATION_3").select("n_nationkey"))
+    li = _lineitem(spark, sf_dir)
+    v = (F.col("l_quantity").cast("decimal(18,2)")
+         * F.col("l_extendedprice").cast("decimal(18,2)"))
+    val = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(v).alias("v"))
+    )
+    total = val.agg(F.sum("v").cast("double").alias("__t"),
+                    F.count(F.lit(1)).alias("__n"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v").cast("double")
+                > F.col("__t") * (F.lit(2.0) / F.col("__n")))
+        .select(F.col("p_key").cast("long").alias("p_key"),
+                F.col("v").cast("double").alias("value"))
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    """
+    WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+           COUNT(DISTINCT k.l_suppkey)::BIGINT AS supplier_cnt
+    FROM link k JOIN part p ON p.p_partkey = k.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+      AND k.l_suppkey IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier count by part attributes. partsupp is
+    derived from lineitem's distinct (partkey, suppkey); the official
+    complaint-comment exclusion becomes an acctbal filter (no comment
+    column). NOT-IN-shaped exclusion runs as a broadcast semi-join;
+    COUNT(DISTINCT) shuffles once on the (brand, type, size) key."""
+    rd = os.path.join
+    li = _lineitem(spark, sf_dir)
+    link = li.select("l_partkey", "l_suppkey").distinct()
+    good = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+        .filter(F.col("s_acctbal") >= 0).select("s_suppkey"))
+    p = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "part.parquet"))
+        .filter((F.col("p_brand") != "Brand#1")
+                & ~F.col("p_type").like("PROMO%"))
+        .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (
+        link.join(good, link["l_suppkey"] == good["s_suppkey"], "leftsemi")
+        .join(p, link["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type",
+                 F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long")
+             .alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_promo_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity::DECIMAL(18,2)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+        AND l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM shipped sh
+      JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty > 50
+      AND n.n_regionkey IN
+            (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style promo-part suppliers: the nested semi-join
+    chain (parts by name → yearly shipped volume per supplier/part →
+    threshold → suppliers in a region). The official availqty
+    comparison needs partsupp; the shipped-quantity threshold keeps
+    the same two-level subquery shape. Part filter broadcasts as a
+    semi-join before the aggregation, so the groupBy only sees
+    promo-part lines."""
+    rd = os.path.join
+    promo = F.broadcast(
+        spark.read.parquet(rd(sf_dir, "part.parquet"))
+        .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    li = _lineitem(spark, sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    shipped = (
+        li.join(promo, li["l_partkey"] == promo["p_partkey"], "leftsemi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    nat = spark.read.parquet(rd(sf_dir, "nation.parquet"))
+    reg = spark.read.parquet(rd(sf_dir, "region.parquet"))
+    asia = F.broadcast(
+        nat.join(reg, nat["n_regionkey"] == reg["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name"))
+    s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+                    .select("s_suppkey", "s_name", "s_nationkey"))
+    return (
+        shipped.join(s, shipped["l_suppkey"] == s["s_suppkey"])
+        .join(asia, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name").distinct()
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH base AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey,
+             date_diff('day', o.o_orderdate, l.l_shipdate) > 60 AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base),
+    late_pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE late
+    )
+    SELECT s.s_name, COUNT(*)::BIGINT AS numwait
+    FROM late_pairs l1
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM pairs l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late_pairs l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style suppliers who kept orders waiting: the
+    EXISTS/NOT-EXISTS double-correlated pattern, expressed as a
+    semi-join (another supplier touched the order) plus an anti-join
+    (no *other* supplier was late). "Late" is shipped > 60 days after
+    order date (no receipt/commit dates in this schema). The pair
+    tables are distinct (orderkey, suppkey) — far smaller than
+    lineitem — and both correlations join on orderkey only, so each is
+    one co-partitioned shuffle; supplier broadcasts."""
+    rd = os.path.join
+    o = (spark.read.parquet(rd(sf_dir, "orders.parquet"))
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    base = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .select("l_orderkey", "l_suppkey",
+                (F.datediff("l_shipdate", "o_orderdate") > 60)
+                .alias("late"))
+        .distinct()
+    )
+    pairs = base.select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = (base.filter("late")
+                  .select("l_orderkey", "l_suppkey").distinct())
+    l1 = late_pairs.alias("l1")
+    l2 = pairs.alias("l2")
+    l3 = late_pairs.alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "leftsemi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "leftanti",
+    )
+    s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
+                    .select("s_suppkey", "s_name"))
+    return (
+        cand.join(s, F.col("l1.l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
