@@ -54,9 +54,13 @@ DEFAULT_MAX_HAMMING = 3
 
 
 def word_shingles(c: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
-    """Distinct word k-shingles of a text column (array<string>)."""
+    """Distinct word k-shingles of a text column (array<string>).
+
+    Documents shorter than ``k`` tokens yield an empty array —
+    guarded explicitly because Spark's ``sequence(1, n)`` runs
+    *descending* for n < 1, which would index out of bounds."""
     t = tokens(c)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (k - 1)),
             lambda i: F.concat_ws(
@@ -64,19 +68,24 @@ def word_shingles(c: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
             ),
         )
     )
+    return F.when(F.size(t) >= k, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def char_shingles(c: Column, n: int = DEFAULT_CHAR_NGRAM) -> Column:
     """Distinct character n-grams of a text column (array<string>).
 
     The n-gram-Jaccard dedup primitive: robust to word-boundary edits
-    that break word shingles (typo-level near-dups)."""
-    return F.array_distinct(
+    that break word shingles (typo-level near-dups). Strings shorter
+    than ``n`` yield an empty array (see :func:`word_shingles`)."""
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(c) - (n - 1)),
             lambda i: c.substr(i, F.lit(n)),
         )
     )
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def minhash_signature(shingles: Column,
@@ -442,3 +451,48 @@ def drop_near_duplicates(
     pairs = near_dup_pairs(df, text_col, id_col, **kwargs)
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_shared: int = 2,
+    max_bench_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: (train_id, bench_id, n_shared)
+    for every train/benchmark document pair sharing >= ``min_shared``
+    distinct word ``k``-shingles.
+
+    The decontamination step of a training pipeline: both sides
+    explode their distinct shingles and meet in a hash join on the
+    shingle string — candidate generation is keyed (never all-pairs),
+    and the per-pair aggregation shuffles (train_id, bench_id) keys
+    only for pairs that actually share a shingle. The benchmark side
+    is typically tiny; Spark broadcasts it when below the auto
+    threshold. ``max_bench_df`` drops shingles present in more than
+    that many benchmark docs (stop-shingle skew guard) before the
+    join — the same role as document-frequency caps in inverted
+    indexes.
+    """
+    def sh(df: DataFrame, name: str) -> DataFrame:
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias(name),
+            F.explode(word_shingles(F.col(text_col), k)).alias("sh"),
+        )
+
+    t, b = sh(train, "train_id"), sh(bench, "bench_id")
+    if max_bench_df is not None:
+        keep = (b.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= max_bench_df)
+                .select("sh"))
+        b = b.join(F.broadcast(keep), "sh")
+    return (
+        t.join(b, "sh")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -71,6 +71,8 @@ _SAMPLE_FIRST = [
     "tpch_q9_product_profit", "tpch_q11_important_parts",
     "tpch_q12_late_lines", "tpch_q16_supplier_cnt",
     "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
+    "text_repetition_signals", "pipeline_pack_sequences",
+    "dedup_contamination_check",
 ]
 
 
@@ -3210,3 +3212,104 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 pipeline additions: repetition quality, sequence packing,
+# benchmark decontamination.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_repetition_signals",
+    f"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, len(t)::BIGINT AS n_tokens,
+             CASE WHEN len(t) >= 2 THEN
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+             ELSE [] END AS g2,
+             CASE WHEN len(t) >= 5 THEN
+               list_transform(range(1, len(t) - 3),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                      || t[i+3] || ' ' || t[i+4])
+             ELSE [] END AS g5
+      FROM d
+    )
+    SELECT doc_id::BIGINT AS doc_id, n_tokens,
+           CASE WHEN len(g2) > 0 THEN
+             list_aggregate(list_transform(list_distinct(g2),
+               x -> len(list_filter(g2, y -> y = x))), 'max')::DOUBLE
+               / len(g2)::DOUBLE
+           ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(g5) > 0 THEN
+             1.0 - len(list_distinct(g5))::DOUBLE / len(g5)::DOUBLE
+           ELSE 0.0 END AS dup_5gram_frac
+    FROM g
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-bigram share, duplicate
+    5-gram share) as a map-only pass — see
+    :func:`lindel_spark.text.repetition_signals`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.repetition_signals(docs)
+
+
+@query(
+    "pipeline_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_DUCK_TOKS})::BIGINT AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id::BIGINT AS doc_id, source, n_tokens,
+           ((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // 2048)::BIGINT AS bin
+    FROM d
+    """,
+)
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window packing: contiguous fill into 2048-token bins
+    per source — one window (shuffle on source, sort by doc_id), see
+    :mod:`lindel_spark.packing`."""
+    from lindel_spark.packing import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source",
+        LT.token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(d, budget=2048)
+
+
+@query(
+    "dedup_contamination_check",
+    f"""
+    WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' '
+                    || t[i+6] || ' ' || t[i+7]))) AS s
+      FROM d WHERE len(t) >= 8
+    ),
+    be AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 17 = 0),
+    tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 17 <> 0)
+    SELECT tr.train_id::BIGINT AS train_id,
+           be.bench_id::BIGINT AS bench_id,
+           COUNT(*)::BIGINT AS n_shared
+    FROM tr JOIN be USING (s)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: train docs sharing >= 2 distinct word
+    8-shingles with a held-out benchmark slice (doc_id % 17 == 0
+    stands in for the benchmark set) — shingle-keyed hash join, never
+    all-pairs. See :func:`lindel_spark.dedup.contamination_pairs`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return LD.contamination_pairs(train, bench, k=8, min_shared=2)

@@ -275,3 +275,53 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals, one row per document.
+
+    * ``top_bigram_frac`` — share of bigram instances claimed by the
+      document's most frequent bigram (high = loopy/spammy text).
+    * ``dup_5gram_frac`` — share of 5-gram instances that are repeats
+      of an earlier 5-gram in the same document.
+
+    Pure per-row column algebra over token arrays (no explode, no
+    shuffle, whole-stage codegen) — the per-doc quadratic in
+    ``top_bigram_frac`` is distinct-bigrams x bigrams within one
+    document, bounded by document length, never corpus-sized. At
+    100 TB this is a map-only pass.
+    """
+    t = tokens(F.col(text_col))
+
+    def grams(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+
+    g2, g5 = grams(2), grams(5)
+    top2 = F.array_max(
+        F.transform(
+            F.array_distinct(g2),
+            lambda g: F.size(F.filter(g2, lambda x: x == g)),
+        )
+    )
+    top_frac = F.when(
+        F.size(t) >= 2,
+        top2.cast("double") / F.size(g2).cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup5 = F.when(
+        F.size(t) >= 5,
+        F.lit(1.0)
+        - F.size(F.array_distinct(g5)).cast("double")
+        / F.size(g5).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        top_frac.alias("top_bigram_frac"),
+        dup5.alias("dup_5gram_frac"),
+    )

@@ -1,0 +1,104 @@
+"""Round-4 pipeline operators: packing, repetition, contamination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import dedup as LD
+from lindel_spark import text as LT
+from lindel_spark.packing import pack_sequences
+from lindel_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-packing")
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    rows = [(i, "a", n) for i, n in enumerate([100, 100, 100, 50, 100])]
+    rows += [(10, "b", 250), (11, "b", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r.doc_id: r.bin for r in pack_sequences(df, budget=200).collect()}
+    # group a cumulative-before: 0,100,200,300,350 -> bins 0,0,1,1,1
+    assert [got[i] for i in range(5)] == [0, 0, 1, 1, 1]
+    # group b independent: 0,250 -> bins 0,1
+    assert (got[10], got[11]) == (0, 1)
+
+
+def test_pack_sequences_layout_invariant(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") % 13 + 1).alias("n_tokens"))
+    a = {(r.doc_id, r.bin) for r in pack_sequences(df, 32).collect()}
+    b = {(r.doc_id, r.bin)
+         for r in pack_sequences(df.repartition(7), 32).collect()}
+    assert a == b
+
+
+def test_pack_sequences_bin_capacity(spark):
+    # no bin's *starting offsets* exceed budget: every doc whose
+    # cumulative-before lands in bin k starts below (k+1)*budget
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source"),
+        (F.col("id") % 40 + 1).alias("n_tokens"))
+    out = pack_sequences(df, 100)
+    w_ok = out.withColumn(
+        "before",
+        F.sum("n_tokens").over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(-2**31, 0)) - F.col("n_tokens"))
+    bad = w_ok.filter(
+        (F.col("before") < F.col("bin") * 100)
+        | (F.col("before") >= (F.col("bin") + 1) * 100)).count()
+    assert bad == 0
+
+
+def test_repetition_signals_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: ab,ba,ab,ba,ab -> top 3/5
+            (2, "x y z w v u"),          # all bigrams unique -> 1/5
+            (3, "q q q q q q q q q q"),  # one bigram repeated; 5-grams all dup
+            (4, "one"),                  # too short for either signal
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in LT.repetition_signals(df).collect()}
+    assert abs(got[1].top_bigram_frac - 3 / 5) < 1e-15
+    assert abs(got[2].top_bigram_frac - 1 / 5) < 1e-15
+    assert got[2].dup_5gram_frac == 0.0
+    assert got[3].top_bigram_frac == 1.0
+    # 6 five-grams, all identical -> 1 - 1/6
+    assert abs(got[3].dup_5gram_frac - (1 - 1 / 6)) < 1e-15
+    assert got[4].top_bigram_frac == 0.0 and got[4].dup_5gram_frac == 0.0
+    assert got[4].n_tokens == 1
+
+
+def test_contamination_pairs_crafted(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, shared + " extra words here"),
+         (2, "totally different content with no overlap at all present")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, shared), (101, "another clean benchmark row of words only")],
+        "doc_id long, text string")
+    got = {(r.train_id, r.bench_id): r.n_shared
+           for r in LD.contamination_pairs(train, bench, k=8,
+                                           min_shared=2).collect()}
+    # "shared" has 10 tokens -> 3 distinct 8-shingles, all present in
+    # train doc 1 (its first 10 tokens are identical)
+    assert got == {(1, 100): 3}
+
+
+def test_contamination_max_bench_df_guard(spark):
+    stop = "the a of and to in is it on as"  # one hot shingle set
+    bench = spark.createDataFrame(
+        [(i, stop) for i in range(5)], "doc_id long, text string")
+    train = spark.createDataFrame([(1, stop)], "doc_id long, text string")
+    full = LD.contamination_pairs(train, bench, k=8, min_shared=1)
+    assert full.count() == 5
+    capped = LD.contamination_pairs(train, bench, k=8, min_shared=1,
+                                    max_bench_df=2)
+    assert capped.count() == 0  # shingles hit 5 bench docs > cap -> dropped
