@@ -161,3 +161,48 @@ def test_spatial_join_codegen_compiles(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert sizes, "expected codegen subtrees"
     assert all(0 < x < 65536 for x in sizes), f"codegen failed/fell back: {sizes}"
+
+
+def test_tpch_q8_dimensions_all_broadcast(spark):
+    """Q8's 8-table join graph must broadcast every dimension: no
+    SortMergeJoin anywhere except (at most) the lineitem⋈orders
+    fact-fact edge — at 100 TB a shuffled dimension join is the
+    difference between minutes and hours."""
+    from lindel_spark.queries import _REGISTRY
+
+    df = _REGISTRY["tpch_q8_market_share"][0](spark, SF_DIR)
+    p = plan_of(df)
+    assert p.count("BroadcastHashJoin") >= 5, p[:2000]
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q21_semi_anti_joins(spark):
+    """The EXISTS/NOT-EXISTS correlations must run as LeftSemi and
+    LeftAnti joins (never a join-then-distinct or a cartesian)."""
+    from lindel_spark.queries import _REGISTRY
+
+    df = _REGISTRY["tpch_q21_waiting_suppliers"][0](spark, SF_DIR)
+    p = plan_of(df)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Cartesian" not in p
+
+
+def test_contamination_no_cartesian(spark, docs):
+    """Decontamination must stay a shingle-keyed equi-join."""
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    p = plan_of(LD.contamination_pairs(train, bench))
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_pack_sequences_single_shuffle(spark, docs):
+    """Packing is one window: exactly one Exchange over the group
+    key feeding a sort — no extra repartitions."""
+    from lindel_spark.packing import pack_sequences
+
+    d = docs.select("doc_id", "source",
+                    LT.token_count(F.col("text")).alias("n_tokens"))
+    p = plan_of(pack_sequences(d, 2048))
+    # formatted mode prints each node twice (tree + detail): count the
+    # detail lines, which state the partitioning
+    assert p.count("Arguments: hashpartitioning") == 1, p[:2000]
