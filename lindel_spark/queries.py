@@ -72,7 +72,7 @@ _SAMPLE_FIRST = [
     "tpch_q12_late_lines", "tpch_q16_supplier_cnt",
     "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
     "text_repetition_signals", "pipeline_pack_sequences",
-    "dedup_contamination_check",
+    "dedup_contamination_check", "sampling_mixture", "text_scrub",
 ]
 
 
@@ -3313,3 +3313,92 @@ def q_dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 17 == 0)
     train = docs.filter(F.col("doc_id") % 17 != 0)
     return LD.contamination_pairs(train, bench, k=8, min_shared=2)
+
+
+@query(
+    "sampling_mixture",
+    """
+    WITH c AS (SELECT source, COUNT(*)::BIGINT AS n
+               FROM documents GROUP BY 1),
+    f AS (
+      SELECT d.doc_id, d.source,
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac,
+             CASE d.source
+               WHEN 'src1' THEN (5::DOUBLE / 10::DOUBLE)
+               WHEN 'src2' THEN (3::DOUBLE / 10::DOUBLE)
+               WHEN 'src3' THEN (2::DOUBLE / 10::DOUBLE)
+               ELSE NULL END AS w
+      FROM documents d
+    )
+    SELECT f.source, COUNT(*)::BIGINT AS n_kept
+    FROM f JOIN c ON c.source = f.source
+    WHERE f.w IS NOT NULL
+      AND f.frac < LEAST(1.0::DOUBLE, (30 * f.w) / c.n)
+    GROUP BY 1
+    """,
+)
+def q_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: draw ~30 docs at 50/30/20 across
+    src1/src2/src3 (other sources weight 0), content-deterministic —
+    see :func:`lindel_spark.sampling.mixture_sample`. The oracle
+    replays count → keep-fraction → hash threshold with the identical
+    IEEE expression order."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    kept = SMP.mixture_sample(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"),
+        "doc_id", "source", {"src1": 5, "src2": 3, "src3": 2},
+        total_rows=30)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"))
+
+
+@query(
+    "text_scrub",
+    """
+    WITH inj AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN text ||
+               ' see https://ex.com/a?b=1 or mail bob.smith@ex-corp.io now'
+             ELSE text END AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             regexp_replace(
+               regexp_replace(text, 'https?://[^ \t\n]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+               '<EMAIL>', 'g') AS cleaned
+      FROM inj
+    )
+    SELECT doc_id, cleaned,
+           ((len(cleaned) - len(replace(cleaned, '<URL>', ''))) / 5)::BIGINT
+             AS n_urls,
+           ((len(cleaned) - len(replace(cleaned, '<EMAIL>', ''))) / 7)::BIGINT
+             AS n_emails
+    FROM s
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/e-mail scrubbing (map-only regexp chain). Corpus text has
+    no links, so rows with doc_id % 10 == 0 get a deterministic
+    URL+e-mail suffix injected first — both engines then scrub it and
+    the full cleaned strings hash-compare, proving the Java and RE2
+    pattern semantics agree. See :func:`lindel_spark.text.scrub_text`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"), F.lit(
+            " see https://ex.com/a?b=1 or mail bob.smith@ex-corp.io now")),
+    ).otherwise(F.col("text"))
+    cleaned = LT.scrub_text(injected)
+    n_of = lambda tok, w: ((F.length(cleaned) - F.length(
+        F.replace(cleaned, F.lit(tok), F.lit("")))) / w).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        cleaned.alias("cleaned"),
+        n_of("<URL>", 5).alias("n_urls"),
+        n_of("<EMAIL>", 7).alias("n_emails"),
+    )

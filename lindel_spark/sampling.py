@@ -92,3 +92,35 @@ def stratified_deterministic_sample(
     thresh = (F.lit(float(default_fraction)) if thresh is None
               else thresh.otherwise(F.lit(float(default_fraction))))
     return df.filter(frac < thresh)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_weights: dict,
+    total_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: draw ~``total_rows``
+    rows distributed across strata per ``target_weights`` (normalized;
+    strata absent from the dict get weight 0).
+
+    The training-mixture step ("40% web, 30% code, ...") as pure
+    column algebra: per-stratum keep-fractions are target_share *
+    total / observed_count (capped at 1.0 — an under-represented
+    domain yields what it has), then rows keep iff their stable key
+    hash falls under the fraction. The only driver-side data is one
+    row per stratum (bounded by domain count, never corpus size);
+    row selection is content-deterministic under any layout.
+    """
+    total_w = float(sum(target_weights.values()))
+    counts = {r[0]: r[1]
+              for r in df.groupBy(strata_col).count().collect()}
+    fractions = {
+        s: min(1.0, total_rows * (w / total_w) / counts[s])
+        for s, w in target_weights.items() if s in counts
+    }
+    return stratified_deterministic_sample(
+        df, key_col, strata_col, fractions,
+        default_fraction=0.0, salt=salt)

@@ -325,3 +325,18 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         top_frac.alias("top_bigram_frac"),
         dup5.alias("dup_5gram_frac"),
     )
+
+
+# Scrub patterns restricted to syntax Java regex and RE2 share, so the
+# DuckDB oracle replays them verbatim.
+URL_PATTERN = "https?://[^ \\t\\n]+"
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+
+def scrub_text(c: Column, url_token: str = "<URL>",
+               email_token: str = "<EMAIL>") -> Column:
+    """Replace URLs and e-mail addresses with placeholder tokens — the
+    PII/link-scrub pass before tokenization. Pure ``regexp_replace``
+    chain (JVM codegen, map-only; Spark replaces all occurrences)."""
+    out = F.regexp_replace(c, URL_PATTERN, url_token)
+    return F.regexp_replace(out, EMAIL_PATTERN, email_token)

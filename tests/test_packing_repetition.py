@@ -102,3 +102,17 @@ def test_contamination_max_bench_df_guard(spark):
     capped = LD.contamination_pairs(train, bench, k=8, min_shared=1,
                                     max_bench_df=2)
     assert capped.count() == 0  # shingles hit 5 bench docs > cap -> dropped
+
+
+def test_scrub_text(spark):
+    df = spark.createDataFrame(
+        [(1, "visit https://x.io/p?q=2 and http://y.z/ now"),
+         (2, "mail a.b+c@d-e.fg or admin@site.org today"),
+         (3, "no links here at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.c for r in
+           df.select("doc_id", LT.scrub_text(F.col("text")).alias("c"))
+           .collect()}
+    assert got[1] == "visit <URL> and <URL> now"
+    assert got[2] == "mail <EMAIL> or <EMAIL> today"
+    assert got[3] == "no links here at all"

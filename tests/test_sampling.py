@@ -43,3 +43,41 @@ def test_stratified_sample_exact_and_stable(spark):
         df.repartition(5), "k", "s", {"0": 0.0, "1": 0.5},
         default_fraction=1.0).collect()}
     assert again == {r.k for r in rows}
+
+
+def test_mixture_sample_targets_and_determinism(spark):
+    from lindel_spark.sampling import mixture_sample
+    from pyspark.sql import functions as F
+
+    # skewed synthetic corpus: 600 web / 300 code / 100 math docs
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, "web")
+        .when(F.col("id") < 900, "code")
+        .otherwise("math").alias("source"))
+    kept = mixture_sample(docs, "doc_id", "source",
+                          {"web": 5, "code": 3, "math": 2}, 200)
+    counts = {r.source: r["count"] for r in
+              kept.groupBy("source").count().collect()}
+    assert set(counts) <= {"web", "code", "math"}  # weight-0 excluded
+    # targets 100/60/40 within sampling noise
+    assert 60 <= counts["web"] <= 140
+    assert 30 <= counts["code"] <= 95
+    assert 15 <= counts["math"] <= 70
+    again = {r.doc_id for r in
+             mixture_sample(docs.repartition(13), "doc_id", "source",
+                            {"web": 5, "code": 3, "math": 2},
+                            200).collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_mixture_sample_caps_overallocated_stratum(spark):
+    from lindel_spark.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "tiny" if i < 3 else "big") for i in range(100)],
+        "doc_id long, source string")
+    kept = mixture_sample(df, "doc_id", "source",
+                          {"tiny": 9, "big": 1}, 50)
+    c = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert c.get("tiny", 0) == 3  # fraction capped at 1.0: all 3 kept
