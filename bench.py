@@ -136,6 +136,16 @@ def main() -> None:
 
     _auto_nc, _auto_np = LS.auto_ivf_config(n_emb)
     _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
+    _pq_books = LS.train_pq(emb, m=8, ks=256)
+    _pq_codes = LS.pq_encode(emb, _pq_books).persist()
+    _pq_codes.count()  # codes are the *stored* representation
+
+    def q_knn_pq_refined(_):
+        # production shape: ADC scan over stored 8-byte codes, then
+        # exact re-score of top-80 candidates per query
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.pq_knn(_pq_codes, queries_df, _pq_books, k=10,
+                        refine_with=emb, refine=8))
 
     def q_knn_ivf_auto(_):
         # scale-correct operating point: n_centroids ~ sqrt(corpus),
@@ -177,6 +187,7 @@ def main() -> None:
         ("knn_ivf", q_knn_ivf, n_emb),
         ("knn_ivf_probe", q_knn_ivf_probe, n_emb),
         ("knn_ivf_auto", q_knn_ivf_auto, n_emb),
+        ("knn_pq_refined", q_knn_pq_refined, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),

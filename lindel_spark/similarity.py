@@ -602,3 +602,188 @@ def ann_knn(
         .select("query_id", "neighbor_id", "cos",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 32x-compressed codes + asymmetric distance
+# ---------------------------------------------------------------------------
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    vec_col: str = "embedding",
+    sample_limit: int = 65536,
+    iters: int = 10,
+    seed: int = DEFAULT_SEED,
+) -> np.ndarray:
+    """Product-quantization codebooks, shape (m, ks, dim/m).
+
+    Splits each L2-normalized vector into ``m`` subvectors and k-means
+    each subspace independently on a bounded driver-side sample
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" — the standard recipe: training needs a sample, never a
+    corpus pass). A 64-dim float32 vector (256 B) compresses to ``m``
+    one-byte codes — the tier that keeps a 100 TB embedding corpus's
+    scan volume down by ~32x.
+    """
+    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    V = np.array([r[0] for r in rows], np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    n, d = Vn.shape
+    if d % m:
+        raise ValueError(f"LINDEL: dim {d} not divisible by m={m}")
+    sub = d // m
+    ks = min(ks, n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks, sub))
+    for j in range(m):
+        X = Vn[:, j * sub:(j + 1) * sub]
+        C = X[rng.choice(n, ks, replace=False)].copy()
+        for _ in range(iters):
+            # ||x-c||^2 argmin == argmin(-2xC^T + ||c||^2)
+            assign = np.argmin(
+                -2.0 * (X @ C.T) + (C * C).sum(1)[None, :], axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            cnt = np.bincount(assign, minlength=ks)
+            C = np.where(cnt[:, None] > 0,
+                         sums / np.maximum(cnt, 1)[:, None], C)
+        books[j] = C
+    return books
+
+
+def _pq_codes_np(Vn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, m) int16 codes for pre-normalized vectors."""
+    m, ks, sub = books.shape
+    out = np.empty((Vn.shape[0], m), np.int16)
+    for j in range(m):
+        X = Vn[:, j * sub:(j + 1) * sub]
+        C = books[j]
+        out[:, j] = np.argmin(
+            -2.0 * (X @ C.T) + (C * C).sum(1)[None, :], axis=1)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<smallint>): each row's PQ code — the compressed
+    representation to *store* (32x smaller scans for ANN). One Arrow
+    pass, fully distributed; the codebook rides in the task closure."""
+    books = np.ascontiguousarray(codebooks)
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("code", T.ArrayType(T.ShortType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = _pq_codes_np(Vn, books)
+            yield pd.DataFrame({
+                "vec_id": pdf["__id"].to_numpy(np.int64),
+                "code": list(codes),
+            })
+
+    c = ensure_parallelism(df).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"))
+    return c.mapInPandas(run, out_schema)
+
+
+def pq_knn(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    refine_with: DataFrame | None = None,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over *stored PQ codes* by asymmetric distance
+    (ADC): each query precomputes an (m, ks) table of subspace dot
+    products against the codebooks driver-side, and scoring a corpus
+    row is ``m`` table lookups — no float vectors are read at scan
+    time. Per-batch local top-k keeps the shuffle at
+    batches x |Q| x k' rows, like :func:`brute_force_knn_fast`.
+
+    With ``refine_with`` (the original vector table), the top
+    ``refine * k`` ADC candidates per query are exactly re-scored
+    through one id-keyed join — the standard two-stage recipe that
+    recovers near-exact recall while still scanning only codes.
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], np.int64)
+    Q = np.array([np.asarray(r[1], np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    books = np.ascontiguousarray(codebooks)
+    m, ks, sub = books.shape
+    # T[q, j, c] = q_j . C_j[c]; flattened for one-gather scoring
+    Tq = np.einsum("qjs,jcs->qjc",
+                   Qn.reshape(len(Qn), m, sub), books)
+    T2 = np.ascontiguousarray(Tq.reshape(len(Qn), m * ks))
+    kk_out = k * refine if refine_with is not None else k
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = (np.arange(m) * ks).astype(np.int64)
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(np.int64)
+            codes_np = np.stack(
+                [np.asarray(c, np.int64) for c in pdf["__c"]])
+            idx = codes_np + offs[None, :]          # (rows, m)
+            S = T2[:, idx].sum(axis=2)              # (Q, rows)
+            self_mask = q_ids[:, None] == ids[None, :]
+            S[self_mask] = -np.inf
+            kk = min(kk_out, S.shape[1])
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+            qi = np.repeat(q_ids, kk)
+            ni = ids[top.ravel()]
+            sc = np.take_along_axis(S, top, axis=1).ravel()
+            keep = sc != -np.inf
+            yield pd.DataFrame({"query_id": qi[keep],
+                                "neighbor_id": ni[keep],
+                                "adc": sc[keep]})
+
+    c = ensure_parallelism(codes).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col("code").alias("__c"))
+    local = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    cand = (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk_out)
+            .drop("rank"))
+    if refine_with is None:
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc").alias("cos"),
+                        F.col("rank").cast("long").alias("rank")))
+    qdf = F.broadcast(queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv")))
+    vecs = refine_with.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"))
+    exact = (cand.join(vecs, "neighbor_id").join(qdf, "query_id")
+             .select("query_id", "neighbor_id",
+                     cosine_similarity(F.col("__qv"),
+                                       F.col("__cv")).alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("long").alias("rank")))

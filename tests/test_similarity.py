@@ -195,3 +195,34 @@ def test_train_centroids_clamps_to_sample():
         "/root/testdata/sf0.001/embeddings.parquet").limit(5)
     C = LS.train_centroids(emb, 64)
     assert C.shape[0] == 5
+
+
+def test_pq_roundtrip_and_recall(emb, queries_df, brute):
+    books = LS.train_pq(emb, m=8, ks=256)
+    assert books.shape[0] == 8 and books.shape[2] == 8  # 64-dim / 8
+    codes = LS.pq_encode(emb, books)
+    row = codes.first()
+    assert len(row.code) == 8 and all(0 <= c < 256 for c in row.code)
+    assert codes.count() == emb.count()
+    exact = _topk_sets(brute)
+    got = _topk_sets(
+        LS.pq_knn(codes, queries_df, books, k=10,
+                  refine_with=emb, refine=8).collect())
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.7, f"PQ refined recall {recall:.3f}"
+
+
+def test_pq_codes_deterministic_under_layout(emb):
+    books = LS.train_pq(emb, m=4, ks=32)
+    a = {r.vec_id: tuple(r.code)
+         for r in LS.pq_encode(emb, books).collect()}
+    b = {r.vec_id: tuple(r.code)
+         for r in LS.pq_encode(emb.repartition(11), books).collect()}
+    assert a == b
+
+
+def test_train_pq_rejects_bad_m(emb):
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not divisible"):
+        LS.train_pq(emb, m=7)
