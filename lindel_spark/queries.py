@@ -73,7 +73,7 @@ _SAMPLE_FIRST = [
     "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
     "text_repetition_signals", "pipeline_pack_sequences",
     "dedup_contamination_check", "sampling_mixture", "text_scrub",
-    "knn_pq_recall",
+    "knn_pq_recall", "pipeline_quality_filter",
 ]
 
 
@@ -3421,3 +3421,66 @@ def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = LS.pq_knn(codes, queries_df, books, k=10,
                        refine_with=emb, refine=8)
     return _recall_check(brute, approx, 0.7)
+
+
+@query(
+    "pipeline_quality_filter",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 5 THEN
+               list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+             ELSE [] END AS g5,
+             (CASE WHEN len(toks) BETWEEN 10 AND 10000
+                   THEN 1.0e0 ELSE 0.0e0 END) * 0.25e0
+             + (CASE WHEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                          / len(toks)::DOUBLE BETWEEN 2.0e0 AND 12.0e0
+                     THEN 1.0e0 ELSE 0.0e0 END) * 0.25e0
+             + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.25e0
+             + ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0e0)) * 0.25e0 AS quality
+      FROM d
+    ),
+    sig AS (
+      SELECT doc_id::BIGINT AS doc_id, quality,
+             CASE WHEN len(g2) > 0 THEN
+               list_aggregate(list_transform(list_distinct(g2),
+                 x -> len(list_filter(g2, y -> y = x))), 'max')::DOUBLE
+                 / len(g2)::DOUBLE
+             ELSE 0.0e0 END AS top_bigram_frac,
+             CASE WHEN len(g5) > 0 THEN
+               1.0e0 - len(list_distinct(g5))::DOUBLE / len(g5)::DOUBLE
+             ELSE 0.0e0 END AS dup_5gram_frac
+      FROM g
+    )
+    SELECT doc_id, quality, top_bigram_frac, dup_5gram_frac,
+           (quality >= 0.75e0 AND top_bigram_frac < 0.1e0
+            AND dup_5gram_frac < 0.1e0) AS keep
+    FROM sig
+    """,
+)
+def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-gate step of a training pipeline as ONE map-only
+    select — quality score, Gopher repetition signals, and the keep
+    decision computed per row with zero joins and zero shuffles (the
+    composable column forms make the composition free). At 100 TB this
+    is scan-bound."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    c = F.col("text")
+    q = LT.quality_score(c)
+    top2 = LT.top_ngram_frac(c, 2)
+    dup5 = LT.dup_ngram_frac(c, 5)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        q.alias("quality"),
+        top2.alias("top_bigram_frac"),
+        dup5.alias("dup_5gram_frac"),
+        ((q >= 0.75) & (top2 < 0.1) & (dup5 < 0.1)).alias("keep"),
+    )

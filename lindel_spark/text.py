@@ -292,39 +292,50 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     document, bounded by document length, never corpus-sized. At
     100 TB this is a map-only pass.
     """
-    t = tokens(F.col(text_col))
-
-    def grams(n: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(n)]
-            ),
-        )
-
-    g2, g5 = grams(2), grams(5)
-    top2 = F.array_max(
-        F.transform(
-            F.array_distinct(g2),
-            lambda g: F.size(F.filter(g2, lambda x: x == g)),
-        )
-    )
-    top_frac = F.when(
-        F.size(t) >= 2,
-        top2.cast("double") / F.size(g2).cast("double"),
-    ).otherwise(F.lit(0.0))
-    dup5 = F.when(
-        F.size(t) >= 5,
-        F.lit(1.0)
-        - F.size(F.array_distinct(g5)).cast("double")
-        / F.size(g5).cast("double"),
-    ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
-        top_frac.alias("top_bigram_frac"),
-        dup5.alias("dup_5gram_frac"),
+        top_ngram_frac(F.col(text_col), 2).alias("top_bigram_frac"),
+        dup_ngram_frac(F.col(text_col), 5).alias("dup_5gram_frac"),
     )
+
+
+def _token_grams(t: Column, n: int) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+
+
+def top_ngram_frac(c: Column, n: int = 2) -> Column:
+    """Share of n-gram instances claimed by the most frequent n-gram
+    of the document (composable column form; 0.0 below n tokens)."""
+    t = tokens(c)
+    g = _token_grams(t, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(g),
+            lambda x: F.size(F.filter(g, lambda y: y == x)),
+        )
+    )
+    return F.when(
+        F.size(t) >= n, top.cast("double") / F.size(g).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(c: Column, n: int = 5) -> Column:
+    """Share of n-gram instances that repeat an earlier n-gram of the
+    same document (composable column form; 0.0 below n tokens)."""
+    t = tokens(c)
+    g = _token_grams(t, n)
+    return F.when(
+        F.size(t) >= n,
+        F.lit(1.0)
+        - F.size(F.array_distinct(g)).cast("double")
+        / F.size(g).cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 # Scrub patterns restricted to syntax Java regex and RE2 share, so the
