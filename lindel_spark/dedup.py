@@ -496,3 +496,40 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    store: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a new batch against a persisted fingerprint store —
+    the daily-ingest shape: the historical corpus is never rescanned,
+    only its fingerprint column (16 bytes/doc) is read.
+
+    Returns ``(kept, new_fps)``: batch rows that are neither in the
+    store nor duplicated within the batch (min-id survivor), and the
+    fingerprints to append to the store for the next increment.
+    ``store`` is a DataFrame with a ``fingerprint`` column (pass
+    ``None`` on the first ever batch). Two shuffles: the within-batch
+    window and the anti-join, both keyed on the uniform md5 — at
+    100 TB the anti-join's store side is fingerprints only, and Spark
+    broadcasts it while it fits.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    first = (
+        batch.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if store is not None:
+        first = first.join(
+            store.select(F.col("fingerprint").alias("__fp")).distinct(),
+            "__fp", "left_anti")
+    kept = first.drop("__fp")
+    new_fps = first.select(F.col("__fp").alias("fingerprint"))
+    return kept, new_fps

@@ -74,6 +74,7 @@ _SAMPLE_FIRST = [
     "text_repetition_signals", "pipeline_pack_sequences",
     "dedup_contamination_check", "sampling_mixture", "text_scrub",
     "knn_pq_recall", "pipeline_quality_filter",
+    "dedup_incremental_batch",
 ]
 
 
@@ -3484,3 +3485,38 @@ def q_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup5.alias("dup_5gram_frac"),
         ((q >= 0.75) & (top2 < 0.1) & (dup5 < 0.1)).alias("keep"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    store AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+    batch AS (SELECT * FROM fp WHERE doc_id >= 250),
+    first_in_batch AS (
+      SELECT doc_id, f,
+             row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT b.doc_id::BIGINT AS doc_id
+    FROM first_in_batch b
+    WHERE b.rn = 1 AND NOT EXISTS
+          (SELECT 1 FROM store s WHERE s.f = b.f)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with id < 250 play the
+    historical fingerprint store; the rest arrive as a batch and keep
+    only rows new to both the store and the batch. See
+    :func:`lindel_spark.dedup.incremental_exact_dedup`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    prior = docs.filter(F.col("doc_id") < 250)
+    store = prior.select(
+        LT.doc_fingerprint(F.col("text")).alias("fingerprint"))
+    batch = docs.filter(F.col("doc_id") >= 250)
+    kept, _ = LD.incremental_exact_dedup(batch, store)
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"))

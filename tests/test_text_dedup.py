@@ -161,3 +161,26 @@ def test_winnow_shared_run_guarantee(spark):
     assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
     assert not (sets.get(3, set()) & sets[1])
     assert 4 not in sets  # < k tokens -> no fingerprints
+
+
+def test_incremental_exact_dedup(spark):
+    from lindel_spark import dedup as LD
+
+    prior = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string")
+    store = prior.select(
+        __import__("lindel_spark.text", fromlist=["doc_fingerprint"])
+        .doc_fingerprint(F.col("text")).alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [(10, "seen before"),      # dup of store -> dropped
+         (11, "brand new"),        # kept
+         (12, "brand new"),        # within-batch dup -> dropped
+         (13, "also new")],        # kept
+        "doc_id long, text string")
+    kept, new_fps = LD.incremental_exact_dedup(batch, store)
+    assert {r.doc_id for r in kept.collect()} == {11, 13}
+    assert new_fps.count() == 2
+    # first-ever batch: store=None keeps min-id per fingerprint
+    kept0, fps0 = LD.incremental_exact_dedup(batch, None)
+    assert {r.doc_id for r in kept0.collect()} == {10, 11, 13}
+    assert fps0.count() == 3
