@@ -42,6 +42,9 @@ def _noop(df) -> None:
 
 
 def main() -> None:
+    from lindel_spark.contract import assert_data_contract
+    assert_data_contract(SF_DIR)  # fail loudly on driver-layout drift
+
     from lindel_spark import dedup as LD
     from lindel_spark import functions as LF
     from lindel_spark import similarity as LS
@@ -100,10 +103,11 @@ def main() -> None:
 
     def q_asof(_):
         from lindel_spark.joins import asof_join
-        # events.parquet stores TIMESTAMP(NANOS): readable only as long
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        ev = ev.withColumn("tus", F.expr("ts div 1000"))
+        from lindel_spark.sources import load_events
+        # dual-schema loader: ts normalized to timestamp[us] whichever
+        # layout the generator wrote (see sources.load_events)
+        ev = load_events(spark, SF_DIR)
+        ev = ev.withColumn("tus", F.unix_micros("ts"))
         clicks = ev.filter(F.col("event_type") == "click").select(
             "event_id", "user_id", "tus")
         purch = (ev.filter(F.col("event_type") == "purchase")
@@ -163,11 +167,15 @@ def main() -> None:
         )
         _noop(spatial_range_join(pts, pts, ["x", "y"], ["x", "y"], 25.0))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    n_clicks = (
-        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        .filter(F.col("event_type") == "click").count()
-    )  # = asof result rows (one output row per left click)
+    from lindel_spark.sources import load_events_raw
+    try:
+        n_clicks = (
+            load_events_raw(spark, SF_DIR)
+            .filter(F.col("event_type") == "click").count()
+        )  # = asof result rows (one output row per left click)
+    except Exception as ex:
+        print(f"BENCH SETUP WARNING events: {ex}", file=sys.stderr)
+        n_clicks = -1
 
     scan_shaped = [
         ("hilbert_encode_i32x2", q_hilbert_i32, n_li),
@@ -196,32 +204,45 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     tmp = tempfile.mkdtemp(prefix="lindel_bench_")
     try:
         for name, fn, n in scan_shaped + write_shaped:
             # Isolate entries: operators that persist intermediates
             # (dedup signatures, winnow fps) must not carry cached
-            # blocks into the next entry's timings.
+            # blocks into the next entry's timings. Fault-isolate too:
+            # one broken query must never zero out the whole run's
+            # numbers (round-5 incident: an AnalysisException in one
+            # warmup produced an empty BENCH artifact).
             spark.catalog.clearCache()
-            fn(tmp)  # warmup: codegen compile + JIT outside the timings
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                fn(tmp)
-                times.append(time.perf_counter() - t0)
+            try:
+                fn(tmp)  # warmup: codegen compile + JIT off the clock
+                times = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(tmp)
+                    times.append(time.perf_counter() - t0)
+            except Exception as ex:
+                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                print(f"BENCH ERROR {name}: {errors[name]}",
+                      file=sys.stderr)
+                continue
             queries[name] = round(statistics.median(times), 4)
             rows[name] = n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    print(json.dumps({
+    out = {
         "metric": "bench_total",
         "value": round(sum(queries.values()), 4),
         "unit": "sec",
         "queries": queries,
         "sf": _sf(),
         "rows": rows,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

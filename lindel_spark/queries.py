@@ -937,17 +937,14 @@ _GAP_US = 30 * 60 * 1_000_000
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark reads only
-    as LongType (legacy conf). Rebuilding the instant from integer
-    nanos via timestamp_micros keeps every derived value absolute
-    (epoch math), so results are independent of the session timezone;
-    UTC is pinned anyway so F.window's epoch alignment is fixed."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # integer division: `/` would route epoch *nanos* (~1.7e18) through
-    # a double, which holds only 53 integer bits -> off-by-1-us values
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Events with ``ts`` as a UTC TIMESTAMP at microsecond precision,
+    whichever layout the generator wrote (legacy TIMESTAMP(NANOS)-as-
+    long or modern timestamp[us]) — see sources.load_events for the
+    dual-schema contract. Every derived value downstream is absolute
+    epoch math, so results are independent of the stored layout."""
+    from lindel_spark.sources import load_events
+
+    return load_events(spark, sf_dir)
 
 
 @query(
@@ -2162,10 +2159,12 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts — a single shuffle on user_id regardless of event volume
     (never a self-join per stage, which explodes at 100 TB).
 
-    Timestamps compare as raw integer nanos (`ts` pre-conversion) so
-    the oracle comparison is exact."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    Timestamps compare as raw stored values (`ts` pre-conversion: int
+    nanos or timestamp, same as the oracle's read of the same file) so
+    the comparison is exact at the stored precision."""
+    from lindel_spark.sources import load_events_raw
+
+    ev = load_events_raw(spark, sf_dir)
     firsts = ev.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts")))
         .alias("t_view"),
@@ -2657,9 +2656,10 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lindel_spark import streaming as ST
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from lindel_spark.sources import load_events_raw
+
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = load_events_raw(spark, path).schema
     # The streaming file source requires a *directory*; the test table
     # is a single file, so expose it through a symlinked temp dir.
     src_dir = tempfile.mkdtemp(prefix="lindel_fsrc_")
@@ -2774,7 +2774,8 @@ def q_knn_ivf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region r ON r.r_regionkey = n1.n_regionkey
         JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
       WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
-        AND o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1997-01-01'
     )
     SELECT o_year,
            (SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)::DOUBLE)
@@ -2797,7 +2798,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.broadcast(spark.read.parquet(rd(sf_dir, "supplier.parquet"))
                     .select("s_suppkey", "s_nationkey"))
     o = spark.read.parquet(rd(sf_dir, "orders.parquet")).filter(
-        F.col("o_orderdate").between("1995-01-01", "1996-12-31 23:59:59"))
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
     c = spark.read.parquet(rd(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_nationkey")
     nat = spark.read.parquet(rd(sf_dir, "nation.parquet"))

@@ -16,8 +16,78 @@ matching cluster-preserving sinks.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _read_events_any(spark: SparkSession, path: str):
+    """Read an events parquet under either historical ``ts`` layout.
+
+    The test-data generator has shipped ``ts`` two ways across rounds:
+    TIMESTAMP(NANOS) (which Spark can only read as LongType, behind the
+    ``nanosAsLong`` legacy conf) and plain ``timestamp[us]``. Probe the
+    footer by reading normally first; only when that fails (the NANOS
+    layout raises at schema resolution) enable the legacy conf. The
+    conf is deliberately NOT restored on that fallback path: the scan
+    is lazy, so the setting must outlive this function for the returned
+    DataFrame to stay executable. On the modern layout the conf is
+    never touched, so nothing leaks into the session.
+
+    Returns ``(df, ts_dtype)`` with the stored (unconverted) ``ts``.
+    """
+    try:
+        ev = spark.read.parquet(path)
+        dt = dict(ev.dtypes).get("ts")
+    except Exception:
+        ev, dt = None, None
+    if ev is None:
+        spark.conf.set(_NANOS_CONF, "true")
+        ev = spark.read.parquet(path)
+        dt = dict(ev.dtypes).get("ts")
+    return ev, dt
+
+
+def load_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Events with ``ts`` exactly as stored (bigint nanos under the
+    legacy layout, timestamp under the modern one). Use when only the
+    *ordering* of ``ts`` matters, or for schema discovery — raw values
+    compare consistently with an oracle reading the same file."""
+    if os.path.isdir(path) or not path.endswith(".parquet"):
+        path = os.path.join(path, "events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev, _ = _read_events_any(spark, path)
+    return ev
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events with ``ts`` normalized to TIMESTAMP at microsecond
+    precision regardless of the stored layout.
+
+    Legacy nanos-as-long: rebuild the instant with *integer* division
+    (``/`` would route epoch nanos ~1.7e18 through a double, which
+    holds only 53 integer bits — off-by-1-us corruption). Modern
+    ``timestamp[us]`` (possibly NTZ in the footer): a plain cast; the
+    session timezone is pinned UTC first, so the NTZ→TZ cast re-tags
+    the same wall-clock micros rather than shifting the instant, and
+    downstream ``F.window`` epoch alignment is fixed.
+    """
+    if os.path.isdir(path) or not path.endswith(".parquet"):
+        path = os.path.join(path, "events.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev, dt = _read_events_any(spark, path)
+    if dt == "bigint":
+        return ev.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt is not None and dt.startswith("timestamp"):
+        return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts: unsupported dtype {dt!r} in {path} — expected "
+        "bigint (legacy TIMESTAMP(NANOS) via nanosAsLong) or timestamp")
 
 
 def read_csv(

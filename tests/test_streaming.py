@@ -12,12 +12,9 @@ from lindel_spark import streaming as ST
 
 @pytest.fixture(scope="module")
 def events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    # integer division — `/` routes epoch nanos through a double (53
-    # integer bits), silently corrupting the low microsecond
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from lindel_spark.sources import load_events
+
+    return load_events(spark, "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")

@@ -63,9 +63,12 @@ def canon(df) -> tuple[int, str]:
 
 
 def main() -> int:
+    from lindel_spark.contract import assert_data_contract
     from lindel_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
+
+    assert_data_contract(SF_DIR)  # fail loudly on driver-layout drift
 
     argv = sys.argv[1:]
     json_out = None
