@@ -43,7 +43,9 @@ def _noop(df) -> None:
 
 def main() -> None:
     from lindel_spark.contract import assert_data_contract
-    assert_data_contract(SF_DIR)  # fail loudly on driver-layout drift
+    # fail loudly on driver-layout drift; allow_missing because derived
+    # scale-up dirs (.scale/sf1) carry only the benchmarked tables
+    assert_data_contract(SF_DIR, allow_missing=True)
 
     from lindel_spark import dedup as LD
     from lindel_spark import functions as LF

@@ -59,19 +59,31 @@ _EXPECTED: dict[str, dict[str, str | set[str]]] = {
 _EMBEDDING_DIM_MULTIPLE = 8
 
 
-def check_data_contract(sf_dir: str) -> list[str]:
+def check_data_contract(sf_dir: str, allow_missing: bool = False) -> list[str]:
     """Return a list of human-readable violations (empty == conforming).
 
     Footer-only reads except one 1-row batch of ``embeddings`` to
     check the array width assumption PQ/IVF rely on.
+
+    ``allow_missing=True`` skips absent tables instead of flagging them
+    — for derived datasets (e.g. the sf1 scale-up, which materializes
+    only the four benchmarked tables); present tables are still
+    dtype-checked. A ``table.parquet`` *directory* of part files (how
+    the scale-up writes) is probed via its first part.
     """
     import pyarrow.parquet as pq
 
     problems: list[str] = []
     for table, cols in _EXPECTED.items():
         path = os.path.join(sf_dir, f"{table}.parquet")
-        if not os.path.exists(path):
-            problems.append(f"{table}: missing file {path}")
+        if os.path.isdir(path):
+            parts = sorted(
+                p for p in os.listdir(path) if p.endswith(".parquet"))
+            if parts:
+                path = os.path.join(path, parts[0])
+        if not os.path.exists(path) or os.path.isdir(path):
+            if not allow_missing:
+                problems.append(f"{table}: missing file {path}")
             continue
         schema = pq.read_schema(path)
         observed = {f.name: str(f.type) for f in schema}
@@ -88,7 +100,11 @@ def check_data_contract(sf_dir: str) -> list[str]:
                     f"{sorted(accepted)} (observed schema: {observed})")
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.exists(emb_path):
+    if os.path.isdir(emb_path):
+        parts = sorted(
+            p for p in os.listdir(emb_path) if p.endswith(".parquet"))
+        emb_path = os.path.join(emb_path, parts[0]) if parts else emb_path
+    if os.path.isfile(emb_path):
         try:
             f = pq.ParquetFile(emb_path)
             batch = next(f.iter_batches(batch_size=1))
@@ -102,9 +118,9 @@ def check_data_contract(sf_dir: str) -> list[str]:
     return problems
 
 
-def assert_data_contract(sf_dir: str) -> None:
+def assert_data_contract(sf_dir: str, allow_missing: bool = False) -> None:
     """Raise AssertionError listing every violation, or return None."""
-    problems = check_data_contract(sf_dir)
+    problems = check_data_contract(sf_dir, allow_missing=allow_missing)
     if problems:
         raise AssertionError(
             "driver data at %s violates the query contract:\n  %s"

@@ -116,6 +116,13 @@ def main() -> int:
                 ok = sn == on and sh == oh
                 if not ok:
                     fails.append(name)
+                    dump = os.environ.get("ORACLE_DUMP_DIR")
+                    if dump:
+                        os.makedirs(dump, exist_ok=True)
+                        sdf.to_csv(os.path.join(dump, f"{name}.spark.csv"),
+                                   index=False)
+                        odf.to_csv(os.path.join(dump, f"{name}.oracle.csv"),
+                                   index=False)
                 results[name] = {
                     "rows_match": sn == on,
                     "schema_match": sorted(sdf.columns) == sorted(odf.columns),
