@@ -96,13 +96,71 @@ def minhash_signature(shingles: Column,
     deterministic minimum per seed — the classic integer minhash with
     the hash family replaced by seeded md5, which every engine computes
     identically (the oracle replays it in SQL).
+
+    Implemented as ONE nested higher-order function (outer transform
+    over the seed sequence, inner transform over the shingles), not as
+    ``num_hashes`` sibling ``array_min(transform(...))`` expressions in
+    one projection: the sibling form silently evaluates to md5 of the
+    wrong strings on Spark 4.1 (round-6 probe: values match no seeded
+    variant of the formula, flip between evaluations in long sessions,
+    and each piece is correct alone — an engine expression-analysis
+    bug, not a logic bug here). The nested form is verified
+    value-identical to a hashlib replay (tests/test_dedup_values.py).
+    Pipelines should still prefer :func:`minhash_signatures`, whose
+    explode+groupBy(min) plan partial-aggregates map-side.
     """
-    return F.array(*[
-        F.array_min(
-            F.transform(shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    id_col: str = "id",
+    sh_col: str = "sh",
+) -> DataFrame:
+    """Per-id MinHash signature columns ``_h0.._h{n-1}`` — value-
+    identical to :func:`minhash_signature` (same ``md5(seed || ':' ||
+    shingle)`` minima), computed as explode + groupBy(min) instead of
+    per-row lambda transforms.
+
+    Chosen as the pipeline default for two reasons. Robustness: no
+    higher-order-function lambdas at all, only plain md5/concat
+    expressions and ``min`` aggregates (see the Column form's
+    docstring for the sibling-lambda engine bug this dodges). Scale:
+    the explode is map-side and ``min`` is algebraic, so map-side
+    partial aggregation collapses the shuffle to at most one row per
+    id per map partition — the id-keyed shuffle moves signatures,
+    never shingles. Rows with empty shingle arrays vanish (explode of
+    []); callers guard short docs out first, same contract as the
+    Column form's null/empty behavior.
+    """
+    ex = sh.select(F.col(id_col).alias("id"), F.explode(sh_col).alias("_s"))
+    return ex.groupBy("id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_h{j}")
         for j in range(num_hashes)
     ])
+
+
+def band_key_columns(num_hashes: int = DEFAULT_NUM_HASHES,
+                     bands: int = DEFAULT_BANDS) -> list[Column]:
+    """Band keys over :func:`minhash_signatures` columns — one md5 per
+    contiguous signature band, identical values to
+    :func:`lsh_band_keys` on the array form."""
+    r = num_hashes // bands
+    return [
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"_h{b * r + i}") for i in range(r)]
+        ))
+        for b in range(bands)
+    ]
 
 
 def lsh_band_keys(sig: Column, bands: int = DEFAULT_BANDS,
@@ -201,12 +259,13 @@ def near_dup_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = sh.select(
-        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    )
+    # explode + groupBy(min) signature: value-identical to the lambda
+    # form but robust in degraded long-lived sessions (see
+    # minhash_signatures docstring) and map-side-combining at scale
+    sig = minhash_signatures(sh, num_hashes)
     bands_df = sig.select(
         "id",
-        F.posexplode(lsh_band_keys(F.col("sig"), bands, num_hashes)).alias(
+        F.posexplode(F.array(*band_key_columns(num_hashes, bands))).alias(
             "band_idx", "band_key"
         ),
     )

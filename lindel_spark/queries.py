@@ -2505,11 +2505,15 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the in-frame quality boolean."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     pairs = LD.near_dup_pairs(docs)  # (id_a, id_b, jaccard) exact
-    sigs = docs.select(
+    sh = docs.select(
         F.col("doc_id").cast("long").alias("id"),
-        LD.minhash_signature(
-            LD.word_shingles(F.col("text"))).alias("sig"),
-    ).filter(F.size("sig") > 0)
+        LD.word_shingles(F.col("text")).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sigs = LD.minhash_signatures(sh).select(
+        "id",
+        F.array(*[F.col(f"_h{j}")
+                  for j in range(LD.DEFAULT_NUM_HASHES)]).alias("sig"),
+    )
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     # zip_with + filter: fraction of agreeing minhash positions
@@ -2689,6 +2693,12 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.read.parquet(sink).cache()
     res.count()  # materialize before the tmp sink is reclaimed
     shutil.rmtree(cp, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    # the sink parquet must outlive this call (res is lazily re-read if
+    # its cached blocks are evicted) — reclaim it at interpreter exit
+    import atexit
+
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     return res
 
 
