@@ -229,9 +229,11 @@ def near_dup_pairs(
     pass e.g. ``k=5``), same signature/banding machinery.
 
     Plan shape (all shuffles keyed on uniform hashes or ids):
-      1. per-doc shingles → minhash signature → band keys   (no shuffle)
-      2. explode band keys; self-join on (band_idx, band_key)
-         with id_a < id_b; distinct                          (1 shuffle)
+      1. per-doc shingles → explode → groupBy(id) min-aggregate
+         signature (map-side partial agg: the shuffle moves one
+         signature row per id per map partition)             (1 shuffle)
+      2. band keys from signature columns; explode; self-join
+         on (band_idx, band_key) with id_a < id_b; distinct  (1 shuffle)
       3. join candidate pairs back to shingle sets by id;
          exact Jaccard on distinct-shingle arrays; filter    (2 shuffles)
 
