@@ -48,3 +48,52 @@ def pack_sequences(
     before = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn(
         "bin", F.floor(before / F.lit(budget)).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token chunks of at most
+    ``max_tokens`` tokens, consecutive chunks sharing ``overlap``
+    tokens of left context — the upstream complement of
+    :func:`pack_sequences` for docs longer than the training window.
+
+    Chunk ``i`` covers tokens ``[i*step, i*step + max_tokens)`` with
+    ``step = max_tokens - overlap``; the chunk count is
+    ``ceil((n_tokens - overlap) / step)`` (min 1, so short and even
+    empty docs yield exactly one chunk and no row is silently lost).
+    Output: ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    Scale: pure per-row column algebra — ``sequence`` + ``posexplode``
+    + ``slice``; zero shuffles, no window, no Python
+    (tests/test_plans.py asserts the no-Exchange plan). Output rows ≈
+    corpus tokens / step, produced map-side wherever the scan runs.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"LINDEL: overlap ({overlap}) must be < max_tokens "
+            f"({max_tokens})")
+    step = max_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+    )
+    chunked = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "_x"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * step + 1, max_tokens)
+    return chunked.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )

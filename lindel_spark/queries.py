@@ -3298,6 +3298,37 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             greatest(1, CAST(ceil((len(toks) - 4)::DOUBLE / 28) AS BIGINT))
+               AS nc
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks, unnest(range(nc)) AS ci FROM c
+    )
+    SELECT doc_id::BIGINT AS doc_id, ci::BIGINT AS chunk_id,
+           array_to_string(toks[ci*28+1 : ci*28+32], ' ') AS chunk_text,
+           len(toks[ci*28+1 : ci*28+32])::BIGINT AS n_chunk_tokens
+    FROM e
+    """,
+)
+def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversized-doc chunking for training windows: 32-token chunks
+    with 4 tokens of overlapped left context (step 28) — the upstream
+    complement of pack_sequences. Pure map-side sequence+posexplode+
+    slice, zero shuffles at any corpus size (plan-asserted in
+    tests/test_plans.py)."""
+    from lindel_spark.packing import chunk_documents
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return chunk_documents(docs, max_tokens=32, overlap=4)
+
+
+@query(
     "dedup_contamination_check",
     f"""
     WITH d AS (SELECT doc_id, {_DUCK_TOKS} AS t FROM documents),

@@ -116,3 +116,35 @@ def test_scrub_text(spark):
     assert got[1] == "visit <URL> and <URL> now"
     assert got[2] == "mail <EMAIL> or <EMAIL> today"
     assert got[3] == "no links here at all"
+
+
+def test_chunk_documents_semantics(spark):
+    from lindel_spark.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(11)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b"), (3, "")],
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_id): r
+            for r in chunk_documents(df, max_tokens=5, overlap=2).collect()}
+    # doc 1: 11 tokens, step 3 -> ceil(9/3)=3 chunks [0:5],[3:8],[6:11]
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3 t4"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6 t7"
+    assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9 t10"
+    assert rows[(1, 2)].n_chunk_tokens == 5
+    assert len([k for k in rows if k[0] == 1]) == 3
+    # short doc: one whole chunk
+    assert rows[(2, 0)].chunk_text == "a b"
+    assert rows[(2, 0)].n_chunk_tokens == 2
+    assert len([k for k in rows if k[0] == 2]) == 1
+    # empty doc: one empty chunk, not a lost row
+    assert rows[(3, 0)].chunk_text == "" and rows[(3, 0)].n_chunk_tokens == 0
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from lindel_spark.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)

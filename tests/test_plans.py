@@ -206,3 +206,26 @@ def test_pack_sequences_single_shuffle(spark, docs):
     # formatted mode prints each node twice (tree + detail): count the
     # detail lines, which state the partitioning
     assert p.count("Arguments: hashpartitioning") == 1, p[:2000]
+
+
+def test_chunk_documents_map_side_no_shuffle(spark, docs):
+    """Chunking is sequence+posexplode+slice — zero Exchanges, so it
+    runs wherever the scan runs at any corpus size."""
+    from lindel_spark.packing import chunk_documents
+
+    p = plan_of(chunk_documents(docs, max_tokens=32, overlap=4))
+    assert "Exchange" not in p, p[:2000]
+
+
+def test_minhash_signatures_partial_aggregation(spark, docs):
+    """The signature groupBy must partial-aggregate map-side (the
+    shuffle moves one signature row per id per map partition, never
+    exploded shingles)."""
+    from lindel_spark import dedup as LD
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        LD.word_shingles(F.col("text")).alias("sh"))
+    p = plan_of(LD.minhash_signatures(sh))
+    assert "partial_min" in p or "Partial" in p, p[:2000]
+    assert p.count("Arguments: hashpartitioning") == 1, p[:2000]
