@@ -3401,6 +3401,70 @@ def q_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sampling_upsampled_mixture",
+    """
+    WITH c AS (SELECT source, COUNT(*)::BIGINT AS n
+               FROM documents GROUP BY 1),
+    f AS (
+      SELECT d.doc_id, d.source,
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac,
+             CASE d.source
+               WHEN 'src1' THEN (150 * (3::DOUBLE / 4::DOUBLE)) / c.n
+               WHEN 'src2' THEN (150 * (1::DOUBLE / 4::DOUBLE)) / c.n
+               ELSE 0.0::DOUBLE END AS f
+      FROM documents d JOIN c ON c.source = d.source
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(f) AS BIGINT)
+               + CASE WHEN frac < f - floor(f) THEN 1 ELSE 0 END
+               AS n_copies
+      FROM f
+    )
+    SELECT doc_id::BIGINT AS doc_id, source,
+           unnest(range(n_copies))::BIGINT AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+)
+def q_sampling_upsampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style upsampling: src1 must supply 75% of a 150-row
+    mixture from only 25 docs (factor 4.5 → 4 full copies + a stable
+    half copy), src2 the remaining 25% (factor 1.5) — every emitted
+    (doc, copy_idx) replayed exactly by the oracle. See
+    :func:`lindel_spark.sampling.upsample_mixture`."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    up = SMP.upsample_mixture(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "source"),
+        "doc_id", "source", {"src1": 3, "src2": 1}, total_rows=150)
+    return up.select("doc_id", "source", F.col("copy_idx"))
+
+
+@query(
+    "sampling_shuffled_order",
+    """
+    SELECT doc_id::BIGINT AS doc_id,
+           md5(doc_id::VARCHAR || 'epoch0') AS shuffle_key
+    FROM documents
+    """,
+)
+def q_sampling_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: the md5 epoch key each row
+    sorts by (order itself is asserted in tests/test_sampling.py; the
+    driver compare is order-insensitive so the query checks the key
+    values). See :func:`lindel_spark.sampling.deterministic_shuffle`."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = SMP.deterministic_shuffle(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id")),
+        "doc_id", salt="epoch0")
+    return out.select("doc_id", "shuffle_key")
+
+
+@query(
     "text_scrub",
     """
     WITH inj AS (

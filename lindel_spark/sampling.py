@@ -124,3 +124,75 @@ def mixture_sample(
     return stratified_deterministic_sample(
         df, key_col, strata_col, fractions,
         default_fraction=0.0, salt=salt)
+
+
+def upsample_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_weights: dict,
+    total_rows: int,
+    salt: str = "",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Mixture sampling where a stratum's target may EXCEED its size:
+    epoch-style upsampling. A stratum needing ``f`` times its rows
+    emits ``floor(f)`` full copies plus a content-deterministic
+    partial copy of the remaining fraction — e.g. f = 2.3 duplicates
+    every row twice and keeps a stable 30% subset a third time.
+
+    Each emitted row carries ``out_col`` (0-based copy index) so a
+    downstream :func:`deterministic_shuffle` interleaves the copies
+    instead of streaming them back-to-back. Strata absent from
+    ``target_weights`` emit nothing.
+
+    Scale: one bounded ``groupBy().count().collect()`` (one row per
+    domain, never corpus-sized) to derive per-stratum factors; the
+    duplication itself is a map-side ``explode`` of a per-row
+    ``sequence`` — no shuffle, no driver data path.
+    """
+    total_w = float(sum(target_weights.values()))
+    counts = {r[0]: r[1]
+              for r in df.groupBy(strata_col).count().collect()}
+    factors = {
+        s: total_rows * (w / total_w) / counts[s]
+        for s, w in target_weights.items() if s in counts
+    }
+    f_col = None
+    for s, f in sorted(factors.items()):
+        cond = F.col(strata_col) == F.lit(s)
+        f_col = (F.when(cond, F.lit(float(f))) if f_col is None
+                 else f_col.when(cond, F.lit(float(f))))
+    f_col = F.lit(0.0) if f_col is None else f_col.otherwise(F.lit(0.0))
+    n_full = F.floor(f_col)
+    extra = (split_fraction(F.col(key_col), salt)
+             < (f_col - n_full)).cast("long")
+    n_copies = (n_full.cast("long") + extra)
+    # sequence(a, b) runs DESCENDING for b < a — guard the zero-copy
+    # case to an explicit empty array so explode drops the row
+    seq = F.when(
+        n_copies >= 1, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(out_col, F.explode(seq))
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "",
+    out_col: str = "shuffle_key",
+) -> DataFrame:
+    """Content-deterministic global training order: order by
+    ``md5(key || salt)`` — the same order on any cluster layout, any
+    engine, any day; ``salt`` derives independent epoch orders from
+    the same corpus.
+
+    ``orderBy`` executes as range-partition + per-partition sort (the
+    scalable global sort — no single-task bottleneck at any size);
+    writing the result one file per partition materializes the order
+    for sequential training readers. The sort key is kept as
+    ``out_col`` so the order is reconstructable and auditable after
+    any further layout change.
+    """
+    k = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return df.withColumn(out_col, k).orderBy(out_col)

@@ -81,3 +81,51 @@ def test_mixture_sample_caps_overallocated_stratum(spark):
                           {"tiny": 9, "big": 1}, 50)
     c = {r.source: r["count"] for r in kept.groupBy("source").count().collect()}
     assert c.get("tiny", 0) == 3  # fraction capped at 1.0: all 3 kept
+
+
+def test_upsample_mixture_copies_and_partial(spark):
+    from lindel_spark.sampling import split_fraction, upsample_mixture
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 10 else "cold") for i in range(100)],
+        "doc_id long, source string")
+    # hot: 10 rows must supply 25 -> factor 2.5; cold weight 0 -> dropped
+    up = upsample_mixture(df, "doc_id", "source", {"hot": 1}, 25)
+    rows = up.collect()
+    assert all(r.source == "hot" for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    fracs = {r.doc_id: r.f for r in df.filter(F.col("source") == "hot")
+             .select("doc_id",
+                     split_fraction(F.col("doc_id")).alias("f")).collect()}
+    for doc_id, idxs in per_doc.items():
+        want = 2 + (1 if fracs[doc_id] < 0.5 else 0)
+        assert sorted(idxs) == list(range(want)), (doc_id, idxs)
+    assert set(per_doc) == set(range(10))  # every hot doc kept
+    # stable under repartitioning
+    again = sorted((r.doc_id, r.copy_idx) for r in upsample_mixture(
+        df.repartition(7), "doc_id", "source", {"hot": 1}, 25).collect())
+    assert again == sorted((r.doc_id, r.copy_idx) for r in rows)
+
+
+def test_deterministic_shuffle_order_and_plan(spark):
+    from lindel_spark.sampling import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = deterministic_shuffle(df, "doc_id", salt="e1")
+    got = [r.doc_id for r in out.collect()]
+    assert got != sorted(got)  # actually shuffled
+    keys = [r.shuffle_key for r in out.collect()]
+    assert keys == sorted(keys)  # globally ordered by the epoch key
+    # different salt, different order; same salt, same order on any layout
+    other = [r.doc_id for r in
+             deterministic_shuffle(df, "doc_id", salt="e2").collect()]
+    assert other != got
+    again = [r.doc_id for r in deterministic_shuffle(
+        df.repartition(13), "doc_id", salt="e1").collect()]
+    assert again == got
+    # global sort must be a range partition, not a single-task sort
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
