@@ -3531,6 +3531,22 @@ def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(brute, approx, 0.7)
 
 
+@query("knn_ivfpq_recall", _N_QUERIES_ORACLE)
+def q_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS-IVFADC-shaped) ANN, self-checking: coarse cells
+    prune the scan to nprobe/n_centroids of the corpus AND the scan
+    reads 8-byte PQ codes (ADC) with exact refine — recall@10 vs
+    in-Spark brute force thresholded at 0.5 (near-random driver
+    embeddings are the IVF worst case; measured ~0.8 at sf0.01 with
+    half the cells probed)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.ivf_pq_knn(emb, queries_df, k=10, n_centroids=16,
+                           nprobe=8, refine_with=emb, refine=8)
+    return _recall_check(brute, approx, 0.5)
+
+
 @query(
     "pipeline_quality_filter",
     f"""

@@ -787,3 +787,168 @@ def pq_knn(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, code): the IVF-PQ *stored* representation — each
+    row's nearest coarse cell plus its PQ code, computed in one Arrow
+    pass (both codebooks ride in the task closure). Write it
+    ``partitionBy("cell")`` (as :func:`ivf_write` does for raw
+    vectors) and a probe becomes a partition-pruned scan of ~nprobe /
+    n_centroids of 8-byte codes — the canonical billion-scale ANN
+    storage layout (IVFADC, Jégou et al. 2011)."""
+    C = np.ascontiguousarray(centroids)
+    books = np.ascontiguousarray(codebooks)
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("code", T.ArrayType(T.ShortType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": pdf["__id"].to_numpy(np.int64),
+                "cell": np.argmax(Vn @ C.T, axis=1).astype(np.int32),
+                "code": list(_pq_codes_np(Vn, books)),
+            })
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__v"))
+    return c.mapInPandas(run, out_schema)
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    m: int = 8,
+    ks: int = 256,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+    refine_with: DataFrame | None = None,
+    refine: int = 4,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition that carries ANN to
+    billion-row corpora: the coarse quantizer prunes the scan to
+    ``nprobe`` cells per query AND the scan reads 8-byte PQ codes
+    instead of float vectors (ADC), so scan volume drops by
+    ~(nprobe/n_centroids) x 32 versus brute force.
+
+    Semantics are exact IVF-PQ (FAISS ``IVFADC``): a corpus row is
+    scored for a query only if its cell is among that query's probed
+    cells — enforced inside the Arrow batch as a (Q x rows) mask
+    gathered from a broadcast (Q x n_centroids) probe matrix, so no
+    per-(query, cell) join or shuffle exists at all. Per-batch local
+    top-k keeps the shuffle at batches x |Q| x k' rows; with
+    ``refine_with`` the survivors are exactly re-scored through one
+    id-keyed join (same two-stage recipe as :func:`pq_knn`).
+
+    Pass ``codes`` (from :func:`ivf_pq_encode`, possibly read back
+    from a cell-partitioned store) to skip encoding; training samples
+    are bounded driver-side as in :func:`train_centroids` /
+    :func:`train_pq`.
+    """
+    if n_centroids is None:
+        if centroids is not None:
+            n_centroids = len(centroids)
+        else:
+            n_centroids, auto_probe = auto_ivf_config(corpus.count())
+            nprobe = auto_probe if nprobe is None else nprobe
+    if nprobe is None:
+        nprobe = max(4, n_centroids // 8)
+    nprobe = min(nprobe, n_centroids)
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed=seed)
+    if codebooks is None:
+        codebooks = train_pq(corpus, m=m, ks=ks, vec_col=vec_col, seed=seed)
+    if codes is None:
+        codes = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], np.int64)
+    Q = np.array([np.asarray(r[1], np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    C = np.ascontiguousarray(centroids)
+    books = np.ascontiguousarray(codebooks)
+    m_, ks_, sub = books.shape
+    # probe matrix: P[q, cell] = query q probes that cell
+    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    P = np.zeros((len(Qn), len(C)), bool)
+    np.put_along_axis(P, order, True, axis=1)
+    Tq = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Qn), m_, sub), books)
+    T2 = np.ascontiguousarray(Tq.reshape(len(Qn), m_ * ks_))
+    kk_out = k * refine if refine_with is not None else k
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("adc", T.DoubleType()),
+    ])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = (np.arange(m_) * ks_).astype(np.int64)
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy(np.int64)
+            cells = pdf["__cell"].to_numpy(np.int64)
+            codes_np = np.stack(
+                [np.asarray(c, np.int64) for c in pdf["__c"]])
+            S = T2[:, codes_np + offs[None, :]].sum(axis=2)  # (Q, rows)
+            S[~P[:, cells]] = -np.inf                # unprobed cells
+            S[q_ids[:, None] == ids[None, :]] = -np.inf  # self
+            kk = min(kk_out, S.shape[1])
+            top = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            sc = np.take_along_axis(S, top, axis=1).ravel()
+            keep = sc != -np.inf
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, kk)[keep],
+                "neighbor_id": ids[top.ravel()][keep],
+                "adc": sc[keep],
+            })
+
+    c = ensure_parallelism(codes).select(
+        F.col("vec_id").cast("long").alias("__id"),
+        F.col("cell").alias("__cell"),
+        F.col("code").alias("__c"))
+    local = c.mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    cand = (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk_out).drop("rank"))
+    if refine_with is None:
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc").alias("cos"),
+                        F.col("rank").cast("long").alias("rank")))
+    qdf = F.broadcast(queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv")))
+    vecs = refine_with.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"))
+    exact = (cand.join(vecs, "neighbor_id").join(qdf, "query_id")
+             .select("query_id", "neighbor_id",
+                     cosine_similarity(F.col("__qv"),
+                                       F.col("__cv")).alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("long").alias("rank")))

@@ -226,3 +226,45 @@ def test_train_pq_rejects_bad_m(emb):
     import pytest as _pt
     with _pt.raises(ValueError, match="not divisible"):
         LS.train_pq(emb, m=7)
+
+
+def test_ivf_pq_full_probe_equals_plain_pq(spark, emb):
+    """Probing every cell reduces IVF-PQ to plain PQ exactly — same
+    codebooks, same refine, identical ranked output."""
+    from lindel_spark import similarity as LS
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    books = LS.train_pq(emb, m=8, ks=64)
+    cents = LS.train_centroids(emb, 8)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    full = LS.ivf_pq_knn(emb, q, k=5, centroids=cents, codebooks=books,
+                         codes=codes, nprobe=8, refine_with=emb, refine=4)
+    plain = LS.pq_knn(LS.pq_encode(emb, books), q, books, k=5,
+                      refine_with=emb, refine=4)
+    fs = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
+    ps = sorted((r.query_id, r.neighbor_id, r.rank) for r in plain.collect())
+    assert fs == ps and len(fs) > 0
+
+
+def test_ivf_pq_pruning_restricts_to_probed_cells(spark, emb):
+    """With nprobe=1 every returned neighbor must live in its query's
+    single probed cell (exact IVFADC semantics, not union-filtering)."""
+    import numpy as np
+    from lindel_spark import similarity as LS
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = LS.train_centroids(emb, 8)
+    books = LS.train_pq(emb, m=8, ks=64)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    got = LS.ivf_pq_knn(emb, q, k=5, centroids=cents, codebooks=books,
+                        codes=codes, nprobe=1)
+    cell_of = {r.vec_id: r.cell for r in codes.select("vec_id", "cell").collect()}
+    qrows = {r.vec_id: np.asarray(r.embedding, np.float64)
+             for r in q.collect()}
+    C = cents
+    for r in got.collect():
+        v = qrows[r.query_id]
+        probe = int(np.argmax((v / np.linalg.norm(v)) @ C.T))
+        assert cell_of[r.neighbor_id] == probe, r
