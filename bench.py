@@ -160,6 +160,19 @@ def main() -> None:
         _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=_auto_nc,
                          nprobe=_auto_np, centroids=_ivf_auto_centroids))
 
+    _ivfpq_codes = LS.ivf_pq_encode(
+        emb, _ivf_auto_centroids, _pq_books).persist()
+    _ivfpq_codes.count()  # cell+code table is the *stored* form
+
+    def q_knn_ivfpq_refined(_):
+        # cell pruning x code compression: scan nprobe cells of 8-byte
+        # codes, exact-refine survivors — the billion-scale shape
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.ivf_pq_knn(emb, queries_df, k=10,
+                            centroids=_ivf_auto_centroids,
+                            codebooks=_pq_books, codes=_ivfpq_codes,
+                            nprobe=_auto_np, refine_with=emb, refine=8))
+
     def q_spatial_join(_):
         from lindel_spark.joins import spatial_range_join
         pts = emb.select(
@@ -198,6 +211,7 @@ def main() -> None:
         ("knn_ivf_probe", q_knn_ivf_probe, n_emb),
         ("knn_ivf_auto", q_knn_ivf_auto, n_emb),
         ("knn_pq_refined", q_knn_pq_refined, n_emb),
+        ("knn_ivfpq_refined", q_knn_ivfpq_refined, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),
