@@ -74,7 +74,9 @@ _SAMPLE_FIRST = [
     "text_repetition_signals", "pipeline_pack_sequences",
     "dedup_contamination_check", "sampling_mixture", "text_scrub",
     "knn_pq_recall", "pipeline_quality_filter",
-    "dedup_incremental_batch",
+    "dedup_incremental_batch", "pipeline_chunk_documents",
+    "knn_ivfpq_recall", "sampling_upsampled_mixture",
+    "sampling_shuffled_order",
 ]
 
 
