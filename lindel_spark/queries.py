@@ -1227,6 +1227,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interval_join",
+    """
+    SELECT c.event_id::BIGINT AS click_id,
+           c.user_id::BIGINT AS user_id,
+           epoch_us(c.ts)::BIGINT AS click_us,
+           epoch_us(p.ts)::BIGINT AS purchase_us,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
+    """,
+)
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-interval join (every purchase in the 30 min before each
+    click, per user) — the batch face of streaming.interval_join,
+    whose watermarked stream-stream form runs the same operator with
+    bounded state (pytest replays streaming == batch)."""
+    from lindel_spark.streaming import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("click_id"),
+        F.col("user_id").cast("long").alias("user_id"), "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("long").alias("user_id"), "ts",
+        F.col("value").alias("purchase_value"))
+    j = interval_join(clicks, purchases, on="user_id",
+                      lookback="30 minutes")
+    return j.select(
+        "click_id", "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("ts_r").alias("purchase_us"),
+        "purchase_value")
+
+
+@query(
     "spatial_range_join",
     """
     WITH p AS (

@@ -181,6 +181,50 @@ def first_seen_dedup(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "30 minutes",
+    left_watermark: str | None = None,
+    right_watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream (or batch) event-interval join: pair each left
+    row with right rows of the same key whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the "click joined to purchases
+    in the last N minutes" shape.
+
+    On streams both sides need a watermark: Spark then bounds the join
+    state to the watermark horizon plus the interval and ages rows out
+    — the only way a stream-stream join is runnable indefinitely. The
+    time bound also keeps the *batch* plan from degenerating into an
+    unbounded per-key cross product: rows pair at most within the
+    lookback window, and the range predicate rides the equi-join on
+    the key. Semantics are identical batch vs streaming (pytest
+    replays the same data both ways).
+
+    Column naming: right-side ``on`` is dropped after the join; the
+    right timestamp is exposed as ``{right_ts}_r``; every other right
+    column keeps its name (callers select/alias before joining when
+    both sides share names).
+    """
+    if left_watermark is not None:
+        left = left.withWatermark(left_ts, left_watermark)
+    if right_watermark is not None:
+        right = right.withWatermark(right_ts, right_watermark)
+    r_ts_out = f"{right_ts}_r"
+    r = right.withColumnRenamed(right_ts, r_ts_out).withColumnRenamed(
+        on, f"__{on}_r")
+    cond = (
+        (left[on] == r[f"__{on}_r"])
+        & (r[r_ts_out] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (r[r_ts_out] <= left[left_ts])
+    )
+    return left.join(r, cond, "inner").drop(f"__{on}_r")
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

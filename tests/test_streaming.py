@@ -108,3 +108,42 @@ def test_first_seen_dedup_matches_batch(spark, events, stream_src):
     want = {(r.user_id, r.fp)
             for r in batch.dropDuplicates(["user_id", "fp"]).collect()}
     assert got == want and len(got) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, events, stream_src):
+    """Watermarked stream-stream interval join emits exactly the batch
+    pairs (clicks x purchases within the 30-minute lookback)."""
+    schema = events.schema
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts")
+        purch = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("pval"))
+        return clicks, purch
+
+    def src():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(stream_src))
+
+    clicks_s = sides(src())[0]
+    purch_s = sides(src())[1]
+    joined = ST.interval_join(
+        clicks_s, purch_s, on="user_id", lookback="30 minutes",
+        left_watermark="2 hours", right_watermark="2 hours")
+    q = (joined.select("click_id", "user_id",
+                       F.unix_micros("ts").alias("cus"),
+                       F.unix_micros("ts_r").alias("pus"), "pval")
+         .writeStream.outputMode("append")
+         .format("memory").queryName("ij_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ij_t").collect()}
+
+    bc, bp = sides(spark.read.parquet(stream_src))
+    want = {tuple(r) for r in ST.interval_join(
+        bc, bp, on="user_id", lookback="30 minutes")
+        .select("click_id", "user_id",
+                F.unix_micros("ts").alias("cus"),
+                F.unix_micros("ts_r").alias("pus"), "pval").collect()}
+    assert got == want and len(want) > 0
