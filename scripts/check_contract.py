@@ -52,8 +52,10 @@ def main():
     only = set(sys.argv[2:])
 
     import __spark_entry__ as E
+    from lindel_spark.contract import assert_data_contract
     from lindel_spark.session import get_spark
 
+    assert_data_contract(sf_dir)  # fail loudly on driver-layout drift
     spark = get_spark("contract-check", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
 
