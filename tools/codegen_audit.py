@@ -12,8 +12,11 @@ Usage: python tools/codegen_audit.py [query ...]
 """
 
 import importlib.util
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.001"
 
