@@ -696,6 +696,48 @@ def pq_encode(
     return c.mapInPandas(run, out_schema)
 
 
+def _adc_topk_or_refine(
+    local: DataFrame,
+    queries: DataFrame,
+    k: int,
+    kk_out: int,
+    refine_with: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the ADC scanners (:func:`pq_knn`,
+    :func:`ivf_pq_knn`): global top-``kk_out`` over the per-batch
+    candidates, then either emit ADC scores as-is or exactly re-score
+    the survivors through one id-keyed join against the original
+    vectors (broadcast query side)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc())
+    cand = (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= kk_out).drop("rank"))
+    if refine_with is None:
+        return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id",
+                        F.col("adc").alias("cos"),
+                        F.col("rank").cast("long").alias("rank")))
+    qdf = F.broadcast(queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv")))
+    vecs = refine_with.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"))
+    exact = (cand.join(vecs, "neighbor_id").join(qdf, "query_id")
+             .select("query_id", "neighbor_id",
+                     cosine_similarity(F.col("__qv"),
+                                       F.col("__cv")).alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("long").alias("rank")))
+
+
 def pq_knn(
     codes: DataFrame,
     queries: DataFrame,
@@ -760,33 +802,8 @@ def pq_knn(
         F.col(id_col).cast("long").alias("__id"),
         F.col("code").alias("__c"))
     local = c.mapInPandas(score, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc())
-    cand = (local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= kk_out)
-            .drop("rank"))
-    if refine_with is None:
-        return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id",
-                        F.col("adc").alias("cos"),
-                        F.col("rank").cast("long").alias("rank")))
-    qdf = F.broadcast(queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        F.col(vec_col).alias("__qv")))
-    vecs = refine_with.select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"))
-    exact = (cand.join(vecs, "neighbor_id").join(qdf, "query_id")
-             .select("query_id", "neighbor_id",
-                     cosine_similarity(F.col("__qv"),
-                                       F.col("__cv")).alias("cos")))
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (exact.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos",
-                    F.col("rank").cast("long").alias("rank")))
+    return _adc_topk_or_refine(local, queries, k, kk_out, refine_with,
+                               id_col, vec_col)
 
 
 def ivf_pq_encode(
@@ -926,29 +943,5 @@ def ivf_pq_knn(
         F.col("cell").alias("__cell"),
         F.col("code").alias("__c"))
     local = c.mapInPandas(score, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc())
-    cand = (local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= kk_out).drop("rank"))
-    if refine_with is None:
-        return (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select("query_id", "neighbor_id",
-                        F.col("adc").alias("cos"),
-                        F.col("rank").cast("long").alias("rank")))
-    qdf = F.broadcast(queries.select(
-        F.col(id_col).cast("long").alias("query_id"),
-        F.col(vec_col).alias("__qv")))
-    vecs = refine_with.select(
-        F.col(id_col).cast("long").alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"))
-    exact = (cand.join(vecs, "neighbor_id").join(qdf, "query_id")
-             .select("query_id", "neighbor_id",
-                     cosine_similarity(F.col("__qv"),
-                                       F.col("__cv")).alias("cos")))
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (exact.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos",
-                    F.col("rank").cast("long").alias("rank")))
+    return _adc_topk_or_refine(local, queries, k, kk_out, refine_with,
+                               id_col, vec_col)
