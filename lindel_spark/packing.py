@@ -30,19 +30,22 @@ def pack_sequences(
     budget: int,
     token_col: str = "n_tokens",
     group_col: str = "source",
-    order_col: str = "doc_id",
+    order_col: str | list[str] = "doc_id",
 ) -> DataFrame:
     """Assign each row a pack id: ``bin = floor(tokens_before / budget)``
-    within ``group_col``, ordered by ``order_col``.
+    within ``group_col``, ordered by ``order_col`` (a column name or a
+    list of names — e.g. ``["doc_id", "chunk_id"]`` when packing
+    chunked documents).
 
     Deterministic under any input partitioning (the window's
     shuffle+sort canonicalizes layout). One shuffle total. For a
     corpus with one giant group, pre-shard the group key first —
     within-group packing is sequential by construction.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     w = (
         Window.partitionBy(group_col)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     before = F.sum(token_col).over(w) - F.col(token_col)
@@ -55,7 +58,6 @@ def chunk_documents(
     max_tokens: int,
     overlap: int = 0,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Split each document into whitespace-token chunks of at most
     ``max_tokens`` tokens, consecutive chunks sharing ``overlap``
@@ -66,7 +68,10 @@ def chunk_documents(
     ``step = max_tokens - overlap``; the chunk count is
     ``ceil((n_tokens - overlap) / step)`` (min 1, so short and even
     empty docs yield exactly one chunk and no row is silently lost).
-    Output: ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``.
+    Output: every input column except ``text_col`` (metadata like
+    ``source`` rides along onto each chunk row, so downstream mixture
+    / packing groups still work), plus ``(chunk_id, chunk_text,
+    n_chunk_tokens)``.
 
     Scale: pure per-row column algebra — ``sequence`` + ``posexplode``
     + ``slice``; zero shuffles, no window, no Python
@@ -84,15 +89,16 @@ def chunk_documents(
         F.lit(1),
         F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
     )
+    carry = [c for c in df.columns if c != text_col]
     chunked = df.select(
-        F.col(id_col),
+        *carry,
         toks.alias("__toks"),
         F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("chunk_id", "_x"),
     )
     piece = F.slice(
         F.col("__toks"), F.col("chunk_id") * step + 1, max_tokens)
     return chunked.select(
-        id_col,
+        *carry,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),

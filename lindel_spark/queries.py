@@ -3364,7 +3364,9 @@ def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lindel_spark.packing import chunk_documents
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return chunk_documents(docs, max_tokens=32, overlap=4)
+    return chunk_documents(docs, max_tokens=32, overlap=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id", "chunk_text", "n_chunk_tokens")
 
 
 @query(

@@ -141,6 +141,20 @@ def test_chunk_documents_semantics(spark):
     assert rows[(3, 0)].chunk_text == "" and rows[(3, 0)].n_chunk_tokens == 0
 
 
+def test_chunk_documents_carries_metadata_columns(spark):
+    """Non-text columns ride onto every chunk row, so downstream
+    mixture/packing groups (source, lang, ...) keep working."""
+    from lindel_spark.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "web", " ".join(f"t{i}" for i in range(7)))],
+        "doc_id long, source string, text string")
+    rows = chunk_documents(df, max_tokens=3, overlap=0).collect()
+    assert len(rows) == 3
+    assert all(r.source == "web" and r.doc_id == 1 for r in rows)
+    assert "text" not in rows[0].asDict()
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     from lindel_spark.packing import chunk_documents
 
