@@ -1227,6 +1227,47 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gapfilled_rollup",
+    """
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*)::BIGINT AS n,
+             SUM(value::DECIMAL(18,2)) AS sv
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM r GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM b
+    )
+    SELECT s.event_type,
+           epoch_us(s.h)::BIGINT AS bucket_us,
+           COALESCE(r.n, 0)::BIGINT AS n_events,
+           (r.n IS NULL) AS gap_filled,
+           CAST(last_value(r.sv IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_value_locf
+    FROM spine s LEFT JOIN r ON r.event_type = s.event_type AND r.h = s.h
+    """,
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filled hourly rollup: dense per-type time
+    spine, zero-filled missing hours, value sum carried forward — see
+    :func:`lindel_spark.streaming.gapfill_rollup` (the sf0.01 events
+    have ~40-55 empty hours per type, so the fill path is exercised)."""
+    from lindel_spark.streaming import gapfill_rollup
+
+    ev = _events(spark, sf_dir)
+    out = gapfill_rollup(ev, window="1 hour")
+    return out.select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n_events", "gap_filled", "sum_value_locf")
+
+
+@query(
     "events_interval_join",
     """
     SELECT c.event_id::BIGINT AS click_id,

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -178,6 +178,60 @@ def first_seen_dedup(
     return stream_df.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         getattr(GroupStateTimeout, timeout),
+    )
+
+
+def gapfill_rollup(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense per-key time-bucket rollup: every bucket between a key's
+    first and last event exists in the output — missing buckets carry
+    ``n_events = 0``, ``gap_filled = true``, and the value sum of the
+    most recent preceding non-empty bucket (last-observation-carried-
+    forward). The hypertable-style gap-filled aggregate (continuous
+    charts, rate baselines) that a plain groupBy cannot produce.
+
+    Plan: one rollup shuffle on (key, bucket); per-key bounds are a
+    tiny re-aggregation of the rolled output (keys × 1 row); the dense
+    spine is a map-side ``sequence``/``explode`` off those bounds
+    (spine length = key's time span / grain, never raw-event-sized);
+    one (key, bucket)-keyed left join back; LOCF is a single ordered
+    window per key. Batch-only: the spine needs each key's closed
+    [min, max] bucket range, which an unbounded stream cannot know —
+    on streams use :func:`windowed_rollup` and gap-fill downstream.
+    """
+    bucket = F.window(F.col(ts_col), window)["start"]
+    rolled = (
+        df.groupBy(bucket.alias("bucket"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__sv"),
+        )
+    )
+    bounds = rolled.groupBy(key_col).agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+    spine = bounds.select(
+        key_col,
+        F.explode(F.sequence(
+            F.col("__mn"), F.col("__mx"), F.expr(f"interval {window}")
+        )).alias("bucket"),
+    )
+    joined = spine.join(rolled, [key_col, "bucket"], "left")
+    w = (
+        Window.partitionBy(key_col).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        key_col,
+        F.col("bucket"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("__n").isNull().alias("gap_filled"),
+        F.last("__sv", ignorenulls=True).over(w).cast("double")
+        .alias("sum_value_locf"),
     )
 
 

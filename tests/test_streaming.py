@@ -147,3 +147,30 @@ def test_interval_join_stream_matches_batch(spark, events, stream_src):
                 F.unix_micros("ts").alias("cus"),
                 F.unix_micros("ts_r").alias("pus"), "pval").collect()}
     assert got == want and len(want) > 0
+
+
+def test_gapfill_rollup_semantics(spark):
+    """Missing buckets appear zero-filled with LOCF values; present
+    buckets keep their own sums."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 1.0),
+         ("2024-01-01 00:20:00", "a", 2.0),
+         # hour 01 and 02 empty for "a"
+         ("2024-01-01 03:40:00", "a", 5.0),
+         ("2024-01-01 02:00:00", "b", 7.0)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {(r.event_type, str(r.bucket)): r
+            for r in ST.gapfill_rollup(df, window="1 hour").collect()}
+    a0 = rows[("a", "2024-01-01 00:00:00")]
+    a1 = rows[("a", "2024-01-01 01:00:00")]
+    a2 = rows[("a", "2024-01-01 02:00:00")]
+    a3 = rows[("a", "2024-01-01 03:00:00")]
+    assert (a0.n_events, a0.gap_filled, a0.sum_value_locf) == (2, False, 3.0)
+    assert (a1.n_events, a1.gap_filled, a1.sum_value_locf) == (0, True, 3.0)
+    assert (a2.n_events, a2.gap_filled, a2.sum_value_locf) == (0, True, 3.0)
+    assert (a3.n_events, a3.gap_filled, a3.sum_value_locf) == (1, False, 5.0)
+    # key "b" spans a single bucket: no fill rows, own value
+    assert len([k for k in rows if k[0] == "b"]) == 1
+    b2 = rows[("b", "2024-01-01 02:00:00")]
+    assert (b2.n_events, b2.gap_filled, b2.sum_value_locf) == (1, False, 7.0)
