@@ -195,14 +195,17 @@ def gapfill_rollup(
     forward). The hypertable-style gap-filled aggregate (continuous
     charts, rate baselines) that a plain groupBy cannot produce.
 
-    Plan: one rollup shuffle on (key, bucket); per-key bounds are a
-    tiny re-aggregation of the rolled output (keys × 1 row); the dense
-    spine is a map-side ``sequence``/``explode`` off those bounds
-    (spine length = key's time span / grain, never raw-event-sized);
-    one (key, bucket)-keyed left join back; LOCF is a single ordered
-    window per key. Batch-only: the spine needs each key's closed
-    [min, max] bucket range, which an unbounded stream cannot know —
-    on streams use :func:`windowed_rollup` and gap-fill downstream.
+    Plan — one pass over the raw events: rollup shuffle on (key,
+    bucket), then ONE per-key aggregation that carries min/max bounds
+    AND a bucket→aggregate map (per-key payload = span/grain entries —
+    bounded by the time span, never by event count); the dense spine
+    is a map-side ``sequence``/``explode`` with in-row map lookups, so
+    no second base scan and no spine join exist at all (a naive
+    bounds-then-join formulation recomputes the whole rollup lineage
+    twice). LOCF is a single ordered window per key. Batch-only: the
+    spine needs each key's closed [min, max] bucket range, which an
+    unbounded stream cannot know — on streams use
+    :func:`windowed_rollup` and gap-fill downstream.
     """
     bucket = F.window(F.col(ts_col), window)["start"]
     rolled = (
@@ -212,25 +215,34 @@ def gapfill_rollup(
             F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__sv"),
         )
     )
-    bounds = rolled.groupBy(key_col).agg(
-        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
-    spine = bounds.select(
+    per_key = rolled.groupBy(key_col).agg(
+        F.min("bucket").alias("__mn"),
+        F.max("bucket").alias("__mx"),
+        F.map_from_entries(
+            F.collect_list(F.struct(
+                F.col("bucket"),
+                F.struct(F.col("__n"), F.col("__sv")),
+            ))
+        ).alias("__m"),
+    )
+    dense = per_key.select(
         key_col,
         F.explode(F.sequence(
             F.col("__mn"), F.col("__mx"), F.expr(f"interval {window}")
         )).alias("bucket"),
+        F.col("__m")[F.col("bucket")].alias("__v"),
     )
-    joined = spine.join(rolled, [key_col, "bucket"], "left")
     w = (
         Window.partitionBy(key_col).orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.select(
+    return dense.select(
         key_col,
         F.col("bucket"),
-        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_events"),
-        F.col("__n").isNull().alias("gap_filled"),
-        F.last("__sv", ignorenulls=True).over(w).cast("double")
+        F.coalesce(F.col("__v.__n"), F.lit(0)).cast("long")
+        .alias("n_events"),
+        F.col("__v").isNull().alias("gap_filled"),
+        F.last(F.col("__v.__sv"), ignorenulls=True).over(w).cast("double")
         .alias("sum_value_locf"),
     )
 

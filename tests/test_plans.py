@@ -229,3 +229,15 @@ def test_minhash_signatures_partial_aggregation(spark, docs):
     p = plan_of(LD.minhash_signatures(sh))
     assert "partial_min" in p or "Partial" in p, p[:2000]
     assert p.count("Arguments: hashpartitioning") == 1, p[:2000]
+
+
+def test_gapfill_rollup_single_base_scan(spark):
+    """The dense spine must come from the per-key aggregate's own
+    bounds+map — never a second scan of the raw events (a naive
+    bounds-then-join recomputes the whole rollup lineage twice)."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.streaming import gapfill_rollup
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    p = plan_of(gapfill_rollup(ev))
+    assert p.count("events.parquet") <= 1, p[:2000]
