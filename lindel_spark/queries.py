@@ -726,14 +726,28 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.near_dup_pairs(docs, k=LD.DEFAULT_CHAR_NGRAM, shingles="char")
 
 
+#: Cap on the exact ground-truth sample inside ``dedup_embedding_cosine``.
+#: The *operator* under test is LSH-banded (never all-pairs); only the
+#: verification needs exact pairs, and an expected-size-2k md5-fraction
+#: sample keeps that stage broadcastable at any corpus size instead of
+#: an O(n^2) full crossJoin that would be unrunnable at sf1+.
+_EMB_GT_SAMPLE_CAP = 2000
+
+
 @query(
     "dedup_embedding_cosine",
-    """
+    f"""
     WITH e AS (
       SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT id, v FROM e
+      WHERE ('0x' || substr(md5(id::VARCHAR || 'embgt'), 1, 15))::BIGINT
+              / 1152921504606846976.0
+            < least(1.0, {float(_EMB_GT_SAMPLE_CAP)}
+                           / greatest(1, (SELECT COUNT(*) FROM e)))
     )
     SELECT COUNT(*)::BIGINT AS n_true_pairs, true AS recall_ok
-    FROM e a JOIN e b ON a.id < b.id
+    FROM s a JOIN s b ON a.id < b.id
     WHERE list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))) >= 0.4
@@ -741,18 +755,27 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup via SimHash-banded self-join —
-    self-checking: emits the exact ground-truth pair count (Spark brute
-    force; the sequential fold is bit-identical to DuckDB's
-    list_dot_product, so the count hash-matches the quadratic oracle)
+    self-checking: emits the exact ground-truth pair count over a
+    deterministic md5-fraction sample (expected size
+    ``_EMB_GT_SAMPLE_CAP``, so the exact stage stays broadcastable at
+    any corpus size; the sequential fold is bit-identical to DuckDB's
+    list_dot_product, so the count hash-matches the sampled oracle)
     plus a recall_ok >= 0.8 boolean for the LSH pipeline against it."""
+    from lindel_spark.sampling import split_fraction
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     found = LS.embedding_near_dup_pairs(emb, threshold=0.4).select(
         "id_a", "id_b", F.lit(1).alias("hit"))
     e = emb.select(F.col("vec_id").cast("long").alias("id"),
                    F.col("embedding").alias("v"))
-    a, b = e.alias("a"), e.alias("b")
+    # one driver-side scalar: the corpus count that sets the sample rate
+    thresh = min(1.0, float(_EMB_GT_SAMPLE_CAP) / max(1, e.count()))
+    s = e.filter(split_fraction(F.col("id"), "embgt") < F.lit(thresh))
+    a, b = s.alias("a"), s.alias("b")
     true_pairs = (
-        a.crossJoin(b)
+        # bounded-sample exact pass: broadcast of an expected-2k-row
+        # side (BroadcastNestedLoopJoin), never a full-corpus cartesian
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 LS.cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos"))

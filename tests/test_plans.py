@@ -18,6 +18,7 @@ from lindel_spark import functions as LF
 from lindel_spark import similarity as LS
 from lindel_spark import text as LT
 from lindel_spark.joins import asof_join, spatial_range_join
+from lindel_spark.queries import q_dedup_embedding
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -94,6 +95,7 @@ def test_bucketed_joins_never_cartesian(spark, docs):
         "spatial": plan_of(spatial_range_join(
             pts, pts, ["x", "y"], ["x", "y"], 25.0)),
         "emb_near_dup": plan_of(LS.embedding_near_dup_pairs(emb, 0.4)),
+        "emb_gt_query": plan_of(q_dedup_embedding(spark, SF_DIR)),
     }
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
@@ -103,6 +105,13 @@ def test_bucketed_joins_never_cartesian(spark, docs):
             # dim) — the codegen-friendly form of the 3x3 probe explode
             assert ("BroadcastNestedLoopJoin" not in p
                     or "LocalTableScan" in p), name
+        elif name == "emb_gt_query":
+            # the exact ground-truth stage is a *broadcast* of a
+            # deterministic md5-fraction sample (expected <= 2k rows) —
+            # a BroadcastNestedLoopJoin is the intended bounded shape;
+            # a full-corpus CartesianProduct (asserted absent above)
+            # would be the quadratic anti-pattern
+            assert "BroadcastNestedLoopJoin" in p, name
         else:
             assert "BroadcastNestedLoopJoin" not in p, name
 
