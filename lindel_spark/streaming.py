@@ -187,6 +187,7 @@ def gapfill_rollup(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Dense per-key time-bucket rollup: every bucket between a key's
     first and last event exists in the output — missing buckets carry
@@ -206,6 +207,13 @@ def gapfill_rollup(
     spine needs each key's closed [min, max] bucket range, which an
     unbounded stream cannot know — on streams use
     :func:`windowed_rollup` and gap-fill downstream.
+
+    ``max_buckets`` bounds the per-key dense spine (span / grain): the
+    single-row bucket map and the explode are sized by it, so a key
+    spanning years at a fine grain would otherwise build a multi-
+    million-entry map in one row. The guard is an in-plan
+    ``raise_error`` (no extra scan) with the offending key, its bucket
+    count, and the fix (coarser ``window`` or higher ``max_buckets``).
     """
     bucket = F.window(F.col(ts_col), window)["start"]
     rolled = (
@@ -225,10 +233,26 @@ def gapfill_rollup(
             ))
         ).alias("__m"),
     )
+    # span/grain guard: pure column arithmetic per key, raised inside
+    # the plan (distributed, zero extra scans)
+    grain_s = F.unix_timestamp(
+        F.timestamp_seconds(F.lit(0)) + F.expr(f"interval {window}"))
+    n_buckets = (
+        (F.unix_timestamp("__mx") - F.unix_timestamp("__mn")) / grain_s
+    ).cast("long") + F.lit(1)
+    mn_guarded = F.when(
+        n_buckets > F.lit(int(max_buckets)),
+        F.raise_error(F.format_string(
+            "LINDEL: gapfill_rollup key '%s' spans %s buckets at grain '"
+            + window + "' (max_buckets=" + str(int(max_buckets))
+            + "); use a coarser window= or raise max_buckets=",
+            F.col(key_col).cast("string"), n_buckets.cast("string"),
+        )).cast("timestamp"),
+    ).otherwise(F.col("__mn"))
     dense = per_key.select(
         key_col,
         F.explode(F.sequence(
-            F.col("__mn"), F.col("__mx"), F.expr(f"interval {window}")
+            mn_guarded, F.col("__mx"), F.expr(f"interval {window}")
         )).alias("bucket"),
         F.col("__m")[F.col("bucket")].alias("__v"),
     )

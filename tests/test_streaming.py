@@ -174,3 +174,24 @@ def test_gapfill_rollup_semantics(spark):
     assert len([k for k in rows if k[0] == "b"]) == 1
     b2 = rows[("b", "2024-01-01 02:00:00")]
     assert (b2.n_events, b2.gap_filled, b2.sum_value_locf) == (1, False, 7.0)
+
+
+def test_gapfill_rollup_span_guard(spark):
+    """A key whose span/grain exceeds max_buckets fails fast with an
+    actionable message instead of building a multi-million-entry map."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "wide", 1.0),
+         ("2024-01-01 02:00:00", "wide", 2.0),   # 121 one-minute buckets
+         ("2024-01-01 00:30:00", "ok", 3.0)],    # 1 bucket — never trips
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(SparkRuntimeException,
+                       match="gapfill_rollup.*wide.*max_buckets"):
+        ST.gapfill_rollup(df, window="1 minute", max_buckets=50).collect()
+    # same data is fine at a coarser grain or a raised cap
+    assert ST.gapfill_rollup(df, window="1 hour").count() == 4
+    got = ST.gapfill_rollup(df, window="1 minute", max_buckets=121)
+    assert got.filter(F.col("event_type") == "wide").count() == 121
