@@ -132,7 +132,7 @@ def first_seen_dedup(
     stream_df: DataFrame,
     key_col: str = "user_id",
     fp_col: str = "fp",
-    timeout: str = "NoTimeout",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming exact-dedup with custom state: emit each (key,
     fingerprint) pair the *first* time it is seen, drop every later
@@ -142,15 +142,20 @@ def first_seen_dedup(
 
     State per key is the set of seen fingerprints (an array column in
     the state store — scales with distinct fingerprints per key, not
-    events). ``timeout='ProcessingTimeTimeout'`` plus a deadline set by
-    the caller's fork of this function can expire idle keys; the
-    default keeps state for the stream's lifetime, which is correct
-    for bounded keyspaces (exact streaming dedup is impossible with
-    less state — use SimHash banding upstream to shrink the domain).
+    events). ``state_ttl`` (a duration string, e.g. ``'30 minutes'``)
+    switches on ``ProcessingTimeTimeout``: a key idle for the TTL has
+    its state dropped by the state store — its fingerprints may re-emit
+    if seen again later, which is the standard bounded-state trade for
+    an unbounded keyspace. ``state_ttl=None`` keeps state for the
+    stream's lifetime, which is correct for bounded keyspaces (exact
+    streaming dedup is impossible with less state — use SimHash
+    banding upstream to shrink the domain).
 
     Batch equivalence: the emitted set equals
     ``df.dropDuplicates([key, fp])`` (pytest-checked via a real
-    ``availableNow`` stream against the batch result).
+    ``availableNow`` stream against the batch result); expiry is
+    pytest-checked with a real two-trigger stream where idle keys
+    re-emit after the TTL.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -161,8 +166,19 @@ def first_seen_dedup(
     state_schema = T.StructType([
         T.StructField("seen", T.ArrayType(fp_f.dataType)),
     ])
+    mode = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl
+            else GroupStateTimeout.NoTimeout)
+    # PySpark's setTimeoutDuration takes int millis, not a duration
+    # string like the Scala API — parse once on the driver
+    ttl_ms = (int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+              if state_ttl else None)
 
     def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle past the TTL: drop the fingerprint set entirely
+            state.remove()
+            yield pd.DataFrame(columns=[key_col, fp_col])
+            return
         seen = set(state.get[0]) if state.exists else set()
         outs = []
         for pdf in pdfs:
@@ -172,12 +188,15 @@ def first_seen_dedup(
             seen.update(kept[fp_col])
             outs.append(kept)
         state.update((list(seen),))
+        if ttl_ms is not None:
+            # deadline renews on every batch that touches the key, so
+            # only *idle* keys expire
+            state.setTimeoutDuration(ttl_ms)
         yield pd.concat(outs) if outs else pd.DataFrame(
             columns=[key_col, fp_col])
 
     return stream_df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "update",
-        getattr(GroupStateTimeout, timeout),
+        fn, out_schema, state_schema, "update", mode,
     )
 
 

@@ -110,6 +110,70 @@ def test_first_seen_dedup_matches_batch(spark, events, stream_src):
     assert got == want and len(got) > 0
 
 
+def test_first_seen_dedup_state_expiry(spark, tmp_path_factory):
+    """With state_ttl set, a key idle past the TTL has its state
+    dropped (ProcessingTimeTimeout) — the same fingerprint re-emits on
+    its next appearance instead of being suppressed forever."""
+    import time
+
+    src_dir = str(tmp_path_factory.mktemp("ttl_src"))
+    schema = "user_id long, fp long"
+
+    def write_rows(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+
+    def poll(pred, timeout_s=60):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = [(r.user_id, r.fp)
+                    for r in spark.sql("SELECT * FROM ttl_t").collect()]
+            if pred(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"poll timed out; last rows={rows}")
+
+    write_rows([(1, 10)])
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    deduped = ST.first_seen_dedup(
+        src, key_col="user_id", fp_col="fp", state_ttl="2 seconds")
+    q = (deduped.writeStream.outputMode("update")
+         .format("memory").queryName("ttl_t")
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        poll(lambda rows: (1, 10) in rows)
+        time.sleep(3)                      # idle past the 2 s TTL
+        write_rows([(2, 20)])              # batch that sweeps expired keys
+        poll(lambda rows: (2, 20) in rows)
+        write_rows([(1, 10)])              # state gone -> re-emits
+        got = poll(lambda rows: rows.count((1, 10)) == 2)
+        assert got.count((2, 20)) == 1
+    finally:
+        q.stop()
+
+
+def test_first_seen_dedup_no_ttl_suppresses_forever(spark, tmp_path_factory):
+    """Without state_ttl the same fingerprint stays suppressed across
+    micro-batches (lifetime state) — the bounded-keyspace default."""
+    src_dir = str(tmp_path_factory.mktemp("nottl_src"))
+    schema = "user_id long, fp long"
+    spark.createDataFrame([(1, 10)], schema).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    spark.createDataFrame([(1, 10), (2, 20)], schema).coalesce(1) \
+        .write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = (ST.first_seen_dedup(src, key_col="user_id", fp_col="fp")
+         .writeStream.outputMode("update")
+         .format("memory").queryName("nottl_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [(r.user_id, r.fp)
+            for r in spark.sql("SELECT * FROM nottl_t").collect()]
+    assert rows.count((1, 10)) == 1 and rows.count((2, 20)) == 1
+
+
 def test_interval_join_stream_matches_batch(spark, events, stream_src):
     """Watermarked stream-stream interval join emits exactly the batch
     pairs (clicks x purchases within the 30-minute lookback)."""
