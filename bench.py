@@ -143,8 +143,14 @@ def main() -> None:
     _auto_nc, _auto_np = LS.auto_ivf_config(n_emb)
     _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
     _pq_books = LS.train_pq(emb, m=8, ks=256)
-    _pq_codes = LS.pq_encode(emb, _pq_books).persist()
-    _pq_codes.count()  # codes are the *stored* representation
+    # codes are the *stored* representation — materialize to parquet
+    # and read back, so the timed scans survive the per-entry
+    # clearCache() (a persist() would be silently dropped and the
+    # timings would re-measure encoding)
+    _store = tempfile.mkdtemp(prefix="lindel_bench_store_")
+    LS.pq_encode(emb, _pq_books).write.mode("overwrite").parquet(
+        os.path.join(_store, "pq_codes"))
+    _pq_codes = spark.read.parquet(os.path.join(_store, "pq_codes"))
 
     def q_knn_pq_refined(_):
         # production shape: ADC scan over stored 8-byte codes, then
@@ -160,9 +166,10 @@ def main() -> None:
         _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=_auto_nc,
                          nprobe=_auto_np, centroids=_ivf_auto_centroids))
 
-    _ivfpq_codes = LS.ivf_pq_encode(
-        emb, _ivf_auto_centroids, _pq_books).persist()
-    _ivfpq_codes.count()  # cell+code table is the *stored* form
+    LS.ivf_pq_encode(emb, _ivf_auto_centroids, _pq_books) \
+        .write.mode("overwrite").parquet(os.path.join(_store, "ivfpq_codes"))
+    _ivfpq_codes = spark.read.parquet(
+        os.path.join(_store, "ivfpq_codes"))  # cell+code stored form
 
     def q_knn_ivfpq_refined(_):
         # cell pruning x code compression: scan nprobe cells of 8-byte
@@ -247,6 +254,7 @@ def main() -> None:
             rows[name] = n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(_store, ignore_errors=True)
 
     out = {
         "metric": "bench_total",

@@ -144,7 +144,9 @@ def upsample_mixture(
     Each emitted row carries ``out_col`` (0-based copy index) so a
     downstream :func:`deterministic_shuffle` interleaves the copies
     instead of streaming them back-to-back. Strata absent from
-    ``target_weights`` emit nothing.
+    ``target_weights`` emit nothing; a weight naming a stratum with
+    zero rows raises — the emitted mixture could not meet
+    ``total_rows``.
 
     Scale: one bounded ``groupBy().count().collect()`` (one row per
     domain, never corpus-sized) to derive per-stratum factors; the
@@ -154,9 +156,18 @@ def upsample_mixture(
     total_w = float(sum(target_weights.values()))
     counts = {r[0]: r[1]
               for r in df.groupBy(strata_col).count().collect()}
+    missing = [s for s in target_weights if s not in counts]
+    if missing:
+        # silently dropping a weighted-but-absent stratum would emit a
+        # mixture far short of total_rows with no signal
+        raise ValueError(
+            "LINDEL: upsample_mixture target_weights name strata with "
+            f"zero rows in {strata_col!r}: {sorted(missing)!r} — the "
+            "emitted mixture cannot meet total_rows; drop them or fix "
+            "the stratum labels")
     factors = {
         s: total_rows * (w / total_w) / counts[s]
-        for s, w in target_weights.items() if s in counts
+        for s, w in target_weights.items()
     }
     f_col = None
     for s, f in sorted(factors.items()):

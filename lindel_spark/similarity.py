@@ -881,6 +881,14 @@ def ivf_pq_knn(
     are bounded driver-side as in :func:`train_centroids` /
     :func:`train_pq`.
     """
+    if codes is not None and (centroids is None or codebooks is None):
+        # stored cell ids / code ids are only meaningful relative to
+        # the quantizer that produced them — freshly trained centroids
+        # or codebooks would silently probe the wrong cells / decode
+        # the wrong distances
+        raise ValueError(
+            "LINDEL: ivf_pq_knn(codes=...) requires the centroids= and "
+            "codebooks= that produced those codes")
     if n_centroids is None:
         if centroids is not None:
             n_centroids = len(centroids)

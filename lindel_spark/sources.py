@@ -46,9 +46,20 @@ def _read_events_any(spark: SparkSession, path: str):
     except Exception:
         ev, dt = None, None
     if ev is None:
+        prev = spark.conf.get(_NANOS_CONF, None)
         spark.conf.set(_NANOS_CONF, "true")
-        ev = spark.read.parquet(path)
-        dt = dict(ev.dtypes).get("ts")
+        try:
+            ev = spark.read.parquet(path)
+            dt = dict(ev.dtypes).get("ts")
+        except Exception:
+            # the first failure wasn't the NANOS layout (missing file,
+            # corrupt footer, ...) — don't leak the legacy conf
+            # session-wide on the way out
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
+            raise
     return ev, dt
 
 
@@ -57,7 +68,10 @@ def load_events_raw(spark: SparkSession, path: str) -> DataFrame:
     legacy layout, timestamp under the modern one). Use when only the
     *ordering* of ``ts`` matters, or for schema discovery — raw values
     compare consistently with an oracle reading the same file."""
-    if os.path.isdir(path) or not path.endswith(".parquet"):
+    # append only when the path isn't already the table: a
+    # '.parquet'-named *directory* of part files is a valid table
+    # layout, and an isdir check would double-append the filename
+    if not path.endswith(".parquet"):
         path = os.path.join(path, "events.parquet")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev, _ = _read_events_any(spark, path)
@@ -76,7 +90,7 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     the same wall-clock micros rather than shifting the instant, and
     downstream ``F.window`` epoch alignment is fixed.
     """
-    if os.path.isdir(path) or not path.endswith(".parquet"):
+    if not path.endswith(".parquet"):
         path = os.path.join(path, "events.parquet")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev, dt = _read_events_any(spark, path)

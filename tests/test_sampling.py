@@ -110,6 +110,19 @@ def test_upsample_mixture_copies_and_partial(spark):
     assert again == sorted((r.doc_id, r.copy_idx) for r in rows)
 
 
+def test_upsample_mixture_rejects_zero_row_stratum(spark):
+    """A target weight naming an absent stratum raises instead of
+    silently emitting a mixture short of total_rows."""
+    import pytest
+    from lindel_spark.sampling import upsample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "hot") for i in range(10)], "doc_id long, source string")
+    with pytest.raises(ValueError, match="zero rows.*ghost"):
+        upsample_mixture(df, "doc_id", "source",
+                         {"hot": 1, "ghost": 1}, 25)
+
+
 def test_deterministic_shuffle_order_and_plan(spark):
     from lindel_spark.sampling import deterministic_shuffle
 

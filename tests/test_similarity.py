@@ -268,3 +268,20 @@ def test_ivf_pq_pruning_restricts_to_probed_cells(spark, emb):
         v = qrows[r.query_id]
         probe = int(np.argmax((v / np.linalg.norm(v)) @ C.T))
         assert cell_of[r.neighbor_id] == probe, r
+
+
+def test_ivf_pq_codes_require_their_quantizer(spark, emb):
+    """codes= without the centroids=/codebooks= that produced them is
+    rejected — fresh training would silently probe the wrong cells."""
+    import pytest
+    from lindel_spark import similarity as LS
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = LS.train_centroids(emb, 8)
+    books = LS.train_pq(emb, m=8, ks=64)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    with pytest.raises(ValueError, match="centroids.*codebooks"):
+        LS.ivf_pq_knn(emb, q, k=5, codes=codes)
+    with pytest.raises(ValueError, match="centroids.*codebooks"):
+        LS.ivf_pq_knn(emb, q, k=5, codes=codes, codebooks=books)
