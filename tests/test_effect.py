@@ -81,6 +81,38 @@ def test_zorder_skips_row_groups(written):
     assert z_skip >= 0.5, f"z-ordered skip ratio {z_skip:.2f} < 0.5"
 
 
+def test_zorder_3d_skips_row_groups(spark, tmp_path_factory):
+    """The encode ladder is N-dimensional (the reference registers up
+    to 16-D); prove the clustering effect holds past 2-D with a 3-D
+    write and a 3-D range predicate."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    base = tmp_path_factory.mktemp("effect3d")
+    zpath, upath = str(base / "z3"), str(base / "u3")
+    cols = [F.col("l_orderkey").cast("int"), F.col("l_partkey").cast("int"),
+            F.col("l_suppkey").cast("int")]
+    LW.zorder_write(li, cols, zpath, elem="int32", num_files=4,
+                    **{"parquet.block.size": str(256 * 1024)})
+    (li.repartition(4).write.mode("overwrite")
+       .option("parquet.block.size", str(256 * 1024)).parquet(upath))
+
+    mx = li.agg(F.max("l_orderkey"), F.max("l_partkey"),
+                F.max("l_suppkey")).first()
+    # ~1/4 of each dimension -> ~1/64 of the 3-D space
+    pred = {
+        "l_orderkey": (int(mx[0] * 0.4), int(mx[0] * 0.65)),
+        "l_partkey": (int(mx[1] * 0.4), int(mx[1] * 0.65)),
+        "l_suppkey": (int(mx[2] * 0.4), int(mx[2] * 0.65)),
+    }
+    names = list(pred)
+    zg = _row_group_stats(zpath, names)
+    ug = _row_group_stats(upath, names)
+    assert len(zg) >= 8 and len(ug) >= 8, (len(zg), len(ug))
+    z_skip = 1 - _surviving(zg, pred) / len(zg)
+    u_skip = 1 - _surviving(ug, pred) / len(ug)
+    assert z_skip > u_skip, (z_skip, u_skip)
+    assert z_skip >= 0.5, f"3-D z-ordered skip ratio {z_skip:.2f} < 0.5"
+
+
 def test_zorder_preserves_rows(written):
     zpath, _, li = written
     spark = li.sparkSession
