@@ -75,6 +75,15 @@ def main() -> None:
     def q_morton_native_i32(_):
         _noop(li.select(LF.morton_encode_native(i2, "int32").alias("m")))
 
+    # per-bit Project chain (whole-stage codegen); built ONCE at setup —
+    # the chain costs ~2s of driver-side plan construction, so timing
+    # construction per rep would measure the analyzer, not the scan
+    # (see hilbert_encode_native warning; BASELINE.md round 7)
+    _hn = LF.hilbert_encode_native(li, i2, "int32", out_col="h").select("h")
+
+    def q_hilbert_native_i32(_):
+        _noop(_hn)
+
     def q_morton_udf_i32(_):
         _noop(li.select(LF.morton_encode(i2, "int32").alias("m")))
 
@@ -180,6 +189,37 @@ def main() -> None:
                             codebooks=_pq_books, codes=_ivfpq_codes,
                             nprobe=_auto_np, refine_with=emb, refine=8))
 
+    # IVF store: hive-partitioned by cell — the storage half of IVF.
+    # The pruned entry reads nprobe cells via partition pruning; the
+    # full entry reads the whole store. Scanned-bytes ratio is measured
+    # from the store layout itself and emitted as `ivf_store` evidence.
+    _ivf_store = os.path.join(_store, "ivf_store")
+    LS.ivf_write(emb, _ivf_store, centroids=_ivf_auto_centroids)
+    _probe_cells = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(_ivf_store)
+        if d.startswith("cell=")
+    )[:_auto_np]
+
+    def _dir_bytes(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    _store_total_b = _dir_bytes(_ivf_store)
+    _probed_b = sum(
+        _dir_bytes(os.path.join(_ivf_store, f"cell={c}"))
+        for c in _probe_cells
+    )
+
+    def q_ivf_store_pruned(_):
+        _noop(LS.ivf_scan_cells(spark, _ivf_store, _probe_cells)
+              .select("vec_id", "embedding"))
+
+    def q_ivf_store_full(_):
+        _noop(spark.read.parquet(_ivf_store).select("vec_id", "embedding"))
+
     def q_spatial_join(_):
         from lindel_spark.joins import spatial_range_join
         pts = emb.select(
@@ -203,6 +243,7 @@ def main() -> None:
         ("hilbert_encode_i32x2", q_hilbert_i32, n_li),
         ("hilbert_encode_f64x2", q_hilbert_f64, n_li),
         ("morton_native_i32x2", q_morton_native_i32, n_li),
+        ("hilbert_native_i32x2", q_hilbert_native_i32, n_li),
         ("morton_udf_i32x2", q_morton_udf_i32, n_li),
         ("hilbert_decode_rt_i32x2", q_decode_rt_i32, n_li),
         ("text_stats", q_text_stats, n_docs),
@@ -219,6 +260,8 @@ def main() -> None:
         ("knn_ivf_auto", q_knn_ivf_auto, n_emb),
         ("knn_pq_refined", q_knn_pq_refined, n_emb),
         ("knn_ivfpq_refined", q_knn_ivfpq_refined, n_emb),
+        ("ivf_store_pruned_scan", q_ivf_store_pruned, n_emb),
+        ("ivf_store_full_scan", q_ivf_store_full, n_emb),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),
@@ -263,6 +306,13 @@ def main() -> None:
         "queries": queries,
         "sf": _sf(),
         "rows": rows,
+        "ivf_store": {
+            "n_centroids": _auto_nc,
+            "nprobe": _auto_np,
+            "total_bytes": _store_total_b,
+            "probed_bytes": _probed_b,
+            "scan_fraction": round(_probed_b / max(_store_total_b, 1), 4),
+        },
     }
     if errors:
         out["errors"] = errors

@@ -423,6 +423,91 @@ def q_morton_native_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select("x", "y", m.alias("m"))
 
 
+# Native-Column Hilbert vs an independent DuckDB implementation of the
+# same public Skilling algorithm (recursive CTE over the 31 bit levels,
+# then the same magic-number interleave as _MORTON2_DUCK).  Coordinates
+# are masked to 31 bits so every intermediate stays positive in signed
+# BIGINT math in both engines.
+_HILBERT2_DUCK = """
+WITH RECURSIVE pts AS (
+  SELECT (l_orderkey * 2654435761) % 2147483648 AS x,
+         (l_partkey * 69621) % 2147483648 AS y
+  FROM lineitem
+), st AS (
+  SELECT x, y, x AS a, y AS b, 31 AS k FROM pts
+  UNION ALL
+  SELECT x, y,
+         CASE WHEN (b & q) != 0 THEN xor(a1, p)
+              ELSE xor(a1, CASE WHEN (b & q) != 0 THEN 0
+                           ELSE xor(a1, b) & p END) END AS a,
+         xor(b, CASE WHEN (b & q) != 0 THEN 0
+                ELSE xor(a1, b) & p END) AS b,
+         k - 1 AS k
+  FROM (
+    SELECT x, y, b, k, q, p,
+           CASE WHEN (a & q) != 0 THEN xor(a, p) ELSE a END AS a1
+    FROM (
+      SELECT x, y, a, b, k,
+             (1::BIGINT << k) AS q, (1::BIGINT << k) - 1 AS p
+      FROM st WHERE k >= 1
+    )
+  )
+), fin AS (
+  SELECT x, y, a, xor(b, a) AS b2 FROM st WHERE k = 0
+), casc AS (
+  SELECT x, y, a, b2,
+         xor(xor(xor(xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2),
+             xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2) >> 4) ,
+             xor(xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2),
+             xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2) >> 4) >> 8) ,
+             xor(xor(xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2),
+             xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2) >> 4) ,
+             xor(xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2),
+             xor(xor(b2, b2 >> 1), xor(b2, b2 >> 1) >> 2) >> 4) >> 8) >> 16)
+         AS y0
+  FROM fin
+), tt AS (
+  SELECT x, y, xor(a, y0 >> 1) AS fa, xor(b2, y0 >> 1) AS fb FROM casc
+), s1 AS (
+  SELECT x, y,
+         (fa | (fa << 16)) & 281470681808895 AS xa,
+         (fb | (fb << 16)) & 281470681808895 AS ya
+  FROM tt
+), s2 AS (
+  SELECT x, y, (xa | (xa << 8)) & 71777214294589695 AS xb,
+               (ya | (ya << 8)) & 71777214294589695 AS yb FROM s1
+), s3 AS (
+  SELECT x, y, (xb | (xb << 4)) & 1085102592571150095 AS xc,
+               (yb | (yb << 4)) & 1085102592571150095 AS yc FROM s2
+), s4 AS (
+  SELECT x, y, (xc | (xc << 2)) & 3689348814741910323 AS xd,
+               (yc | (yc << 2)) & 3689348814741910323 AS yd FROM s3
+), s5 AS (
+  SELECT x, y, (xd | (xd << 1)) & 6148914691236517205 AS xe,
+               (yd | (yd << 1)) & 6148914691236517205 AS ye FROM s4
+)
+SELECT x, y, ((xe << 1) | ye)::BIGINT AS h FROM s5
+"""
+
+
+@query("hilbert_native_vals_i32", _HILBERT2_DUCK)
+def q_hilbert_native_vals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-Column Hilbert (per-bit Project chain, whole-stage
+    codegen) vs DuckDB's own recursive-CTE Skilling transform —
+    independent implementations of the same published algorithm
+    (J. Skilling, AIP Conf. Proc. 707, 2004), compared value-by-value
+    over every lineitem row.  31-bit coordinates keep all math in
+    positive signed-64 space in both engines."""
+    li = _lineitem(spark, sf_dir)
+    src = li.select(
+        ((F.col("l_orderkey").cast("long") * F.lit(2654435761))
+         % F.lit(2147483648)).alias("x"),
+        ((F.col("l_partkey").cast("long") * F.lit(69621))
+         % F.lit(2147483648)).alias("y"),
+    )
+    return LF.hilbert_encode_native(src, ["x", "y"], "int32", out_col="h")
+
+
 # ---------------------------------------------------------------------------
 # z-order write path: data-preserving end to end
 # ---------------------------------------------------------------------------

@@ -72,6 +72,12 @@ def _prepare_zorder_frame(
     """
     from pyspark import StorageLevel
 
+    # NOTE round-7 finding (BASELINE.md): a pure-Column Hilbert state
+    # machine (hilbert_encode_native) was measured here and REVERTED —
+    # steady-state it is no faster than the Arrow UDF on parquet-scan
+    # input (0.8s vs 0.7s at sf0.1) and the persist+range-shuffle
+    # combination replans the 62-Project chain pathologically
+    # (14.7s vs 2.7s for this write). The Arrow UDF stays the default.
     key = zorder_key(cols, elem, curve, df=df)
     keyed = df.withColumn(_KEY, key)
     if persist_key:
