@@ -2648,6 +2648,43 @@ def q_sampling_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sampling_quality_weighted",
+    """
+    WITH w AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             least(1.0, length(text) / 2000.0) AS wt,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac
+      FROM documents
+    )
+    SELECT COUNT(*)::BIGINT AS n_kept,
+           SUM(doc_id)::BIGINT AS sum_ids,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM w WHERE frac < wt
+    """,
+)
+def q_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document survives
+    with probability = its own quality weight (here length/2000 capped
+    at 1), content-stable under any layout and replayed exactly by the
+    DuckDB oracle through the same md5-fraction primitive."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.least(F.lit(1.0), F.length("text") / F.lit(2000.0)).alias("wt"),
+    )
+    kept = SMP.weighted_sample(docs, "doc_id", "wt")
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@query(
     "events_hll_users",
     """
     SELECT event_type,

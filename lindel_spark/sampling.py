@@ -187,6 +187,30 @@ def upsample_mixture(
     return df.withColumn(out_col, F.explode(seq))
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row weighted deterministic sampling: keep a row iff its
+    stable key hash falls under its own weight (clamped to [0, 1]).
+
+    The quality-weighted downsampling pass of a training pipeline —
+    pass a quality score (or any per-row Column/column name) as
+    ``weight`` and each row survives with that probability,
+    content-deterministically: the same rows survive on any cluster
+    layout, any engine, any rerun (and a higher-quality row that
+    survived never disappears when the corpus is repartitioned).
+    Expected kept-count = sum of clamped weights. Map-only, no
+    shuffle; cross-engine replayable through the same md5-fraction
+    primitive as :func:`deterministic_split`.
+    """
+    w = weight if isinstance(weight, Column) else F.col(weight)
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.filter(split_fraction(F.col(key_col), salt) < w)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str,

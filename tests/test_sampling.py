@@ -142,3 +142,25 @@ def test_deterministic_shuffle_order_and_plan(spark):
     # global sort must be a range partition, not a single-task sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from pyspark.sql import functions as F
+    from lindel_spark.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        (F.col("id") % 10 / 10.0).alias("w"),
+    )
+    a = sorted(r.id for r in weighted_sample(df, "id", "w").collect())
+    # layout-stable: same rows after a repartition
+    b = sorted(
+        r.id for r in
+        weighted_sample(df.repartition(13), "id", "w").collect())
+    assert a == b
+    # weight 0 rows never survive; clamped weight >= 1 always survives
+    zero = weighted_sample(df, "id", F.lit(0.0)).count()
+    allk = weighted_sample(df, "id", F.lit(5.0)).count()
+    assert zero == 0 and allk == 2000
+    # expected size ~ sum of weights (0..0.9 avg 0.45)
+    assert 0.35 * 2000 < len(a) < 0.55 * 2000
