@@ -2983,6 +2983,55 @@ def q_knn_ivf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_ivf_append",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_rows,
+           (SELECT SUM(vec_id) FROM embeddings)::BIGINT AS sum_ids,
+           true AS resident_untouched,
+           true AS appended_in_nearest_cell
+    """,
+)
+def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance end to end: build a store from the
+    first 3/4 of the corpus, ``ivf_append`` the remaining 1/4 under
+    the SAME quantizer, and check in-frame that (a) no resident row's
+    (id, cell) changed, (b) every appended row landed in the cell the
+    original centroids assign it, while the oracle pins the readback
+    aggregates (count + id-sum = the whole corpus, no loss and no
+    duplication)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cut = emb.agg(
+        F.expr("percentile_approx(vec_id, 0.75, 10000)")).first()[0]
+    old = emb.filter(F.col("vec_id") <= F.lit(int(cut)))
+    new = emb.filter(F.col("vec_id") > F.lit(int(cut)))
+    out = tempfile.mkdtemp(prefix="lindel_ivfapp_")
+    store = os.path.join(out, "ivf")
+    C = LS.train_centroids(old, 16)
+    LS.ivf_write(old, store, n_centroids=16, centroids=C)
+    before = {(r.vec_id, r.cell) for r in
+              spark.read.parquet(store).select("vec_id", "cell").collect()}
+    LS.ivf_append(new, store, C)
+    rb = spark.read.parquet(store)
+    after = {(r.vec_id, r.cell) for r in
+             rb.select("vec_id", "cell").collect()}
+    resident_ok = before <= after
+    want_new = {(r.vec_id, r.c) for r in new.select(
+        "vec_id",
+        F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
+        .alias("c")).collect()}
+    appended_ok = want_new <= after and len(after) == len(before) + len(want_new)
+    agg = rb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("vec_id").cast("long").alias("sum_ids"),
+    ).first()
+    return spark.createDataFrame(
+        [(agg.n_rows, agg.sum_ids, resident_ok, appended_ok)],
+        "n_rows long, sum_ids long, resident_untouched boolean, "
+        "appended_in_nearest_cell boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H completion (round 4): q2/q8/q9/q11/q12/q16/q20/q21 shapes.
 # The driver schema is simplified TPC-H (no partsupp; lineitem has no

@@ -496,6 +496,40 @@ def ivf_scan_cells(spark, path: str, cells) -> DataFrame:
     return df.filter(F.col("cell").isin([int(c) for c in cells]))
 
 
+def ivf_append(
+    new_rows: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF store maintenance: assign NEW vectors to the
+    EXISTING quantizer's cells and append to the hive-partitioned
+    store — no recluster, no rewrite of resident data.
+
+    This is the ingest path of a living ANN index: a map-only
+    assignment pass over the new batch plus an append write into the
+    matching ``cell=`` directories; existing files are untouched and
+    concurrent readers keep partition pruning. ``centroids`` MUST be
+    the same matrix that built the store (:func:`ivf_write`'s return);
+    assigning against a freshly trained quantizer would scatter rows
+    into cells that mean something different (same invariant
+    :func:`ivf_pq_knn` enforces for stored codes). Re-train + full
+    :func:`ivf_write` only when drift degrades recall.
+    """
+    if centroids is None:
+        raise ValueError(
+            "LINDEL: ivf_append requires the centroids that built the "
+            "store — appending under a new quantizer corrupts the cell "
+            "layout; pass ivf_write's returned matrix")
+    assigned = new_rows.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(_cell_assign_udf(centroids, 1)(F.col(vec_col)), 1)
+        .alias("cell"),
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((dim, num_planes))
 

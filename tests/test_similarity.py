@@ -150,6 +150,38 @@ def test_ivf_write_partition_pruned_scan(spark, tmp_path):
     assert ids == {r.vec_id for r in reassigned.collect()}
 
 
+def test_ivf_append_extends_store_under_same_quantizer(spark, tmp_path):
+    """Appended vectors land in the cells the ORIGINAL quantizer
+    assigns, resident rows are untouched, pruned scans see both."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 150)
+    new = emb.filter(F.col("vec_id") >= 150)
+    path = str(tmp_path / "ivf")
+    C = LS.ivf_write(old, path, n_centroids=8)
+    before = {(r.vec_id, r.cell) for r in
+              spark.read.parquet(path).select("vec_id", "cell").collect()}
+    LS.ivf_append(new, path, C)
+    after = {(r.vec_id, r.cell) for r in
+             spark.read.parquet(path).select("vec_id", "cell").collect()}
+    # resident assignment unchanged; total = old + new
+    assert before <= after
+    assert len(after) == emb.count()
+    # every appended row sits in its nearest cell under the ORIGINAL C
+    want = {(r.vec_id, r.c) for r in new.select(
+        "vec_id",
+        F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
+        .alias("c")).collect()}
+    assert want <= after
+    # pruned scan still returns exactly the cells asked for
+    probe = LS.ivf_scan_cells(spark, path, [0, 1])
+    assert {r.cell for r in probe.select("cell").distinct().collect()} \
+        <= {0, 1}
+    # centroids are not optional
+    import pytest as _pt
+    with _pt.raises(ValueError, match="centroids"):
+        LS.ivf_append(new, path, None)
+
+
 def test_normalize_quantize_fast_matches_column_form(emb):
     cols = LS.quantize_embeddings(LS.normalize_embeddings(emb))
     fast = LS.normalize_quantize_fast(emb)
