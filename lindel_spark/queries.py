@@ -2984,6 +2984,40 @@ def q_knn_ivf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pipeline_compact_files",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(doc_id)::BIGINT AS sum_ids,
+           SUM(length(text))::BIGINT AS sum_chars,
+           true AS fewer_files
+    FROM documents
+    """,
+)
+def q_pipeline_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round-trip: fragment documents into 64
+    files, compact to target size, and prove the rewrite is lossless
+    (readback aggregates oracle-pinned) and actually reduced the file
+    count."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tempfile.mkdtemp(prefix="lindel_compact_")
+    frag = os.path.join(out, "frag")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    stats = LW.compact_parquet(spark, frag, os.path.join(out, "compact"),
+                               target_file_mb=64)
+    rb = spark.read.parquet(os.path.join(out, "compact"))
+    agg = rb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    ).first()
+    return spark.createDataFrame(
+        [(agg.n_rows, agg.sum_ids, agg.sum_chars,
+          stats["files_after"] < stats["files_before"])],
+        "n_rows long, sum_ids long, sum_chars long, fewer_files boolean",
+    )
+
+
+@query(
     "knn_ivf_append",
     """
     SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_rows,

@@ -62,6 +62,38 @@ def zorder_stream_writer(
     return writer
 
 
+def ivf_stream_ingest(
+    stream_df: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+):
+    """``writeStream`` sink that keeps an IVF store live: every
+    micro-batch of new vectors is assigned under the store's ORIGINAL
+    quantizer and appended into its ``cell=`` partitions
+    (:func:`~lindel_spark.similarity.ivf_append` per batch).
+
+    The streaming half of the build/query/maintain ANN lifecycle:
+    readers keep partition pruning while the index grows; no
+    recluster, no state store (assignment is a stateless map).
+    Compact with :func:`~lindel_spark.write.compact_parquet` when the
+    per-batch files accumulate. Returns the DataStreamWriter (caller
+    picks trigger and starts).
+    """
+    from lindel_spark import similarity as LS
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        LS.ivf_append(batch_df, path, centroids,
+                      id_col=id_col, vec_col=vec_col)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
 def windowed_rollup(
     df: DataFrame,
     ts_col: str = "ts",

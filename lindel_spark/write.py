@@ -96,6 +96,60 @@ def _prepare_zorder_frame(
     return keyed, out
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 512,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_mb``-sized files, optionally re-clustered.
+
+    Streaming sinks and incremental appends (e.g. :func:`ivf_append`,
+    per-microbatch writers) accrete many small files; at cluster scale
+    each file costs a task, a footer read, and a NameNode/listing
+    entry, so scan throughput degrades long before data size does.
+    This is the maintenance pass: file count is derived from the
+    *actual on-disk bytes* (never a row-count guess, which breaks on
+    wide rows), and with ``sort_cols`` the rewrite range-partitions +
+    sorts so downstream scans also get row-group skipping — pass the
+    same keys you'd give :func:`zorder_write` for 1-D predicates.
+
+    Scale shape: one shuffle (round-robin ``repartition`` or range
+    partition), no driver data path; the listing walk is
+    metadata-only. Returns ``{files_before, files_after, bytes,
+    rows}`` for audit logs.
+    """
+    import os as _os
+
+    total_bytes = 0
+    files_before = 0
+    for root, _dirs, files in _os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                files_before += 1
+                total_bytes += _os.path.getsize(_os.path.join(root, f))
+    n_files = max(1, round(total_bytes / (target_file_mb * (1 << 20))))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = (df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+               .sortWithinPartitions(*[F.col(c) for c in sort_cols]))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst_path)
+    files_after = sum(
+        1 for root, _d, fs in _os.walk(dst_path)
+        for f in fs if f.endswith(".parquet"))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "rows": spark.read.parquet(dst_path).count(),
+    }
+
+
 def zorder_write(
     df: DataFrame,
     cols: Sequence,

@@ -259,3 +259,56 @@ def test_gapfill_rollup_span_guard(spark):
     assert ST.gapfill_rollup(df, window="1 hour").count() == 4
     got = ST.gapfill_rollup(df, window="1 minute", max_buckets=121)
     assert got.filter(F.col("event_type") == "wide").count() == 121
+
+
+def test_ivf_stream_ingest_matches_batch_store(spark, tmp_path_factory):
+    """Streaming IVF ingest: micro-batched appends under the original
+    quantizer produce exactly the store a batch build of the full
+    corpus would (same (vec_id, cell) set)."""
+    import lindel_spark.similarity as LS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 150)
+    new = emb.filter(F.col("vec_id") >= 150)
+
+    store = str(tmp_path_factory.mktemp("ivfst") / "ivf")
+    C = LS.ivf_write(old, store, n_centroids=8)
+
+    src_dir = str(tmp_path_factory.mktemp("ivfsrc"))
+    new.repartition(3).write.mode("overwrite").parquet(src_dir)
+    ckpt = str(tmp_path_factory.mktemp("ivfckpt"))
+    src = (spark.readStream.schema(emb.schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = (ST.ivf_stream_ingest(src, store, C, checkpoint=ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r.vec_id, r.cell) for r in
+           spark.read.parquet(store).select("vec_id", "cell").collect()}
+    want = {(r.vec_id, r.c) for r in emb.select(
+        "vec_id",
+        F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
+        .alias("c")).collect()}
+    assert got == want
+
+
+def test_compact_parquet_reduces_files_losslessly(spark, tmp_path_factory):
+    from lindel_spark.write import compact_parquet
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    frag = str(tmp_path_factory.mktemp("frag") / "f")
+    li.repartition(32).write.mode("overwrite").parquet(frag)
+    dst = str(tmp_path_factory.mktemp("comp") / "c")
+    stats = compact_parquet(spark, frag, dst, target_file_mb=64)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == li.count()
+    rb = spark.read.parquet(dst)
+    assert rb.count() == li.count()
+    a = li.agg(F.sum("l_orderkey"), F.sum("l_partkey")).first()
+    b = rb.agg(F.sum("l_orderkey"), F.sum("l_partkey")).first()
+    assert tuple(a) == tuple(b)
+    # sorted variant clusters for range predicates
+    dst2 = str(tmp_path_factory.mktemp("comp2") / "c")
+    stats2 = compact_parquet(spark, frag, dst2, target_file_mb=64,
+                             sort_cols=["l_orderkey"])
+    assert stats2["rows"] == li.count()
