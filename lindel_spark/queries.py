@@ -1082,6 +1082,98 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_rolling_hour",
+    """
+    WITH e AS (
+      SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+             epoch_us(ts)::BIGINT AS tus,
+             (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           SUM(cents) OVER (
+             PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           )::BIGINT AS hour_cents,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY tus
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           )::BIGINT AS hour_events
+    FROM e
+    """,
+)
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregates per user — a RANGE-frame
+    window on the event-time axis (peers included identically in both
+    engines), exact integer cents so the rolling sums hash-compare.
+    One shuffle on user_id; the frame is streamed per partition."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("tus"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("tus")
+         .rangeBetween(-3600_000_000, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum("cents").over(w).cast("long").alias("hour_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id,
+             (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+      FROM events
+    ), s AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n,
+             SUM(cents)::BIGINT AS s1,
+             SUM(cents * cents)::BIGINT AS s2
+      FROM e GROUP BY 1
+    )
+    SELECT e.user_id,
+           s.n AS n_events,
+           SUM(CASE WHEN (s.n * e.cents - s.s1) * (s.n * e.cents - s.s1)
+                        > 4 * (s.n * s.s2 - s.s1 * s.s1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_anomalies
+    FROM e JOIN s USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 2-sigma outlier counts in EXACT integer arithmetic:
+    |v - mean| > 2*stddev rearranged to (n*v - sum)^2 > 4*(n*sum_sq -
+    sum^2) over bigint cents — no floating-point accumulation order to
+    diverge between engines. Self-joined aggregates = one shuffle on
+    user_id (the stats side is a map-side partial agg)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    stats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("s2"),
+    )
+    j = ev.join(stats, "user_id")
+    dev = F.col("n") * F.col("cents") - F.col("s1")
+    flag = (dev * dev) > (4 * (F.col("n") * F.col("s2")
+                               - F.col("s1") * F.col("s1")))
+    return j.groupBy("user_id", F.col("n").alias("n_events")).agg(
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+        .alias("n_anomalies"),
+    )
+
+
+@query(
     "events_sessionize",
     f"""
     WITH e AS (
