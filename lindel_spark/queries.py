@@ -2777,6 +2777,92 @@ def q_sampling_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_feature_hash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id::BIGINT AS doc_id, unnest({_DUCK_TOKS}) AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS bucket
+      FROM tok
+    ), tf AS (
+      SELECT doc_id, bucket, COUNT(*)::BIGINT AS cnt
+      FROM b GROUP BY 1, 2
+    )
+    SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+           SUM(cnt)::BIGINT AS total_cnt, MAX(cnt)::BIGINT AS max_cnt
+    FROM tf GROUP BY 1
+    """,
+)
+def q_text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term frequencies (md5 bucket mod 1024), rolled up
+    per bucket so the oracle compares the full (doc, bucket, cnt)
+    distribution without shipping it."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tf = LT.feature_hash_tf(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        dim=1024)
+    return tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("cnt").cast("long").alias("total_cnt"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+
+
+@query(
+    "sampling_leak_safe_split",
+    """
+    WITH fp AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fingerprint
+      FROM documents
+    ), cl AS (
+      SELECT doc_id, fingerprint,
+             MIN(doc_id) OVER (PARTITION BY fingerprint) AS cluster_id
+      FROM fp
+    ), sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < 0.9
+                  THEN 'train' ELSE 'test' END AS split
+      FROM cl
+    )
+    SELECT split, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT cluster_id)::BIGINT AS n_clusters,
+           SUM(doc_id)::BIGINT AS sum_ids
+    FROM sp GROUP BY 1
+    """,
+)
+def q_sampling_leak_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-safe train/test split: exact-dup documents are clustered by
+    fingerprint (cluster id = min doc id) and the SPLIT KEY is the
+    cluster id, so a near-identical pair can never straddle train and
+    test. The composition the sampling docstrings promise, end to end,
+    oracle-replayed. One window on fingerprint; the split itself is
+    map-only."""
+    from lindel_spark import sampling as SMP
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fp = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        LT.doc_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    cl = fp.withColumn(
+        "cluster_id",
+        F.min("doc_id").over(Window.partitionBy("fingerprint")))
+    sp = SMP.deterministic_split(
+        cl, "cluster_id", [0.9, 0.1], names=("train", "test"))
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+@query(
     "events_hll_users",
     """
     SELECT event_type,

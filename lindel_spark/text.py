@@ -277,6 +277,33 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
     )
 
 
+def feature_hash_tf(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", dim: int = 1024) -> DataFrame:
+    """Hashing-trick term frequencies: (id, bucket, cnt) rows with
+    ``bucket = md5-hash(token) mod dim``.
+
+    The fixed-dimension bag-of-words featurizer for corpus-scale
+    classifiers/near-dup models — no vocabulary pass, no driver state,
+    any engine maps a token to the same bucket (md5, not an
+    engine-private hash, so the oracle replays it exactly). Long
+    (id, bucket) format keeps the result joinable and the shuffle
+    pre-aggregated (one explode + one map-side-combined groupBy); pivot
+    to a dense vector only at the model boundary.
+    """
+    t = tokens(F.col(text_col))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10)
+        .cast("long") % F.lit(dim)
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(t).alias("_tok"))
+        .select(F.col(id_col), bucket.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition quality signals, one row per document.

@@ -184,3 +184,21 @@ def test_incremental_exact_dedup(spark):
     kept0, fps0 = LD.incremental_exact_dedup(batch, None)
     assert {r.doc_id for r in kept0.collect()} == {10, 11, 13}
     assert fps0.count() == 3
+
+
+def test_feature_hash_tf_buckets_and_totals(spark):
+    from lindel_spark.text import feature_hash_tf, token_count
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tf = feature_hash_tf(docs, dim=64)
+    rows = tf.collect()
+    assert rows
+    assert all(0 <= r.bucket < 64 for r in rows)
+    # sum of counts == total token count of the corpus
+    total = docs.select(F.sum(token_count(F.col("text")))).first()[0]
+    assert sum(r.cnt for r in rows) == total
+    # layout-stable (pure function of content)
+    again = {(r.doc_id, r.bucket): r.cnt
+             for r in feature_hash_tf(docs.repartition(7), dim=64).collect()}
+    assert {(r.doc_id, r.bucket): r.cnt for r in rows} == again
