@@ -30,22 +30,35 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: Sequence[str] = (),
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the latest right row of
-    the same ``on`` key with ``right_ts <= left_ts`` (DuckDB/pandas
-    ``ASOF JOIN`` semantics; unmatched left rows keep NULLs).
+    """As-of join: for every left row, the nearest right row of the
+    same ``on`` key on the time axis (unmatched left rows keep NULLs).
 
-    Plan: tag and union both inputs, one window pass per key ordered by
-    (ts, side) carrying the right values forward with ``last(...,
+    ``direction`` (pandas ``merge_asof`` vocabulary):
+
+    - ``"backward"`` (default): latest right with ``right_ts <=
+      left_ts`` — DuckDB/pandas ``ASOF JOIN`` semantics.
+    - ``"forward"``: earliest right with ``right_ts >= left_ts``.
+    - ``"nearest"``: whichever of the two is closer in absolute time;
+      exact ties take the backward match (documented, deterministic).
+
+    Plan: tag and union both inputs, one window pass per key ordered
+    by (ts, side) carrying the right values across with ``last(...,
     ignorenulls=True)``, keep left rows. One shuffle on the join key,
     state bounded by the window frame — the scalable alternative to a
-    per-key collect or an exploding range join. Ties (equal ts) take
-    the right row first, matching ``<=``; multiple right rows on the
-    same (key, ts) resolve deterministically to the greatest
-    ``value_cols`` tuple (the window sorts them as tertiary keys —
-    without that, Spark's unstable sort would pick a run-dependent
-    winner).
+    per-key collect or an exploding range join (``nearest`` adds a
+    second sort over the SAME exchange, not a second shuffle). Ties
+    (equal ts) take the right row (matching the inclusive bound);
+    multiple right rows on the same (key, ts) resolve
+    deterministically to the greatest ``value_cols`` tuple (the window
+    sorts them as tertiary keys — without that, Spark's unstable sort
+    would pick a run-dependent winner).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"LINDEL: asof_join direction must be backward/forward/"
+            f"nearest, got {direction!r}")
     if not value_cols:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
@@ -64,22 +77,59 @@ def asof_join(
           for c in value_cols],
         *[F.col(c).alias(c) for c in lcols],
     )
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(),
-                 *[F.col(c + suffix).asc_nulls_first() for c in value_cols])
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = tagged_r.unionByName(tagged_l).select(
+    union = tagged_r.unionByName(tagged_l)
+
+    def fill(ts_order):
+        # right rows order before left at equal __ts in BOTH directions
+        # (side asc), so the inclusive bound holds; the frame walks the
+        # chosen direction and last(..., ignorenulls) is the match.
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(ts_order, F.col("__side").asc(),
+                     *[F.col(c + suffix).asc_nulls_first()
+                       for c in value_cols])
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        # __mts tracks the matched right row's timestamp (for nearest)
+        mts = F.when(F.col("__side") == 0, F.col("__ts"))
+        return (
+            [F.last(c + suffix, ignorenulls=True).over(w) for c in value_cols],
+            F.last(mts, ignorenulls=True).over(w),
+        )
+
+    if direction in ("backward", "forward"):
+        order = (F.col("__ts").asc() if direction == "backward"
+                 else F.col("__ts").desc())
+        vals, _mts = fill(order)
+        filled = union.select(
+            "*", *[v.alias(c + suffix + "__f")
+                   for v, c in zip(vals, value_cols)])
+        return filled.filter(F.col("__side") == 1).select(
+            *[F.col(c) for c in lcols],
+            *[F.col(c + suffix + "__f").alias(c + suffix)
+              for c in value_cols],
+        )
+    bvals, bmts = fill(F.col("__ts").asc())
+    fvals, fmts = fill(F.col("__ts").desc())
+    filled = union.select(
         "*",
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "__f")
-            for c in value_cols
-        ],
+        bmts.alias("__bts"), fmts.alias("__fts"),
+        *[v.alias(c + suffix + "__b") for v, c in zip(bvals, value_cols)],
+        *[v.alias(c + suffix + "__f") for v, c in zip(fvals, value_cols)],
+    )
+    # nearest: backward wins on tie or when forward is absent
+    take_b = F.col("__bts").isNotNull() & (
+        F.col("__fts").isNull()
+        | ((F.col("__ts") - F.col("__bts"))
+           <= (F.col("__fts") - F.col("__ts")))
     )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(c + suffix + "__f").alias(c + suffix) for c in value_cols],
+        *[
+            F.when(take_b, F.col(c + suffix + "__b"))
+            .otherwise(F.col(c + suffix + "__f")).alias(c + suffix)
+            for c in value_cols
+        ],
     )
 
 

@@ -1427,6 +1427,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_forward",
+    """
+    WITH c AS (
+      SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+             epoch_us(ts)::BIGINT AS tus
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.tus, p.pval AS value_r
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.tus <= p.tus
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click gets the user's NEXT purchase
+    value (earliest at-or-after) — vs DuckDB's native forward ASOF
+    (``l.ts <= r.ts``). Same single-shuffle union+window plan as the
+    backward direction, frame walked in reverse."""
+    from lindel_spark.joins import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("tus", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "tus",
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"), "tus")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join(clicks, purchases, on="user_id",
+                     left_ts="tus", right_ts="tus", value_cols=["value"],
+                     direction="forward")
+
+
+@query(
     "events_gapfilled_rollup",
     """
     WITH r AS (

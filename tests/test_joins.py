@@ -83,3 +83,46 @@ def test_spatial_out_of_range_raises(spark):
     df = spark.createDataFrame([(1, 3.0e9, 0.0)], "id long, x double, y double")
     with pytest.raises(Exception, match="out of range"):
         spatial_range_join(df, df, ["x", "y"], ["x", "y"], 1.0).collect()
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """backward/forward/nearest vs pandas merge_asof on the same data
+    (unique right timestamps so pandas tie rules don't differ)."""
+    import pandas as pd
+    from lindel_spark.joins import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "lt": [10, 55, 100, 7, 90, 4],
+        "lid": [0, 1, 2, 3, 4, 5],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 4],
+        "rt": [5, 50, 200, 8, 80, 1],
+        "v": [100, 200, 300, 400, 500, 600],
+    })
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.v_r for r in asof_join(
+                ldf, rdf, on="k", left_ts="lt", right_ts="rt",
+                value_cols=["v"], direction=direction).collect()
+        }
+        exp_df = pd.merge_asof(
+            left.sort_values("lt"), right.sort_values("rt"),
+            left_on="lt", right_on="rt", by="k", direction=direction)
+        exp = {int(r.lid): (None if pd.isna(r.v) else int(r.v))
+               for r in exp_df.itertuples()}
+        assert got == exp, (direction, got, exp)
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest
+    from lindel_spark.joins import asof_join
+
+    df = spark.range(1).select(F.col("id").alias("k"),
+                               F.col("id").alias("ts"))
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on="k", left_ts="ts", right_ts="ts",
+                  value_cols=[], direction="sideways")
