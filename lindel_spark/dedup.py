@@ -211,6 +211,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def latest_by_key(
+    df: DataFrame,
+    key_cols,
+    order_cols,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Changelog/CDC compaction: one row per key — the LATEST version
+    by ``order_cols`` — with optional tombstone handling.
+
+    The upsert-stream materialization pass: given an append-only log of
+    row versions, keep each key's newest row; if ``delete_col`` (a
+    boolean tombstone marker) is set on that newest row, the key
+    disappears from the output entirely. ``order_cols`` must be a total
+    order within a key (e.g. ``(ts, seq)``) — with ties the winner
+    would be run-dependent, so pass enough columns to break them.
+
+    One shuffle on the key (row_number window); no join, no driver
+    state — the shape that compacts a 100 TB changelog as one pass.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        *[F.col(c).desc() for c in order_cols])
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_col is not None:
+        out = out.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return out
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1102,7 +1102,7 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM e
     """,
 )
-def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 1-hour rolling aggregates per user — a RANGE-frame
     window on the event-time axis (peers included identically in both
     engines), exact integer cents so the rolling sums hash-compare.
@@ -1272,6 +1272,39 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(-3, 0)).cast("double").alias("rolling_value"),
         F.row_number().over(w).cast("long").alias("rn"),
     )
+
+
+@query(
+    "events_latest_per_user",
+    """
+    WITH v AS (
+      SELECT user_id::BIGINT AS user_id,
+             event_id::BIGINT AS event_id,
+             epoch_us(ts)::BIGINT AS tus,
+             event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, tus, event_type
+    FROM v WHERE rn = 1
+    """,
+)
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction: each user's single latest event by
+    (ts, event_id) — dedup.latest_by_key, the CDC upsert
+    materialization pass, oracle-replayed."""
+    from lindel_spark.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+    )
+    return latest_by_key(ev, "user_id", ["tus", "event_id"])
 
 
 @query(

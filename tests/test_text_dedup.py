@@ -202,3 +202,28 @@ def test_feature_hash_tf_buckets_and_totals(spark):
     again = {(r.doc_id, r.bucket): r.cnt
              for r in feature_hash_tf(docs.repartition(7), dim=64).collect()}
     assert {(r.doc_id, r.bucket): r.cnt for r in rows} == again
+
+
+def test_latest_by_key_compaction_and_tombstones(spark):
+    from lindel_spark.dedup import latest_by_key
+    from pyspark.sql import functions as F
+
+    log = spark.createDataFrame(
+        [  # (key, ts, seq, val, deleted)
+            (1, 10, 0, "a", False),
+            (1, 20, 0, "b", False),
+            (1, 20, 1, "c", False),   # tie on ts -> seq breaks it
+            (2, 5, 0, "x", False),
+            (2, 9, 0, "y", True),     # latest is a tombstone -> key gone
+            (3, 1, 0, "z", True),
+            (3, 2, 0, "w", False),    # tombstone superseded -> key back
+        ],
+        "k long, ts long, seq long, val string, deleted boolean",
+    )
+    out = {r.k: r.val for r in latest_by_key(
+        log, "k", ["ts", "seq"], delete_col="deleted").collect()}
+    assert out == {1: "c", 3: "w"}
+    # without delete handling, all keys survive with latest version
+    out2 = {r.k: r.val
+            for r in latest_by_key(log, "k", ["ts", "seq"]).collect()}
+    assert out2 == {1: "c", 2: "y", 3: "w"}
