@@ -250,3 +250,64 @@ def test_gapfill_rollup_single_base_scan(spark):
     ev = load_events(spark, "/root/testdata/sf0.001")
     p = plan_of(gapfill_rollup(ev))
     assert p.count("events.parquet") <= 1, p[:2000]
+
+
+def test_weighted_sample_is_map_only(docs):
+    """Quality-weighted sampling must add zero shuffles: filter +
+    project straight over the scan."""
+    from lindel_spark.sampling import weighted_sample
+
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.least(F.lit(1.0), F.length("text") / F.lit(2000.0)).alias("w"))
+    p = plan_of(weighted_sample(d, "doc_id", "w"))
+    assert "Exchange" not in p
+
+
+def test_latest_by_key_single_shuffle(spark):
+    """Changelog compaction is exactly one hash exchange on the key."""
+    from lindel_spark.dedup import latest_by_key
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, SF_DIR).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("tus"))
+    import re
+    p = plan_of(latest_by_key(ev, "user_id", ["tus", "event_id"]))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "CartesianProduct" not in p
+    # Spark's rank-limit pushdown: top-1-per-key runs map-side BEFORE
+    # the shuffle (Partial WindowGroupLimit), so the exchange moves at
+    # most one row per key per map partition
+    assert "WindowGroupLimit" in p
+
+
+def test_feature_hash_preaggregates_map_side(docs):
+    """The (id, bucket) groupBy must partial-aggregate before its one
+    shuffle (HashAggregate below AND above the Exchange)."""
+    from lindel_spark.text import feature_hash_tf
+
+    p = plan_of(feature_hash_tf(docs, dim=64))
+    # exactly one HASH exchange (the groupBy); the round-robin one is
+    # ensure_parallelism's small-input guard, not a data shuffle key
+    assert p.count("hashpartitioning") == 1
+    assert "partial_count" in p  # map-side combine below the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_asof_nearest_single_exchange(spark):
+    """nearest direction reuses one exchange for both directional
+    fills — a second sort, never a second shuffle of the union."""
+    from lindel_spark.joins import asof_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 50).alias("lt"))
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 50).alias("rt"),
+        F.col("id").alias("v"))
+    p = plan_of(asof_join(left, right, on="k", left_ts="lt",
+                          right_ts="rt", value_cols=["v"],
+                          direction="nearest"))
+    import re
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
