@@ -4204,3 +4204,120 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") >= 250)
     kept, _ = LD.incremental_exact_dedup(batch, store)
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@query(
+    "text_bm25_topk",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+            FROM norm)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             SUM(tf)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE AS avgdl
+      FROM postings
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
+      FROM norm WHERE doc_id % 97 = 0
+    ),
+    dfs AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf::DOUBLE * (1.2 + 1.0))
+                 / (p.tf::DOUBLE
+                    + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * p.dl::DOUBLE / s.avgdl))) AS score
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+           doc_id::BIGINT AS doc_id, round(score, 4) AS score_r4
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval: pseudo-queries are the first five tokens
+    of every 97th document, scored against the whole corpus with
+    Lucene-style idf. Broadcast query side filters the postings inside
+    the scan stage; scores rounded to 4 decimals on both engines (the
+    one transcendental, ``ln``, is sub-ulp across libms). See
+    :func:`lindel_spark.retrieval.bm25_topk`."""
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query"),
+    )
+    res = LR.bm25_topk(docs, queries_df, k=5)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score_r4"),
+    )
+
+
+@query(
+    "text_lm_quality",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    exploded AS (SELECT doc_id, unnest(toks) AS term FROM norm),
+    vocab AS (
+      SELECT term, COUNT(*)::BIGINT AS term_count FROM exploded GROUP BY term
+    ),
+    total AS (SELECT SUM(term_count)::BIGINT AS total_tokens FROM vocab)
+    SELECT e.doc_id::BIGINT AS doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           round(SUM(ln(v.term_count::DOUBLE / t.total_tokens::DOUBLE))
+                 / COUNT(*)::DOUBLE, 4) AS avg_lp_r4
+    FROM exploded e JOIN vocab v USING (term) CROSS JOIN total t
+    GROUP BY e.doc_id
+    """,
+)
+def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM quality scoring: per-document mean log-prob
+    under the corpus's own ML unigram distribution (KenLM-style
+    typicality signal; no OOV by construction). One full-vocab
+    aggregate + one term-keyed join. See
+    :func:`lindel_spark.retrieval.unigram_logprob`."""
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    res = LR.unigram_logprob(docs)
+    return res.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 4).alias("avg_lp_r4"),
+    )

@@ -1,0 +1,180 @@
+"""Lexical retrieval and corpus language-model scoring.
+
+Training-data pipelines need retrieval twice: BM25 top-k for benchmark
+decontamination / nearest-document audits, and corpus-LM log-prob as a
+quality signal (documents far from the corpus distribution are noise
+or boilerplate). Both are built from the same long-format
+(doc_id, term, tf, dl) postings relation produced by a single
+tokenize→explode→groupBy pass.
+
+Scale design (the part that matters at 100 TB):
+
+* ``doc_term_stats`` is one scan + one map-side-combined ``groupBy``;
+  the postings relation is the inverted-index *content* in long form,
+  partitioned by its grouping key.
+* ``bm25_topk`` broadcasts the (small) query-term side, so the corpus
+  postings are filtered to query terms inside the scan stage with a
+  broadcast hash join — no shuffle of the corpus. Document frequency
+  is computed from the *filtered* postings (identical values, a
+  vocabulary-of-queries-sized aggregate instead of a full-vocab one).
+  The only shuffles are keyed by matched (query_id, doc_id), bounded
+  by documents that share a term with some query.
+* ``unigram_logprob`` aggregates the full vocabulary once (map-side
+  combine; vocab ≪ corpus) and joins it back on ``term`` — a standard
+  key-partitioned join that AQE handles at any scale.
+
+Scores use ``ln`` (the one transcendental in the repo); registry
+queries round to 4 decimals on both engines so the driver's value-hash
+is robust to sub-ulp libm differences between the JVM and DuckDB.
+
+The reference's surface is curve-math only
+(src/lindel_extension.cpp:948-1026); this module is part of the build
+brief's LLM-pipeline tier layered beside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lindel_spark.text import normalize_text, tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def doc_term_stats(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Long-format postings: one row per (doc, term) with term
+    frequency ``tf`` and document length ``dl`` (token count).
+
+    One scan, one map-side-combined groupBy — the canonical inverted
+    index content. ``dl`` rides along via ``first`` (constant within
+    the group), so no second pass over the text.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    return exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+
+
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = BM25_K1, b: float = BM25_B,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id",
+              query_col: str = "query") -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query.
+
+    Lucene-style idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive), query terms deduplicated (query term frequency is not
+    weighted), ties broken by ascending ``doc_id`` so the ranking is
+    deterministic. Returns (query_id, rank, doc_id, score).
+
+    The query side is broadcast; document frequency is computed from
+    the query-term-filtered postings so the aggregate is bounded by
+    |query vocabulary|, not |corpus vocabulary|.
+    """
+    postings = doc_term_stats(docs, id_col=id_col, text_col=text_col)
+
+    qterms = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.explode(tokens(normalize_text(F.col(query_col)))).alias("term"),
+    ).distinct()
+
+    # corpus constants: one tiny 1-row aggregate, cross-joined in
+    # (broadcast by AQE — both sides of every join below that involve
+    # stats or query terms are broadcast-sized).
+    stats = postings.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_tokens"),
+    ).select(
+        "n_docs",
+        (F.col("total_tokens").cast("double")
+         / F.col("n_docs").cast("double")).alias("avgdl"),
+    )
+
+    matched = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term")
+    df_per_term = matched.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df"))
+
+    scored_terms = (
+        matched
+        .join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * (k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b)
+                       + F.lit(b) * F.col("dl").cast("double")
+                       / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+
+    scores = scored_terms.groupBy("query_id", "doc_id").agg(
+        F.sum("term_score").alias("score"))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own maximum-likelihood unigram distribution — the KenLM-style
+    "how typical is this document" quality signal (no OOV smoothing
+    needed: the model is trained on the scored corpus itself).
+
+    Returns (doc_id, n_tokens, avg_logprob); higher = more typical.
+    One full-vocab aggregate (map-side combine) + one term-keyed join.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    exploded = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(toks).alias("term"),
+    )
+    vocab = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_count"))
+    total = vocab.agg(F.sum("term_count").alias("total_tokens"))
+    return (
+        exploded.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log(F.col("term_count").cast("double")
+                      / F.col("total_tokens").cast("double"))
+            ).alias("sum_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("sum_logprob") / F.col("n_tokens").cast("double")
+             ).alias("avg_logprob"),
+        )
+    )

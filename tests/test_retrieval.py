@@ -1,0 +1,110 @@
+"""Value-level tests for lexical retrieval (BM25) and corpus-LM
+scoring against independent NumPy re-implementations."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import retrieval as LR
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "cats and dogs and cats"),
+    (3, "a completely different sentence entirely"),
+    (4, "the cat and the dog"),
+]
+
+
+def _py_bm25(corpus, queries, k1=1.2, b=0.75):
+    """Independent reference BM25 (Lucene idf), dict-based."""
+    docs = {i: t.split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    dfs = {}
+    for toks in docs.values():
+        for term in set(toks):
+            dfs[term] = dfs.get(term, 0) + 1
+    out = {}
+    for qid, q in queries:
+        scores = {}
+        for term in sorted(set(q.split())):
+            if term not in dfs:
+                continue
+            idf = math.log(1.0 + (n - dfs[term] + 0.5) / (dfs[term] + 0.5))
+            for did, toks in docs.items():
+                tf = toks.count(term)
+                if tf == 0:
+                    continue
+                dl = len(toks)
+                s = idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * dl / avgdl))
+                scores[did] = scores.get(did, 0.0) + s
+        out[qid] = sorted(scores.items(),
+                          key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, ["doc_id", "text"])
+
+
+def test_bm25_matches_reference_impl(spark, corpus_df):
+    queries = [(100, "the cat"), (101, "dogs and cats")]
+    qdf = spark.createDataFrame(queries, ["query_id", "query"])
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in LR.bm25_topk(corpus_df, qdf, k=3).collect()
+    }
+    want = _py_bm25(CORPUS, queries)
+    for qid, ranked in want.items():
+        for rank, (did, score) in enumerate(ranked[:3], start=1):
+            gdid, gscore = got[(qid, rank)]
+            assert gdid == did, (qid, rank)
+            assert gscore == pytest.approx(score, rel=1e-12)
+
+
+def test_bm25_unmatched_query_returns_nothing(spark, corpus_df):
+    qdf = spark.createDataFrame(
+        [(7, "zzz qqq")], ["query_id", "query"])
+    assert LR.bm25_topk(corpus_df, qdf, k=3).count() == 0
+
+
+def test_bm25_tie_breaks_on_doc_id(spark):
+    # identical docs -> identical scores -> rank order = doc_id order
+    df = spark.createDataFrame(
+        [(3, "x y"), (1, "x y"), (2, "x y")], ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "x")], ["query_id", "query"])
+    rows = LR.bm25_topk(df, qdf, k=3).orderBy("rank").collect()
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+
+
+def test_bm25_broadcasts_query_side(spark, corpus_df):
+    qdf = spark.createDataFrame([(0, "cat")], ["query_id", "query"])
+    plan = LR.bm25_topk(corpus_df, qdf, k=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_matches_reference_impl(spark, corpus_df):
+    rows = {r["doc_id"]: r for r in LR.unigram_logprob(corpus_df).collect()}
+    toks = {i: t.split() for i, t in CORPUS}
+    counts: dict[str, int] = {}
+    for t in toks.values():
+        for w in t:
+            counts[w] = counts.get(w, 0) + 1
+    total = sum(counts.values())
+    for did, t in toks.items():
+        want = sum(math.log(counts[w] / total) for w in t) / len(t)
+        assert rows[did]["n_tokens"] == len(t)
+        assert rows[did]["avg_logprob"] == pytest.approx(want, rel=1e-12)
+
+
+def test_doc_term_stats_long_format(spark, corpus_df):
+    rows = LR.doc_term_stats(corpus_df).filter(F.col("doc_id") == 0).collect()
+    got = {r["term"]: (r["tf"], r["dl"]) for r in rows}
+    assert got == {"the": (2, 6), "cat": (1, 6), "sat": (1, 6),
+                   "on": (1, 6), "mat": (1, 6)}
