@@ -4321,3 +4321,63 @@ def q_text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round("avg_logprob", 4).alias("avg_lp_r4"),
     )
+
+
+_MERGE_CUTOFF_US = 1705795200000000  # 2024-01-21T00:00:00Z
+
+@query(
+    "events_merge_upsert",
+    """
+    WITH base AS (
+      SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+             epoch_us(ts)::BIGINT AS tus, event_type, value
+      FROM events
+    ),
+    t AS (
+      SELECT user_id, event_id, tus, event_type, value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+            FROM base WHERE tus < 1705795200000000)
+      WHERE rn = 1
+    ),
+    u AS (
+      SELECT user_id, event_id, tus, event_type, value,
+             (event_type = 'error') AS is_delete
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn
+            FROM base WHERE tus >= 1705795200000000)
+      WHERE rn = 1
+    )
+    SELECT user_id, event_id, tus, event_type, value FROM t
+    WHERE user_id NOT IN (SELECT user_id FROM u)
+    UNION ALL
+    SELECT user_id, event_id, tus, event_type, value FROM u
+    WHERE NOT is_delete
+    """,
+)
+def q_events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over an events snapshot: the first 20 days compacted
+    to latest-per-user play the target table; the remaining days'
+    latest-per-user play the update delta, with 'error'-typed updates
+    acting as tombstones (matched keys deleted, others upserted).
+    Composition of dedup.latest_by_key (changelog compaction) and
+    write.merge_upsert (anti-join + union; delta side broadcasts when
+    small). See :func:`lindel_spark.write.merge_upsert`."""
+    from lindel_spark.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+        "value",
+    )
+    target = latest_by_key(
+        ev.filter(F.col("tus") < _MERGE_CUTOFF_US),
+        "user_id", ["tus", "event_id"])
+    updates = latest_by_key(
+        ev.filter(F.col("tus") >= _MERGE_CUTOFF_US),
+        "user_id", ["tus", "event_id"],
+    ).withColumn("is_delete", F.col("event_type") == "error")
+    return LW.merge_upsert(target, updates, "user_id",
+                           delete_col="is_delete")

@@ -205,3 +205,37 @@ def zorder_write(
     finally:
         if persist_key:
             keyed.unpersist()
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics over DataFrames: rows of ``updates``
+    replace same-key rows of ``target`` (WHEN MATCHED THEN UPDATE),
+    new keys are inserted (WHEN NOT MATCHED THEN INSERT), and — when
+    ``delete_col`` names a boolean tombstone column on ``updates`` —
+    matched keys whose update is a tombstone disappear (WHEN MATCHED
+    AND delete THEN DELETE).
+
+    Precondition: ``updates`` has at most one row per key (compact a
+    changelog first with :func:`lindel_spark.dedup.latest_by_key`,
+    which also produces the tombstone shape this consumes).
+
+    Shape at scale: one anti-join keyed on ``key_cols`` plus a
+    union — when ``updates`` is the typical small delta, Spark
+    broadcasts it and the snapshot is rewritten in a single map-side
+    pass with no shuffle of the target; a same-scale updates side
+    degrades gracefully to a shuffled anti-join on the key.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    survivors = target.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    live = updates
+    if delete_col is not None:
+        live = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return survivors.unionByName(live)

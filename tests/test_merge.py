@@ -1,0 +1,46 @@
+"""MERGE INTO semantics of write.merge_upsert."""
+
+from pyspark.sql import functions as F
+
+from lindel_spark.write import merge_upsert
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"])
+    updates = spark.createDataFrame(
+        [(2, "B", 99, False),   # matched -> update
+         (4, "d", 40, False),   # not matched -> insert
+         (3, "c", 0, True)],    # matched tombstone -> delete
+        ["k", "s", "v", "dead"])
+    got = {r["k"]: (r["s"], r["v"]) for r in merge_upsert(
+        target, updates, "k", delete_col="dead").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 99), 4: ("d", 40)}
+
+
+def test_merge_upsert_without_tombstones(spark):
+    target = spark.createDataFrame([(1, 10)], ["k", "v"])
+    updates = spark.createDataFrame([(1, 11), (2, 22)], ["k", "v"])
+    got = {r["k"]: r["v"]
+           for r in merge_upsert(target, updates, "k").collect()}
+    assert got == {1: 11, 2: 22}
+
+
+def test_merge_upsert_composite_key(spark):
+    target = spark.createDataFrame(
+        [(1, "x", 10), (1, "y", 20)], ["k1", "k2", "v"])
+    updates = spark.createDataFrame(
+        [(1, "y", 99)], ["k1", "k2", "v"])
+    got = {(r["k1"], r["k2"]): r["v"] for r in merge_upsert(
+        target, updates, ["k1", "k2"]).collect()}
+    assert got == {(1, "x"): 10, (1, "y"): 99}
+
+
+def test_merge_upsert_null_tombstone_means_keep(spark):
+    target = spark.createDataFrame([(1, 10)], ["k", "v"])
+    updates = spark.createDataFrame(
+        [(1, 11, None)],
+        "k long, v long, dead boolean")
+    got = {r["k"]: r["v"] for r in merge_upsert(
+        target, updates, "k", delete_col="dead").collect()}
+    assert got == {1: 11}
