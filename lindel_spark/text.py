@@ -378,3 +378,26 @@ def scrub_text(c: Column, url_token: str = "<URL>",
     chain (JVM codegen, map-only; Spark replaces all occurrences)."""
     out = F.regexp_replace(c, URL_PATTERN, url_token)
     return F.regexp_replace(out, EMAIL_PATTERN, email_token)
+
+
+# Patterns shared verbatim between Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backreferences, \b and character
+# classes only — same matches in both engines, which the scrub
+# oracle query proves value-level on full cleaned strings.
+IPV4_PATTERN = ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+                "\\.[0-9]{1,3}\\b")
+PHONE_PATTERN = "\\+?[0-9][0-9()\\-. ]{6,}[0-9]"
+
+
+def scrub_pii(c: Column, url_token: str = "<URL>",
+              email_token: str = "<EMAIL>", ip_token: str = "<IP>",
+              phone_token: str = "<PHONE>") -> Column:
+    """Extended PII scrub: URLs, e-mails, IPv4 addresses, and
+    phone-shaped digit runs, in that order (URLs/IPs first so the
+    greedy phone pattern never eats their digits). The phone pattern
+    is deliberately aggressive — ≥8 chars of digits with separators —
+    the standard recall-over-precision trade for training-data
+    scrubbing. Map-only regexp chain, JVM codegen."""
+    out = scrub_text(c, url_token, email_token)
+    out = F.regexp_replace(out, IPV4_PATTERN, ip_token)
+    return F.regexp_replace(out, PHONE_PATTERN, phone_token)
