@@ -4381,3 +4381,116 @@ def q_events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_delete", F.col("event_type") == "error")
     return LW.merge_upsert(target, updates, "user_id",
                            delete_col="is_delete")
+
+
+@query(
+    "text_scrub_pii",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text ||
+               ' call +1 (415) 555-0199 or ping 192.168.10.42 now'
+             ELSE text END AS t
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, 'https?://[^ \\t\\n]+', '<URL>', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+                 '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                 '<IP>', 'g'),
+               '\\+?[0-9][0-9()\\-. ]{6,}[0-9]', '<PHONE>', 'g') AS cleaned
+      FROM injected
+    )
+    SELECT doc_id::BIGINT AS doc_id, cleaned,
+           ((length(cleaned) - length(replace(cleaned, '<IP>', ''))) / 4
+           )::BIGINT AS n_ips,
+           ((length(cleaned) - length(replace(cleaned, '<PHONE>', ''))) / 7
+           )::BIGINT AS n_phones
+    FROM cleaned
+    """,
+)
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended PII scrub (URL/e-mail/IPv4/phone): docs with
+    doc_id % 7 == 0 get a deterministic phone+IP suffix injected;
+    both engines scrub and the full cleaned strings hash-compare,
+    proving the Java and RE2 pattern semantics agree for all four
+    patterns. See :func:`lindel_spark.text.scrub_pii`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(
+            " call +1 (415) 555-0199 or ping 192.168.10.42 now")),
+    ).otherwise(F.col("text"))
+    cleaned = LT.scrub_pii(injected)
+    n_of = lambda tok, w: ((F.length(cleaned) - F.length(
+        F.replace(cleaned, F.lit(tok), F.lit("")))) / w).cast("long")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        cleaned.alias("cleaned"),
+        n_of("<IP>", 4).alias("n_ips"),
+        n_of("<PHONE>", 7).alias("n_phones"),
+    )
+
+
+@query(
+    "sketch_heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '')) AS term
+      FROM documents
+    ),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS row),
+    cells AS (
+      SELECT r.row,
+             (('0x' || substr(md5('cms' || r.row || ':' || t.term), 1, 15)
+              )::BIGINT % 1024) AS bucket,
+             COUNT(*)::BIGINT AS cnt
+      FROM toks t CROSS JOIN rows_ r
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, COUNT(*)::BIGINT AS exact
+              FROM toks GROUP BY term),
+    est AS (
+      SELECT e.term,
+             MIN(c.cnt) AS est
+      FROM exact e
+      CROSS JOIN rows_ r
+      JOIN cells c
+        ON c.row = r.row
+       AND c.bucket = (('0x' || substr(md5('cms' || r.row || ':' || e.term),
+                                       1, 15))::BIGINT % 1024)
+      GROUP BY e.term
+    )
+    SELECT rank::BIGINT AS rank, term, est, exact
+    FROM (SELECT est.term, est.est, exact.exact,
+                 ROW_NUMBER() OVER (ORDER BY est.est DESC, est.term)
+                   AS rank
+          FROM est JOIN exact USING (term))
+    WHERE rank <= 20
+    """,
+)
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: the whole corpus folds into a
+    4×1024 counter grid (bounded memory at any scale; cell-wise-sum
+    mergeable), then the top-20 tokens by CMS estimate are ranked
+    beside their exact counts. DuckDB replays the sketch bit-for-bit
+    via the shared md5 bucket hash — a value-level oracle for a
+    sketch operator. See :func:`lindel_spark.sketch.heavy_hitters`."""
+    from lindel_spark import sketch as SK
+    from lindel_spark.text import normalize_text, tokens
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    terms = docs.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("term"))
+    res = SK.heavy_hitters(terms, k=20)
+    return res.select(
+        F.col("rank").cast("long").alias("rank"),
+        "term", "est", "exact")

@@ -1,0 +1,119 @@
+"""Count-min sketch: bounded-memory frequency estimation.
+
+At 100 TB an exact token-frequency table is itself a large shuffle;
+a count-min sketch (Cormode & Muthukrishnan 2005) folds the whole
+corpus into a fixed ``depth × width`` grid of counters with one
+map-side-combined ``groupBy`` — the sketch never grows with the data,
+merges associatively across partitions/streams (cell-wise sum, which
+is exactly what Spark's partial aggregation does here), and
+overestimates only: ``est(t) = min_r grid[r][h_r(t)] >= true(t)``.
+
+Hashing is the repo's engine-portable md5 idiom (first 15 hex chars
+as a 60-bit integer — see sampling.split_fraction), so DuckDB replays
+the *entire* sketch bit-for-bit and the registry query is value-level,
+not a weak self-check.
+
+Everything is pure column algebra: explode ``depth`` (row, bucket)
+cells per token map-side, aggregate, done. No UDFs, no driver state.
+
+Part of the build brief's pipeline tier beside the reference's curve
+surface (src/lindel_extension.cpp:948-1026 registers scalar curve
+functions only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_bucket(term: Column, row: int, width: int = CMS_WIDTH) -> Column:
+    """Deterministic bucket of ``term`` for hash row ``row``: first
+    15 md5 hex chars of ``"cms{row}:" + term`` as an integer, mod
+    ``width``. Engine-portable (DuckDB:
+    ``('0x'||substr(md5(..),1,15))::BIGINT % width``)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{row}:"), term)), 1, 15),
+        16, 10,
+    ).cast("long")
+    return h % F.lit(width)
+
+
+def cms_sketch(terms: DataFrame, term_col: str = "term",
+               weight_col: str | None = None, depth: int = CMS_DEPTH,
+               width: int = CMS_WIDTH) -> DataFrame:
+    """Build the sketch from a long-format term relation: returns
+    (row, bucket, cnt) — at most ``depth × width`` rows regardless of
+    input size. ``weight_col`` supports weighted counting (defaults
+    to 1 per input row). One explode (×depth, map-side) + one
+    map-side-combined groupBy."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.explode(F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            cms_bucket(F.col(term_col), r, width).alias("bucket"),
+        )
+        for r in range(depth)
+    ])).alias("rb")
+    return (
+        terms.select(cells, w.cast("long").alias("w"))
+        .select(F.col("rb.row").alias("row"),
+                F.col("rb.bucket").alias("bucket"), "w")
+        .groupBy("row", "bucket")
+        .agg(F.sum("w").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame,
+                 term_col: str = "term", depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH) -> DataFrame:
+    """Estimated count per candidate term: ``min`` over the sketch's
+    ``depth`` rows of the candidate's cell. The sketch is tiny
+    (``depth × width`` rows) so it broadcasts; candidates never
+    shuffle. Missing cells count 0 (terms the sketch never saw)."""
+    probes = candidates.select(
+        F.col(term_col).alias("term"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(r).alias("row"),
+                cms_bucket(F.col(term_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ])).alias("rb"),
+    ).select("term", F.col("rb.row").alias("row"),
+             F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def heavy_hitters(terms: DataFrame, k: int = 20,
+                  term_col: str = "term", depth: int = CMS_DEPTH,
+                  width: int = CMS_WIDTH) -> DataFrame:
+    """Top-``k`` terms by count-min estimate, with the exact count
+    alongside (``est >= exact`` always — the CMS guarantee). Ties
+    break on ascending term so the ranking is deterministic.
+
+    Returns (rank, term, est, exact). The exact count here costs one
+    extra groupBy over the vocabulary — kept because the pipeline use
+    is *validated* filtering; drop it and the sketch alone bounds
+    memory when even the vocabulary is too wide."""
+    from pyspark.sql.window import Window
+
+    sk = cms_sketch(terms, term_col=term_col, depth=depth, width=width)
+    exact = terms.groupBy(F.col(term_col).alias("term")).agg(
+        F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(sk, exact, depth=depth, width=width)
+    w = Window.orderBy(F.col("est").desc(), F.col("term").asc())
+    return (
+        est.join(exact, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "est", "exact")
+    )

@@ -1,0 +1,76 @@
+"""Count-min sketch invariants and PII-scrub values."""
+
+from pyspark.sql import functions as F
+
+from lindel_spark import sketch as SK
+from lindel_spark.text import scrub_pii
+
+
+def _terms(spark, words):
+    return spark.createDataFrame([(w,) for w in words], ["term"])
+
+
+def test_cms_never_underestimates(spark):
+    words = ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d", "e", "f"]
+    terms = _terms(spark, words)
+    # deliberately tiny width so collisions actually happen
+    sk = SK.cms_sketch(terms, depth=3, width=4)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    est = SK.cms_estimate(sk, exact, depth=3, width=4)
+    rows = est.join(exact, "term").collect()
+    assert len(rows) == 6
+    assert all(r["est"] >= r["exact"] for r in rows)
+
+
+def test_cms_exact_when_no_collisions(spark):
+    words = ["x"] * 7 + ["y"] * 3
+    terms = _terms(spark, words)
+    sk = SK.cms_sketch(terms)  # width 1024, 2 terms: no collisions
+    est = {r["term"]: r["est"] for r in SK.cms_estimate(
+        sk, terms.distinct()).collect()}
+    assert est == {"x": 7, "y": 3}
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    words = [f"w{i}" for i in range(500)]
+    sk = SK.cms_sketch(_terms(spark, words), depth=4, width=16)
+    assert sk.count() <= 4 * 16
+
+
+def test_cms_unseen_term_estimates_from_grid(spark):
+    terms = _terms(spark, ["a", "b"])
+    sk = SK.cms_sketch(terms, depth=4, width=1024)
+    est = {r["term"]: r["est"] for r in SK.cms_estimate(
+        sk, _terms(spark, ["zzz"]), depth=4, width=1024).collect()}
+    assert est["zzz"] == 0  # empty cells coalesce to 0
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([("a", 5), ("a", 2), ("b", 1)],
+                               ["term", "w"])
+    sk = SK.cms_sketch(df, weight_col="w")
+    est = {r["term"]: r["est"] for r in SK.cms_estimate(
+        sk, df.select("term").distinct()).collect()}
+    assert est == {"a": 7, "b": 1}
+
+
+def test_heavy_hitters_rank_and_guarantee(spark):
+    words = ["top"] * 30 + ["mid"] * 10 + ["low"] * 2
+    res = SK.heavy_hitters(_terms(spark, words), k=2).collect()
+    assert [(r["rank"], r["term"]) for r in res] == [(1, "top"), (2, "mid")]
+    assert all(r["est"] >= r["exact"] for r in res)
+
+
+def test_scrub_pii_values(spark):
+    df = spark.createDataFrame(
+        [("reach me at +1 (415) 555-0199 or 10.0.0.1 or a@b.io "
+          "or https://x.io/y",)], ["text"])
+    out = df.select(scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == "reach me at <PHONE> or <IP> or <EMAIL> or <URL>"
+
+
+def test_scrub_pii_leaves_clean_text_alone(spark):
+    df = spark.createDataFrame([("just words and the number 42",)],
+                               ["text"])
+    out = df.select(scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert out == "just words and the number 42"
