@@ -4494,3 +4494,41 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         F.col("rank").cast("long").alias("rank"),
         "term", "est", "exact")
+
+
+@query(
+    "bucketed_join_segments",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           SUM(o.o_totalprice::DECIMAL(18,2))::DOUBLE AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed tables: orders and customer are
+    written bucketed on custkey with the same bucket count, then
+    joined WITHOUT an Exchange on either side (plan-asserted in
+    tests/test_bucketing_join.py) — the write-once-join-free pattern
+    for repeated big-to-big joins. Values are oracle-checked against
+    the plain join. See :func:`lindel_spark.write.bucketed_write`."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    base = tempfile.mkdtemp(prefix="lindel_bucketed_")
+    LW.bucketed_write(orders, "lindel_q_orders_b", "o_custkey", 8,
+                      sort_cols="o_custkey",
+                      path=os.path.join(base, "orders"))
+    LW.bucketed_write(cust, "lindel_q_cust_b", "c_custkey", 8,
+                      sort_cols="c_custkey",
+                      path=os.path.join(base, "cust"))
+    ob, cb = spark.table("lindel_q_orders_b"), spark.table("lindel_q_cust_b")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_price"),
+        )
+    )

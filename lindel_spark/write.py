@@ -239,3 +239,42 @@ def merge_upsert(
         live = updates.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
     return survivors.unionByName(live)
+
+
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    bucket_cols,
+    n_buckets: int,
+    sort_cols=None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) Parquet
+    table: rows are hash-partitioned into ``n_buckets`` files per
+    partition by ``bucket_cols`` at write time.
+
+    This is the co-location contract that removes the join shuffle:
+    two tables bucketed on their join key with the SAME bucket count
+    sort-merge-join with NO Exchange on either side — the dominant
+    shuffle of a repeated big-to-big join is paid once at write time
+    and amortized over every subsequent join/aggregation on that key
+    (asserted plan-level in tests/test_bucketing_join.py). At 100 TB
+    this is the difference between re-shuffling the fact table per
+    query and never shuffling it.
+
+    Bucketed data must go through the session catalog
+    (``saveAsTable``); pass ``path`` to put the files somewhere
+    explicit (e.g. a temp dir in tests) instead of the warehouse dir.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    if isinstance(sort_cols, str):
+        sort_cols = [sort_cols]
+    w = (df.write.format("parquet").mode(mode)
+         .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
