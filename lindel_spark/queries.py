@@ -4532,3 +4532,57 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("total_price"),
         )
     )
+
+
+@query(
+    "dedup_semantic",
+    """
+    SELECT COUNT(*)::BIGINT AS n_total, true AS containment_ok
+    FROM embeddings
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup — self-checking: an independent
+    md5-sampled exact pass (broadcast crossJoin of an expected-2k-row
+    sample, never full-corpus) finds all cosine >= 0.35 pairs, keeps
+    the same-cluster ones, and checks that the operator's cell-keyed
+    join found every one (within-cluster recall of the exact join is
+    1 by construction, so any miss is a real bug). Emits (n_total,
+    containment_ok). See :func:`lindel_spark.similarity.semantic_dup_pairs`."""
+    from lindel_spark.sampling import split_fraction
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    centroids = LS.train_centroids(emb, 8)
+    found = LS.semantic_dup_pairs(emb, 0.35, centroids=centroids)
+    assigned = LS.assign_cells(emb, centroids).select("id", "cell")
+
+    thresh = min(1.0, float(_EMB_GT_SAMPLE_CAP) / max(1, emb.count()))
+    s = emb.select(F.col("vec_id").cast("long").alias("id"),
+                   F.col("embedding").alias("v")).filter(
+        split_fraction(F.col("id"), "semgt") < F.lit(thresh))
+    a, b = s.alias("a"), s.alias("b")
+    exact = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                LS.cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+    )
+    same_cell = (
+        exact
+        .join(assigned.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("cell", "cell_a"), "id_a")
+        .join(assigned.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("cell", "cell_b"), "id_b")
+        .filter(F.col("cell_a") == F.col("cell_b"))
+        .select("id_a", "id_b")
+    )
+    j = same_cell.join(
+        found.select("id_a", "id_b", F.lit(1).alias("hit")),
+        ["id_a", "id_b"], "left")
+    checks = j.agg(
+        (F.coalesce(
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)),
+            F.lit(0)) == 0).alias("containment_ok"))
+    totals = emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return totals.crossJoin(checks)

@@ -987,3 +987,93 @@ def ivf_pq_knn(
     local = c.mapInPandas(score, out_schema)
     return _adc_topk_or_refine(local, queries, k, kk_out, refine_with,
                                id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+def assign_cells(corpus: DataFrame, centroids: np.ndarray,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """(id, __v, cell): nearest-centroid assignment of every vector
+    under a fixed quantizer — the distributed half of any
+    centroid-bucketed operator (IVF, semantic dedup)."""
+    return ensure_parallelism(corpus).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("__v"),
+        F.element_at(
+            _cell_assign_udf(centroids, 1)(F.col(vec_col)), 1
+        ).alias("cell"),
+    )
+
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): k-means-cluster the embeddings, then
+    find ALL pairs with cosine ≥ ``threshold`` *inside each cluster*
+    with an exact cell-keyed self-join. Returns (id_a, id_b, cos)
+    with ``id_a < id_b``.
+
+    Scale shape: the self-join is an equi-join on ``cell`` — never a
+    cartesian — and its cost is Σ |cell|², bounded by choosing
+    ``n_clusters ≈ n / target_cluster_size`` (the SemDeDup recipe;
+    ``auto_ivf_config`` gives a √n default). Candidate generation is
+    deliberately cluster-local: cross-cluster near-dups are out of
+    contract, exactly as in the paper.
+    """
+    if centroids is None:
+        if n_clusters is None:
+            n_clusters, _ = auto_ivf_config(corpus.count())
+        centroids = train_centroids(
+            corpus, n_clusters, vec_col, seed=seed)
+    assigned = assign_cells(corpus, centroids, id_col, vec_col)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Drop semantic near-duplicates: a row is dropped when some
+    SMALLER-id row in its cluster is within ``threshold`` cosine —
+    the deterministic greedy keep-first rule (ids give the total
+    order, so reruns and engines agree). Returns the kept rows with
+    the original schema.
+
+    One anti-join against the distinct dropped-id set; composes with
+    :func:`semantic_dup_pairs` which bounds all quadratic work to
+    within clusters.
+    """
+    pairs = semantic_dup_pairs(
+        corpus, threshold, n_clusters, id_col, vec_col, seed, centroids)
+    dropped = pairs.select(F.col("id_b").alias("__drop_id")).distinct()
+    return corpus.join(
+        dropped,
+        F.col(id_col).cast("long") == F.col("__drop_id"),
+        "left_anti",
+    )
