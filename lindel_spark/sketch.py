@@ -16,6 +16,12 @@ not a weak self-check.
 Everything is pure column algebra: explode ``depth`` (row, bucket)
 cells per token map-side, aggregate, done. No UDFs, no driver state.
 
+Because :func:`cms_sketch` is just select + groupBy-sum, it runs
+unchanged as a Structured Streaming aggregation: the streaming state
+IS the grid (≤ depth × width cells, regardless of stream volume) —
+the canonical bounded-state streaming frequency counter. Proven
+streaming == batch in tests/test_sketch.py.
+
 Part of the build brief's pipeline tier beside the reference's curve
 surface (src/lindel_extension.cpp:948-1026 registers scalar curve
 functions only).

@@ -74,3 +74,31 @@ def test_scrub_pii_leaves_clean_text_alone(spark):
                                ["text"])
     out = df.select(scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
     assert out == "just words and the number 42"
+
+
+def test_cms_sketch_streams_with_bounded_state(spark, tmp_path_factory):
+    """cms_sketch is select + groupBy-sum, so it runs unchanged as a
+    streaming aggregation whose state is the depth x width grid itself
+    — bounded regardless of stream volume. Streaming grid == batch
+    grid over the same inputs."""
+    import pyspark.sql.types as T
+
+    words = ["a"] * 9 + ["b"] * 4 + ["c", "d"] * 3
+    batch = spark.createDataFrame([(w,) for w in words], ["term"])
+    src = str(tmp_path_factory.mktemp("cms_stream"))
+    batch.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (spark.readStream
+              .schema(T.StructType([T.StructField("term", T.StringType())]))
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = (SK.cms_sketch(stream, depth=3, width=8)
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("cms_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["row"], r["bucket"]): r["cnt"]
+           for r in spark.sql("SELECT * FROM cms_t").collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"]
+            for r in SK.cms_sketch(batch, depth=3, width=8).collect()}
+    assert got == want
+    assert len(got) <= 3 * 8
