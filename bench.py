@@ -229,6 +229,69 @@ def main() -> None:
         )
         _noop(spatial_range_join(pts, pts, ["x", "y"], ["x", "y"], 25.0))
 
+    # --- round-7 pipeline entries ---------------------------------
+    def q_bm25(_):
+        from lindel_spark import retrieval as LR
+        toks = LT.tokens(LT.normalize_text(F.col("text")))
+        qd = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("query"))
+        _noop(LR.bm25_topk(docs, qd, k=10))
+
+    def q_lm_quality(_):
+        from lindel_spark import retrieval as LR
+        _noop(LR.unigram_logprob(docs))
+
+    def q_cms_heavy_hitters(_):
+        from lindel_spark import sketch as SK
+        terms = docs.select(F.explode(
+            LT.tokens(LT.normalize_text(F.col("text")))).alias("term"))
+        _noop(SK.heavy_hitters(terms, k=20))
+
+    # steady-state semantic dedup: quantizer pretrained (same protocol
+    # as the IVF entries)
+    _sem_nc, _ = LS.auto_ivf_config(n_emb)
+    _sem_centroids = LS.train_centroids(emb, _sem_nc)
+
+    def q_semantic_dedup(_):
+        _noop(LS.semantic_dedup(emb, threshold=0.35,
+                                centroids=_sem_centroids))
+
+    def q_merge_upsert(_):
+        from lindel_spark.dedup import latest_by_key
+        from lindel_spark.sources import load_events
+        cut = 1705795200000000  # 2024-01-21T00:00:00Z
+        ev = load_events(spark, SF_DIR).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("tus"), "event_type", "value")
+        target = latest_by_key(ev.filter(F.col("tus") < cut),
+                               "user_id", ["tus", "event_id"])
+        updates = latest_by_key(
+            ev.filter(F.col("tus") >= cut),
+            "user_id", ["tus", "event_id"],
+        ).withColumn("is_delete", F.col("event_type") == "error")
+        _noop(LW.merge_upsert(target, updates, "user_id",
+                              delete_col="is_delete"))
+
+    _orders_path = os.path.join(SF_DIR, "orders.parquet")
+    _cust_path = os.path.join(SF_DIR, "customer.parquet")
+
+    def q_bucketed_join_cycle(tmp):
+        # write both sides bucketed on the join key, then join with
+        # zero Exchange — the write-once/join-free pattern end to end
+        orders = spark.read.parquet(_orders_path)
+        cust = spark.read.parquet(_cust_path)
+        LW.bucketed_write(orders, "bench_orders_b", "o_custkey", 16,
+                          path=os.path.join(tmp, "ob"))
+        LW.bucketed_write(cust, "bench_cust_b", "c_custkey", 16,
+                          path=os.path.join(tmp, "cb"))
+        ob = spark.table("bench_orders_b")
+        cb = spark.table("bench_cust_b")
+        _noop(ob.join(cb, ob.o_custkey == cb.c_custkey)
+              .groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("n")))
+
     from lindel_spark.sources import load_events_raw
     try:
         n_clicks = (
@@ -262,11 +325,19 @@ def main() -> None:
         ("knn_ivfpq_refined", q_knn_ivfpq_refined, n_emb),
         ("ivf_store_pruned_scan", q_ivf_store_pruned, n_emb),
         ("ivf_store_full_scan", q_ivf_store_full, n_emb),
+        ("bm25_topk", q_bm25, n_docs),
+        ("lm_quality", q_lm_quality, n_docs),
+        ("cms_heavy_hitters", q_cms_heavy_hitters, n_docs),
+        ("semantic_dedup", q_semantic_dedup, n_emb),
+        ("merge_upsert_events", q_merge_upsert, n_clicks),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),
         ("plain_write", q_plain_write, n_li),
     ]
+    if os.path.exists(_orders_path) and os.path.exists(_cust_path):
+        write_shaped.append(
+            ("bucketed_join_cycle", q_bucketed_join_cycle, -1))
 
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -54,29 +54,31 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    "tpch_q6_forecast", "tpch_q4_priority", "tpch_q10_returned",
-    "tpch_q14_promo", "tpch_q18_large_orders", "events_topk_users",
-    "tpch_q7_volume_shipping", "tpch_q13_custdist", "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers", "setop_active_returned_customers",
-    "embedding_ops", "text_winnow_fingerprints", "dedup_winnow_pairs",
-    "sources_csv_jsonl_roundtrip", "events_cube_rollup", "events_funnel",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
-    "events_retention_cohorts", "multimodal_frame_sample",
-    "multimodal_resize", "sampling_deterministic_split",
-    "sampling_stratified", "events_hll_users",
-    "dedup_minhash_estimate_quality", "events_step_durations",
-    "profile_lineitem", "pipeline_dedup_splits",
-    "streaming_first_seen", "knn_ivf_pipeline",
-    "tpch_q2_top_supplier_per_part", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q11_important_parts",
-    "tpch_q12_late_lines", "tpch_q16_supplier_cnt",
-    "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
-    "text_repetition_signals", "pipeline_pack_sequences",
-    "dedup_contamination_check", "sampling_mixture", "text_scrub",
-    "knn_pq_recall", "pipeline_quality_filter",
-    "dedup_incremental_batch", "pipeline_chunk_documents",
-    "knn_ivfpq_recall", "sampling_upsampled_mixture",
+    # round-7 rotation: (a) everything never driver-sampled — the
+    # round-6/7 additions — then (b) the curve-core queries, last
+    # driver-recorded in r2/r3, then (c) the longest-unsampled
+    # operator families. TPC-H and the r4-r6 staples rotate out this
+    # round (they are r6-driver-green and stay in the local sweeps).
+    "text_bm25_topk", "text_lm_quality", "events_merge_upsert",
+    "text_scrub_pii", "sketch_heavy_hitters", "bucketed_join_segments",
+    "dedup_semantic", "hilbert_native_vals_i32", "events_rolling_hour",
+    "events_anomaly_zscore", "events_latest_per_user",
+    "asof_join_forward", "events_gapfilled_rollup",
+    "events_interval_join", "sampling_quality_weighted",
+    "text_feature_hash", "sampling_leak_safe_split",
+    "pipeline_compact_files", "knn_ivf_append",
     "sampling_shuffled_order",
+    "golden_scalars", "golden_grid_i8", "golden_grid_i32",
+    "rt_hilbert_i32", "rt_hilbert_f32", "rt_hilbert_f64",
+    "rt_hilbert_i16", "rt_hilbert_i16_8", "rt_hilbert_i64",
+    "rt_hilbert_i8_16", "rt_morton_i32", "rt_morton_i8",
+    "rt_morton_i8_8", "rt_morton_f32", "rt_morton_f32_4",
+    "rt_unsigned_i16", "morton_native_vals_i32", "zorder_readback",
+    "sql_registration_surface",
+    "dedup_near_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "dedup_clusters", "dedup_exact_groups",
+    "asof_join_events", "spatial_range_join", "knn_brute",
+    "knn_ann_simhash", "text_stats", "skew_salted_join",
 ]
 
 
@@ -4586,3 +4588,96 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)) == 0).alias("containment_ok"))
     totals = emb.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
     return totals.crossJoin(checks)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "events_pivot_daily",
+    """
+    SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')::BIGINT AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')::BIGINT AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+             AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')::BIGINT AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')::BIGINT AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational pivot: events-per-day spread into one column per
+    event type (explicit pivot value list, so the schema is static —
+    the scalable form: a pivot with discovered values needs an extra
+    distinct pass). Catalyst compiles this to a single hash aggregate
+    with pivot-first expressions — one shuffle on the group key."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.select(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000))
+            .cast("long").alias("day"),
+            "event_type")
+        .groupBy("day")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # count() yields NULL for absent combos; 0 is the relational answer
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                 for t in _EVENT_TYPES])
+
+
+@query(
+    "events_unpivot_melt",
+    """
+    SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day, event_type,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-day pivot above folded back to
+    long (day, event_type, n) with Spark's native unpivot — the
+    pivot/unpivot pair round-trips to the plain group-by, which is
+    exactly what the oracle checks. Zero-count combos drop out on
+    unpivot, matching the group-by's absent rows."""
+    wide = q_events_pivot(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["day"], values=_EVENT_TYPES,
+        variableColumnName="event_type", valueColumnName="n")
+    return long.filter(F.col("n") > 0).select(
+        "day", "event_type", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "events_approx_percentiles",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           true AS ok_p50, true AS ok_p90, true AS ok_p99
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Spark's KLL-style percentile_approx
+    sketch) — self-checking by RANK ERROR, the sketch's actual
+    contract: for each event type the share of values <= the approx
+    p-quantile must be within 2% of p. The exact-percentile query
+    (events_percentiles) pins exact values; this one proves the
+    mergeable-sketch path is usable, the form that matters at 100 TB
+    where exact percentiles need a full sort."""
+    ev = _events(spark, sf_dir)
+    appr = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ap"))
+    j = ev.select("event_type", "value").join(F.broadcast(appr),
+                                              "event_type")
+    def rank_ok(idx: int, p: float):
+        frac = (
+            F.sum(F.when(F.col("value") <= F.element_at("ap", idx), 1)
+                  .otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        )
+        return (F.abs(frac - F.lit(p)) <= F.lit(0.02)).alias(
+            f"ok_p{int(p * 100)}")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        rank_ok(1, 0.5), rank_ok(2, 0.9), rank_ok(3, 0.99))
