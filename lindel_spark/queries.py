@@ -4681,3 +4681,46 @@ def q_events_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         rank_ok(1, 0.5), rank_ok(2, 0.9), rank_ok(3, 0.99))
+
+
+@query(
+    "text_lm_bigram",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, g[1] AS w1, g[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_filter(list_zip(toks, toks[2:]),
+                                      p -> p[2] IS NOT NULL)) AS g
+            FROM norm WHERE len(toks) >= 2)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*)::BIGINT AS big_n
+           FROM grams GROUP BY 1, 2),
+    pc AS (SELECT w1, COUNT(*)::BIGINT AS pre_n FROM grams GROUP BY 1)
+    SELECT g.doc_id::BIGINT AS doc_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           round(SUM(ln(b.big_n::DOUBLE / p.pre_n::DOUBLE))
+                 / COUNT(*)::DOUBLE, 4) AS avg_lp_r4
+    FROM grams g JOIN bc b USING (w1, w2) JOIN pc p USING (w1)
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring: per-document mean conditional
+    log-prob under the corpus's own ML bigram model — the
+    next-token-predictability signal one order above text_lm_quality.
+    See :func:`lindel_spark.retrieval.bigram_logprob`."""
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    res = LR.bigram_logprob(docs)
+    return res.select(
+        "doc_id", "n_bigrams",
+        F.round("avg_logprob", 4).alias("avg_lp_r4"))

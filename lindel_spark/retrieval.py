@@ -129,12 +129,28 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
          / F.col("n_docs").cast("double")).alias("avgdl"),
     )
 
-    df_per_term = matched.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df"))
+    # document frequency via a window over the (already unique)
+    # (doc_id, term) postings: matched rows per term = df. One extra
+    # term-keyed shuffle of the FILTERED postings — and crucially the
+    # matched subtree is evaluated once, not re-aggregated into a
+    # separate broadcast (which re-ran the whole corpus scan and made
+    # sf1 super-linear).
+    from pyspark.sql.window import Window
+    matched = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+
+    # Re-cluster the filtered postings by document BEFORE the query
+    # join: every (query_id, doc_id) group is then complete within a
+    # partition, so the score aggregation below completes with NO
+    # shuffle of the joined rows (hash(doc_id) satisfies the
+    # (query_id, doc_id) clustering requirement). Without this, the
+    # |postings| x |queries-per-term| intermediate — 90M rows at sf1
+    # under the synthetic corpus's tiny shared vocabulary — shuffles
+    # in full and dominates the query (measured 45 s vs 3 s).
+    matched = matched.repartition("doc_id")
 
     scored_terms = (
         matched
-        .join(F.broadcast(df_per_term), "term")
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -204,5 +220,59 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
             "n_tokens",
             (F.col("sum_logprob") / F.col("n_tokens").cast("double")
              ).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own ML bigram model: mean over positions i >= 2 of
+    ``ln(count(w[i-1], w[i]) / count_as_prefix(w[i-1]))`` — the
+    next-token-predictability quality signal one order up from
+    :func:`unigram_logprob` (repetitive/templated text scores near 0,
+    incoherent text scores very negative). No smoothing needed: every
+    scored bigram exists in the model by construction, and the prefix
+    denominator counts ONLY prefix occurrences (a document's final
+    token is no bigram's prefix), so probabilities are exact ML.
+
+    Returns (doc_id, n_bigrams, avg_logprob); docs with < 2 tokens
+    drop out. Shape: one map-side bigram explode, one vocab-sized
+    aggregate per order, two term-keyed joins — all AQE-standard."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    # zip_with pairs each token with its successor; slice drops the
+    # dangling last element. Materialized alias = single evaluation
+    # (the explode-sibling lesson from _exploded_terms).
+    grams = base.select(
+        "doc_id",
+        F.slice(
+            F.zip_with(
+                "__toks",
+                F.slice("__toks", 2, F.greatest(
+                    F.size("__toks") - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+            1, F.size("__toks") - 1,
+        ).alias("__grams"),
+    ).select("doc_id", F.explode("__grams").alias("g")) \
+     .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+    bigram_counts = grams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("big_n"))
+    prefix_counts = grams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("pre_n"))
+    return (
+        grams.join(bigram_counts, ["w1", "w2"])
+        .join(prefix_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(F.log(F.col("big_n").cast("double")
+                         / F.col("pre_n").cast("double")))
+             / F.count(F.lit(1)).cast("double")).alias("avg_logprob"),
         )
     )

@@ -74,6 +74,20 @@ def cms_sketch(terms: DataFrame, term_col: str = "term",
     )
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min grids built with the SAME (depth, width):
+    cell-wise sum — the sketch's defining property. Lets shards,
+    days, or streams be counted independently and combined later
+    (estimates from the merged grid bound the combined counts exactly
+    as a single-pass grid would)."""
+    if not sketches:
+        raise ValueError("LINDEL: cms_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(sketch: DataFrame, candidates: DataFrame,
                  term_col: str = "term", depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> DataFrame:

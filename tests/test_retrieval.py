@@ -108,3 +108,26 @@ def test_doc_term_stats_long_format(spark, corpus_df):
     got = {r["term"]: (r["tf"], r["dl"]) for r in rows}
     assert got == {"the": (2, 6), "cat": (1, 6), "sat": (1, 6),
                    "on": (1, 6), "mat": (1, 6)}
+
+
+def test_bigram_logprob_values(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in LR.bigram_logprob(df).collect()}
+    # bigrams: doc0 -> (a,b),(b,a),(a,b); doc1 -> (a,b). counts:
+    # (a,b)=3, (b,a)=1; prefixes: a=3, b=1.
+    # doc0: [ln(3/3), ln(1/1), ln(3/3)] avg = 0; doc1: ln(3/3) = 0
+    assert 2 not in rows  # single-token doc drops out
+    assert rows[0]["n_bigrams"] == 3 and rows[0]["avg_logprob"] == 0.0
+    assert rows[1]["n_bigrams"] == 1 and rows[1]["avg_logprob"] == 0.0
+
+
+def test_bigram_logprob_discriminates(spark):
+    df = spark.createDataFrame(
+        [(0, "p q p q p q"), (1, "p p q q p q")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["avg_logprob"]
+            for r in LR.bigram_logprob(df).collect()}
+    # doc0 is perfectly alternating (high predictability), doc1 mixes
+    # transitions -> strictly lower mean conditional log-prob
+    assert rows[0] > rows[1]
+    assert rows[1] < 0.0

@@ -102,3 +102,15 @@ def test_cms_sketch_streams_with_bounded_state(spark, tmp_path_factory):
             for r in SK.cms_sketch(batch, depth=3, width=8).collect()}
     assert got == want
     assert len(got) <= 3 * 8
+
+
+def test_cms_merge_equals_single_pass(spark):
+    w1 = ["a"] * 5 + ["b"] * 2
+    w2 = ["a"] * 3 + ["c"] * 4
+    s1 = SK.cms_sketch(_terms(spark, w1), depth=3, width=16)
+    s2 = SK.cms_sketch(_terms(spark, w2), depth=3, width=16)
+    merged = SK.cms_merge(s1, s2)
+    single = SK.cms_sketch(_terms(spark, w1 + w2), depth=3, width=16)
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row"], r["bucket"]): r["cnt"] for r in single.collect()}
+    assert got == want
