@@ -4724,3 +4724,35 @@ def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "doc_id", "n_bigrams",
         F.round("avg_logprob", 4).alias("avg_lp_r4"))
+
+
+@query(
+    "sources_orc_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT AS n,
+           SUM(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q_sources_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round-trip: lineitem is written to ORC, read
+    back, and aggregated — the aggregate hash-matches the oracle
+    computed from the original parquet, proving a lossless format
+    round-trip (types, values, row count). ORC keeps column stats +
+    pushdown, so it is a peer analytical format to parquet. See
+    :func:`lindel_spark.sources.read_orc` / ``write_orc``."""
+    from lindel_spark import sources as SRC
+
+    li = _lineitem(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lindel_orc_")
+    SRC.write_orc(li, os.path.join(out, "li"))
+    rb = SRC.read_orc(spark, os.path.join(out, "li"))
+    return rb.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").alias("sum_price"),
+    )

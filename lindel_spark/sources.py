@@ -168,3 +168,45 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.json(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | str | None = None,
+             **options) -> DataFrame:
+    """ORC source. Unlike CSV/JSONL the schema is optional — ORC is
+    self-describing with footer statistics, so there is no inference
+    double-scan to avoid; pass ``schema`` to pin an expected layout
+    (pinning PROJECTS: absent columns read as NULL, parquet-style;
+    it fixes types and column order, it does not validate presence). ORC
+    carries column stats and predicate pushdown like parquet, so it
+    is a first-class analytical format, not interchange.
+
+    (Avro is NOT offered: it ships as an external Spark module that
+    this environment cannot install; gate any future use behind an
+    import-try per the build's no-new-packages constraint.)
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              **options) -> None:
+    """ORC sink (zlib by default; pass compression= to change)."""
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.orc(path)
+
+
+def read_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet written under an EVOLVING schema: columns added
+    over time are unioned via ``mergeSchema`` (absent columns read as
+    NULL in older files). This is the data-lake reality at 100 TB —
+    a pipeline's schema grows, and re-writing history is not an
+    option. Footer-merge cost is bounded: Spark samples footers in
+    parallel, and partition/filter pruning still applies."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

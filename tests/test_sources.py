@@ -34,3 +34,39 @@ def test_csv_failfast_raises_on_corrupt(spark, tmp_path):
     df = SRC.read_csv(spark, str(p), "a int, b int")
     with pytest.raises(Exception, match="Malformed|FAILFAST|BadRecord"):
         df.collect()
+
+
+def test_orc_roundtrip_lossless(spark, tmp_path):
+    from lindel_spark.sources import read_orc, write_orc
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -0.25, None)],
+        "id long, s string, v double, flag boolean")
+    write_orc(df, str(tmp_path / "o"))
+    rb = read_orc(spark, str(tmp_path / "o"))
+    assert rb.schema == df.schema
+    assert sorted(map(tuple, rb.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_schema_pinning_projection_semantics(spark, tmp_path):
+    from lindel_spark.sources import read_orc, write_orc
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_orc(df, str(tmp_path / "o2"))
+    # pinning projects: a pinned column absent from the files reads
+    # as NULL (same as parquet), it does not raise
+    pinned = read_orc(spark, str(tmp_path / "o2"),
+                      schema="id long, zzz string")
+    assert pinned.collect() == [(1, None)]
+    ok = read_orc(spark, str(tmp_path / "o2"), schema="id long, s string")
+    assert ok.count() == 1
+
+
+def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
+    from lindel_spark.sources import read_parquet_evolving
+    old = spark.createDataFrame([(1, "x")], "id long, s string")
+    new = spark.createDataFrame([(2, "y", 9.0)], "id long, s string, q double")
+    old.write.parquet(str(tmp_path / "part=2023"))
+    new.write.parquet(str(tmp_path / "part=2024"))
+    df = read_parquet_evolving(
+        spark, str(tmp_path / "part=2023"), str(tmp_path / "part=2024"))
+    rows = {r["id"]: (r["s"], r["q"]) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9.0)}
