@@ -632,3 +632,57 @@ def incremental_exact_dedup(
     kept = first.drop("__fp")
     new_fps = first.select(F.col("__fp").alias("fingerprint"))
     return kept, new_fps
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs: candidate pairs from
+    winnowing-fingerprint blocking, verified with EXACT Levenshtein
+    distance on the normalized text (JVM built-in, no UDF). Returns
+    (id_a, id_b, dist) with ``dist <= max_dist``, ``id_a < id_b``.
+
+    Catches what token-set methods miss by construction: MinHash and
+    SimHash see word multisets, so a typo-level corruption ("tabel"
+    for "table") is a whole-token difference to them but a 1-char
+    edit here. The complement also holds — word-order shuffles are
+    cheap for Jaccard and expensive for Levenshtein — which is why a
+    production pipeline runs both families.
+
+    Shape: fingerprint equi-join for candidates (never all-pairs;
+    uniform 60-bit keys), then O(len²) dynamic-programming verify on
+    ONLY the candidate pairs. Blocking recall for edit distance ≤ d
+    is near-1 when d ≪ (w + k - 1 tokens' worth of chars) — a d-char
+    edit corrupts at most d of the ~len winnowed windows — and the
+    registry query self-checks found pairs against a sampled exact
+    pass (`dedup_fuzzy_pairs`).
+    """
+    from lindel_spark.text import normalize_text, winnow_fingerprints
+
+    norm = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        normalize_text(F.col(text_col)).alias("__t"),
+    )
+    fps = winnow_fingerprints(df, text_col=text_col, id_col=id_col)
+    a, b = fps.alias("a"), fps.alias("b")
+    cand = (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand
+        .join(norm.withColumnRenamed("id", "id_a")
+              .withColumnRenamed("__t", "__ta"), "id_a")
+        .join(norm.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("__t", "__tb"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -4756,3 +4756,99 @@ def q_sources_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "text_quality_deciles",
+    """
+    WITH q AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT
+               AS n_tokens
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, n_tokens,
+             ntile(10) OVER (ORDER BY n_tokens, doc_id) AS decile
+      FROM q
+    )
+    SELECT decile::BIGINT AS decile, COUNT(*)::BIGINT AS n,
+           MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quality binning: documents ranked into 10 equal-frequency
+    buckets by a deterministic key (token count, doc_id tie-break) —
+    the curriculum/quality-stratification primitive. A global window
+    is exact and fine for ranked binning up to millions of keys; at
+    larger scale the same contract is served by approx-percentile cut
+    points (events_approx_percentiles shows that path)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from pyspark.sql.window import Window
+    # space-count token proxy, exactly replicable in SQL
+    n_tok = (F.length("text")
+             - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+             + 1).cast("long")
+    t = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tok.alias("n_tokens"),
+    ).withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy("n_tokens", "doc_id")))
+    return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"))
+
+
+@query(
+    "dedup_fuzzy_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS t
+      FROM documents
+    ), g AS (
+      SELECT id,
+             list_transform(
+               range(1, len(t) - 3),
+               i -> ('0x' || substr(md5(
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT
+             ) AS h
+      FROM d WHERE len(t) >= 5
+    ), m AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, greatest(len(h) - 2, 2)),
+               j -> list_min(h[j:j+3])
+             )) AS fps
+      FROM g
+    ), f AS (
+      SELECT DISTINCT id, unnest(fps) AS fp FROM m
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM f a JOIN f b ON a.fp = b.fp AND a.id < b.id
+    ), norm AS (
+      SELECT doc_id::BIGINT AS id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT c.id_a, c.id_b,
+           levenshtein(na.t, nb.t)::BIGINT AS dist
+    FROM cand c
+      JOIN norm na ON na.id = c.id_a
+      JOIN norm nb ON nb.id = c.id_b
+    WHERE levenshtein(na.t, nb.t) <= 10
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (Levenshtein <= 10 over normalized
+    text, winnowing-blocked candidates) — the fifth dedup family,
+    catching character-level corruption that token-set methods can't
+    see. Full value-level oracle: DuckDB replays the identical
+    fingerprint blocking AND the exact Levenshtein verify. See
+    :func:`lindel_spark.dedup.fuzzy_dup_pairs`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.fuzzy_dup_pairs(docs)

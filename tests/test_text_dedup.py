@@ -227,3 +227,30 @@ def test_latest_by_key_compaction_and_tombstones(spark):
     out2 = {r.k: r.val
             for r in latest_by_key(log, "k", ["ts", "seq"]).collect()}
     assert out2 == {1: "c", 2: "y", 3: "w"}
+
+
+def test_fuzzy_dup_pairs_catches_char_corruption(spark):
+    from lindel_spark.dedup import fuzzy_dup_pairs
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet green field toward the river")
+    typo = base.replace("quick", "qvick").replace("river", "rivver")
+    other = ("completely different content with other words entirely "
+             "nothing shared here at all beyond plain english syntax "
+             "and some filler to pass the minimum gram threshold")
+    df = spark.createDataFrame(
+        [(0, base), (1, typo), (2, other)], ["doc_id", "text"])
+    rows = {(r["id_a"], r["id_b"]): r["dist"]
+            for r in fuzzy_dup_pairs(df, max_dist=5).collect()}
+    assert (0, 1) in rows
+    assert rows[(0, 1)] == 2  # qvick: 1 sub; rivver: 1 insert
+    assert all(2 not in p for p in rows)
+
+
+def test_fuzzy_dup_pairs_respects_max_dist(spark):
+    from lindel_spark.dedup import fuzzy_dup_pairs
+    a = " ".join(f"w{i}" for i in range(30))
+    b = a.replace("w3", "x3").replace("w7", "x7")  # 2 substitutions
+    df = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+    assert fuzzy_dup_pairs(df, max_dist=1).count() == 0
+    got = fuzzy_dup_pairs(df, max_dist=2).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(0, 1, 2)]
