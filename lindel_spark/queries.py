@@ -4852,3 +4852,81 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`lindel_spark.dedup.fuzzy_dup_pairs`."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LD.fuzzy_dup_pairs(docs)
+
+
+@query(
+    "events_cumulative_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(epoch_us(ts) // 86400000000)::BIGINT AS day
+      FROM events GROUP BY 1
+    )
+    SELECT day, COUNT(*)::BIGINT AS n_new,
+           SUM(COUNT(*)) OVER (ORDER BY day)::BIGINT AS cum_users
+    FROM firsts GROUP BY day
+    """,
+)
+def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve shape.
+    Window functions can't do COUNT(DISTINCT), so the scalable form
+    is first-seen-day per user (one groupBy) + running sum over the
+    tiny per-day frame; state never exceeds |days| after the first
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000))
+        .cast("long").alias("day"),
+    ).groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    return daily.select(
+        "day", "n_new",
+        F.sum("n_new").over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow))
+        .cast("long").alias("cum_users"),
+    )
+
+
+@query(
+    "events_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped_lo,
+           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped_hi,
+           round(AVG(least(greatest(e.value, b.lo), b.hi)), 6)
+             AS winsorized_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%-95% clamped) per-type means — the robust-stats
+    primitive for metric pipelines where outliers are data-quality
+    noise. Exact percentile bounds (shared interpolation definition
+    with DuckDB), broadcast back over one scan; mean rounded to 6dp
+    to absorb summation-order ulps."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"))
+    j = ev.select("event_type", "value").join(
+        F.broadcast(bounds), "event_type")
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("long").alias("n_clipped_lo"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("long").alias("n_clipped_hi"),
+        F.round(F.avg(clamped), 6).alias("winsorized_mean"))
