@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lindel_spark.functions import morton_encode_native
 
@@ -257,4 +258,65 @@ def spatial_range_join(
         .withColumn("dist", dist)
         .filter(F.col("dist") <= radius)
         .drop("__cell", "__lx", "__ly", "__rx", "__ry")
+    )
+
+
+def cogroup_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join via ``groupBy().cogroup().applyInPandas``:
+    both inputs are co-partitioned on the key and each key's two
+    pandas groups are merged with ``pandas.merge_asof`` inside the
+    Arrow batch.
+
+    Same contract as :func:`asof_join` (direction='backward'),
+    pytest-pinned equal. Exists as the worked example of Spark's
+    cogroup escape hatch — per-key logic too irregular for window
+    algebra (model scoring, curve fitting, bespoke alignment) slots
+    into this exact shape. For plain as-of alignment PREFER
+    :func:`asof_join`: the union+window plan stays in the JVM, while
+    cogroup pays one Arrow round-trip per key group.
+
+    Scale: one co-partitioning shuffle of each side on ``on``; state
+    is a single key's rows (the same bound the window plan has).
+    """
+    import pandas as pd
+
+    out_fields = [left.schema[c] for c in left.columns] + [
+        T.StructField(f"{c}{suffix}", right.schema[c].dataType)
+        for c in value_cols
+    ]
+    out_schema = T.StructType(out_fields)
+    lcols, vcols, sfx = list(left.columns), list(value_cols), suffix
+    lts, rts = left_ts, right_ts
+
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        if lg.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        rsel = rg[[rts] + vcols].sort_values(rts) if not rg.empty else None
+        lg = lg.sort_values(lts)
+        if rsel is None or rsel.empty:
+            out = lg.copy()
+            for c in vcols:
+                out[f"{c}{sfx}"] = None
+            return out
+        merged = pd.merge_asof(
+            lg, rsel, left_on=lts, right_on=rts,
+            suffixes=("", sfx), direction="backward")
+        # merge_asof only suffixes on collision; normalize names
+        for c in vcols:
+            if c in merged.columns and f"{c}{sfx}" not in merged.columns:
+                merged = merged.rename(columns={c: f"{c}{sfx}"})
+        return merged[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, out_schema)
     )

@@ -4930,3 +4930,80 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
         .cast("long").alias("n_clipped_hi"),
         F.round(F.avg(clamped), 6).alias("winsorized_mean"))
+
+
+@query(
+    "events_debounce_dedup",
+    """
+    WITH t AS (
+      SELECT user_id::BIGINT AS user_id, event_type,
+             event_id::BIGINT AS event_id,
+             epoch_us(ts)::BIGINT AS tus,
+             lag(epoch_us(ts)::BIGINT) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS prev_tus
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, tus
+    FROM t
+    WHERE prev_tus IS NULL OR tus - prev_tus > 300000000
+    """,
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce dedup: drop an event when the SAME (user, type) fired
+    within the last 5 minutes — the telemetry double-fire cleaner.
+    One lag window per key, no self-join; at 100 TB this is a single
+    shuffle on the dedup key with per-row state."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "tus", "event_id")
+    t = ev.withColumn("prev_tus", F.lag("tus").over(w))
+    return t.filter(
+        F.col("prev_tus").isNull()
+        | (F.col("tus") - F.col("prev_tus") > 300000000)
+    ).select("user_id", "event_type", "event_id", "tus")
+
+
+@query(
+    "sampling_fixed_n_per_stratum",
+    """
+    WITH r AS (
+      SELECT doc_id::BIGINT AS doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || 'fixn'),
+                                        1, 15))::BIGINT, doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n,
+           SUM(doc_id)::BIGINT AS id_sum
+    FROM r WHERE rn <= 20 GROUP BY 1
+    """,
+)
+def q_sampling_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-n-per-stratum deterministic sampling: exactly 20 docs per
+    language, chosen by md5 rank (engine/layout-stable, reproducible
+    forever — the eval-set carve-out primitive, complementing the
+    fraction-based stratified sampler). One window per stratum;
+    id_sum pins the exact membership, not just the count."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rank_key = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit("fixn"))), 1, 15),
+        16, 10).cast("long")
+    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id"))
+    r = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang"
+    ).withColumn("rn", F.row_number().over(w))
+    return r.filter(F.col("rn") <= 20).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"))

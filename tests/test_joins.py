@@ -126,3 +126,24 @@ def test_asof_join_rejects_bad_direction(spark):
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, on="k", left_ts="ts", right_ts="ts",
                   value_cols=[], direction="sideways")
+
+
+def test_cogroup_asof_matches_window_asof(spark):
+    from lindel_spark.joins import asof_join, cogroup_asof_join
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 4), (2, 7), (3, 100)],
+        "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 20, 2.0), (2, 7, 3.0), (4, 1, 9.0)],
+        "k long, ts long, v double")
+    a = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  value_cols=["v"])
+    b = cogroup_asof_join(left, right, on="k", left_ts="ts",
+                          right_ts="ts", value_cols=["v"])
+    ka = sorted(tuple(r) for r in a.select("k", "ts", "v_r").collect())
+    kb = sorted((r["k"], r["ts"], r["v_r"]) for r in b.collect())
+    assert ka == kb
+    # spot semantics: backward match picks ts<=left, latest
+    d = dict(((k, t), v) for k, t, v in kb)
+    assert d[(1, 10)] == 1.0 and d[(1, 25)] == 2.0 and d[(1, 4)] is None
+    assert d[(2, 7)] == 3.0 and d[(3, 100)] is None
