@@ -5007,3 +5007,37 @@ def q_sampling_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rn") <= 20).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("id_sum"))
+
+
+@query(
+    "events_sliding_rollup",
+    """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts)::BIGINT AS tus, value FROM events
+    ),
+    win AS (
+      SELECT event_type, value,
+             unnest(range((tus - 3600000000) // 900000000 + 1,
+                          tus // 900000000 + 1)) AS k
+      FROM e
+    )
+    SELECT (k * 900000000)::BIGINT AS window_start_us, event_type,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(value::DECIMAL(18,2))::VARCHAR AS sum_value
+    FROM win GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1h window, 15min hop): every event in 4
+    overlapping windows; the oracle independently derives the window
+    index set per event with integer epoch math, so window ALIGNMENT
+    is verified, not just the sums. Decimal sums compare as strings
+    (bit-stable). See :func:`lindel_spark.streaming.sliding_rollup`."""
+    from lindel_spark import streaming as ST
+
+    ev = _events(spark, sf_dir)
+    out = ST.sliding_rollup(ev, window="1 hour", slide="15 minutes")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type", "n_events",
+        F.col("sum_value").cast("string").alias("sum_value"))

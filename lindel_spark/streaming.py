@@ -391,3 +391,39 @@ def sessionize(
             "n_events",
         )
     )
+
+
+def sliding_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window rollup: every event lands in
+    window/slide overlapping windows — the trailing-metrics shape
+    ("last hour, refreshed every 15 min"). Identical batch and
+    streaming semantics like :func:`windowed_rollup`; with a
+    watermark, state is bounded by (window/slide) open windows per
+    key. Sums aggregate in DECIMAL so stream, batch, and oracle agree
+    bit-for-bit. Returns (window_start, key, n_events, sum_value).
+    """
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window, slide).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -312,3 +312,29 @@ def test_compact_parquet_reduces_files_losslessly(spark, tmp_path_factory):
     stats2 = compact_parquet(spark, frag, dst2, target_file_mb=64,
                              sort_cols=["l_orderkey"])
     assert stats2["rows"] == li.count()
+
+
+def test_sliding_rollup_stream_matches_batch(spark, events, stream_src):
+    schema = events.schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(stream_src))
+    rolled = ST.sliding_rollup(src, window="1 hour", slide="15 minutes",
+                               watermark="2 hours")
+    q = (rolled.select(
+            F.unix_timestamp("window_start").alias("ws"),
+            "event_type", "n_events",
+            F.col("sum_value").cast("string").alias("sum_value"))
+         .writeStream.outputMode("complete")
+         .format("memory").queryName("slide_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM slide_t").collect())
+    want = sorted(tuple(r) for r in ST.sliding_rollup(
+        events, window="1 hour", slide="15 minutes").select(
+            F.unix_timestamp("window_start").alias("ws"),
+            "event_type", "n_events",
+            F.col("sum_value").cast("string").alias("sum_value")).collect())
+    assert got == want
+    # every event appears in exactly window/slide = 4 windows
+    n_events = events.count()
+    assert sum(r[2] for r in want) == 4 * n_events
