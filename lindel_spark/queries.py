@@ -5041,3 +5041,45 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("window_start").alias("window_start_us"),
         "event_type", "n_events",
         F.col("sum_value").cast("string").alias("sum_value"))
+
+
+@query(
+    "sampling_weighted_n",
+    """
+    WITH w AS (
+      SELECT doc_id::BIGINT AS doc_id, lang,
+             (n_chars % 7 + 1)::DOUBLE AS wt,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'wsn'), 1, 15)
+             )::BIGINT / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, wt,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln(greatest(u, 1e-18)) / wt DESC, doc_id) AS rn
+      FROM w
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n, SUM(doc_id)::BIGINT AS id_sum,
+           round(SUM(wt), 6) AS wt_sum
+    FROM r WHERE rn <= 15 GROUP BY 1
+    """,
+)
+def q_sampling_weighted_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n weighted sampling without replacement (Efraimidis-
+    Spirakis keys): 15 docs per language, win probability
+    proportional to a synthetic weight. Membership pinned via id_sum;
+    both engines compute the identical ln(u)/w ranking from the
+    shared md5 uniform. See
+    :func:`lindel_spark.sampling.weighted_sample_n`."""
+    from lindel_spark.sampling import weighted_sample_n
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    wt = (F.col("n_chars") % 7 + 1).cast("double")
+    out = weighted_sample_n(
+        docs.withColumn("wt", wt), "doc_id", "wt", 15,
+        strata_col="lang", salt="wsn")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_id").cast("long")).alias("id_sum"),
+        F.round(F.sum("wt"), 6).alias("wt_sum"))

@@ -231,3 +231,42 @@ def deterministic_shuffle(
     """
     k = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     return df.withColumn(out_col, k).orderBy(out_col)
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key_col: str,
+    weight,
+    n: int,
+    strata_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-``n`` weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): each row draws the deterministic
+    uniform u = md5-fraction(key) and ranks by ``ln(u) / w`` — the
+    top ``n`` keys are a true weighted sample, rows competing with
+    probability proportional to weight. Complements
+    :func:`weighted_sample` (per-row keep-probability, random total)
+    when the budget is a COUNT, not a rate.
+
+    Content-deterministic like every sampler here: same rows win on
+    any layout/engine/rerun. ``strata_col`` takes n per stratum. One
+    window (per stratum or global); weights must be > 0 — rows with
+    w <= 0 are dropped (they'd rank at -inf anyway).
+    """
+    from pyspark.sql.window import Window
+
+    w = weight if isinstance(weight, Column) else F.col(weight)
+    w = w.cast("double")
+    u = split_fraction(F.col(key_col), salt)
+    # u in [0, 1): guard the exact-0 edge so ln() stays finite
+    key = F.log(F.greatest(u, F.lit(1e-18))) / w
+    parts = [F.col(strata_col)] if strata_col else []
+    win = Window.partitionBy(*parts).orderBy(
+        key.desc(), F.col(key_col).asc())
+    return (
+        df.filter(w > 0)
+        .withColumn("__wrank", F.row_number().over(win))
+        .filter(F.col("__wrank") <= n)
+        .drop("__wrank")
+    )

@@ -164,3 +164,31 @@ def test_weighted_sample_deterministic_and_monotone(spark):
     assert zero == 0 and allk == 2000
     # expected size ~ sum of weights (0..0.9 avg 0.45)
     assert 0.35 * 2000 < len(a) < 0.55 * 2000
+
+
+def test_weighted_sample_n_exact_count_and_determinism(spark):
+    from lindel_spark.sampling import weighted_sample_n
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 3)) for i in range(100)], ["id", "w"])
+    a = sorted(r["id"] for r in weighted_sample_n(df, "id", "w", 10).collect())
+    b = sorted(r["id"] for r in weighted_sample_n(
+        df.repartition(7), "id", "w", 10).collect())
+    assert len(a) == 10 and a == b  # layout-independent membership
+
+
+def test_weighted_sample_n_prefers_heavy_rows(spark):
+    from lindel_spark.sampling import weighted_sample_n
+    # two weight classes 1000:1 -> heavy rows should dominate the sample
+    rows = [(i, 1000.0) for i in range(50)] + [(i, 1.0) for i in range(50, 100)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = [r["id"] for r in weighted_sample_n(df, "id", "w", 20).collect()]
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 18  # weighted, not uniform
+
+
+def test_weighted_sample_n_drops_nonpositive_weights(spark):
+    from lindel_spark.sampling import weighted_sample_n
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], ["id", "w"])
+    got = [r["id"] for r in weighted_sample_n(df, "id", "w", 3).collect()]
+    assert got == [3]
