@@ -55,30 +55,32 @@ def query(name: str, oracle: str | None):
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
     # round-7 rotation: (a) everything never driver-sampled — the
-    # round-6/7 additions — then (b) the curve-core queries, last
-    # driver-recorded in r2/r3, then (c) the longest-unsampled
-    # operator families. TPC-H and the r4-r6 staples rotate out this
-    # round (they are r6-driver-green and stay in the local sweeps).
-    "text_bm25_topk", "text_lm_quality", "events_merge_upsert",
-    "text_scrub_pii", "sketch_heavy_hitters", "bucketed_join_segments",
-    "dedup_semantic", "hilbert_native_vals_i32", "events_rolling_hour",
+    # round-6/7 additions, 33 queries — then (b) the curve-core
+    # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
+    # staples rotate out this round (they are r6-driver-green and
+    # stay in the local full-registry sweeps).
+    "text_bm25_topk", "text_lm_quality", "text_lm_bigram",
+    "events_merge_upsert", "text_scrub_pii", "sketch_heavy_hitters",
+    "bucketed_join_segments", "dedup_semantic", "dedup_fuzzy_pairs",
+    "sources_orc_roundtrip", "text_quality_deciles",
+    "events_pivot_daily", "events_unpivot_melt",
+    "events_approx_percentiles", "events_cumulative_users",
+    "events_winsorized_stats", "events_debounce_dedup",
+    "events_sliding_rollup", "sampling_fixed_n_per_stratum",
+    "sampling_weighted_n",
+    "hilbert_native_vals_i32", "events_rolling_hour",
     "events_anomaly_zscore", "events_latest_per_user",
     "asof_join_forward", "events_gapfilled_rollup",
     "events_interval_join", "sampling_quality_weighted",
     "text_feature_hash", "sampling_leak_safe_split",
     "pipeline_compact_files", "knn_ivf_append",
     "sampling_shuffled_order",
-    "golden_scalars", "golden_grid_i8", "golden_grid_i32",
-    "rt_hilbert_i32", "rt_hilbert_f32", "rt_hilbert_f64",
-    "rt_hilbert_i16", "rt_hilbert_i16_8", "rt_hilbert_i64",
-    "rt_hilbert_i8_16", "rt_morton_i32", "rt_morton_i8",
-    "rt_morton_i8_8", "rt_morton_f32", "rt_morton_f32_4",
-    "rt_unsigned_i16", "morton_native_vals_i32", "zorder_readback",
-    "sql_registration_surface",
-    "dedup_near_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_clusters", "dedup_exact_groups",
-    "asof_join_events", "spatial_range_join", "knn_brute",
-    "knn_ann_simhash", "text_stats", "skew_salted_join",
+    "golden_scalars", "rt_hilbert_i32", "rt_hilbert_f32",
+    "rt_hilbert_f64", "rt_hilbert_i16", "rt_hilbert_i16_8",
+    "rt_hilbert_i64", "rt_hilbert_i8_16", "rt_morton_i32",
+    "rt_morton_i8", "rt_morton_i8_8", "rt_morton_f32",
+    "rt_morton_f32_4", "rt_unsigned_i16", "morton_native_vals_i32",
+    "zorder_readback", "sql_registration_surface",
 ]
 
 
