@@ -55,3 +55,93 @@ def profile_table(
         .select("s.column", "n_rows", "s.n_nulls", "s.n_distinct",
                 "s.min_str", "s.max_str")
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 20,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n).
+    Bounds default to the observed min/max (one tiny extra aggregate,
+    broadcast back); the top edge closes into the last bin. Pure
+    column math — bin = floor((v-lo)/(hi-lo)*n_bins) — identical in
+    any engine, so the profile is oracle-replayable. One map-side-
+    combined groupBy over at most ``n_bins`` keys. NULLs are skipped.
+    """
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull())
+    if lo is None or hi is None:
+        bounds = vals.agg(F.min("v").alias("__lo"),
+                          F.max("v").alias("__hi"))
+        vals = vals.crossJoin(F.broadcast(bounds))
+    else:
+        vals = vals.withColumn("__lo", F.lit(float(lo))) \
+                   .withColumn("__hi", F.lit(float(hi)))
+    width = F.col("__hi") - F.col("__lo")
+    bin_ = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("v") - F.col("__lo")) / width * n_bins),
+        )
+    ).cast("long")
+    return (
+        vals.select(bin_.alias("bin"), "__lo", "__hi")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.first("__lo").alias("range_lo"),
+             F.first("__hi").alias("range_hi"))
+        .select("bin", "n", "range_lo", "range_hi")
+    )
+
+
+def parquet_layout_report(spark, path: str) -> DataFrame:
+    """Physical-layout audit of a parquet directory: one row per data
+    file with (file, bytes, n_rows, n_row_groups) read from the
+    footers — the input to small-files triage
+    (:func:`lindel_spark.write.compact_parquet`) and clustering
+    checks (tight per-file key ranges after
+    :func:`~lindel_spark.write.zorder_write`).
+
+    Footer reads run DISTRIBUTED: the file list parallelizes and each
+    executor opens only footers (`pyarrow.parquet`), never data pages
+    — at 100 TB this is a listing-bounded metadata job, not a scan.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), 64) or 1)
+    out_schema = T.StructType([
+        T.StructField("file", T.StringType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_row_groups", T.LongType()),
+    ])
+
+    def read_footers(batches):
+        import os as _os
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for f in b["file"]:
+                md = pq.ParquetFile(f).metadata
+                rows.append((f, _os.path.getsize(f), md.num_rows,
+                             md.num_row_groups))
+            yield pd.DataFrame(
+                rows, columns=["file", "bytes", "n_rows",
+                               "n_row_groups"])
+
+    return fdf.mapInPandas(read_footers, out_schema)

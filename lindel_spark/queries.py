@@ -5085,3 +5085,55 @@ def q_sampling_weighted_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("doc_id").cast("long")).alias("id_sum"),
         F.round(F.sum("wt"), 6).alias("wt_sum"))
+
+
+@query(
+    "profile_value_histogram",
+    """
+    WITH v AS (SELECT value::DOUBLE AS v FROM events
+               WHERE value IS NOT NULL),
+    b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v)
+    SELECT least(19, floor((v.v - b.lo) / (b.hi - b.lo) * 20))::BIGINT
+             AS bin,
+           COUNT(*)::BIGINT AS n,
+           ANY_VALUE(b.lo) AS range_lo,
+           ANY_VALUE(b.hi) AS range_hi
+    FROM v CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of event values with data-derived
+    bounds — profiling's distribution view beside profile_table's
+    scalar stats. Identical floor-bin math both engines. See
+    :func:`lindel_spark.profile.value_histogram`."""
+    from lindel_spark.profile import value_histogram
+
+    ev = _events(spark, sf_dir)
+    return value_histogram(ev, "value", n_bins=20)
+
+
+@query(
+    "profile_parquet_layout",
+    """
+    SELECT COUNT(*)::BIGINT AS n_files,
+           (SELECT COUNT(*) FROM lineitem)::BIGINT AS total_rows
+    FROM range(12)
+    """,
+)
+def q_profile_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout audit: lineitem rewritten as 12 files, then
+    parquet_layout_report reads ONLY footers (distributed mapInPandas)
+    — file count and footer row totals must reconstruct the table
+    exactly, which the oracle pins from the data side. See
+    :func:`lindel_spark.profile.parquet_layout_report`."""
+    from lindel_spark.profile import parquet_layout_report
+
+    li = _lineitem(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="lindel_layout_")
+    li.repartition(12).write.mode("overwrite").parquet(
+        os.path.join(out, "li"))
+    rep = parquet_layout_report(spark, os.path.join(out, "li"))
+    return rep.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"))

@@ -21,3 +21,39 @@ def test_profile_approx_mode(spark):
     df = spark.range(1000).select(F.col("id").alias("k"))
     p = profile_table(df, approx=True).collect()[0]
     assert abs(p.n_distinct - 1000) / 1000 < 0.1
+
+
+def test_value_histogram_bins_and_counts(spark):
+    from lindel_spark.profile import value_histogram
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    rows = {r["bin"]: r for r in value_histogram(df, "v", n_bins=10).collect()}
+    assert set(rows) == set(range(10))
+    assert all(rows[b]["n"] == 10 for b in rows)
+    assert rows[0]["range_lo"] == 0.0 and rows[0]["range_hi"] == 99.0
+    # top edge closes into the last bin (v == hi -> bin 9)
+
+
+def test_value_histogram_constant_column(spark):
+    from lindel_spark.profile import value_histogram
+    df = spark.createDataFrame([(5.0,), (5.0,), (None,)], ["v"])
+    rows = value_histogram(df, "v", n_bins=4).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] == 0 and rows[0]["n"] == 2  # NULL skipped
+
+
+def test_value_histogram_fixed_bounds(spark):
+    from lindel_spark.profile import value_histogram
+    df = spark.createDataFrame([(0.5,), (1.5,), (9.0,)], ["v"])
+    rows = {r["bin"]: r["n"] for r in
+            value_histogram(df, "v", n_bins=10, lo=0.0, hi=10.0).collect()}
+    assert rows == {0: 1, 1: 1, 9: 1}
+
+
+def test_parquet_layout_report_reconstructs_table(spark, tmp_path):
+    from lindel_spark.profile import parquet_layout_report
+    df = spark.range(1000).selectExpr("id", "id % 7 as k")
+    df.repartition(5).write.parquet(str(tmp_path / "t"))
+    rep = parquet_layout_report(spark, str(tmp_path / "t")).collect()
+    assert len(rep) == 5
+    assert sum(r["n_rows"] for r in rep) == 1000
+    assert all(r["bytes"] > 0 and r["n_row_groups"] >= 1 for r in rep)
