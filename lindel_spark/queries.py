@@ -5137,3 +5137,77 @@ def q_profile_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("n_rows").alias("total_rows"))
+
+
+@query(
+    "events_pseudonymized",
+    """
+    SELECT substr(sha256('r7salt' || user_id::VARCHAR), 1, 16) AS uid,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT event_type)::BIGINT AS n_types
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization: user ids replaced by stable
+    sha256 surrogates that still group/join correctly — per-surrogate
+    aggregates hash-match the oracle computing the same keyed hash,
+    proving the surrogate mapping is engine-stable. See
+    :func:`lindel_spark.text.pseudonymize`."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        LT.pseudonymize(F.col("user_id"), "r7salt").alias("uid"),
+        "event_type",
+    ).groupBy("uid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"))
+
+
+@query(
+    "events_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+             epoch_us(ts)::BIGINT AS tus
+      FROM events
+    ),
+    old AS (
+      SELECT user_id, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY tus DESC, event_id DESC) rn
+        FROM base WHERE tus < 1705795200000000) WHERE rn = 1
+    ),
+    new AS (
+      SELECT user_id, event_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY tus DESC, event_id DESC) rn
+        FROM base) WHERE rn = 1
+    )
+    SELECT CASE WHEN o.user_id IS NULL THEN 'added'
+                WHEN n.user_id IS NULL THEN 'removed'
+                WHEN o.event_id = n.event_id THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COUNT(*)::BIGINT AS n
+    FROM old o FULL OUTER JOIN new n USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: latest-event-per-user computed over the first 20
+    days vs over the whole month, classified added / changed /
+    unchanged (no removals by construction). One full-outer join with
+    NULL-safe column comparison. See
+    :func:`lindel_spark.write.snapshot_diff`."""
+    from lindel_spark.dedup import latest_by_key
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("tus"))
+    old = latest_by_key(ev.filter(F.col("tus") < _MERGE_CUTOFF_US),
+                        "user_id", ["tus", "event_id"]) \
+        .select("user_id", "event_id")
+    new = latest_by_key(ev, "user_id", ["tus", "event_id"]) \
+        .select("user_id", "event_id")
+    d = LW.snapshot_diff(old, new, "user_id")
+    return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))

@@ -401,3 +401,20 @@ def scrub_pii(c: Column, url_token: str = "<URL>",
     out = scrub_text(c, url_token, email_token)
     out = F.regexp_replace(out, IPV4_PATTERN, ip_token)
     return F.regexp_replace(out, PHONE_PATTERN, phone_token)
+
+
+def pseudonymize(c: Column, salt: str, length: int = 16) -> Column:
+    """Salted-hash pseudonymization: stable surrogate id for a PII
+    column (user id, e-mail) — same input + salt always maps to the
+    same token, so joins and group-bys still work on the surrogate,
+    while the raw value never leaves the scan. ``sha2`` keyed by a
+    pipeline-secret salt; truncated to ``length`` hex chars (64-bit
+    default — collision-safe into the billions, and half the shuffle
+    width of the full digest). Map-only, JVM codegen.
+
+    This is pseudonymization, not anonymization: whoever holds the
+    salt can re-derive the mapping by hashing candidate inputs. Keep
+    the salt out of the data lake.
+    """
+    return F.substring(
+        F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, length)

@@ -278,3 +278,45 @@ def bucketed_write(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols,
+    compare_cols=None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table:
+    returns (key..., status) with status in
+    ``added | removed | changed | unchanged``.
+
+    ``compare_cols`` defaults to every shared non-key column; rows
+    compare NULL-safely (``<=>``). The data-ops audit step between
+    pipeline runs — count the statuses to alert on unexpected churn,
+    or filter ``status != 'unchanged'`` as a poor-man's CDC extract.
+
+    One full-outer join keyed on ``key_cols`` — the same shuffle
+    shape as the merge that produced the snapshot; AQE handles skew.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns
+                        if c in set(new.columns) and c not in key_cols]
+    o = old.select(*key_cols,
+                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+                   F.lit(1).alias("__in_o"))
+    n = new.select(*key_cols,
+                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+                   F.lit(1).alias("__in_n"))
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_o").isNull(), F.lit("added"))
+        .when(F.col("__in_n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*key_cols, status.alias("status"))

@@ -44,3 +44,45 @@ def test_merge_upsert_null_tombstone_means_keep(spark):
     got = {r["k"]: r["v"] for r in merge_upsert(
         target, updates, "k", delete_col="dead").collect()}
     assert got == {1: 11}
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from lindel_spark.write import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"])
+    new = spark.createDataFrame(
+        [(1, "a", 10),    # unchanged
+         (2, "B", 20),    # changed
+         (4, "d", 40)],   # added; 3 removed
+        ["k", "s", "v"])
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from lindel_spark.write import snapshot_diff
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    got = {r["k"]: r["status"]
+           for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "changed"}
+
+
+def test_snapshot_diff_subset_compare_cols(spark):
+    from lindel_spark.write import snapshot_diff
+    old = spark.createDataFrame([(1, "a", 1)], ["k", "s", "v"])
+    new = spark.createDataFrame([(1, "a", 999)], ["k", "s", "v"])
+    got = snapshot_diff(old, new, "k", compare_cols=["s"]).collect()
+    assert got[0]["status"] == "unchanged"  # v excluded from compare
+
+
+def test_pseudonymize_stable_and_salted(spark):
+    from lindel_spark.text import pseudonymize
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(7,), (7,), (8,)], ["uid"])
+    a = df.select(pseudonymize(F.col("uid"), "s1").alias("p")).collect()
+    assert a[0]["p"] == a[1]["p"] != a[2]["p"]
+    assert len(a[0]["p"]) == 16
+    b = df.select(pseudonymize(F.col("uid"), "s2").alias("p")).collect()
+    assert a[0]["p"] != b[0]["p"]  # salt changes the mapping
