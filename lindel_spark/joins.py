@@ -320,3 +320,143 @@ def cogroup_asof_join(
         .cogroup(right.groupBy(on))
         .applyInPandas(merge, out_schema)
     )
+
+
+def interval_overlap_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | Sequence[str],
+    point_ts: str,
+    start: str,
+    end: str,
+    grain: int,
+    max_buckets_per_interval: int = 100_000,
+) -> DataFrame:
+    """Join points to the intervals containing them — the 1-D range
+    join (``start <= ts <= end``) as a bucketed equi-join, never a
+    cartesian product.
+
+    The reference's host engine gets this from DuckDB's IEJoin; Spark
+    would naively plan a broadcast-nested-loop. Instead, each interval
+    is exploded to the ``grain``-sized buckets it covers (an interval
+    of span *s* touches ``s/grain + 1`` buckets) while each point maps
+    to exactly ONE bucket — so candidate pairs are generated at most
+    once (no post-join dedup) and candidate generation is complete.
+    The range predicate then makes the result exact. Pick ``grain``
+    near the typical interval span: explosion factor stays ~2 and the
+    shuffle key ``(on, bucket)`` is fine-grained enough to spread load.
+
+    Timestamps/starts/ends must be numeric (e.g. ``unix_micros``).
+    Columns from ``points`` keep their names; interval payload columns
+    are prefixed ``i_``. Raises if any interval would explode past
+    ``max_buckets_per_interval`` (same guard philosophy as
+    ``gapfill_rollup``: an unbounded explode is an outage at scale,
+    fail loudly instead).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if grain <= 0:
+        raise ValueError("grain must be a positive integer")
+    span_buckets = (
+        F.floor(F.col(end) / grain) - F.floor(F.col(start) / grain) + 1)
+    guarded = intervals.withColumn("__nb", span_buckets)
+    # the guard is an aggregate, not a collect of rows: one tiny job
+    worst = guarded.agg(F.max("__nb").alias("m")).first()["m"]
+    if worst is not None and worst > max_buckets_per_interval:
+        raise ValueError(
+            f"LINDEL: an interval covers {worst} buckets at grain "
+            f"{grain} (cap {max_buckets_per_interval}); raise the "
+            f"grain or split the interval")
+    ivl = guarded.select(
+        *[F.col(c).alias(f"i_{c}") for c in intervals.columns],
+        F.explode(
+            F.sequence(F.floor(F.col(start) / grain),
+                       F.floor(F.col(end) / grain))
+        ).alias("__bucket"),
+    )
+    pts = points.withColumn(
+        "__bucket", F.floor(F.col(point_ts) / grain))
+    cond = [pts[k] == ivl[f"i_{k}"] for k in keys]
+    cond.append(pts["__bucket"] == ivl["__bucket"])
+    joined = pts.join(ivl, cond)
+    return (
+        joined
+        .filter((F.col(point_ts) >= F.col(f"i_{start}"))
+                & (F.col(point_ts) <= F.col(f"i_{end}")))
+        .drop("__bucket", "__nb", "i___nb")
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    expected_keys: int | None = None,
+    fpp: float = 0.01,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Exact semi-join with a Bloom-filter pre-filter on the fact side
+    — the runtime-filter pattern for a 100 TB fact × small dim.
+
+    Build: the dim's distinct join keys are hashed JVM-side
+    (``xxhash64`` with k salts) into bit positions; the driver packs
+    the distinct positions (≤ k · |dim keys| longs — bounded by the
+    *dim*, never the fact) into a NumPy bitmap. Probe: each fact row
+    computes its k positions JVM-side; an Arrow-batched pandas UDF
+    tests the broadcast bitmap with vectorized bit math — no string
+    leaves the JVM, Python only sees int64 positions. Rows failing any
+    bit are dropped *before the shuffle*; the surviving ≈ matches +
+    fpp·|fact| rows then take the exact semi-join, so the result is
+    identical to ``fact SEMI JOIN dim`` while the shuffle/broadcast
+    probe volume shrinks by ~the fact's non-matching fraction.
+
+    With AQE Spark can inject a similar runtime filter for some plans;
+    this operator makes the reduction explicit, composable, and
+    available in front of any downstream op (aggregate, sink, …).
+    """
+    import math
+
+    import numpy as np
+
+    keys = dim.select(on).distinct()
+    n = expected_keys or keys.count()
+    n = max(n, 1)
+    # standard bloom sizing: m = -n ln p / (ln 2)^2, k = m/n ln 2
+    m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, int(round(m / n * math.log(2))))
+
+    def positions(col):
+        return F.array(*[
+            F.pmod(F.xxhash64(F.lit(i), col), F.lit(m)).cast("long")
+            for i in range(k)
+        ])
+
+    pos_rows = (
+        keys.select(F.explode(positions(F.col(on))).alias("p"))
+        .distinct().collect()
+    )  # bounded by k * |dim keys|
+    bitmap = np.zeros((m + 63) // 64, dtype=np.uint64)
+    idx = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
+    np.bitwise_or.at(bitmap, idx // 64,
+                     np.uint64(1) << (idx % 64).astype(np.uint64))
+
+    def _might_contain(pos):
+        import pandas as _pd
+        out = np.ones(len(pos), dtype=bool)
+        for j in range(k):
+            p = pos.str[j].to_numpy(dtype=np.int64)
+            bit = (bitmap[p // 64]
+                   >> (p % 64).astype(np.uint64)) & np.uint64(1)
+            out &= bit.astype(bool)
+        return _pd.Series(out)
+
+    # built without type hints (pandas stays a worker-side import);
+    # SCALAR is inferred from the plain-series callable
+    might_contain = F.pandas_udf(_might_contain, T.BooleanType())
+
+    pruned = (
+        fact.withColumn("__pos", positions(F.col(on)))
+        .filter(might_contain(F.col("__pos")))
+        .drop("__pos")
+    )
+    dim_side = F.broadcast(keys) if broadcast_dim else keys
+    return pruned.join(dim_side, on, "left_semi")

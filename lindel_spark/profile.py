@@ -145,3 +145,101 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
                                "n_row_groups"])
 
     return fdf.mapInPandas(read_footers, out_schema)
+
+
+def expectations_report(
+    df: DataFrame,
+    expectations: Sequence[tuple],
+) -> DataFrame:
+    """Deequ-style constraint validation in ONE aggregation pass.
+
+    ``expectations`` is a sequence of tuples:
+
+    * ``("not_null", col)`` — no NULLs allowed
+    * ``("unique", col)`` — values distinct (NULLs ignored)
+    * ``("range", col, lo, hi)`` — every non-NULL value in [lo, hi]
+    * ``("regex", col, pattern, min_rate)`` — fraction of non-NULL
+      values matching ``pattern`` is ≥ ``min_rate``
+    * ``("accepted", col, values)`` — every non-NULL value ∈ values
+
+    Returns long format ``(constraint, column, metric, passed)`` where
+    ``metric`` is the measured satisfaction rate in [0, 1]. All checks
+    compile into a single Catalyst aggregate — one table scan, no
+    per-check jobs, no driver loops — so validating a 100 TB drop
+    costs one pass regardless of how many constraints it carries.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    specs = []  # (constraint, column, metric_name, pass_expr_name)
+    for i, exp in enumerate(expectations):
+        kind, col = exp[0], exp[1]
+        c = F.col(col)
+        name = f"__m{i}"
+        if kind == "not_null":
+            metric = F.avg(F.when(c.isNotNull(), 1.0).otherwise(0.0))
+            passed = F.col(name) >= 1.0
+        elif kind == "unique":
+            metric = (F.count_distinct(c).cast("double")
+                      / F.count(c).cast("double"))
+            passed = F.col(name) >= 1.0
+        elif kind == "range":
+            lo, hi = exp[2], exp[3]
+            metric = F.avg(
+                F.when(c.isNull(), None)
+                .when((c >= F.lit(lo)) & (c <= F.lit(hi)), 1.0)
+                .otherwise(0.0))
+            passed = F.col(name) >= 1.0
+        elif kind == "regex":
+            pattern, min_rate = exp[2], exp[3]
+            metric = F.avg(
+                F.when(c.isNull(), None)
+                .when(c.cast("string").rlike(pattern), 1.0)
+                .otherwise(0.0))
+            passed = F.col(name) >= float(min_rate)
+        elif kind == "accepted":
+            values = list(exp[2])
+            metric = F.avg(
+                F.when(c.isNull(), None)
+                .when(c.isin(values), 1.0).otherwise(0.0))
+            passed = F.col(name) >= 1.0
+        else:
+            raise ValueError(f"LINDEL: unknown expectation {kind!r}")
+        aggs.append(metric.alias(name))
+        specs.append((kind, col, name, passed))
+    row = df.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(kind).alias("constraint"),
+            F.lit(col).alias("column"),
+            F.coalesce(F.col(name), F.lit(1.0)).alias("metric"),
+            F.coalesce(passed, F.lit(True)).alias("passed"),
+        )
+        for kind, col, name, passed in specs
+    ])
+    return (
+        row.select(F.explode(structs).alias("s"))
+        .select("s.constraint", "s.column", "s.metric", "s.passed")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Group sizes over the quasi-identifier tuple — the k-anonymity
+    audit a dataset needs before release alongside pseudonymization.
+
+    One row per equivalence class: the quasi-identifier values,
+    ``group_n`` (class size), and ``anonymous`` (size ≥ k; classes
+    below k identify individuals and need suppression or
+    generalization). Map-side-combined groupBy on the QI tuple — one
+    shuffle whose key count is the number of equivalence classes, not
+    rows. The dataset's k-anonymity level is ``min(group_n)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .withColumn("anonymous", F.col("group_n") >= F.lit(k))
+    )

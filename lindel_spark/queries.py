@@ -5211,3 +5211,321 @@ def q_events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id")
     d = LW.snapshot_diff(old, new, "user_id")
     return d.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# round 7 (cont.): history, range join, runtime filter, validation
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_scd2_history",
+    """
+    WITH base AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, event_type
+      FROM events
+    ),
+    chg AS (
+      SELECT user_id, tus, event_id, event_type,
+             (row_number() OVER w = 1
+              OR lag(event_type) OVER w IS DISTINCT FROM event_type)
+             AS is_chg
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    v AS (
+      SELECT user_id, event_type,
+             tus AS valid_from,
+             lead(tus) OVER w2 AS valid_to,
+             row_number() OVER w2 AS version
+      FROM chg WHERE is_chg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current, version::BIGINT AS version
+    FROM v
+    """,
+)
+def q_events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 build over the events changelog: each user's
+    event_type observations collapse into validity intervals
+    [valid_from, valid_to) with is_current on the open one. One
+    shuffle on user_id; both window passes share the (user_id;
+    tus, event_id) sort. See :func:`lindel_spark.history.scd2_build`."""
+    from lindel_spark.history import scd2_build
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    return scd2_build(
+        ev, "user_id", ["tus", "event_id"], ["event_type"],
+    ).select(
+        "user_id", "event_type", "valid_from", "valid_to",
+        "is_current", F.col("version").cast("long").alias("version"),
+    )
+
+
+_OVERLAP_SPAN_US = 30 * 60 * 1_000_000  # purchase influence window
+
+
+@query(
+    "events_interval_overlap",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id,
+             epoch_us(ts)::BIGINT AS tus, event_type
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, event_id AS iid, tus AS s,
+             tus + 1800000000 AS e
+      FROM e WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, count(*)::BIGINT AS n_cover,
+           min(i.iid)::BIGINT AS first_iid
+    FROM e AS p
+    JOIN i ON p.user_id = i.user_id
+          AND p.tus >= i.s AND p.tus <= i.e
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D interval-overlap join: every event joined to the 30-minute
+    influence window of each same-user purchase it falls into, then
+    rolled up per event. The operator buckets intervals at the span
+    grain so the join is a bounded equi-join on (user, bucket) — no
+    broadcast-nested-loop, no cartesian; completeness comes from each
+    point probing exactly one bucket that every covering interval also
+    occupies. See :func:`lindel_spark.joins.interval_overlap_join`."""
+    from lindel_spark.joins import interval_overlap_join
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("tus"),
+        "event_type",
+    )
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("iid"),
+        F.col("tus").alias("s"),
+        (F.col("tus") + F.lit(_OVERLAP_SPAN_US)).alias("e"),
+    )
+    joined = interval_overlap_join(
+        ev, intervals, on="user_id", point_ts="tus",
+        start="s", end="e", grain=_OVERLAP_SPAN_US)
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cover"),
+        F.min("i_iid").alias("first_iid"),
+    )
+
+
+@query(
+    "events_incremental_agg",
+    """
+    SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS cnt,
+           round(sum(value), 4) AS sum_v_r4,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the first 20 days'
+    per-user aggregate state merged with the remaining days' delta
+    state must equal the full recompute (the oracle recomputes from
+    scratch). The merge touches only state rows — at 100 TB the base
+    history is never re-read. See
+    :func:`lindel_spark.history.merge_agg_states`."""
+    from lindel_spark.history import merge_agg_states
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("tus"),
+        "value",
+    )
+
+    def state(part: DataFrame) -> DataFrame:
+        return part.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+
+    base = state(ev.filter(F.col("tus") < _MERGE_CUTOFF_US))
+    delta = state(ev.filter(F.col("tus") >= _MERGE_CUTOFF_US))
+    merged = merge_agg_states(
+        [base, delta], ["user_id"],
+        {"cnt": "sum", "sum_v": "sum", "min_v": "min", "max_v": "max"})
+    return merged.select(
+        "user_id", "cnt",
+        F.round("sum_v", 4).alias("sum_v_r4"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
+@query(
+    "events_grouping_sets",
+    """
+    WITH e AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_s, value
+      FROM events
+    )
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(day_s, 'ALL') AS day_s,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v_r4
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, day_s), (event_type),
+                            (day_s), ())
+    """,
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS in one pass: per (type, day), per type, per day,
+    and grand total from a single Expand + hash aggregate — the
+    multi-grain reporting rollup without four scans. NULL group slots
+    are sentineled 'ALL' so the oracle compares value-level."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day_s"),
+        "value",
+    )
+    return (
+        ev.groupingSets(
+            [["event_type", "day_s"], ["event_type"], ["day_s"], []],
+            "event_type", "day_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_v_r4"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce("day_s", F.lit("ALL")).alias("day_s"),
+            "n", "sum_v_r4",
+        )
+    )
+
+
+@query(
+    "bloom_semi_join_orders",
+    """
+    SELECT o.o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o.o_totalprice), 4) AS total_r4
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bloom_semi_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join: orders of high-balance BUILDING
+    customers. The Bloom pre-filter drops non-matching orders before
+    any shuffle (bitmap built from the dim's keys, probed JVM-side +
+    vectorized bit test); the exact semi-join then removes false
+    positives, so the result is identical to the plain semi-join the
+    oracle runs. See :func:`lindel_spark.joins.bloom_semi_join`."""
+    from lindel_spark.joins import bloom_semi_join
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dim = (
+        cust.filter((F.col("c_mktsegment") == "BUILDING")
+                    & (F.col("c_acctbal") > 5000))
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    matched = bloom_semi_join(orders, dim, on="o_custkey")
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_r4"),
+    )
+
+
+@query(
+    "profile_expectations",
+    """
+    WITH m AS (
+      SELECT
+        avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+          AS m_notnull,
+        count(DISTINCT o_orderkey)::DOUBLE
+          / count(o_orderkey)::DOUBLE AS m_unique,
+        avg(CASE WHEN o_totalprice IS NULL THEN NULL
+                 WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 1.0
+                 ELSE 0.0 END) AS m_range,
+        avg(CASE WHEN o_orderstatus IS NULL THEN NULL
+                 WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1.0
+                 ELSE 0.0 END) AS m_accepted,
+        avg(CASE WHEN o_orderpriority IS NULL THEN NULL
+                 WHEN regexp_matches(o_orderpriority, '^[1-5]-')
+                   THEN 1.0 ELSE 0.0 END) AS m_regex
+      FROM orders
+    )
+    SELECT 'not_null' AS constraint, 'o_custkey' AS column,
+           round(coalesce(m_notnull, 1.0), 6) AS metric,
+           coalesce(m_notnull, 1.0) >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique', 'o_orderkey', round(coalesce(m_unique, 1.0), 6),
+           coalesce(m_unique, 1.0) >= 1.0 FROM m
+    UNION ALL
+    SELECT 'range', 'o_totalprice', round(coalesce(m_range, 1.0), 6),
+           coalesce(m_range, 1.0) >= 1.0 FROM m
+    UNION ALL
+    SELECT 'accepted', 'o_orderstatus',
+           round(coalesce(m_accepted, 1.0), 6),
+           coalesce(m_accepted, 1.0) >= 1.0 FROM m
+    UNION ALL
+    SELECT 'regex', 'o_orderpriority',
+           round(coalesce(m_regex, 1.0), 6),
+           coalesce(m_regex, 1.0) >= 1.0 FROM m
+    """,
+)
+def q_profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report over orders: five deequ-style
+    expectations (completeness, uniqueness, range, accepted values,
+    format regex) computed in ONE aggregation pass — the pre-flight
+    gate a 100 TB drop passes before entering the pipeline. See
+    :func:`lindel_spark.profile.expectations_report`."""
+    from lindel_spark.profile import expectations_report
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    rep = expectations_report(orders, [
+        ("not_null", "o_custkey"),
+        ("unique", "o_orderkey"),
+        ("range", "o_totalprice", 0, 1_000_000),
+        ("accepted", "o_orderstatus", ["O", "F", "P"]),
+        ("regex", "o_orderpriority", "^[1-5]-", 1.0),
+    ])
+    return rep.select(
+        "constraint", "column",
+        F.round("metric", 6).alias("metric"), "passed")
+
+
+@query(
+    "profile_k_anonymity",
+    """
+    SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment,
+           count(*)::BIGINT AS group_n,
+           count(*) >= 20 AS anonymous
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def q_profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit on the (nation, market-segment) quasi-
+    identifier tuple: equivalence-class sizes with the below-k classes
+    flagged for suppression — the release gate that pairs with
+    events_pseudonymized. One map-side-combined groupBy. See
+    :func:`lindel_spark.profile.k_anonymity_report`."""
+    from lindel_spark.profile import k_anonymity_report
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    rep = k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k=20)
+    return rep.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment", "group_n", "anonymous")

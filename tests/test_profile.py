@@ -57,3 +57,56 @@ def test_parquet_layout_report_reconstructs_table(spark, tmp_path):
     assert len(rep) == 5
     assert sum(r["n_rows"] for r in rep) == 1000
     assert all(r["bytes"] > 0 and r["n_row_groups"] >= 1 for r in rep)
+
+
+def test_expectations_report_metrics_and_verdicts(spark):
+    from lindel_spark.profile import expectations_report
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, 500.0)],
+        "id long, s string, v double")
+    rep = {(r.constraint, r.column): r for r in expectations_report(df, [
+        ("not_null", "s"),
+        ("unique", "id"),
+        ("range", "v", 0, 100),
+        ("accepted", "s", ["a", "b"]),
+        ("regex", "s", "^[ab]$", 0.5),
+    ]).collect()}
+    nn = rep[("not_null", "s")]
+    assert abs(nn.metric - 2 / 3) < 1e-9 and not nn.passed
+    uq = rep[("unique", "id")]
+    assert abs(uq.metric - 2 / 3) < 1e-9 and not uq.passed
+    rg = rep[("range", "v")]
+    assert abs(rg.metric - 2 / 3) < 1e-9 and not rg.passed
+    ac = rep[("accepted", "s")]
+    assert ac.metric == 1.0 and ac.passed  # NULLs skipped
+    rx = rep[("regex", "s")]
+    assert rx.metric == 1.0 and rx.passed
+
+
+def test_expectations_single_aggregate_pass(spark):
+    from lindel_spark.profile import expectations_report
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v"))
+    rep = expectations_report(df, [
+        ("not_null", "id"), ("range", "v", 0, 10)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan of the input: all constraints share one agg
+    assert plan.count("Scan ") <= 1
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown expectation"):
+        expectations_report(df, [("median", "v")]).collect()
+
+
+def test_k_anonymity_report_flags_small_groups(spark):
+    from lindel_spark.profile import k_anonymity_report
+    import pytest as _p
+    df = spark.createDataFrame(
+        [("us", "a")] * 5 + [("us", "b")] * 2 + [("fr", "a")] * 3,
+        "country string, seg string")
+    rep = {(r.country, r.seg): (r.group_n, r.anonymous)
+           for r in k_anonymity_report(df, ["country", "seg"], 3)
+           .collect()}
+    assert rep == {("us", "a"): (5, True), ("us", "b"): (2, False),
+                   ("fr", "a"): (3, True)}
+    with _p.raises(ValueError, match="k must be"):
+        k_anonymity_report(df, ["country"], 0)
