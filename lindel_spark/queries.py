@@ -5529,3 +5529,154 @@ def q_profile_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select(
         F.col("c_nationkey").cast("long").alias("c_nationkey"),
         "c_mktsegment", "group_n", "anonymous")
+
+
+@query(
+    "events_ohlc_daily",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id,
+             strftime(ts, '%Y-%m-%d') AS day_s,
+             epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, value
+      FROM events
+    ),
+    wnd AS (
+      SELECT user_id, day_s,
+             first_value(value) OVER w AS open,
+             max(value) OVER w2 AS high,
+             min(value) OVER w2 AS low,
+             last_value(value) OVER w2 AS close,
+             count(*) OVER w2 AS n,
+             row_number() OVER w AS rn
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, day_s
+                   ORDER BY tus, event_id),
+             w2 AS (PARTITION BY user_id, day_s
+                    ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day_s, open, high, low, close, n::BIGINT AS n
+    FROM wnd WHERE rn = 1
+    """,
+)
+def q_events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick resample: per (user, day) open/high/low/close of
+    the value series, ties broken by event_id. Single Exchange +
+    shared Sort; the rn=1 filter avoids a second aggregation shuffle.
+    See :func:`lindel_spark.timeseries.ohlc`."""
+    from lindel_spark.timeseries import ohlc
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_s"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = ohlc(ev, ["user_id", "day_s"], "tus", "value", "event_id")
+    return out.select("user_id", "day_s", "open", "high", "low",
+                      "close", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "events_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id,
+             strftime(ts, '%Y-%m-%d') AS day_s,
+             epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, value
+      FROM events
+    ),
+    stepped AS (
+      SELECT user_id, day_s, tus,
+             (lead(tus) OVER (PARTITION BY user_id, day_s
+                              ORDER BY tus, event_id) - tus) * value
+               AS w
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, day_s, sum(w) AS tw,
+             (max(tus) - min(tus))::DOUBLE AS span,
+             count(*)::BIGINT AS n
+      FROM stepped GROUP BY user_id, day_s
+    )
+    SELECT user_id, day_s,
+           round(CASE WHEN span > 0 THEN tw / span END, 6) AS twa_r6,
+           span, n
+    FROM agg
+    """,
+)
+def q_events_time_weighted_avg(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Time-weighted average per (user, day): each value holds (LOCF)
+    until the next observation, integrated over the day's observed
+    span — the uneven-sampling-robust mean a metrics pipeline wants.
+    One lead window + one map-side-combined groupBy on the same key.
+    See :func:`lindel_spark.timeseries.time_weighted_avg`."""
+    from lindel_spark.timeseries import time_weighted_avg
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_s"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "value",
+    )
+    out = time_weighted_avg(
+        ev, ["user_id", "day_s"], "tus", "value", "event_id")
+    return out.select(
+        "user_id", "day_s",
+        F.round("twa", 6).alias("twa_r6"),
+        "span", F.col("n").cast("long").alias("n"))
+
+
+@query(
+    "text_tfidf_topk",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM norm)
+      GROUP BY doc_id, term
+    ),
+    dfs AS (
+      SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY term
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             p.tf::DOUBLE * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+               AS score
+      FROM postings p JOIN dfs d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, term,
+           round(score, 4) AS score_r4
+    FROM (SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed idf, lexicographic
+    tiebreak). Postings + vocab-df + per-doc window — every shuffle
+    keyed by term or doc. See
+    :func:`lindel_spark.retrieval.tfidf_topk`."""
+    from lindel_spark.retrieval import tfidf_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tfidf_topk(docs, k=3)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term",
+        F.round("score", 4).alias("score_r4"))

@@ -276,3 +276,40 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
              / F.count(F.lit(1)).cast("double")).alias("avg_logprob"),
         )
     )
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the cheap keyword
+    extractor a corpus audit runs before anything embedding-based.
+
+    ``idf = ln((n_docs + 1) / (df + 1)) + 1`` (smoothed, never
+    negative), ``score = tf * idf``; ties break lexicographically so
+    the result is fully deterministic. Plan shape: the postings pass
+    (one scan + one groupBy), a vocabulary-sized df aggregate joined
+    back on ``term`` (AQE picks broadcast when the vocab is small),
+    one scalar n_docs broadcast, and a per-doc window for the top-k —
+    every shuffle is keyed by term or doc, nothing is all-pairs.
+    """
+    from pyspark.sql import Window
+
+    postings = doc_term_stats(df, id_col=id_col, text_col=text_col)
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score")
+    )

@@ -1,0 +1,88 @@
+"""Batch time-series operators: OHLC resampling and time-weighted
+averages.
+
+The reference's host engine leans on its SQL windows for these; here
+they are packaged as single-shuffle window plans (one Exchange on the
+series key, one Sort both passes share) so a 100 TB event history
+rolls up with per-key — never per-table — state. Tie timestamps are
+ordered by an explicit tiebreaker column so results are deterministic
+under any partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Open/high/low/close/count per key group — candlestick
+    resampling. Pass the time bucket as one of ``keys`` (e.g. a
+    derived day column).
+
+    One hash Exchange on ``keys`` + one Sort; open/close come from the
+    ordered frame, high/low/count from the unbounded frame over the
+    same partitioning, and the ``rn = 1`` filter emits exactly one row
+    per group without a second aggregation shuffle.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    wall = w.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)
+    return (
+        df.select(
+            *keys,
+            F.first(value_col).over(w).alias("open"),
+            F.max(value_col).over(wall).alias("high"),
+            F.min(value_col).over(wall).alias("low"),
+            F.last(value_col).over(wall).alias("close"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+            F.row_number().over(w).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Time-weighted average per key group: each observation holds
+    (LOCF) until the next one, integrated over the group's observed
+    span ``[min(ts), max(ts)]``.
+
+    Returns ``keys, twa, span, n``. ``twa`` is NULL when the span is
+    zero (a single observation, or all observations at one instant) —
+    callers coalesce to the plain average if they want a value there.
+    One window pass (lead) + one map-side-combined groupBy, both on
+    the same key.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    nxt = F.lead(ts_col).over(w)
+    stepped = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        ((nxt - F.col(ts_col)) * F.col(value_col)).alias("__w"),
+    )
+    agg = stepped.groupBy(*keys).agg(
+        F.sum("__w").alias("__tw"),
+        (F.max("__ts") - F.min("__ts")).cast("double").alias("span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        *keys,
+        F.when(F.col("span") > 0,
+               F.col("__tw") / F.col("span")).alias("twa"),
+        "span", "n",
+    )
