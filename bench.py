@@ -274,6 +274,57 @@ def main() -> None:
         _noop(LW.merge_upsert(target, updates, "user_id",
                               delete_col="is_delete"))
 
+    # --- round-7 (cont.): history / range-join / runtime-filter ----
+    def _ev_long():
+        from lindel_spark.sources import load_events
+        return load_events(spark, SF_DIR).select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.unix_micros("ts").alias("tus"), "event_type", "value")
+
+    def q_scd2(_):
+        from lindel_spark.history import scd2_build
+        _noop(scd2_build(_ev_long(), "user_id", ["tus", "event_id"],
+                         ["event_type"]))
+
+    def q_interval_overlap(_):
+        from lindel_spark.joins import interval_overlap_join
+        span = 30 * 60 * 1_000_000
+        ev = _ev_long()
+        ivl = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("iid"),
+            F.col("tus").alias("s"), (F.col("tus") + span).alias("e"))
+        _noop(interval_overlap_join(ev, ivl, on="user_id",
+                                    point_ts="tus", start="s",
+                                    end="e", grain=span)
+              .groupBy("user_id", "event_id")
+              .agg(F.count(F.lit(1)).alias("n_cover")))
+
+    def q_bloom_semi(_):
+        from lindel_spark.joins import bloom_semi_join
+        orders = spark.read.parquet(
+            os.path.join(SF_DIR, "orders.parquet"))
+        dim = (spark.read.parquet(os.path.join(SF_DIR,
+                                               "customer.parquet"))
+               .filter((F.col("c_mktsegment") == "BUILDING")
+                       & (F.col("c_acctbal") > 5000))
+               .select(F.col("c_custkey").alias("o_custkey")))
+        _noop(bloom_semi_join(orders, dim, on="o_custkey")
+              .groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")))
+
+    def q_tfidf(_):
+        from lindel_spark.retrieval import tfidf_topk
+        _noop(tfidf_topk(docs, k=3))
+
+    def q_ohlc(_):
+        from lindel_spark.timeseries import ohlc
+        ev = _ev_long().withColumn(
+            "day_s", F.date_format(
+                F.timestamp_micros("tus"), "yyyy-MM-dd"))
+        _noop(ohlc(ev, ["user_id", "day_s"], "tus", "value",
+                   "event_id"))
+
     _orders_path = os.path.join(SF_DIR, "orders.parquet")
     _cust_path = os.path.join(SF_DIR, "customer.parquet")
 
@@ -330,6 +381,11 @@ def main() -> None:
         ("cms_heavy_hitters", q_cms_heavy_hitters, n_docs),
         ("semantic_dedup", q_semantic_dedup, n_emb),
         ("merge_upsert_events", q_merge_upsert, n_clicks),
+        ("scd2_history", q_scd2, -1),
+        ("interval_overlap", q_interval_overlap, -1),
+        ("bloom_semi_join", q_bloom_semi, -1),
+        ("tfidf_topk", q_tfidf, n_docs),
+        ("ohlc_daily", q_ohlc, -1),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),

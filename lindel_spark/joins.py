@@ -386,6 +386,12 @@ def interval_overlap_join(
     )
 
 
+#: bloom_semi_join: bitmaps up to this many 64-bit words embed as a
+#: JVM array literal (pure-codegen probe); larger ones ship via an
+#: Arrow-batched UDF closure. 16384 words = 128 KiB ~ 1M bits.
+_BLOOM_JVM_WORDS_MAX = 16384
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -397,10 +403,11 @@ def bloom_semi_join(
     """Exact semi-join with a Bloom-filter pre-filter on the fact side
     — the runtime-filter pattern for a 100 TB fact × small dim.
 
-    Build: the dim's distinct join keys are hashed JVM-side
-    (``xxhash64`` with k salts) into bit positions; the driver packs
-    the distinct positions (≤ k · |dim keys| longs — bounded by the
-    *dim*, never the fact) into a NumPy bitmap. Probe: each fact row
+    Build (ONE job): the dim's distinct join keys are hashed JVM-side
+    (``xxhash64`` with k salts) and collected as raw 64-bit lanes
+    (≤ 8 · |dim keys| longs — bounded by the *dim*, never the fact);
+    the row count sizes the bitmap and NumPy folds the lanes in
+    driver-side with the same ``pmod`` the probe uses. Probe: each fact row
     computes its k positions JVM-side; an Arrow-batched pandas UDF
     tests the broadcast bitmap with vectorized bit math — no string
     leaves the JVM, Python only sees int64 positions. Rows failing any
@@ -417,12 +424,18 @@ def bloom_semi_join(
 
     import numpy as np
 
+    # ONE build job: collect the distinct keys' raw 64-bit hashes for
+    # all k_max salts (bounded by the dim, never the fact); the row
+    # count sizes the bitmap and the mod happens driver-side in NumPy.
+    K_MAX = 8
     keys = dim.select(on).distinct()
-    n = expected_keys or keys.count()
-    n = max(n, 1)
+    raw_rows = keys.select(F.array(*[
+        F.xxhash64(F.lit(i), F.col(on)) for i in range(K_MAX)
+    ]).alias("h")).collect()
+    n = max(expected_keys or len(raw_rows), 1)
     # standard bloom sizing: m = -n ln p / (ln 2)^2, k = m/n ln 2
     m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
-    k = max(1, int(round(m / n * math.log(2))))
+    k = min(K_MAX, max(1, int(round(m / n * math.log(2)))))
 
     def positions(col):
         return F.array(*[
@@ -430,33 +443,42 @@ def bloom_semi_join(
             for i in range(k)
         ])
 
-    pos_rows = (
-        keys.select(F.explode(positions(F.col(on))).alias("p"))
-        .distinct().collect()
-    )  # bounded by k * |dim keys|
     bitmap = np.zeros((m + 63) // 64, dtype=np.uint64)
-    idx = np.fromiter((r["p"] for r in pos_rows), dtype=np.int64)
-    np.bitwise_or.at(bitmap, idx // 64,
-                     np.uint64(1) << (idx % 64).astype(np.uint64))
+    if raw_rows:
+        raw = np.array([r["h"] for r in raw_rows], dtype=np.int64)
+        idx = np.mod(raw[:, :k], m).ravel()  # == Spark pmod for m > 0
+        np.bitwise_or.at(bitmap, idx // 64,
+                         np.uint64(1) << (idx % 64).astype(np.uint64))
 
-    def _might_contain(pos):
-        import pandas as _pd
-        out = np.ones(len(pos), dtype=bool)
-        for j in range(k):
-            p = pos.str[j].to_numpy(dtype=np.int64)
-            bit = (bitmap[p // 64]
-                   >> (p % 64).astype(np.uint64)) & np.uint64(1)
-            out &= bit.astype(bool)
-        return _pd.Series(out)
+    if len(bitmap) <= _BLOOM_JVM_WORDS_MAX:
+        # small filter: embed the bitmap as an array literal and test
+        # bits with getbit — the probe never leaves the JVM and stays
+        # inside whole-stage codegen.
+        words = F.array(*[
+            F.lit(int(w)) for w in bitmap.view(np.int64)
+        ])
+        test = F.lit(True)
+        for i in range(k):
+            p = F.pmod(F.xxhash64(F.lit(i), F.col(on)), F.lit(m))
+            word = F.element_at(words, (p / 64).cast("int") + 1)
+            test = test & (F.getbit(word, p % 64) == 1)
+        pruned = fact.filter(test)
+    else:
+        # big filter: ship the bitmap in the UDF closure; the Arrow
+        # batch converts the k-lane position array to a 2-D int64
+        # matrix in one shot (no per-element object indexing).
+        def _might_contain(pos):
+            import pandas as _pd
+            p = np.asarray(pos.tolist(), dtype=np.int64)
+            bits = (bitmap[p // 64]
+                    >> (p % 64).astype(np.uint64)) & np.uint64(1)
+            return _pd.Series(bits.all(axis=1))
 
-    # built without type hints (pandas stays a worker-side import);
-    # SCALAR is inferred from the plain-series callable
-    might_contain = F.pandas_udf(_might_contain, T.BooleanType())
-
-    pruned = (
-        fact.withColumn("__pos", positions(F.col(on)))
-        .filter(might_contain(F.col("__pos")))
-        .drop("__pos")
-    )
+        might_contain = F.pandas_udf(_might_contain, T.BooleanType())
+        pruned = (
+            fact.withColumn("__pos", positions(F.col(on)))
+            .filter(might_contain(F.col("__pos")))
+            .drop("__pos")
+        )
     dim_side = F.broadcast(keys) if broadcast_dim else keys
     return pruned.join(dim_side, on, "left_semi")

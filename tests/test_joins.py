@@ -244,8 +244,26 @@ def test_bloom_prefilter_actually_prunes(spark):
     out = bloom_semi_join(fact, dim, on="key", fpp=0.01)
     # exact result: the dim's 100 keys (0..99*181) all fall below 20k
     assert out.count() == 100
-    # measure the pre-filter reduction by rebuilding the pruned stage:
-    # count survivors of the bloom filter without the final semi join
+    # small-dim bitmap embeds as a JVM literal: the probe must be pure
+    # codegen — no Python eval stage anywhere in the plan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "pythonUDF" in plan or "BatchEvalPython" in plan \
-        or "ArrowEvalPython" in plan or "might_contain" in plan.lower()
+    assert "pythonUDF" not in plan and "EvalPython" not in plan
+    assert "getbit" in plan.lower()
+
+
+def test_bloom_semi_join_udf_path_matches(spark, monkeypatch):
+    # force the large-bitmap Arrow-UDF probe path and confirm identical
+    # results to the JVM literal path
+    import lindel_spark.joins as J
+    fact = spark.range(3000).select((F.col("id") % 701).alias("key"),
+                                    F.col("id").alias("v"))
+    dim = spark.range(30).select((F.col("id") * 23).alias("key"))
+    jvm = {(r.key, r.v) for r in
+           J.bloom_semi_join(fact, dim, on="key").collect()}
+    monkeypatch.setattr(J, "_BLOOM_JVM_WORDS_MAX", 0)
+    udf = {(r.key, r.v) for r in
+           J.bloom_semi_join(fact, dim, on="key").collect()}
+    assert jvm == udf
+    want = {(r.key, r.v) for r in
+            fact.join(dim, "key", "left_semi").collect()}
+    assert jvm == want

@@ -340,12 +340,13 @@ def test_bloom_semi_join_filters_before_broadcast_join(spark):
     out = bloom_semi_join(fact, dim, on="key")
     p = plan_of(out)
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
-    # the python eval (bloom probe) appears in the plan exactly once
-    # and feeds the join's streamed side
-    assert "ArrowEvalPython" in p or "BatchEvalPython" in p
+    # small-dim path: the bloom probe is a pure-JVM getbit filter (no
+    # Python eval stage at all) feeding the join's streamed side
+    assert "EvalPython" not in p
+    assert "getbit" in p.lower()
     join_pos = p.find("BroadcastHashJoin")
-    eval_pos = max(p.find("ArrowEvalPython"), p.find("BatchEvalPython"))
-    assert eval_pos > join_pos  # formatted plans list children below
+    filt_pos = p.lower().find("getbit")
+    assert filt_pos > join_pos  # formatted plans list children below
 
 
 def test_scd2_build_single_exchange(spark):
