@@ -54,11 +54,19 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-7 rotation: (a) everything never driver-sampled — the
-    # round-6/7 additions, 33 queries — then (b) the curve-core
+    # round-7 rotation: (a) everything never driver-sampled — newest
+    # additions first (this session's 10 + the 4 late-r7 ones), then
+    # the earlier round-7 additions — then (b) the curve-core
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "events_scd2_history", "events_interval_overlap",
+    "events_incremental_agg", "events_grouping_sets",
+    "bloom_semi_join_orders", "profile_expectations",
+    "profile_k_anonymity", "events_ohlc_daily",
+    "events_time_weighted_avg", "text_tfidf_topk",
+    "profile_value_histogram", "profile_parquet_layout",
+    "events_pseudonymized", "events_snapshot_diff",
     "text_bm25_topk", "text_lm_quality", "text_lm_bigram",
     "events_merge_upsert", "text_scrub_pii", "sketch_heavy_hitters",
     "bucketed_join_segments", "dedup_semantic", "dedup_fuzzy_pairs",
