@@ -686,3 +686,132 @@ def fuzzy_dup_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    store_sigs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Near-dup dedup of a new batch against a persisted MinHash
+    signature store — the daily-ingest shape for *near* duplicates,
+    completing :func:`incremental_exact_dedup`'s exact-only story.
+
+    The store holds one row per historical doc: ``id`` plus signature
+    columns ``_h0.._h{n-1}`` (n·32 hex bytes/doc — the historical
+    corpus text is never rescanned). Cross-store matches are banded
+    candidates scored by the SIGNATURE Jaccard estimate (share of
+    agreeing components — the store has no shingle sets, which is the
+    point: at 100 TB you keep signatures, not text). Within-batch
+    duplicates use exact shingle-Jaccard verification, same machinery
+    as :func:`near_dup_pairs`, sharing the batch's one shingle pass.
+
+    Returns ``(status, new_sigs, matches)``:
+
+    * ``status`` — every batch id with ``status`` ∈ ``kept |
+      dup_of_store | dup_in_batch`` (store matches take precedence;
+      within-batch the larger id of a verified pair drops; docs
+      shorter than ``k`` tokens are kept — too short to shingle).
+    * ``new_sigs`` — signature rows of the kept docs, to append to the
+      store for the next increment.
+    * ``matches`` — (new_id, store_id, est_jaccard) evidence rows.
+
+    All joins are keyed on band hashes or ids; the store side of the
+    band join is signatures only and partition-prunes by band key.
+    """
+    guard = F.size(tokens(F.col(text_col))) >= k
+    ids = batch.select(F.col(id_col).cast("long").alias("id"))
+    sh = ensure_parallelism(batch).filter(guard).select(
+        F.col(id_col).cast("long").alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sh, num_hashes)
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # banded long form — (id, band_idx, band_key) equi-join keys, the
+    # same shape near_dup_pairs shuffles on (never an OR-of-equalities
+    # join, which would plan as a nested loop)
+    bnd = sig.select(
+        "id",
+        F.posexplode(F.array(*band_key_columns(num_hashes, bands)))
+        .alias("band_idx", "band_key"),
+    )
+
+    # --- cross-store: banded candidates + signature-estimate score ---
+    if store_sigs is not None:
+        r = num_hashes // bands
+        store_keys = [
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"_h{b * r + i}") for i in range(r)]))
+            for b in range(bands)
+        ]
+        sbnd = store_sigs.select(
+            F.col("id").alias("sid"),
+            F.posexplode(F.array(*store_keys)).alias(
+                "band_idx", "band_key"),
+        )
+        cand = (
+            bnd.join(sbnd, ["band_idx", "band_key"])
+            .select("id", "sid").distinct()
+        )
+        jsig = sig
+        ssig = store_sigs.select(
+            F.col("id").alias("sid"),
+            *[F.col(f"_h{j}").alias(f"_sh{j}") for j in range(num_hashes)])
+        est = sum(
+            F.when(F.col(f"_h{j}") == F.col(f"_sh{j}"), 1).otherwise(0)
+            for j in range(num_hashes)
+        ) / F.lit(float(num_hashes))
+        matches = (
+            cand.join(jsig, "id").join(ssig, "sid")
+            .select(F.col("id").alias("new_id"),
+                    F.col("sid").alias("store_id"),
+                    est.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+    else:
+        matches = sig.sparkSession.createDataFrame(
+            [], "new_id long, store_id long, est_jaccard double")
+
+    # --- within-batch: banded candidates + EXACT verification --------
+    a, b = bnd.alias("a"), bnd.alias("b")
+    pair_cand = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    batch_dups = (
+        pair_cand.join(sa, "id_a").join(sb, "id_b")
+        .filter(
+            (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+             / F.size(F.array_union("sh_a", "sh_b")).cast("double"))
+            >= threshold)
+        .select("id_b").distinct()
+    )
+
+    store_dup_ids = matches.select(F.col("new_id").alias("id")).distinct()
+    status = (
+        ids
+        .join(store_dup_ids.withColumn("__st", F.lit(1)), "id", "left")
+        .join(batch_dups.select(F.col("id_b").alias("id"))
+              .withColumn("__bd", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("__st") == 1, F.lit("dup_of_store"))
+            .when(F.col("__bd") == 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept")).alias("status"),
+        )
+    )
+    kept_ids = status.filter(F.col("status") == "kept").select("id")
+    new_sigs = sig.join(kept_ids, "id")
+    return status, new_sigs, matches

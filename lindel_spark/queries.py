@@ -5688,3 +5688,99 @@ def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("rank").cast("long").alias("rank"), "term",
         F.round("score", 4).alias("score_r4"))
+
+
+def _incr_near_cte(k: int = LD.DEFAULT_SHINGLE_K,
+                   num_hashes: int = LD.DEFAULT_NUM_HASHES,
+                   bands: int = LD.DEFAULT_BANDS,
+                   threshold: float = LD.DEFAULT_THRESHOLD) -> str:
+    """DuckDB replay of :func:`lindel_spark.dedup.incremental_near_dup`
+    with batch = doc_id % 3 == 0 and store = the rest (same shingle,
+    signature and band machinery as :func:`_near_dup_cte`)."""
+    r = num_hashes // bands
+    shingle = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k)).replace(
+        "toks[i + 0]", "toks[i]"
+    )
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"s{b * r + i}" for i in range(r)) + f") AS b{b}"
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"x.b{b} = y.b{b}" for b in range(bands))
+    est = " + ".join(
+        f"CASE WHEN sx.s{j} = sy.s{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(toks) - {k - 2}),
+                                          i -> {shingle})) AS sh
+      FROM d WHERE len(toks) >= {k}
+    ), sig AS (
+      SELECT id, sh, {sigs} FROM sh
+    ), bnd AS (
+      SELECT id, sh, {band_keys} FROM sig
+    ), cross_cand AS (
+      SELECT DISTINCT x.id AS nid, y.id AS sid
+      FROM bnd x JOIN bnd y
+        ON x.id % 3 = 0 AND y.id % 3 <> 0 AND ({band_match})
+    ), cross_dup AS (
+      SELECT DISTINCT c.nid
+      FROM cross_cand c
+      JOIN sig sx ON sx.id = c.nid
+      JOIN sig sy ON sy.id = c.sid
+      WHERE ({est})::DOUBLE / {num_hashes}.0 >= {threshold}e0
+    ), bpairs AS (
+      SELECT DISTINCT x.id AS ia, y.id AS ib
+      FROM bnd x JOIN bnd y
+        ON x.id < y.id AND x.id % 3 = 0 AND y.id % 3 = 0
+       AND ({band_match})
+    ), bdup AS (
+      SELECT DISTINCT p.ib
+      FROM bpairs p
+      JOIN sh a ON a.id = p.ia
+      JOIN sh b2 ON b2.id = p.ib
+      WHERE len(list_intersect(a.sh, b2.sh))::DOUBLE
+            / len(list_distinct(a.sh || b2.sh))::DOUBLE >= {threshold}e0
+    )
+    """
+
+
+@query(
+    "dedup_incremental_near",
+    _incr_near_cte() + """
+    SELECT id,
+           CASE WHEN id IN (SELECT nid FROM cross_dup)
+                  THEN 'dup_of_store'
+                WHEN id IN (SELECT ib FROM bdup)
+                  THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM d WHERE id % 3 = 0
+    """,
+)
+def q_dedup_incremental_near(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Near-dup dedup of an ingest batch (every 3rd doc) against the
+    rest of the corpus playing the persisted MinHash signature store:
+    cross-store matches scored by the signature Jaccard ESTIMATE (the
+    store keeps signatures, never text), within-batch pairs verified
+    with exact shingle Jaccard. See
+    :func:`lindel_spark.dedup.incremental_near_dup`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    store_docs = docs.filter(F.col("doc_id") % 3 != 0)
+    store_sigs = LD.minhash_signatures(
+        store_docs.filter(
+            F.size(LT.tokens(F.col("text"))) >= LD.DEFAULT_SHINGLE_K)
+        .select(F.col("doc_id").cast("long").alias("id"),
+                LD.word_shingles(F.col("text")).alias("sh")))
+    status, _sigs, _matches = LD.incremental_near_dup(batch, store_sigs)
+    return status

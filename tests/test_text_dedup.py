@@ -254,3 +254,68 @@ def test_fuzzy_dup_pairs_respects_max_dist(spark):
     assert fuzzy_dup_pairs(df, max_dist=1).count() == 0
     got = fuzzy_dup_pairs(df, max_dist=2).collect()
     assert [(r["id_a"], r["id_b"], r["dist"]) for r in got] == [(0, 1, 2)]
+
+
+def test_incremental_near_dup_statuses(spark):
+    from lindel_spark.dedup import (incremental_near_dup,
+                                    minhash_signatures, word_shingles,
+                                    tokens)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    store_docs = spark.createDataFrame(
+        [(100, base), (101, "completely different historical text "
+                            "about distributed query engines")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1, base),                      # near-identical to store 100
+            (2, "an entirely novel document describing bloom "
+                "filter runtime pruning at scale"),
+            (3, "an entirely novel document describing bloom "
+                "filter runtime pruning at scale"),  # dup of 2 in batch
+            (4, "tiny doc"),                # < k tokens: kept
+        ],
+        "doc_id long, text string")
+    store_sigs = minhash_signatures(
+        store_docs.select(
+            F.col("doc_id").alias("id"),
+            word_shingles(F.col("text")).alias("sh")))
+    status, new_sigs, matches = incremental_near_dup(batch, store_sigs)
+    st = {r.id: r.status for r in status.collect()}
+    assert st == {1: "dup_of_store", 2: "kept", 3: "dup_in_batch",
+                  4: "kept"}
+    # evidence rows point at the store doc
+    m = matches.collect()
+    assert any(r.new_id == 1 and r.store_id == 100
+               and r.est_jaccard >= 0.8 for r in m)
+    # only kept-and-shingleable docs enter the store appendix
+    assert {r.id for r in new_sigs.select("id").collect()} == {2}
+
+
+def test_incremental_near_dup_empty_store(spark):
+    from lindel_spark.dedup import incremental_near_dup
+    batch = spark.createDataFrame(
+        [(1, "one document with enough tokens to shingle properly")],
+        "doc_id long, text string")
+    status, new_sigs, matches = incremental_near_dup(batch, None)
+    assert [r.status for r in status.collect()] == ["kept"]
+    assert matches.count() == 0
+    assert new_sigs.count() == 1
+
+
+def test_incremental_near_dup_band_joins_not_cartesian(spark):
+    from lindel_spark.dedup import (incremental_near_dup,
+                                    minhash_signatures, word_shingles)
+    store_docs = spark.createDataFrame(
+        [(10, "historical corpus text number one for the store")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, "fresh batch text that shares nothing with history")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(store_docs.select(
+        F.col("doc_id").alias("id"),
+        word_shingles(F.col("text")).alias("sh")))
+    status, _s, matches = incremental_near_dup(batch, sigs)
+    for df in (status, matches):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
