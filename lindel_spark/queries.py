@@ -5784,3 +5784,50 @@ def q_dedup_incremental_near(spark: SparkSession,
                 LD.word_shingles(F.col("text")).alias("sh")))
     status, _sigs, _matches = LD.incremental_near_dup(batch, store_sigs)
     return status
+
+
+@query(
+    "events_rank_family",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_s,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY event_type, day_s
+    )
+    SELECT event_type, day_s, n,
+           rank() OVER w::BIGINT AS rnk,
+           dense_rank() OVER w::BIGINT AS drnk,
+           row_number() OVER w::BIGINT AS rn,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           (n - lag(n) OVER w) AS delta_prev
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY n DESC, day_s)
+    """,
+)
+def q_events_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass (rank, dense_rank,
+    row_number, percent_rank, cume_dist, lag delta) over per-type
+    daily volumes — coverage of the host-engine window surface beyond
+    row_number/ntile. One aggregate + one window sharing the same
+    partitioning; the (n DESC, day) tiebreak makes every output
+    deterministic."""
+    from pyspark.sql import Window
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type",
+                 F.date_format("ts", "yyyy-MM-dd").alias("day_s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("day_s"))
+    return daily.select(
+        "event_type", "day_s", "n",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        (F.col("n") - F.lag("n").over(w)).alias("delta_prev"),
+    )

@@ -105,3 +105,23 @@ def test_merge_agg_states_validates(spark):
         merge_agg_states([a], ["k"], {"cnt": "sum"})
     with pytest.raises(ValueError, match="unsupported merge"):
         merge_agg_states([a, a], ["k"], {"cnt": "avg"})
+
+
+def test_scd2_multi_attr_multi_key(spark):
+    from lindel_spark.history import scd2_build
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10, "X", 1.0),
+            ("a", 1, 20, "X", 1.0),   # no change -> collapses
+            ("a", 1, 30, "X", 2.0),   # second attr changes -> new version
+            ("a", 2, 5, "Y", 9.0),    # different composite key
+        ],
+        "k1 string, k2 long, ts long, s string, v double")
+    out = scd2_build(df, ["k1", "k2"], ["ts"], ["s", "v"])
+    rows = sorted(((r.k1, r.k2, r.version, r.s, r.v, r.valid_from,
+                    r.valid_to) for r in out.collect()))
+    assert rows == [
+        ("a", 1, 1, "X", 1.0, 10, 30),
+        ("a", 1, 2, "X", 2.0, 30, None),
+        ("a", 2, 1, "Y", 9.0, 5, None),
+    ]
