@@ -427,3 +427,103 @@ def sliding_rollup(
             "sum_value",
         )
     )
+
+
+def read_agg_store(spark, store_path: str) -> DataFrame | None:
+    """Latest version of an :func:`incremental_agg_sink` store, or
+    ``None`` when no version has been committed yet."""
+    import os as _os
+
+    marker = _os.path.join(store_path, "_LATEST")
+    if not _os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        v = fh.read().strip().split(":")[0]
+    return spark.read.parquet(_os.path.join(store_path, f"v={v}"))
+
+
+def incremental_agg_sink(
+    stream_df: DataFrame,
+    store_path: str,
+    keys: list[str],
+    state_aggs: dict[str, tuple[str, str]],
+    checkpoint: str | None = None,
+):
+    """Streaming materialized view: maintain a per-key aggregate store
+    that is always equal to the batch aggregate over everything seen.
+
+    Each micro-batch is reduced to a partial state (one row per key
+    touched in the batch — map-side combined) and merged with the
+    store via :func:`lindel_spark.history.merge_agg_states`; the raw
+    history is never re-read, so refresh cost is O(batch + store
+    keys), the property that makes a 100 TB-history view maintainable.
+
+    ``state_aggs`` maps state column → ``(fn, src_col)`` with fn in
+    ``count | sum | min | max`` (``count`` takes any src). The store
+    is versioned (``v=<epoch>`` directories + a ``_LATEST`` marker
+    written atomically via rename) because object stores have no
+    in-place overwrite; stale versions are pruned, keeping the latest
+    two. Read it back with :func:`read_agg_store`.
+
+    Exactly-once: foreachBatch may replay a batch after a failure; a
+    replayed ``batch_id`` finds its version already recorded and is
+    skipped (the marker stores the last applied batch id).
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from lindel_spark.history import merge_agg_states
+
+    _MERGE_OF = {"count": "sum", "sum": "sum", "min": "min",
+                 "max": "max"}
+    for col, (fn, _src) in state_aggs.items():
+        if fn not in _MERGE_OF:
+            raise ValueError(
+                f"LINDEL: unsupported state agg {fn!r} for {col!r}; "
+                f"supported: {sorted(_MERGE_OF)}")
+    merges = {c: _MERGE_OF[fn] for c, (fn, _s) in state_aggs.items()}
+
+    def batch_state(batch_df: DataFrame) -> DataFrame:
+        aggs = []
+        for col, (fn, src) in state_aggs.items():
+            if fn == "count":
+                aggs.append(F.count(F.lit(1)).cast("long").alias(col))
+            else:
+                aggs.append(getattr(F, fn)(src).alias(col))
+        return batch_df.groupBy(*keys).agg(*aggs)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        marker = _os.path.join(store_path, "_LATEST")
+        prev = None
+        last_applied = -1
+        if _os.path.exists(marker):
+            with open(marker) as fh:
+                parts = fh.read().strip().split(":")
+            last_applied = int(parts[1]) if len(parts) > 1 else -1
+            if batch_id <= last_applied:
+                return  # replayed batch: already folded into the store
+            prev = spark.read.parquet(
+                _os.path.join(store_path, f"v={parts[0]}"))
+        state = batch_state(batch_df)
+        merged = (merge_agg_states([prev, state], keys, merges)
+                  if prev is not None else
+                  state.select(*keys, *merges))
+        vdir = _os.path.join(store_path, f"v={batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{batch_id}:{batch_id}")
+        _os.replace(tmp, marker)  # atomic commit
+        # prune all but the latest two versions
+        vers = sorted(
+            int(d.split("=", 1)[1]) for d in _os.listdir(store_path)
+            if d.startswith("v="))
+        for v in vers[:-2]:
+            _shutil.rmtree(_os.path.join(store_path, f"v={v}"),
+                           ignore_errors=True)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -338,3 +338,56 @@ def test_sliding_rollup_stream_matches_batch(spark, events, stream_src):
     # every event appears in exactly window/slide = 4 windows
     n_events = events.count()
     assert sum(r[2] for r in want) == 4 * n_events
+
+
+def test_incremental_agg_sink_equals_batch_recompute(spark, tmp_path_factory):
+    """The streaming materialized view (per-batch state merge, history
+    never re-read) converges to exactly the batch aggregate, across
+    micro-batch boundaries; the versioned store keeps only the latest
+    two versions."""
+    import os
+
+    src_dir = str(tmp_path_factory.mktemp("mv_src"))
+    store = str(tmp_path_factory.mktemp("mv_store"))
+    ckpt = str(tmp_path_factory.mktemp("mv_ckpt"))
+    schema = "k long, v double"
+    # three files -> three micro-batches with overlapping keys
+    for i in range(3):
+        spark.createDataFrame(
+            [(j % 5, float(i * 100 + j)) for j in range(40)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.incremental_agg_sink(
+        src, store, ["k"],
+        {"cnt": ("count", "*"), "sum_v": ("sum", "v"),
+         "mx": ("max", "v")},
+        checkpoint=ckpt,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r.k: (r.cnt, round(r.sum_v, 6), r.mx)
+           for r in ST.read_agg_store(spark, store).collect()}
+    batch = spark.read.parquet(src_dir).groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"),
+        F.max("v").alias("mx"))
+    want = {r.k: (r.cnt, round(r.sum_v, 6), r.mx)
+            for r in batch.collect()}
+    assert got == want and len(got) == 5
+    vdirs = [d for d in os.listdir(store) if d.startswith("v=")]
+    assert len(vdirs) <= 2  # pruned to the latest two
+
+
+def test_incremental_agg_sink_rejects_bad_agg(spark, tmp_path_factory):
+    import pytest as _p
+    src = (spark.readStream.schema("k long, v double")
+           .parquet(str(tmp_path_factory.mktemp("x"))))
+    with _p.raises(ValueError, match="unsupported state agg"):
+        ST.incremental_agg_sink(src, "/tmp/nope", ["k"],
+                                {"m": ("avg", "v")})
+
+
+def test_read_agg_store_empty_returns_none(spark, tmp_path_factory):
+    assert ST.read_agg_store(
+        spark, str(tmp_path_factory.mktemp("empty_store"))) is None
