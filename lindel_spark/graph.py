@@ -1,0 +1,90 @@
+"""Iterative graph algorithms as DataFrame programs: weighted
+PageRank (dedup clustering's connected components live in
+``dedup.dup_clusters``; this module holds the general-purpose side).
+
+The reference's host engine has no graph operators; a training-data
+pipeline wants them for link-structure quality signals (domain
+authority over a hyperlink graph) and behavior modeling (transition
+graphs). The Spark-first shape: each iteration is a join + map-side-
+combined aggregate keyed on node ids — no driver-side adjacency, no
+per-node loops — so the SAME plan runs on a 25-node transition graph
+and a billion-node web graph. Lineage is truncated periodically with
+``localCheckpoint`` so ten iterations don't compile a thousand-operator
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank)`` with ranks summing to 1.
+
+    Per iteration: ranks join edges on ``src`` (contribution =
+    rank · w / out-weight), one aggregate on ``dst``, and the dangling
+    mass (rank parked on nodes without out-edges) folds back uniformly
+    via a broadcast one-row frame — kept lazy, no per-iteration
+    driver action. ``iterations`` is fixed rather than
+    convergence-tested so results are deterministic and replayable by
+    an unrolled SQL oracle. Every ``checkpoint_every`` iterations the
+    rank frame is ``localCheckpoint``-ed to keep plan depth bounded.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+        w.alias("__w"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # node count: the one bounded driver scalar
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for it in range(iterations):
+        contrib = (
+            e.join(outw, "__src")
+            .join(ranks, e["__src"] == ranks["node"])
+            .select(F.col("__dst").alias("node"),
+                    (F.col("rank") * F.col("__w") / F.col("__wout"))
+                    .alias("__c"))
+            .groupBy("node").agg(F.sum("__c").alias("__contrib"))
+        )
+        dangling = (
+            ranks.join(outw, ranks["node"] == outw["__src"],
+                       "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                 .alias("__dangling"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("__contrib"), F.lit(0.0))
+                    + F.col("__dangling") / F.lit(float(n))))
+                .alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

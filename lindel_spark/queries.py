@@ -5831,3 +5831,86 @@ def q_events_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
         (F.col("n") - F.lag("n").over(w)).alias("delta_prev"),
     )
+
+
+def _pagerank_cte(iterations: int = 5, d: float = 0.85) -> str:
+    """DuckDB replay of :func:`lindel_spark.graph.pagerank` over the
+    event-type transition graph, iterations unrolled."""
+    head = """
+    WITH e0 AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, event_type
+      FROM events
+    ), trans AS (
+      SELECT prev AS src, event_type AS dst, count(*)::DOUBLE AS w
+      FROM (SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS prev
+            FROM e0)
+      WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ), nodes AS (
+      SELECT src AS node FROM trans
+      UNION
+      SELECT dst FROM trans
+    ), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS wout FROM trans GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+    """
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+    , r{i + 1} AS (
+      SELECT n.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (coalesce(c.contrib, 0)
+                      + (SELECT coalesce(sum(r.rank), 0) FROM r{i} r
+                         LEFT JOIN outw o ON r.node = o.src
+                         WHERE o.src IS NULL) / (SELECT n FROM nn))
+               AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT t.dst AS node, sum(r.rank * t.w / o.wout) AS contrib
+        FROM trans t
+        JOIN outw o ON o.src = t.src
+        JOIN r{i} r ON r.node = t.src
+        GROUP BY t.dst
+      ) c ON n.node = c.node
+    )""")
+    return head + "".join(its)
+
+
+@query(
+    "graph_pagerank_transitions",
+    _pagerank_cte(5) + """
+    SELECT node, round(rank, 6) AS rank_r6 FROM r5
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the event-type behavior-transition graph
+    (edge u→v weighted by how often v follows u within a user's
+    stream). Five fixed iterations so a DuckDB oracle can unroll them;
+    each Spark iteration is join + map-side-combined aggregate on node
+    ids with dangling mass folded via a broadcast one-row frame — the
+    plan a billion-node graph wants. See
+    :func:`lindel_spark.graph.pagerank`."""
+    from pyspark.sql import Window
+
+    from lindel_spark.graph import pagerank
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    trans = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"),
+                 F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(trans, iterations=5, damping=0.85, weight="w")
+    return pr.select("node", F.round("rank", 6).alias("rank_r6"))
