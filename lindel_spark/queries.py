@@ -5914,3 +5914,106 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(trans, iterations=5, damping=0.85, weight="w")
     return pr.select("node", F.round("rank", 6).alias("rank_r6"))
+
+
+#: fixed epoch origin for trend regressions: 2024-01-15T00:00:00Z.
+#: Centering the time axis before squaring keeps x ~ O(10) days, so
+#: the closed-form OLS normal equations never catastrophically cancel
+#: — the identical constant is baked into the oracle.
+_TREND_ORIGIN_US = 1705276800000000
+_US_PER_DAY = 86400000000.0
+
+
+@query(
+    "events_linear_trend",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id,
+             (epoch_us(ts) - 1705276800000000) / 86400000000.0 AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT user_id, count(*)::DOUBLE AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM e GROUP BY user_id
+    )
+    SELECT user_id, n::BIGINT AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_r6,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept_r6
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def q_events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of value over time (slope per day +
+    intercept) from the closed-form normal equations — one map-side-
+    combined aggregate, no window, no ML library. The time axis is
+    centered on a fixed origin before squaring so the sums stay small
+    enough that both engines agree to 6 decimals."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        ((F.unix_micros("ts") - F.lit(_TREND_ORIGIN_US))
+         / F.lit(_US_PER_DAY)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy")
+             - F.col("sx") * F.col("sy")) / det
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.filter(det != 0).select(
+        "user_id", F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_r6"),
+        F.round(intercept, 6).alias("intercept_r6"),
+    )
+
+
+@query(
+    "events_user_entropy",
+    """
+    WITH c AS (
+      SELECT user_id::BIGINT AS user_id, event_type,
+             count(*)::DOUBLE AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, sum(cnt) AS total,
+             count(*)::BIGINT AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, t.total::BIGINT AS n, t.n_types,
+           round(-sum((c.cnt / t.total) * ln(c.cnt / t.total)), 6)
+             AS entropy_r6
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.total, t.n_types
+    """,
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity signal (bots are low-entropy). Two chained map-side-
+    combined aggregates on (user, type) then (user); ln is sub-ulp
+    consistent across libms, so 6-decimal rounding is oracle-stable."""
+    c = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").cast("long").alias("user_id"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"))
+    p = F.col("cnt") / F.col("total")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "total", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy_r6"))
+        .select("user_id", F.col("total").cast("long").alias("n"),
+                "n_types", "entropy_r6")
+    )
