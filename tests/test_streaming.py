@@ -391,3 +391,31 @@ def test_incremental_agg_sink_rejects_bad_agg(spark, tmp_path_factory):
 def test_read_agg_store_empty_returns_none(spark, tmp_path_factory):
     assert ST.read_agg_store(
         spark, str(tmp_path_factory.mktemp("empty_store"))) is None
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path_factory):
+    """Stream-static dimension join: a micro-batched fact stream
+    enriched against a static dim — the broadcast-enrichment pattern
+    (no stateful join, no watermark needed; the dim re-resolves per
+    batch)."""
+    src_dir = str(tmp_path_factory.mktemp("enrich_src"))
+    schema = "k long, v double"
+    for i in range(2):
+        spark.createDataFrame(
+            [(j % 4, float(j + i * 10)) for j in range(20)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")],
+        "k long, tier string")
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    enriched = src.join(F.broadcast(dim), "k", "left")
+    q = (enriched.writeStream.outputMode("append")
+         .format("memory").queryName("enrich_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enrich_t").collect()
+    assert len(rows) == 40
+    tiers = {r.k: r.tier for r in rows}
+    assert tiers[0] == "bronze" and tiers[2] == "gold"
+    assert tiers[3] is None  # unmatched keys survive the left join
