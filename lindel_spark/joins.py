@@ -358,14 +358,22 @@ def interval_overlap_join(
         raise ValueError("grain must be a positive integer")
     span_buckets = (
         F.floor(F.col(end) / grain) - F.floor(F.col(start) / grain) + 1)
-    guarded = intervals.withColumn("__nb", span_buckets)
-    # the guard is an aggregate, not a collect of rows: one tiny job
-    worst = guarded.agg(F.max("__nb").alias("m")).first()["m"]
-    if worst is not None and worst > max_buckets_per_interval:
-        raise ValueError(
-            f"LINDEL: an interval covers {worst} buckets at grain "
-            f"{grain} (cap {max_buckets_per_interval}); raise the "
-            f"grain or split the interval")
+    # in-plan guard (same pattern as _domain_guard): an interval
+    # exploding past the cap raises DURING the join job instead of
+    # paying a separate full pass over the intervals up front — at
+    # 100 TB the pre-scan would be a real job, the inline predicate
+    # is free.
+    guarded = intervals.filter(
+        F.when(span_buckets <= F.lit(max_buckets_per_interval),
+               F.lit(True))
+        .otherwise(
+            F.raise_error(F.concat(
+                F.lit("LINDEL: an interval covers "),
+                span_buckets.cast("string"),
+                F.lit(f" buckets at grain {grain} (cap "
+                      f"{max_buckets_per_interval}); raise the grain "
+                      f"or split the interval"))).cast("boolean"))
+    )
     ivl = guarded.select(
         *[F.col(c).alias(f"i_{c}") for c in intervals.columns],
         F.explode(
@@ -382,7 +390,7 @@ def interval_overlap_join(
         joined
         .filter((F.col(point_ts) >= F.col(f"i_{start}"))
                 & (F.col(point_ts) <= F.col(f"i_{end}")))
-        .drop("__bucket", "__nb", "i___nb")
+        .drop("__bucket")
     )
 
 

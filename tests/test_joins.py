@@ -195,10 +195,12 @@ def test_interval_overlap_guard_raises_on_explosive_span(spark):
     points = spark.createDataFrame([(1, 1, 5)], "k long, pid long, ts long")
     intervals = spark.createDataFrame(
         [(1, 1, 0, 10_000_000)], "k long, iid long, s long, e long")
-    with _pytest.raises(ValueError, match="buckets at grain"):
+    # the explosion guard is in-plan (no pre-scan job): it raises when
+    # the join actually executes
+    with _pytest.raises(Exception, match="buckets at grain"):
         interval_overlap_join(points, intervals, on="k", point_ts="ts",
                               start="s", end="e", grain=1,
-                              max_buckets_per_interval=1000)
+                              max_buckets_per_interval=1000).collect()
     with _pytest.raises(ValueError, match="grain"):
         interval_overlap_join(points, intervals, on="k", point_ts="ts",
                               start="s", end="e", grain=0)
