@@ -6017,3 +6017,51 @@ def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("total").cast("long").alias("n"),
                 "n_types", "entropy_r6")
     )
+
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 1000.0, 1000
+
+
+@query(
+    "sketch_quantile_grid",
+    f"""
+    WITH h AS (
+      SELECT least({_HQ_BINS - 1},
+                   greatest(0, floor((value - {_HQ_LO})
+                                     / {(_HQ_HI - _HQ_LO) / _HQ_BINS})))
+               ::BIGINT AS bin,
+             count(*)::BIGINT AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    t AS (SELECT sum(cnt)::DOUBLE AS n FROM h),
+    qs AS (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS q)
+    SELECT q, round({_HQ_LO}
+             + (c.bin + (q * t.n - (c.cum - c.cnt)) / c.cnt)
+             * {(_HQ_HI - _HQ_LO) / _HQ_BINS}, 6) AS est_r6
+    FROM qs CROSS JOIN t
+    JOIN c ON c.cum >= q * t.n AND (c.cum - c.cnt) < q * t.n
+    """,
+)
+def q_sketch_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles (p50/p90/p95/p99) of the event value read off a
+    1000-bin fixed-grid histogram sketch — the mergeable, bit-
+    replayable alternative to an opaque quantile sketch: state is
+    O(bins) per shard, shards merge cell-wise, and the estimate is a
+    closed-form interpolation both engines compute identically. See
+    :func:`lindel_spark.sketch.histogram_sketch` /
+    :func:`~lindel_spark.sketch.histogram_quantiles`."""
+    from lindel_spark import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    h = SK.histogram_sketch(ev, "value", _HQ_LO, _HQ_HI, _HQ_BINS)
+    qdf = SK.histogram_quantiles(
+        h, [0.5, 0.9, 0.95, 0.99], _HQ_LO, _HQ_HI, _HQ_BINS)
+    return qdf.select("q", F.round("est", 6).alias("est_r6"))

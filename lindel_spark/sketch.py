@@ -137,3 +137,93 @@ def heavy_hitters(terms: DataFrame, k: int = 20,
         .filter(F.col("rank") <= k)
         .select("rank", "term", "est", "exact")
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Fixed-grid histogram sketch of a numeric column: ``(bin, cnt)``
+    over ``n_bins`` equi-width bins spanning ``[lo, hi]`` (values
+    clamp into the edge bins, NULLs are skipped).
+
+    The mergeable quantile primitive: state is O(n_bins) regardless of
+    input size, shards combine with :func:`histogram_merge` (cell-wise
+    sum, same as CMS), and because the bin math is plain column
+    algebra the sketch — and every quantile read off it — is bit-
+    replayable by any engine. One map-side-combined groupBy.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("need hi > lo")
+    v = F.col(col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)))
+    ).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Combine histogram sketches built on the SAME (lo, hi, n_bins)
+    grid: cell-wise count sum — shards/days/streams sketch
+    independently and merge associatively."""
+    if len(sketches) < 2:
+        raise ValueError("need at least two sketches to merge")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    quantiles,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Quantile estimates read off a :func:`histogram_sketch`:
+    ``(q, est)`` with linear interpolation inside the containing bin.
+
+    Deterministic closed form — ``t = q·n``; the first bin whose
+    cumulative count reaches ``t`` contains the quantile; ``est = lo +
+    (bin + (t − cum_before)/cnt) · width`` — so estimates are exactly
+    replayable, unlike opaque sketch internals. Error is bounded by
+    the bin width. Stays distributed: a cumulative window over
+    ``n_bins`` rows joined to a broadcast quantile list.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    total = sketch.agg(F.sum("cnt").cast("double").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double")
+    t = F.col("q") * F.col("n")
+    return (
+        qdf.crossJoin(F.broadcast(total))
+        .join(F.broadcast(cum),
+              (F.col("cum") >= t) & (F.col("cum_prev") < t))
+        .select(
+            "q",
+            (F.lit(lo)
+             + (F.col("bin")
+                + (t - F.col("cum_prev")) / F.col("cnt"))
+             * F.lit(width)).alias("est"),
+        )
+    )

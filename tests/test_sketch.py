@@ -114,3 +114,47 @@ def test_cms_merge_equals_single_pass(spark):
     got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
     want = {(r["row"], r["bucket"]): r["cnt"] for r in single.collect()}
     assert got == want
+
+
+def test_histogram_sketch_merge_equals_single_pass(spark):
+    from lindel_spark.sketch import histogram_merge, histogram_sketch
+    df = spark.range(2000).select(
+        (F.col("id") % 977).cast("double").alias("v"),
+        F.col("id").alias("ord"))
+    full = histogram_sketch(df, "v", 0.0, 1000.0, 64)
+    merged = histogram_merge(
+        histogram_sketch(df.filter("ord < 700"), "v", 0.0, 1000.0, 64),
+        histogram_sketch(df.filter("ord >= 700"), "v", 0.0, 1000.0, 64))
+    a = {r.bin: r.cnt for r in full.collect()}
+    b = {r.bin: r.cnt for r in merged.collect()}
+    assert a == b
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    import numpy as np
+    from lindel_spark.sketch import histogram_quantiles, histogram_sketch
+    vals = [float(x) for x in np.random.RandomState(7).uniform(
+        0, 500, 3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    h = histogram_sketch(df, "v", 0.0, 500.0, 250)  # bin width 2.0
+    qs = {r.q: r.est for r in histogram_quantiles(
+        h, [0.5, 0.95], 0.0, 500.0, 250).collect()}
+    exact = np.quantile(vals, [0.5, 0.95])
+    assert abs(qs[0.5] - exact[0]) <= 2.0 + 1e-9
+    assert abs(qs[0.95] - exact[1]) <= 2.0 + 1e-9
+
+
+def test_histogram_sketch_clamps_and_validates(spark):
+    import pytest as _p
+    from lindel_spark.sketch import histogram_sketch
+    df = spark.createDataFrame(
+        [(-5.0,), (0.5,), (99.5,), (250.0,), (None,)], "v double")
+    h = {r.bin: r.cnt for r in
+         histogram_sketch(df, "v", 0.0, 100.0, 10).collect()}
+    assert h[0] == 2      # -5 clamps into bin 0 alongside 0.5
+    assert h[9] == 2      # 99.5 in last bin; 250 clamps into it
+    assert sum(h.values()) == 4  # NULL skipped
+    with _p.raises(ValueError, match="n_bins"):
+        histogram_sketch(df, "v", 0.0, 1.0, 0)
+    with _p.raises(ValueError, match="hi > lo"):
+        histogram_sketch(df, "v", 5.0, 5.0, 8)
