@@ -6065,3 +6065,56 @@ def q_sketch_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = SK.histogram_quantiles(
         h, [0.5, 0.9, 0.95, 0.99], _HQ_LO, _HQ_HI, _HQ_BINS)
     return qdf.select("q", F.round("est", 6).alias("est_r6"))
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    WITH b AS (
+      SELECT doc_id::BIGINT AS id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    ),
+    s AS (
+      SELECT id, g.i AS si, (si // 32)::INT AS frame_no,
+             ('0x' || substr(hx, 4 * g.i + 3, 2))::INT * 256
+             + ('0x' || substr(hx, 4 * g.i + 1, 2))::INT AS uv
+      FROM b, generate_series(0, 999) g(i)
+      WHERE g.i < (nb // 2 // 32) * 32
+    ),
+    v AS (
+      SELECT id, si, frame_no,
+             CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS v
+      FROM s
+    ),
+    z AS (
+      SELECT id, frame_no, si, v,
+             lead(v) OVER (PARTITION BY id, frame_no ORDER BY si) AS nv
+      FROM v
+    )
+    SELECT id, frame_no,
+           round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms_r6,
+           max(abs(v))::BIGINT AS peak,
+           sum(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END)::BIGINT
+             AS zero_crossings
+    FROM z GROUP BY id, frame_no
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque payloads: documents' bytes
+    interpreted as s16le PCM, framed into 32-sample windows, per-frame
+    RMS / peak / zero-crossings. Real byte math (no codec, no stub) —
+    the oracle replays the sample decoding through hex strings; all
+    intermediate sums stay below 2^53 so both engines agree bit-for-
+    bit before the defensive round. See
+    :func:`lindel_spark.multimodal.audio_features`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "UTF-8").alias("content"))
+    feats = MM.audio_features(blobs, frame_samples=32)
+    return feats.select(
+        "id", "frame_no",
+        F.round("rms", 6).alias("rms_r6"),
+        "peak", "zero_crossings",
+    )

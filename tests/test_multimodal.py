@@ -99,3 +99,39 @@ def test_sample_frames(blobs):
     for r in rows:
         assert len(r.frame) == 16
         assert r.frame_no % 4 == 0
+
+
+def test_audio_features_known_waveform(spark):
+    """Hand-computed features for a square wave and a silent frame."""
+    import struct
+
+    from lindel_spark.multimodal import audio_features
+
+    # frame 1: alternating +1000/-1000 (square wave), frame 2: silence
+    sq = [1000 if i % 2 == 0 else -1000 for i in range(8)]
+    silent = [0] * 8
+    payload = struct.pack("<16h", *(sq + silent))
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "id long, content binary")
+    out = {r.frame_no: r for r in
+           audio_features(df, frame_samples=8).collect()}
+    f0, f1 = out[0], out[1]
+    assert abs(f0.rms - 1000.0) < 1e-9
+    assert f0.peak == 1000 and f0.zero_crossings == 7
+    assert f1.rms == 0.0 and f1.peak == 0 and f1.zero_crossings == 0
+
+
+def test_audio_features_drops_partial_frames(spark):
+    import struct
+
+    from lindel_spark.multimodal import audio_features
+
+    payload = struct.pack("<10h", *range(10))  # 10 samples, frame=8
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "id long, content binary")
+    rows = audio_features(df, frame_samples=8).collect()
+    assert len(rows) == 1 and rows[0].frame_no == 0
+
+    import pytest as _p
+    with _p.raises(ValueError, match="frame_samples"):
+        audio_features(df, frame_samples=1)
