@@ -325,6 +325,26 @@ def main() -> None:
         _noop(ohlc(ev, ["user_id", "day_s"], "tus", "value",
                    "event_id"))
 
+    def q_pagerank(_):
+        from pyspark.sql import Window as _W
+
+        from lindel_spark.graph import pagerank
+        ev = _ev_long()
+        w = _W.partitionBy("user_id").orderBy("tus", "event_id")
+        trans = (ev.withColumn("prev", F.lag("event_type").over(w))
+                 .filter(F.col("prev").isNotNull())
+                 .groupBy(F.col("prev").alias("src"),
+                          F.col("event_type").alias("dst"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("w")))
+        _noop(pagerank(trans, iterations=5, weight="w"))
+
+    def q_audio_features(_):
+        from lindel_spark.multimodal import audio_features
+        blobs = docs.select(
+            F.col("doc_id").alias("id"),
+            F.encode("text", "UTF-8").alias("content"))
+        _noop(audio_features(blobs, frame_samples=32))
+
     _orders_path = os.path.join(SF_DIR, "orders.parquet")
     _cust_path = os.path.join(SF_DIR, "customer.parquet")
 
@@ -386,6 +406,8 @@ def main() -> None:
         ("bloom_semi_join", q_bloom_semi, -1),
         ("tfidf_topk", q_tfidf, n_docs),
         ("ohlc_daily", q_ohlc, -1),
+        ("pagerank_transitions", q_pagerank, -1),
+        ("audio_features", q_audio_features, n_docs),
     ]
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),
