@@ -42,20 +42,28 @@ def pagerank(
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
     w = (F.col(weight).cast("double") if weight is not None
          else F.lit(1.0))
+    # the edge list, node set and out-weights are read EVERY iteration
+    # — without persisting them each iteration's lineage would rerun
+    # the caller's whole edge-derivation (often a window over the raw
+    # events) five times over. MEMORY_AND_DISK spills cleanly when the
+    # graph outgrows memory.
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"),
-        w.alias("__w"))
+        w.alias("__w")).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n = nodes.count()  # node count: the one bounded driver scalar
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for it in range(iterations):
@@ -67,12 +75,14 @@ def pagerank(
                     .alias("__c"))
             .groupBy("node").agg(F.sum("__c").alias("__contrib"))
         )
-        dangling = (
-            ranks.join(outw, ranks["node"] == outw["__src"],
-                       "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                 .alias("__dangling"))
-        )
+        # total rank is 1 by construction and every out-connected node
+        # distributes its whole rank (Σ_j w_j/wout = 1), so the
+        # dangling mass is 1 − Σ contributions — a one-row aggregate
+        # over contrib instead of an anti-join + rank rescan per
+        # iteration.
+        dangling = contrib.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("__contrib"), F.lit(0.0)))
+            .alias("__dangling"))
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
