@@ -79,15 +79,14 @@ def scd2_build(
         out = out.withColumn("_chg", is_first | change).filter("_chg")
 
     wv = Window.partitionBy(*keys).orderBy(*order_cols)
-    valid_from = F.col(order_cols[0])
     valid_to = F.lead(order_cols[0]).over(wv)
     return (
         out.select(
             *keys,
             *attr_cols,
-            valid_from.alias("valid_from"),
+            F.col(order_cols[0]).alias("valid_from"),
             valid_to.alias("valid_to"),
-            F.lead(order_cols[0]).over(wv).isNull().alias("is_current"),
+            valid_to.isNull().alias("is_current"),
             F.row_number().over(wv).alias("version"),
         )
     )

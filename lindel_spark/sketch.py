@@ -199,7 +199,9 @@ def histogram_quantiles(
     cumulative count reaches ``t`` contains the quantile; ``est = lo +
     (bin + (t − cum_before)/cnt) · width`` — so estimates are exactly
     replayable, unlike opaque sketch internals. Error is bounded by
-    the bin width. Stays distributed: a cumulative window over
+    the bin width. Quantiles must lie in (0, 1] — the first-bin
+    boundary condition has no row for q = 0 (use ``lo`` directly
+    instead). Stays distributed: a cumulative window over
     ``n_bins`` rows joined to a broadcast quantile list.
     """
     from pyspark.sql import Window
