@@ -505,33 +505,13 @@ def dup_clusters(
     """
     if pairs is None:
         pairs = near_dup_pairs(df, text_col, id_col, **near_dup_kwargs)
-    ids = df.select(F.col(id_col).cast("long").alias("id")).distinct()
-    e = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-    sym = e.union(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).localCheckpoint()
-    labels = ids.select("id", F.col("id").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels, sym["d"] == labels["id"])
-            .groupBy("s").agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(nbr, labels["id"] == nbr["s"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nl"), labels["label"])
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("id", F.col("label").alias("cluster"))
+    from lindel_spark.graph import connected_components
+
+    ids = df.select(F.col(id_col).cast("long").alias("node")).distinct()
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=ids, max_iter=max_iter)
+    return cc.select(F.col("node").alias("id"),
+                     F.col("component").alias("cluster"))
 
 
 def drop_near_duplicates(

@@ -1,6 +1,6 @@
 """Iterative graph algorithms as DataFrame programs: weighted
-PageRank (dedup clustering's connected components live in
-``dedup.dup_clusters``; this module holds the general-purpose side).
+PageRank and connected components (``dedup.dup_clusters`` delegates
+its clustering to the shared :func:`connected_components` engine).
 
 The reference's host engine has no graph operators; a training-data
 pipeline wants them for link-structure quality signals (domain
@@ -98,3 +98,60 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Connected components of an undirected graph: ``(node,
+    component)`` with ``component`` = the minimum node id reachable.
+
+    Iterative min-label propagation — per round every vertex takes the
+    min of its own and its neighbors' labels; one shuffle join per
+    round, lineage cut with ``localCheckpoint``, early-stop when the
+    monotonically decreasing label sum is unchanged. Rounds needed =
+    graph diameter. ``nodes`` (one ``node`` column) adds isolated
+    vertices as singleton components; node ids must be numeric (the
+    convergence check sums labels). The same engine behind
+    ``dedup.dup_clusters``, exposed for arbitrary graphs.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if nodes is None:
+        nodes = (
+            e.select(F.col("s").alias("node"))
+            .unionByName(e.select(F.col("d").alias("node")))
+            .distinct()
+        )
+    sym = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint()
+    labels = nodes.select(
+        F.col("node").alias("id"), F.col("node").alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s").agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels["id"] == nbr["s"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nl"), labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("id").alias("node"), F.col("label").alias("component"))

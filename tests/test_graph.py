@@ -65,3 +65,24 @@ def test_pagerank_validates_iterations(spark):
     edges = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iterations"):
         pagerank(edges, iterations=0)
+
+
+def test_connected_components_two_islands_and_isolate(spark):
+    from lindel_spark.graph import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (10,), (11,),
+                                   (99,)], "node long")
+    out = {r.node: r.component for r in connected_components(
+        edges, nodes=nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_chain_diameter(spark):
+    # a long path graph stresses multi-round propagation
+    from lindel_spark.graph import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    out = {r.node: r.component for r in
+           connected_components(edges).collect()}
+    assert set(out.values()) == {0} and len(out) == 13
