@@ -22,9 +22,18 @@ Operator modules (import as submodules):
     lindel_spark.multimodal  binary payload columns, decode stages
     lindel_spark.streaming   curve-clustered sink, windowed rollups,
                              stateful first-seen dedup
-    lindel_spark.joins       as-of join, spatial range join
+    lindel_spark.joins       as-of, spatial range, interval-overlap,
+                             bloom-filter runtime-filter semi-join
     lindel_spark.skew        salted join, two-phase distinct
-    lindel_spark.sources     schema-disciplined CSV/JSONL readers+sinks
+    lindel_spark.sources     schema-disciplined CSV/JSONL/ORC readers+sinks
+    lindel_spark.sampling    deterministic splits / mixtures / weighted
+    lindel_spark.retrieval   BM25, corpus LMs, TF-IDF keywords
+    lindel_spark.sketch      count-min, histogram quantiles (mergeable)
+    lindel_spark.history     SCD2 builds, incremental agg maintenance
+    lindel_spark.timeseries  OHLC resample, time-weighted average
+    lindel_spark.graph       PageRank, connected components
+    lindel_spark.profile     table profiling, expectations, k-anonymity
+    lindel_spark.packing     sequence packing, document chunking
 """
 
 from lindel_spark.functions import (
