@@ -97,6 +97,12 @@ def pagerank(
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
+    # materialize the result, then release the iteration frames — the
+    # caller gets a self-contained frame and the operator leaves no
+    # cached state behind (repeated calls must not accumulate blocks).
+    ranks = ranks.localCheckpoint()
+    for frame in (e, nodes, outw):
+        frame.unpersist()
     return ranks
 
 
