@@ -6122,3 +6122,112 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms_r6"),
         "peak", "zero_crossings",
     )
+
+
+@query(
+    "text_sentence_stats",
+    """
+    WITH s AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter(
+               list_transform(
+                 regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                 x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id, len(sents)::BIGINT AS n_sentences,
+           round(list_avg(list_transform(sents, x -> length(x))), 4)
+             AS avg_chars_r4,
+           list_max(list_transform(sents,
+             x -> len(list_filter(string_split(x, ' '),
+                                  t -> t <> ''))))::BIGINT
+             AS max_words
+    FROM s WHERE len(sents) > 0
+    """,
+)
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence segmentation stats (count, mean sentence
+    length, longest sentence in words) — pure column algebra over an
+    RE2-portable segment pattern, map-only. See
+    :func:`lindel_spark.text.sentences`."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sents = LT.sentences(F.col("text"))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        sents.alias("sents"),
+    ).filter(F.size("sents") > 0)
+    chars = F.transform(F.col("sents"), lambda s: F.length(s))
+    words = F.transform(
+        F.col("sents"),
+        lambda s: F.size(F.filter(F.split(s, " "),
+                                  lambda t: t != F.lit(""))))
+    return base.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.round(
+            F.aggregate(chars, F.lit(0).cast("long"),
+                        lambda a, x: a + x).cast("double")
+            / F.size("sents"), 4).alias("avg_chars_r4"),
+        F.array_max(words).cast("long").alias("max_words"),
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH ref AS (SELECT max(o_orderdate) AS r FROM orders),
+    base AS (
+      SELECT o_custkey::BIGINT AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT r FROM ref))
+               ::BIGINT AS recency_days,
+             count(*)::BIGINT AS frequency,
+             round(sum(o_totalprice), 4) AS monetary_r4
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, recency_days, frequency, monetary_r4,
+           ntile(4) OVER (ORDER BY recency_days, custkey)::BIGINT AS r_q,
+           ntile(4) OVER (ORDER BY frequency DESC, custkey)::BIGINT AS f_q,
+           ntile(4) OVER (ORDER BY monetary_r4 DESC, custkey)::BIGINT
+             AS m_q
+    FROM base
+    """,
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency / frequency / monetary
+    with deterministic NTILE quartiles (ties broken by key). The
+    classic marketing rollup as one aggregate + three rank windows.
+    Scale note: the windows are global (one row per CUSTOMER, already
+    orders-of-magnitude smaller than the fact table) — exact global
+    quartiles need the single sort; at billions of customers swap the
+    NTILEs for approx-quantile thresholds broadcast back (the
+    events_approx_percentiles pattern), trading exactness for an
+    all-parallel plan."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    ref = orders.agg(F.max("o_orderdate").alias("r"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.max("o_orderdate").alias("last_o"),
+             F.count(F.lit(1)).cast("long").alias("frequency"),
+             F.round(F.sum("o_totalprice"), 4).alias("monetary_r4"))
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("custkey").cast("long").alias("custkey"),
+            F.datediff(F.col("r"), F.col("last_o")).cast("long")
+            .alias("recency_days"),
+            "frequency", "monetary_r4",
+        )
+    )
+    return base.select(
+        "custkey", "recency_days", "frequency", "monetary_r4",
+        F.ntile(4).over(Window.orderBy("recency_days", "custkey"))
+        .cast("long").alias("r_q"),
+        F.ntile(4).over(
+            Window.orderBy(F.col("frequency").desc(), "custkey"))
+        .cast("long").alias("f_q"),
+        F.ntile(4).over(
+            Window.orderBy(F.col("monetary_r4").desc(), "custkey"))
+        .cast("long").alias("m_q"),
+    )

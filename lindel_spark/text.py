@@ -418,3 +418,15 @@ def pseudonymize(c: Column, salt: str, length: int = 16) -> Column:
     """
     return F.substring(
         F.sha2(F.concat(F.lit(salt), c.cast("string")), 256), 1, length)
+
+
+def sentences(c: Column) -> Column:
+    """Sentence-ish segments (array<string>): maximal runs of
+    non-terminator characters plus their closing ``.!?`` — written as
+    a plain match (not a lookbehind split) so the SAME pattern runs on
+    Java regex and RE2-class engines; segments are trimmed and empties
+    dropped."""
+    segs = F.regexp_extract_all(c, F.lit("[^.!?]+[.!?]?"), 0)
+    return F.filter(
+        F.transform(segs, lambda s: F.trim(s)),
+        lambda s: s != F.lit(""))
