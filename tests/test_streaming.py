@@ -419,3 +419,39 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path_factory):
     tiers = {r.k: r.tier for r in rows}
     assert tiers[0] == "bronze" and tiers[2] == "gold"
     assert tiers[3] is None  # unmatched keys survive the left join
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path_factory):
+    """Spark's built-in watermarked dedup (state bounded by the
+    watermark, unlike plain dropDuplicates' forever-state) suppresses
+    in-window duplicate event ids across micro-batches."""
+    import datetime
+
+    src_dir = str(tmp_path_factory.mktemp("wmdd_src"))
+    schema = "event_id long, ts timestamp, v double"
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    # duplicates of id 1 land in DIFFERENT files (micro-batches),
+    # all within the 10-minute watermark window
+    spark.createDataFrame(
+        [(1, ts(0), 1.0), (2, ts(5), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+    spark.createDataFrame(
+        [(1, ts(20), 9.0), (3, ts(30), 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    deduped = (src.withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    q = (deduped.writeStream.outputMode("append")
+         .format("memory").queryName("wmdd_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wmdd_t").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3]  # the cross-batch duplicate of id 1 dropped
+    assert {r.v for r in rows if r.event_id == 1} == {1.0}  # first wins
