@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "text_sentence_stats", "customer_rfm_segments",
     "dedup_incremental_near", "graph_pagerank_transitions",
     "events_rank_family", "events_linear_trend",
     "events_user_entropy", "sketch_quantile_grid",
