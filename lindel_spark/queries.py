@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "pipeline_partitioned_roundtrip", "events_mad_outliers",
     "text_sentence_stats", "customer_rfm_segments",
     "dedup_incremental_near", "graph_pagerank_transitions",
     "events_rank_family", "events_linear_trend",
@@ -6231,4 +6232,96 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(
             Window.orderBy(F.col("monetary_r4").desc(), "custkey"))
         .cast("long").alias("m_q"),
+    )
+
+
+@query(
+    "pipeline_partitioned_roundtrip",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day_s, count(*)::BIGINT AS n,
+           round(sum(value), 4) AS sum_v_r4
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05'
+                                       AND '2024-01-07'
+    GROUP BY 1
+    """,
+)
+def q_pipeline_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lakehouse round-trip: events written
+    partitioned by day, read back with a partition filter that must
+    PRUNE (only the three selected day directories are listed/read —
+    asserted from the plan, not assumed), then aggregated. The oracle
+    recomputes from the raw table, proving the partitioned layout is
+    lossless and the pruned read is still exact."""
+    ev = _events(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day_s"),
+        "event_id", "value")
+    out = tempfile.mkdtemp(prefix="lindel_hivepart_")
+    ev.write.mode("overwrite").partitionBy("day_s").parquet(out)
+    rb = spark.read.parquet(out).filter(
+        F.col("day_s").between("2024-01-05", "2024-01-07"))
+    # partition pruning is load-bearing here: fail loudly if the scan
+    # lists every day directory instead of three
+    plan = rb._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in plan:
+        raise AssertionError(
+            "LINDEL: partition filter did not reach the scan")
+    return rb.groupBy("day_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_v_r4"))
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT user_id, median(value) AS med FROM e GROUP BY user_id
+    ),
+    dev AS (
+      SELECT e.user_id, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM e JOIN med USING (user_id)
+    ),
+    mad AS (
+      SELECT user_id, median(adev) AS mad FROM dev GROUP BY user_id
+    )
+    SELECT d.user_id, round(d.med, 6) AS med_r6,
+           round(m.mad, 6) AS mad_r6,
+           sum(CASE WHEN m.mad > 0 AND d.adev > 3 * m.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           count(*)::BIGINT AS n
+    FROM dev d JOIN mad m USING (user_id)
+    GROUP BY d.user_id, d.med, m.mad
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts per user via median absolute deviation
+    (3-MAD rule) — the robust alternative to events_anomaly_zscore
+    (means and sigmas move with the outliers; medians don't). Exact
+    interpolated medians (Spark ``percentile`` ≡ DuckDB ``median`` on
+    the same value multiset), two grouped passes + joins all keyed on
+    user_id."""
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        F.col("user_id").cast("long").alias("user_id"), "value")
+    med = ev.groupBy("user_id").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(med, "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("user_id").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(mad, "user_id")
+        .groupBy("user_id", "med", "mad")
+        .agg(
+            F.sum(F.when((F.col("mad") > 0)
+                         & (F.col("adev") > 3 * F.col("mad")), 1)
+                  .otherwise(0)).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("user_id", F.round("med", 6).alias("med_r6"),
+                F.round("mad", 6).alias("mad_r6"), "n_outliers", "n")
     )
