@@ -243,3 +243,41 @@ def k_anonymity_report(
         .agg(F.count(F.lit(1)).alias("group_n"))
         .withColumn("anonymous", F.col("group_n") >= F.lit(k))
     )
+
+
+def referential_integrity_report(
+    pairs: Sequence[tuple],
+) -> DataFrame:
+    """Cross-table foreign-key audit: each entry is ``(name, child_df,
+    child_key, parent_df, parent_key)``; the report has one row per
+    relationship with child row count, orphan count (child keys
+    absent from the parent, NULLs excluded), and ``intact``.
+
+    Orphans are counted with a LEFT ANTI join against the parent's
+    distinct keys — key-partitioned, broadcast when the parent is
+    small, never a collect. The lakehouse pre-flight that catches
+    broken ingestion ordering (children landing before parents).
+    """
+    out = None
+    for name, child, child_key, parent, parent_key in pairs:
+        keys = parent.select(
+            F.col(parent_key).alias("__pk")).distinct()
+        ch = child.select(F.col(child_key).alias("__ck")).filter(
+            F.col("__ck").isNotNull())
+        orphans = ch.join(keys, ch["__ck"] == keys["__pk"],
+                          "left_anti")
+        row = (
+            ch.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(F.count(F.lit(1)).cast("long")
+                            .alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child", "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("pass at least one relationship")
+    return out

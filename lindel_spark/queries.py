@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "profile_referential_integrity", "events_wow_growth",
     "pipeline_partitioned_roundtrip", "events_mad_outliers",
     "text_sentence_stats", "customer_rfm_segments",
     "dedup_incremental_near", "graph_pagerank_transitions",
@@ -6324,4 +6325,95 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.round("med", 6).alias("med_r6"),
                 F.round("mad", 6).alias("mad_r6"), "n_outliers", "n")
+    )
+
+
+@query(
+    "profile_referential_integrity",
+    """
+    SELECT 'orders->customer' AS relationship,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL)::BIGINT AS n_child,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN
+                  (SELECT c_custkey FROM customer))::BIGINT
+             AS n_orphans,
+           (SELECT count(*) FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN
+                  (SELECT c_custkey FROM customer)) = 0 AS intact
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL)::BIGINT,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders))::BIGINT,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL
+              AND l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders)) = 0
+    """,
+)
+def q_profile_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the star schema: orphaned orders
+    (no customer) and orphaned lineitems (no order), counted with
+    anti-joins. See
+    :func:`lindel_spark.profile.referential_integrity_report`."""
+    from lindel_spark.profile import referential_integrity_report
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    li = _lineitem(spark, sf_dir)
+    return referential_integrity_report([
+        ("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        ("lineitem->orders", li, "l_orderkey", orders, "o_orderkey"),
+    ])
+
+
+@query(
+    "events_wow_growth",
+    """
+    WITH wk AS (
+      SELECT event_type,
+             date_trunc('week', ts) AS week_start,
+             count(*)::BIGINT AS n,
+             round(sum(value), 4) AS sum_v_r4
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(week_start, '%Y-%m-%d') AS week_s, n,
+           sum_v_r4,
+           (n - lag(n) OVER w) AS n_delta,
+           round(CASE WHEN lag(n) OVER w > 0
+                 THEN (n - lag(n) OVER w)::DOUBLE / lag(n) OVER w
+                 END, 6) AS growth_r6
+    FROM wk
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+    """,
+)
+def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week volume growth per event type: weekly rollup +
+    one lag window per type (Monday-anchored ISO weeks, identical
+    date_trunc semantics in both engines)."""
+    from pyspark.sql import Window
+
+    wk = (
+        _events(spark, sf_dir)
+        .groupBy("event_type",
+                 F.date_trunc("week", F.col("ts")).alias("week_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_v_r4"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_s"),
+        "n", "sum_v_r4",
+        (F.col("n") - prev).alias("n_delta"),
+        F.round(F.when(prev > 0,
+                       (F.col("n") - prev).cast("double") / prev), 6)
+        .alias("growth_r6"),
     )

@@ -110,3 +110,21 @@ def test_k_anonymity_report_flags_small_groups(spark):
                    ("fr", "a"): (3, True)}
     with _p.raises(ValueError, match="k must be"):
         k_anonymity_report(df, ["country"], 0)
+
+
+def test_referential_integrity_counts_orphans(spark):
+    from lindel_spark.profile import referential_integrity_report
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (3, "c"), (None, "d")], "fk long, v string")
+    rep = referential_integrity_report(
+        [("child->parent", child, "fk", parent, "pk")]).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    # NULL fk excluded from both counts; fk=3 is the one orphan
+    assert (r.relationship, r.n_child, r.n_orphans, r.intact) == \
+        ("child->parent", 3, 1, False)
+
+    import pytest as _p
+    with _p.raises(ValueError, match="at least one"):
+        referential_integrity_report([])
