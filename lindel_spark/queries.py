@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "part_revenue_pareto",
     "profile_referential_integrity", "events_wow_growth",
     "pipeline_partitioned_roundtrip", "events_mad_outliers",
     "text_sentence_stats", "customer_rfm_segments",
@@ -6416,4 +6417,59 @@ def q_events_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(prev > 0,
                        (F.col("n") - prev).cast("double") / prev), 6)
         .alias("growth_r6"),
+    )
+
+
+@query(
+    "part_revenue_pareto",
+    """
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS revenue_r4
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (SELECT sum(revenue_r4) AS t FROM rev)
+    SELECT brand, revenue_r4,
+           rank() OVER (ORDER BY revenue_r4 DESC, brand)::BIGINT
+             AS rnk,
+           round(sum(revenue_r4) OVER (
+                   ORDER BY revenue_r4 DESC, brand
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (SELECT t FROM tot), 6) AS cum_share_r6
+    FROM rev
+    """,
+)
+def q_part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of revenue by part brand: ranked brands
+    with running cumulative revenue share (the 80/20 read-off). The
+    window is global but over BRAND cardinality (thousands at most),
+    after the fact table has been aggregated down — the same
+    dimension-sized-window caveat as customer_rfm_segments. The
+    rounded per-brand revenue feeds the share so both engines divide
+    identical numerators."""
+    from pyspark.sql import Window
+
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 4)
+             .alias("revenue_r4"))
+    )
+    tot = rev.agg(F.sum("revenue_r4").alias("t"))
+    w = Window.orderBy(F.col("revenue_r4").desc(), "brand")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "brand", "revenue_r4",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.round(
+                F.sum("revenue_r4").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("t"), 6).alias("cum_share_r6"),
+        )
     )
