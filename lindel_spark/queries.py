@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "sketch_quantiles_by_type",
     "part_revenue_pareto",
     "profile_referential_integrity", "events_wow_growth",
     "pipeline_partitioned_roundtrip", "events_mad_outliers",
@@ -6473,3 +6474,52 @@ def q_part_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("t"), 6).alias("cum_share_r6"),
         )
     )
+
+
+@query(
+    "sketch_quantiles_by_type",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             least({_HQ_BINS - 1},
+                   greatest(0, floor((value - {_HQ_LO})
+                                     / {(_HQ_HI - _HQ_LO) / _HQ_BINS})))
+               ::BIGINT AS bin,
+             count(*)::BIGINT AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+      FROM h
+    ),
+    t AS (SELECT event_type, sum(cnt)::DOUBLE AS n FROM h GROUP BY 1),
+    qs AS (SELECT unnest([0.5, 0.95]) AS q)
+    SELECT c.event_type, q,
+           round({_HQ_LO}
+             + (c.bin + (q * t.n - (c.cum - c.cnt)) / c.cnt)
+             * {(_HQ_HI - _HQ_LO) / _HQ_BINS}, 6) AS est_r6
+    FROM qs
+    CROSS JOIN t
+    JOIN c ON c.event_type = t.event_type
+          AND c.cum >= q * t.n AND (c.cum - c.cnt) < q * t.n
+    """,
+)
+def q_sketch_quantiles_by_type(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95 read off a GROUPED histogram sketch —
+    every group gets its quantiles from one shared pass with no
+    per-group sort; state O(groups x bins). See
+    :func:`lindel_spark.sketch.histogram_sketch_grouped`."""
+    from lindel_spark import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    h = SK.histogram_sketch_grouped(
+        ev, "event_type", "value", _HQ_LO, _HQ_HI, _HQ_BINS)
+    qdf = SK.histogram_quantiles_grouped(
+        h, "event_type", [0.5, 0.95], _HQ_LO, _HQ_HI, _HQ_BINS)
+    return qdf.select("event_type", "q",
+                      F.round("est", 6).alias("est_r6"))

@@ -229,3 +229,76 @@ def histogram_quantiles(
              * F.lit(width)).alias("est"),
         )
     )
+
+
+def histogram_sketch_grouped(
+    df: DataFrame,
+    keys,
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Per-group :func:`histogram_sketch`: ``(*keys, bin, cnt)``.
+    State is O(groups × n_bins); one map-side-combined groupBy on
+    (keys, bin). Feed :func:`histogram_quantiles_grouped` for
+    per-group quantiles without a per-group sort — the shape that
+    gives every tenant/day/domain its own p99 in one pass."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("need hi > lo")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)))
+    ).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_quantiles_grouped(
+    sketch: DataFrame,
+    keys,
+    quantiles,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Per-group quantiles off a :func:`histogram_sketch_grouped`:
+    ``(*keys, q, est)``, same closed-form interpolation as the global
+    reader. The cumulative window partitions by the group keys (≤
+    n_bins rows per partition), and the quantile list joins in as a
+    broadcast — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    width = (hi - lo) / n_bins
+    w = Window.partitionBy(*keys).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        *keys, "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+    ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    totals = sketch.groupBy(*keys).agg(
+        F.sum("cnt").cast("double").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double")
+    t = F.col("q") * F.col("n")
+    return (
+        cum.join(totals, keys)
+        .join(F.broadcast(qdf),
+              (F.col("cum") >= t) & (F.col("cum_prev") < t))
+        .select(
+            *keys, "q",
+            (F.lit(lo)
+             + (F.col("bin")
+                + (t - F.col("cum_prev")) / F.col("cnt"))
+             * F.lit(width)).alias("est"),
+        )
+    )

@@ -158,3 +158,47 @@ def test_histogram_sketch_clamps_and_validates(spark):
         histogram_sketch(df, "v", 0.0, 1.0, 0)
     with _p.raises(ValueError, match="hi > lo"):
         histogram_sketch(df, "v", 5.0, 5.0, 8)
+
+
+def test_grouped_histogram_quantiles_match_per_group_exact(spark):
+    import numpy as np
+    from lindel_spark.sketch import (histogram_quantiles_grouped,
+                                     histogram_sketch_grouped)
+    rng = np.random.RandomState(13)
+    rows = [("a", float(v)) for v in rng.uniform(0, 100, 2000)] + \
+           [("b", float(v)) for v in rng.uniform(200, 400, 2000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    h = histogram_sketch_grouped(df, "k", "v", 0.0, 400.0, 400)
+    qs = {(r.k, r.q): r.est for r in histogram_quantiles_grouped(
+        h, "k", [0.5, 0.95], 0.0, 400.0, 400).collect()}
+    a = np.array([v for k, v in rows if k == "a"])
+    b = np.array([v for k, v in rows if k == "b"])
+    # bin width 1.0 bounds the estimate error per group
+    assert abs(qs[("a", 0.5)] - np.quantile(a, 0.5)) <= 1.0 + 1e-9
+    assert abs(qs[("b", 0.95)] - np.quantile(b, 0.95)) <= 1.0 + 1e-9
+
+
+def test_histogram_sketch_streams_with_grid_bounded_state(
+        spark, tmp_path_factory):
+    """The grouped histogram is select + groupBy-sum, so it runs
+    unchanged as a streaming aggregation whose state is the grid."""
+    from lindel_spark.sketch import histogram_sketch_grouped
+    src_dir = str(tmp_path_factory.mktemp("hist_src"))
+    schema = "k string, v double"
+    for i in range(2):
+        spark.createDataFrame(
+            [("t", float((i * 37 + j * 7) % 100)) for j in range(200)],
+            schema).coalesce(1).write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    agg = histogram_sketch_grouped(src, "k", "v", 0.0, 100.0, 20)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("hist_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.k, r.bin): r.cnt
+           for r in spark.sql("SELECT * FROM hist_t").collect()}
+    want = {(r.k, r.bin): r.cnt for r in histogram_sketch_grouped(
+        spark.read.parquet(src_dir), "k", "v", 0.0, 100.0, 20
+    ).collect()}
+    assert got == want and len(got) <= 20
