@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "zorder_store_cycle",
     "sketch_quantiles_by_type",
     "part_revenue_pareto",
     "profile_referential_integrity", "events_wow_growth",
@@ -6523,3 +6524,42 @@ def q_sketch_quantiles_by_type(spark: SparkSession,
         h, "event_type", [0.5, 0.95], _HQ_LO, _HQ_HI, _HQ_BINS)
     return qdf.select("event_type", "q",
                       F.round("est", 6).alias("est_r6"))
+
+
+@query(
+    "zorder_store_cycle",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(l_orderkey)::BIGINT AS sum_ok,
+           SUM(l_partkey)::BIGINT AS sum_pk,
+           COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+    FROM lineitem
+    """,
+)
+def q_zorder_store_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full incremental-store lifecycle: init a curve-clustered base
+    from 80% of lineitem, fast-append the rest unsorted, force a
+    maintenance rewrite, then aggregate the store contents — the
+    oracle recomputes from the raw table, proving init + append +
+    re-cluster is lossless end to end. See
+    :func:`lindel_spark.write.zorder_store_maintain`."""
+    li = _lineitem(spark, sf_dir)
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="lindel_zstore_q_"), "s")
+    LW.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols, store,
+                         elem="int32", num_files=8)
+    LW.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+    stats = LW.zorder_store_maintain(spark, store, cols,
+                                     tail_ratio=0.01, elem="int32",
+                                     num_files=8)
+    if not stats["rewritten"]:
+        raise AssertionError("LINDEL: maintenance rewrite did not run")
+    rb = LW.zorder_store_read(spark, store)
+    return rb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_ok"),
+        F.sum("l_partkey").cast("long").alias("sum_pk"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )

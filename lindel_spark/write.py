@@ -320,3 +320,118 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(*key_cols, status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# incremental z-order store: append fast, re-cluster when degraded
+# ---------------------------------------------------------------------------
+
+def _zstore_marker(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, "_LATEST")
+
+
+def _zstore_latest(path: str) -> int | None:
+    import os as _os
+
+    m = _zstore_marker(path)
+    if not _os.path.exists(m):
+        return None
+    with open(m) as fh:
+        return int(fh.read().strip())
+
+
+def zorder_store_init(df: DataFrame, cols: Sequence, path: str,
+                      **zorder_kwargs) -> None:
+    """Create an incremental z-order store: a curve-clustered ``base``
+    plus a ``tail`` for cheap appends. Layout::
+
+        path/_LATEST      -> current base version (atomic marker)
+        path/base-v{N}/   -> zorder_write output (clustered)
+        path/tail/        -> plain appended parquet (unclustered)
+
+    Versioned directories + marker rename, never in-place rewrites —
+    the object-store-safe pattern (no atomic directory overwrite
+    exists on S3-likes). The maintenance loop the reference's
+    motivating workload needs in production: one big ORDER BY at
+    ingest time is not a strategy when data keeps arriving.
+    """
+    import os as _os
+
+    zorder_write(df, cols, _os.path.join(path, "base-v0"),
+                 **zorder_kwargs)
+    tmp = _zstore_marker(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write("0")
+    _os.replace(tmp, _zstore_marker(path))
+
+
+def zorder_store_append(df: DataFrame, path: str) -> None:
+    """Fast append: plain parquet into ``tail/`` — no sort, no
+    shuffle beyond the write itself. Reads stay correct (the store
+    reader unions base + tail); only SKIPPING degrades until
+    :func:`zorder_store_maintain` folds the tail in."""
+    import os as _os
+
+    df.write.mode("append").parquet(_os.path.join(path, "tail"))
+
+
+def zorder_store_read(spark, path: str) -> DataFrame:
+    """Current contents: latest base ∪ tail (if any)."""
+    import os as _os
+
+    v = _zstore_latest(path)
+    if v is None:
+        raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
+    out = spark.read.parquet(_os.path.join(path, f"base-v{v}"))
+    tail = _os.path.join(path, "tail")
+    if _os.path.isdir(tail) and any(
+            f.endswith(".parquet") for f in _os.listdir(tail)):
+        out = out.unionByName(spark.read.parquet(tail))
+    return out
+
+
+def zorder_store_maintain(spark, path: str, cols: Sequence,
+                          tail_ratio: float = 0.1,
+                          **zorder_kwargs) -> dict:
+    """Re-cluster when the unsorted tail exceeds ``tail_ratio`` of the
+    base bytes: base ∪ tail is rewritten curve-clustered into
+    ``base-v{N+1}``, the marker flips atomically, and the old base +
+    tail are removed. Below the threshold it is a no-op (the tail's
+    skipping loss isn't worth a full rewrite yet) — amortized, the
+    store is rewritten O(log) times per doubling, the standard
+    compaction amortization.
+
+    Returns stats: ``{"rewritten": bool, "base_bytes": int,
+    "tail_bytes": int}``.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    def _bytes(p):
+        if not _os.path.isdir(p):
+            return 0
+        return sum(
+            _os.path.getsize(_os.path.join(r, f))
+            for r, _d, fs in _os.walk(p) for f in fs
+            if f.endswith(".parquet"))
+
+    v = _zstore_latest(path)
+    if v is None:
+        raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
+    base_dir = _os.path.join(path, f"base-v{v}")
+    tail_dir = _os.path.join(path, "tail")
+    bb, tb = _bytes(base_dir), _bytes(tail_dir)
+    if tb == 0 or (bb > 0 and tb / bb < tail_ratio):
+        return {"rewritten": False, "base_bytes": bb, "tail_bytes": tb}
+    merged = zorder_store_read(spark, path)
+    new_base = _os.path.join(path, f"base-v{v + 1}")
+    zorder_write(merged, cols, new_base, **zorder_kwargs)
+    tmp = _zstore_marker(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(v + 1))
+    _os.replace(tmp, _zstore_marker(path))
+    _shutil.rmtree(base_dir, ignore_errors=True)
+    _shutil.rmtree(tail_dir, ignore_errors=True)
+    return {"rewritten": True, "base_bytes": bb, "tail_bytes": tb}

@@ -142,3 +142,47 @@ def test_zorder_write_hive_partitioned(spark, tmp_path):
     one = sorted(flags)[0].split("=")[1]
     assert (rb.filter(F.col("l_returnflag") == one).count()
             == li.filter(F.col("l_returnflag") == one).count())
+
+
+def test_zorder_store_append_maintain_cycle(spark, tmp_path_factory):
+    """The incremental store: appends degrade row-group skipping,
+    maintenance restores it; contents stay lossless throughout."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = str(tmp_path_factory.mktemp("zstore") / "s")
+    opts = {"elem": "int32", "num_files": 4,
+            "parquet.block.size": str(256 * 1024)}
+    base = li.filter("l_orderkey % 5 != 0")
+    tail = li.filter("l_orderkey % 5 = 0")
+    LW.zorder_store_init(base, cols, store, **opts)
+
+    # below-threshold maintain is a no-op
+    stats = LW.zorder_store_maintain(spark, store, cols,
+                                     tail_ratio=0.9, **opts)
+    assert stats["rewritten"] is False
+
+    LW.zorder_store_append(tail, store)
+    n_before = LW.zorder_store_read(spark, store).count()
+    assert n_before == li.count()  # lossless with a tail present
+
+    stats = LW.zorder_store_maintain(spark, store, cols,
+                                     tail_ratio=0.1, **opts)
+    assert stats["rewritten"] is True and stats["tail_bytes"] > 0
+    rb = LW.zorder_store_read(spark, store)
+    assert rb.count() == li.count()  # lossless after the rewrite
+    assert sorted(rb.columns) == sorted(li.columns)
+
+    # the rewritten base skips like a fresh zorder_write
+    import glob as _glob
+    v = max(int(d.split("-v")[1])
+            for d in os.listdir(store) if d.startswith("base-v"))
+    groups = _row_group_stats(os.path.join(store, f"base-v{v}"),
+                              ["l_orderkey", "l_partkey"])
+    pred = {"l_orderkey": (1000, 2000), "l_partkey": (100, 400)}
+    skip = 1 - _surviving(groups, pred) / len(groups)
+    assert skip >= 0.5, f"post-maintain skip ratio {skip:.2f}"
+    # old base and tail are gone
+    assert not os.path.isdir(os.path.join(store, "tail"))
+    assert len([d for d in os.listdir(store)
+                if d.startswith("base-v")]) == 1
