@@ -527,3 +527,43 @@ def incremental_agg_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def zorder_store_stream_sink(
+    stream_df: DataFrame,
+    path: str,
+    cols,
+    maintain_every: int = 5,
+    tail_ratio: float = 0.1,
+    checkpoint: str | None = None,
+    **zorder_kwargs,
+):
+    """Stream into a self-maintaining z-order store: every micro-batch
+    fast-appends to the store's tail (no sort in the hot path); every
+    ``maintain_every`` batches the amortized re-cluster runs if the
+    tail crossed ``tail_ratio``. The streaming completion of the
+    reference's flagship workload — continuous ingest AND row-group
+    skipping, reconciled by compaction instead of per-batch sorting.
+
+    First batch initializes the store (clustered) if none exists.
+    """
+    from lindel_spark.write import (zorder_store_append,
+                                    zorder_store_init,
+                                    zorder_store_maintain,
+                                    _zstore_latest)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _zstore_latest(path) is None:
+            zorder_store_init(batch_df, cols, path, **zorder_kwargs)
+            return
+        zorder_store_append(batch_df, path)
+        if maintain_every > 0 and (batch_id + 1) % maintain_every == 0:
+            zorder_store_maintain(spark, path, cols,
+                                  tail_ratio=tail_ratio,
+                                  **zorder_kwargs)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -455,3 +455,40 @@ def test_drop_duplicates_within_watermark(spark, tmp_path_factory):
     ids = sorted(r.event_id for r in rows)
     assert ids == [1, 2, 3]  # the cross-batch duplicate of id 1 dropped
     assert {r.v for r in rows if r.event_id == 1} == {1.0}  # first wins
+
+
+def test_zorder_store_stream_sink_lossless_and_maintained(
+        spark, tmp_path_factory):
+    """Streaming ingest into the incremental z-order store: contents
+    equal the batch union across micro-batches, and the periodic
+    maintenance folds the tail back into a clustered base."""
+    import os
+
+    from lindel_spark.write import zorder_store_read
+
+    src_dir = str(tmp_path_factory.mktemp("zs_src"))
+    store = str(tmp_path_factory.mktemp("zs_store") / "s")
+    ckpt = str(tmp_path_factory.mktemp("zs_ckpt"))
+    schema = "a int, b int, v double"
+    for i in range(4):
+        spark.createDataFrame(
+            [((i * 1000 + j) % 500, (j * 7) % 500, float(j))
+             for j in range(250)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.zorder_store_stream_sink(
+        src, store, [F.col("a"), F.col("b")], maintain_every=2,
+        tail_ratio=0.01, checkpoint=ckpt, elem="int32", num_files=2,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    got = zorder_store_read(spark, store)
+    want = spark.read.parquet(src_dir)
+    assert got.count() == want.count() == 1000
+    assert got.agg(F.sum("v")).first()[0] == \
+        want.agg(F.sum("v")).first()[0]
+    # maintenance ran: store advanced past base-v0 and folded a tail
+    versions = [d for d in os.listdir(store) if d.startswith("base-v")]
+    assert len(versions) == 1 and versions[0] != "base-v0"
