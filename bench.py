@@ -409,9 +409,22 @@ def main() -> None:
         ("pagerank_transitions", q_pagerank, -1),
         ("audio_features", q_audio_features, n_docs),
     ]
+    def q_zorder_store_cycle(tmp):
+        import shutil as _sh
+        store = os.path.join(tmp, "zstore")
+        _sh.rmtree(store, ignore_errors=True)
+        cols = [F.col("l_orderkey").cast("int"),
+                F.col("l_partkey").cast("int")]
+        LW.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols,
+                             store, elem="int32", num_files=8)
+        LW.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+        LW.zorder_store_maintain(spark, store, cols, tail_ratio=0.01,
+                                 elem="int32", num_files=8)
+
     write_shaped = [
         ("zorder_write_i32x2", q_zorder_write, n_li),
         ("plain_write", q_plain_write, n_li),
+        ("zorder_store_cycle", q_zorder_store_cycle, n_li),
     ]
     if os.path.exists(_orders_path) and os.path.exists(_cust_path):
         write_shaped.append(
