@@ -379,3 +379,37 @@ def test_grouping_sets_single_scan_expand(spark):
     p = plan_of(out)
     assert "Expand" in p
     assert p.count("Union") == 0
+
+
+def test_ohlc_single_exchange(spark):
+    """OHLC shares one hash exchange between both window frames."""
+    import re
+
+    from lindel_spark.timeseries import ohlc
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("seq"), F.col("id").cast("double").alias("v"))
+    p = plan_of(ohlc(df, ["k"], "ts", "v", "seq"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """TWA's lead window and groupBy share the same key partitioning:
+    one exchange total."""
+    import re
+
+    from lindel_spark.timeseries import time_weighted_avg
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("seq"), F.col("id").cast("double").alias("v"))
+    p = plan_of(time_weighted_avg(df, ["k"], "ts", "v", "seq"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_tfidf_no_cartesian_and_partial_agg(docs):
+    """TF-IDF: the df join stays keyed (no cartesian beyond the
+    broadcast one-row n_docs), postings partial-aggregate map-side."""
+    from lindel_spark.retrieval import tfidf_topk
+    p = plan_of(tfidf_topk(docs, k=3))
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p  # postings map-side combine
