@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "pipeline_corpus_prep",
     "zorder_store_cycle",
     "sketch_quantiles_by_type",
     "part_revenue_pareto",
@@ -6563,3 +6564,80 @@ def q_zorder_store_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_partkey").cast("long").alias("sum_pk"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
     )
+
+
+@query(
+    "pipeline_corpus_prep",
+    f"""
+    WITH d AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, text, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 5 THEN
+               list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+             ELSE [] END AS g5,
+             (CASE WHEN len(toks) BETWEEN 10 AND 10000
+                   THEN 1.0e0 ELSE 0.0e0 END) * 0.25e0
+             + (CASE WHEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                          / len(toks)::DOUBLE BETWEEN 2.0e0 AND 12.0e0
+                     THEN 1.0e0 ELSE 0.0e0 END) * 0.25e0
+             + (len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 0.25e0
+             + ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+                / greatest(length(text)::DOUBLE, 1.0e0)) * 0.25e0 AS quality
+      FROM d
+    ),
+    gated AS (
+      SELECT doc_id::BIGINT AS doc_id, text, quality FROM g
+      WHERE quality >= 0.75e0
+        AND (CASE WHEN len(g2) > 0 THEN
+               list_aggregate(list_transform(list_distinct(g2),
+                 x -> len(list_filter(g2, y -> y = x))), 'max')::DOUBLE
+                 / len(g2)::DOUBLE
+             ELSE 0.0e0 END) < 0.1e0
+        AND (CASE WHEN len(g5) > 0 THEN
+               1.0e0 - len(list_distinct(g5))::DOUBLE / len(g5)::DOUBLE
+             ELSE 0.0e0 END) < 0.1e0
+    ),
+    dd AS (
+      SELECT doc_id, quality,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fp
+      FROM gated
+    ),
+    kept AS (
+      SELECT doc_id, quality
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY fp ORDER BY doc_id) AS rn FROM dd)
+      WHERE rn = 1
+    ),
+    f AS (
+      SELECT doc_id, quality,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               / 1152921504606846976.0 AS frac
+      FROM kept
+    )
+    SELECT CASE WHEN frac < 0.8 THEN 'train'
+                WHEN frac < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*)::BIGINT AS n_docs,
+           round(SUM(quality), 4) AS sum_quality_r4
+    FROM f GROUP BY 1
+    """,
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call corpus-prep pipeline (quality+repetition gate →
+    exact dedup → deterministic split), rolled up per split — the
+    WHOLE chain replayed by the oracle. See
+    :func:`lindel_spark.pipeline.prepare_corpus`."""
+    from lindel_spark.pipeline import prepare_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = prepare_corpus(docs)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("quality"), 4).alias("sum_quality_r4"))
