@@ -345,6 +345,10 @@ def main() -> None:
             F.encode("text", "UTF-8").alias("content"))
         _noop(audio_features(blobs, frame_samples=32))
 
+    def q_corpus_prep(_):
+        from lindel_spark.pipeline import prepare_corpus
+        _noop(prepare_corpus(docs))
+
     _orders_path = os.path.join(SF_DIR, "orders.parquet")
     _cust_path = os.path.join(SF_DIR, "customer.parquet")
 
@@ -408,6 +412,7 @@ def main() -> None:
         ("ohlc_daily", q_ohlc, -1),
         ("pagerank_transitions", q_pagerank, -1),
         ("audio_features", q_audio_features, n_docs),
+        ("corpus_prep", q_corpus_prep, n_docs),
     ]
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
