@@ -60,14 +60,21 @@ def word_shingles(c: Column, k: int = DEFAULT_SHINGLE_K) -> Column:
     guarded explicitly because Spark's ``sequence(1, n)`` runs
     *descending* for n < 1, which would index out of bounds."""
     t = tokens(c)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(k)]
-            ),
+
+    # let-binding via singleton-array transform: the tokenizer runs
+    # ONCE per row; passing ``t`` into the gram lambda directly would
+    # re-evaluate it at every element_at (see text._token_grams).
+    def build(arr):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(arr, i + j) for j in range(k)]
+                ),
+            )
         )
-    )
+
+    grams = F.element_at(F.transform(F.array(t), build), 1)
     return F.when(F.size(t) >= k, grams).otherwise(
         F.array().cast("array<string>"))
 

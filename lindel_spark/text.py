@@ -271,12 +271,7 @@ def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
     combined groupBy — the only shuffle in this module, and it shuffles
     pre-aggregated (ngram, partial_count) pairs, not raw tokens."""
     t = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
+    grams = _token_grams(t, n)  # let-bound: tokenizer runs once per row
     return (
         # guard: Spark's sequence(1, k) runs *descending* for k < 1, so
         # short docs must be dropped before building gram indices
