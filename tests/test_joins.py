@@ -269,3 +269,10 @@ def test_bloom_semi_join_udf_path_matches(spark, monkeypatch):
     want = {(r.key, r.v) for r in
             fact.join(dim, "key", "left_semi").collect()}
     assert jvm == want
+
+
+def test_bloom_semi_join_empty_dim(spark):
+    from lindel_spark.joins import bloom_semi_join
+    fact = spark.range(100).select(F.col("id").alias("key"))
+    dim = spark.range(0).select(F.col("id").alias("key"))
+    assert bloom_semi_join(fact, dim, on="key").count() == 0

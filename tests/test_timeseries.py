@@ -77,3 +77,13 @@ def test_tfidf_topk_ranks_distinctive_terms_first(spark):
     ranks = [r.rank for r in tfidf_topk(docs, k=2)
              .filter("doc_id = 1").collect()]
     assert sorted(ranks) == [1, 2]
+
+
+def test_sentences_helper_segments_and_trims(spark):
+    from lindel_spark.text import sentences
+    df = spark.createDataFrame(
+        [(1, "First one. Second!  Third?No terminator tail")],
+        "id long, text string")
+    out = df.select(sentences(F.col("text")).alias("s")).first().s
+    assert out == ["First one.", "Second!", "Third?",
+                   "No terminator tail"]
