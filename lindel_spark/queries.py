@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "sketch_kmv_users",
     "pipeline_corpus_prep",
     "zorder_store_cycle",
     "sketch_quantiles_by_type",
@@ -6641,3 +6642,47 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.sum("quality"), 4).alias("sum_quality_r4"))
+
+
+@query(
+    "sketch_kmv_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+               AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS rank
+      FROM h
+    ),
+    s AS (SELECT * FROM r WHERE rank <= 256),
+    a AS (
+      SELECT event_type, count(*)::BIGINT AS n_in,
+             max(CASE WHEN rank = 256 THEN h END) AS kth
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE WHEN kth IS NOT NULL
+                 THEN 255.0 * 1152921504606846976.0 / kth::DOUBLE
+                 ELSE n_in::DOUBLE END, 4) AS est_r4
+    FROM a
+    """,
+)
+def q_sketch_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type from a k-minimum-values sketch —
+    unlike opaque HLL registers the sketch is plain md5 integers, so
+    the oracle replays the sketch AND the estimate bit-for-bit (the
+    first value-LEVEL distinct-sketch check in the registry; the HLL
+    query keeps its self-check form). See
+    :func:`lindel_spark.sketch.kmv_sketch`."""
+    from lindel_spark import sketch as SK
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("long").alias("user_id"))
+    sk = SK.kmv_sketch(ev, "event_type", "user_id", k=256)
+    est = SK.kmv_estimate(sk, k=256)
+    return est.select("event_type", F.round("est", 4).alias("est_r4"))

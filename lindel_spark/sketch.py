@@ -302,3 +302,76 @@ def histogram_quantiles_grouped(
              * F.lit(width)).alias("est"),
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys,
+    col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the ``k`` smallest
+    60-bit md5 hashes of ``col`` — ``(*keys, rank, h)``.
+
+    The deterministic, engine-replayable alternative to opaque HLL
+    registers: every value is a plain md5 integer, so a SQL oracle
+    reproduces the sketch AND its estimate bit-for-bit. Mergeable —
+    union sketches and re-rank (:func:`kmv_merge`). State is O(k) per
+    group. Plan: hash map-side, distinct, one window per group
+    (Spark's rank-limit pushdown keeps at most k rows per partition
+    before the shuffle).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    hashed = df.select(*keys, h.alias("h")).distinct()
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge KMV sketches built with the same ``k``: union, dedupe
+    hashes, keep each group's k smallest again. ``k`` is inferred as
+    the max rank present."""
+    if len(sketches) < 2:
+        raise ValueError("need at least two sketches to merge")
+    from pyspark.sql import Window
+
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c not in ("rank", "h")]
+    k = u.agg(F.max("rank")).first()[0]
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        u.select(*keys, "h").distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per group: ``(k-1) · 2^60 / h_(k)``
+    when the group filled its sketch, else the observed count is
+    EXACT (fewer than k distinct values ⇒ the sketch holds all of
+    them). Deterministic closed form over the sketch rows."""
+    keys = [c for c in sketch.columns if c not in ("rank", "h")]
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("kth"),
+    )
+    dom = float(1 << 60)
+    return agg.select(
+        *keys,
+        F.when(F.col("kth").isNotNull(),
+               F.lit(float(k - 1)) * F.lit(dom)
+               / F.col("kth").cast("double"))
+        .otherwise(F.col("n_in").cast("double")).alias("est"),
+    )

@@ -202,3 +202,32 @@ def test_histogram_sketch_streams_with_grid_bounded_state(
         spark.read.parquet(src_dir), "k", "v", 0.0, 100.0, 20
     ).collect()}
     assert got == want and len(got) <= 20
+
+
+def test_kmv_estimate_accuracy_and_exact_small_groups(spark):
+    from lindel_spark.sketch import kmv_estimate, kmv_sketch
+    df = spark.range(20_000).select(
+        F.lit("big").alias("g"), (F.col("id") % 5000).alias("v")
+    ).unionByName(spark.range(50).select(
+        F.lit("small").alias("g"), F.col("id").alias("v")))
+    est = {r.g: r.est for r in kmv_estimate(
+        kmv_sketch(df, "g", "v", k=256), k=256).collect()}
+    assert est["small"] == 50.0            # under-filled sketch: EXACT
+    assert abs(est["big"] - 5000) / 5000 < 0.15  # ~1/sqrt(k) error
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    from lindel_spark.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    df = spark.range(8000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 1000).alias("v"), F.col("id").alias("ord"))
+    full = kmv_sketch(df, "g", "v", k=64)
+    merged = kmv_merge(
+        kmv_sketch(df.filter("ord < 3000"), "g", "v", k=64),
+        kmv_sketch(df.filter("ord >= 3000"), "g", "v", k=64))
+    a = {(r.g, r.rank): r.h for r in full.collect()}
+    b = {(r.g, r.rank): r.h for r in merged.collect()}
+    assert a == b
+    ea = {r.g: r.est for r in kmv_estimate(full, k=64).collect()}
+    eb = {r.g: r.est for r in kmv_estimate(merged, k=64).collect()}
+    assert ea == eb
