@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
     # staples rotate out this round (they are r6-driver-green and
     # stay in the local full-registry sweeps).
+    "sketch_kmv_overlap",
     "sketch_kmv_users",
     "pipeline_corpus_prep",
     "zorder_store_cycle",
@@ -6686,3 +6687,67 @@ def q_sketch_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = SK.kmv_sketch(ev, "event_type", "user_id", k=256)
     est = SK.kmv_estimate(sk, k=256)
     return est.select("event_type", F.round("est", 4).alias("est_r4"))
+
+
+@query(
+    "sketch_kmv_overlap",
+    """
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+               ::BIGINT AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+               ::BIGINT AS h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                          AS r FROM ha) WHERE r <= 512),
+    sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                          AS r FROM hb) WHERE r <= 512),
+    m AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rank
+      FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+    ),
+    mk AS (SELECT * FROM m WHERE rank <= 512),
+    kth AS (
+      SELECT count(*)::BIGINT AS n_in,
+             max(CASE WHEN rank = 512 THEN h END) AS kth
+      FROM mk
+    ),
+    nb AS (
+      SELECT count(*)::BIGINT AS n_both FROM mk
+      WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+    )
+    SELECT round(CASE WHEN kth IS NOT NULL
+               THEN 511.0 * 1152921504606846976.0 / kth::DOUBLE
+               ELSE n_in::DOUBLE END, 4) AS est_union_r4,
+           round(n_both::DOUBLE
+                 / greatest(least(n_in, 512), 1)::DOUBLE, 6)
+             AS jaccard_r6
+    FROM kth CROSS JOIN nb
+    """,
+)
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra on KMV sketches: the click and
+    purchase user populations are sketched independently (k = 512 min
+    hashes each) and their union size + Jaccard overlap come from
+    sketch arithmetic alone — value-level, because every register is a
+    plain md5 integer both engines compute identically. See
+    :func:`lindel_spark.sketch.kmv_intersect_estimate`."""
+    from lindel_spark import sketch as SK
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("long").alias("user_id"),
+        F.lit("g").alias("g"))
+    ska = SK.kmv_sketch(
+        ev.filter(F.col("event_type") == "click"),
+        "g", "user_id", k=512).drop("g")
+    skb = SK.kmv_sketch(
+        ev.filter(F.col("event_type") == "purchase"),
+        "g", "user_id", k=512).drop("g")
+    r = SK.kmv_intersect_estimate(ska, skb, k=512)
+    return r.select(
+        F.round("est_union", 4).alias("est_union_r4"),
+        F.round("jaccard_est", 6).alias("jaccard_r6"))

@@ -375,3 +375,56 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
                / F.col("kth").cast("double"))
         .otherwise(F.col("n_in").cast("double")).alias("est"),
     )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 256,
+) -> DataFrame:
+    """Theta-sketch-style set arithmetic on two UNGROUPED KMV sketches
+    (columns ``rank, h``): one row with ``est_union``,
+    ``est_intersection``, and ``jaccard_est``.
+
+    The merged k smallest hashes are an unbiased sample of A ∪ B; the
+    fraction of that sample present in BOTH input sketches estimates
+    the Jaccard similarity, and intersection = jaccard · union. All
+    plain integer/hash math — deterministic and SQL-replayable, unlike
+    opaque theta registers. Distinct-count set algebra without ever
+    re-reading the raw data: exactly what cross-day / cross-source
+    audience overlap needs at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    au = a.select("h").distinct()
+    bu = b.select("h").distinct()
+    w = Window.orderBy("h")
+    merged = (
+        au.unionByName(bu).distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    both = merged.join(au, "h", "left_semi").join(bu, "h", "left_semi")
+    kth = merged.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.max(F.when(F.col("rank") == k, F.col("h"))).alias("kth"))
+    dom = float(1 << 60)
+    est_union = F.when(
+        F.col("kth").isNotNull(),
+        F.lit(float(k - 1)) * F.lit(dom) / F.col("kth").cast("double")
+    ).otherwise(F.col("n_in").cast("double"))
+    return (
+        kth.crossJoin(F.broadcast(
+            both.agg(F.count(F.lit(1)).alias("n_both"))))
+        .select(
+            est_union.alias("est_union"),
+            (F.col("n_both").cast("double")
+             / F.greatest(F.least(F.col("n_in"), F.lit(k)), F.lit(1))
+             .cast("double")).alias("jaccard_est"),
+        )
+        .select(
+            "est_union", "jaccard_est",
+            (F.col("est_union") * F.col("jaccard_est"))
+            .alias("est_intersection"),
+        )
+    )

@@ -231,3 +231,30 @@ def test_kmv_merge_equals_single_pass(spark):
     ea = {r.g: r.est for r in kmv_estimate(full, k=64).collect()}
     eb = {r.g: r.est for r in kmv_estimate(merged, k=64).collect()}
     assert ea == eb
+
+
+def test_kmv_intersect_estimate_tracks_truth(spark):
+    from lindel_spark.sketch import kmv_intersect_estimate, kmv_sketch
+    # A = 0..5999, B = 4000..9999 -> union 10000, intersection 2000
+    a = spark.range(6000).select(F.lit("g").alias("g"),
+                                 F.col("id").alias("v"))
+    b = spark.range(4000, 10000).select(F.lit("g").alias("g"),
+                                        F.col("id").alias("v"))
+    ska = kmv_sketch(a, "g", "v", k=512).drop("g")
+    skb = kmv_sketch(b, "g", "v", k=512).drop("g")
+    r = kmv_intersect_estimate(ska, skb, k=512).first()
+    assert abs(r.est_union - 10000) / 10000 < 0.15
+    assert abs(r.est_intersection - 2000) / 2000 < 0.35
+    assert 0.1 < r.jaccard_est < 0.35  # truth 0.2
+
+
+def test_kmv_intersect_disjoint_sets(spark):
+    from lindel_spark.sketch import kmv_intersect_estimate, kmv_sketch
+    a = spark.range(100).select(F.lit("g").alias("g"),
+                                F.col("id").alias("v"))
+    b = spark.range(1000, 1100).select(F.lit("g").alias("g"),
+                                       F.col("id").alias("v"))
+    ska = kmv_sketch(a, "g", "v", k=128).drop("g")
+    skb = kmv_sketch(b, "g", "v", k=128).drop("g")
+    r = kmv_intersect_estimate(ska, skb, k=128).first()
+    assert r.est_intersection == 0.0 and r.jaccard_est == 0.0
