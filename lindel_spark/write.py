@@ -377,13 +377,23 @@ def zorder_store_append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(_os.path.join(path, "tail"))
 
 
-def zorder_store_read(spark, path: str) -> DataFrame:
-    """Current contents: latest base ∪ tail (if any)."""
+def zorder_store_read(spark, path: str,
+                      version: int | None = None) -> DataFrame:
+    """Store contents: latest base ∪ tail (if any). Pass ``version``
+    to time-travel to a retained earlier base (maintenance keeps the
+    previous version; the tail is NOT applied to historical reads —
+    it belongs to the current version's timeline)."""
     import os as _os
 
     v = _zstore_latest(path)
     if v is None:
         raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
+    if version is not None:
+        vdir = _os.path.join(path, f"base-v{version}")
+        if not _os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"LINDEL: version {version} not retained at {path}")
+        return spark.read.parquet(vdir)
     out = spark.read.parquet(_os.path.join(path, f"base-v{v}"))
     tail = _os.path.join(path, "tail")
     if _os.path.isdir(tail) and any(
@@ -432,6 +442,9 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
     with open(tmp, "w") as fh:
         fh.write(str(v + 1))
     _os.replace(tmp, _zstore_marker(path))
-    _shutil.rmtree(base_dir, ignore_errors=True)
+    # retain the immediately-previous base for time travel; prune older
+    for d in _os.listdir(path):
+        if d.startswith("base-v") and int(d.split("-v")[1]) < v:
+            _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
     _shutil.rmtree(tail_dir, ignore_errors=True)
     return {"rewritten": True, "base_bytes": bb, "tail_bytes": tb}

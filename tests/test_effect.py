@@ -182,7 +182,13 @@ def test_zorder_store_append_maintain_cycle(spark, tmp_path_factory):
     pred = {"l_orderkey": (1000, 2000), "l_partkey": (100, 400)}
     skip = 1 - _surviving(groups, pred) / len(groups)
     assert skip >= 0.5, f"post-maintain skip ratio {skip:.2f}"
-    # old base and tail are gone
+    # tail folded in; the previous base is RETAINED for time travel
     assert not os.path.isdir(os.path.join(store, "tail"))
-    assert len([d for d in os.listdir(store)
-                if d.startswith("base-v")]) == 1
+    versions = sorted(int(d.split("-v")[1]) for d in os.listdir(store)
+                      if d.startswith("base-v"))
+    assert versions == [v - 1, v]
+    old_rb = LW.zorder_store_read(spark, store, version=v - 1)
+    assert old_rb.count() == base.count()  # pre-append snapshot
+    import pytest as _p
+    with _p.raises(FileNotFoundError, match="not retained"):
+        LW.zorder_store_read(spark, store, version=99)
