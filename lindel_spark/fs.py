@@ -1,0 +1,142 @@
+"""Filesystem shim for store metadata: Hadoop FileSystem API, not os.*.
+
+The incremental stores (z-order store in :mod:`lindel_spark.write`,
+aggregate store in :mod:`lindel_spark.streaming`) keep a tiny metadata
+layer next to their parquet data: a ``_LATEST`` marker committed by
+rename, directory listings to find versions, byte-sizing to decide
+when to compact, and pruning of stale versions. Driver-local
+``os.path`` / ``open`` / ``shutil`` only work where the driver mounts
+the same POSIX filesystem as the executors — on a real cluster the
+store lives on S3/HDFS/ABFS and every one of those calls breaks.
+
+This module routes all of that through the JVM's
+``org.apache.hadoop.fs.FileSystem`` (the same abstraction Spark's own
+committers use), resolved per-path by scheme, so ``file://``, bare
+POSIX paths, ``hdfs://`` and ``s3a://`` all behave: the driver talks
+to the object store through the connector that is already on Spark's
+classpath. Plain POSIX paths go through Hadoop's LocalFileSystem —
+same code path, no special case to drift.
+
+Commit semantics: ``write_text_atomic`` writes ``<path>.tmp`` then
+renames over the destination. HDFS rename is atomic; S3A's rename is
+copy+delete but the marker is a one-line file, so the non-atomic
+window is a single small PUT — the standard single-writer marker
+pattern (multi-writer coordination needs a log-structured table
+format, which is out of scope and documented on the store functions).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+
+def join(path: str, *names: str) -> str:
+    """Join store-relative names onto ``path`` without os.path (which
+    mangles URI schemes on some platforms): plain '/' joining works
+    for POSIX paths and every Hadoop URI alike."""
+    out = path.rstrip("/")
+    for n in names:
+        out = out + "/" + n.strip("/")
+    return out
+
+
+def _fs_path(spark, path: str):
+    """(FileSystem, Path) for ``path``, resolved by its scheme against
+    the session's Hadoop configuration."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def exists(spark, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def is_dir(spark, path: str) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+
+def read_text(spark, path: str) -> str:
+    """Whole small-file read (markers are one line; never data files)."""
+    fs, p = _fs_path(spark, path)
+    jvm = spark._jvm
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
+def write_text_atomic(spark, path: str, text: str) -> None:
+    """Commit a small marker file: write ``<path>.tmp``, rename over
+    ``path``. FileSystem.rename refuses an existing destination on
+    several implementations, so the old marker is deleted first —
+    see the module docstring for the single-writer contract."""
+    fs, p = _fs_path(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text, "utf-8"))
+    finally:
+        out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise IOError(f"LINDEL: marker rename failed: {path}")
+
+
+def list_names(spark, path: str) -> list[str]:
+    """Child entry names of a directory ([] when it doesn't exist)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
+def _iter_files(spark, path: str) -> Iterator:
+    """Recursive FileStatus iterator (empty when path is absent)."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        yield it.next()
+
+
+def list_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
+    """Full URIs of files under ``path`` (recursive) ending in
+    ``suffix`` — the snapshot primitive for compact-then-delete."""
+    return [
+        str(st.getPath().toString())
+        for st in _iter_files(spark, path)
+        if str(st.getPath().getName()).endswith(suffix)
+    ]
+
+
+def du_suffix(spark, path: str, suffix: str = ".parquet"
+              ) -> tuple[int, int]:
+    """(total_bytes, file_count) of ``suffix`` files under ``path``.
+    Metadata-only: one recursive listing, no data reads — on S3A this
+    is a LIST call per 1000 keys, not a GET per object."""
+    total = 0
+    count = 0
+    for st in _iter_files(spark, path):
+        if str(st.getPath().getName()).endswith(suffix):
+            total += int(st.getLen())
+            count += 1
+    return total, count
+
+
+def delete(spark, path: str, recursive: bool = True) -> bool:
+    fs, p = _fs_path(spark, path)
+    return bool(fs.delete(p, recursive))

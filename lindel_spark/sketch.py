@@ -336,10 +336,20 @@ def kmv_sketch(
     )
 
 
-def kmv_merge(*sketches: DataFrame) -> DataFrame:
+def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
     """Merge KMV sketches built with the same ``k``: union, dedupe
-    hashes, keep each group's k smallest again. ``k`` is inferred as
-    the max rank present."""
+    hashes, keep each group's k smallest again.
+
+    ``k`` must be passed explicitly and match the ``k`` the inputs
+    were built with (same contract as :func:`kmv_estimate`). It is
+    deliberately NOT inferred from the max rank present: when every
+    input shard is under-filled (all groups < k distinct), inference
+    truncates the merged sketch at the largest observed rank, and
+    :func:`kmv_estimate` then reports that truncated size as an EXACT
+    cardinality — e.g. two disjoint 100-distinct shards merged with
+    inferred k would estimate 100, a silent 2x undercount
+    (ADVICE round-8).
+    """
     if len(sketches) < 2:
         raise ValueError("need at least two sketches to merge")
     from pyspark.sql import Window
@@ -348,7 +358,6 @@ def kmv_merge(*sketches: DataFrame) -> DataFrame:
     for s in sketches[1:]:
         u = u.unionByName(s)
     keys = [c for c in u.columns if c not in ("rank", "h")]
-    k = u.agg(F.max("rank")).first()[0]
     w = Window.partitionBy(*keys).orderBy("h")
     return (
         u.select(*keys, "h").distinct()

@@ -432,14 +432,13 @@ def sliding_rollup(
 def read_agg_store(spark, store_path: str) -> DataFrame | None:
     """Latest version of an :func:`incremental_agg_sink` store, or
     ``None`` when no version has been committed yet."""
-    import os as _os
+    from lindel_spark import fs as _fs
 
-    marker = _os.path.join(store_path, "_LATEST")
-    if not _os.path.exists(marker):
+    marker = _fs.join(store_path, "_LATEST")
+    if not _fs.exists(spark, marker):
         return None
-    with open(marker) as fh:
-        v = fh.read().strip().split(":")[0]
-    return spark.read.parquet(_os.path.join(store_path, f"v={v}"))
+    v = _fs.read_text(spark, marker).strip().split(":")[0]
+    return spark.read.parquet(_fs.join(store_path, f"v={v}"))
 
 
 def incremental_agg_sink(
@@ -463,15 +462,18 @@ def incremental_agg_sink(
     is versioned (``v=<epoch>`` directories + a ``_LATEST`` marker
     written atomically via rename) because object stores have no
     in-place overwrite; stale versions are pruned, keeping the latest
-    two. Read it back with :func:`read_agg_store`.
+    two. All marker/listing I/O goes through the Hadoop FileSystem
+    API (:mod:`lindel_spark.fs`), so ``store_path`` may be any
+    Hadoop-reachable URI, not only a driver-local path. Read it back
+    with :func:`read_agg_store`.
 
     Exactly-once: foreachBatch may replay a batch after a failure; a
     replayed ``batch_id`` finds its version already recorded and is
-    skipped (the marker stores the last applied batch id).
+    skipped (the marker stores the last applied batch id). Streaming
+    guarantees exactly one live writer per checkpoint, which is the
+    single-writer contract the marker commit assumes.
     """
-    import os as _os
-    import shutil as _shutil
-
+    from lindel_spark import fs as _fs
     from lindel_spark.history import merge_agg_states
 
     _MERGE_OF = {"count": "sum", "sum": "sum", "min": "min",
@@ -494,34 +496,31 @@ def incremental_agg_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = _os.path.join(store_path, "_LATEST")
+        marker = _fs.join(store_path, "_LATEST")
         prev = None
         last_applied = -1
-        if _os.path.exists(marker):
-            with open(marker) as fh:
-                parts = fh.read().strip().split(":")
+        if _fs.exists(spark, marker):
+            parts = _fs.read_text(spark, marker).strip().split(":")
             last_applied = int(parts[1]) if len(parts) > 1 else -1
             if batch_id <= last_applied:
                 return  # replayed batch: already folded into the store
             prev = spark.read.parquet(
-                _os.path.join(store_path, f"v={parts[0]}"))
+                _fs.join(store_path, f"v={parts[0]}"))
         state = batch_state(batch_df)
         merged = (merge_agg_states([prev, state], keys, merges)
                   if prev is not None else
                   state.select(*keys, *merges))
-        vdir = _os.path.join(store_path, f"v={batch_id}")
+        vdir = _fs.join(store_path, f"v={batch_id}")
         merged.write.mode("overwrite").parquet(vdir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(f"{batch_id}:{batch_id}")
-        _os.replace(tmp, marker)  # atomic commit
+        _fs.write_text_atomic(spark, marker, f"{batch_id}:{batch_id}")
         # prune all but the latest two versions
         vers = sorted(
-            int(d.split("=", 1)[1]) for d in _os.listdir(store_path)
+            int(d.split("=", 1)[1])
+            for d in _fs.list_names(spark, store_path)
             if d.startswith("v="))
         for v in vers[:-2]:
-            _shutil.rmtree(_os.path.join(store_path, f"v={v}"),
-                           ignore_errors=True)
+            _fs.delete(spark, _fs.join(store_path, f"v={v}"),
+                       recursive=True)
 
     writer = stream_df.writeStream.foreachBatch(write_batch)
     if checkpoint:
@@ -554,7 +553,7 @@ def zorder_store_stream_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if _zstore_latest(path) is None:
+        if _zstore_latest(spark, path) is None:
             zorder_store_init(batch_df, cols, path, **zorder_kwargs)
             return
         zorder_store_append(batch_df, path)

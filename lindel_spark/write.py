@@ -122,15 +122,9 @@ def compact_parquet(
     metadata-only. Returns ``{files_before, files_after, bytes,
     rows}`` for audit logs.
     """
-    import os as _os
+    from lindel_spark import fs as _fs
 
-    total_bytes = 0
-    files_before = 0
-    for root, _dirs, files in _os.walk(src_path):
-        for f in files:
-            if f.endswith(".parquet"):
-                files_before += 1
-                total_bytes += _os.path.getsize(_os.path.join(root, f))
+    total_bytes, files_before = _fs.du_suffix(spark, src_path)
     n_files = max(1, round(total_bytes / (target_file_mb * (1 << 20))))
     df = spark.read.parquet(src_path)
     if sort_cols:
@@ -139,9 +133,7 @@ def compact_parquet(
     else:
         out = df.repartition(n_files)
     out.write.mode(mode).parquet(dst_path)
-    files_after = sum(
-        1 for root, _d, fs in _os.walk(dst_path)
-        for f in fs if f.endswith(".parquet"))
+    _after_bytes, files_after = _fs.du_suffix(spark, dst_path)
     return {
         "files_before": files_before,
         "files_after": files_after,
@@ -327,19 +319,18 @@ def snapshot_diff(
 # ---------------------------------------------------------------------------
 
 def _zstore_marker(path: str) -> str:
-    import os as _os
+    from lindel_spark import fs as _fs
 
-    return _os.path.join(path, "_LATEST")
+    return _fs.join(path, "_LATEST")
 
 
-def _zstore_latest(path: str) -> int | None:
-    import os as _os
+def _zstore_latest(spark, path: str) -> int | None:
+    from lindel_spark import fs as _fs
 
     m = _zstore_marker(path)
-    if not _os.path.exists(m):
+    if not _fs.exists(spark, m):
         return None
-    with open(m) as fh:
-        return int(fh.read().strip())
+    return int(_fs.read_text(spark, m).strip())
 
 
 def zorder_store_init(df: DataFrame, cols: Sequence, path: str,
@@ -353,18 +344,26 @@ def zorder_store_init(df: DataFrame, cols: Sequence, path: str,
 
     Versioned directories + marker rename, never in-place rewrites —
     the object-store-safe pattern (no atomic directory overwrite
-    exists on S3-likes). The maintenance loop the reference's
-    motivating workload needs in production: one big ORDER BY at
-    ingest time is not a strategy when data keeps arriving.
-    """
-    import os as _os
+    exists on S3-likes). All metadata I/O (marker, listings, sizing)
+    goes through the Hadoop FileSystem API (:mod:`lindel_spark.fs`),
+    so the store works on ``s3a://``/``hdfs://`` paths, not only
+    where the driver mounts the executors' filesystem. The
+    maintenance loop the reference's motivating workload needs in
+    production: one big ORDER BY at ingest time is not a strategy
+    when data keeps arriving.
 
-    zorder_write(df, cols, _os.path.join(path, "base-v0"),
-                 **zorder_kwargs)
-    tmp = _zstore_marker(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write("0")
-    _os.replace(tmp, _zstore_marker(path))
+    Writer contract: appends are multi-writer-safe (parquet append of
+    distinct part files), but :func:`zorder_store_maintain` and this
+    initializer assume a SINGLE maintainer at a time — concurrent
+    maintenance needs a log-structured table format (Delta/Iceberg),
+    out of scope here. Maintenance never loses concurrent appends
+    (see :func:`zorder_store_maintain`'s tail snapshot).
+    """
+    from lindel_spark import fs as _fs
+
+    spark = df.sparkSession
+    zorder_write(df, cols, _fs.join(path, "base-v0"), **zorder_kwargs)
+    _fs.write_text_atomic(spark, _zstore_marker(path), "0")
 
 
 def zorder_store_append(df: DataFrame, path: str) -> None:
@@ -372,9 +371,9 @@ def zorder_store_append(df: DataFrame, path: str) -> None:
     shuffle beyond the write itself. Reads stay correct (the store
     reader unions base + tail); only SKIPPING degrades until
     :func:`zorder_store_maintain` folds the tail in."""
-    import os as _os
+    from lindel_spark import fs as _fs
 
-    df.write.mode("append").parquet(_os.path.join(path, "tail"))
+    df.write.mode("append").parquet(_fs.join(path, "tail"))
 
 
 def zorder_store_read(spark, path: str,
@@ -383,22 +382,21 @@ def zorder_store_read(spark, path: str,
     to time-travel to a retained earlier base (maintenance keeps the
     previous version; the tail is NOT applied to historical reads —
     it belongs to the current version's timeline)."""
-    import os as _os
+    from lindel_spark import fs as _fs
 
-    v = _zstore_latest(path)
+    v = _zstore_latest(spark, path)
     if v is None:
         raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
     if version is not None:
-        vdir = _os.path.join(path, f"base-v{version}")
-        if not _os.path.isdir(vdir):
+        vdir = _fs.join(path, f"base-v{version}")
+        if not _fs.is_dir(spark, vdir):
             raise FileNotFoundError(
                 f"LINDEL: version {version} not retained at {path}")
         return spark.read.parquet(vdir)
-    out = spark.read.parquet(_os.path.join(path, f"base-v{v}"))
-    tail = _os.path.join(path, "tail")
-    if _os.path.isdir(tail) and any(
-            f.endswith(".parquet") for f in _os.listdir(tail)):
-        out = out.unionByName(spark.read.parquet(tail))
+    out = spark.read.parquet(_fs.join(path, f"base-v{v}"))
+    tail_files = _fs.list_files(spark, _fs.join(path, "tail"))
+    if tail_files:
+        out = out.unionByName(spark.read.parquet(*tail_files))
     return out
 
 
@@ -408,43 +406,45 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
     """Re-cluster when the unsorted tail exceeds ``tail_ratio`` of the
     base bytes: base ∪ tail is rewritten curve-clustered into
     ``base-v{N+1}``, the marker flips atomically, and the old base +
-    tail are removed. Below the threshold it is a no-op (the tail's
-    skipping loss isn't worth a full rewrite yet) — amortized, the
-    store is rewritten O(log) times per doubling, the standard
-    compaction amortization.
+    the folded tail files are removed. Below the threshold it is a
+    no-op (the tail's skipping loss isn't worth a full rewrite yet) —
+    amortized, the store is rewritten O(log) times per doubling, the
+    standard compaction amortization.
+
+    Concurrency: the tail file list is SNAPSHOTTED before the read —
+    the rewrite folds exactly those files and deletes exactly those
+    files, so rows appended by a concurrent
+    :func:`zorder_store_append` between the read and the cleanup are
+    never lost (they stay in the tail for the next maintenance pass).
+    Only one maintainer may run at a time (single-writer marker; see
+    :func:`zorder_store_init`).
 
     Returns stats: ``{"rewritten": bool, "base_bytes": int,
     "tail_bytes": int}``.
     """
-    import os as _os
-    import shutil as _shutil
+    from lindel_spark import fs as _fs
 
-    def _bytes(p):
-        if not _os.path.isdir(p):
-            return 0
-        return sum(
-            _os.path.getsize(_os.path.join(r, f))
-            for r, _d, fs in _os.walk(p) for f in fs
-            if f.endswith(".parquet"))
-
-    v = _zstore_latest(path)
+    v = _zstore_latest(spark, path)
     if v is None:
         raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
-    base_dir = _os.path.join(path, f"base-v{v}")
-    tail_dir = _os.path.join(path, "tail")
-    bb, tb = _bytes(base_dir), _bytes(tail_dir)
+    base_dir = _fs.join(path, f"base-v{v}")
+    tail_dir = _fs.join(path, "tail")
+    bb, _nb = _fs.du_suffix(spark, base_dir)
+    tb, _nt = _fs.du_suffix(spark, tail_dir)
     if tb == 0 or (bb > 0 and tb / bb < tail_ratio):
         return {"rewritten": False, "base_bytes": bb, "tail_bytes": tb}
-    merged = zorder_store_read(spark, path)
-    new_base = _os.path.join(path, f"base-v{v + 1}")
+    # snapshot the tail BEFORE reading: fold + delete exactly this set
+    tail_files = _fs.list_files(spark, tail_dir)
+    merged = spark.read.parquet(base_dir)
+    if tail_files:
+        merged = merged.unionByName(spark.read.parquet(*tail_files))
+    new_base = _fs.join(path, f"base-v{v + 1}")
     zorder_write(merged, cols, new_base, **zorder_kwargs)
-    tmp = _zstore_marker(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(v + 1))
-    _os.replace(tmp, _zstore_marker(path))
+    _fs.write_text_atomic(spark, _zstore_marker(path), str(v + 1))
     # retain the immediately-previous base for time travel; prune older
-    for d in _os.listdir(path):
+    for d in _fs.list_names(spark, path):
         if d.startswith("base-v") and int(d.split("-v")[1]) < v:
-            _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
-    _shutil.rmtree(tail_dir, ignore_errors=True)
+            _fs.delete(spark, _fs.join(path, d), recursive=True)
+    for f in tail_files:
+        _fs.delete(spark, f, recursive=False)
     return {"rewritten": True, "base_bytes": bb, "tail_bytes": tb}

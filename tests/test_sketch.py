@@ -224,13 +224,31 @@ def test_kmv_merge_equals_single_pass(spark):
     full = kmv_sketch(df, "g", "v", k=64)
     merged = kmv_merge(
         kmv_sketch(df.filter("ord < 3000"), "g", "v", k=64),
-        kmv_sketch(df.filter("ord >= 3000"), "g", "v", k=64))
+        kmv_sketch(df.filter("ord >= 3000"), "g", "v", k=64), k=64)
     a = {(r.g, r.rank): r.h for r in full.collect()}
     b = {(r.g, r.rank): r.h for r in merged.collect()}
     assert a == b
     ea = {r.g: r.est for r in kmv_estimate(full, k=64).collect()}
     eb = {r.g: r.est for r in kmv_estimate(merged, k=64).collect()}
     assert ea == eb
+
+
+def test_kmv_merge_underfilled_shards_not_truncated(spark):
+    """ADVICE round-8: merging sketches whose every group is
+    UNDER-filled (fewer than k distinct per shard) must keep the
+    union's distinct hashes — with k inferred from max rank the
+    merge truncated to the largest shard and kmv_estimate reported
+    it as an exact count (2x undercount on disjoint shards)."""
+    from lindel_spark.sketch import kmv_estimate, kmv_merge, kmv_sketch
+    a = spark.range(100).select(
+        F.lit("g").alias("g"), F.col("id").alias("v"))
+    b = spark.range(100, 200).select(
+        F.lit("g").alias("g"), F.col("id").alias("v"))
+    merged = kmv_merge(kmv_sketch(a, "g", "v", k=256),
+                       kmv_sketch(b, "g", "v", k=256), k=256)
+    est = {r.g: r.est for r in kmv_estimate(merged, k=256).collect()}
+    # 200 < k: the merged sketch holds every hash, estimate is EXACT
+    assert est["g"] == 200.0
 
 
 def test_kmv_intersect_estimate_tracks_truth(spark):
