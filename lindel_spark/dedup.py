@@ -283,33 +283,53 @@ def near_dup_pairs(
          exact Jaccard on distinct-shingle arrays; filter    (2 shuffles)
 
     Returns (id_a, id_b, jaccard) for verified pairs ≥ ``threshold``.
-    Identical-doc clusters share all band keys, so bucket size equals
-    cluster size — the unavoidable output-sized quadratic; run
-    :func:`exact_dedup` first to collapse those.
+
+    Exact duplicates are collapsed BEFORE banding (round-8 hardening):
+    identical docs share every band key, so a 10k-identical-docs
+    cluster would otherwise put 10k rows in each of its ``bands``
+    buckets and the band self-join would verify ~bands x 50M candidate
+    pairs. Instead one representative per distinct text goes through
+    MinHash/banding, and member pairs are re-expanded afterwards —
+    intra-cluster pairs at exactly jaccard 1.0 (identical shingle
+    sets), cross-cluster pairs inheriting their representatives'
+    verified jaccard. The OUTPUT is still quadratic in cluster size
+    (the result itself is), but the shuffled/verified intermediate no
+    longer is.
     """
     if shingles == "word":
         guard = F.size(tokens(F.col(text_col))) >= k
-        sh_col = word_shingles(F.col(text_col), k)
+        txt = F.col("__lindel_txt__")
+        sh_col = word_shingles(txt, k)
     elif shingles == "char":
         guard = F.length(F.col(text_col)) >= k
-        sh_col = char_shingles(F.col(text_col), k)
+        txt = F.col("__lindel_txt__")
+        sh_col = char_shingles(txt, k)
     else:
         raise ValueError(f"LINDEL: unknown shingle mode {shingles!r}")
-    sh = ensure_parallelism(df).filter(guard).select(
+    docs = ensure_parallelism(df).filter(guard).select(
         F.col(id_col).cast("long").alias("id"),
-        sh_col.alias("sh"),
+        F.col(text_col).alias("__lindel_txt__"),
+        F.md5(F.col(text_col).cast("string")).alias("fp"),
     )
+    # one representative per distinct text; membership maps ids to reps
+    reps = docs.groupBy("fp").agg(
+        F.min("id").alias("id"),
+        F.any_value("__lindel_txt__").alias("__lindel_txt__"),
+    )
+    members = docs.select("id", "fp")
+    sh = reps.select("id", "fp", sh_col.alias("sh"))
     if cache:
         # the plan is a diamond — sh feeds the band join AND both sides
         # of the verification join; shingling is the expensive stage and
         # would otherwise run 3x. MEMORY_AND_DISK spills cleanly at scale.
         from pyspark import StorageLevel
 
+        members = members.persist(StorageLevel.MEMORY_AND_DISK)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # explode + groupBy(min) signature: value-identical to the lambda
     # form but robust in degraded long-lived sessions (see
     # minhash_signatures docstring) and map-side-combining at scale
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(sh.select("id", "sh"), num_hashes)
     bands_df = sig.select(
         "id",
         F.posexplode(F.array(*band_key_columns(num_hashes, bands))).alias(
@@ -325,7 +345,7 @@ def near_dup_pairs(
     )
     sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    rep_pairs = (
         cand.join(sa, "id_a").join(sb, "id_b")
         .select(
             "id_a", "id_b",
@@ -336,7 +356,33 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    # re-expand representatives to members: (a) all pairs within an
+    # exact-dup cluster (jaccard exactly 1.0 — identical shingle sets),
+    # (b) every cross-cluster member combination at the reps' jaccard
+    ma, mb = members.alias("ma"), members.alias("mb")
+    intra = (
+        ma.join(mb, on="fp")
+        .filter(F.col("ma.id") < F.col("mb.id"))
+        .select(F.col("ma.id").alias("id_a"),
+                F.col("mb.id").alias("id_b"),
+                F.lit(1.0).alias("jaccard"))
+    )
+    if threshold > 1.0:
+        intra = intra.filter(F.lit(False))
+    rep_of = members.join(
+        reps.select(F.col("fp"), F.col("id").alias("rep_id")), "fp"
+    ).select(F.col("id").alias("member_id"), "rep_id")
+    cross = (
+        rep_pairs
+        .join(rep_of.select(F.col("rep_id").alias("id_a"),
+                            F.col("member_id").alias("m_a")), "id_a")
+        .join(rep_of.select(F.col("rep_id").alias("id_b"),
+                            F.col("member_id").alias("m_b")), "id_b")
+        .select(F.least("m_a", "m_b").alias("id_a"),
+                F.greatest("m_a", "m_b").alias("id_b"),
+                "jaccard")
+    )
+    return intra.unionByName(cross).select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

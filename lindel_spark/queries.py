@@ -6092,8 +6092,8 @@ def q_sketch_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, g.i AS si, (si // 32)::INT AS frame_no,
              ('0x' || substr(hx, 4 * g.i + 3, 2))::INT * 256
              + ('0x' || substr(hx, 4 * g.i + 1, 2))::INT AS uv
-      FROM b, generate_series(0, 999) g(i)
-      WHERE g.i < (nb // 2 // 32) * 32
+      FROM b, LATERAL (
+        SELECT unnest(range(0, (nb // 2 // 32) * 32)) AS i) g
     ),
     v AS (
       SELECT id, si, frame_no,

