@@ -97,6 +97,16 @@ def value_histogram(
     )
 
 
+def _strip_file_scheme(uri: str) -> str:
+    """``file:/x`` / ``file:///x`` -> ``/x`` for executor-local opens."""
+    if uri.startswith("file:"):
+        rest = uri[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return uri
+
+
 def parquet_layout_report(spark, path: str) -> DataFrame:
     """Physical-layout audit of a parquet directory: one row per data
     file with (file, bytes, n_rows, n_row_groups) read from the
@@ -108,16 +118,20 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
     Footer reads run DISTRIBUTED: the file list parallelizes and each
     executor opens only footers (`pyarrow.parquet`), never data pages
     — at 100 TB this is a listing-bounded metadata job, not a scan.
+    The listing itself goes through the Hadoop FileSystem API
+    (:mod:`lindel_spark.fs`), so object-store paths list correctly;
+    executor-side footer opens use local paths (``file:`` URIs are
+    normalized — remote object-store footers would take a pyarrow
+    filesystem handle, wired the same way).
     """
-    import os
-
     from pyspark.sql import types as T
 
+    from lindel_spark import fs as _fs
+
     files = sorted(
-        os.path.join(root, f)
-        for root, _d, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        _strip_file_scheme(f)
+        for f in _fs.list_files(spark, path)
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
     )
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
         .repartition(min(len(files), 64) or 1)
@@ -281,3 +295,110 @@ def referential_integrity_report(
     if out is None:
         raise ValueError("pass at least one relationship")
     return out
+
+
+# ---------------------------------------------------------------------------
+# file-level min/max manifest index: build once, prune scans forever
+# ---------------------------------------------------------------------------
+
+def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
+    """Per-file (min, max, n_rows) manifest for ``cols`` over a parquet
+    dataset, read from FOOTERS only — the poor-man's table-format
+    statistics index (what Delta/Iceberg keep in their metadata logs).
+
+    Build it once after a :func:`lindel_spark.write.zorder_write` (or
+    any clustered layout) and :func:`manifest_pruned_read` turns range
+    predicates into file-level pruning BEFORE Spark's scan even
+    lists row groups — at 100 TB with thousands of files this removes
+    whole files from the task list, upstream of (and compounding with)
+    parquet row-group skipping.
+
+    Distributed metadata job: the file list parallelizes across
+    executors; each opens only footers. Column min/max is the min/max
+    over the file's row-group statistics.
+    """
+    from pyspark.sql import types as T
+
+    from lindel_spark import fs as _fs
+
+    if isinstance(cols, str):
+        cols = [cols]
+    cols = list(cols)
+    files = sorted(
+        _strip_file_scheme(f)
+        for f in _fs.list_files(spark, path)
+        if not f.rsplit("/", 1)[-1].startswith(("_", "."))
+    )
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), 64) or 1)
+    fields = [T.StructField("file", T.StringType()),
+              T.StructField("n_rows", T.LongType())]
+    for c in cols:
+        fields += [T.StructField(f"min_{c}", T.DoubleType()),
+                   T.StructField(f"max_{c}", T.DoubleType())]
+    out_schema = T.StructType(fields)
+
+    def read_stats(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            rows = []
+            for f in b["file"]:
+                md = pq.ParquetFile(f).metadata
+                names = {md.schema.column(i).name: i
+                         for i in range(md.num_columns)}
+                rec = {"file": f, "n_rows": md.num_rows}
+                for c in cols:
+                    lo, hi = None, None
+                    ci = names[c]
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            lo, hi = None, None
+                            break
+                        mn, mx = float(st.min), float(st.max)
+                        lo = mn if lo is None else min(lo, mn)
+                        hi = mx if hi is None else max(hi, mx)
+                    rec[f"min_{c}"], rec[f"max_{c}"] = lo, hi
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return fdf.mapInPandas(read_stats, out_schema)
+
+
+def manifest_pruned_read(spark, path: str, manifest: DataFrame,
+                         ranges: dict) -> tuple[DataFrame, dict]:
+    """Scan only the files whose manifest [min, max] intersects every
+    predicate range, then apply the exact residual filter.
+
+    ``ranges`` maps column -> (lo, hi) inclusive bounds (None for
+    open). Returns ``(df, stats)`` with
+    ``stats = {"files_total", "files_scanned"}`` so callers can audit
+    the pruning ratio. Correctness does not depend on the manifest
+    being tight (a file with NULL stats is conservatively scanned);
+    the residual filter re-applies the predicate row-level either way.
+
+    The manifest is metadata-sized (one row per file): the surviving
+    file list is a bounded driver collect, same class as a partition
+    listing — never a data-path collect.
+    """
+    cond = F.lit(True)
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            cond = cond & (F.col(f"max_{c}").isNull()
+                           | (F.col(f"max_{c}") >= F.lit(float(lo))))
+            residual = residual & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"min_{c}").isNull()
+                           | (F.col(f"min_{c}") <= F.lit(float(hi))))
+            residual = residual & (F.col(c) <= F.lit(hi))
+    total = manifest.count()
+    keep = [r["file"] for r in manifest.filter(cond)
+            .select("file").collect()]
+    stats = {"files_total": total, "files_scanned": len(keep)}
+    if not keep:
+        df = spark.read.parquet(path).filter(residual).limit(0)
+        return df, stats
+    return spark.read.parquet(*keep).filter(residual), stats

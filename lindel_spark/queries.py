@@ -54,39 +54,28 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-7 rotation: (a) everything never driver-sampled — newest
-    # additions first (this session's 10 + the 4 late-r7 ones), then
-    # the earlier round-7 additions — then (b) the curve-core
-    # queries, last driver-recorded in r2/r3. TPC-H and the r4-r6
-    # staples rotate out this round (they are r6-driver-green and
-    # stay in the local full-registry sweeps).
-    "sketch_kmv_overlap",
-    "sketch_kmv_users",
-    "pipeline_corpus_prep",
-    "zorder_store_cycle",
-    "sketch_quantiles_by_type",
-    "part_revenue_pareto",
-    "profile_referential_integrity", "events_wow_growth",
-    "pipeline_partitioned_roundtrip", "events_mad_outliers",
-    "text_sentence_stats", "customer_rfm_segments",
-    "dedup_incremental_near", "graph_pagerank_transitions",
-    "events_rank_family", "events_linear_trend",
-    "events_user_entropy", "sketch_quantile_grid",
-    "multimodal_audio_features",
-    "events_scd2_history", "events_interval_overlap",
-    "events_incremental_agg", "events_grouping_sets",
-    "bloom_semi_join_orders", "profile_expectations",
-    "profile_k_anonymity", "events_ohlc_daily",
-    "events_time_weighted_avg", "text_tfidf_topk",
-    "profile_value_histogram", "profile_parquet_layout",
-    "events_pseudonymized", "events_snapshot_diff",
-    "text_bm25_topk", "text_lm_quality", "text_lm_bigram",
-    "events_merge_upsert", "text_scrub_pii", "sketch_heavy_hitters",
-    "bucketed_join_segments", "dedup_semantic", "dedup_fuzzy_pairs",
-    "sources_orc_roundtrip", "text_quality_deciles",
-    "events_pivot_daily", "events_unpivot_melt",
-    "events_approx_percentiles", "events_cumulative_users",
-    "events_winsorized_stats", "events_debounce_dedup",
+    # round-8 rotation (the driver samples the first ~50): (a) the
+    # CURVE-CORE queries — last driver-recorded r2/r3, explicitly
+    # requested back in a driver sample by round-7's verdict; (b) the
+    # queries added or whose operators changed this round; (c) the 16
+    # round-6/7 entries that missed r7's 50-sample cut. Everything
+    # else stays covered by the local full-registry sweeps.
+    "golden_scalars", "rt_hilbert_i32", "rt_hilbert_f32",
+    "rt_hilbert_f64", "rt_hilbert_i16", "rt_hilbert_i16_8",
+    "rt_hilbert_i64", "rt_hilbert_i8_16", "rt_morton_i32",
+    "rt_morton_i8", "rt_morton_i8_8", "rt_morton_f32",
+    "rt_morton_f32_4", "rt_unsigned_i16", "morton_native_vals_i32",
+    "zorder_readback", "sql_registration_surface",
+    # (b) round-8 new / operator-changed
+    "knn_join_topk",
+    "dedup_near_pairs",          # exact-collapse pre-banding rewrite
+    "multimodal_audio_features",  # oracle now payload-sized
+    "zorder_store_cycle",        # metadata layer now Hadoop-FS-backed
+    "pipeline_compact_files",    # same
+    "events_incremental_agg",    # same (agg store marker I/O)
+    "sketch_kmv_overlap", "sketch_kmv_users",  # kmv_merge explicit k
+    "pipeline_manifest_pruned",  # new: file min/max manifest index
+    # (c) missed r7's cut
     "events_sliding_rollup", "sampling_fixed_n_per_stratum",
     "sampling_weighted_n",
     "hilbert_native_vals_i32", "events_rolling_hour",
@@ -94,14 +83,14 @@ _SAMPLE_FIRST = [
     "asof_join_forward", "events_gapfilled_rollup",
     "events_interval_join", "sampling_quality_weighted",
     "text_feature_hash", "sampling_leak_safe_split",
-    "pipeline_compact_files", "knn_ivf_append",
-    "sampling_shuffled_order",
-    "golden_scalars", "rt_hilbert_i32", "rt_hilbert_f32",
-    "rt_hilbert_f64", "rt_hilbert_i16", "rt_hilbert_i16_8",
-    "rt_hilbert_i64", "rt_hilbert_i8_16", "rt_morton_i32",
-    "rt_morton_i8", "rt_morton_i8_8", "rt_morton_f32",
-    "rt_morton_f32_4", "rt_unsigned_i16", "morton_native_vals_i32",
-    "zorder_readback", "sql_registration_surface",
+    "knn_ivf_append", "sampling_shuffled_order",
+    # (d) staples last driver-green in r6 or earlier, oldest families
+    # first, to keep every query on a bounded driver-resample cadence
+    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q18_large_orders",
+    "knn_brute", "knn_ivf_recall", "dedup_exact_groups",
+    "dedup_minhash_estimate_quality", "dedup_simhash_pairs",
+    "text_stats", "events_sessionize", "events_funnel",
+    "events_retention_cohorts",
 ]
 
 
@@ -1757,6 +1746,20 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LS.brute_force_knn(emb, queries_df, k=10)
 
 
+@query("knn_join_topk", _KNN_ORACLE)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 through the DISTRIBUTED join path
+    (:func:`lindel_spark.similarity.knn_join`): queries never collect
+    to the driver — corpus rows land in their nearest cell, every
+    query probes all cells (nprobe unset => exact), and the join key
+    is the cell id, so the plan is a shuffle equi-join, not a
+    cartesian (asserted in tests/test_plans.py). Same oracle as
+    ``knn_brute``: both paths are exact and must agree bit-for-bit."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    return LS.knn_join(emb, queries_df, k=10, n_centroids=16)
+
+
 _N_QUERIES_ORACLE = """
 SELECT COUNT(*)::BIGINT AS n_queries, true AS recall_ok
 FROM embeddings WHERE vec_id % 50 = 0
@@ -3290,6 +3293,51 @@ def q_pipeline_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(agg.n_rows, agg.sum_ids, agg.sum_chars,
           stats["files_after"] < stats["files_before"])],
         "n_rows long, sum_ids long, sum_chars long, fewer_files boolean",
+    )
+
+
+@query(
+    "pipeline_manifest_pruned",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(l_quantity)::BIGINT AS sum_qty,
+           SUM(l_partkey)::BIGINT AS sum_parts,
+           true AS pruned_some
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def q_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max manifest index over a z-ordered layout
+    (:func:`lindel_spark.profile.file_minmax_manifest` +
+    :func:`~lindel_spark.profile.manifest_pruned_read`): write
+    lineitem curve-clustered, build the footer-only manifest, then
+    answer a range predicate scanning ONLY the files whose [min, max]
+    intersects it — Delta/Iceberg-style data skipping without a table
+    format. Aggregates are oracle-pinned; the pruning ratio itself is
+    surfaced as a boolean (files_scanned < files_total) and asserted
+    tighter in tests/test_profile.py."""
+    from lindel_spark import profile as LP
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = tempfile.mkdtemp(prefix="lindel_manifest_")
+    zpath = os.path.join(out, "z")
+    LW.zorder_write(
+        li, [F.col("l_orderkey").cast("int"),
+             F.col("l_partkey").cast("int")],
+        zpath, elem="int32", num_files=8)
+    manifest = LP.file_minmax_manifest(spark, zpath, ["l_orderkey"])
+    pruned, stats = LP.manifest_pruned_read(
+        spark, zpath, manifest, {"l_orderkey": (1000, 2000)})
+    agg = pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum("l_partkey").cast("long").alias("sum_parts"),
+    ).first()
+    return spark.createDataFrame(
+        [(agg.n_rows, agg.sum_qty, agg.sum_parts,
+          stats["files_scanned"] < stats["files_total"])],
+        "n_rows long, sum_qty long, sum_parts long, "
+        "pruned_some boolean",
     )
 
 

@@ -496,6 +496,85 @@ def ivf_scan_cells(spark, path: str, cells) -> DataFrame:
     return df.filter(F.col("cell").isin([int(c) for c in cells]))
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    broadcast_rows: int = 65536,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """DataFrame-native kNN for query sets of ANY size: both sides
+    stay distributed end to end — no ``collect()`` of the queries, so
+    10M queries against a 100 TB corpus is a join plan, not a driver
+    OOM (the ceiling the collect-based :func:`brute_force_knn_fast` /
+    :func:`pq_knn` query paths have).
+
+    Strategy picks itself from the query-side size (one cheap count):
+
+    - ``|queries| <= broadcast_rows`` and no IVF config: delegate to
+      :func:`brute_force_knn` — queries broadcast, corpus scanned
+      once, exact.
+    - otherwise: a cell-keyed SHUFFLE equi-join. Corpus rows land in
+      their nearest centroid's cell (map-only assignment); each query
+      explodes to its probed cells; the join key is the cell id —
+      never a cartesian, and the shuffle is bounded by
+      ``|corpus| + |queries| x probe``. With ``nprobe`` unset every
+      cell is probed, which makes the result EXACT (each
+      (query, corpus row) pair scored exactly once — the corpus row
+      lives in one cell and the query probes it); set ``nprobe`` to
+      trade recall for a ~nprobe/n_centroids scan fraction, identical
+      semantics to :func:`ivf_knn`.
+
+    Returns (query_id, neighbor_id, cos, rank), rank 1..k per query,
+    ties broken on neighbor id. Cell sizes are ~uniform under
+    spherical k-means; AQE's skew-join handles stragglers.
+    """
+    if centroids is None and n_centroids is None:
+        if queries.count() <= broadcast_rows:
+            return brute_force_knn(corpus, queries, k, id_col, vec_col)
+        n_centroids, _ = auto_ivf_config(corpus.count())
+    if centroids is None:
+        centroids = train_centroids(corpus, n_centroids, vec_col,
+                                    seed=seed)
+    n_centroids = len(centroids)
+    probe = n_centroids if nprobe is None else min(nprobe, n_centroids)
+    cb = ensure_parallelism(corpus).select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(_cell_assign_udf(centroids, 1)(F.col(vec_col)), 1)
+        .alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _cell_assign_udf(centroids, probe)(F.col(vec_col))
+        ).alias("cell"),
+    )
+    cand = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivf_append(
     new_rows: DataFrame,
     path: str,

@@ -43,7 +43,12 @@ def _read_events_any(spark: SparkSession, path: str):
     try:
         ev = spark.read.parquet(path)
         dt = dict(ev.dtypes).get("ts")
-    except Exception:
+    except Exception as ex:
+        # fall back ONLY on the NANOS-layout schema error — a missing
+        # file / corrupt footer must surface as-is, not be masked by a
+        # second read attempt under the legacy conf
+        if "NANOS" not in str(ex):
+            raise
         ev, dt = None, None
     if ev is None:
         prev = spark.conf.get(_NANOS_CONF, None)

@@ -128,3 +128,37 @@ def test_referential_integrity_counts_orphans(spark):
     import pytest as _p
     with _p.raises(ValueError, match="at least one"):
         referential_integrity_report([])
+
+
+def test_file_minmax_manifest_prunes_files(spark, tmp_path_factory):
+    """The manifest index must (a) return correct rows — identical to
+    a plain filtered scan — and (b) actually skip files on a
+    z-ordered layout."""
+    import os
+
+    from lindel_spark import profile as LP
+    from lindel_spark import write as LW
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    zpath = str(tmp_path_factory.mktemp("manifest") / "z")
+    LW.zorder_write(
+        li, [F.col("l_orderkey").cast("int"),
+             F.col("l_partkey").cast("int")],
+        zpath, elem="int32", num_files=8)
+    manifest = LP.file_minmax_manifest(spark, zpath, ["l_orderkey"])
+    assert manifest.count() == 8
+    pruned, stats = LP.manifest_pruned_read(
+        spark, zpath, manifest, {"l_orderkey": (1000, 2000)})
+    want = li.filter("l_orderkey between 1000 and 2000")
+    assert pruned.count() == want.count()
+    assert (pruned.agg(F.sum("l_partkey")).first()[0]
+            == want.agg(F.sum("l_partkey")).first()[0])
+    # clustering on (orderkey, partkey) makes per-file orderkey ranges
+    # tight: a narrow predicate must not scan every file
+    assert stats["files_scanned"] < stats["files_total"]
+    # empty intersection: zero files scanned, empty (not failing) frame
+    none_df, none_stats = LP.manifest_pruned_read(
+        spark, zpath, manifest, {"l_orderkey": (10**9, 10**9 + 1)})
+    assert none_stats["files_scanned"] == 0
+    assert none_df.count() == 0

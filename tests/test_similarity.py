@@ -317,3 +317,45 @@ def test_ivf_pq_codes_require_their_quantizer(spark, emb):
         LS.ivf_pq_knn(emb, q, k=5, codes=codes)
     with pytest.raises(ValueError, match="centroids.*codebooks"):
         LS.ivf_pq_knn(emb, q, k=5, codes=codes, codebooks=books)
+
+
+def test_knn_join_exact_matches_brute(emb, queries_df, brute):
+    """nprobe unset => every cell probed => exact: identical
+    (query, neighbor, rank) to the broadcast brute-force path."""
+    got = LS.knn_join(emb, queries_df, k=10, n_centroids=8).collect()
+    a = {(r.query_id, r.rank): r.neighbor_id for r in brute}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in got}
+    assert a == b
+
+
+def test_knn_join_plan_no_cartesian(emb, queries_df):
+    """The distributed path must be a cell-keyed equi-join: no
+    CartesianProduct, no BroadcastNestedLoopJoin, and the query side
+    is NOT collected (no driver data path in the plan)."""
+    df = LS.knn_join(emb, queries_df, k=10, n_centroids=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_small_queries_delegates_to_broadcast(emb, queries_df,
+                                                       brute):
+    """Below broadcast_rows with no IVF config the broadcast
+    brute-force path is used — same exact results."""
+    got = LS.knn_join(emb, queries_df, k=10).collect()
+    a = {(r.query_id, r.rank): r.neighbor_id for r in brute}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in got}
+    assert a == b
+
+
+def test_knn_join_nprobe_trades_recall(emb, queries_df, brute):
+    """An ANN operating point (nprobe < n_centroids) keeps decent
+    recall while scanning a fraction of cells."""
+    got = LS.knn_join(emb, queries_df, k=10, n_centroids=16, nprobe=8)
+    hits = 0
+    want = _topk_sets(brute)
+    have = _topk_sets(got.collect())
+    total = sum(len(v) for v in want.values())
+    for qid, s in want.items():
+        hits += len(s & have.get(qid, set()))
+    assert hits / total >= 0.8

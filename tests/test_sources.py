@@ -70,3 +70,26 @@ def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
         spark, str(tmp_path / "part=2023"), str(tmp_path / "part=2024"))
     rows = {r["id"]: (r["s"], r["q"]) for r in df.collect()}
     assert rows == {1: ("x", None), 2: ("y", 9.0)}
+
+
+def test_load_events_missing_file_raises_original_error(spark):
+    """A missing events file must surface the first read's error —
+    not be masked by the NANOS-legacy fallback path (and the legacy
+    conf must not leak into the session)."""
+    import pytest
+    from lindel_spark.sources import _NANOS_CONF, load_events
+
+    with pytest.raises(Exception) as exc:
+        load_events(spark, "/tmp/lindel_no_such_dir_xyz")
+    assert "NANOS" not in str(exc.value)
+    assert spark.conf.get(_NANOS_CONF, None) in (None, "false")
+
+
+def test_load_events_normalizes_ts(spark):
+    import os as _os
+
+    from lindel_spark.sources import load_events
+    sf = _os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    ev = load_events(spark, sf)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
