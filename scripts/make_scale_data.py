@@ -130,6 +130,61 @@ def scale_events(out: str) -> None:
     _write_copies("events", out, mk)
 
 
+def scale_orders(out: str) -> None:
+    """Orders follow lineitem's key offsets: o_orderkey steps by the
+    same max+1 (sf0.1 has max(o_orderkey) == max(l_orderkey), checked
+    below) and o_custkey steps with the scaled customer table, so
+    every FK join (orders-lineitem, orders-customer) stays intact
+    within each copy."""
+    t = pq.read_table(os.path.join(SRC, "orders.parquet"))
+    li_max = pc.max(
+        pq.read_table(os.path.join(SRC, "lineitem.parquet"),
+                      columns=["l_orderkey"])["l_orderkey"]).as_py()
+    o_max = pc.max(t["o_orderkey"]).as_py()
+    assert o_max == li_max, (
+        f"orderkey ranges diverge (orders {o_max}, lineitem {li_max}) "
+        "— offsets would break the orders-lineitem join")
+    ostep = o_max + 1
+    cstep = pc.max(t["o_custkey"]).as_py() + 1
+
+    def mk(c: int) -> pa.Table:
+        out_t = t.set_column(
+            t.schema.get_field_index("o_orderkey"), "o_orderkey",
+            _offset(t["o_orderkey"], c * ostep))
+        return out_t.set_column(
+            t.schema.get_field_index("o_custkey"), "o_custkey",
+            _offset(t["o_custkey"], c * cstep))
+
+    _write_copies("orders", out, mk)
+
+
+def scale_customer(out: str) -> None:
+    t = pq.read_table(os.path.join(SRC, "customer.parquet"))
+    cstep = pc.max(t["c_custkey"]).as_py() + 1
+
+    def mk(c: int) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("c_custkey"), "c_custkey",
+            _offset(t["c_custkey"], c * cstep))
+
+    _write_copies("customer", out, mk)
+
+
+def copy_dims(out: str) -> None:
+    """part/supplier/nation/region pass through UNCHANGED: dimensions
+    grow slower than facts, and lineitem copies keep their original
+    l_partkey/l_suppkey references — offsetting dim keys would orphan
+    9 of 10 fact copies."""
+    import shutil
+
+    for name in ("part", "supplier", "nation", "region"):
+        src = os.path.join(SRC, f"{name}.parquet")
+        dst = os.path.join(out, f"{name}.parquet")
+        shutil.copyfile(src, dst)
+        n = pq.ParquetFile(dst).metadata.num_rows
+        print(f"{name}: {n} rows (pass-through dim)")
+
+
 def main() -> None:
     out = _out_dir(sys.argv)
     os.makedirs(out, exist_ok=True)
@@ -137,6 +192,9 @@ def main() -> None:
     scale_documents(out)
     scale_embeddings(out)
     scale_events(out)
+    scale_orders(out)
+    scale_customer(out)
+    copy_dims(out)
     print(f"wrote {out}")
 
 

@@ -80,9 +80,11 @@ def main() -> int:
     spark = get_spark("lindel-oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        p = f"{SF_DIR}/{t}.parquet"
+        # derived scale-up dirs write table.parquet/ as a DIRECTORY of
+        # part files; DuckDB needs the glob form for those
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     try:
         r = entry_mod.entry(spark)
