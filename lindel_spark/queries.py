@@ -75,6 +75,8 @@ _SAMPLE_FIRST = [
     "events_incremental_agg",    # same (agg store marker I/O)
     "sketch_kmv_overlap", "sketch_kmv_users",  # kmv_merge explicit k
     "pipeline_manifest_pruned",  # new: file min/max manifest index
+    "dedup_sorted_neighborhood",  # new: SNM blocking via global_rank
+    "sampling_negatives",        # new: deterministic negative sampling
     # (c) missed r7's cut
     "events_sliding_rollup", "sampling_fixed_n_per_stratum",
     "sampling_weighted_n",
@@ -823,6 +825,51 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard near-dup pairs (MinHash/LSH bucketed)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LD.near_dup_pairs(docs, k=LD.DEFAULT_CHAR_NGRAM, shingles="char")
+
+
+def _snm_oracle(window: int = 5, k: int = LD.DEFAULT_SHINGLE_K,
+                threshold: float = LD.DEFAULT_THRESHOLD) -> str:
+    """DuckDB replay of sorted-neighborhood dedup: row_number over the
+    same (text, id) binary order, pairs within ``window`` ranks,
+    exact shingle Jaccard."""
+    shingle = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k)).replace(
+        "toks[i + 0]", "toks[i]"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id, text,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT id, text,
+             list_distinct(list_transform(range(1, len(toks) - {k - 2}),
+                                          i -> {shingle})) AS sh
+      FROM d WHERE len(toks) >= {k}
+    ), r AS (
+      SELECT id, sh, row_number() OVER (ORDER BY text, id) AS rnk
+      FROM sh
+    ), p AS (
+      SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+      FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND {window - 1}
+    )
+    SELECT DISTINCT id_a, id_b, jaccard FROM p
+    WHERE jaccard >= {threshold}e0
+    """
+
+
+@query("dedup_sorted_neighborhood", _snm_oracle())
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs
+    (:func:`lindel_spark.dedup.sorted_neighborhood_pairs`): global
+    positions via the distributed :func:`lindel_spark.util.global_rank`
+    (range shuffle + map-only enumeration — no single-task window),
+    candidates bounded at n x (window-1). The oracle replays the
+    identical order/window/Jaccard in DuckDB, so ranks, pairing, and
+    similarity values all hash-compare."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.sorted_neighborhood_pairs(docs)
 
 
 #: Cap on the exact ground-truth sample inside ``dedup_embedding_cosine``.
@@ -4096,6 +4143,75 @@ def q_sampling_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").cast("long").alias("doc_id")),
         "doc_id", salt="epoch0")
     return out.select("doc_id", "shuffle_key")
+
+
+@query(
+    "sampling_negatives",
+    """
+    WITH catalog AS (
+      SELECT p_partkey,
+             row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+      FROM part
+    ), n AS (SELECT COUNT(*)::DOUBLE AS n_items FROM part),
+    pos AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_custkey % 100 = 0
+    ), users AS (SELECT DISTINCT u FROM pos),
+    draws AS (
+      SELECT u, g.i,
+             ('0x' || substr(md5(u::VARCHAR || ':' || g.i::VARCHAR),
+                             1, 15))::BIGINT / 1152921504606846976.0
+               AS frac
+      FROM users, generate_series(0, 9) g(i)
+    ), cand AS (
+      SELECT d.u, d.i, c.p_partkey AS item
+      FROM draws d
+      JOIN n ON true
+      JOIN catalog c ON c.idx = floor(d.frac * n.n_items)::BIGINT
+    ), dedup AS (
+      SELECT u, i, item,
+             row_number() OVER (PARTITION BY u, item ORDER BY i) AS f
+      FROM cand
+    ), neg AS (
+      SELECT d.u, d.i, d.item FROM dedup d
+      LEFT JOIN pos p ON p.u = d.u AND p.item = d.item
+      WHERE d.f = 1 AND p.u IS NULL
+    ), ranked AS (
+      SELECT u, item,
+             row_number() OVER (PARTITION BY u ORDER BY i) AS r
+      FROM neg
+    )
+    SELECT u::BIGINT AS user_key, item::BIGINT AS item_key,
+           (r - 1)::BIGINT AS draw_idx
+    FROM ranked WHERE r <= 5
+    """,
+)
+def q_sampling_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (:func:`lindel_spark.sampling.negative_sample`) over the
+    customer-part interaction matrix (orders x lineitem): 5 negatives
+    per sampled customer, drawn content-deterministically from the
+    part catalog, positives anti-joined out. The oracle replays the
+    identical md5 draw, catalog indexing, dup-collapse and per-user
+    ranking, so the sampled (user, item, draw) triples hash-compare
+    exactly."""
+    from lindel_spark import sampling as SMP
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = _lineitem(spark, sf_dir)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    inter = (
+        orders.filter(F.col("o_custkey") % 100 == 0)
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("user_key"),
+                F.col("l_partkey").alias("item_key"))
+    )
+    neg = SMP.negative_sample(
+        inter, part.select(F.col("p_partkey").alias("item_key")),
+        k=5, user_col="user_key", item_col="item_key")
+    return neg.select(F.col("user_key").cast("long"),
+                      F.col("item_key").cast("long"), "draw_idx")
 
 
 @query(

@@ -270,3 +270,76 @@ def weighted_sample_n(
         .filter(F.col("__wrank") <= n)
         .drop("__wrank")
     )
+
+
+def negative_sample(
+    interactions: DataFrame,
+    items: DataFrame,
+    k: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    salt: str = "",
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recsys
+    training: for every user in ``interactions``, draw up to ``k``
+    items the user did NOT interact with, content-deterministically
+    (same negatives on any cluster layout, any rerun — so training
+    runs are reproducible and the oracle can replay the draw).
+
+    Draw mechanics: candidate ``i`` for a user picks the item at index
+    ``floor(md5_fraction(user || ':' || i || salt) * n_items)`` in the
+    (``item_col``-sorted) catalog — a uniform pseudo-random pick both
+    Spark and SQL engines compute identically. ``k x oversample``
+    candidates are drawn, positives and same-user duplicate draws
+    dropped, and the first ``k`` surviving draws (by draw index) kept;
+    a user keeps fewer than ``k`` only if oversampling could not clear
+    their positives (dense users + tiny catalogs — raise
+    ``oversample``).
+
+    Scale shape: the draw is a map-side ``explode`` over distinct
+    users (k x oversample rows each); the catalog index is a broadcast
+    join when the catalog is dim-sized (the common case), and the
+    positives check is one anti-join keyed on (user, item) — no
+    cartesian anywhere. Returns (user, item, draw_idx) with
+    draw_idx 0..k-1 re-densified per user.
+    """
+    from pyspark.sql.window import Window
+
+    from lindel_spark.util import global_rank
+
+    n_items = items.count()
+    if n_items == 0:
+        raise ValueError("LINDEL: negative_sample needs a non-empty "
+                         "item catalog")
+    catalog = global_rank(
+        items.select(F.col(item_col)), [item_col], out_col="__idx"
+    ).withColumn("__idx", F.col("__idx") - 1)
+    users = interactions.select(
+        F.col(user_col).alias("__u")).distinct()
+    draws = users.select(
+        "__u",
+        F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1)))
+        .alias("__i"),
+    )
+    frac = split_fraction(
+        F.concat(F.col("__u").cast("string"), F.lit(":"),
+                 F.col("__i").cast("string")), salt)
+    cand = draws.withColumn(
+        "__idx", F.floor(frac * F.lit(float(n_items))).cast("long"))
+    cand = cand.join(F.broadcast(catalog), "__idx").select(
+        "__u", "__i", F.col(item_col))
+    # same item drawn twice for one user: keep the earliest draw
+    w_dup = Window.partitionBy("__u", item_col).orderBy("__i")
+    cand = (cand.withColumn("__first", F.row_number().over(w_dup))
+            .filter(F.col("__first") == 1).drop("__first"))
+    pos = interactions.select(
+        F.col(user_col).alias("__u"), F.col(item_col)).distinct()
+    neg = cand.join(pos, ["__u", item_col], "left_anti")
+    w = Window.partitionBy("__u").orderBy("__i")
+    return (
+        neg.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .select(F.col("__u").alias(user_col), item_col,
+                (F.col("__rank") - 1).cast("long").alias("draw_idx"))
+    )

@@ -48,3 +48,66 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
         # adding a full shuffle to a frame we cannot size
         return df
     return df.repartition(target)
+
+
+def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """1-based global rank of every row under a TOTAL order over
+    ``order_cols`` — WITHOUT the single-task ``Window.orderBy``
+    anti-pattern (an unpartitioned window funnels the entire dataset
+    through one task; at 100 TB that is not slow, it is impossible).
+
+    Plan shape: ONE range-partitioning shuffle
+    (``repartitionByRange`` + ``sortWithinPartitions``), a map-only
+    local enumeration (``mapInPandas`` with a per-partition running
+    counter — batches arrive in partition order), one bounded
+    ``groupBy(partition).count().collect()`` (rows == shuffle
+    partition count, never data-sized), and a broadcast join of the
+    cumulative offsets. Same shuffle volume as any global sort.
+
+    ``order_cols`` must be a total order (no ties): append a unique id
+    as the last column — with ties, which side of a range boundary a
+    row lands on would change its rank run-to-run.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(order_cols, str):
+        order_cols = [order_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if num_partitions is not None:
+        ranged = df.repartitionByRange(num_partitions, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    ranged = ranged.sortWithinPartitions(*cols).withColumn(
+        "__gr_pid", F.spark_partition_id())
+    schema = T.StructType(
+        list(ranged.schema.fields)
+        + [T.StructField("__gr_local", T.LongType())])
+
+    def enumerate_partition(batches):
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__gr_local"] = range(i, i + len(pdf))
+            i += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(enumerate_partition, schema)
+    counts = sorted(
+        (r["__gr_pid"], r["cnt"])
+        for r in ranged.groupBy("__gr_pid")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "__gr_pid int, __gr_off long"))
+    return (
+        local.join(off_df, "__gr_pid")
+        .withColumn(out_col,
+                    (F.col("__gr_off") + F.col("__gr_local") + 1))
+        .drop("__gr_pid", "__gr_local", "__gr_off")
+    )

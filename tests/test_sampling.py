@@ -192,3 +192,44 @@ def test_weighted_sample_n_drops_nonpositive_weights(spark):
         [(1, 0.0), (2, -1.0), (3, 5.0)], ["id", "w"])
     got = [r["id"] for r in weighted_sample_n(df, "id", "w", 3).collect()]
     assert got == [3]
+
+
+def test_negative_sample_properties(spark):
+    from lindel_spark.sampling import negative_sample
+    inter = spark.createDataFrame(
+        [(u, i) for u in range(20) for i in range(u % 5)],
+        ["user_id", "item_id"])
+    items = spark.createDataFrame(
+        [(i,) for i in range(50)], ["item_id"])
+    neg = negative_sample(inter, items, k=4).collect()
+    by_user = {}
+    for r in neg:
+        by_user.setdefault(r.user_id, []).append((r.draw_idx, r.item_id))
+    pos = {(u, i) for u in range(20) for i in range(u % 5)}
+    # users with zero interactions still appear? only users IN
+    # interactions are sampled; user 0 and 5,10,15 have 0 items ->
+    # not in interactions at all
+    assert set(by_user) == {u for u in range(20) if u % 5 != 0}
+    for u, rows in by_user.items():
+        assert len(rows) == 4                       # k negatives
+        assert sorted(r[0] for r in rows) == [0, 1, 2, 3]
+        for _, it in rows:
+            assert (u, it) not in pos               # never a positive
+            assert 0 <= it < 50
+        assert len({it for _, it in rows}) == 4     # no dup items
+    # content-deterministic: a second run (different partitioning)
+    neg2 = negative_sample(inter.repartition(7), items, k=4).collect()
+    assert sorted(map(tuple, neg)) == sorted(map(tuple, neg2))
+    # different salt -> different draw
+    neg3 = negative_sample(inter, items, k=4, salt="x").collect()
+    assert sorted(map(tuple, neg)) != sorted(map(tuple, neg3))
+
+
+def test_negative_sample_empty_catalog_raises(spark):
+    import pytest as _p
+
+    from lindel_spark.sampling import negative_sample
+    inter = spark.createDataFrame([(1, 1)], ["user_id", "item_id"])
+    empty = spark.createDataFrame([], "item_id long")
+    with _p.raises(ValueError, match="non-empty"):
+        negative_sample(inter, empty, k=2)

@@ -352,3 +352,39 @@ def test_near_dup_identical_cluster_collapsed_before_banding(spark):
     # and the banded intermediate saw ONE row per distinct text:
     # the candidate self-join's inputs are rep-sized, so the verified
     # rep-pair count is bounded by distinct-text pairs (3 texts -> <=3)
+
+
+def test_global_rank_matches_total_order(spark):
+    """global_rank's range-shuffle + map-enumeration plan must equal
+    the naive single-task row_number under the same total order."""
+    from pyspark.sql import Window
+
+    from lindel_spark.util import global_rank
+
+    df = spark.range(10000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 9973).alias("key"))
+    got = {r.id: r.rnk
+           for r in global_rank(df, ["key", "id"], "rnk").collect()}
+    w = Window.orderBy("key", "id")
+    want = {r.id: r.rnk for r in df.withColumn(
+        "rnk", F.row_number().over(w)).collect()}
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_values(spark):
+    """SNM finds prefix-similar neighbors and scores exact Jaccard;
+    pairs outside the window are not compared."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, "totally different text about spark parquet files here"),
+        (4, "zzz unrelated tail words beyond anything else entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in LD.sorted_neighborhood_pairs(
+                 docs, window=2, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert 0.5 <= pairs[(1, 2)] < 1.0
+    assert all(p == (1, 2) for p in pairs)
