@@ -1,0 +1,99 @@
+"""Feature scaling for training prep: rank/quantile, z-score, min-max.
+
+The normalization pass every tabular/embedding training pipeline runs
+before features meet a model. All three transforms are engine-portable
+closed forms (the DuckDB oracles replay them exactly) and scale-shaped:
+z-score and min-max are ONE aggregate (broadcast back, map-only apply);
+quantile normalization routes through
+:func:`lindel_spark.util.global_rank` — a range shuffle plus map-side
+enumeration — never a single-task window.
+
+The reference has no feature surface (curve functions only,
+src/lindel_extension.cpp:948-1026); this is the brief's pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lindel_spark.util import global_rank
+
+
+def standard_scale(df: DataFrame, cols, suffix: str = "_z") -> DataFrame:
+    """Z-score columns: ``(x - mean) / stddev_pop`` appended as
+    ``<col><suffix>``. One aggregate over all columns (single scan),
+    broadcast back; a zero-variance column scales to 0.0 rather than
+    NULL/inf so downstream math never divides by zero."""
+    if isinstance(cols, str):
+        cols = [cols]
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(F.col(c).cast("double")).alias(f"__mu_{c}"),
+                 F.stddev_pop(F.col(c).cast("double")).alias(f"__sd_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        sd = F.col(f"__sd_{c}")
+        out = out.withColumn(
+            c + suffix,
+            F.when(sd == 0, F.lit(0.0)).otherwise(
+                (F.col(c).cast("double") - F.col(f"__mu_{c}")) / sd))
+    return out.drop(*[f"__mu_{c}" for c in cols],
+                    *[f"__sd_{c}" for c in cols])
+
+
+def minmax_scale(df: DataFrame, cols, suffix: str = "_mm",
+                 lo: float = 0.0, hi: float = 1.0) -> DataFrame:
+    """Min-max scale columns into [lo, hi]; constant columns map to
+    ``lo``. Same one-aggregate + broadcast shape as
+    :func:`standard_scale`."""
+    if isinstance(cols, str):
+        cols = [cols]
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    span = hi - lo
+    for c in cols:
+        width = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+        out = out.withColumn(
+            c + suffix,
+            F.when(width == 0, F.lit(float(lo))).otherwise(
+                F.lit(float(lo))
+                + (F.col(c).cast("double") - F.col(f"__lo_{c}"))
+                / width * F.lit(float(span))))
+    return out.drop(*[f"__lo_{c}" for c in cols],
+                    *[f"__hi_{c}" for c in cols])
+
+
+def quantile_normalize(df: DataFrame, value_col: str, id_col: str,
+                       out_col: str = "quantile") -> DataFrame:
+    """Empirical-quantile (rank) normalization: each value maps to
+    ``(avg_rank - 0.5) / n`` in (0, 1), with TIES sharing the average
+    of their ranks (the standard treatment — equal inputs must get
+    equal quantiles, which a raw unique rank would violate).
+
+    Makes any feature distribution uniform — the robust-to-outliers
+    normalization for heavy-tailed signals (doc lengths, user counts)
+    where z-scores are dominated by the tail.
+
+    Shape: :func:`lindel_spark.util.global_rank` under the total order
+    ``(value, id)`` (one range shuffle, map-only enumeration), an
+    aggregate of average rank per distinct value, and a value-keyed
+    join back. NULL values pass through with NULL quantile.
+    """
+    n = df.filter(F.col(value_col).isNotNull()).count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("__v"), F.col(id_col))
+    ranked = global_rank(vals, ["__v", id_col], out_col="__r")
+    avg_rank = ranked.groupBy("__v").agg(F.avg("__r").alias("__ar"))
+    return (
+        df.join(avg_rank, df[value_col] == avg_rank["__v"], "left")
+        .withColumn(out_col, (F.col("__ar") - 0.5) / F.lit(float(n)))
+        .drop("__v", "__ar")
+    )

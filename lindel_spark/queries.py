@@ -77,6 +77,7 @@ _SAMPLE_FIRST = [
     "pipeline_manifest_pruned",  # new: file min/max manifest index
     "dedup_sorted_neighborhood",  # new: SNM blocking via global_rank
     "sampling_negatives",        # new: deterministic negative sampling
+    "features_scaled",           # new: feature scaling (minmax+quantile)
     # (c) missed r7's cut
     "events_sliding_rollup", "sampling_fixed_n_per_stratum",
     "sampling_weighted_n",
@@ -4143,6 +4144,53 @@ def q_sampling_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").cast("long").alias("doc_id")),
         "doc_id", salt="epoch0")
     return out.select("doc_id", "shuffle_key")
+
+
+@query(
+    "features_scaled",
+    """
+    WITH e AS (
+      SELECT event_id::BIGINT AS event_id,
+             (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+      FROM events
+    ), b AS (
+      SELECT min(cents)::DOUBLE AS lo, max(cents)::DOUBLE AS hi FROM e
+    ), r AS (
+      SELECT event_id, cents,
+             row_number() OVER (ORDER BY cents, event_id) AS rnk
+      FROM e
+    ), a AS (
+      SELECT cents, avg(rnk) AS ar FROM r GROUP BY cents
+    ), n AS (SELECT COUNT(*)::DOUBLE AS n FROM e)
+    SELECT e.event_id, e.cents,
+           CASE WHEN b.hi = b.lo THEN 0.0
+                ELSE (e.cents::DOUBLE - b.lo) / (b.hi - b.lo) END
+             AS cents_mm,
+           (a.ar - 0.5) / n.n AS quantile
+    FROM e
+    CROSS JOIN b CROSS JOIN n
+    JOIN a ON a.cents = e.cents
+    """,
+)
+def q_features_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling (:mod:`lindel_spark.features`): min-max over
+    integer cents (exact — min/max are integers, one double division)
+    and empirical-quantile normalization with average-rank ties
+    (exact — ranks are integers, quantile is one exact subtraction +
+    division). Both replay bit-for-bit in the oracle; z-score (whose
+    distributed mean/std accumulation order is not bit-replayable) is
+    pinned against NumPy in tests/test_features.py instead."""
+    from lindel_spark import features as FE
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("cents"),
+    )
+    mm = FE.minmax_scale(ev, ["cents"], suffix="_mm")
+    qn = FE.quantile_normalize(mm, "cents", "event_id",
+                               out_col="quantile")
+    return qn.select("event_id", "cents", "cents_mm", "quantile")
 
 
 @query(

@@ -1,0 +1,78 @@
+"""Feature-scaling transforms vs independent NumPy references."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark import features as FE
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    vals = [(i, float((i * 37) % 101), float(i % 7)) for i in range(500)]
+    return spark.createDataFrame(vals, ["id", "x", "y"])
+
+
+def test_standard_scale_matches_numpy(df):
+    got = {r.id: (r.x_z, r.y_z)
+           for r in FE.standard_scale(df, ["x", "y"]).collect()}
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    x = np.array([r.x for r in rows])
+    y = np.array([r.y for r in rows])
+    zx = (x - x.mean()) / x.std()
+    zy = (y - y.mean()) / y.std()
+    for i, r in enumerate(rows):
+        assert got[r.id][0] == pytest.approx(zx[i], abs=1e-9)
+        assert got[r.id][1] == pytest.approx(zy[i], abs=1e-9)
+
+
+def test_standard_scale_constant_column_is_zero(spark):
+    d = spark.createDataFrame([(i, 5.0) for i in range(10)],
+                              ["id", "c"])
+    out = FE.standard_scale(d, "c").collect()
+    assert all(r.c_z == 0.0 for r in out)
+
+
+def test_minmax_scale_bounds_and_values(df):
+    got = {r.id: r.x_mm
+           for r in FE.minmax_scale(df, "x").collect()}
+    xs = {r.id: r.x for r in df.collect()}
+    lo, hi = min(xs.values()), max(xs.values())
+    for i, v in xs.items():
+        assert got[i] == pytest.approx((v - lo) / (hi - lo), abs=1e-12)
+        assert 0.0 <= got[i] <= 1.0
+    # custom range
+    got5 = {r.id: r.x_mm
+            for r in FE.minmax_scale(df, "x", lo=-1, hi=1).collect()}
+    for i, v in xs.items():
+        assert got5[i] == pytest.approx(
+            -1 + (v - lo) / (hi - lo) * 2, abs=1e-12)
+
+
+def test_quantile_normalize_ties_share_average_rank(spark):
+    d = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0)], ["id", "v"])
+    got = {r.id: r.quantile
+           for r in FE.quantile_normalize(d, "v", "id").collect()}
+    # ranks: 10->1, 20->avg(2,3)=2.5, 40->4; q=(r-0.5)/4
+    assert got[1] == pytest.approx(0.5 / 4)
+    assert got[2] == got[3] == pytest.approx(2.0 / 4)
+    assert got[4] == pytest.approx(3.5 / 4)
+
+
+def test_quantile_normalize_uniform_output(df):
+    qs = sorted(r.quantile for r in
+                FE.quantile_normalize(df, "x", "id").collect())
+    # empirical quantiles cover (0, 1) roughly uniformly
+    assert 0.0 < qs[0] < 0.05 and 0.95 < qs[-1] < 1.0
+    mean_q = sum(qs) / len(qs)
+    assert mean_q == pytest.approx(0.5, abs=0.01)
+
+
+def test_quantile_normalize_null_passthrough(spark):
+    d = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "id long, v double")
+    got = {r.id: r.quantile
+           for r in FE.quantile_normalize(d, "v", "id").collect()}
+    assert got[2] is None
+    assert got[1] is not None and got[3] is not None
