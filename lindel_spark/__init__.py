@@ -14,9 +14,11 @@ Public surface:
     zorder_write(df, cols, path, ...)
 
 Operator modules (import as submodules):
-    lindel_spark.dedup       exact / MinHash-LSH / n-gram-Jaccard / SimHash
+    lindel_spark.dedup       exact / MinHash-LSH / n-gram-Jaccard /
+                             SimHash / sorted-neighborhood
     lindel_spark.similarity  exact + matmul + LSH-ANN + IVF cosine search,
-                             embedding normalize/quantize, IVF storage
+                             distributed-query knn_join, embedding
+                             normalize/quantize, IVF storage
     lindel_spark.text        token stats, quality, language ID, n-grams,
                              winnowing fingerprints + near-dup
     lindel_spark.multimodal  binary payload columns, decode stages
@@ -26,14 +28,18 @@ Operator modules (import as submodules):
                              bloom-filter runtime-filter semi-join
     lindel_spark.skew        salted join, two-phase distinct
     lindel_spark.sources     schema-disciplined CSV/JSONL/ORC readers+sinks
-    lindel_spark.sampling    deterministic splits / mixtures / weighted
+    lindel_spark.sampling    deterministic splits / mixtures / weighted /
+                             negative sampling
     lindel_spark.retrieval   BM25, corpus LMs, TF-IDF keywords
     lindel_spark.sketch      count-min, histogram quantiles (mergeable)
     lindel_spark.history     SCD2 builds, incremental agg maintenance
     lindel_spark.timeseries  OHLC resample, time-weighted average
     lindel_spark.graph       PageRank, connected components
-    lindel_spark.profile     table profiling, expectations, k-anonymity
+    lindel_spark.profile     table profiling, expectations, k-anonymity,
+                             file min/max manifest index + pruned reads
     lindel_spark.packing     sequence packing, document chunking
+    lindel_spark.features    z-score / min-max / quantile normalization
+    lindel_spark.fs          Hadoop-FileSystem shim for store metadata
 """
 
 from lindel_spark.functions import (
