@@ -424,6 +424,35 @@ def main() -> None:
         ("audio_features", q_audio_features, n_docs),
         ("corpus_prep", q_corpus_prep, n_docs),
     ]
+
+    # manifest index: z-ordered layout written ONCE at setup; the
+    # pruned entry reads only files whose [min,max] intersect the
+    # predicate, the full entry filter-scans everything (round 8)
+    from lindel_spark import profile as LP
+    _mstore = os.path.join(_store, "manifest_z")
+    LW.zorder_write(li, [F.col("l_orderkey").cast("int"),
+                         F.col("l_partkey").cast("int")],
+                    _mstore, elem="int32", num_files=32)
+    _manifest = LP.file_minmax_manifest(
+        spark, _mstore, ["l_orderkey"]).collect()
+    _manifest_df = spark.createDataFrame(_manifest)
+    _mlo, _mhi = 1000, int(n_li * 0.02) + 1000
+
+    def q_manifest_pruned(_):
+        hits, _st = LP.manifest_pruned_read(
+            spark, _mstore, _manifest_df,
+            {"l_orderkey": (_mlo, _mhi)})
+        _noop(hits)
+
+    def q_manifest_full(_):
+        _noop(spark.read.parquet(_mstore).filter(
+            (F.col("l_orderkey") >= _mlo)
+            & (F.col("l_orderkey") <= _mhi)))
+
+    scan_shaped += [
+        ("manifest_pruned_scan", q_manifest_pruned, n_li),
+        ("manifest_full_scan", q_manifest_full, n_li),
+    ]
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

@@ -413,3 +413,29 @@ def test_tfidf_no_cartesian_and_partial_agg(docs):
     p = plan_of(tfidf_topk(docs, k=3))
     assert "CartesianProduct" not in p
     assert "partial_count" in p  # postings map-side combine
+
+
+def test_round8_operators_never_cartesian_or_global_window(spark, docs):
+    """Round-8 additions must keep the 100 TB plan contracts:
+    no CartesianProduct anywhere; global_rank-based operators carry
+    no UNPARTITIONED window (the single-task sort antipattern) — any
+    Window in their plans must be partitioned."""
+    from lindel_spark import sampling as SMP
+    from lindel_spark.util import global_rank
+
+    inter = spark.createDataFrame(
+        [(u, u % 3) for u in range(30)], ["user_id", "item_id"])
+    items = spark.createDataFrame([(i,) for i in range(10)], ["item_id"])
+    plans = {
+        "snm": plan_of(LD.sorted_neighborhood_pairs(docs, window=3)),
+        "global_rank": plan_of(
+            global_rank(docs.select("doc_id"), ["doc_id"])),
+        "negatives": plan_of(SMP.negative_sample(inter, items, k=2)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+    # global_rank itself must not contain ANY Window operator — its
+    # whole point is rank-without-window
+    assert "Window" not in plans["global_rank"]
+    # and it must range-partition (the one shuffle it is allowed)
+    assert "rangepartitioning" in plans["global_rank"].lower()
