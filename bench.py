@@ -435,12 +435,13 @@ def main() -> None:
                     _mstore, elem="int32", num_files=32)
     _manifest = LP.file_minmax_manifest(
         spark, _mstore, ["l_orderkey"]).collect()
-    _manifest_df = spark.createDataFrame(_manifest)
     _mlo, _mhi = 1000, int(n_li * 0.02) + 1000
+    _mhits, _mstats = LP.manifest_pruned_read(
+        spark, _mstore, _manifest, {"l_orderkey": (_mlo, _mhi)})
 
     def q_manifest_pruned(_):
         hits, _st = LP.manifest_pruned_read(
-            spark, _mstore, _manifest_df,
+            spark, _mstore, _manifest,
             {"l_orderkey": (_mlo, _mhi)})
         _noop(hits)
 
@@ -512,6 +513,7 @@ def main() -> None:
         "queries": queries,
         "sf": _sf(),
         "rows": rows,
+        "manifest": _mstats,
         "ivf_store": {
             "n_centroids": _auto_nc,
             "nprobe": _auto_np,

@@ -887,8 +887,13 @@ def sorted_neighborhood_pairs(
     )
     from lindel_spark.util import global_rank
 
-    ranked = global_rank(base, ["__t", "id"], out_col="rnk").select(
-        "id", "sh", "rnk")
+    # rank a NARROW projection and join back by id: global_rank
+    # executes its range shuffle twice (counts + enumeration), and the
+    # shingle arrays are the heavy payload — they should ride exactly
+    # one hash join, not two wide range shuffles
+    ranks = global_rank(base.select("id", "__t"), ["__t", "id"],
+                        out_col="rnk").select("id", "rnk")
+    ranked = base.select("id", "sh").join(ranks, "id")
     blk = ranked.withColumn("blk", F.floor((F.col("rnk") - 1) / window))
     left = blk.select(
         F.col("id").alias("id_l"), F.col("sh").alias("sh_l"),

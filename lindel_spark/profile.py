@@ -367,7 +367,7 @@ def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
     return fdf.mapInPandas(read_stats, out_schema)
 
 
-def manifest_pruned_read(spark, path: str, manifest: DataFrame,
+def manifest_pruned_read(spark, path: str, manifest,
                          ranges: dict) -> tuple[DataFrame, dict]:
     """Scan only the files whose manifest [min, max] intersects every
     predicate range, then apply the exact residual filter.
@@ -379,25 +379,40 @@ def manifest_pruned_read(spark, path: str, manifest: DataFrame,
     being tight (a file with NULL stats is conservatively scanned);
     the residual filter re-applies the predicate row-level either way.
 
-    The manifest is metadata-sized (one row per file): the surviving
-    file list is a bounded driver collect, same class as a partition
-    listing — never a data-path collect.
+    ``manifest`` is either the DataFrame from
+    :func:`file_minmax_manifest` or its collected rows (list of
+    Row/dict). The manifest is metadata-sized (one row per file) —
+    exactly what table formats keep in their transaction log and read
+    driver-side; pass the collected form on a query hot path so
+    pruning costs zero Spark jobs (the DataFrame form runs two tiny
+    metadata jobs per call).
     """
-    cond = F.lit(True)
     residual = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
-            cond = cond & (F.col(f"max_{c}").isNull()
-                           | (F.col(f"max_{c}") >= F.lit(float(lo))))
             residual = residual & (F.col(c) >= F.lit(lo))
         if hi is not None:
-            cond = cond & (F.col(f"min_{c}").isNull()
-                           | (F.col(f"min_{c}") <= F.lit(float(hi))))
             residual = residual & (F.col(c) <= F.lit(hi))
-    total = manifest.count()
-    keep = [r["file"] for r in manifest.filter(cond)
-            .select("file").collect()]
-    stats = {"files_total": total, "files_scanned": len(keep)}
+
+    if isinstance(manifest, DataFrame):
+        rows = [r.asDict() for r in manifest.collect()]
+    else:
+        rows = [r if isinstance(r, dict) else r.asDict()
+                for r in manifest]
+
+    def survives(rec: dict) -> bool:
+        for c, (lo, hi) in ranges.items():
+            mn, mx = rec.get(f"min_{c}"), rec.get(f"max_{c}")
+            if mn is None or mx is None:
+                continue  # no stats: conservatively scan
+            if lo is not None and mx < float(lo):
+                return False
+            if hi is not None and mn > float(hi):
+                return False
+        return True
+
+    keep = [rec["file"] for rec in rows if survives(rec)]
+    stats = {"files_total": len(rows), "files_scanned": len(keep)}
     if not keep:
         df = spark.read.parquet(path).filter(residual).limit(0)
         return df, stats

@@ -327,7 +327,11 @@ def negative_sample(
                  F.col("__i").cast("string")), salt)
     cand = draws.withColumn(
         "__idx", F.floor(frac * F.lit(float(n_items))).cast("long"))
-    cand = cand.join(F.broadcast(catalog), "__idx").select(
+    # dim-sized catalogs broadcast; a huge catalog (rare — negatives
+    # usually draw from a bounded item universe) degrades to a shuffle
+    # join on the draw index rather than overflowing the driver
+    cat = F.broadcast(catalog) if n_items <= 5_000_000 else catalog
+    cand = cand.join(cat, "__idx").select(
         "__u", "__i", F.col(item_col))
     # same item drawn twice for one user: keep the earliest draw
     w_dup = Window.partitionBy("__u", item_col).orderBy("__i")

@@ -68,6 +68,12 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
     ``order_cols`` must be a total order (no ties): append a unique id
     as the last column — with ties, which side of a range boundary a
     row lands on would change its rank run-to-run.
+
+    The range shuffle executes twice (once for the partition counts,
+    once for the enumeration; boundaries are deterministic for a
+    deterministic input, so the two executions agree). For WIDE rows,
+    rank a narrow (order cols + id) projection and join the rank back
+    by id — see sorted_neighborhood_pairs for the pattern.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
