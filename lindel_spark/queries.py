@@ -78,6 +78,7 @@ _SAMPLE_FIRST = [
     "dedup_sorted_neighborhood",  # new: SNM blocking via global_rank
     "sampling_negatives",        # new: deterministic negative sampling
     "features_scaled",           # new: feature scaling (minmax+quantile)
+    "zorder_store_select",       # new: store read with file pruning
     # (c) missed r7's cut
     "events_sliding_rollup", "sampling_fixed_n_per_stratum",
     "sampling_weighted_n",
@@ -6777,6 +6778,46 @@ def q_zorder_store_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").cast("long").alias("sum_ok"),
         F.sum("l_partkey").cast("long").alias("sum_pk"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+
+
+@query(
+    "zorder_store_select",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(l_quantity)::BIGINT AS sum_qty,
+           SUM(l_suppkey)::BIGINT AS sum_supp,
+           true AS pruned_some
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 2000 AND 3000
+    """,
+)
+def q_zorder_store_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's READ payoff
+    (:func:`lindel_spark.write.zorder_store_select`): init a clustered
+    base + unsorted tail, answer a range predicate with manifest-based
+    FILE pruning on the base and a residual-filtered tail scan — the
+    oracle recomputes the filter from the raw table (losslessness) and
+    the emitted boolean pins that whole files were actually skipped."""
+    li = _lineitem(spark, sf_dir)
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="lindel_zsel_q_"), "s")
+    LW.zorder_store_init(li.filter("l_orderkey % 7 != 0"), cols, store,
+                         elem="int32", num_files=8)
+    LW.zorder_store_append(li.filter("l_orderkey % 7 = 0"), store)
+    hits, stats = LW.zorder_store_select(
+        spark, store, {"l_orderkey": (2000, 3000)})
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum("l_suppkey").cast("long").alias("sum_supp"),
+    ).first()
+    return spark.createDataFrame(
+        [(agg.n_rows, agg.sum_qty, agg.sum_supp,
+          stats["files_scanned"] < stats["files_total"])],
+        "n_rows long, sum_qty long, sum_supp long, pruned_some boolean",
     )
 
 

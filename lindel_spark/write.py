@@ -448,3 +448,43 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
     for f in tail_files:
         _fs.delete(spark, f, recursive=False)
     return {"rewritten": True, "base_bytes": bb, "tail_bytes": tb}
+
+
+def zorder_store_select(spark, path: str, ranges: dict
+                        ) -> tuple[DataFrame, dict]:
+    """Range-predicate read of an incremental z-order store with
+    FILE-level pruning: the curve-clustered base is pruned through a
+    footer-only min/max manifest
+    (:func:`lindel_spark.profile.file_minmax_manifest` — per-file
+    stats are tight because the base is z-ordered), the unclustered
+    tail is residual-scanned in full (it is small by the
+    ``tail_ratio`` invariant), and both apply the exact row-level
+    filter. This is the read path the store exists for: appends stay
+    cheap, maintenance restores clustering, and range queries skip
+    whole files on top of parquet's row-group skipping.
+
+    ``ranges`` maps column -> (lo, hi) inclusive bounds (None open).
+    Returns ``(df, stats)`` where stats carries the base's
+    ``files_total`` / ``files_scanned`` for skip-ratio audits.
+    """
+    from lindel_spark import fs as _fs
+    from lindel_spark.profile import (file_minmax_manifest,
+                                      manifest_pruned_read)
+
+    v = _zstore_latest(spark, path)
+    if v is None:
+        raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
+    base_dir = _fs.join(path, f"base-v{v}")
+    manifest = file_minmax_manifest(spark, base_dir, list(ranges))
+    out, stats = manifest_pruned_read(spark, base_dir, manifest, ranges)
+    residual = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is not None:
+            residual = residual & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            residual = residual & (F.col(c) <= F.lit(hi))
+    tail_files = _fs.list_files(spark, _fs.join(path, "tail"))
+    if tail_files:
+        out = out.unionByName(
+            spark.read.parquet(*tail_files).filter(residual))
+    return out, stats

@@ -118,3 +118,23 @@ def test_no_driver_local_io_in_store_metadata_paths():
         src = inspect.getsource(fn)
         for b in banned:
             assert b not in src, f"{fn.__name__} uses {b}"
+
+
+def test_zorder_store_select_prunes_base_files(spark, tmp_path_factory):
+    """zorder_store_select: lossless vs a plain filter AND actually
+    skips base files under a narrow range predicate."""
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = str(tmp_path_factory.mktemp("zsel") / "s")
+    LW.zorder_store_init(li.filter("l_orderkey % 4 != 0"), cols, store,
+                         elem="int32", num_files=8)
+    LW.zorder_store_append(li.filter("l_orderkey % 4 = 0"), store)
+    hits, stats = LW.zorder_store_select(
+        spark, store, {"l_orderkey": (1000, 2000)})
+    want = li.filter("l_orderkey between 1000 and 2000")
+    assert hits.count() == want.count()
+    assert (hits.agg(F.sum("l_quantity")).first()[0]
+            == want.agg(F.sum("l_quantity")).first()[0])
+    assert stats["files_scanned"] < stats["files_total"]
