@@ -79,10 +79,14 @@ def test_load_events_missing_file_raises_original_error(spark):
     import pytest
     from lindel_spark.sources import _NANOS_CONF, load_events
 
+    # another test may have legitimately enabled the legacy conf for
+    # the shared session (it must outlive a legacy-layout load): the
+    # contract here is that a failing load leaves it UNCHANGED
+    before = spark.conf.get(_NANOS_CONF, None)
     with pytest.raises(Exception) as exc:
         load_events(spark, "/tmp/lindel_no_such_dir_xyz")
     assert "NANOS" not in str(exc.value)
-    assert spark.conf.get(_NANOS_CONF, None) in (None, "false")
+    assert spark.conf.get(_NANOS_CONF, None) == before
 
 
 def test_load_events_normalizes_ts(spark):
