@@ -369,8 +369,11 @@ def near_dup_pairs(
     )
     if threshold > 1.0:
         intra = intra.filter(F.lit(False))
+    # rep ids come from the CACHED sh frame (its materialization is the
+    # one execution of the reps groupBy) — reading `reps` here would
+    # re-run the scan + md5 + shuffle a second time
     rep_of = members.join(
-        reps.select(F.col("fp"), F.col("id").alias("rep_id")), "fp"
+        sh.select(F.col("fp"), F.col("id").alias("rep_id")), "fp"
     ).select(F.col("id").alias("member_id"), "rep_id")
     cross = (
         rep_pairs
