@@ -339,6 +339,8 @@ def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
     out_schema = T.StructType(fields)
 
     def read_stats(batches):
+        import math
+
         import pandas as pd
         import pyarrow.parquet as pq
 
@@ -360,6 +362,13 @@ def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
                         mn, mx = float(st.min), float(st.max)
                         lo = mn if lo is None else min(lo, mn)
                         hi = mx if hi is None else max(hi, mx)
+                    if lo is not None:
+                        # int64 stats beyond 2^53 round to the nearest
+                        # double, which could round min UP / max DOWN
+                        # and wrongly prune a file the predicate needs;
+                        # pad 1 ulp outward so bounds stay conservative
+                        lo = math.nextafter(lo, -math.inf)
+                        hi = math.nextafter(hi, math.inf)
                     rec[f"min_{c}"], rec[f"max_{c}"] = lo, hi
                 rows.append(rec)
             yield pd.DataFrame(rows, columns=[f.name for f in fields])
