@@ -26,6 +26,12 @@ def get_spark(app_name: str = "lindel-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # value-level oracle sweeps collect full query results; at the
+        # derived sf1 a 6M-row x 16-wide round-trip overflows the 1g
+        # default (observed: 1046 MiB serialized). Harness-only knob —
+        # production code paths never collect data-sized frames.
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
