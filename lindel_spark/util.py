@@ -69,11 +69,19 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
     as the last column — with ties, which side of a range boundary a
     row lands on would change its rank run-to-run.
 
-    The range shuffle executes twice (once for the partition counts,
-    once for the enumeration; boundaries are deterministic for a
-    deterministic input, so the two executions agree). For WIDE rows,
-    rank a narrow (order cols + id) projection and join the rank back
-    by id — see sorted_neighborhood_pairs for the pattern.
+    The ranged frame is materialized ONCE via an eager
+    ``localCheckpoint`` before the two downstream jobs (partition
+    counts, enumeration). This is load-bearing, not an optimization:
+    ``repartitionByRange`` samples its boundaries with a seed derived
+    from the RDD id, so two *executions* of the same plan can place
+    boundary rows in different partitions — offsets computed from one
+    execution applied to another's enumeration silently corrupt ranks
+    (caught by the sf1 value sweep, round 8). Checkpoint blocks are
+    executor-local and freed by the ContextCleaner when the frame is
+    garbage-collected; on executor loss the job fails and retries
+    rather than recomputing inconsistently. For WIDE rows, rank a
+    narrow (order cols + id) projection and join the rank back by id —
+    see sorted_neighborhood_pairs for the pattern.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -87,6 +95,8 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
         ranged = df.repartitionByRange(*cols)
     ranged = ranged.sortWithinPartitions(*cols).withColumn(
         "__gr_pid", F.spark_partition_id())
+    # one materialization for BOTH downstream jobs — see docstring
+    ranged = ranged.localCheckpoint(eager=True)
     schema = T.StructType(
         list(ranged.schema.fields)
         + [T.StructField("__gr_local", T.LongType())])
