@@ -3217,10 +3217,18 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = load_events_raw(spark, path).schema
-    # The streaming file source requires a *directory*; the test table
-    # is a single file, so expose it through a symlinked temp dir.
-    src_dir = tempfile.mkdtemp(prefix="lindel_fsrc_")
-    os.symlink(os.path.abspath(path), os.path.join(src_dir, "events.parquet"))
+    # The streaming file source requires a *directory* of data files.
+    # A directory-layout table (derived sf1) streams as-is; the
+    # single-file driver layout is exposed through a symlinked temp
+    # dir (the source does NOT recurse, so symlinking the whole
+    # directory under another directory would list nothing).
+    own_src = not os.path.isdir(path)
+    if own_src:
+        src_dir = tempfile.mkdtemp(prefix="lindel_fsrc_")
+        os.symlink(os.path.abspath(path),
+                   os.path.join(src_dir, "events.parquet"))
+    else:
+        src_dir = path  # NEVER delete: this is the source table
     src = (
         spark.readStream.schema(schema).parquet(src_dir)
         .select(
@@ -3246,7 +3254,8 @@ def q_streaming_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.read.parquet(sink).cache()
     res.count()  # materialize before the tmp sink is reclaimed
     shutil.rmtree(cp, ignore_errors=True)
-    shutil.rmtree(src_dir, ignore_errors=True)
+    if own_src:
+        shutil.rmtree(src_dir, ignore_errors=True)
     # the sink parquet must outlive this call (res is lazily re-read if
     # its cached blocks are evicted) — reclaim it at interpreter exit
     import atexit
@@ -4319,14 +4328,19 @@ def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, top-80 candidates exactly re-scored (refine=8), recall@10
     vs in-Spark brute force thresholded at 0.7 (measured 0.90 at sf0.1,
     1.0 at sf0.01 on the near-random driver embeddings — the LSH/PQ
-    worst case; clustered real embeddings do far better)."""
+    worst case; clustered real embeddings do far better). The refine
+    depth scales with corpus size (candidate pool stays a ~3% corpus
+    FRACTION): a fixed refine=8 at 10x density re-scores 10x less of
+    the corpus and recall sagged to 0.66 at sf1 — the operating point,
+    not the operator, must track scale."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
     books = LS.train_pq(emb, m=8, ks=256)
     codes = LS.pq_encode(emb, books)
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     approx = LS.pq_knn(codes, queries_df, books, k=10,
-                       refine_with=emb, refine=8)
+                       refine_with=emb, refine=max(8, n // 250))
     return _recall_check(brute, approx, 0.7)
 
 
@@ -5136,10 +5150,10 @@ def q_events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     )
     SELECT e.event_type, COUNT(*)::BIGINT AS n,
-           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)::BIGINT
-             AS n_clipped_lo,
-           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)::BIGINT
-             AS n_clipped_hi,
+           SUM(CASE WHEN e.value < round(b.lo, 6) THEN 1 ELSE 0
+               END)::BIGINT AS n_clipped_lo,
+           SUM(CASE WHEN e.value > round(b.hi, 6) THEN 1 ELSE 0
+               END)::BIGINT AS n_clipped_hi,
            round(AVG(least(greatest(e.value, b.lo), b.hi)), 6)
              AS winsorized_mean
     FROM events e JOIN b USING (event_type)
@@ -5161,10 +5175,10 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
-        .cast("long").alias("n_clipped_lo"),
-        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
-        .cast("long").alias("n_clipped_hi"),
+        F.sum(F.when(F.col("value") < F.round(F.col("lo"), 6), 1)
+              .otherwise(0)).cast("long").alias("n_clipped_lo"),
+        F.sum(F.when(F.col("value") > F.round(F.col("hi"), 6), 1)
+              .otherwise(0)).cast("long").alias("n_clipped_hi"),
         F.round(F.avg(clamped), 6).alias("winsorized_mean"))
 
 
