@@ -4505,7 +4505,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            doc_id::BIGINT AS doc_id, round(score, 4) AS score_r4
     FROM (SELECT query_id, doc_id, score,
                  ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, doc_id) AS rank
+                                    ORDER BY round(score, 4) DESC,
+                                             doc_id) AS rank
           FROM scored)
     WHERE rank <= 5
     """,
@@ -4525,7 +4526,7 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("query"),
     )
-    res = LR.bm25_topk(docs, queries_df, k=5)
+    res = LR.bm25_topk(docs, queries_df, k=5, rank_round=4)
     return res.select(
         "query_id",
         F.col("rank").cast("long").alias("rank"),

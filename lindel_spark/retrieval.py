@@ -85,7 +85,8 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
               k1: float = BM25_K1, b: float = BM25_B,
               id_col: str = "doc_id", text_col: str = "text",
               query_id_col: str = "query_id",
-              query_col: str = "query") -> DataFrame:
+              query_col: str = "query",
+              rank_round: int | None = None) -> DataFrame:
     """Okapi BM25 top-``k`` documents per query.
 
     Lucene-style idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
@@ -96,6 +97,12 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     The query side is broadcast; document frequency is computed from
     the query-term-filtered postings so the aggregate is bounded by
     |query vocabulary|, not |corpus vocabulary|.
+
+    ``rank_round``: rank by ``round(score, rank_round)`` instead of
+    the raw float — near-tied scores differ across engines/summation
+    orders in final ulps, which flips rank order and the top-k cut
+    (surfaced by the sf1 oracle sweep); cross-engine-reproducible
+    pipelines should pass the same rounding their comparator uses.
     """
     qterms = queries.select(
         F.col(query_id_col).cast("long").alias("query_id"),
@@ -177,8 +184,10 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     scores = scored_terms.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("score"))
     from pyspark.sql.window import Window
+    order_score = (F.round(F.col("score"), rank_round)
+                   if rank_round is not None else F.col("score"))
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc())
+        order_score.desc(), F.col("doc_id").asc())
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
