@@ -311,20 +311,24 @@ def near_dup_pairs(
         F.col(text_col).alias("__lindel_txt__"),
         F.md5(F.col(text_col).cast("string")).alias("fp"),
     )
-    # one representative per distinct text; membership maps ids to reps
+    # one representative per distinct text, carrying its member-id
+    # list: ONE fp-keyed shuffle yields everything re-expansion needs
+    # (member arrays are exact-dup-cluster-sized — the output for such
+    # a cluster is quadratic in that same size, so the array is never
+    # the binding constraint)
     reps = docs.groupBy("fp").agg(
         F.min("id").alias("id"),
         F.any_value("__lindel_txt__").alias("__lindel_txt__"),
+        F.collect_list("id").alias("__ids"),
     )
-    members = docs.select("id", "fp")
-    sh = reps.select("id", "fp", sh_col.alias("sh"))
+    sh = reps.select("id", "fp", "__ids", sh_col.alias("sh"))
     if cache:
-        # the plan is a diamond — sh feeds the band join AND both sides
-        # of the verification join; shingling is the expensive stage and
-        # would otherwise run 3x. MEMORY_AND_DISK spills cleanly at scale.
+        # the plan is a diamond — sh feeds the band join, both sides
+        # of the verification join, AND the member re-expansion;
+        # shingling is the expensive stage and would otherwise rerun.
+        # MEMORY_AND_DISK spills cleanly at scale.
         from pyspark import StorageLevel
 
-        members = members.persist(StorageLevel.MEMORY_AND_DISK)
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     # explode + groupBy(min) signature: value-identical to the lambda
     # form but robust in degraded long-lived sessions (see
@@ -356,31 +360,31 @@ def near_dup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    # re-expand representatives to members: (a) all pairs within an
-    # exact-dup cluster (jaccard exactly 1.0 — identical shingle sets),
-    # (b) every cross-cluster member combination at the reps' jaccard
-    ma, mb = members.alias("ma"), members.alias("mb")
+    # re-expand representatives to members, all MAP-SIDE off the
+    # cached sh frame (no members table, no fp self-join, no extra
+    # shuffle): (a) all pairs within an exact-dup cluster via a
+    # double posexplode of the member array (jaccard exactly 1.0 —
+    # identical shingle sets); (b) every cross-cluster member
+    # combination via two id-keyed joins of the verified rep pairs to
+    # their member arrays, then a double explode.
+    t = sh.select("__ids", F.posexplode("__ids").alias("pa", "a"))
     intra = (
-        ma.join(mb, on="fp")
-        .filter(F.col("ma.id") < F.col("mb.id"))
-        .select(F.col("ma.id").alias("id_a"),
-                F.col("mb.id").alias("id_b"),
+        t.select("a", "pa", F.posexplode("__ids").alias("pb", "b"))
+        .filter(F.col("pb") > F.col("pa"))
+        .select(F.least("a", "b").alias("id_a"),
+                F.greatest("a", "b").alias("id_b"),
                 F.lit(1.0).alias("jaccard"))
     )
     if threshold > 1.0:
         intra = intra.filter(F.lit(False))
-    # rep ids come from the CACHED sh frame (its materialization is the
-    # one execution of the reps groupBy) — reading `reps` here would
-    # re-run the scan + md5 + shuffle a second time
-    rep_of = members.join(
-        sh.select(F.col("fp"), F.col("id").alias("rep_id")), "fp"
-    ).select(F.col("id").alias("member_id"), "rep_id")
+    ra = sh.select(F.col("id").alias("id_a"),
+                   F.col("__ids").alias("__ids_a"))
+    rb = sh.select(F.col("id").alias("id_b"),
+                   F.col("__ids").alias("__ids_b"))
     cross = (
-        rep_pairs
-        .join(rep_of.select(F.col("rep_id").alias("id_a"),
-                            F.col("member_id").alias("m_a")), "id_a")
-        .join(rep_of.select(F.col("rep_id").alias("id_b"),
-                            F.col("member_id").alias("m_b")), "id_b")
+        rep_pairs.join(ra, "id_a").join(rb, "id_b")
+        .select("jaccard", F.explode("__ids_a").alias("m_a"), "__ids_b")
+        .select("jaccard", "m_a", F.explode("__ids_b").alias("m_b"))
         .select(F.least("m_a", "m_b").alias("id_a"),
                 F.greatest("m_a", "m_b").alias("id_b"),
                 "jaccard")
