@@ -39,6 +39,7 @@ Operator modules (import as submodules):
                              file min/max manifest index + pruned reads
     lindel_spark.packing     sequence packing, document chunking
     lindel_spark.features    z-score / min-max / quantile normalization
+    lindel_spark.rules       market-basket co-occurrence, association rules
     lindel_spark.fs          Hadoop-FileSystem shim for store metadata
 """
 

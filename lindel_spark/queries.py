@@ -79,6 +79,7 @@ _SAMPLE_FIRST = [
     "sampling_negatives",        # new: deterministic negative sampling
     "features_scaled",           # new: feature scaling (minmax+quantile)
     "zorder_store_select",       # new: store read with file pruning
+    "basket_rules",              # new: association rules
     # (c) missed r7's cut
     "events_sliding_rollup", "sampling_fixed_n_per_stratum",
     "sampling_weighted_n",
@@ -4154,6 +4155,54 @@ def q_sampling_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id").cast("long").alias("doc_id")),
         "doc_id", salt="epoch0")
     return out.select("doc_id", "shuffle_key")
+
+
+@query(
+    "basket_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT bk)::DOUBLE AS nb FROM b),
+    ic AS (SELECT it, COUNT(*)::BIGINT AS ni FROM b GROUP BY it),
+    pairs AS (
+      SELECT x.it AS ia, y.it AS ib, COUNT(*)::BIGINT AS np
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    ),
+    bd AS (
+      SELECT ia, ib, np FROM pairs
+      UNION ALL
+      SELECT ib AS ia, ia AS ib, np FROM pairs
+    )
+    SELECT d.ia::BIGINT AS antecedent, d.ib::BIGINT AS consequent,
+           d.np AS n_pair,
+           d.np::DOUBLE / n.nb AS support,
+           d.np::DOUBLE / a.ni::DOUBLE AS confidence,
+           (d.np::DOUBLE / a.ni::DOUBLE) / (c.ni::DOUBLE / n.nb) AS lift
+    FROM bd d
+    JOIN ic a ON a.it = d.ia
+    JOIN ic c ON c.it = d.ib
+    CROSS JOIN n
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over the order->part basket matrix
+    (:func:`lindel_spark.rules.association_rules`): co-occurrence via
+    a basket-keyed self-join (bounded by basket fan-out, never
+    |items|^2), exact support/confidence/lift over bigint counts —
+    the oracle replays the identical count-and-divide tree, so the
+    rule table hash-compares value-for-value."""
+    from lindel_spark import rules as RL
+
+    li = _lineitem(spark, sf_dir)
+    out = RL.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_baskets=3)
+    return out.select(
+        F.col("antecedent").cast("long"),
+        F.col("consequent").cast("long"),
+        "n_pair", "support", "confidence", "lift")
 
 
 @query(

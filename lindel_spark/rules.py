@@ -1,0 +1,102 @@
+"""Market-basket co-occurrence and association rules.
+
+The classic retail/recsys mining pass (Agrawal's support/confidence
+framework, computed exactly — no Apriori pruning needed for pairwise
+rules): which items co-occur in baskets more than their popularity
+predicts. Re-expressed Spark-first:
+
+- basket de-dup and item counts are map-side-combined group-bys;
+- pair generation is a self-join keyed on the basket id, so candidate
+  volume is sum(basket_size^2) — bounded by the data's own basket
+  fan-out, never |items|^2 (the join that would not survive 100 TB);
+- support/confidence/lift are exact closed forms over bigint counts,
+  so the DuckDB oracle replays them bit-for-bit.
+
+The reference has no mining surface (curve functions only,
+src/lindel_extension.cpp:948-1026); this is the brief's pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(df: DataFrame, basket_col: str,
+                       item_col: str) -> DataFrame:
+    """(item_a, item_b, n_baskets) for unordered item pairs sharing a
+    basket, ``item_a < item_b``. Input rows may repeat (a basket
+    listing an item twice counts once — set semantics)."""
+    b = df.select(F.col(basket_col).alias("__b"),
+                  F.col(item_col).alias("__i")).distinct()
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, on="__b")
+        .filter(F.col("x.__i") < F.col("y.__i"))
+        .groupBy(F.col("x.__i").alias("item_a"),
+                 F.col("y.__i").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_baskets: int = 2,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules ``antecedent -> consequent`` with
+    exact support / confidence / lift:
+
+    - ``support``    = n(a, c) / N          (pair frequency)
+    - ``confidence`` = n(a, c) / n(a)       (P(c | a))
+    - ``lift``       = confidence / (n(c) / N)
+
+    Both rule directions are emitted (a->c and c->a differ in
+    confidence). ``min_pair_baskets`` prunes the long co-occurrence
+    tail BEFORE the rule join (the standard min-support cut that keeps
+    the rule table output-sized); ``min_confidence`` filters the
+    emitted rules. N = distinct baskets.
+
+    Shape at scale: one basket-keyed self-join (bounded by basket
+    fan-out), two map-side-combined counts, one broadcast-size scalar
+    (N), and item-keyed joins of the pair table against the item
+    counts. All arithmetic on bigints until the final divisions, so
+    the numbers are engine-portable.
+    """
+    b = df.select(F.col(basket_col).alias("__b"),
+                  F.col(item_col).alias("__i")).distinct()
+    n_baskets = b.select("__b").distinct().count()
+    item_counts = b.groupBy("__i").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_item"))
+    pairs = cooccurrence_pairs(df, basket_col, item_col).filter(
+        F.col("n_baskets") >= min_pair_baskets)
+    both = pairs.unionByName(
+        pairs.select(F.col("item_b").alias("item_a"),
+                     F.col("item_a").alias("item_b"), "n_baskets"))
+    rules = (
+        both
+        .join(item_counts.select(F.col("__i").alias("item_a"),
+                                 F.col("__n_item").alias("__n_a")),
+              "item_a")
+        .join(item_counts.select(F.col("__i").alias("item_b"),
+                                 F.col("__n_item").alias("__n_b")),
+              "item_b")
+        .select(
+            F.col("item_a").alias("antecedent"),
+            F.col("item_b").alias("consequent"),
+            F.col("n_baskets").alias("n_pair"),
+            (F.col("n_baskets").cast("double") / F.lit(float(n_baskets)))
+            .alias("support"),
+            (F.col("n_baskets").cast("double")
+             / F.col("__n_a").cast("double")).alias("confidence"),
+            ((F.col("n_baskets").cast("double")
+              / F.col("__n_a").cast("double"))
+             / (F.col("__n_b").cast("double") / F.lit(float(n_baskets))))
+            .alias("lift"),
+        )
+    )
+    if min_confidence > 0.0:
+        rules = rules.filter(F.col("confidence") >= min_confidence)
+    return rules
