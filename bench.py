@@ -55,6 +55,8 @@ def main() -> None:
     from lindel_spark.session import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
+    # harness-only driver knob (see lindel_spark.session.get_spark)
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "4g")
     spark = get_spark("lindel-bench")
     li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -525,10 +527,8 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     payload = json.dumps(out)
-    # The driver's stdout tail capture truncated BENCH_r07's JSON
-    # mid-line ("parsed": null). Persist the artifact atomically to a
-    # stable in-repo path as well, so a whole copy always exists even
-    # when the console line is clipped.
+    # Persist the FULL artifact atomically to a stable in-repo path —
+    # the committed evidence copy.
     result_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -537,7 +537,20 @@ def main() -> None:
     with open(tmp_path, "w") as fh:
         fh.write(payload + "\n")
     os.replace(tmp_path, result_path)
-    print(payload)
+    # The driver keeps only a fixed-size TAIL of stdout and parses the
+    # final line; the full payload (~2.7 kB) overflowed that window two
+    # rounds running ("parsed": null in BENCH_r07/r08 — the line's HEAD
+    # was clipped). Emit a slim final line (metric/value/queries/sf,
+    # ~1.4 kB — the fields BASELINE.md grades on) and leave the rest
+    # (rows, manifest, ivf_store, errors) in the committed artifact.
+    slim = {
+        "metric": out["metric"], "value": out["value"],
+        "unit": out["unit"], "queries": out["queries"], "sf": out["sf"],
+    }
+    if errors:
+        slim["n_errors"] = len(errors)
+    sys.stdout.flush()
+    print(json.dumps(slim), flush=True)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ def get_spark(app_name: str = "lindel-spark",
     master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
-    return (
+    b = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -26,12 +26,16 @@ def get_spark(app_name: str = "lindel-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # value-level oracle sweeps collect full query results; at the
-        # derived sf1 a 6M-row x 16-wide round-trip overflows the 1g
-        # default (observed: 1046 MiB serialized). Harness-only knob —
-        # production code paths never collect data-sized frames.
-        .config("spark.driver.maxResultSize",
-                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Harness-only knob, applied ONLY when the harness sets it: the
+    # value-level oracle sweeps collect full query results (at the
+    # derived sf1 a 6M-row x 16-wide round-trip serializes >1 GiB, past
+    # the 1g default). bench.py / tools/oracle_check.py export
+    # SPARK_GRAFT_MAX_RESULT=4g; library users keep Spark's default so
+    # an accidental data-sized collect still fails fast instead of
+    # ballooning the driver (ADVICE round-9).
+    max_result = os.environ.get("SPARK_GRAFT_MAX_RESULT")
+    if max_result:
+        b = b.config("spark.driver.maxResultSize", max_result)
+    return b.getOrCreate()

@@ -336,11 +336,13 @@ def kmv_sketch(
     )
 
 
-def kmv_merge(*sketches: DataFrame, k: int = 256) -> DataFrame:
+def kmv_merge(*sketches: DataFrame, k: int) -> DataFrame:
     """Merge KMV sketches built with the same ``k``: union, dedupe
     hashes, keep each group's k smallest again.
 
-    ``k`` must be passed explicitly and match the ``k`` the inputs
+    ``k`` is a REQUIRED keyword (no default — a default of 256 would
+    just move the silent-mismatch hole to sketches built with any
+    other k; ADVICE round-9) and must match the ``k`` the inputs
     were built with (same contract as :func:`kmv_estimate`). It is
     deliberately NOT inferred from the max rank present: when every
     input shard is under-filled (all groups < k distinct), inference

@@ -145,7 +145,20 @@ def scale_orders(out: str) -> None:
         f"orderkey ranges diverge (orders {o_max}, lineitem {li_max}) "
         "— offsets would break the orders-lineitem join")
     ostep = o_max + 1
-    cstep = pc.max(t["o_custkey"]).as_py() + 1
+    # the custkey step MUST come from the CUSTOMER table's max, not
+    # orders': TPC-H leaves ~1/3 of customers orderless, so
+    # max(o_custkey) can sit below max(c_custkey) and a step derived
+    # from orders would desynchronize the two offsets, silently
+    # breaking the orders->customer FK in every scaled copy
+    # (ADVICE round-9). scale_customer uses the same expression.
+    c_max = pc.max(
+        pq.read_table(os.path.join(SRC, "customer.parquet"),
+                      columns=["c_custkey"])["c_custkey"]).as_py()
+    oc_max = pc.max(t["o_custkey"]).as_py()
+    assert oc_max <= c_max, (
+        f"orders references custkey {oc_max} beyond customer max "
+        f"{c_max} — source FK already broken")
+    cstep = c_max + 1
 
     def mk(c: int) -> pa.Table:
         out_t = t.set_column(

@@ -77,6 +77,9 @@ def main() -> int:
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
 
+    # harness-only driver knob (see lindel_spark.session.get_spark):
+    # the sf1 value sweeps collect multi-GiB result sets
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "4g")
     spark = get_spark("lindel-oracle-check")
     con = duckdb.connect()
     for t in TABLES:
