@@ -2,8 +2,8 @@
 
 The incremental stores (z-order store in :mod:`lindel_spark.write`,
 aggregate store in :mod:`lindel_spark.streaming`) keep a tiny metadata
-layer next to their parquet data: a ``_LATEST`` marker committed by
-rename, directory listings to find versions, byte-sizing to decide
+layer next to their parquet data: an append-only ``_commits/`` version
+log, directory listings to find versions, byte-sizing to decide
 when to compact, and pruning of stale versions. Driver-local
 ``os.path`` / ``open`` / ``shutil`` only work where the driver mounts
 the same POSIX filesystem as the executors — on a real cluster the
@@ -17,12 +17,22 @@ to the object store through the connector that is already on Spark's
 classpath. Plain POSIX paths go through Hadoop's LocalFileSystem —
 same code path, no special case to drift.
 
-Commit semantics: ``write_text_atomic`` writes ``<path>.tmp`` then
-renames over the destination. HDFS rename is atomic; S3A's rename is
-copy+delete but the marker is a one-line file, so the non-atomic
-window is a single small PUT — the standard single-writer marker
-pattern (multi-writer coordination needs a log-structured table
-format, which is out of scope and documented on the store functions).
+Commit semantics (round 9): stores record progress in an APPEND-ONLY
+version log — one ``_commits/v{N}`` file per committed version,
+``latest = max(N)`` over the listing. :func:`commit_new` writes a tmp
+file and renames it to a name that has NEVER existed, so no committed
+object is ever rewritten or deleted: there is no torn-marker window by
+construction (the failure mode of a mutable ``_LATEST`` marker, whose
+delete-before-rename left a no-marker gap — round-8 ADVICE). HDFS
+rename-to-fresh-name is atomic; on S3A it is one PUT of the final key
+plus a delete of the tmp key — a reader either sees the committed
+version or does not see it yet, never a half state.
+
+Multi-writer: :func:`commit_new` REFUSES an already-committed version,
+so two maintainers racing on the same version fail loudly instead of
+silently clobbering each other. True concurrent maintenance still
+needs a log-structured table format (Delta/Iceberg), documented on the
+store functions.
 """
 
 from __future__ import annotations
@@ -77,22 +87,44 @@ def read_text(spark, path: str) -> str:
         stream.close()
 
 
-def write_text_atomic(spark, path: str, text: str) -> None:
-    """Commit a small marker file: write ``<path>.tmp``, rename over
-    ``path``. FileSystem.rename refuses an existing destination on
-    several implementations, so the old marker is deleted first —
-    see the module docstring for the single-writer contract."""
+def commit_new(spark, path: str, text: str = "") -> None:
+    """Commit a small APPEND-ONLY file: write ``<path>.tmp``, rename
+    to ``path``, which must NOT already exist. Because the destination
+    name is fresh, nothing committed is ever rewritten or deleted —
+    there is no delete-before-rename window (see module docstring).
+    Raises if ``path`` already exists: the version was committed by
+    another writer, and proceeding would clobber it."""
     fs, p = _fs_path(spark, path)
+    if fs.exists(p):
+        raise IOError(
+            f"LINDEL: version already committed (concurrent writer?): "
+            f"{path}")
     tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text, "utf-8"))
     finally:
         out.close()
-    if fs.exists(p):
-        fs.delete(p, False)
     if not fs.rename(tmp, p):
-        raise IOError(f"LINDEL: marker rename failed: {path}")
+        raise IOError(f"LINDEL: commit rename failed: {path}")
+
+
+def committed_versions(spark, commits_dir: str,
+                       prefix: str = "v") -> list[int]:
+    """Sorted version numbers from an append-only commit log directory:
+    every ``{prefix}{N}`` entry (``.tmp`` leftovers of crashed commits
+    ignored). The store's source of truth for both "latest" (max) and
+    "last applied" — a crash can at worst leave a ``.tmp`` orphan,
+    never a store with no readable version."""
+    out = []
+    for n in list_names(spark, commits_dir):
+        if not n.startswith(prefix) or n.endswith(".tmp"):
+            continue
+        try:
+            out.append(int(n[len(prefix):]))
+        except ValueError:
+            continue
+    return sorted(out)
 
 
 def list_names(spark, path: str) -> list[str]:

@@ -107,6 +107,30 @@ def _strip_file_scheme(uri: str) -> str:
     return uri
 
 
+def _open_footer(path: str):
+    """(ParquetFile, file_bytes) for a local path OR a filesystem URI.
+
+    Executor-side helper for the footer readers: plain paths open
+    directly; ``hdfs://`` / ``s3a://`` (→ ``s3://``) resolve a pyarrow
+    filesystem from the URI scheme, so a remote store's metadata jobs
+    work from executors instead of assuming a POSIX mount (round-8
+    ADVICE: the raw-path open broke exactly the object-store case
+    :mod:`lindel_spark.fs` exists for)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    if "://" not in path:
+        return pq.ParquetFile(path), _os.path.getsize(path)
+    from pyarrow import fs as pafs
+
+    # pyarrow speaks s3://; Hadoop's connector scheme is s3a://
+    uri = path.replace("s3a://", "s3://", 1)
+    filesystem, rel = pafs.FileSystem.from_uri(uri)
+    info = filesystem.get_file_info(rel)
+    return pq.ParquetFile(filesystem.open_input_file(rel)), info.size
+
+
 def parquet_layout_report(spark, path: str) -> DataFrame:
     """Physical-layout audit of a parquet directory: one row per data
     file with (file, bytes, n_rows, n_row_groups) read from the
@@ -143,16 +167,14 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
     ])
 
     def read_footers(batches):
-        import os as _os
-
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for b in batches:
             rows = []
             for f in b["file"]:
-                md = pq.ParquetFile(f).metadata
-                rows.append((f, _os.path.getsize(f), md.num_rows,
+                pf, nbytes = _open_footer(f)
+                md = pf.metadata
+                rows.append((f, nbytes, md.num_rows,
                              md.num_row_groups))
             yield pd.DataFrame(
                 rows, columns=["file", "bytes", "n_rows",
@@ -301,7 +323,8 @@ def referential_integrity_report(
 # file-level min/max manifest index: build once, prune scans forever
 # ---------------------------------------------------------------------------
 
-def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
+def file_minmax_manifest(spark, path: str, cols,
+                         files=None) -> DataFrame:
     """Per-file (min, max, n_rows) manifest for ``cols`` over a parquet
     dataset, read from FOOTERS only — the poor-man's table-format
     statistics index (what Delta/Iceberg keep in their metadata logs).
@@ -315,7 +338,10 @@ def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
 
     Distributed metadata job: the file list parallelizes across
     executors; each opens only footers. Column min/max is the min/max
-    over the file's row-group statistics.
+    over the file's row-group statistics. Pass ``files`` to build
+    stats for an explicit subset (e.g. the files one append just
+    wrote — the incremental path of a persisted store manifest)
+    instead of listing ``path``.
     """
     from pyspark.sql import types as T
 
@@ -324,9 +350,11 @@ def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
     if isinstance(cols, str):
         cols = [cols]
     cols = list(cols)
+    if files is None:
+        files = _fs.list_files(spark, path)
     files = sorted(
         _strip_file_scheme(f)
-        for f in _fs.list_files(spark, path)
+        for f in files
         if not f.rsplit("/", 1)[-1].startswith(("_", "."))
     )
     fdf = spark.createDataFrame([(f,) for f in files], "file string") \
@@ -342,12 +370,11 @@ def file_minmax_manifest(spark, path: str, cols) -> DataFrame:
         import math
 
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for b in batches:
             rows = []
             for f in b["file"]:
-                md = pq.ParquetFile(f).metadata
+                md = _open_footer(f)[0].metadata
                 names = {md.schema.column(i).name: i
                          for i in range(md.num_columns)}
                 rec = {"file": f, "n_rows": md.num_rows}

@@ -6859,16 +6859,19 @@ def q_zorder_store_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zorder_store_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The store's READ payoff
     (:func:`lindel_spark.write.zorder_store_select`): init a clustered
-    base + unsorted tail, answer a range predicate with manifest-based
-    FILE pruning on the base and a residual-filtered tail scan — the
-    oracle recomputes the filter from the raw table (losslessness) and
-    the emitted boolean pins that whole files were actually skipped."""
+    base + unsorted tail, answer a range predicate with FILE pruning
+    from the PERSISTED manifest (written once at init/append — the
+    select opens no parquet footers, round-9 verdict item 1) and a
+    stats-pruned tail scan — the oracle recomputes the filter from the
+    raw table (losslessness) and the emitted boolean pins that whole
+    files were actually skipped."""
     li = _lineitem(spark, sf_dir)
     cols = [F.col("l_orderkey").cast("int"),
             F.col("l_partkey").cast("int")]
     store = os.path.join(
         tempfile.mkdtemp(prefix="lindel_zsel_q_"), "s")
     LW.zorder_store_init(li.filter("l_orderkey % 7 != 0"), cols, store,
+                         stat_cols=["l_orderkey"],
                          elem="int32", num_files=8)
     LW.zorder_store_append(li.filter("l_orderkey % 7 = 0"), store)
     hits, stats = LW.zorder_store_select(

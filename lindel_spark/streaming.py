@@ -429,15 +429,29 @@ def sliding_rollup(
     )
 
 
+def _agg_store_last_applied(spark, store_path: str) -> int | None:
+    """Highest committed batch id of an :func:`incremental_agg_sink`
+    store — max over the append-only ``_commits/v{N}`` log (legacy
+    mutable ``_LATEST`` marker honored as a fallback)."""
+    from lindel_spark import fs as _fs
+
+    vs = _fs.committed_versions(spark, _fs.join(store_path, "_commits"))
+    if vs:
+        return vs[-1]
+    marker = _fs.join(store_path, "_LATEST")
+    if _fs.exists(spark, marker):
+        return int(_fs.read_text(spark, marker).strip().split(":")[0])
+    return None
+
+
 def read_agg_store(spark, store_path: str) -> DataFrame | None:
     """Latest version of an :func:`incremental_agg_sink` store, or
     ``None`` when no version has been committed yet."""
     from lindel_spark import fs as _fs
 
-    marker = _fs.join(store_path, "_LATEST")
-    if not _fs.exists(spark, marker):
+    v = _agg_store_last_applied(spark, store_path)
+    if v is None:
         return None
-    v = _fs.read_text(spark, marker).strip().split(":")[0]
     return spark.read.parquet(_fs.join(store_path, f"v={v}"))
 
 
@@ -459,19 +473,25 @@ def incremental_agg_sink(
 
     ``state_aggs`` maps state column → ``(fn, src_col)`` with fn in
     ``count | sum | min | max`` (``count`` takes any src). The store
-    is versioned (``v=<epoch>`` directories + a ``_LATEST`` marker
-    written atomically via rename) because object stores have no
-    in-place overwrite; stale versions are pruned, keeping the latest
-    two. All marker/listing I/O goes through the Hadoop FileSystem
-    API (:mod:`lindel_spark.fs`), so ``store_path`` may be any
-    Hadoop-reachable URI, not only a driver-local path. Read it back
-    with :func:`read_agg_store`.
+    is versioned: ``v=<batch_id>`` directories plus an APPEND-ONLY
+    ``_commits/v{batch_id}`` log (latest = max committed id) — no
+    mutable marker exists, so no crash can leave the store markerless
+    (the round-8 failure mode where a torn ``_LATEST`` rewrite made a
+    restart silently reset accumulated state to one batch). Data
+    directories of stale versions are pruned, keeping the latest two;
+    commit files are tiny and kept (they ARE the log). All
+    metadata I/O goes through the Hadoop FileSystem API
+    (:mod:`lindel_spark.fs`), so ``store_path`` may be any
+    Hadoop-reachable URI. Read it back with :func:`read_agg_store`.
 
     Exactly-once: foreachBatch may replay a batch after a failure; a
-    replayed ``batch_id`` finds its version already recorded and is
-    skipped (the marker stores the last applied batch id). Streaming
-    guarantees exactly one live writer per checkpoint, which is the
-    single-writer contract the marker commit assumes.
+    replayed ``batch_id`` at or below the max committed id is skipped.
+    A crash between the ``v=`` write and its commit leaves an
+    uncommitted directory that the replay simply overwrites. Writer
+    contract: Structured Streaming guarantees exactly one live writer
+    per checkpoint; a misconfigured second writer fails loudly on the
+    duplicate version commit instead of clobbering
+    (:func:`lindel_spark.fs.commit_new`).
     """
     from lindel_spark import fs as _fs
     from lindel_spark.history import merge_agg_states
@@ -496,31 +516,32 @@ def incremental_agg_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        marker = _fs.join(store_path, "_LATEST")
         prev = None
-        last_applied = -1
-        if _fs.exists(spark, marker):
-            parts = _fs.read_text(spark, marker).strip().split(":")
-            last_applied = int(parts[1]) if len(parts) > 1 else -1
+        last_applied = _agg_store_last_applied(spark, store_path)
+        if last_applied is not None:
             if batch_id <= last_applied:
                 return  # replayed batch: already folded into the store
             prev = spark.read.parquet(
-                _fs.join(store_path, f"v={parts[0]}"))
+                _fs.join(store_path, f"v={last_applied}"))
         state = batch_state(batch_df)
         merged = (merge_agg_states([prev, state], keys, merges)
                   if prev is not None else
                   state.select(*keys, *merges))
         vdir = _fs.join(store_path, f"v={batch_id}")
         merged.write.mode("overwrite").parquet(vdir)
-        _fs.write_text_atomic(spark, marker, f"{batch_id}:{batch_id}")
-        # prune all but the latest two versions
-        vers = sorted(
-            int(d.split("=", 1)[1])
-            for d in _fs.list_names(spark, store_path)
-            if d.startswith("v="))
-        for v in vers[:-2]:
-            _fs.delete(spark, _fs.join(store_path, f"v={v}"),
-                       recursive=True)
+        _fs.commit_new(
+            spark, _fs.join(store_path, "_commits", f"v{batch_id}"))
+        # prune data dirs of all but the latest two COMMITTED versions
+        # (an uncommitted v= dir is a crashed write: prune it too)
+        committed = set(_fs.committed_versions(
+            spark, _fs.join(store_path, "_commits")))
+        keep = set(sorted(committed)[-2:])
+        for d in _fs.list_names(spark, store_path):
+            if not d.startswith("v="):
+                continue
+            if int(d.split("=", 1)[1]) not in keep:
+                _fs.delete(spark, _fs.join(store_path, d),
+                           recursive=True)
 
     writer = stream_df.writeStream.foreachBatch(write_batch)
     if checkpoint:
@@ -551,10 +572,14 @@ def zorder_store_stream_sink(
                                     zorder_store_maintain,
                                     _zstore_latest)
 
+    # init-only knob: maintain re-reads stat_cols from the store _META
+    stat_cols = zorder_kwargs.pop("stat_cols", None)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if _zstore_latest(spark, path) is None:
-            zorder_store_init(batch_df, cols, path, **zorder_kwargs)
+            zorder_store_init(batch_df, cols, path,
+                              stat_cols=stat_cols, **zorder_kwargs)
             return
         zorder_store_append(batch_df, path)
         if maintain_every > 0 and (batch_id + 1) % maintain_every == 0:
