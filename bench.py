@@ -200,6 +200,16 @@ def main() -> None:
                             codebooks=_pq_books, codes=_ivfpq_codes,
                             nprobe=_auto_np, refine_with=emb, refine=8))
 
+    def q_knn_join_pq_dist(_):
+        # round 9: the DISTRIBUTED query side over the same stored
+        # codes — queries join codes on the cell id instead of
+        # collecting to the driver; the shape a 10M-query batch takes
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.knn_join_pq(_ivfpq_codes, queries_df,
+                             _ivf_auto_centroids, _pq_books, k=10,
+                             nprobe=_auto_np, refine_with=emb,
+                             refine=8))
+
     # IVF store: hive-partitioned by cell — the storage half of IVF.
     # The pruned entry reads nprobe cells via partition pruning; the
     # full entry reads the whole store. Scanned-bytes ratio is measured
@@ -410,6 +420,7 @@ def main() -> None:
         ("knn_join_dist", q_knn_join_dist, n_emb),
         ("knn_pq_refined", q_knn_pq_refined, n_emb),
         ("knn_ivfpq_refined", q_knn_ivfpq_refined, n_emb),
+        ("knn_join_pq_dist", q_knn_join_pq_dist, n_emb),
         ("ivf_store_pruned_scan", q_ivf_store_pruned, n_emb),
         ("ivf_store_full_scan", q_ivf_store_full, n_emb),
         ("bm25_topk", q_bm25, n_docs),
@@ -452,9 +463,23 @@ def main() -> None:
             (F.col("l_orderkey") >= _mlo)
             & (F.col("l_orderkey") <= _mhi)))
 
+    # round 9: the incremental store's read path over its PERSISTED
+    # manifest — built once here at setup, never re-swept per query
+    _zsel_store = os.path.join(_store, "zsel")
+    LW.zorder_store_init(li, [F.col("l_orderkey").cast("int"),
+                              F.col("l_partkey").cast("int")],
+                         _zsel_store, stat_cols=["l_orderkey"],
+                         elem="int32", num_files=32)
+
+    def q_zorder_store_select(_):
+        hits, _st = LW.zorder_store_select(
+            spark, _zsel_store, {"l_orderkey": (_mlo, _mhi)})
+        _noop(hits)
+
     scan_shaped += [
         ("manifest_pruned_scan", q_manifest_pruned, n_li),
         ("manifest_full_scan", q_manifest_full, n_li),
+        ("zorder_store_select", q_zorder_store_select, n_li),
     ]
     def q_zorder_store_cycle(tmp):
         import shutil as _sh

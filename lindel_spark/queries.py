@@ -661,7 +661,16 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_tail(num_hashes: int, bands: int, threshold: float) -> str:
-    """Shared minhash→band→verify SQL tail over an ``sh(id, sh)`` CTE."""
+    """Shared minhash→band→verify SQL tail over an ``sh(id, sh)`` CTE.
+
+    The band match is one EQUI-join per band UNIONed (set semantics
+    dedupe pairs colliding in several bands), NOT a single join on
+    ``b0=b0 OR b1=b1 OR ...`` — DuckDB cannot hash-join a disjunction
+    and falls back to a nested loop that is quadratic in the doc
+    count, which blew the round-8 sf1 sweep's timebox for the char
+    n-gram variant (50k docs x 50k docs x list intersections). The
+    candidate sets are identical; the replay is now O(candidates),
+    the same complexity class as the Spark operator it checks."""
     r = num_hashes // bands
     sigs = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
@@ -671,18 +680,25 @@ def _minhash_tail(num_hashes: int, bands: int, threshold: float) -> str:
         "md5(" + " || '|' || ".join(f"s{b * r + i}" for i in range(r)) + f") AS b{b}"
         for b in range(bands)
     )
-    band_match = " OR ".join(f"x.b{b} = y.b{b}" for b in range(bands))
+    band_joins = "\n      UNION\n".join(
+        f"      SELECT x.id AS id_a, y.id AS id_b "
+        f"FROM bnd x JOIN bnd y ON x.b{b} = y.b{b} AND x.id < y.id"
+        for b in range(bands)
+    )
     return f"""
     , sig AS (
       SELECT id, sh, {sigs} FROM sh
     ), bnd AS (
       SELECT id, sh, {band_keys} FROM sig
+    ), cand AS (
+{band_joins}
     ), pairs AS (
-      SELECT x.id AS id_a, y.id AS id_b,
-             len(list_intersect(x.sh, y.sh))::DOUBLE
-               / len(list_distinct(x.sh || y.sh))::DOUBLE AS jaccard
-      FROM bnd x JOIN bnd y
-        ON x.id < y.id AND ({band_match})
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh))::DOUBLE AS jaccard
+      FROM cand c
+      JOIN bnd a ON a.id = c.id_a
+      JOIN bnd b ON b.id = c.id_b
     ), verified AS (
       SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}e0
     )
@@ -709,20 +725,11 @@ def _near_dup_cte(k: int = LD.DEFAULT_SHINGLE_K,
                   bands: int = LD.DEFAULT_BANDS,
                   threshold: float = LD.DEFAULT_THRESHOLD) -> str:
     """DuckDB CTE chain computing the same shingle→minhash→band→verify
-    pipeline as :func:`lindel_spark.dedup.near_dup_pairs`."""
-    r = num_hashes // bands
+    pipeline as :func:`lindel_spark.dedup.near_dup_pairs` (band joins
+    as per-band equi-joins — see :func:`_minhash_tail`)."""
     shingle = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k)).replace(
         "toks[i + 0]", "toks[i]"
     )
-    sigs = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS s{j}"
-        for j in range(num_hashes)
-    )
-    band_keys = ", ".join(
-        "md5(" + " || '|' || ".join(f"s{b * r + i}" for i in range(r)) + f") AS b{b}"
-        for b in range(bands)
-    )
-    band_match = " OR ".join(f"x.b{b} = y.b{b}" for b in range(bands))
     return f"""
     WITH d AS (
       SELECT doc_id::BIGINT AS id,
@@ -733,20 +740,8 @@ def _near_dup_cte(k: int = LD.DEFAULT_SHINGLE_K,
              list_distinct(list_transform(range(1, len(toks) - {k - 2}),
                                           i -> {shingle})) AS sh
       FROM d WHERE len(toks) >= {k}
-    ), sig AS (
-      SELECT id, sh, {sigs} FROM sh
-    ), bnd AS (
-      SELECT id, sh, {band_keys} FROM sig
-    ), pairs AS (
-      SELECT x.id AS id_a, y.id AS id_b,
-             len(list_intersect(x.sh, y.sh))::DOUBLE
-               / len(list_distinct(x.sh || y.sh))::DOUBLE AS jaccard
-      FROM bnd x JOIN bnd y
-        ON x.id < y.id AND ({band_match})
-    ), verified AS (
-      SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}e0
     )
-    """
+    """ + _minhash_tail(num_hashes, bands, threshold)
 
 
 @query(
@@ -4407,6 +4402,31 @@ def q_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = LS.ivf_pq_knn(emb, queries_df, k=10, n_centroids=16,
                            nprobe=8, refine_with=emb, refine=8)
     return _recall_check(brute, approx, 0.5)
+
+
+@query("knn_join_pq_topk", _N_QUERIES_ORACLE)
+def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN through the fully-DISTRIBUTED query path
+    (:func:`lindel_spark.similarity.knn_join_pq`, round-9): queries
+    never collect to the driver — they explode to probed cells, join
+    stored IVF-PQ codes on the cell id (shuffle equi-join, never a
+    cartesian; plan-asserted in tests/test_plans.py), ADC-score per
+    Arrow batch, and exact-refine through shuffled id joins. All
+    cells probed + exact refine, so recall@10 vs in-Spark brute force
+    clears the same 0.7 floor as the collect-based ``pq_knn`` entry
+    (identical codebook math; the paths differ only in distribution
+    strategy)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    nc, _np = LS.auto_ivf_config(n)
+    cents = LS.train_centroids(emb, nc)
+    books = LS.train_pq(emb, m=8, ks=256)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.knn_join_pq(codes, queries_df, cents, books, k=10,
+                            refine_with=emb, refine=max(8, n // 250))
+    return _recall_check(brute, approx, 0.7)
 
 
 @query(

@@ -359,3 +359,50 @@ def test_knn_join_nprobe_trades_recall(emb, queries_df, brute):
     for qid, s in want.items():
         hits += len(s & have.get(qid, set()))
     assert hits / total >= 0.8
+
+
+def test_knn_join_pq_agrees_with_collect_path(emb, queries_df):
+    """The distributed PQ query path must produce the SAME ranked
+    result as the collect-based ivf_pq_knn under identical quantizers
+    and probe settings (all cells probed, same exact-refine depth) —
+    the two strategies differ only in where the queries live."""
+    cents = LS.train_centroids(emb, 8)
+    books = LS.train_pq(emb, m=8, ks=64)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    a = LS.ivf_pq_knn(emb, queries_df, k=10, centroids=cents,
+                      codebooks=books, codes=codes, nprobe=8,
+                      refine_with=emb, refine=8).collect()
+    b = LS.knn_join_pq(codes, queries_df, cents, books, k=10,
+                       refine_with=emb, refine=8).collect()
+    ra = {(r.query_id, r.rank): r.neighbor_id for r in a}
+    rb = {(r.query_id, r.rank): r.neighbor_id for r in b}
+    assert ra == rb
+
+
+def test_knn_join_pq_plan_no_cartesian_no_collect(emb, queries_df):
+    """The PQ distributed path must be a cell-keyed equi-join feeding
+    Arrow-batch ADC scoring: no CartesianProduct, no
+    BroadcastNestedLoopJoin (the refine joins are shuffled id joins —
+    the query side is the unbounded one and must never broadcast)."""
+    cents = LS.train_centroids(emb, 8)
+    books = LS.train_pq(emb, m=8, ks=64)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    df = LS.knn_join_pq(codes, queries_df, cents, books, k=10,
+                        refine_with=emb, refine=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_pq_unrefined_adc_ranks(emb, queries_df):
+    """Without refine the output ranks by raw ADC scores — top-1 by
+    ADC must match the collect-based pq scorer's top-1 under the same
+    codebooks (sanity that LUT math is identical across paths)."""
+    cents = LS.train_centroids(emb, 8)
+    books = LS.train_pq(emb, m=8, ks=64)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    got = LS.knn_join_pq(codes, queries_df, cents, books, k=5).collect()
+    ref = LS.pq_knn(codes.drop("cell"), queries_df, books, k=5).collect()
+    a = {(r.query_id, r.rank): r.neighbor_id for r in got}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in ref}
+    assert a == b
