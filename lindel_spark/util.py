@@ -51,44 +51,132 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
 
 
 def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None,
+                method: str = "boundaries") -> DataFrame:
     """1-based global rank of every row under a TOTAL order over
     ``order_cols`` — WITHOUT the single-task ``Window.orderBy``
     anti-pattern (an unpartitioned window funnels the entire dataset
     through one task; at 100 TB that is not slow, it is impossible).
 
-    Plan shape: ONE range-partitioning shuffle
-    (``repartitionByRange`` + ``sortWithinPartitions``), a map-only
-    local enumeration (``mapInPandas`` with a per-partition running
-    counter — batches arrive in partition order), one bounded
-    ``groupBy(partition).count().collect()`` (rows == shuffle
-    partition count, never data-sized), and a broadcast join of the
-    cumulative offsets. Same shuffle volume as any global sort.
+    Default plan (``method="boundaries"``, round 9): determinism comes
+    from EXPLICIT partition boundaries, not from materializing the
+    frame. A content-deterministic md5 sample of ~``P x 20`` order
+    tuples (selected by row CONTENT, so it is identical across
+    executions and input partitionings) picks ``P-1`` boundary tuples,
+    collected once as literals. Each row's partition id is then a pure
+    COLUMN EXPRESSION — the count of boundary tuples below it (one
+    struct comparison per boundary, whole-stage codegen) — so the two
+    downstream jobs (per-pid counts: map-side-combined groupBy whose
+    shuffle is P rows; per-pid enumeration: a PARTITIONED window over
+    pid) cannot disagree about placement even though each re-executes
+    the input: pid is a function of the row, not of the execution.
+    This removes the full-frame ``localCheckpoint`` the round-8 fix
+    used (offsets from one execution of ``repartitionByRange`` applied
+    to another's enumeration corrupted ranks — repartitionByRange
+    re-samples per execution), halving the materialized I/O: one data
+    shuffle (the window's hash exchange on pid), one P-row agg, one
+    broadcast join. Note the input is SCANNED twice (counts +
+    window) — rank a narrow (order cols + id) projection and join the
+    rank back by id for wide rows (see sorted_neighborhood_pairs).
+
+    Boundary quality only affects BALANCE, never correctness: pid is
+    monotone in Spark's own struct ordering whatever tuples were
+    picked, and the exact residual order within a pid partition comes
+    from the window's sort. ``method="checkpoint"`` keeps the round-8
+    materialization path as a fallback (e.g. for inputs whose scan is
+    expensive enough that one materialization beats two scans).
 
     ``order_cols`` must be a total order (no ties): append a unique id
-    as the last column — with ties, which side of a range boundary a
-    row lands on would change its rank run-to-run.
-
-    The ranged frame is materialized ONCE via an eager
-    ``localCheckpoint`` before the two downstream jobs (partition
-    counts, enumeration). This is load-bearing, not an optimization:
-    ``repartitionByRange`` samples its boundaries with a seed derived
-    from the RDD id, so two *executions* of the same plan can place
-    boundary rows in different partitions — offsets computed from one
-    execution applied to another's enumeration silently corrupt ranks
-    (caught by the sf1 value sweep, round 8). Checkpoint blocks are
-    executor-local and freed by the ContextCleaner when the frame is
-    garbage-collected; on executor loss the job fails and retries
-    rather than recomputing inconsistently. For WIDE rows, rank a
-    narrow (order cols + id) projection and join the rank back by id —
-    see sorted_neighborhood_pairs for the pattern.
+    as the last column — with ties, rank among tied rows would be
+    ambiguous however it is computed.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    if method == "checkpoint":
+        return _global_rank_checkpoint(df, cols, out_col,
+                                       num_partitions)
+    if method != "boundaries":
+        raise ValueError(f"LINDEL: unknown global_rank method {method!r}")
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    P = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = df.count()
+    bounds: list[tuple] = []
+    if n > 0 and P > 1:
+        # content-deterministic sample: a row is a sample iff the md5
+        # of its order tuple hashes to 0 mod denom — independent of
+        # partitioning, task order, or RDD ids
+        denom = max(1, n // (P * 20))
+        sel = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        "\x1f", *[c.cast("string") for c in cols])),
+                    1, 15),
+                16, 10).cast("long"),
+            F.lit(denom)) == 0
+        samp = sorted(
+            (tuple(r) for r in df.filter(sel).select(*cols).collect()),
+            key=lambda t: tuple((v is not None, v) for v in t))
+        stride = max(1, len(samp) // P)
+        seen = None
+        for t in samp[stride::stride][:P - 1]:
+            # skip duplicate or NULL-bearing boundaries: both only
+            # cost balance, and NULL literals cannot type a struct
+            if t == seen or any(v is None for v in t):
+                continue
+            bounds.append(t)
+            seen = t
+    pid = F.lit(0)
+    row_struct = F.struct(*cols)
+    # struct comparison demands EXACT field types: cast each boundary
+    # literal to its order column's type (analysis-only, no job)
+    col_types = [f.dataType for f in df.select(*cols).schema.fields]
+    for b in bounds:
+        lit_struct = F.struct(
+            *[F.lit(v).cast(t) for v, t in zip(b, col_types)])
+        pid = pid + F.coalesce(
+            (row_struct > lit_struct).cast("int"), F.lit(0))
+    keyed = df.withColumn("__gr_pid", pid)
+    counts = sorted(
+        (r["__gr_pid"], r["cnt"])
+        for r in keyed.groupBy("__gr_pid")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    offsets, acc = [], 0
+    for p_, cnt in counts:
+        offsets.append((p_, acc))
+        acc += cnt
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets or [(0, 0)], "__gr_pid int, __gr_off long"))
+    w = Window.partitionBy("__gr_pid").orderBy(*cols)
+    return (
+        keyed.withColumn("__gr_rn", F.row_number().over(w))
+        .join(off_df, "__gr_pid")
+        .withColumn(out_col,
+                    (F.col("__gr_off") + F.col("__gr_rn")).cast("long"))
+        .drop("__gr_pid", "__gr_rn", "__gr_off")
+    )
+
+
+def _global_rank_checkpoint(df: DataFrame, cols, out_col: str,
+                            num_partitions: int | None) -> DataFrame:
+    """Round-8 fallback: one range-partitioning shuffle materialized
+    EAGERLY via ``localCheckpoint`` so the counts job and the map-only
+    enumeration read the SAME placement (repartitionByRange samples
+    boundaries per execution — without the pin, offsets from one
+    execution applied to another's enumeration silently corrupt ranks;
+    caught by the round-8 sf1 value sweep). Costs a full materialize
+    of the frame to executor-local storage; prefer the default
+    explicit-boundary method unless the input scan is the dearer
+    resource."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     if num_partitions is not None:
         ranged = df.repartitionByRange(num_partitions, *cols)
     else:

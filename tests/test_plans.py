@@ -434,19 +434,31 @@ def test_round8_operators_never_cartesian_or_global_window(spark, docs):
     }
     for name, p in plans.items():
         assert "CartesianProduct" not in p, name
-    # global_rank itself must not contain ANY Window operator — its
-    # whole point is rank-without-window
-    assert "Window" not in plans["global_rank"]
-    # the range shuffle runs EAGERLY into a localCheckpoint (the
-    # determinism fix: one materialized partitioning feeds both the
-    # counts job and the enumeration), so the returned frame's lazy
-    # plan reads the checkpointed RDD and must contain no further
-    # shuffle beyond the broadcast offsets join
+    # round-9 default: rank via explicit content-derived boundaries —
+    # the only Window is PARTITIONED on the pid column (never the
+    # single-task unpartitioned sort), offsets arrive by broadcast,
+    # and the one data shuffle is the window's hash exchange on pid
+    # (no range repartition, no checkpoint materialization)
     p = plans["global_rank"].lower()
-    assert "existingrdd" in p or "scan existing" in p
     assert "broadcasthashjoin" in p
-    # only the broadcast exchange (formatted explain prints each
-    # operator twice: tree node + detail block); no data shuffle —
-    # in particular no range repartition in the LAZY plan
-    assert p.count("exchange") <= 2
     assert "rangepartitioning" not in p
+    assert "hashpartitioning(__gr_pid" in p
+    # the one Window is PARTITIONED on the pid column (its spec names
+    # __gr_pid) — never the single-task unpartitioned sort
+    assert "windowspecdefinition(__gr_pid" in p
+
+
+def test_global_rank_checkpoint_fallback_plan(spark, docs):
+    """The round-8 checkpoint path stays available behind
+    method='checkpoint': lazy plan reads the materialized RDD, no
+    Window at all, no range repartition downstream."""
+    from lindel_spark.util import global_rank
+
+    p = plan_of(global_rank(docs.select("doc_id"), ["doc_id"],
+                            method="checkpoint"))
+    lp = p.lower()
+    assert "Window" not in p
+    assert "existingrdd" in lp or "scan existing" in lp
+    assert "broadcasthashjoin" in lp
+    assert lp.count("exchange") <= 2
+    assert "rangepartitioning" not in lp

@@ -388,3 +388,46 @@ def test_sorted_neighborhood_pairs_values(spark):
     assert (1, 2) in pairs
     assert 0.5 <= pairs[(1, 2)] < 1.0
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_global_rank_stable_across_executions_and_methods(spark):
+    """Round-9: ranks must be IDENTICAL across repeated executions
+    (the r8 sf1 bug was offsets from one execution applied to
+    another's enumeration) and across both implementations — the
+    explicit-boundary default and the checkpoint fallback."""
+    from lindel_spark.util import global_rank
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 7919).alias("key"))
+    a = {r.id: r.rnk
+         for r in global_rank(df, ["key", "id"], "rnk").collect()}
+    # same lazy frame re-executed: a fresh global_rank over a
+    # RE-PARTITIONED copy of the same rows must agree value-for-value
+    b = {r.id: r.rnk
+         for r in global_rank(df.repartition(7), ["key", "id"],
+                              "rnk").collect()}
+    c = {r.id: r.rnk
+         for r in global_rank(df, ["key", "id"], "rnk",
+                              method="checkpoint").collect()}
+    assert a == b == c
+    assert sorted(a.values()) == list(range(1, 20001))
+
+
+def test_global_rank_string_order_and_empty(spark):
+    """Boundary path with a STRING leading order column (the SNM
+    shape) and the empty-frame edge."""
+    from pyspark.sql import Window
+
+    from lindel_spark.util import global_rank
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i % 97:03d} {'x' * (i % 5)}") for i in range(3000)],
+        ["id", "t"])
+    got = {r.id: r.rnk
+           for r in global_rank(df, ["t", "id"], "rnk").collect()}
+    want = {r.id: r.rnk for r in df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("t", "id"))).collect()}
+    assert got == want
+    empty = global_rank(df.filter("id < 0"), ["t", "id"], "rnk")
+    assert empty.count() == 0
