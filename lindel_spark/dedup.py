@@ -266,6 +266,7 @@ def near_dup_pairs(
     threshold: float = DEFAULT_THRESHOLD,
     shingles: str = "word",
     cache: bool = True,
+    max_band_bucket: int | None = 8192,
 ) -> DataFrame:
     """LSH-bucketed near-duplicate pairs with exact Jaccard verification.
 
@@ -295,6 +296,17 @@ def near_dup_pairs(
     verified jaccard. The OUTPUT is still quadratic in cluster size
     (the result itself is), but the shuffled/verified intermediate no
     longer is.
+
+    ``max_band_bucket`` guards the residual blow-up exact-collapse
+    cannot catch: NEAR-identical docs (distinct fingerprints, same
+    band keys) all land in one bucket and the band self-join goes
+    quadratic in its size. A bucket over the cap fails LOUDLY at
+    execution (in-plan ``raise_error`` carrying the band key, its
+    size, and the fix — the :func:`~lindel_spark.streaming.gapfill_rollup`
+    ``max_buckets`` pattern) instead of silently running a
+    cap²-candidate join per hot bucket at 100 TB. Raise the cap, use
+    more bands / a higher threshold, or pass ``None`` to disable when
+    a quadratic bucket is genuinely intended.
     """
     if shingles == "word":
         guard = F.size(tokens(F.col(text_col))) >= k
@@ -340,6 +352,31 @@ def near_dup_pairs(
             "band_idx", "band_key"
         ),
     )
+    if max_band_bucket is not None:
+        # guard embedded in the LOAD-BEARING join key (the gapfill
+        # max_buckets pattern): it cannot be pruned, costs one window
+        # over the same key the self-join shuffles on, and fails with
+        # the offending bucket + the fix instead of silently running a
+        # size^2-candidate join per hot bucket
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band_idx", "band_key")
+        bn = F.count(F.lit(1)).over(wb)
+        guarded_key = F.when(
+            bn > F.lit(int(max_band_bucket)),
+            F.raise_error(F.format_string(
+                "LINDEL: LSH band bucket (band %s, key %s) holds %s "
+                "docs > max_band_bucket=" + str(int(max_band_bucket))
+                + " — a near-identical cluster makes the band "
+                "self-join quadratic in that size. Use more "
+                "bands/a higher threshold, pre-collapse the cluster, "
+                "raise max_band_bucket, or pass None to accept the "
+                "quadratic bucket.",
+                F.col("band_idx").cast("string"), F.col("band_key"),
+                bn.cast("string"))).cast("string"),
+        ).otherwise(F.col("band_key"))
+        bands_df = bands_df.select(
+            "id", "band_idx", guarded_key.alias("band_key"))
     a, b = bands_df.alias("a"), bands_df.alias("b")
     cand = (
         a.join(b, on=["band_idx", "band_key"])

@@ -54,48 +54,63 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-8 rotation (the driver samples the first ~50): (a) the
-    # CURVE-CORE queries — last driver-recorded r2/r3, explicitly
-    # requested back in a driver sample by round-7's verdict; (b) the
-    # queries added or whose operators changed this round; (c) the 16
-    # round-6/7 entries that missed r7's 50-sample cut. Everything
-    # else stays covered by the local full-registry sweeps.
-    "golden_scalars", "rt_hilbert_i32", "rt_hilbert_f32",
-    "rt_hilbert_f64", "rt_hilbert_i16", "rt_hilbert_i16_8",
-    "rt_hilbert_i64", "rt_hilbert_i8_16", "rt_morton_i32",
-    "rt_morton_i8", "rt_morton_i8_8", "rt_morton_f32",
-    "rt_morton_f32_4", "rt_unsigned_i16", "morton_native_vals_i32",
-    "zorder_readback", "sql_registration_surface",
-    # (b) round-8 new / operator-changed
-    "knn_join_topk",
-    "dedup_near_pairs",          # exact-collapse pre-banding rewrite
-    "multimodal_audio_features",  # oracle now payload-sized
-    "zorder_store_cycle",        # metadata layer now Hadoop-FS-backed
-    "pipeline_compact_files",    # same
-    "events_incremental_agg",    # same (agg store marker I/O)
-    "sketch_kmv_overlap", "sketch_kmv_users",  # kmv_merge explicit k
-    "pipeline_manifest_pruned",  # new: file min/max manifest index
-    "dedup_sorted_neighborhood",  # new: SNM blocking via global_rank
-    "sampling_negatives",        # new: deterministic negative sampling
-    "features_scaled",           # new: feature scaling (minmax+quantile)
-    "zorder_store_select",       # new: store read with file pruning
-    "basket_rules",              # new: association rules
-    # (c) missed r7's cut
-    "events_sliding_rollup", "sampling_fixed_n_per_stratum",
-    "sampling_weighted_n",
-    "hilbert_native_vals_i32", "events_rolling_hour",
-    "events_anomaly_zscore", "events_latest_per_user",
-    "asof_join_forward", "events_gapfilled_rollup",
-    "events_interval_join", "sampling_quality_weighted",
-    "text_feature_hash", "sampling_leak_safe_split",
-    "knn_ivf_append", "sampling_shuffled_order",
-    # (d) staples last driver-green in r6 or earlier, oldest families
-    # first, to keep every query on a bounded driver-resample cadence
-    "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q18_large_orders",
-    "knn_brute", "knn_ivf_recall", "dedup_exact_groups",
-    "dedup_minhash_estimate_quality", "dedup_simhash_pairs",
-    "text_stats", "events_sessionize", "events_funnel",
-    "events_retention_cohorts",
+    # round-9 rotation (the driver samples the first ~50): (a) queries
+    # whose operators were added or changed this round — the driver
+    # must record them; (b) the 70+ families NOT driver-sampled in r7
+    # or r8 (computed from CORRECTNESS_r07/r08 keys), oldest coverage
+    # first — round-8 verdict item 8 asked for >=10 of these in the
+    # r9 sample. Everything else stays covered by the local
+    # full-registry sweeps at three scales.
+    # (a) round-9 new / operator-changed
+    "knn_join_pq_topk",          # new: distributed PQ query side
+    "zorder_store_select",       # reads the PERSISTED manifest now
+    "zorder_store_cycle",        # commit-log protocol + manifests
+    "pipeline_manifest_pruned",  # file_minmax_manifest files= param
+    "events_incremental_agg",    # agg store on the commit log
+    "dedup_near_pairs",          # hot-bucket guard in the band join
+    "dedup_ngram_jaccard",       # banded oracle replay (sf1 fix)
+    "dedup_sorted_neighborhood",  # global_rank boundary method
+    "features_scaled",           # same
+    "sampling_negatives",        # same
+    "sampling_shuffled_order",   # same
+    "sketch_kmv_users", "sketch_kmv_overlap",  # kmv_merge k required
+    # (b) not driver-sampled since r6 (stale-first)
+    "golden_grid_i8", "golden_grid_i32",
+    "text_stats", "text_langid", "text_bigrams",
+    "dedup_exact_groups", "dedup_simhash_pairs",
+    "dedup_embedding_cosine", "dedup_clusters", "dedup_kept_ids",
+    "dedup_minhash_estimate_quality", "dedup_winnow_pairs",
+    "dedup_contamination_check", "dedup_incremental_batch",
+    "events_sessionize", "events_funnel", "events_retention_cohorts",
+    "events_windowed_rollup", "events_multi_grain_rollup",
+    "events_rolling_value", "events_json_props", "events_percentiles",
+    "events_topk_users", "events_hll_users", "events_step_durations",
+    "events_cube_rollup",
+    "skew_salted_join", "skew_two_phase_distinct",
+    "asof_join_events", "spatial_range_join",
+    "multimodal_content_dedup", "multimodal_meta",
+    "multimodal_image_features", "multimodal_frame_sample",
+    "multimodal_resize",
+    "knn_ann_simhash", "knn_ivf", "knn_ivf_exhaustive",
+    "knn_ivf_recall", "knn_pq_recall", "knn_ivfpq_recall",
+    "knn_ivf_pipeline", "embedding_ops",
+    "text_winnow_fingerprints", "text_repetition_signals",
+    "text_scrub",
+    "sources_csv_jsonl_roundtrip",
+    "sampling_deterministic_split", "sampling_stratified",
+    "sampling_mixture", "sampling_upsampled_mixture",
+    "profile_lineitem", "pipeline_dedup_splits",
+    "pipeline_pack_sequences", "pipeline_chunk_documents",
+    "pipeline_quality_filter", "streaming_first_seen",
+    "tpch_q5_local_volume", "tpch_q6_forecast", "tpch_q4_priority",
+    "tpch_q10_returned", "tpch_q14_promo", "tpch_q7_volume_shipping",
+    "tpch_q13_custdist", "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers", "setop_active_returned_customers",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q12_late_lines", "tpch_q2_top_supplier_per_part",
+    "tpch_q11_important_parts", "tpch_q16_supplier_cnt",
+    "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
 ]
 
 

@@ -431,3 +431,34 @@ def test_global_rank_string_order_and_empty(spark):
     assert got == want
     empty = global_rank(df.filter("id < 0"), ["t", "id"], "rnk")
     assert empty.count() == 0
+
+
+def test_near_dup_hot_bucket_guard_raises(spark):
+    """Round-9 verdict item 7: exact-collapse bounds IDENTICAL docs,
+    but near-identical docs (distinct fingerprints, shared band keys)
+    can still pile into one bucket and go quadratic. The guard must
+    fail loudly with the bucket size and the fix, not grind through
+    cap^2 candidates."""
+    import pytest as _pytest
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(1000)],
+        ["doc_id", "text"])
+    bad = LD.near_dup_pairs(docs, max_band_bucket=100)
+    with _pytest.raises(Exception, match="max_band_bucket"):
+        bad.count()
+    # None disables the guard: the quadratic bucket is accepted and
+    # the pipeline still verifies pairs correctly
+    ok = LD.near_dup_pairs(docs.limit(30), max_band_bucket=None)
+    assert ok.count() > 0
+
+
+def test_near_dup_guard_transparent_when_buckets_small(spark, docs):
+    """With the default cap the guard must not change results on
+    normal corpora: value-identical to the guard-disabled run."""
+    a = sorted(map(tuple, LD.near_dup_pairs(docs).collect()))
+    b = sorted(map(tuple,
+                   LD.near_dup_pairs(docs, max_band_bucket=None)
+                   .collect()))
+    assert a == b and len(a) > 0
