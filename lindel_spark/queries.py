@@ -70,6 +70,7 @@ _SAMPLE_FIRST = [
     "dedup_near_pairs",          # hot-bucket guard in the band join
     "dedup_ngram_jaccard",       # banded oracle replay (sf1 fix)
     "dedup_sorted_neighborhood",  # global_rank boundary method
+    "dedup_prefix_filter_pairs",  # new: exact prefix-filter join
     "features_scaled",           # same
     "sampling_negatives",        # same
     "sampling_shuffled_order",   # same
@@ -883,6 +884,67 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity values all hash-compare."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LD.sorted_neighborhood_pairs(docs)
+
+
+def _prefix_filter_oracle(threshold: float = 0.8,
+                          k: int = LD.DEFAULT_SHINGLE_K) -> str:
+    """DuckDB replay of the prefix-filtering set-similarity join over
+    word k-shingle sets: same rarest-first global order, same prefix
+    length, same size filter, exact Jaccard — hash-compares
+    value-for-value."""
+    t = f"{threshold}e0"
+    shingle = " || ' ' || ".join(
+        f"toks[i + {j}]" for j in range(k)).replace(
+        "toks[i + 0]", "toks[i]")
+    return f"""
+    WITH raw AS (
+      SELECT doc_id::BIGINT AS id, {_DUCK_TOKS} AS toks FROM documents
+    ), d AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(toks) - {k - 2}),
+                                          i -> {shingle})) AS toks
+      FROM raw WHERE len(toks) >= {k}
+    ), tok AS (
+      SELECT id, unnest(toks) AS t FROM d
+    ), freq AS (
+      SELECT t, COUNT(*)::BIGINT AS f FROM tok GROUP BY t
+    ), ordered AS (
+      SELECT tok.id, list(tok.t ORDER BY freq.f, tok.t) AS toks,
+             COUNT(*)::INT AS n
+      FROM tok JOIN freq USING (t) GROUP BY tok.id
+    ), pref AS (
+      SELECT id, n,
+             unnest(toks[1 : n - CAST(ceil({t} * n) AS INT) + 1]) AS p
+      FROM ordered
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM pref a JOIN pref b
+        ON a.p = b.p AND a.id < b.id
+       AND {t} * greatest(a.n, b.n) <= least(a.n, b.n)
+    ), pairs AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(x.toks, y.toks))::DOUBLE
+               / len(list_distinct(x.toks || y.toks))::DOUBLE AS jaccard
+      FROM cand c
+      JOIN ordered x ON x.id = c.id_a
+      JOIN ordered y ON y.id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {t}
+    """
+
+
+@query("dedup_prefix_filter_pairs", _prefix_filter_oracle())
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set Jaccard join via prefix filtering
+    (:func:`lindel_spark.dedup.set_similarity_join`, round 9): the
+    deterministic complement to MinHash — no false negatives, so the
+    DuckDB replay of the identical rarest-first order / prefix /
+    size-filter / verify chain hash-compares value-for-value. Same
+    element definition and threshold as ``dedup_near_pairs``, making
+    this the exact superset cross-check of the LSH path."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LD.set_similarity_join(docs, threshold=0.8,
+                                  shingle_k=LD.DEFAULT_SHINGLE_K)
 
 
 #: Cap on the exact ground-truth sample inside ``dedup_embedding_cosine``.

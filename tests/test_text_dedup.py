@@ -462,3 +462,45 @@ def test_near_dup_guard_transparent_when_buckets_small(spark, docs):
                    LD.near_dup_pairs(docs, max_band_bucket=None)
                    .collect()))
     assert a == b and len(a) > 0
+
+
+def test_prefix_filter_superset_of_lsh_and_exact(spark, docs):
+    """Round-9: set_similarity_join is EXACT (prefix-filter theorem):
+    its pairs must be a superset of the LSH path's verified pairs at
+    the same threshold/elements, and every emitted jaccard must be
+    >= threshold and match the LSH value where both found the pair."""
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in LD.set_similarity_join(
+                 docs, threshold=0.8, shingle_k=3).collect()}
+    lsh = {(r.id_a, r.id_b): r.jaccard
+           for r in LD.near_dup_pairs(docs).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(v >= 0.8 for v in exact.values())
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_prefix_filter_matches_bruteforce_small(spark):
+    """Ground truth on a corpus small enough to brute force: the
+    prefix-filtered join must equal the all-pairs exact answer."""
+    import itertools
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): round(r.jaccard, 12)
+           for r in LD.set_similarity_join(df, threshold=0.5).collect()}
+    toks = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+        if j >= 0.5:
+            want[(a, b)] = round(j, 12)
+    assert got == want and len(want) > 0
+
+
+def test_prefix_filter_plan_no_cartesian(spark, docs):
+    """Candidate generation must stay a prefix-token equi-join."""
+    p = LD.set_similarity_join(docs, threshold=0.8, shingle_k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
