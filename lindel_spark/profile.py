@@ -403,6 +403,32 @@ def file_minmax_manifest(spark, path: str, cols,
     return fdf.mapInPandas(read_stats, out_schema)
 
 
+def manifest_survivors(man: DataFrame, ranges: dict,
+                       prunable=None) -> DataFrame:
+    """Filter a stats-manifest DataFrame down to files whose
+    [min, max] can intersect every predicate range. Conservative: a
+    NULL stat — or a column outside ``prunable`` / missing from the
+    manifest — never prunes. Runs DISTRIBUTED: on a million-file
+    table the filter is pushed into the manifest's own parquet scan
+    and only survivors flow out."""
+    cols = set(man.columns)
+    pred = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if prunable is not None and c not in prunable:
+            continue
+        if f"min_{c}" not in cols or f"max_{c}" not in cols:
+            continue
+        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
+        no_stats = mn.isNull() | mx.isNull()
+        keep = F.lit(True)
+        if lo is not None:
+            keep = keep & (mx >= F.lit(float(lo)))
+        if hi is not None:
+            keep = keep & (mn <= F.lit(float(hi)))
+        pred = pred & (no_stats | keep)
+    return man.filter(pred)
+
+
 def manifest_pruned_read(spark, path: str, manifest,
                          ranges: dict) -> tuple[DataFrame, dict]:
     """Scan only the files whose manifest [min, max] intersects every
@@ -416,12 +442,12 @@ def manifest_pruned_read(spark, path: str, manifest,
     the residual filter re-applies the predicate row-level either way.
 
     ``manifest`` is either the DataFrame from
-    :func:`file_minmax_manifest` or its collected rows (list of
-    Row/dict). The manifest is metadata-sized (one row per file) —
-    exactly what table formats keep in their transaction log and read
-    driver-side; pass the collected form on a query hot path so
-    pruning costs zero Spark jobs (the DataFrame form runs two tiny
-    metadata jobs per call).
+    :func:`file_minmax_manifest` (pruning runs DISTRIBUTED and only
+    the SURVIVING file paths are collected — survivor-sized, never
+    file-count-sized, round 9) or its collected rows (list of
+    Row/dict — the zero-Spark-jobs hot path when the caller already
+    holds the metadata, as table formats do with their transaction
+    log).
     """
     residual = F.lit(True)
     for c, (lo, hi) in ranges.items():
@@ -431,24 +457,30 @@ def manifest_pruned_read(spark, path: str, manifest,
             residual = residual & (F.col(c) <= F.lit(hi))
 
     if isinstance(manifest, DataFrame):
-        rows = [r.asDict() for r in manifest.collect()]
+        total = manifest.count()
+        keep = sorted({
+            r["file"]
+            for r in manifest_survivors(manifest, ranges)
+            .select("file").collect()
+        })
     else:
         rows = [r if isinstance(r, dict) else r.asDict()
                 for r in manifest]
 
-    def survives(rec: dict) -> bool:
-        for c, (lo, hi) in ranges.items():
-            mn, mx = rec.get(f"min_{c}"), rec.get(f"max_{c}")
-            if mn is None or mx is None:
-                continue  # no stats: conservatively scan
-            if lo is not None and mx < float(lo):
-                return False
-            if hi is not None and mn > float(hi):
-                return False
-        return True
+        def survives(rec: dict) -> bool:
+            for c, (lo, hi) in ranges.items():
+                mn, mx = rec.get(f"min_{c}"), rec.get(f"max_{c}")
+                if mn is None or mx is None:
+                    continue  # no stats: conservatively scan
+                if lo is not None and mx < float(lo):
+                    return False
+                if hi is not None and mn > float(hi):
+                    return False
+            return True
 
-    keep = [rec["file"] for rec in rows if survives(rec)]
-    stats = {"files_total": len(rows), "files_scanned": len(keep)}
+        total = len(rows)
+        keep = [rec["file"] for rec in rows if survives(rec)]
+    stats = {"files_total": total, "files_scanned": len(keep)}
     if not keep:
         df = spark.read.parquet(path).filter(residual).limit(0)
         return df, stats

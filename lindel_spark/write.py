@@ -551,26 +551,6 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
     return {"rewritten": True, "base_bytes": bb, "tail_bytes": tb}
 
 
-def _manifest_survivors(man: DataFrame, ranges: dict,
-                        prunable: set[str]) -> DataFrame:
-    """Filter a stats manifest down to files whose [min, max] can
-    intersect every predicate range. Conservative: a NULL stat (or a
-    column the manifest doesn't index) never prunes."""
-    pred = F.lit(True)
-    for c, (lo, hi) in ranges.items():
-        if c not in prunable:
-            continue
-        mn, mx = F.col(f"min_{c}"), F.col(f"max_{c}")
-        no_stats = mn.isNull() | mx.isNull()
-        keep = F.lit(True)
-        if lo is not None:
-            keep = keep & (mx >= F.lit(float(lo)))
-        if hi is not None:
-            keep = keep & (mn <= F.lit(float(hi)))
-        pred = pred & (no_stats | keep)
-    return man.filter(pred)
-
-
 def zorder_store_select(spark, path: str, ranges: dict
                         ) -> tuple[DataFrame, dict]:
     """Range-predicate read of an incremental z-order store with
@@ -599,7 +579,8 @@ def zorder_store_select(spark, path: str, ranges: dict
     """
     from lindel_spark import fs as _fs
     from lindel_spark.profile import (file_minmax_manifest,
-                                      manifest_pruned_read)
+                                      manifest_pruned_read,
+                                      manifest_survivors)
 
     v = _zstore_latest(spark, path)
     if v is None:
@@ -618,7 +599,7 @@ def zorder_store_select(spark, path: str, ranges: dict
         man = spark.read.parquet(man_dir)
         total = man.count()  # metadata-sized: one row per base file
         keep = sorted({
-            r["file"] for r in _manifest_survivors(
+            r["file"] for r in manifest_survivors(
                 man, ranges, stat_cols).select("file").collect()
         })
         stats = {"files_total": total, "files_scanned": len(keep)}
@@ -646,7 +627,7 @@ def zorder_store_select(spark, path: str, ranges: dict
         scan = tail_files
         if stat_cols and _fs.is_dir(spark, mtail_dir):
             with_stats = {
-                r["file"] for r in _manifest_survivors(
+                r["file"] for r in manifest_survivors(
                     spark.read.parquet(mtail_dir), ranges, stat_cols)
                 .select("file").collect()
             }
