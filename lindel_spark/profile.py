@@ -485,3 +485,119 @@ def manifest_pruned_read(spark, path: str, manifest,
         df = spark.read.parquet(path).filter(residual).limit(0)
         return df, stats
     return spark.read.parquet(*keep).filter(residual), stats
+
+
+# ---------------------------------------------------------------------------
+# per-file Bloom index: point-lookup file pruning on ANY column
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 7          # hash functions; with m/n ~ 14 bits/value -> fpp ~1%
+_BLOOM_HEX = 15       # md5 hex chars folded into each position (60 bits)
+
+
+def _bloom_positions_py(value, k: int, m: int) -> list:
+    """Driver-side probe positions — EXACTLY the md5 scheme the build
+    runs JVM-side, so membership tests are engine-portable."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:_BLOOM_HEX],
+            16) % m
+        for i in range(k)
+    ]
+
+
+def file_bloom_manifest(spark, path: str, col: str,
+                        m_bits: int = 1 << 20,
+                        k: int = _BLOOM_K) -> DataFrame:
+    """Per-file BLOOM index over ``col``: one row per data file with a
+    packed ``m_bits``-wide bitset of the column's value hashes — the
+    point-lookup complement to :func:`file_minmax_manifest` (min/max
+    prunes RANGE predicates on clustered columns; a Bloom filter
+    prunes EQUALITY probes on any column, clustered or not, with no
+    false negatives by construction).
+
+    Build shape: one scan of ``col`` tagged with
+    ``input_file_name()``, each value exploded to its ``k`` md5-mod-m
+    positions (pure column expressions, whole-stage codegen), one
+    map-side-combined ``collect_set`` per file, and a tiny Arrow pass
+    packing positions into ``m_bits/8`` bytes. The manifest is
+    file-count-sized metadata (128 KiB per file at the default m) —
+    build it once after a write, store it next to the data, and
+    :func:`bloom_pruned_read` turns point lookups into scans of only
+    the files that can contain the probe value. This is the scan-once
+    index trade every table format makes; the scan is the same cost
+    as the write that produced the files.
+    """
+    from pyspark.sql import types as T
+
+    pos_cols = [
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"),
+                               F.col(col).cast("string"))),
+                1, _BLOOM_HEX),
+            16, 10).cast("long") % m_bits).cast("long")
+        for i in range(k)
+    ]
+    pos = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"),
+                F.explode(F.array(*pos_cols)).alias("p"))
+        .groupBy("file")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    out_schema = T.StructType([
+        T.StructField("file", T.StringType()),
+        T.StructField("n_positions", T.LongType()),
+        T.StructField("bits", T.BinaryType()),
+    ])
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for f, ps in zip(pdf["file"], pdf["ps"]):
+                bits = np.zeros(m_bits // 8, np.uint8)
+                idx = np.asarray(ps, np.int64)
+                np.bitwise_or.at(bits, idx // 8,
+                                 (1 << (idx % 8)).astype(np.uint8))
+                rows.append((_strip_file_scheme(f), len(ps),
+                             bits.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["file", "n_positions", "bits"])
+
+    return pos.mapInPandas(pack, out_schema)
+
+
+def bloom_pruned_read(spark, path: str, manifest, col: str, value,
+                      m_bits: int = 1 << 20,
+                      k: int = _BLOOM_K) -> tuple[DataFrame, dict]:
+    """Point-lookup read through a :func:`file_bloom_manifest`: scan
+    ONLY the files whose bitset admits ``value`` (no false negatives:
+    a file containing the value always has all ``k`` bits set), then
+    apply the exact equality filter. ``manifest`` is the manifest
+    DataFrame or its collected rows; ``m_bits``/``k`` must match the
+    build. Returns ``(df, stats)`` with files_total / files_scanned.
+    """
+    probes = _bloom_positions_py(value, k, m_bits)
+    if isinstance(manifest, DataFrame):
+        rows = manifest.select("file", "bits").collect()
+    else:
+        rows = manifest
+    keep = []
+    total = 0
+    for r in rows:
+        total += 1
+        bits = r["bits"] if not hasattr(r, "bits") else r.bits
+        f = r["file"] if not hasattr(r, "file") else r.file
+        if all(bits[p // 8] & (1 << (p % 8)) for p in probes):
+            keep.append(f)
+    stats = {"files_total": total, "files_scanned": len(keep)}
+    residual = F.col(col) == F.lit(value)
+    if not keep:
+        return (spark.read.parquet(path).filter(residual).limit(0),
+                stats)
+    return spark.read.parquet(*sorted(keep)).filter(residual), stats

@@ -71,6 +71,7 @@ _SAMPLE_FIRST = [
     "dedup_ngram_jaccard",       # banded oracle replay (sf1 fix)
     "dedup_sorted_neighborhood",  # global_rank boundary method
     "dedup_prefix_filter_pairs",  # new: exact prefix-filter join
+    "pipeline_bloom_pruned",     # new: per-file bloom point-lookup index
     "features_scaled",           # same
     "sampling_negatives",        # same
     "sampling_shuffled_order",   # same
@@ -6982,6 +6983,45 @@ def q_zorder_store_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(agg.n_rows, agg.sum_qty, agg.sum_supp,
           stats["files_scanned"] < stats["files_total"])],
         "n_rows long, sum_qty long, sum_supp long, pruned_some boolean",
+    )
+
+
+@query(
+    "pipeline_bloom_pruned",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(l_extendedprice), 2)::DOUBLE AS sum_price,
+           true AS pruned_some
+    FROM lineitem WHERE l_orderkey = 1000
+    """,
+)
+def q_pipeline_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM index point lookup (round 9,
+    :func:`lindel_spark.profile.file_bloom_manifest` +
+    :func:`~lindel_spark.profile.bloom_pruned_read`): write lineitem
+    UNCLUSTERED (min/max stats cannot prune an equality probe on a
+    scattered column), build the bloom manifest once, then answer a
+    point lookup scanning only files whose bitset admits the value —
+    no false negatives, so the oracle recomputed from the raw table
+    must match exactly; the emitted boolean pins that whole files
+    were skipped."""
+    from lindel_spark import profile as LP
+
+    li = _lineitem(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="lindel_bloom_"), "d")
+    li.repartition(16).write.mode("overwrite").parquet(out)
+    man = LP.file_bloom_manifest(spark, out, "l_orderkey")
+    hits, stats = LP.bloom_pruned_read(spark, out, man,
+                                       "l_orderkey", 1000)
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).cast("double")
+        .alias("sum_price"),
+    ).first()
+    return spark.createDataFrame(
+        [(agg.n_rows, agg.sum_price,
+          stats["files_scanned"] < stats["files_total"])],
+        "n_rows long, sum_price double, pruned_some boolean",
     )
 
 

@@ -162,3 +162,27 @@ def test_file_minmax_manifest_prunes_files(spark, tmp_path_factory):
         spark, zpath, manifest, {"l_orderkey": (10**9, 10**9 + 1)})
     assert none_stats["files_scanned"] == 0
     assert none_df.count() == 0
+
+
+def test_bloom_manifest_no_false_negatives_and_prunes(spark, tmp_path):
+    """Round-9 bloom index: every present value MUST be admitted by
+    its file's bitset (no false negatives), point lookups skip files,
+    and an absent value prunes (almost) everything."""
+    from lindel_spark import profile as LP
+
+    df = spark.range(20000).select(
+        (F.col("id") * 37 + 11).alias("key"),
+        (F.col("id") % 100).alias("v"))
+    path = str(tmp_path / "bloom")
+    df.repartition(8).write.parquet(path)
+    man = LP.file_bloom_manifest(spark, path, "key").collect()
+    # present values: exact result through the pruned read
+    for probe in (11, 11 + 37 * 9999, 11 + 37 * 19999):
+        hits, stats = LP.bloom_pruned_read(spark, path, man,
+                                           "key", probe)
+        assert hits.count() == 1, probe
+        assert stats["files_scanned"] >= 1
+        assert stats["files_scanned"] < stats["files_total"]
+    # absent value: fpp ~1e-4 per file -> expect 0 scanned of 8
+    _hits, stats = LP.bloom_pruned_read(spark, path, man, "key", 12)
+    assert stats["files_scanned"] <= 1
