@@ -7010,9 +7010,15 @@ def q_pipeline_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _lineitem(spark, sf_dir)
     out = os.path.join(tempfile.mkdtemp(prefix="lindel_bloom_"), "d")
     li.repartition(16).write.mode("overwrite").parquet(out)
-    man = LP.file_bloom_manifest(spark, out, "l_orderkey")
+    # size the bitset to ~20 bits per value per file (the operating
+    # point that keeps fpp ~1e-4): a FIXED m saturates at 10x data —
+    # the index parameter, not the index, tracks scale
+    m_bits = 1 << max(20, (li.count() * 20 // 16).bit_length())
+    man = LP.file_bloom_manifest(spark, out, "l_orderkey",
+                                 m_bits=m_bits)
     hits, stats = LP.bloom_pruned_read(spark, out, man,
-                                       "l_orderkey", 1000)
+                                       "l_orderkey", 1000,
+                                       m_bits=m_bits)
     agg = hits.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 2).cast("double")
