@@ -72,6 +72,7 @@ _SAMPLE_FIRST = [
     "dedup_sorted_neighborhood",  # global_rank boundary method
     "dedup_prefix_filter_pairs",  # new: exact prefix-filter join
     "pipeline_bloom_pruned",     # new: per-file bloom point-lookup index
+    "text_vocab_coverage",       # new: vocab frequency/coverage curve
     "features_scaled",           # same
     "sampling_negatives",        # same
     "sampling_shuffled_order",   # same
@@ -6984,6 +6985,38 @@ def q_zorder_store_select(spark: SparkSession, sf_dir: str) -> DataFrame:
           stats["files_scanned"] < stats["files_total"])],
         "n_rows long, sum_qty long, sum_supp long, pruned_some boolean",
     )
+
+
+@query(
+    "text_vocab_coverage",
+    f"""
+    WITH t AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ), c AS (
+      SELECT token, COUNT(*)::BIGINT AS cnt FROM t GROUP BY token
+    ), tot AS (
+      SELECT SUM(cnt)::BIGINT AS total FROM c
+    ), r AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM c
+    ), sel AS (
+      SELECT * FROM r WHERE rank <= 200
+    )
+    SELECT rank::BIGINT AS rank, token, cnt,
+           (SUM(cnt) OVER (ORDER BY cnt DESC, token
+                           ROWS UNBOUNDED PRECEDING))::DOUBLE
+             / total::DOUBLE AS cum_share
+    FROM sel, tot
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency ranking with cumulative coverage curve
+    (:func:`lindel_spark.text.vocab_coverage`, round 9): exact integer
+    counts, deterministic (cnt desc, token) tie-break, one final
+    division — the whole curve hash-compares against DuckDB."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.vocab_coverage(docs, top_n=200)
 
 
 @query(

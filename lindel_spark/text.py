@@ -478,3 +478,57 @@ def sentences(c: Column) -> Column:
     return F.filter(
         F.transform(segs, lambda s: F.trim(s)),
         lambda s: s != F.lit(""))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Corpus vocabulary ranked by frequency with the CUMULATIVE
+    coverage curve — the tokenizer-design primitive: "how many token
+    types cover 95% of the corpus mass?" drives vocab size, OOV
+    budget, and byte-fallback decisions for any subword scheme.
+
+    Returns (rank, token, cnt, cum_share) for the ``top_n`` most
+    frequent whitespace tokens, rank 1-based by (count desc, token)
+    — the tie-break makes the frame deterministic and replayable.
+    ``cum_share`` is the running fraction of ALL token occurrences
+    (not just the top-n's) covered through that rank, computed with
+    exact integer sums and one final division so it hash-compares
+    across engines.
+
+    Shape at scale: one map-side-combined groupBy over the token
+    vocabulary (keys = distinct tokens, not corpus size), a rank
+    window over AT MOST ``top_n`` survivors (Catalyst pushes the top-n
+    cut below the rank window as a per-partition LocalLimit —
+    LimitPushDownThroughWindow — so no task ever holds more than
+    ``top_n`` vocabulary rows; plan-asserted), and a one-row total
+    broadcast. The explode is
+    map-local; nothing row-scale ever shuffles.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("__total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    top = (counts
+           .withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= top_n))
+    wc = (Window.orderBy(F.col("cnt").desc(), F.col("token"))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        top.withColumn("__cum", F.sum("cnt").over(wc).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("__cum").cast("double")
+             / F.col("__total").cast("double")).alias("cum_share"),
+        )
+    )

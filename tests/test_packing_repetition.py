@@ -162,3 +162,29 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_vocab_coverage_curve(spark, sf_dir):
+    """Round-9 vocab_coverage: monotone cumulative share ending at
+    <= 1.0, exact counts, and the rank window carries Spark's
+    top-k pushdown (LocalLimit-below-Window / WindowGroupLimit) so
+    the vocabulary sort never funnels the full vocab through one
+    task."""
+    import os
+
+    from lindel_spark.text import vocab_coverage
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = vocab_coverage(docs, top_n=50)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst pushes the rank<=n cut below the rank window as a
+    # LocalLimit per partition (LimitPushDownThroughWindow) — the
+    # vocabulary sort keeps at most n rows per partition
+    assert "LocalLimit 50" in plan or "WindowGroupLimit" in plan
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] <= 1.0 + 1e-12
+    cnts = [r.cnt for r in rows]
+    assert all(a >= b for a, b in zip(cnts, cnts[1:]))
