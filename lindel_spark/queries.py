@@ -73,6 +73,7 @@ _SAMPLE_FIRST = [
     "dedup_prefix_filter_pairs",  # new: exact prefix-filter join
     "pipeline_bloom_pruned",     # new: per-file bloom point-lookup index
     "text_vocab_coverage",       # new: vocab frequency/coverage curve
+    "text_boilerplate_removed",  # new: boilerplate line removal
     "features_scaled",           # same
     "sampling_negatives",        # same
     "sampling_shuffled_order",   # same
@@ -7017,6 +7018,52 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — the whole curve hash-compares against DuckDB."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LT.vocab_coverage(docs, top_n=200)
+
+
+@query(
+    "text_boilerplate_removed",
+    """
+    WITH nd AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               string_split(text, chr(10)), s -> trim(s)))) AS line
+      FROM documents
+    ), freq AS (
+      SELECT line, COUNT(*)::BIGINT AS cnt FROM lines
+      WHERE line != '' GROUP BY line
+    ), boiler AS (
+      SELECT line FROM freq, nd
+      WHERE cnt >= greatest(10, CAST(floor(n * 0.02e0) AS BIGINT) + 1)
+    ), bl AS (
+      SELECT coalesce(list(line), []) AS bset FROM boiler
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           array_to_string(
+             list_filter(string_split(text, chr(10)),
+                         s -> trim(s) = ''
+                              OR NOT list_contains(bset, trim(s))),
+             chr(10)) AS text,
+           (len(string_split(text, chr(10)))
+            - len(list_filter(string_split(text, chr(10)),
+                              s -> trim(s) = ''
+                                   OR NOT list_contains(bset, trim(s))))
+           )::BIGINT AS n_lines_removed
+    FROM documents, bl
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (round 9,
+    :func:`lindel_spark.text.remove_boilerplate_lines`): lines present
+    in more than 2% of documents (min 10) are stripped everywhere —
+    the sub-document repetition cleanup between exact and near dedup.
+    Full cleaned texts hash-compare against the DuckDB replay of the
+    identical doc-frequency / trim / rebuild chain."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = LT.remove_boilerplate_lines(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text", "n_lines_removed")
 
 
 @query(

@@ -532,3 +532,67 @@ def vocab_coverage(
              / F.col("__total").cast("double")).alias("cum_share"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_frac: float = 0.02,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Strip BOILERPLATE lines — lines occurring in more than
+    ``max_doc_frac`` of documents (and at least ``min_docs`` of them)
+    — from every document: headers, footers, nav chrome, cookie
+    banners, license stubs. The standard pretraining cleanup between
+    exact dedup (whole-doc) and near-dup (fuzzy): boilerplate
+    is sub-document repetition neither catches.
+
+    Returns the input with ``text_col`` REPLACED by the cleaned text
+    (line order preserved, boilerplate lines dropped) plus
+    ``n_lines_removed``. Line identity is the trimmed line; empty
+    lines are never counted as boilerplate (they survive as
+    formatting).
+
+    Shape at scale: explode lines (map-local) → map-side-combined
+    DISTINCT document count per line (the shuffle carries one row per
+    distinct (line, doc) — bounded by corpus line volume, keyed on
+    uniformly-distributed line text) → the boilerplate line set is
+    doc-frac-filtered and joined back BROADCAST (boilerplate sets are
+    tiny by definition: a line in >2% of a 100 TB corpus has at most
+    50 distinct line-texts per percent — the filter keeps frequent
+    REPEATED lines, of which there are few) → map-side array_filter
+    rebuild. One shuffle total; the documents themselves never
+    re-shuffle.
+    """
+    if not (0.0 < max_doc_frac <= 1.0):
+        raise ValueError("LINDEL: max_doc_frac must be in (0, 1]")
+    n_docs = df.count()
+    cutoff = max(int(min_docs), int(n_docs * float(max_doc_frac)) + 1)
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"), lambda s: F.trim(s))
+    per_doc = df.select(
+        F.col(id_col).alias("__bid"),
+        F.explode(F.array_distinct(lines)).alias("__line"),
+    ).filter(F.col("__line") != "")
+    boiler = (per_doc.groupBy("__line")
+              .agg(F.count(F.lit(1)).alias("__nd"))
+              .filter(F.col("__nd") >= F.lit(cutoff))
+              .select(F.collect_set("__line").alias("__bset")))
+    # one-row frame holding the (tiny) boilerplate set: broadcast,
+    # then a pure map-side per-doc rebuild
+    out = df.crossJoin(F.broadcast(boiler))
+    bset = F.coalesce(F.col("__bset"), F.array().cast("array<string>"))
+    kept = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda s: ~F.array_contains(bset, F.trim(s)) | (F.trim(s) == ""),
+    )
+    n_removed = (
+        F.size(F.split(F.col(text_col), "\n")) - F.size(kept)
+    ).cast("long")
+    return (
+        out.withColumn("__kept", kept)
+        .withColumn("n_lines_removed", n_removed)
+        .withColumn(text_col, F.array_join(F.col("__kept"), "\n"))
+        .drop("__bset", "__kept")
+    )

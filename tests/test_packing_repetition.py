@@ -188,3 +188,30 @@ def test_vocab_coverage_curve(spark, sf_dir):
     assert shares[-1] <= 1.0 + 1e-12
     cnts = [r.cnt for r in rows]
     assert all(a >= b for a, b in zip(cnts, cnts[1:]))
+
+
+def test_remove_boilerplate_lines_behavior(spark):
+    """Round-9 boilerplate removal on a constructed corpus: the
+    injected header/footer (present in every doc) disappears, rare
+    lines and empty lines survive, counts are right, and with no
+    boilerplate the text round-trips unchanged."""
+    from lindel_spark.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [(i, f"SITE HEADER\nbody text {i}\n\nunique line {i * 7}"
+             "\nCopyright Footer") for i in range(40)],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_boilerplate_lines(
+        docs, max_doc_frac=0.5, min_docs=5).collect()}
+    for i in (0, 17, 39):
+        r = out[i]
+        assert r.text == f"body text {i}\n\nunique line {i * 7}"
+        assert r.n_lines_removed == 2
+    # no-boilerplate corpus: identity
+    clean = spark.createDataFrame(
+        [(i, f"only {i}\n\nlines {i}") for i in range(20)],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in remove_boilerplate_lines(
+        clean, max_doc_frac=0.5, min_docs=5).collect()}
+    assert all(got[i].text == f"only {i}\n\nlines {i}"
+               and got[i].n_lines_removed == 0 for i in range(20))
