@@ -15,12 +15,14 @@ Public surface:
 
 Operator modules (import as submodules):
     lindel_spark.dedup       exact / MinHash-LSH / n-gram-Jaccard /
-                             SimHash / sorted-neighborhood
+                             SimHash / sorted-neighborhood / exact
+                             prefix-filter set-similarity join
     lindel_spark.similarity  exact + matmul + LSH-ANN + IVF cosine search,
-                             distributed-query knn_join, embedding
-                             normalize/quantize, IVF storage
+                             distributed-query knn_join + knn_join_pq,
+                             embedding normalize/quantize, IVF storage
     lindel_spark.text        token stats, quality, language ID, n-grams,
-                             winnowing fingerprints + near-dup
+                             winnowing fingerprints + near-dup,
+                             vocab coverage, boilerplate-line removal
     lindel_spark.multimodal  binary payload columns, decode stages
     lindel_spark.streaming   curve-clustered sink, windowed rollups,
                              stateful first-seen dedup
@@ -36,11 +38,13 @@ Operator modules (import as submodules):
     lindel_spark.timeseries  OHLC resample, time-weighted average
     lindel_spark.graph       PageRank, connected components
     lindel_spark.profile     table profiling, expectations, k-anonymity,
-                             file min/max manifest index + pruned reads
+                             file min/max manifest index + pruned reads,
+                             per-file bloom index for point lookups
     lindel_spark.packing     sequence packing, document chunking
     lindel_spark.features    z-score / min-max / quantile normalization
     lindel_spark.rules       market-basket co-occurrence, association rules
     lindel_spark.fs          Hadoop-FileSystem shim for store metadata
+                             (append-only version-log commits)
 """
 
 from lindel_spark.functions import (
