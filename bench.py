@@ -575,7 +575,10 @@ def main() -> None:
     if errors:
         slim["n_errors"] = len(errors)
     sys.stdout.flush()
-    print(json.dumps(slim), flush=True)
+    # leading newline: if the capture merges stderr, a dangling
+    # carriage-return progress fragment would otherwise share the
+    # JSON's line and break a last-line parse
+    print("\n" + json.dumps(slim), flush=True)
 
 
 if __name__ == "__main__":
