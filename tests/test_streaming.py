@@ -495,3 +495,46 @@ def test_zorder_store_stream_sink_lossless_and_maintained(
                       if d.startswith("base-v"))
     assert 1 <= len(versions) <= 2
     assert versions[-1] != "base-v0"
+
+
+def test_zorder_store_stream_sink_with_stat_cols(spark,
+                                                 tmp_path_factory):
+    """Round-9: stat_cols flows to the store INIT only (maintain
+    re-reads it from _META) — the stream sink must not leak it into
+    zorder_write kwargs. After the run the store has a persisted
+    manifest and a range select prunes without footer reads."""
+    import os
+
+    from lindel_spark.write import zorder_store_select
+
+    src_dir = str(tmp_path_factory.mktemp("zsc_src"))
+    store = str(tmp_path_factory.mktemp("zsc_store") / "s")
+    ckpt = str(tmp_path_factory.mktemp("zsc_ckpt"))
+    schema = "a int, b int, v double"
+    for i in range(4):
+        spark.createDataFrame(
+            [((i * 1000 + j) % 500, (j * 7) % 500, float(j))
+             for j in range(250)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.zorder_store_stream_sink(
+        src, store, [F.col("a"), F.col("b")], maintain_every=2,
+        tail_ratio=0.01, checkpoint=ckpt, elem="int32", num_files=2,
+        stat_cols=["a"],
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    manifests = [d for d in os.listdir(store)
+                 if d.startswith("manifest-v")]
+    assert manifests, os.listdir(store)
+    from lindel_spark import profile as LP
+    orig = LP.file_minmax_manifest
+    LP.file_minmax_manifest = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("footer sweep at select time"))
+    try:
+        hits, stats = zorder_store_select(spark, store,
+                                          {"a": (0, 100)})
+        want = spark.read.parquet(src_dir).filter("a <= 100").count()
+        assert hits.count() == want
+    finally:
+        LP.file_minmax_manifest = orig
