@@ -342,16 +342,26 @@ def near_dup_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    # explode + groupBy(min) signature: value-identical to the lambda
-    # form but robust in degraded long-lived sessions (see
-    # minhash_signatures docstring) and map-side-combining at scale
-    sig = minhash_signatures(sh.select("id", "sh"), num_hashes)
-    bands_df = sig.select(
-        "id",
-        F.posexplode(F.array(*band_key_columns(num_hashes, bands))).alias(
-            "band_idx", "band_key"
+    # signatures + band keys computed MAP-SIDE off the cached shingle
+    # arrays (round-10 claw-back, round-9 verdict item 2): the
+    # id-keyed signature shuffle of :func:`minhash_signatures` is gone
+    # entirely — the exact-collapse fp group-by above is now the ONLY
+    # shuffle ahead of the band self-join. The nested-transform
+    # :func:`minhash_signature` is let-bound through a singleton-array
+    # transform so the expensive signature evaluates ONCE per row and
+    # the per-band element_at reads the lambda variable (Catalyst
+    # would otherwise inline the alias and recompute the signature
+    # per band key). Value-identical to the explode+groupBy form
+    # (tests/test_dedup_values.py pins both equalities).
+    band_arr = F.element_at(
+        F.transform(
+            F.array(minhash_signature(F.col("sh"), num_hashes)),
+            lambda s: lsh_band_keys(s, bands, num_hashes),
         ),
+        1,
     )
+    bands_df = sh.select(
+        "id", F.posexplode(band_arr).alias("band_idx", "band_key"))
     guarded = bands_df
     if max_band_bucket is not None:
         # guard embedded in the LOAD-BEARING join key (the gapfill

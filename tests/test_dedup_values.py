@@ -80,6 +80,29 @@ def test_band_key_columns_match_array_form(spark, docs_df):
     assert df_keys == arr_keys
 
 
+def test_let_bound_band_keys_match_plain_form(spark, docs_df):
+    """The round-10 near_dup_pairs band expression — lsh_band_keys over
+    a minhash_signature LET-BOUND through a singleton-array transform —
+    is value-identical to the un-bound form (guards the Catalyst
+    projection-collapse / nested-lambda surface the rewrite leans on)."""
+    sh = docs_df.select(
+        F.col("doc_id").alias("id"),
+        LD.word_shingles(F.col("text")).alias("sh"))
+    bound = F.element_at(
+        F.transform(
+            F.array(LD.minhash_signature(F.col("sh"))),
+            lambda s: LD.lsh_band_keys(s),
+        ),
+        1,
+    )
+    got = {r.id: list(r.bk)
+           for r in sh.select("id", bound.alias("bk")).collect()}
+    want = {r.id: list(r.bk) for r in sh.select(
+        "id", LD.lsh_band_keys(
+            LD.minhash_signature(F.col("sh"))).alias("bk")).collect()}
+    assert got == want
+
+
 def test_near_dup_pairs_finds_borderline_short_docs(spark, docs_df):
     """Docs 0/1 differ by one trailing token (jaccard 0.9, all bands
     shared) — the pair the round-6 session flake dropped."""
