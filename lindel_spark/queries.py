@@ -950,6 +950,79 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   shingle_k=LD.DEFAULT_SHINGLE_K)
 
 
+_SHARED_SPAN = ("shared span alpha bravo charlie delta echo foxtrot "
+                "golf hotel")
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        THEN text || ' {_SHARED_SPAN}' ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM injected
+    ),
+    g AS (
+      SELECT id, list_transform(range(1, len(toks) - 6),
+            i -> struct_pack(gpos := (i - 1)::BIGINT,
+                             g := md5(array_to_string(toks[i:i+7], ' '))))
+             AS gl
+      FROM base WHERE len(toks) >= 8
+    ),
+    grams AS (SELECT id, unnest(gl, recursive := true) FROM g),
+    dup AS (
+      SELECT g, MIN(id) AS owner FROM grams
+      GROUP BY g HAVING COUNT(DISTINCT id) >= 2
+    ),
+    cov0 AS (
+      SELECT grams.id AS id, unnest(range(gpos, gpos + 8)) AS pos
+      FROM grams JOIN dup USING (g) WHERE grams.id != dup.owner
+    ),
+    cov AS (SELECT DISTINCT id, pos FROM cov0),
+    tok AS (
+      SELECT id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1)::BIGINT - 1 AS pos
+      FROM base
+    ),
+    kept AS (
+      SELECT t.id, t.pos, t.tok FROM tok t
+      ANTI JOIN cov c ON t.id = c.id AND t.pos = c.pos
+    ),
+    agg AS (
+      SELECT id,
+             array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+             COUNT(*)::BIGINT AS n_kept
+      FROM kept GROUP BY id
+    )
+    SELECT b.id::BIGINT AS doc_id,
+           COALESCE(a.text_clean, '') AS text_clean,
+           (len(b.toks) - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+    FROM base b LEFT JOIN agg a USING (id)
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN removal (round 10,
+    :func:`lindel_spark.dedup.substring_dup_spans` — Lee et al. 2022
+    shape): a shared 10-token span is injected into every 5th document
+    and must survive ONLY in the owner (min doc id); the oracle
+    replays the identical gram-hash / owner / covered-position chain,
+    so the cleaned texts hash-compare value-for-value, including the
+    corpus's natural cross-document 8-gram overlaps."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SHARED_SPAN)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return LD.substring_dup_spans(injected, k=8)
+
+
 #: Cap on the exact ground-truth sample inside ``dedup_embedding_cosine``.
 #: The *operator* under test is LSH-banded (never all-pairs); only the
 #: verification needs exact pairs, and an expected-size-2k md5-fraction
@@ -6980,6 +7053,54 @@ def q_zorder_store_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("l_quantity").cast("long").alias("sum_qty"),
         F.sum("l_suppkey").cast("long").alias("sum_supp"),
+    ).first()
+    return spark.createDataFrame(
+        [(agg.n_rows, agg.sum_qty, agg.sum_supp,
+          stats["files_scanned"] < stats["files_total"])],
+        "n_rows long, sum_qty long, sum_supp long, pruned_some boolean",
+    )
+
+
+@query(
+    "zorder_store_lookup",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           COALESCE(SUM(l_quantity), 0)::BIGINT AS sum_qty,
+           COALESCE(SUM(l_suppkey), 0)::BIGINT AS sum_supp,
+           true AS pruned_some
+    FROM lineitem WHERE l_orderkey = 1000
+    """,
+)
+def q_zorder_store_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store's POINT-LOOKUP payoff (round 10,
+    :func:`lindel_spark.write.zorder_store_lookup`): init with
+    ``bloom_cols`` so per-file bloom bitsets persist next to the data
+    (base at init, incremental rows at append), then answer an
+    equality probe scanning only files whose bitset admits the value.
+    The probe runs DISTRIBUTED over the persisted index — survivor
+    paths, never bitsets, reach the driver — and renders the probe
+    value with the same Spark cast the build hashed, so any column
+    type is safe (round-9 verdict item 1 + ADVICE false-negative
+    fix). No false negatives: the oracle recomputes the filter from
+    the raw table; the boolean pins that whole files were skipped."""
+    li = _lineitem(spark, sf_dir)
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="lindel_zlkp_q_"), "s")
+    LW.zorder_store_init(li.filter("l_orderkey % 7 != 0"), cols, store,
+                         stat_cols=["l_orderkey"],
+                         bloom_cols=["l_orderkey"],
+                         elem="int32", num_files=8)
+    LW.zorder_store_append(li.filter("l_orderkey % 7 = 0"), store)
+    hits, stats = LW.zorder_store_lookup(spark, store, "l_orderkey",
+                                         1000)
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("long")
+        .alias("sum_qty"),
+        F.coalesce(F.sum("l_suppkey"), F.lit(0)).cast("long")
+        .alias("sum_supp"),
     ).first()
     return spark.createDataFrame(
         [(agg.n_rows, agg.sum_qty, agg.sum_supp,

@@ -195,3 +195,88 @@ def test_zorder_store_append_maintain_cycle(spark, tmp_path_factory):
     import pytest as _p
     with _p.raises(FileNotFoundError, match="not retained"):
         LW.zorder_store_read(spark, store, version=99)
+
+
+def test_zorder_store_bloom_lookup_cycle(spark, tmp_path_factory):
+    """Round-10 store bloom index: per-file bitsets persist at init,
+    append incrementally, rebuild at maintain; equality probes scan
+    only admitted files; a tail data file whose index row hasn't
+    landed is scanned conservatively (advisory-index contract)."""
+    import pytest as _p
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = str(tmp_path_factory.mktemp("zbloom") / "s")
+    opts = {"elem": "int32", "num_files": 8}
+    LW.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols, store,
+                         stat_cols=["l_orderkey"],
+                         bloom_cols=["l_orderkey"], **opts)
+    LW.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+
+    probe = int(li.selectExpr("min(l_orderkey)").first()[0]) + 999
+    want = li.filter(F.col("l_orderkey") == probe).count()
+    hits, stats = LW.zorder_store_lookup(spark, store, "l_orderkey",
+                                         probe)
+    assert hits.count() == want
+    assert stats["files_scanned"] < stats["files_total"]
+
+    with _p.raises(ValueError, match="not bloom-indexed"):
+        LW.zorder_store_lookup(spark, store, "l_partkey", 1)
+
+    st = LW.zorder_store_maintain(spark, store, cols, tail_ratio=0.01,
+                                  **opts)
+    assert st["rewritten"] is True
+    # bloom-v{new} rebuilt, bloom-tail drained
+    v = max(int(d.split("-v")[1]) for d in os.listdir(store)
+            if d.startswith("base-v"))
+    assert os.path.isdir(os.path.join(store, f"bloom-v{v}"))
+    import glob as _glob
+    assert _glob.glob(os.path.join(store, "bloom-tail",
+                                   "*.parquet")) == []
+    hits, stats = LW.zorder_store_lookup(spark, store, "l_orderkey",
+                                         probe)
+    assert hits.count() == want
+    assert stats["files_scanned"] < stats["files_total"]
+
+    # data-before-index append window: raw tail file, no bloom row yet
+    extra = li.filter(F.col("l_orderkey") == probe).limit(3)
+    n_extra = extra.count()
+    extra.write.mode("append").parquet(os.path.join(store, "tail"))
+    hits, stats = LW.zorder_store_lookup(spark, store, "l_orderkey",
+                                         probe)
+    assert stats["tail_files_scanned"] == stats["tail_files_total"] == 1
+    assert hits.count() == want + n_extra
+
+
+def test_zorder_store_select_survives_drained_manifest_tail(
+        spark, tmp_path_factory):
+    """Round-9 ADVICE regression: after maintain drains manifest-tail
+    parts the directory survives with only _SUCCESS; a subsequent
+    append whose data landed but whose stats row hasn't (or never
+    will) must make select fall back to the documented CONSERVATIVE
+    tail scan, not throw 'Unable to infer schema'."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = str(tmp_path_factory.mktemp("zdrain") / "s")
+    opts = {"elem": "int32", "num_files": 4}
+    LW.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols, store,
+                         stat_cols=["l_orderkey"], **opts)
+    LW.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+    LW.zorder_store_maintain(spark, store, cols, tail_ratio=0.01,
+                             **opts)
+    # the drained dir is exactly the poisoned state: exists, no parts
+    mtail = os.path.join(store, "manifest-tail")
+    assert os.path.isdir(mtail)
+    import glob as _glob
+    assert _glob.glob(os.path.join(mtail, "*.parquet")) == []
+    # data lands, stats never do (simulated crash between the two)
+    raw = li.filter("l_orderkey = 2500").limit(5)
+    raw.write.mode("append").parquet(os.path.join(store, "tail"))
+    hits, stats = LW.zorder_store_select(
+        spark, store, {"l_orderkey": (2000, 3000)})
+    assert stats["tail_files_scanned"] == stats["tail_files_total"] == 1
+    want = (li.filter("l_orderkey between 2000 and 3000").count()
+            + raw.count())
+    assert hits.count() == want

@@ -221,3 +221,25 @@ def test_zorder_store_maintain_rebuilds_manifest(spark,
         spark, store, {"l_orderkey": (0, 500)})
     assert hits.count() == li.filter("l_orderkey <= 500").count()
     assert stats["files_scanned"] < stats["files_total"]
+
+
+def test_commit_new_unique_tmp_and_duplicate_refusal(spark,
+                                                     tmp_path_factory):
+    """Round-10 (ADVICE): per-writer uuid tmp names — a successful
+    commit leaves NO .tmp sibling of any name, and a second commit of
+    the same version refuses loudly."""
+    import os
+    import pytest as _p
+
+    from lindel_spark import fs as FS
+
+    root = str(tmp_path_factory.mktemp("fscommit"))
+    target = FS.join(root, "v7")
+    FS.commit_new(spark, target, "payload")
+    assert FS.read_text(spark, target) == "payload"
+    leftovers = [n for n in os.listdir(root) if n.endswith(".tmp")]
+    assert leftovers == []
+    with _p.raises(IOError, match="already committed"):
+        FS.commit_new(spark, target, "other")
+    # the refused commit must not have clobbered the original
+    assert FS.read_text(spark, target) == "payload"

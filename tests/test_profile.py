@@ -186,3 +186,94 @@ def test_bloom_manifest_no_false_negatives_and_prunes(spark, tmp_path):
     # absent value: fpp ~1e-4 per file -> expect 0 scanned of 8
     _hits, stats = LP.bloom_pruned_read(spark, path, man, "key", 12)
     assert stats["files_scanned"] <= 1
+
+
+def test_bloom_distributed_matches_rows_path_never_ships_bitsets(
+        spark, tmp_path, monkeypatch):
+    """Round-10: the DataFrame-manifest probe path filters DISTRIBUTED
+    — the single driver action returns (count, survivor paths); no
+    frame carrying the ``bits`` column is ever collect()ed/first()ed
+    (round-9 verdict item 1: the old path shipped 128 KiB x file_count
+    to the driver per probe). Survivors match the rows path exactly."""
+    from pyspark.sql import DataFrame as DF
+
+    from lindel_spark import profile as LP
+
+    df = spark.range(20000).select(
+        (F.col("id") * 37 + 11).alias("key"),
+        (F.col("id") % 100).alias("v"))
+    path = str(tmp_path / "bloom10")
+    df.repartition(8).write.parquet(path)
+    man = LP.file_bloom_manifest(spark, path, "key")
+    rows = man.collect()
+
+    seen_schemas = []
+    orig_first, orig_collect = DF.first, DF.collect
+
+    def spy_first(self):
+        seen_schemas.append([f.name for f in self.schema.fields])
+        return orig_first(self)
+
+    def spy_collect(self):
+        seen_schemas.append([f.name for f in self.schema.fields])
+        return orig_collect(self)
+
+    monkeypatch.setattr(DF, "first", spy_first)
+    monkeypatch.setattr(DF, "collect", spy_collect)
+    for probe in (11, 11 + 37 * 9999, 12):
+        seen_schemas.clear()
+        hits, stats = LP.bloom_pruned_read(spark, path, man, "key",
+                                           probe)
+        assert all("bits" not in s for s in seen_schemas), seen_schemas
+        monkeypatch.setattr(DF, "first", orig_first)
+        monkeypatch.setattr(DF, "collect", orig_collect)
+        _rh, rstats = LP.bloom_pruned_read(spark, path, rows, "key",
+                                           probe)
+        assert stats == rstats, probe
+        monkeypatch.setattr(DF, "first", spy_first)
+        monkeypatch.setattr(DF, "collect", spy_collect)
+
+
+def test_bloom_spark_rendered_probe_double_and_bool(spark, tmp_path):
+    """Round-9 ADVICE regression: double/boolean probes must have NO
+    false negatives — the DataFrame path renders the probe with the
+    same Spark cast-to-string the build hashed ('1.0E20' style), where
+    Python f-string rendering ('1e+20') silently dropped files."""
+    from lindel_spark import profile as LP
+
+    d = spark.range(1000).select(
+        (F.col("id").cast("double") * 1e17).alias("d"))
+    pd_ = str(tmp_path / "dbl")
+    d.repartition(4).write.parquet(pd_)
+    md = LP.file_bloom_manifest(spark, pd_, "d")
+    hits, stats = LP.bloom_pruned_read(spark, pd_, md, "d", 500 * 1e17)
+    assert hits.count() == 1
+    assert 1 <= stats["files_scanned"] < stats["files_total"]
+
+    b = spark.range(100).select((F.col("id") % 2 == 0).alias("b"))
+    pb = str(tmp_path / "bool")
+    b.repartition(2).write.parquet(pb)
+    mb = LP.file_bloom_manifest(spark, pb, "b")
+    hits, stats = LP.bloom_pruned_read(spark, pb, mb, "b", True)
+    assert hits.count() == 50  # every True row found: no false negatives
+    assert stats["files_scanned"] == stats["files_total"]  # both hold True
+
+
+def test_bloom_rows_path_rejects_nonportable_probe_types(
+        spark, tmp_path):
+    """The collected-rows path only supports int/str probes (Python
+    str() and Spark cast-to-string diverge on float/bool renderings,
+    which would silently false-negative) — other types must raise,
+    pointing at the DataFrame path."""
+    import pytest as _p
+
+    from lindel_spark import profile as LP
+
+    d = spark.range(100).select((F.col("id") * 1.5).alias("d"))
+    pd_ = str(tmp_path / "rows")
+    d.repartition(2).write.parquet(pd_)
+    rows = LP.file_bloom_manifest(spark, pd_, "d").collect()
+    with _p.raises(TypeError, match="int/str"):
+        LP.bloom_pruned_read(spark, pd_, rows, "d", 1.5)
+    with _p.raises(TypeError, match="int/str"):
+        LP.bloom_pruned_read(spark, pd_, rows, "d", True)

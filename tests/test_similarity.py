@@ -406,3 +406,69 @@ def test_knn_join_pq_unrefined_adc_ranks(emb, queries_df):
     a = {(r.query_id, r.rank): r.neighbor_id for r in got}
     b = {(r.query_id, r.rank): r.neighbor_id for r in ref}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# round-10 size-bound auto-routing (round-9 verdict item 3)
+# ---------------------------------------------------------------------------
+
+def _rows_key(rows):
+    return sorted((r.query_id, r.neighbor_id, round(r.cos, 9), r.rank)
+                  for r in rows)
+
+
+def test_pq_knn_routes_large_queries_distributed(emb, queries_df):
+    """pq_knn above max_collect_rows takes the salted distributed plan
+    — value-identical (same ADC math, same tie-breaks) to the
+    collect-based route, with and without exact refine."""
+    books = LS.train_pq(emb, m=8)
+    codes = LS.pq_encode(emb, books)
+    for refine_with in (None, emb):
+        small = LS.pq_knn(codes, queries_df, books, k=5,
+                          refine_with=refine_with)
+        large = LS.pq_knn(codes, queries_df, books, k=5,
+                          refine_with=refine_with, max_collect_rows=1)
+        assert _rows_key(large.collect()) == _rows_key(small.collect())
+    # the forced-distributed plan is a shuffle equi-join, never a
+    # cartesian, and carries the Arrow scorer
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_pq_knn_routes_large_queries_to_knn_join_pq(emb,
+                                                        queries_df):
+    """ivf_pq_knn above max_collect_rows delegates to knn_join_pq —
+    same IVFADC semantics, query side never collected. With every cell
+    probed both routes are exhaustive and value-identical."""
+    C = LS.train_centroids(emb, 16)
+    books = LS.train_pq(emb, m=8)
+    codes = LS.ivf_pq_encode(emb, C, books)
+    small = LS.ivf_pq_knn(None, queries_df, k=5, centroids=C,
+                          codebooks=books, codes=codes,
+                          nprobe=len(C), refine_with=emb)
+    large = LS.ivf_pq_knn(None, queries_df, k=5, centroids=C,
+                          codebooks=books, codes=codes,
+                          nprobe=len(C), refine_with=emb,
+                          max_collect_rows=1)
+    assert _rows_key(large.collect()) == _rows_key(small.collect())
+
+
+def test_ann_knn_large_queries_drop_broadcast(emb, queries_df):
+    """ann_knn above broadcast_rows keeps the band-keyed equi-join but
+    stops broadcasting the query side: the physical plan switches from
+    BroadcastHashJoin to a shuffle join, values unchanged."""
+    small = LS.ann_knn(emb, queries_df, k=5)
+    large = LS.ann_knn(emb, queries_df, k=5, broadcast_rows=1)
+    assert _rows_key(large.collect()) == _rows_key(small.collect())
+    plan_large = large._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan_large
+    assert "BroadcastNestedLoopJoin" not in plan_large
+    # the large route must not PIN a broadcast: no hint in the logical
+    # plan (AQE may still choose broadcast at runtime when the actual
+    # exchange is tiny — as here — which is exactly the point: the
+    # strategy is left to size facts, not forced by the operator)
+    log_small = small._jdf.queryExecution().optimizedPlan().toString()
+    log_large = large._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in log_small
+    assert "strategy=broadcast" not in log_large

@@ -504,3 +504,62 @@ def test_prefix_filter_plan_no_cartesian(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# round-10: exact substring (duplicated-span) removal
+# ---------------------------------------------------------------------------
+
+def test_substring_dup_spans_excises_everywhere_but_owner(spark):
+    """A shared 200-token span embedded in several docs survives ONLY
+    in the owner (min doc id); unique surroundings stay; a doc that IS
+    the span comes back empty; short/unique docs untouched."""
+    span = " ".join(f"s{i}" for i in range(200))
+    rows = [
+        (1, f"alpha bravo {span} charlie delta"),
+        (2, f"echo foxtrot golf {span}"),
+        (3, span),                       # the bare span: fully covered
+        (4, "totally unique words here nothing shared at all ok"),
+        (5, "short doc"),                # < k tokens: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in LD.substring_dup_spans(df, k=8).collect()}
+    assert got[1] == (f"alpha bravo {span} charlie delta", 0)  # owner
+    assert got[2] == ("echo foxtrot golf", 200)
+    assert got[3] == ("", 200)
+    assert got[4][1] == 0
+    assert got[5] == ("short doc", 0)
+
+
+def test_substring_dup_spans_merges_overlapping_spans(spark):
+    """Two duplicated spans overlapping in one doc merge through the
+    covered-position union — tokens in the overlap are removed once,
+    and the count is the union size, not the sum."""
+    a = " ".join(f"a{i}" for i in range(12))   # span A: 12 tokens
+    b = " ".join(f"b{i}" for i in range(12))   # span B: 12 tokens
+    # doc 30 holds A and B adjacent: A's tail grams + B's head grams
+    # are unique to doc 30, but A and B are each duplicated elsewhere
+    rows = [
+        (10, f"left context words here {a} right context words here"),
+        (20, f"other context entirely {b} more other context words"),
+        (30, f"{a} {b}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in LD.substring_dup_spans(df, k=8).collect()}
+    assert got[10][1] == 0 and got[20][1] == 0   # owners keep
+    assert got[30] == ("", 24)                    # A ∪ B fully excised
+
+
+def test_substring_dup_spans_intra_doc_repeat_kept_in_owner(spark):
+    """Cross-document semantics: a span repeated INSIDE the owner doc
+    is kept there in full (intra-doc repetition is the Gopher
+    repetition signal's job, not this operator's)."""
+    s = " ".join(f"x{i}" for i in range(20))
+    rows = [(1, f"{s} middle words between {s}"), (2, f"prefix {s} suffix")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in LD.substring_dup_spans(df, k=8).collect()}
+    assert got[1][1] == 0
+    assert got[2] == ("prefix suffix", 20)
