@@ -464,11 +464,15 @@ def main() -> None:
             & (F.col("l_orderkey") <= _mhi)))
 
     # round 9: the incremental store's read path over its PERSISTED
-    # manifest — built once here at setup, never re-swept per query
+    # manifest — built once here at setup, never re-swept per query.
+    # round 10: the same store also carries a persisted BLOOM index on
+    # l_orderkey (built once at init, off the clock) so the equality
+    # probe entry measures pure index-read + survivor-scan cost.
     _zsel_store = os.path.join(_store, "zsel")
     LW.zorder_store_init(li, [F.col("l_orderkey").cast("int"),
                               F.col("l_partkey").cast("int")],
                          _zsel_store, stat_cols=["l_orderkey"],
+                         bloom_cols=["l_orderkey"],
                          elem="int32", num_files=32)
 
     def q_zorder_store_select(_):
@@ -476,10 +480,48 @@ def main() -> None:
             spark, _zsel_store, {"l_orderkey": (_mlo, _mhi)})
         _noop(hits)
 
+    def q_zorder_store_lookup(_):
+        hits, _st = LW.zorder_store_lookup(
+            spark, _zsel_store, "l_orderkey", _mlo)
+        _noop(hits)
+
+    def q_substring_dedup(_):
+        _noop(LD.substring_dup_spans(docs, k=8))
+
+    def q_hybrid_rrf(_):
+        from lindel_spark import retrieval as LR
+        from lindel_spark import similarity as _LS
+        from pyspark.sql import Window as _W
+        toks = LT.tokens(LT.normalize_text(F.col("text")))
+        qdf = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("query"))
+        bm = LR.bm25_topk(docs, qdf, k=10, rank_round=4) \
+            .select("query_id", "doc_id", "rank")
+        qe = F.broadcast(emb.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").cast("long").alias("query_id"),
+            F.col("embedding").alias("__qv")))
+        ce = emb.select(F.col("vec_id").cast("long").alias("doc_id"),
+                        F.col("embedding").alias("__cv"))
+        sc = (qe.crossJoin(ce)
+              .filter(F.col("query_id") != F.col("doc_id"))
+              .select("query_id", "doc_id",
+                      _LS.cosine_similarity(F.col("__qv"),
+                                            F.col("__cv")).alias("cos")))
+        wq = _W.partitionBy("query_id").orderBy(
+            F.round(F.col("cos"), 9).desc(), F.col("doc_id").asc())
+        ann = (sc.withColumn("rank", F.row_number().over(wq))
+               .filter(F.col("rank") <= 10)
+               .select("query_id", "doc_id", "rank"))
+        _noop(LR.reciprocal_rank_fusion([bm, ann], k=5))
+
     scan_shaped += [
         ("manifest_pruned_scan", q_manifest_pruned, n_li),
         ("manifest_full_scan", q_manifest_full, n_li),
         ("zorder_store_select", q_zorder_store_select, n_li),
+        ("zorder_store_lookup", q_zorder_store_lookup, n_li),
+        ("substring_dedup", q_substring_dedup, n_docs),
+        ("hybrid_rrf_topk", q_hybrid_rrf, n_docs),
     ]
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
@@ -504,6 +546,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}
+    reps: dict[str, list] = {}
     errors: dict[str, str] = {}
     tmp = tempfile.mkdtemp(prefix="lindel_bench_")
     try:
@@ -529,6 +572,11 @@ def main() -> None:
                 continue
             queries[name] = round(statistics.median(times), 4)
             rows[name] = n
+            # per-rep times alongside the median (round 10): host
+            # drift vs regression is adjudicable from the artifact
+            # alone — a wide rep spread on unchanged code is drift, a
+            # tight-but-slower spread is a real regression
+            reps[name] = [round(t, 4) for t in times]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(_store, ignore_errors=True)
@@ -540,6 +588,7 @@ def main() -> None:
         "queries": queries,
         "sf": _sf(),
         "rows": rows,
+        "reps": reps,
         "manifest": _mstats,
         "ivf_store": {
             "n_centroids": _auto_nc,

@@ -54,58 +54,62 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-9 rotation (the driver samples the first ~50): (a) queries
-    # whose operators were added or changed this round — the driver
-    # must record them; (b) the 70+ families NOT driver-sampled in r7
-    # or r8 (computed from CORRECTNESS_r07/r08 keys), oldest coverage
-    # first — round-8 verdict item 8 asked for >=10 of these in the
-    # r9 sample. Everything else stays covered by the local
-    # full-registry sweeps at three scales.
-    # (a) round-9 new / operator-changed
-    "knn_join_pq_topk",          # new: distributed PQ query side
-    "zorder_store_select",       # reads the PERSISTED manifest now
-    "zorder_store_cycle",        # commit-log protocol + manifests
-    "pipeline_manifest_pruned",  # file_minmax_manifest files= param
-    "events_incremental_agg",    # agg store on the commit log
-    "dedup_near_pairs",          # hot-bucket guard in the band join
-    "dedup_ngram_jaccard",       # banded oracle replay (sf1 fix)
-    "dedup_sorted_neighborhood",  # global_rank boundary method
-    "dedup_prefix_filter_pairs",  # new: exact prefix-filter join
-    "pipeline_bloom_pruned",     # new: per-file bloom point-lookup index
-    "text_vocab_coverage",       # new: vocab frequency/coverage curve
-    "text_boilerplate_removed",  # new: boilerplate line removal
-    "features_scaled",           # same
-    "sampling_negatives",        # same
-    "sampling_shuffled_order",   # same
-    "sketch_kmv_users", "sketch_kmv_overlap",  # kmv_merge k required
-    # (b) not driver-sampled since r6 (stale-first)
-    "golden_grid_i8", "golden_grid_i32",
-    "text_stats", "text_langid", "text_bigrams",
-    "dedup_exact_groups", "dedup_simhash_pairs",
-    "dedup_embedding_cosine", "dedup_clusters", "dedup_kept_ids",
-    "dedup_minhash_estimate_quality", "dedup_winnow_pairs",
-    "dedup_contamination_check", "dedup_incremental_batch",
-    "events_sessionize", "events_funnel", "events_retention_cohorts",
-    "events_windowed_rollup", "events_multi_grain_rollup",
-    "events_rolling_value", "events_json_props", "events_percentiles",
-    "events_topk_users", "events_hll_users", "events_step_durations",
-    "events_cube_rollup",
-    "skew_salted_join", "skew_two_phase_distinct",
-    "asof_join_events", "spatial_range_join",
-    "multimodal_content_dedup", "multimodal_meta",
-    "multimodal_image_features", "multimodal_frame_sample",
-    "multimodal_resize",
-    "knn_ann_simhash", "knn_ivf", "knn_ivf_exhaustive",
-    "knn_ivf_recall", "knn_pq_recall", "knn_ivfpq_recall",
-    "knn_ivf_pipeline", "embedding_ops",
-    "text_winnow_fingerprints", "text_repetition_signals",
-    "text_scrub",
-    "sources_csv_jsonl_roundtrip",
-    "sampling_deterministic_split", "sampling_stratified",
-    "sampling_mixture", "sampling_upsampled_mixture",
-    "profile_lineitem", "pipeline_dedup_splits",
-    "pipeline_pack_sequences", "pipeline_chunk_documents",
-    "pipeline_quality_filter", "streaming_first_seen",
+    # round-10 rotation (the driver samples the first ~50): (a)
+    # queries whose operators were added or CHANGED this round — the
+    # driver must record them; (b) stale-first re-entry, led by the
+    # two families the round-9 verdict item 8 named (the rt_* curve
+    # round-trips and the streaming batch faces, both last sampled in
+    # r8), then families absent from BOTH the r8 and r9 samples
+    # (computed from CORRECTNESS_r08/r09 keys). Everything else stays
+    # covered by the local full-registry sweeps at three scales.
+    # (a) round-10 new / operator-changed
+    "dedup_substring_spans",     # new: exact duplicated-span removal
+    "zorder_store_lookup",       # new: persisted bloom equality probe
+    "text_hybrid_topk",          # new: BM25 + ANN reciprocal-rank fusion
+    "pipeline_bloom_pruned",     # read path distributed + Spark-rendered
+    "dedup_near_pairs",          # map-side signatures (one shuffle)
+    "dedup_ngram_jaccard",       # same path, char shingles
+    "zorder_store_select",       # drained-tail guard + single-pass stats
+    "zorder_store_cycle",        # uuid-staged commit_new
+    "pipeline_manifest_pruned",  # single-pass count+survivors
+    "knn_pq_recall",             # pq_knn auto-routing touched
+    "knn_ivfpq_recall",          # ivf_pq_knn auto-routing touched
+    "knn_ann_simhash",           # ann_knn broadcast bound touched
+    "knn_ivf_recall",            # train_centroids refine_iters param
+    # (b) stale-first: rt_* curve rows (last sampled r8 — verdict r9
+    # item 8 asks them back within 2 rounds)
+    "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
+    "rt_hilbert_i16", "rt_hilbert_i16_8", "rt_hilbert_i8_16",
+    "rt_hilbert_f32", "rt_hilbert_f64", "rt_morton_f32",
+    "rt_morton_f32_4", "rt_morton_i8", "rt_morton_i8_8",
+    "rt_unsigned_i16", "golden_scalars",
+    # (b) streaming batch faces (last sampled r8)
+    "streaming_first_seen", "events_gapfilled_rollup",
+    "events_sliding_rollup", "events_interval_join",
+    "events_rolling_hour", "events_debounce_dedup",
+    # (b) absent from both r8 and r9 samples, oldest coverage first
+    "graph_pagerank_transitions", "text_bm25_topk", "text_lm_quality",
+    "text_lm_bigram", "text_tfidf_topk", "text_winnow_fingerprints",
+    "text_scrub_pii", "text_sentence_stats", "text_quality_deciles",
+    "events_ohlc_daily", "events_time_weighted_avg",
+    "events_scd2_history", "events_merge_upsert",
+    "events_snapshot_diff", "events_rank_family",
+    "events_grouping_sets", "events_mad_outliers",
+    "events_user_entropy", "events_wow_growth",
+    "dedup_fuzzy_pairs", "dedup_incremental_near", "dedup_semantic",
+    "sketch_heavy_hitters", "sketch_quantile_grid",
+    "sketch_quantiles_by_type",
+    "profile_value_histogram", "profile_parquet_layout",
+    "profile_expectations", "profile_k_anonymity",
+    "sources_orc_roundtrip", "pipeline_partitioned_roundtrip",
+    "pipeline_corpus_prep", "customer_rfm_segments",
+    "part_revenue_pareto", "bucketed_join_segments",
+    "bloom_semi_join_orders", "embedding_ops",
+    "events_pivot_daily", "events_unpivot_melt",
+    "events_approx_percentiles", "events_cumulative_users",
+    "events_linear_trend", "events_winsorized_stats",
+    "events_pseudonymized", "knn_ivf", "knn_ivf_exhaustive",
+    "knn_ivf_pipeline", "multimodal_frame_sample", "multimodal_resize",
     "tpch_q5_local_volume", "tpch_q6_forecast", "tpch_q4_priority",
     "tpch_q10_returned", "tpch_q14_promo", "tpch_q7_volume_shipping",
     "tpch_q13_custdist", "tpch_q19_disjunctive",
@@ -4755,6 +4759,139 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("score", 4).alias("score_r4"),
     )
+
+
+@query(
+    "text_hybrid_topk",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+            FROM norm)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             SUM(tf)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE AS avgdl
+      FROM postings
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
+      FROM norm WHERE doc_id % 97 = 0
+    ),
+    dfs AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    bmscored AS (
+      SELECT q.query_id, p.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf::DOUBLE * (1.2 + 1.0))
+                 / (p.tf::DOUBLE
+                    + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * p.dl::DOUBLE / s.avgdl))) AS score
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 4) DESC,
+                                         doc_id) AS rank
+      FROM bmscored
+    ),
+    qe AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    ce AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ),
+    annscored AS (
+      SELECT query_id, doc_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM qe, ce WHERE query_id != doc_id
+    ),
+    ann AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(cos, 9) DESC,
+                                         doc_id) AS rank
+      FROM annscored
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             SUM(1.0 / (60.0 + rank)) AS rrf,
+             COUNT(*)::BIGINT AS n_lists
+      FROM (SELECT query_id, doc_id, rank FROM bm WHERE rank <= 10
+            UNION ALL
+            SELECT query_id, doc_id, rank FROM ann WHERE rank <= 10)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+           doc_id::BIGINT AS doc_id, round(rrf, 9) AS rrf, n_lists
+    FROM (SELECT query_id, doc_id, rrf, n_lists,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY round(rrf, 9) DESC,
+                                             doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 5
+    """,
+)
+def q_text_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 10,
+    :func:`lindel_spark.retrieval.reciprocal_rank_fusion` — round-9
+    verdict item 6): BM25 top-10 (lexical, pseudo-queries = first five
+    tokens of every 97th document) fused with cosine top-10 over the
+    same ids' embeddings (dense) by reciprocal-rank fusion,
+    ``Σ 1/(60+rank)``. Both constituent rankings use the repo's
+    disciplined rounding (4 decimals for BM25 scores, 9 for cosine)
+    so the fusion — whose scores are exact rationals of integer ranks
+    — is engine-replayable end to end."""
+    from lindel_spark import retrieval as LR
+    from lindel_spark import similarity as LSim
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query"),
+    )
+    bm = LR.bm25_topk(docs, queries_df, k=10, rank_round=4) \
+        .select("query_id", "doc_id", "rank")
+    qe = F.broadcast(emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        F.col("embedding").alias("__qv")))
+    ce = emb.select(F.col("vec_id").cast("long").alias("doc_id"),
+                    F.col("embedding").alias("__cv"))
+    annscored = (
+        qe.crossJoin(ce)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id",
+                LSim.cosine_similarity(F.col("__qv"),
+                                       F.col("__cv")).alias("cos"))
+    )
+    from pyspark.sql import Window as W
+    wq = W.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 9).desc(), F.col("doc_id").asc())
+    ann = (annscored.withColumn("rank", F.row_number().over(wq))
+           .filter(F.col("rank") <= 10)
+           .select("query_id", "doc_id", "rank"))
+    return LR.reciprocal_rank_fusion([bm, ann], k=5)
 
 
 @query(
