@@ -649,9 +649,18 @@ def zorder_store_select(spark, path: str, ranges: dict
     Returns ``(df, stats)`` where stats carries the base's
     ``files_total`` / ``files_scanned`` plus ``tail_files_total`` /
     ``tail_files_scanned`` for skip-ratio audits.
+
+    Round 10: a range that COLLAPSES TO EQUALITY (``lo == hi``) on a
+    bloom-indexed column additionally intersects the min/max survivors
+    with the persisted bloom index's admitted files — min/max bounds
+    on an unclustered column admit almost everything for a point
+    probe, the bloom bitset doesn't (no false negatives, so the
+    intersection is always safe). Tail files keep the advisory-index
+    contract: a file with no bloom row yet is never bloom-pruned.
     """
     from lindel_spark import fs as _fs
     from lindel_spark.profile import (_minmax_survivor_pred,
+                                      bloom_survivors,
                                       file_minmax_manifest,
                                       manifest_pruned_read,
                                       minmax_survivor_stats)
@@ -667,11 +676,31 @@ def zorder_store_select(spark, path: str, ranges: dict
         if hi is not None:
             residual = residual & (F.col(c) <= F.lit(hi))
 
+    meta = _zstore_meta(spark, path)
+    eq_bloom = {
+        c: lo for c, (lo, hi) in ranges.items()
+        if lo is not None and lo == hi and c in meta["bloom_cols"]
+    }
     stat_cols = set(_zstore_stat_cols(spark, path))
     man_dir = _fs.join(path, f"manifest-v{v}")
     if stat_cols and _fs.is_dir(spark, man_dir):
         man = spark.read.parquet(man_dir)
         total, keep = minmax_survivor_stats(man, ranges, stat_cols)
+        if eq_bloom and keep:
+            bparts = _fs.list_files(spark, _fs.join(path,
+                                                    f"bloom-v{v}"))
+            if bparts:
+                bman = spark.read.parquet(*bparts)
+                for c, val in eq_bloom.items():
+                    _bt, bkeep = bloom_survivors(
+                        bman.filter(F.col("col") == c), val,
+                        meta["bloom_m_bits"], meta["bloom_k"])
+                    # the base bloom manifest is complete by
+                    # construction (written with the base), so the
+                    # intersection never drops an un-indexed file
+                    keep = sorted(set(keep) & set(bkeep))
+                    if not keep:
+                        break
         stats = {"files_total": total, "files_scanned": len(keep)}
         if keep:
             out = spark.read.parquet(*keep).filter(residual)
@@ -720,6 +749,23 @@ def zorder_store_select(spark, path: str, ranges: dict
                 f for f in tail_files
                 if f not in known or f in with_stats
             )
+        if eq_bloom and scan:
+            btail_parts = _fs.list_files(spark,
+                                         _fs.join(path, "bloom-tail"))
+            if btail_parts:
+                bt = spark.read.parquet(*btail_parts)
+                for c, val in eq_bloom.items():
+                    btc = bt.filter(F.col("col") == c)
+                    _t, hits = bloom_survivors(
+                        btc, val, meta["bloom_m_bits"],
+                        meta["bloom_k"])
+                    bknown = {r["file"] for r in
+                              btc.select("file").distinct().collect()}
+                    hset = set(hits)
+                    # advisory: a tail file with no bloom row yet is
+                    # never bloom-pruned
+                    scan = sorted(f for f in scan
+                                  if f not in bknown or f in hset)
         stats["tail_files_scanned"] = len(scan)
         if scan:
             out = out.unionByName(

@@ -280,3 +280,38 @@ def test_zorder_store_select_survives_drained_manifest_tail(
     want = (li.filter("l_orderkey between 2000 and 3000").count()
             + raw.count())
     assert hits.count() == want
+
+
+def test_zorder_store_select_equality_consults_bloom(
+        spark, tmp_path_factory):
+    """Round-10: a lo==hi range on a bloom-indexed UNCLUSTERED column
+    intersects min/max survivors with the bloom index — the point
+    probe scans fewer files than min/max alone admits, results stay
+    exact, and a probe for an absent value scans zero base files."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = str(tmp_path_factory.mktemp("zbloomsel") / "s")
+    # index l_suppkey: scattered w.r.t. the (orderkey, partkey) curve,
+    # so min/max bounds admit ~every file for a point probe
+    LW.zorder_store_init(li, cols, store,
+                         stat_cols=["l_orderkey", "l_suppkey"],
+                         bloom_cols=["l_suppkey"],
+                         elem="int32", num_files=16)
+    probe = int(li.selectExpr("min(l_suppkey)").first()[0])
+    want = li.filter(F.col("l_suppkey") == probe).count()
+    hits, stats = LW.zorder_store_select(
+        spark, store, {"l_suppkey": (probe, probe)})
+    assert hits.count() == want
+    # absent value: bloom prunes everything min/max could not
+    absent = int(li.selectExpr("max(l_suppkey)").first()[0]) + 10**6
+    h0, s0 = LW.zorder_store_select(
+        spark, store, {"l_suppkey": (absent, absent)})
+    assert h0.count() == 0
+    assert s0["files_scanned"] == 0
+    # true ranges (lo != hi) never consult the bloom index
+    h1, s1 = LW.zorder_store_select(
+        spark, store, {"l_suppkey": (probe, probe + 1)})
+    assert h1.count() == li.filter(
+        (F.col("l_suppkey") >= probe)
+        & (F.col("l_suppkey") <= probe + 1)).count()

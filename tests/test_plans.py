@@ -462,3 +462,53 @@ def test_global_rank_checkpoint_fallback_plan(spark, docs):
     assert "broadcasthashjoin" in lp
     assert lp.count("exchange") <= 2
     assert "rangepartitioning" not in lp
+
+
+def test_substring_dedup_plan_never_cartesian(spark, docs):
+    """Round-10 duplicated-span removal: gram-keyed equi-joins only —
+    no cartesian, no broadcast nested loop anywhere in the plan."""
+    p = plan_of(LD.substring_dup_spans(docs, k=8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_survivor_agg_projects_no_bitsets_downstream(spark,
+                                                           tmp_path):
+    """Round-10 distributed bloom probe: the survivor aggregate's
+    output schema is (count, survivor paths) — the binary bitset
+    column exists only below the aggregate, so nothing file-count- or
+    bitset-sized can reach the driver."""
+    from lindel_spark import profile as LP
+
+    df = spark.range(2000).select((F.col("id") * 7).alias("key"))
+    path = str(tmp_path / "bp")
+    df.repartition(4).write.parquet(path)
+    man = LP.file_bloom_manifest(spark, path, "key")
+    pred = LP._bloom_probe_pred(14, 1 << 20, LP._BLOOM_K)
+    agg = man.agg(
+        F.count(F.lit(1)).alias("__total"),
+        F.sort_array(F.collect_list(
+            F.when(pred, F.col("file")))).alias("__keep"))
+    assert [f.name for f in agg.schema.fields] == ["__total", "__keep"]
+    p = plan_of(agg)
+    # one aggregate, bit test evaluated inside it, no join/shuffle of
+    # the bitsets other than the final single-row exchange
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_rrf_fusion_plan_keyed_only(spark, docs):
+    """Round-10 RRF: union + one keyed aggregate + one window — no
+    cartesian/BNLJ, nothing broadcast by the fusion itself."""
+    from lindel_spark import retrieval as LR
+
+    a = docs.select(F.col("doc_id").alias("query_id"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.lit(1).alias("rank"))
+    b = docs.select(F.col("doc_id").alias("query_id"),
+                    (F.col("doc_id") + 1).alias("doc_id"),
+                    F.lit(2).alias("rank"))
+    p = plan_of(LR.reciprocal_rank_fusion([a, b], k=5))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p
