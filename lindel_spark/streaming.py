@@ -572,14 +572,22 @@ def zorder_store_stream_sink(
                                     zorder_store_maintain,
                                     _zstore_latest)
 
-    # init-only knob: maintain re-reads stat_cols from the store _META
-    stat_cols = zorder_kwargs.pop("stat_cols", None)
+    # init-only knobs: append/maintain re-read the index config from
+    # the store _META (stat_cols since r9; the bloom index since r10 —
+    # a bloom_cols= sink persists bitsets per micro-batch append and
+    # rebuilds them at every amortized re-cluster, for free)
+    init_only = {
+        k: zorder_kwargs.pop(k)
+        for k in ("stat_cols", "bloom_cols", "bloom_m_bits", "bloom_k")
+        if k in zorder_kwargs
+    }
+    init_only.setdefault("stat_cols", None)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if _zstore_latest(spark, path) is None:
             zorder_store_init(batch_df, cols, path,
-                              stat_cols=stat_cols, **zorder_kwargs)
+                              **init_only, **zorder_kwargs)
             return
         zorder_store_append(batch_df, path)
         if maintain_every > 0 and (batch_id + 1) % maintain_every == 0:

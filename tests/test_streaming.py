@@ -538,3 +538,40 @@ def test_zorder_store_stream_sink_with_stat_cols(spark,
         assert hits.count() == want
     finally:
         LP.file_minmax_manifest = orig
+
+
+def test_zorder_store_stream_sink_with_bloom_cols(spark,
+                                                  tmp_path_factory):
+    """Round-10: bloom_cols flows to the store INIT only (append and
+    maintain re-read it from _META) — the sink persists bitsets per
+    micro-batch append and the rebuilt base carries bloom-v{N}, so an
+    equality probe through the streamed store prunes files."""
+    import os
+
+    from lindel_spark.write import zorder_store_lookup
+
+    src_dir = str(tmp_path_factory.mktemp("zbc_src"))
+    store = str(tmp_path_factory.mktemp("zbc_store") / "s")
+    ckpt = str(tmp_path_factory.mktemp("zbc_ckpt"))
+    schema = "a int, b int, v double"
+    for i in range(4):
+        spark.createDataFrame(
+            [((i * 1000 + j) % 500, (j * 7) % 500, float(j))
+             for j in range(250)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.zorder_store_stream_sink(
+        src, store, [F.col("a"), F.col("b")], maintain_every=2,
+        tail_ratio=0.01, checkpoint=ckpt, elem="int32", num_files=4,
+        stat_cols=["a"], bloom_cols=["b"],
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    blooms = [d for d in os.listdir(store) if d.startswith("bloom-v")]
+    assert blooms, os.listdir(store)
+    hits, stats = zorder_store_lookup(spark, store, "b", 7)
+    want = spark.read.parquet(src_dir).filter("b = 7").count()
+    assert hits.count() == want
+    total = (stats["files_total"] + stats["tail_files_total"])
+    scanned = (stats["files_scanned"] + stats["tail_files_scanned"])
+    assert scanned <= total
