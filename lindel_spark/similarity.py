@@ -469,10 +469,14 @@ def ivf_knn(
     nprobe: int | None = None,
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
+    broadcast_rows: int = 65536,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows live in their single nearest
     cell; each query probes its ``nprobe`` nearest cells; exact cosine
-    + top-k within probed cells only.
+    + top-k within probed cells only. Query frames up to
+    ``broadcast_rows`` broadcast; larger ones keep the same cell-keyed
+    equi-join un-hinted, so the physical strategy follows size facts
+    (round-10 routing, same as :func:`ann_knn`).
 
     ``n_centroids=None`` picks :func:`auto_ivf_config` from the corpus
     row count (one cheap parquet-metadata count) so the operating
@@ -504,13 +508,15 @@ def ivf_knn(
         F.element_at(_cell_assign_udf(centroids, 1)(F.col(vec_col)), 1)
         .alias("cell"),
     )
-    qb = F.broadcast(queries.select(
+    qb = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(
             _cell_assign_udf(centroids, nprobe)(F.col(vec_col))
         ).alias("cell"),
-    ))
+    )
+    if queries.count() <= broadcast_rows:
+        qb = F.broadcast(qb)
     cand = (
         qb.join(cb, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

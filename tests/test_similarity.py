@@ -524,3 +524,15 @@ def test_lloyd_refine_zero_iters_is_identity(emb):
     a = LS.train_centroids(emb, 16)
     b = LS.train_centroids(emb, 16, refine_iters=0)
     assert np.array_equal(a, b)
+
+
+def test_ivf_knn_large_queries_drop_broadcast(emb, queries_df):
+    """ivf_knn above broadcast_rows keeps the cell-keyed equi-join but
+    stops pinning the broadcast — values unchanged, no hint in the
+    logical plan."""
+    small = LS.ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=16)
+    large = LS.ivf_knn(emb, queries_df, k=5, n_centroids=16, nprobe=16,
+                       broadcast_rows=1)
+    assert _rows_key(large.collect()) == _rows_key(small.collect())
+    log_large = large._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in log_large
