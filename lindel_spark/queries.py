@@ -76,6 +76,8 @@ _SAMPLE_FIRST = [
     "knn_ivfpq_recall",          # ivf_pq_knn auto-routing touched
     "knn_ann_simhash",           # ann_knn broadcast bound touched
     "knn_ivf_recall",            # train_centroids refine_iters param
+    "knn_ivf_refined_recall",    # new: Lloyd-refined codebook gate
+    "knn_route_parity",          # new: collect vs distributed route
     # (b) stale-first: rt_* curve rows (last sampled r8 — verdict r9
     # item 8 asks them back within 2 rounds)
     "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
@@ -2041,6 +2043,47 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     approx = LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8)
     return _recall_check(brute, approx, 0.7)
+
+
+@query("knn_ivf_refined_recall", _N_QUERIES_ORACLE)
+def q_knn_ivf_refined_recall(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Round-10 distributed Lloyd refinement
+    (:func:`lindel_spark.similarity.train_centroids` with
+    ``refine_iters``): IVF recall under a full-corpus-refined codebook
+    must clear the same floor as the sample-only codebook — the
+    iterative assign+mean passes are not SQL-expressible, so this is
+    the recall-thresholded driver gate the other ANN entries use."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    C = LS.train_centroids(emb, 16, refine_iters=2)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.ivf_knn(emb, queries_df, k=10, nprobe=8, centroids=C)
+    return _recall_check(brute, approx, 0.7)
+
+
+@query("knn_route_parity", _N_QUERIES_ORACLE)
+def q_knn_route_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 size-bound auto-routing: pq_knn forced down the
+    distributed salted-ADC route (max_collect_rows=1) must return
+    EXACTLY the collect-route rows (ids, cos, ranks) — recorded
+    through the same boolean-gate shape as the recall entries (the
+    route choice is physical, so there is no SQL oracle; equality of
+    the two routes IS the check)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    books = LS.train_pq(emb, m=8)
+    codes = LS.pq_encode(emb, books)
+    a = LS.pq_knn(codes, queries_df, books, k=10, refine_with=emb)
+    b = LS.pq_knn(codes, queries_df, books, k=10, refine_with=emb,
+                  max_collect_rows=1)
+    rows = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, round(r.cos, 9), r.rank)
+        for r in df.collect())
+    ok = rows(a) == rows(b)
+    n_q = queries_df.count()
+    return spark.createDataFrame(
+        [(n_q, ok)], "n_queries long, recall_ok boolean")
 
 
 # ---------------------------------------------------------------------------
