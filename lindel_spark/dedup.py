@@ -1128,32 +1128,8 @@ def substring_dup_spans(
     boilerplate :func:`lindel_spark.text.remove_boilerplate_lines`
     strips first in a full pipeline.
     """
-    from lindel_spark.util import ensure_parallelism as _ep
-
-    base = _ep(df).select(
-        F.col(id_col).cast("long").alias("id"),
-        tokens(F.col(text_col)).alias("toks"),
-    )
-    from pyspark import StorageLevel
-
-    # diamond: base feeds gram extraction AND the final reassembly
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-
-    gram_structs = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-        lambda i: F.struct(
-            (i - 1).cast("long").alias("gpos"),
-            F.md5(F.concat_ws(
-                " ", *[F.element_at("toks", i + j) for j in range(k)]
-            )).alias("g"),
-        ),
-    )
-    grams = (
-        base.filter(F.size("toks") >= k)
-        .select("id", F.explode(gram_structs).alias("s"))
-        .select("id", F.col("s.gpos").alias("gpos"),
-                F.col("s.g").alias("g"))
-    )
+    base = _substring_base(df, text_col, id_col)
+    grams = _doc_grams(base, k)
     dup = (
         grams.groupBy("g")
         .agg(F.min("id").alias("owner"),
@@ -1164,14 +1140,60 @@ def substring_dup_spans(
     cov = (
         grams.join(dup, "g")
         .filter(F.col("id") != F.col("owner"))
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
-            ).alias("pos"),
-        )
+        .select("id", _span_positions(k))
         .distinct()
     )
+    return _excise_covered(base, cov, id_col)
+
+
+def _substring_base(df: DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+    """(id, toks) tokenized + persisted frame behind the substring
+    dedup family — a diamond: it feeds gram extraction AND the final
+    reassembly."""
+    from pyspark import StorageLevel
+
+    from lindel_spark.util import ensure_parallelism as _ep
+
+    base = _ep(df).select(
+        F.col(id_col).cast("long").alias("id"),
+        tokens(F.col(text_col)).alias("toks"),
+    )
+    return base.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _doc_grams(base: DataFrame, k: int) -> DataFrame:
+    """(id, gpos, g): every k-token gram's md5 with its 0-based token
+    position, map-side off the token arrays."""
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("gpos"),
+            F.md5(F.concat_ws(
+                " ", *[F.element_at("toks", i + j) for j in range(k)]
+            )).alias("g"),
+        ),
+    )
+    return (
+        base.filter(F.size("toks") >= k)
+        .select("id", F.explode(gram_structs).alias("s"))
+        .select("id", F.col("s.gpos").alias("gpos"),
+                F.col("s.g").alias("g"))
+    )
+
+
+def _span_positions(k: int) -> Column:
+    """Explode a surviving (id, gpos) occurrence row to the k covered
+    token positions."""
+    return F.explode(
+        F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+    ).alias("pos")
+
+
+def _excise_covered(base: DataFrame, cov: DataFrame,
+                    id_col: str) -> DataFrame:
+    """Remove covered (id, pos) tokens and rebuild
+    (doc_id, text_clean, n_removed) for EVERY base document."""
     tok = base.select(
         "id", F.posexplode("toks").alias("pos", "tok")
     ).select("id", F.col("pos").cast("long").alias("pos"), "tok")
@@ -1198,3 +1220,70 @@ def substring_dup_spans(
             .cast("long").alias("n_removed"),
         )
     )
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    store_grams: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Duplicated-span removal of a NEW batch against a persisted gram
+    store — the daily-ingest shape for substring dedup, completing the
+    incremental story :func:`incremental_exact_dedup` (exact) and
+    :func:`incremental_near_dup` (MinHash) tell for the other dedup
+    modalities.
+
+    The store holds one row per historical k-gram: ``(g, owner)`` —
+    16-byte md5 + owner doc id; the historical corpus TEXT is never
+    rescanned or rewritten (at 100 TB you keep gram fingerprints, not
+    text). A batch occurrence is excised when its gram already exists
+    in the store (the surviving historical copy is the owner) or when
+    it is duplicated across ≥2 batch docs and this doc is not the
+    batch-minimum owner — exactly :func:`substring_dup_spans`
+    semantics with history folded in.
+
+    Returns ``(cleaned, new_grams)``:
+
+    * ``cleaned`` — (doc_id, text_clean, n_removed) for every batch
+      doc, spans merged through the covered-position union;
+    * ``new_grams`` — (g, owner) rows for grams NOT already in the
+      store (owner = the batch doc that kept its copy), to append to
+      the store for the next increment.
+
+    All joins are gram- or id-keyed equi-joins; the store side never
+    carries positions or text, so the store join shuffles 16-byte
+    fingerprints only.
+    """
+    base = _substring_base(batch, text_col, id_col)
+    grams = _doc_grams(base, k)
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    if store_grams is None:
+        hist = None
+    else:
+        hist = store_grams.select("g").distinct()
+    # batch-internal duplication, same shape as substring_dup_spans
+    bdup = (
+        grams.groupBy("g")
+        .agg(F.min("id").alias("b_owner"),
+             F.countDistinct("id").alias("__nd"))
+    )
+    occ = grams.join(bdup, "g")
+    if hist is not None:
+        occ = occ.join(hist.withColumn("__in_store", F.lit(True)),
+                       "g", "left")
+    else:
+        occ = occ.withColumn("__in_store", F.lit(None).cast("boolean"))
+    covered_occ = occ.filter(
+        F.coalesce(F.col("__in_store"), F.lit(False))
+        | ((F.col("__nd") >= 2) & (F.col("id") != F.col("b_owner")))
+    )
+    cov = covered_occ.select("id", _span_positions(k)).distinct()
+    cleaned = _excise_covered(base, cov, id_col)
+    new = occ.filter(~F.coalesce(F.col("__in_store"), F.lit(False)))
+    new_grams = (new.groupBy("g")
+                 .agg(F.min("id").alias("owner")))
+    return cleaned, new_grams

@@ -1029,6 +1029,88 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.substring_dup_spans(injected, k=8)
 
 
+@query(
+    "dedup_substring_incremental",
+    f"""
+    WITH injected AS (
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        THEN text || ' {_SHARED_SPAN}' ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM injected
+    ),
+    g AS (
+      SELECT id, list_transform(range(1, len(toks) - 6),
+            i -> struct_pack(gpos := (i - 1)::BIGINT,
+                             g := md5(array_to_string(toks[i:i+7], ' '))))
+             AS gl
+      FROM base WHERE len(toks) >= 8
+    ),
+    grams AS (SELECT id, unnest(gl, recursive := true) FROM g),
+    store AS (SELECT DISTINCT g FROM grams WHERE id < 250),
+    bgrams AS (SELECT * FROM grams WHERE id >= 250),
+    bdup AS (
+      SELECT g, MIN(id) AS b_owner, COUNT(DISTINCT id) AS nd
+      FROM bgrams GROUP BY g
+    ),
+    cov0 AS (
+      SELECT bg.id AS id, unnest(range(bg.gpos, bg.gpos + 8)) AS pos
+      FROM bgrams bg
+      JOIN bdup d USING (g)
+      LEFT JOIN (SELECT g, true AS in_store FROM store) s USING (g)
+      WHERE COALESCE(s.in_store, false)
+         OR (d.nd >= 2 AND bg.id != d.b_owner)
+    ),
+    cov AS (SELECT DISTINCT id, pos FROM cov0),
+    tok AS (
+      SELECT id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1)::BIGINT - 1 AS pos
+      FROM base WHERE id >= 250
+    ),
+    kept AS (
+      SELECT t.id, t.pos, t.tok FROM tok t
+      ANTI JOIN cov c ON t.id = c.id AND t.pos = c.pos
+    ),
+    agg AS (
+      SELECT id,
+             array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+             COUNT(*)::BIGINT AS n_kept
+      FROM kept GROUP BY id
+    )
+    SELECT b.id::BIGINT AS doc_id,
+           COALESCE(a.text_clean, '') AS text_clean,
+           (len(b.toks) - COALESCE(a.n_kept, 0))::BIGINT AS n_removed
+    FROM base b LEFT JOIN agg a USING (id)
+    WHERE b.id >= 250
+    """,
+)
+def q_dedup_substring_incremental(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Incremental duplicated-span removal (round 10,
+    :func:`lindel_spark.dedup.incremental_substring_dedup`): the first
+    half of the corpus is processed once and its gram store persists
+    (the historical TEXT is never rescanned); the second half arrives
+    as a new batch — spans already owned by history are excised from
+    every batch doc (the injected shared span survives only in its
+    historical owner), batch-internal duplicates keep exactly one
+    batch copy. The oracle replays the whole two-phase chain."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" " + _SHARED_SPAN)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    hist = injected.filter(F.col("doc_id") < 250)
+    batch = injected.filter(F.col("doc_id") >= 250)
+    _hist_clean, store = LD.incremental_substring_dedup(hist, None, k=8)
+    cleaned, _new = LD.incremental_substring_dedup(batch, store, k=8)
+    return cleaned
+
+
 #: Cap on the exact ground-truth sample inside ``dedup_embedding_cosine``.
 #: The *operator* under test is LSH-banded (never all-pairs); only the
 #: verification needs exact pairs, and an expected-size-2k md5-fraction

@@ -563,3 +563,39 @@ def test_substring_dup_spans_intra_doc_repeat_kept_in_owner(spark):
            for r in LD.substring_dup_spans(df, k=8).collect()}
     assert got[1][1] == 0
     assert got[2] == ("prefix suffix", 20)
+
+
+def test_incremental_substring_dedup_against_store(spark):
+    """Two-phase ingest: a span processed in batch 1 survives there;
+    every batch-2 copy is excised via the STORE (no batch-2 owner is
+    elected for a historical gram); batch-2-internal duplicates keep
+    one batch copy; the returned new_grams extend the store so a third
+    batch loses spans first seen in batch 2."""
+    span = " ".join(f"h{i}" for i in range(30))
+    span2 = " ".join(f"j{i}" for i in range(30))
+    b1 = spark.createDataFrame(
+        [(1, f"one unique intro {span} one unique outro"),
+         (2, "totally unrelated historical words all different")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, f"fresh context {span} fresh ending"),       # store hit
+         (11, f"{span2} alpha beta"),                      # batch owner
+         (12, f"gamma delta {span2}")],                    # batch dup
+        "doc_id long, text string")
+    _c1, store = LD.incremental_substring_dedup(b1, None, k=8)
+    c2, new_grams = LD.incremental_substring_dedup(b2, store, k=8)
+    got = {r.doc_id: (r.text_clean, r.n_removed) for r in c2.collect()}
+    assert got[10] == ("fresh context fresh ending", 30)
+    assert got[11][1] == 0                      # batch owner keeps
+    assert got[12] == ("gamma delta", 30)
+    # a third batch re-using span2 loses it via the extended store
+    store3 = store.unionByName(new_grams)
+    b3 = spark.createDataFrame(
+        [(20, f"third batch {span2} words")],
+        "doc_id long, text string")
+    c3, _ = LD.incremental_substring_dedup(b3, store3, k=8)
+    r = c3.collect()[0]
+    assert (r.text_clean, r.n_removed) == ("third batch words", 30)
+    # full-corpus one-shot equals nothing here semantically (history
+    # owns), but store rows must cover every batch-1 gram
+    assert store.count() > 0
