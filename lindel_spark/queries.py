@@ -64,6 +64,7 @@ _SAMPLE_FIRST = [
     # covered by the local full-registry sweeps at three scales.
     # (a) round-10 new / operator-changed
     "dedup_substring_spans",     # new: exact duplicated-span removal
+    "dedup_substring_incremental",  # new: span dedup vs gram store
     "zorder_store_lookup",       # new: persisted bloom equality probe
     "text_hybrid_topk",          # new: BM25 + ANN reciprocal-rank fusion
     "pipeline_bloom_pruned",     # read path distributed + Spark-rendered
@@ -78,6 +79,7 @@ _SAMPLE_FIRST = [
     "knn_ivf_recall",            # train_centroids refine_iters param
     "knn_ivf_refined_recall",    # new: Lloyd-refined codebook gate
     "knn_route_parity",          # new: collect vs distributed route
+    "sampling_hard_negatives",   # new: contrastive negative miner
     # (b) stale-first: rt_* curve rows (last sampled r8 — verdict r9
     # item 8 asks them back within 2 rounds)
     "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
@@ -2142,6 +2144,60 @@ def q_knn_ivf_refined_recall(spark: SparkSession, sf_dir: str
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     approx = LS.ivf_knn(emb, queries_df, k=10, nprobe=8, centroids=C)
     return _recall_check(brute, approx, 0.7)
+
+
+@query(
+    "sampling_hard_negatives",
+    """
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT vec_id AS item_id, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT anchor_id, (anchor_id + 1) AS item_id FROM a
+    ),
+    scored AS (
+      SELECT anchor_id, item_id,
+             list_dot_product(av, cv)
+               / (sqrt(list_dot_product(av, av))
+                  * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM a, c
+      WHERE anchor_id != item_id
+    ),
+    neg AS (
+      SELECT s.anchor_id, s.item_id, s.cos FROM scored s
+      ANTI JOIN pos p
+        ON s.anchor_id = p.anchor_id AND s.item_id = p.item_id
+    )
+    SELECT anchor_id::BIGINT AS anchor_id, rank::BIGINT AS rank,
+           item_id::BIGINT AS item_id, round(cos, 9) AS cos_r
+    FROM (SELECT anchor_id, item_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                    ORDER BY round(cos, 9) DESC,
+                                             item_id) AS rank
+          FROM neg)
+    WHERE rank <= 5
+    """,
+)
+def q_sampling_hard_negatives(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """ANN hard-negative mining (round 10,
+    :func:`lindel_spark.similarity.hard_negatives`): for every 50th
+    embedding as an anchor, the top-5 most-cosine-similar items that
+    are NOT its declared positive (here: the next id) — the
+    contrastive-training data primitive. Exact scoring path; ranking
+    by round(cos, 9) with item-id tie-breaks, replayed in DuckDB."""
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet"))
+    anchors = emb.filter(F.col("vec_id") % 50 == 0)
+    positives = anchors.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("item_id"))
+    return LS.hard_negatives(emb, anchors, positives, k=5)
 
 
 @query("knn_route_parity", _N_QUERIES_ORACLE)

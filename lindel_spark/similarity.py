@@ -1454,3 +1454,68 @@ def semantic_dedup(
         F.col(id_col).cast("long") == F.col("__drop_id"),
         "left_anti",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    positives: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Top-``k`` most-similar NON-POSITIVE corpus items per anchor —
+    the contrastive-training hard-negative miner (anchors' own rows
+    and any ``positives`` pairs are excluded before the cut, so the
+    winners are the items the model most confuses with the positives).
+
+    ``positives`` is an optional (anchor_id, item_id) pair frame;
+    exclusion is one keyed anti-join. Ranking uses
+    ``round(cos, round_digits)`` descending with ascending item-id
+    tie-breaks — the repo's engine-replayable ranking convention.
+
+    Default path scores anchors × corpus exactly (anchors broadcast —
+    the bounded side; the corpus is scanned once, map-only). For
+    corpus scales where even one scan per mining run is too much, pass
+    ``candidates`` — a pre-pruned (query_id, neighbor_id, cos) frame,
+    e.g. :func:`knn_join` output with ``k * overfetch`` — and only
+    those pairs are excluded/re-ranked; the standard ANN-overfetch
+    recipe (fetch enough extra that exclusions cannot starve the
+    top-k). Returns (anchor_id, rank, item_id, cos_r).
+    """
+    if candidates is None:
+        ab = F.broadcast(anchors.select(
+            F.col(id_col).cast("long").alias("anchor_id"),
+            F.col(vec_col).alias("__av")))
+        cb = ensure_parallelism(corpus).select(
+            F.col(id_col).cast("long").alias("item_id"),
+            F.col(vec_col).alias("__cv"))
+        scored = (ab.crossJoin(cb)
+                  .filter(F.col("anchor_id") != F.col("item_id"))
+                  .select("anchor_id", "item_id",
+                          cosine_similarity(F.col("__av"),
+                                            F.col("__cv")).alias("cos")))
+    else:
+        scored = candidates.select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("neighbor_id").alias("item_id"),
+            "cos",
+        ).filter(F.col("anchor_id") != F.col("item_id"))
+    if positives is not None:
+        pos = positives.select(
+            F.col(positives.columns[0]).cast("long").alias("anchor_id"),
+            F.col(positives.columns[1]).cast("long").alias("item_id"),
+        )
+        scored = scored.join(pos, ["anchor_id", "item_id"],
+                             "left_anti")
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.round(F.col("cos"), round_digits).desc(),
+        F.col("item_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("anchor_id",
+                    F.col("rank").cast("long").alias("rank"),
+                    "item_id",
+                    F.round("cos", round_digits).alias("cos_r")))

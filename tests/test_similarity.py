@@ -536,3 +536,35 @@ def test_ivf_knn_large_queries_drop_broadcast(emb, queries_df):
     assert _rows_key(large.collect()) == _rows_key(small.collect())
     log_large = large._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in log_large
+
+
+def test_hard_negatives_candidates_path_matches_exact(emb, queries_df):
+    """The ANN-overfetch candidates path (knn_join output, k*4) must
+    reproduce the exact path's top-k once exclusions are applied —
+    the production recipe for mining at corpus scale."""
+    positives = queries_df.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("item_id"))
+    exact = LS.hard_negatives(emb, queries_df, positives, k=5)
+    cands = LS.knn_join(emb, queries_df, k=5 * 4, n_centroids=16,
+                        nprobe=None)  # exact candidate set
+    via = LS.hard_negatives(emb, queries_df, positives, k=5,
+                            candidates=cands)
+    key = lambda df: sorted(  # noqa: E731
+        (r.anchor_id, r.rank, r.item_id, r.cos_r) for r in df.collect())
+    assert key(via) == key(exact)
+
+
+def test_hard_negatives_excludes_positives(emb, queries_df):
+    """No (anchor, positive) pair survives, and ranks stay dense 1..k."""
+    positives = queries_df.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("item_id"))
+    got = LS.hard_negatives(emb, queries_df, positives, k=5).collect()
+    banned = {(r.anchor_id, r.item_id) for r in positives.collect()}
+    assert not any((r.anchor_id, r.item_id) in banned for r in got)
+    by_anchor = {}
+    for r in got:
+        by_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6))
+               for v in by_anchor.values())
