@@ -1287,3 +1287,34 @@ def incremental_substring_dedup(
     new_grams = (new.groupBy("g")
                  .agg(F.min("id").alias("owner")))
     return cleaned, new_grams
+
+
+def keep_best_in_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware cluster representative selection: keep the
+    HIGHEST-``score_col`` member of every near-dup cluster (ties break
+    on ascending id) — the production alternative to min-id survivors
+    when a quality signal exists (keep the longest / highest-quality
+    copy of each near-duplicate group, not the accident of id order).
+
+    ``clusters`` is :func:`dup_clusters` output (id, cluster);
+    singleton clusters keep their only member, so the result is one
+    row per cluster. One id-keyed join + one cluster-keyed window —
+    cluster sizes are near-dup group sizes, so the window partitions
+    are tiny at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    c = clusters.select(F.col("id").alias("__cid"),
+                        F.col("cluster").alias("__cluster"))
+    joined = df.join(
+        c, df[id_col].cast("long") == F.col("__cid")).drop("__cid")
+    w = Window.partitionBy("__cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__cluster"))

@@ -80,6 +80,7 @@ _SAMPLE_FIRST = [
     "knn_ivf_refined_recall",    # new: Lloyd-refined codebook gate
     "knn_route_parity",          # new: collect vs distributed route
     "sampling_hard_negatives",   # new: contrastive negative miner
+    "dedup_kept_best",           # new: quality-aware cluster survivor
     # (b) stale-first: rt_* curve rows (last sampled r8 — verdict r9
     # item 8 asks them back within 2 rounds)
     "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
@@ -1214,6 +1215,48 @@ def q_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LD.drop_near_duplicates(docs).select(
         F.col("doc_id").cast("long").alias("doc_id")
     )
+
+
+@query(
+    "dedup_kept_best",
+    _near_dup_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT doc_id::BIGINT AS id, doc_id::BIGINT AS label FROM documents
+      UNION
+      SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+    ), clusters AS (
+      SELECT id, MIN(label)::BIGINT AS cluster FROM reach GROUP BY id
+    )
+    SELECT doc_id, score FROM (
+      SELECT dd.doc_id::BIGINT AS doc_id,
+             length(dd.text)::BIGINT AS score,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                ORDER BY length(dd.text) DESC,
+                                         dd.doc_id) AS rn
+      FROM documents dd JOIN clusters c ON dd.doc_id = c.id
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_kept_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (round 10,
+    :func:`lindel_spark.dedup.keep_best_in_cluster`): near-dup
+    clusters via min-label connected components, then each cluster
+    keeps its LONGEST member (text length as the quality signal —
+    exact integer, engine-replayable) instead of the min-id accident;
+    ties break on ascending id. The oracle replays the recursive-CTE
+    clusters plus the same window."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    clusters = LD.dup_clusters(docs)
+    scored = docs.withColumn("score",
+                             F.length("text").cast("long"))
+    kept = LD.keep_best_in_cluster(scored, clusters, "score")
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "score")
 
 
 # ---------------------------------------------------------------------------

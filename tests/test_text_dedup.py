@@ -599,3 +599,22 @@ def test_incremental_substring_dedup_against_store(spark):
     # full-corpus one-shot equals nothing here semantically (history
     # owns), but store rows must cover every batch-1 gram
     assert store.count() > 0
+
+
+def test_keep_best_in_cluster_prefers_quality_over_id(spark):
+    """The LOWER-quality lower-id member loses to the higher-quality
+    higher-id member; singletons survive; exact ties break on id."""
+    rows = [
+        (1, "short copy of the same doc words one two three"),
+        (2, "short copy of the same doc words one two three longer"),
+        (3, "a completely unrelated document standing alone"),
+        (4, "tie candidate aaaa"),
+        (5, "tie candidate bbbb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (5, 4)], "id long, cluster long")
+    scored = df.withColumn("score", F.length("text").cast("long"))
+    kept = {r.doc_id for r in
+            LD.keep_best_in_cluster(scored, clusters, "score").collect()}
+    assert kept == {2, 3, 4}  # 2 beats 1 on length; 4 beats 5 on id tie
