@@ -16,9 +16,15 @@ Public surface:
 Operator modules (import as submodules):
     lindel_spark.dedup       exact / MinHash-LSH / n-gram-Jaccard /
                              SimHash / sorted-neighborhood / exact
-                             prefix-filter set-similarity join
+                             prefix-filter set-similarity join /
+                             duplicated-span removal (one-shot and
+                             incremental-vs-gram-store) /
+                             quality-aware cluster survivors
     lindel_spark.similarity  exact + matmul + LSH-ANN + IVF cosine search,
-                             distributed-query knn_join + knn_join_pq,
+                             distributed-query knn_join + knn_join_pq
+                             (bounded entry points auto-route above a
+                             size bound), distributed Lloyd refinement,
+                             hard-negative mining,
                              embedding normalize/quantize, IVF storage
     lindel_spark.text        token stats, quality, language ID, n-grams,
                              winnowing fingerprints + near-dup,
@@ -32,7 +38,8 @@ Operator modules (import as submodules):
     lindel_spark.sources     schema-disciplined CSV/JSONL/ORC readers+sinks
     lindel_spark.sampling    deterministic splits / mixtures / weighted /
                              negative sampling
-    lindel_spark.retrieval   BM25, corpus LMs, TF-IDF keywords
+    lindel_spark.retrieval   BM25, corpus LMs, TF-IDF keywords,
+                             reciprocal-rank hybrid fusion
     lindel_spark.sketch      count-min, histogram quantiles (mergeable)
     lindel_spark.history     SCD2 builds, incremental agg maintenance
     lindel_spark.timeseries  OHLC resample, time-weighted average
