@@ -24,11 +24,15 @@ Operator modules (import as submodules):
                              distributed-query knn_join + knn_join_pq
                              (bounded entry points auto-route above a
                              size bound), distributed Lloyd refinement,
-                             hard-negative mining,
+                             hard-negative mining, kNN label
+                             propagation,
                              embedding normalize/quantize, IVF storage
     lindel_spark.text        token stats, quality, language ID, n-grams,
                              winnowing fingerprints + near-dup,
-                             vocab coverage, boilerplate-line removal
+                             vocab coverage, boilerplate-line removal,
+                             canonical normalization
+    lindel_spark.linkage     record linkage / entity resolution
+                             (blocked multi-field weighted matching)
     lindel_spark.multimodal  binary payload columns, decode stages
     lindel_spark.streaming   curve-clustered sink, windowed rollups,
                              stateful first-seen dedup
@@ -37,7 +41,8 @@ Operator modules (import as submodules):
     lindel_spark.skew        salted join, two-phase distinct
     lindel_spark.sources     schema-disciplined CSV/JSONL/ORC readers+sinks
     lindel_spark.sampling    deterministic splits / mixtures / weighted /
-                             negative sampling
+                             negative sampling / token-budget
+                             mixture planning
     lindel_spark.retrieval   BM25, corpus LMs, TF-IDF keywords,
                              reciprocal-rank hybrid fusion
     lindel_spark.sketch      count-min, histogram quantiles (mergeable)
@@ -47,7 +52,8 @@ Operator modules (import as submodules):
     lindel_spark.profile     table profiling, expectations, k-anonymity,
                              file min/max manifest index + pruned reads,
                              per-file bloom index for point lookups
-    lindel_spark.packing     sequence packing, document chunking
+    lindel_spark.packing     sequence packing, document chunking,
+                             length-bucketed batching
     lindel_spark.features    z-score / min-max / quantile normalization
     lindel_spark.rules       market-basket co-occurrence, association rules
     lindel_spark.fs          Hadoop-FileSystem shim for store metadata

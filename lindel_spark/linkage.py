@@ -1,0 +1,147 @@
+"""Record linkage / entity resolution: blocked multi-field matching.
+
+Dedup (`dedup.py`) asks "is this the same *text*?"; linkage asks "do
+these two *records* refer to the same entity?" across several fields
+at once — the master-data step a training pipeline runs before joining
+user/customer/supplier dimensions collected from different systems.
+The classic recipe (Fellegi & Sunter 1969; Christen, *Data Matching*
+2012) is the one that scales:
+
+1. **Blocking** — candidate pairs come from an EQUI-JOIN on a cheap
+   deterministic block key (nation + segment + a value bucket), never
+   an all-pairs cross join. Cost is Σ|block|², bounded by the block
+   design; ``max_block_rows`` guards a degenerate key IN-PLAN (the
+   LSH hot-bucket pattern, `dedup.py:366`): the violating block fails
+   loudly, named, before it can make the join quadratic.
+2. **Field scoring** — each compared field contributes a [0,1]
+   similarity: ``levenshtein`` (1 − dist/maxlen), ``exact`` (0/1), or
+   ``numeric`` (1 − |a−b|/scale, clamped at 0). All three are closed
+   forms both Spark and DuckDB evaluate identically, so the whole
+   match decision is value-level oracle-replayable.
+3. **Weighted decision** — score = Σ wᵢ·simᵢ (weights normalized),
+   pairs at/above ``threshold`` survive. Rounded to 9 decimals so the
+   emitted double is engine-stable.
+
+Everything is one blocked self-join (or A×B join) plus map-side
+expressions — no UDFs, no driver materialization; at 100 TB the plan
+is a shuffle equi-join on the block key with AQE handling block skew.
+
+The reference has no linkage surface (curve functions only,
+src/lindel_extension.cpp:948-1026); this is the brief's pipeline tier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class LinkField:
+    """One compared field: ``kind`` ∈ {levenshtein, exact, numeric}.
+
+    ``scale`` (numeric only): the difference at which similarity
+    reaches 0 — sim = max(0, 1 − |a−b|/scale).
+    """
+
+    col: str
+    kind: str = "levenshtein"
+    weight: float = 1.0
+    scale: float = 1.0
+
+
+def _field_sim(a: Column, b: Column, f: LinkField) -> Column:
+    if f.kind == "levenshtein":
+        denom = F.greatest(F.length(a), F.length(b))
+        sim = F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom
+        # two empty strings are identical, not 0/0
+        return F.when(denom == 0, F.lit(1.0)).otherwise(sim)
+    if f.kind == "exact":
+        return F.when(a.eqNullSafe(b), F.lit(1.0)).otherwise(F.lit(0.0))
+    if f.kind == "numeric":
+        return F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.abs(a.cast("double") - b.cast("double"))
+            / F.lit(float(f.scale)))
+    raise ValueError(f"LINDEL: unknown LinkField kind: {f.kind!r}")
+
+
+def _block_key(block_cols: list[str]) -> Column:
+    """One string join key from the block columns. A NULL component
+    renders as a marker distinct from any real value (plain concat_ws
+    would make NULL collide with ''); rows sharing a NULL block value
+    therefore still block together — linkage blocking treats NULL as
+    a category, unlike SQL join-key NULL semantics."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in block_cols]
+    return F.concat_ws("\x1f", *parts)
+
+
+def record_linkage(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[LinkField],
+    threshold: float = 0.85,
+    other: DataFrame | None = None,
+    max_block_rows: int | None = 100_000,
+) -> DataFrame:
+    """Linked pairs ``(id_a, id_b, score)`` with ``score >=
+    threshold``; self-linkage (``other=None``) emits each unordered
+    pair once (``id_a < id_b``), A×B linkage (``other`` given, same
+    compared columns) emits every cross match.
+
+    The ONLY join is the blocking equi-join on a composite string
+    key; every score term is a whole-stage-codegen column expression.
+    ``max_block_rows`` is enforced the way ``near_dup_pairs`` guards
+    hot LSH buckets: a map-side-combined block count filtered to
+    violators (normally zero rows) broadcast-left-joins onto the
+    probe side, and the guard lives inside the LOAD-BEARING join key
+    so Catalyst cannot prune it — an over-cap block raises in-plan
+    with its key and size instead of silently going quadratic.
+    """
+    if not fields:
+        raise ValueError("LINDEL: record_linkage needs >= 1 LinkField")
+    total_w = float(sum(f.weight for f in fields))
+    blk = _block_key(block_cols)
+
+    a = df.select(F.col(id_col).alias("__id_a"), blk.alias("__blk"),
+                  *[F.col(f.col).alias(f"__a_{f.col}") for f in fields])
+    right = df if other is None else other
+    b = right.select(F.col(id_col).alias("__id_b"), blk.alias("__blk"),
+                     *[F.col(f.col).alias(f"__b_{f.col}") for f in fields])
+
+    if max_block_rows is not None:
+        viol = (a.groupBy("__blk")
+                .agg(F.count(F.lit(1)).alias("__bn"))
+                .filter(F.col("__bn") > F.lit(int(max_block_rows))))
+        guarded = F.when(
+            F.col("__bn").isNotNull(),
+            F.raise_error(F.format_string(
+                "LINDEL: linkage block %s holds %s rows > "
+                f"max_block_rows={int(max_block_rows)} — the blocking "
+                "join is quadratic in that block. Tighten block_cols, "
+                "raise the bound, or pass None to accept it.",
+                F.col("__blk"), F.col("__bn").cast("string"),
+            )).cast("string"),
+        ).otherwise(F.col("__blk"))
+        a = (a.join(F.broadcast(viol), "__blk", "left")
+             .select("__id_a", guarded.alias("__blk"),
+                     *[f"__a_{f.col}" for f in fields]))
+
+    pairs = a.join(b, "__blk")
+    if other is None:
+        pairs = pairs.filter(F.col("__id_a") < F.col("__id_b"))
+
+    score = None
+    for f in fields:
+        term = (F.lit(f.weight / total_w)
+                * _field_sim(F.col(f"__a_{f.col}"),
+                             F.col(f"__b_{f.col}"), f))
+        score = term if score is None else score + term
+    scored = pairs.withColumn("score", F.round(score, 9))
+    return (scored.filter(F.col("score") >= F.lit(float(threshold)))
+            .select(F.col("__id_a").alias("id_a"),
+                    F.col("__id_b").alias("id_b"), "score"))

@@ -103,3 +103,58 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bucket_width: int = 64,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed training batches: rows land in a width-
+    ``bucket_width`` length bucket, then consecutive runs of
+    ``batch_size`` (ordered by length, id-tie-broken) form batches —
+    the standard padding-waste reducer for padded-batch training
+    (every batch pads to ITS max, so batching similar lengths turns
+    O(maxlen) waste into O(bucket_width)).
+
+    Scale shape: bucketing is map-only; the within-bucket order comes
+    from ONE :func:`lindel_spark.util.global_rank` over
+    (bucket, len, id) — a bucket is a contiguous rank range under
+    that total order, so per-bucket positions are ``rank − the
+    bucket's min rank``, recovered by a bucket-count-bounded aggregate
+    broadcast back. No per-bucket single-task window (a popular
+    length bucket at 100 TB would funnel through one task), no
+    skew ceiling beyond global_rank's range partitioning.
+
+    Returns the assignment: (``id_col``, ``len_col``, bucket,
+    batch_id, pos_in_batch) — batch_id globally unique as
+    (bucket, local batch index) flattened; the last batch of a bucket
+    may be short. Padding-waste accounting is one groupBy(batch_id)
+    away (max(len)·n − sum(len)); kept out so callers join training
+    metadata against the assignment directly.
+    """
+    from lindel_spark.util import global_rank
+
+    if bucket_width <= 0 or batch_size <= 0:
+        raise ValueError("LINDEL: bucket_width and batch_size must be "
+                         "positive")
+    base = df.select(
+        F.col(id_col), F.col(len_col).cast("long").alias(len_col),
+        (F.floor(F.col(len_col).cast("long") / bucket_width))
+        .cast("long").alias("bucket"))
+    r = global_rank(base, ["bucket", len_col, id_col],
+                    out_col="__pos")
+    mins = (r.groupBy("bucket")
+            .agg(F.min("__pos").alias("__b0"),
+                 F.count(F.lit(1)).alias("__bn")))
+    j = r.join(F.broadcast(mins), "bucket")
+    local = F.col("__pos") - F.col("__b0")          # 0-based in bucket
+    batch_local = F.floor(local / batch_size).cast("long")
+    return j.select(
+        id_col, len_col, "bucket",
+        (F.col("bucket") * F.lit(1 << 32) + batch_local)
+        .cast("long").alias("batch_id"),
+        (local % batch_size).cast("long").alias("pos_in_batch"),
+    )

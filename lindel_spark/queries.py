@@ -63,6 +63,11 @@ _SAMPLE_FIRST = [
     # (computed from CORRECTNESS_r08/r09 keys). Everything else stays
     # covered by the local full-registry sweeps at three scales.
     # (a) round-10 new / operator-changed
+    "linkage_customer_pairs",    # new: blocked multi-field record linkage
+    "knn_label_propagation",     # new: kNN majority-vote label spread
+    "sampling_mixture_plan",     # new: token-budget mixture planner
+    "pipeline_length_batches",   # new: length-bucketed batch assembly
+    "text_normalized",           # new: canonical normalization pass
     "dedup_substring_spans",     # new: exact duplicated-span removal
     "dedup_substring_incremental",  # new: span dedup vs gram store
     "zorder_store_lookup",       # new: persisted bloom equality probe
@@ -7776,3 +7781,227 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         F.round("est_union", 4).alias("est_union_r4"),
         F.round("jaccard_est", 6).alias("jaccard_r6"))
+
+
+# ---------------------------------------------------------------------------
+# round 10 (second pass): linkage / label propagation / mixture planning /
+# length-bucketed batching / text normalization
+# ---------------------------------------------------------------------------
+
+@query(
+    "linkage_customer_pairs",
+    """
+    WITH c AS (
+      SELECT c_custkey::BIGINT AS id, c_name AS name,
+             c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balb
+      FROM customer
+    ), scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(0.6 * (1.0 - levenshtein(a.name, b.name)::DOUBLE
+                          / GREATEST(LENGTH(a.name), LENGTH(b.name)))
+                   + 0.4 * GREATEST(0.0,
+                             1.0 - ABS(a.bal - b.bal) / 500.0),
+                   9) AS score
+      FROM c a JOIN c b
+        ON a.nat = b.nat AND a.seg = b.seg AND a.balb = b.balb
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.9
+    """,
+)
+def q_linkage_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (round 10,
+    :func:`lindel_spark.linkage.record_linkage`): customer records
+    blocked on (nation, segment, acctbal-kilobucket), scored 0.6 ×
+    name-levenshtein-similarity + 0.4 × balance-closeness
+    (scale 500), matches at score >= 0.9. The oracle replays
+    blocking, both field similarities and the weighted decision
+    value-for-value — every term is a closed form both engines
+    evaluate identically."""
+    from lindel_spark import linkage as LK
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cust = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balb"))
+    pairs = LK.record_linkage(
+        cust, "c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment", "balb"],
+        fields=[LK.LinkField("c_name", "levenshtein", weight=0.6),
+                LK.LinkField("c_acctbal", "numeric", weight=0.4,
+                             scale=500.0)],
+        threshold=0.9)
+    return pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                        F.col("id_b").cast("long").alias("id_b"),
+                        "score")
+
+
+@query(
+    "knn_label_propagation",
+    """
+    WITH e AS (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v,
+             label::BIGINT AS lab
+      FROM embeddings
+    ), s AS (
+      SELECT id, v, lab FROM e WHERE id % 2 = 0
+    ), q AS (
+      SELECT id, v FROM e WHERE id % 20 = 1
+    ), scored AS (
+      SELECT q.id AS qid, s.id AS nid, s.lab,
+             list_dot_product(q.v, s.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(s.v, s.v))) AS cos
+      FROM q JOIN s ON q.id != s.id
+    ), top AS (
+      SELECT qid, lab FROM (
+        SELECT qid, lab,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ), votes AS (
+      SELECT qid, lab, COUNT(*)::BIGINT AS votes
+      FROM top GROUP BY 1, 2
+    )
+    SELECT qid AS vec_id, lab AS predicted_label, votes FROM (
+      SELECT qid, lab, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, lab) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (round 10,
+    :func:`lindel_spark.similarity.propagate_labels`): even vec_ids
+    are the labeled seed set, every 20th-plus-one vector is
+    unlabeled; each takes the majority label of its 5 nearest seeds
+    by cosine (ties: votes desc, label asc — no doubles in the
+    decision). The neighbor search runs the DISTRIBUTED
+    :func:`knn_join` cell path (n_centroids=16, every cell probed =>
+    exact), so the oracle's brute-force replay must agree
+    bit-for-bit."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    seeds = emb.filter(F.col("vec_id") % 2 == 0)
+    probes = emb.filter(F.col("vec_id") % 20 == 1)
+    out = LS.propagate_labels(seeds, probes, k=5, n_centroids=16)
+    return out.select(F.col("vec_id").cast("long").alias("vec_id"),
+                      "predicted_label", "votes")
+
+
+@query(
+    "sampling_mixture_plan",
+    """
+    WITH obs AS (
+      SELECT source, SUM(n_chars)::BIGINT AS observed_size
+      FROM documents GROUP BY 1
+    ), t AS (
+      SELECT * FROM (VALUES ('src1', 4.0 / 10.0), ('src2', 3.0 / 10.0),
+                            ('src3', 2.0 / 10.0), ('src9', 1.0 / 10.0))
+             AS t(source, share)
+    )
+    SELECT obs.source, observed_size,
+           round(COALESCE(share, 0.0) * 50000.0, 9) AS need_size,
+           round(LEAST(1.0, COALESCE(share, 0.0) * 50000.0
+                            / observed_size::DOUBLE), 9)
+             AS keep_fraction,
+           CEIL(COALESCE(share, 0.0) * 50000.0
+                / observed_size::DOUBLE)::BIGINT AS epochs,
+           round(GREATEST(0.0, COALESCE(share, 0.0) * 50000.0
+                               - observed_size::DOUBLE), 9)
+             AS deficit_size
+    FROM obs LEFT JOIN t USING (source)
+    """,
+)
+def q_sampling_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (round 10,
+    :func:`lindel_spark.sampling.mixture_plan`): a 50k-char budget at
+    40/30/20/10 across src1/src2/src3/src9 — the per-domain
+    keep-fraction / epoch / deficit numbers that drive
+    ``mixture_sample`` and ``upsample_mixture`` when the contract is
+    a size budget. Exact algebra on one per-stratum aggregate; the
+    oracle replays need/keep/epochs/deficit with the identical IEEE
+    expression order."""
+    from lindel_spark import sampling as SMP
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return SMP.mixture_plan(
+        docs, "source", "n_chars",
+        {"src1": 4, "src2": 3, "src3": 2, "src9": 1},
+        budget=50_000)
+
+
+@query(
+    "pipeline_length_batches",
+    """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id, n_chars::BIGINT AS len,
+             CAST(FLOOR(n_chars / 64) AS BIGINT) AS bucket
+      FROM documents
+    ), r AS (
+      SELECT bucket, len,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY len, id) - 1 AS pos
+      FROM d
+    ), a AS (
+      SELECT bucket,
+             bucket * 4294967296 + CAST(FLOOR(pos / 16) AS BIGINT)
+               AS batch_id,
+             len
+      FROM r
+    )
+    SELECT bucket, batch_id, COUNT(*)::BIGINT AS n_docs,
+           MAX(len) AS max_len, SUM(len)::BIGINT AS sum_len,
+           (MAX(len) * COUNT(*) - SUM(len))::BIGINT AS padding
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q_pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (round 10,
+    :func:`lindel_spark.packing.length_bucketed_batches`): documents
+    into width-64 length buckets, 16-doc batches within each bucket
+    (ordered by length then id), summarized per batch with the
+    padding-waste accounting (max·n − sum). Ranks come from
+    ``global_rank`` — never a single-task window — and the oracle
+    replays the bucket/rank/batch arithmetic exactly (all
+    integers)."""
+    from lindel_spark import packing as PKG
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    asg = PKG.length_bucketed_batches(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_chars"),
+        "doc_id", "n_chars", bucket_width=64, batch_size=16)
+    return (asg.groupBy("bucket", "batch_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.max("n_chars").alias("max_len"),
+                 F.sum("n_chars").cast("long").alias("sum_len"),
+                 (F.max("n_chars") * F.count(F.lit(1))
+                  - F.sum("n_chars")).cast("long").alias("padding")))
+
+
+@query(
+    "text_normalized",
+    r"""
+    SELECT doc_id::BIGINT AS doc_id,
+           trim(regexp_replace(
+                  regexp_replace(lower(text),
+                                 '[^\p{L}\p{N}\s]+', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (round 10,
+    :func:`lindel_spark.text.normalize_text`): lowercase, Unicode
+    letter/digit-preserving punctuation strip, whitespace collapse,
+    trim — the pass that lets exact dedup catch format variants. The
+    FULL normalized corpus hash-compares against DuckDB's replay (the
+    character classes mean the same thing in Java regex and RE2)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        LT.normalize_text(F.col("text")).alias("norm_text"))

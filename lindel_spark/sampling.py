@@ -347,3 +347,61 @@ def negative_sample(
         .select(F.col("__u").alias(user_col), item_col,
                 (F.col("__rank") - 1).cast("long").alias("draw_idx"))
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    size_col: str,
+    target_weights: dict,
+    budget: int,
+) -> DataFrame:
+    """Token-budget mixture PLANNING: given per-row sizes (tokens,
+    chars, bytes) and target domain shares, compute — per stratum —
+    what a sampler must do to hit ``budget`` total size at those
+    shares. :func:`mixture_sample` draws rows; this computes the
+    numbers to drive it (and :func:`upsample_mixture`) when the
+    contract is a TOKEN budget, not a row count — the form mixture
+    specs are actually written in ("500B tokens, 40% web, 30% code").
+
+    One map-side-combined aggregate (sum of ``size_col`` per stratum)
+    joined to the broadcast target table; everything after is exact
+    algebra on the bounded per-stratum frame:
+
+    - ``need_size``      = normalized share × budget
+    - ``keep_fraction``  = min(1, need/observed)   (downsample knob)
+    - ``epochs``         = ceil(need/observed)     (upsample knob; 0
+      for zero-weight strata)
+    - ``deficit_size``   = max(0, need − observed) (what upsampling
+      must cover)
+
+    Strata present in the data but absent from ``target_weights`` get
+    weight 0 (dropped by the plan, visibly: keep_fraction 0). Ratios
+    round to 9 decimals — engine-stable doubles, oracle-replayable.
+    Driver-side data is one row per stratum, never corpus-sized.
+    """
+    total_w = float(sum(target_weights.values()))
+    if total_w <= 0:
+        raise ValueError("LINDEL: target_weights must sum > 0")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v) / total_w) for k, v in target_weights.items()],
+        f"{strata_col} string, __share double")
+    obs = (df.groupBy(F.col(strata_col).cast("string").alias(strata_col))
+           .agg(F.sum(F.col(size_col).cast("long"))
+                .alias("observed_size")))
+    j = obs.join(F.broadcast(tgt), strata_col, "left").select(
+        strata_col, "observed_size",
+        F.coalesce(F.col("__share"), F.lit(0.0)).alias("__share"))
+    need = F.col("__share") * F.lit(float(budget))
+    ratio = need / F.col("observed_size").cast("double")
+    return j.select(
+        strata_col,
+        "observed_size",
+        F.round(need, 9).alias("need_size"),
+        F.round(F.least(F.lit(1.0), ratio), 9).alias("keep_fraction"),
+        F.ceil(ratio).cast("long").alias("epochs"),
+        F.round(F.greatest(F.lit(0.0),
+                           need - F.col("observed_size").cast("double")),
+                9).alias("deficit_size"),
+    )

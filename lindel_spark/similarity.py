@@ -1519,3 +1519,50 @@ def hard_negatives(
                     F.col("rank").cast("long").alias("rank"),
                     "item_id",
                     F.round("cos", round_digits).alias("cos_r")))
+
+
+def propagate_labels(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: np.ndarray | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """kNN label propagation: every ``unlabeled`` row takes the
+    MAJORITY label among its ``k`` nearest ``labeled`` rows by cosine
+    — the semi-supervised step that turns a small hand-labeled seed
+    set (quality grades, topics, licenses) into corpus-wide labels
+    without training a model (Zhu & Ghahramani 2002's one-hop case).
+
+    The neighbor search routes through :func:`knn_join`, so BOTH
+    sides stay distributed: a bounded seed set broadcasts, a large
+    one cell-partitions (pass ``n_centroids``/``nprobe`` for the
+    IVF-approximate trade) — no driver ceiling at 100 TB. The vote is
+    one integer aggregate over the k neighbor labels; ties break on
+    the SMALLER label (votes desc, label asc), so the result is
+    deterministic and value-level oracle-replayable — no doubles in
+    the decision at all.
+
+    Returns (``id_col``, predicted_label, votes): votes = how many of
+    the k neighbors carried the winning label.
+    """
+    nn = knn_join(labeled, unlabeled, k=k, id_col=id_col,
+                  vec_col=vec_col, centroids=centroids,
+                  n_centroids=n_centroids, nprobe=nprobe)
+    lab = labeled.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(label_col).cast("long").alias("__lab"))
+    votes = (nn.join(lab, "neighbor_id")
+             .groupBy("query_id", "__lab")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__lab").asc())
+    return (votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("query_id").alias(id_col),
+                    F.col("__lab").alias("predicted_label"),
+                    F.col("votes").cast("long").alias("votes")))

@@ -215,3 +215,41 @@ def test_remove_boilerplate_lines_behavior(spark):
         clean, max_doc_frac=0.5, min_docs=5).collect()}
     assert all(got[i].text == f"only {i}\n\nlines {i}"
                and got[i].n_lines_removed == 0 for i in range(20))
+
+
+def test_length_bucketed_batches_shape(spark):
+    from lindel_spark.packing import length_bucketed_batches
+    # lengths: 20 docs of len 10..29 (bucket 0: <64), 5 docs of len 100
+    rows = [(i, 10 + i) for i in range(20)] + \
+           [(100 + i, 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, len long")
+    asg = length_bucketed_batches(df, "doc_id", "len",
+                                  bucket_width=64, batch_size=8)
+    got = asg.collect()
+    assert len(got) == 25
+    by_batch = {}
+    for r in got:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    # bucket 0 -> 20 docs -> batches of 8, 8, 4; bucket 1 -> one of 5
+    sizes = sorted(len(v) for v in by_batch.values())
+    assert sizes == [4, 5, 8, 8]
+    # within a batch, positions are 0..n-1 and lengths sorted asc
+    for members in by_batch.values():
+        members.sort(key=lambda r: r.pos_in_batch)
+        assert [m.pos_in_batch for m in members] == list(range(len(members)))
+        lens = [m.len for m in members]
+        assert lens == sorted(lens)
+    # batch ids never mix buckets
+    for members in by_batch.values():
+        assert len({m.bucket for m in members}) == 1
+
+
+def test_length_bucketed_batches_deterministic(spark):
+    from lindel_spark.packing import length_bucketed_batches
+    rows = [(i, (i * 37) % 200 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, len long")
+    a = sorted(map(tuple, length_bucketed_batches(
+        df, "doc_id", "len", 64, 16).collect()))
+    b = sorted(map(tuple, length_bucketed_batches(
+        df.repartition(7), "doc_id", "len", 64, 16).collect()))
+    assert a == b

@@ -233,3 +233,31 @@ def test_negative_sample_empty_catalog_raises(spark):
     empty = spark.createDataFrame([], "item_id long")
     with _p.raises(ValueError, match="non-empty"):
         negative_sample(inter, empty, k=2)
+
+
+def test_mixture_plan_algebra(spark):
+    from lindel_spark.sampling import mixture_plan
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 300), ("c", 50)],
+        "source string, n int")
+    got = {r.source: r for r in mixture_plan(
+        df, "source", "n", {"a": 3, "b": 1}, budget=400).collect()}
+    # shares: a=0.75 -> need 300 > observed 200: keep 1.0, 2 epochs
+    assert got["a"].observed_size == 200
+    assert got["a"].need_size == 300.0
+    assert got["a"].keep_fraction == 1.0
+    assert got["a"].epochs == 2
+    assert got["a"].deficit_size == 100.0
+    # b: need 100 < observed 300 -> downsample to 1/3, 1 epoch
+    assert got["b"].keep_fraction == round(100 / 300, 9)
+    assert got["b"].epochs == 1 and got["b"].deficit_size == 0.0
+    # c absent from targets: weight 0, visibly dropped
+    assert got["c"].keep_fraction == 0.0 and got["c"].epochs == 0
+
+
+def test_mixture_plan_rejects_zero_weights(spark):
+    import pytest as _pt
+    from lindel_spark.sampling import mixture_plan
+    df = spark.createDataFrame([("a", 1)], "source string, n int")
+    with _pt.raises(ValueError, match="sum > 0"):
+        mixture_plan(df, "source", "n", {}, budget=10)

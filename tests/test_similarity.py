@@ -568,3 +568,33 @@ def test_hard_negatives_excludes_positives(emb, queries_df):
         by_anchor.setdefault(r.anchor_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, 6))
                for v in by_anchor.values())
+
+
+def test_propagate_labels_majority_and_tiebreak(spark):
+    # 2-D unit-ish vectors: cluster A near (1,0) labeled 0 (x2) and 1
+    # (x1); cluster B near (0,1) labeled 7. k=3 -> A-probe majority 0;
+    # B-probe gets all three A/B... construct probe exactly on B.
+    labeled = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (2, [0.99, 0.1], 0), (4, [0.98, 0.15], 1),
+         (6, [0.0, 1.0], 7), (8, [0.1, 0.99], 7)],
+        "vec_id long, embedding array<double>, label long")
+    probes = spark.createDataFrame(
+        [(101, [0.97, 0.05]), (103, [0.05, 0.97])],
+        "vec_id long, embedding array<double>")
+    from lindel_spark.similarity import propagate_labels
+    got = {r.vec_id: (r.predicted_label, r.votes)
+           for r in propagate_labels(labeled, probes, k=3).collect()}
+    assert got[101] == (0, 2)          # two 0-votes beat one 1-vote
+    # probe 103: neighbors are 6, 8 (label 7) and one A vector -> 7
+    assert got[103][0] == 7 and got[103][1] == 2
+
+
+def test_propagate_labels_tie_prefers_smaller_label(spark):
+    labeled = spark.createDataFrame(
+        [(0, [1.0, 0.0], 5), (2, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<double>, label long")
+    probes = spark.createDataFrame(
+        [(11, [1.0, 1.0])], "vec_id long, embedding array<double>")
+    from lindel_spark.similarity import propagate_labels
+    r = propagate_labels(labeled, probes, k=2).collect()[0]
+    assert (r.predicted_label, r.votes) == (3, 1)  # 1-1 tie -> label 3

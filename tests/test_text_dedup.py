@@ -618,3 +618,21 @@ def test_keep_best_in_cluster_prefers_quality_over_id(spark):
     kept = {r.doc_id for r in
             LD.keep_best_in_cluster(scored, clusters, "score").collect()}
     assert kept == {2, 3, 4}  # 2 beats 1 on length; 4 beats 5 on id tie
+
+
+def test_normalize_text_cases(spark):
+    from lindel_spark.text import normalize_text
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),
+        (3, "  Ünïcöde—Dash…test  "),
+        (4, "中文 标点，保留 文字。"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.n for r in df.select(
+        "id", normalize_text(F.col("t")).alias("n")).collect()}
+    assert got[1] == "hello world" == got[2]
+    assert got[3] == "ünïcöde dash test"
+    assert got[4] == "中文 标点 保留 文字"
+    assert got[5] == ""
