@@ -30,7 +30,7 @@ Operator modules (import as submodules):
     lindel_spark.text        token stats, quality, language ID, n-grams,
                              winnowing fingerprints + near-dup,
                              vocab coverage, boilerplate-line removal,
-                             canonical normalization
+                             aggressive canonicalization
     lindel_spark.linkage     record linkage / entity resolution
                              (blocked multi-field weighted matching)
     lindel_spark.multimodal  binary payload columns, decode stages

@@ -67,7 +67,7 @@ _SAMPLE_FIRST = [
     "knn_label_propagation",     # new: kNN majority-vote label spread
     "sampling_mixture_plan",     # new: token-budget mixture planner
     "pipeline_length_batches",   # new: length-bucketed batch assembly
-    "text_normalized",           # new: canonical normalization pass
+    "text_canonicalized",        # new: canonical normalization pass
     "dedup_substring_spans",     # new: exact duplicated-span removal
     "dedup_substring_incremental",  # new: span dedup vs gram store
     "zorder_store_lookup",       # new: persisted bloom equality probe
@@ -7984,7 +7984,7 @@ def q_pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_normalized",
+    "text_canonicalized",
     r"""
     SELECT doc_id::BIGINT AS doc_id,
            trim(regexp_replace(
@@ -7994,9 +7994,9 @@ def q_pipeline_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def q_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization (round 10,
-    :func:`lindel_spark.text.normalize_text`): lowercase, Unicode
+    :func:`lindel_spark.text.canonicalize_text`): lowercase, Unicode
     letter/digit-preserving punctuation strip, whitespace collapse,
     trim — the pass that lets exact dedup catch format variants. The
     FULL normalized corpus hash-compares against DuckDB's replay (the
@@ -8004,4 +8004,4 @@ def q_text_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        LT.normalize_text(F.col("text")).alias("norm_text"))
+        LT.canonicalize_text(F.col("text")).alias("norm_text"))

@@ -598,25 +598,27 @@ def remove_boilerplate_lines(
     )
 
 
-def normalize_text(c: Column) -> Column:
-    """Canonical text normalization for dedup keys and matching:
+def canonicalize_text(c: Column) -> Column:
+    """AGGRESSIVE canonicalization for format-variant dedup keys:
     lowercase, strip punctuation/symbols (everything that is not a
     letter, digit or whitespace — Unicode classes, so CJK text
     survives), collapse whitespace runs to single spaces, trim.
 
-    The pass that makes exact dedup catch FORMAT variants ("Hello,
-    World!" == "hello world") — run it before
-    :func:`doc_fingerprint` and the near-dup families so trivially
-    re-punctuated copies collapse in the cheap exact tier instead of
-    burdening MinHash. Pure ``lower`` + ``regexp_replace`` chain (JVM
-    codegen, map-only, zero shuffle); the character classes
-    (``\\p{L}``, ``\\p{N}``, ``\\s``) mean the same thing in Java
-    regex and RE2, so the whole transform is value-level
-    oracle-replayable in DuckDB. Unicode canonicalization (NFC/NFKC)
-    is deliberately out of scope: Spark has no built-in normalizer,
-    and a Python UDF in this hot map path would cost more than the
-    rare compat-form variants it would catch — normalize upstream at
-    ingest if the corpus mixes composed/decomposed forms.
+    Stronger than :func:`normalize_text` (which only lowercases and
+    collapses whitespace and is the tokenization-preserving form the
+    fingerprint/near-dup/BM25 chain keys on): this one also erases
+    punctuation, so "Hello, World!" == "hello world". Run it before
+    :func:`doc_fingerprint` when trivially re-punctuated copies
+    should collapse in the cheap exact tier instead of burdening
+    MinHash. Pure ``lower`` + ``regexp_replace`` chain (JVM codegen,
+    map-only, zero shuffle); the character classes (``\\p{L}``,
+    ``\\p{N}``, ``\\s``) mean the same thing in Java regex and RE2,
+    so the whole transform is value-level oracle-replayable in
+    DuckDB. Unicode canonicalization (NFC/NFKC) is deliberately out
+    of scope: Spark has no built-in normalizer, and a Python UDF in
+    this hot map path would cost more than the rare compat-form
+    variants it would catch — normalize upstream at ingest if the
+    corpus mixes composed/decomposed forms.
     """
     out = F.lower(c)
     out = F.regexp_replace(out, "[^\\p{L}\\p{N}\\s]+", " ")

@@ -620,8 +620,8 @@ def test_keep_best_in_cluster_prefers_quality_over_id(spark):
     assert kept == {2, 3, 4}  # 2 beats 1 on length; 4 beats 5 on id tie
 
 
-def test_normalize_text_cases(spark):
-    from lindel_spark.text import normalize_text
+def test_canonicalize_text_cases(spark):
+    from lindel_spark.text import canonicalize_text
     rows = [
         (1, "Hello,   World!"),
         (2, "hello world"),
@@ -631,7 +631,7 @@ def test_normalize_text_cases(spark):
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     got = {r.id: r.n for r in df.select(
-        "id", normalize_text(F.col("t")).alias("n")).collect()}
+        "id", canonicalize_text(F.col("t")).alias("n")).collect()}
     assert got[1] == "hello world" == got[2]
     assert got[3] == "ünïcöde dash test"
     assert got[4] == "中文 标点 保留 文字"
