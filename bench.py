@@ -515,6 +515,26 @@ def main() -> None:
                .select("query_id", "doc_id", "rank"))
         _noop(LR.reciprocal_rank_fusion([bm, ann], k=5))
 
+    def q_record_linkage(_):
+        from lindel_spark.linkage import LinkField, record_linkage
+        c = spark.read.parquet(_cust_path).select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .alias("balb"))
+        _noop(record_linkage(
+            c, "c_custkey",
+            ["c_nationkey", "c_mktsegment", "balb"],
+            [LinkField("c_name", "levenshtein", 0.6),
+             LinkField("c_acctbal", "numeric", 0.4, 500.0)],
+            threshold=0.9))
+
+    def q_label_propagation(_):
+        from lindel_spark.similarity import propagate_labels
+        seeds = emb.filter(F.col("vec_id") % 2 == 0)
+        probes = emb.filter(F.col("vec_id") % 2 == 1)
+        _noop(propagate_labels(seeds, probes, k=5, n_centroids=16))
+
     scan_shaped += [
         ("manifest_pruned_scan", q_manifest_pruned, n_li),
         ("manifest_full_scan", q_manifest_full, n_li),
@@ -522,6 +542,8 @@ def main() -> None:
         ("zorder_store_lookup", q_zorder_store_lookup, n_li),
         ("substring_dedup", q_substring_dedup, n_docs),
         ("hybrid_rrf_topk", q_hybrid_rrf, n_docs),
+        ("record_linkage", q_record_linkage, -1),
+        ("label_propagation", q_label_propagation, n_emb),
     ]
     def q_zorder_store_cycle(tmp):
         import shutil as _sh

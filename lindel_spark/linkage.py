@@ -145,3 +145,47 @@ def record_linkage(
     return (scored.filter(F.col("score") >= F.lit(float(threshold)))
             .select(F.col("__id_a").alias("id_a"),
                     F.col("__id_b").alias("id_b"), "score"))
+
+
+def incremental_linkage(
+    batch: DataFrame,
+    master: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    fields: list[LinkField],
+    threshold: float = 0.85,
+    max_block_rows: int | None = 100_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Link an incoming batch against a persisted MASTER record table
+    — the MDM ingest shape (the linkage leg of the incremental triad
+    beside `dedup.incremental_exact_dedup` and
+    `dedup.incremental_near_dup`): the master is matched, never
+    rebuilt, so daily ingest cost is one blocked A×B join against the
+    master plus one blocked self-join within the batch.
+
+    Returns ``(matches, new_records)``:
+
+    - ``matches`` — (id_a = master id, id_b = batch id, score >=
+      threshold) via :func:`record_linkage` A×B; route these to
+      survivorship/merge.
+    - ``new_records`` — batch rows matching NO master record and not
+      a within-batch duplicate of a lower-id batch row (self-linkage
+      at the same threshold, min-id survivor): the rows to append to
+      the master for the next increment.
+
+    Both anti-join keys are match-id sets (bounded by match counts,
+    uniform ids) — the batch is never re-scanned per master row.
+    """
+    matches = record_linkage(
+        master, id_col, block_cols, fields, threshold,
+        other=batch, max_block_rows=max_block_rows)
+    batch_pairs = record_linkage(
+        batch, id_col, block_cols, fields, threshold,
+        max_block_rows=max_block_rows)
+    matched = matches.select(F.col("id_b").alias(id_col)).distinct()
+    # id_a < id_b in self mode: the higher id is the duplicate
+    batch_dups = batch_pairs.select(
+        F.col("id_b").alias(id_col)).distinct()
+    new_records = (batch.join(matched, id_col, "left_anti")
+                   .join(batch_dups, id_col, "left_anti"))
+    return matches, new_records

@@ -64,6 +64,8 @@ _SAMPLE_FIRST = [
     # covered by the local full-registry sweeps at three scales.
     # (a) round-10 new / operator-changed
     "linkage_customer_pairs",    # new: blocked multi-field record linkage
+    "linkage_incremental_batch",  # new: MDM ingest vs master store
+    "text_bpe_pairs",            # new: BPE merge-candidate pair counts
     "knn_label_propagation",     # new: kNN majority-vote label spread
     "sampling_mixture_plan",     # new: token-budget mixture planner
     "pipeline_length_batches",   # new: length-bucketed batch assembly
@@ -8005,3 +8007,113 @@ def q_text_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         LT.canonicalize_text(F.col("text")).alias("norm_text"))
+
+
+@query(
+    "linkage_incremental_batch",
+    """
+    WITH c AS (
+      SELECT c_custkey::BIGINT AS id, c_name AS name,
+             c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balb
+      FROM customer
+    ), m AS (
+      SELECT * FROM c WHERE id % 3 != 0
+    ), b AS (
+      SELECT * FROM c WHERE id % 3 = 0
+    ), mb AS (
+      SELECT m.id AS id_a, b.id AS id_b,
+             round(0.6 * (1.0 - levenshtein(m.name, b.name)::DOUBLE
+                          / GREATEST(LENGTH(m.name), LENGTH(b.name)))
+                   + 0.4 * GREATEST(0.0,
+                             1.0 - ABS(m.bal - b.bal) / 500.0),
+                   9) AS score
+      FROM m JOIN b
+        ON m.nat = b.nat AND m.seg = b.seg AND m.balb = b.balb
+    ), matches AS (
+      SELECT * FROM mb WHERE score >= 0.9
+    ), bb AS (
+      SELECT x.id AS id_a, y.id AS id_b,
+             round(0.6 * (1.0 - levenshtein(x.name, y.name)::DOUBLE
+                          / GREATEST(LENGTH(x.name), LENGTH(y.name)))
+                   + 0.4 * GREATEST(0.0,
+                             1.0 - ABS(x.bal - y.bal) / 500.0),
+                   9) AS score
+      FROM b x JOIN b y
+        ON x.nat = y.nat AND x.seg = y.seg AND x.balb = y.balb
+       AND x.id < y.id
+    ), batch_dups AS (
+      SELECT DISTINCT id_b FROM bb WHERE score >= 0.9
+    ), newr AS (
+      SELECT id FROM b
+      WHERE id NOT IN (SELECT id_b FROM matches)
+        AND id NOT IN (SELECT id_b FROM batch_dups)
+    )
+    SELECT 'match' AS kind, id_a, id_b, score FROM matches
+    UNION ALL
+    SELECT 'new' AS kind, -1::BIGINT AS id_a, id AS id_b,
+           -1.0 AS score
+    FROM newr
+    """,
+)
+def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage against a master store (round 10,
+    :func:`lindel_spark.linkage.incremental_linkage`): customers with
+    id % 3 != 0 play the persisted master, the rest arrive as a
+    batch. Master matches route to merge; batch rows matching nothing
+    (and not within-batch duplicates) are the appendable new records.
+    One row per match plus one sentinel row per new record — the
+    whole two-join chain replayed in DuckDB."""
+    from lindel_spark import linkage as LK
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cust = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balb"))
+    fields = [LK.LinkField("c_name", "levenshtein", weight=0.6),
+              LK.LinkField("c_acctbal", "numeric", weight=0.4,
+                           scale=500.0)]
+    master = cust.filter(F.col("c_custkey") % 3 != 0)
+    batch = cust.filter(F.col("c_custkey") % 3 == 0)
+    matches, new_records = LK.incremental_linkage(
+        batch, master, "c_custkey",
+        ["c_nationkey", "c_mktsegment", "balb"], fields, threshold=0.9)
+    m = matches.select(F.lit("match").alias("kind"),
+                       F.col("id_a").cast("long").alias("id_a"),
+                       F.col("id_b").cast("long").alias("id_b"),
+                       "score")
+    n = new_records.select(
+        F.lit("new").alias("kind"),
+        F.lit(-1).cast("long").alias("id_a"),
+        F.col("c_custkey").cast("long").alias("id_b"),
+        F.lit(-1.0).alias("score"))
+    return m.unionByName(n)
+
+
+@query(
+    "text_bpe_pairs",
+    """
+    WITH toks AS (
+      SELECT regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS t
+      FROM documents
+    ), pairs AS (
+      SELECT t[i] || ' ' || t[i + 1] AS pair
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    )
+    SELECT pair, COUNT(*)::BIGINT AS n
+    FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 100
+    """,
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate pair counts (round 10,
+    :func:`lindel_spark.text.bpe_pair_counts`): top-100 adjacent
+    pretoken pairs by frequency over the shared
+    ``BPE_SPLIT_PATTERN`` pre-tokenizer — one merge iteration's
+    decision statistic, exact integer counts, lexicographic tie-break
+    so the cut is deterministic. DuckDB replays pretokenize → zip →
+    count → cut value-for-value."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.bpe_pair_counts(docs, "text", top_n=100)

@@ -624,3 +624,40 @@ def canonicalize_text(c: Column) -> Column:
     out = F.regexp_replace(out, "[^\\p{L}\\p{N}\\s]+", " ")
     out = F.regexp_replace(out, "\\s+", " ")
     return F.trim(out)
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    top_n: int | None = None) -> DataFrame:
+    """Adjacent-pretoken pair frequencies — ONE BPE merge iteration's
+    decision statistic (Sennrich et al. 2016: the pair you merge next
+    is the most frequent adjacent pair), over the same
+    :data:`BPE_SPLIT_PATTERN` pre-tokenizer the length filters use.
+    With :func:`vocab_coverage` this is the tokenizer-design pair:
+    coverage tells you how big the vocab must be, pair counts tell
+    you what the merges would be.
+
+    Shape: pre-tokenize + pairwise zip are per-row column expressions
+    (no UDF, no shuffle); the count is one map-side-combined groupBy;
+    ``top_n`` compiles to TakeOrderedAndProject (per-partition top-n,
+    merged on the driver — never a global sort). Ties rank
+    lexicographically, so the cut is deterministic. Returns
+    (pair, n).
+    """
+    t = F.regexp_extract_all(F.col(text_col),
+                             F.lit(BPE_SPLIT_PATTERN), 0)
+    # guard: Spark's sequence(1, 0) runs DESCENDING ([1, 0]) instead
+    # of empty, so single-pretoken rows must not reach it
+    src = (ensure_parallelism(df)
+           .select(t.alias("__t"))
+           .filter(F.size("__t") >= 2))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("__t", i), F.element_at("__t", i + 1)))
+    out = (src.select(F.explode(pairs).alias("pair"))
+           .groupBy("pair")
+           .agg(F.count(F.lit(1)).alias("n")))
+    if top_n is not None:
+        out = out.orderBy(F.col("n").desc(), F.col("pair").asc()) \
+            .limit(int(top_n))
+    return out

@@ -81,3 +81,33 @@ def test_null_block_value_is_a_category(spark):
            for r in record_linkage(df, "id", ["city"], FIELDS,
                                    threshold=0.99).collect()}
     assert got == {(1, 2)}
+
+
+def test_incremental_linkage_roles(spark):
+    from lindel_spark.linkage import incremental_linkage
+    master = spark.createDataFrame(
+        [(1, "ny", "alice johnson", 100.0),
+         (2, "sf", "bob stone", 50.0)],
+        ["id", "city", "name", "bal"])
+    batch = spark.createDataFrame(
+        [(10, "ny", "alice johnson", 100.0),   # matches master 1
+         (11, "sf", "carol reef", 80.0),       # new
+         (12, "sf", "carol reef", 80.0),       # within-batch dup of 11
+         (13, "la", "dan brook", 10.0)],       # new (block unseen)
+        ["id", "city", "name", "bal"])
+    matches, new = incremental_linkage(
+        batch, master, "id", ["city"], FIELDS, threshold=0.99)
+    assert {(r.id_a, r.id_b) for r in matches.collect()} == {(1, 10)}
+    assert {r.id for r in new.collect()} == {11, 13}
+
+
+def test_bpe_pair_counts_exact(spark):
+    from lindel_spark.text import bpe_pair_counts
+    df = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "ab ab"), (3, "x")], ["id", "text"])
+    # pretokens: ["ab","ab","cd"] -> pairs "ab ab","ab cd";
+    # ["ab","ab"] -> "ab ab"; ["x"] -> none (guarded)
+    got = {r.pair: r.n for r in bpe_pair_counts(df).collect()}
+    assert got == {"ab ab": 2, "ab cd": 1}
+    top = bpe_pair_counts(df, top_n=1).collect()
+    assert [(r.pair, r.n) for r in top] == [("ab ab", 2)]
