@@ -512,3 +512,52 @@ def test_rrf_fusion_plan_keyed_only(spark, docs):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashAggregate" in p
+
+
+def test_round10_new_operators_plan_contracts(spark, docs):
+    """Round-10 second-pass additions keep the 100 TB contracts:
+    linkage is a (broadcast|shuffle) HASH equi-join on the block key
+    — never cartesian/BNLJ; label propagation through knn_join's cell
+    join is never cartesian; length-bucketed batching carries no
+    unpartitioned window and gets its per-bucket offsets by
+    broadcast; BPE pair counting is map + one partial-agged groupBy
+    with a TakeOrdered cut, no shuffle-side sort of the full pairs."""
+    from lindel_spark.linkage import LinkField, record_linkage
+    from lindel_spark.packing import length_bucketed_batches
+    from lindel_spark.text import bpe_pair_counts
+
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    cust = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balb"))
+    p_link = plan_of(record_linkage(
+        cust, "c_custkey", ["c_nationkey", "c_mktsegment", "balb"],
+        [LinkField("c_name", "levenshtein", 0.6),
+         LinkField("c_acctbal", "numeric", 0.4, 500.0)],
+        threshold=0.9))
+    assert "CartesianProduct" not in p_link
+    assert "BroadcastNestedLoopJoin" not in p_link
+    assert "HashJoin" in p_link  # blocked equi-join, broadcast or shuffled
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    from lindel_spark.similarity import propagate_labels
+    p_prop = plan_of(propagate_labels(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1), k=3, n_centroids=4))
+    assert "CartesianProduct" not in p_prop
+    assert "BroadcastNestedLoopJoin" not in p_prop
+
+    p_batch = plan_of(length_bucketed_batches(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "n_chars"),
+        "doc_id", "n_chars", 64, 16)).lower()
+    assert "cartesianproduct" not in p_batch
+    # every window is partitioned (global_rank pid window) and the
+    # per-bucket min/count offsets arrive via broadcast
+    assert "windowspecdefinition(__gr_pid" in p_batch
+    assert "broadcasthashjoin" in p_batch
+
+    p_bpe = plan_of(bpe_pair_counts(docs, top_n=50))
+    assert "TakeOrderedAndProject" in p_bpe
+    assert "partial_count" in p_bpe or "partial count" in p_bpe.lower()
