@@ -530,10 +530,14 @@ def main() -> None:
             threshold=0.9))
 
     def q_label_propagation(_):
+        # nprobe=4/16: the realistic ANN operating point (the
+        # registry query pins the exact all-probe path; here the
+        # price of exactness would be |probes| x |seeds| scoring)
         from lindel_spark.similarity import propagate_labels
         seeds = emb.filter(F.col("vec_id") % 2 == 0)
         probes = emb.filter(F.col("vec_id") % 2 == 1)
-        _noop(propagate_labels(seeds, probes, k=5, n_centroids=16))
+        _noop(propagate_labels(seeds, probes, k=5, n_centroids=16,
+                               nprobe=4))
 
     scan_shaped += [
         ("manifest_pruned_scan", q_manifest_pruned, n_li),

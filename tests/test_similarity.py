@@ -598,3 +598,36 @@ def test_propagate_labels_tie_prefers_smaller_label(spark):
     from lindel_spark.similarity import propagate_labels
     r = propagate_labels(labeled, probes, k=2).collect()[0]
     assert (r.predicted_label, r.votes) == (3, 1)  # 1-1 tie -> label 3
+
+
+def test_arrow_cosine_bit_identical_to_expression_fold(spark):
+    """_cos_exact_udf must equal the interpreted sequential fold
+    BITWISE on adversarial float32 inputs — the contract that lets
+    the cell joins score via Arrow without perturbing oracle
+    hashes."""
+    import random
+    import numpy as np
+    from lindel_spark.similarity import (cosine_similarity,
+                                         _cos_exact_udf)
+    rng = random.Random(11)
+    rows = []
+    for i in range(500):
+        d = rng.choice([3, 17, 64])
+        rows.append((i,
+                     [rng.uniform(-1e3, 1e3) for _ in range(d)],
+                     [rng.uniform(-1e3, 1e3) for _ in range(d)]))
+    # group same-dim rows so np.stack sees rectangular batches
+    rows.sort(key=lambda r: len(r[1]))
+    dfs = []
+    for d in (3, 17, 64):
+        part = [r for r in rows if len(r[1]) == d]
+        dfs.append(spark.createDataFrame(
+            part, "id long, a array<float>, b array<float>"))
+    for df in dfs:
+        got = df.select(
+            "id",
+            cosine_similarity(F.col("a"), F.col("b")).alias("expr"),
+            _cos_exact_udf()(F.col("a"), F.col("b")).alias("arrow"),
+        ).collect()
+        for r in got:
+            assert r.expr == r.arrow, (r.id, r.expr, r.arrow)
