@@ -128,7 +128,7 @@ def brute_force_knn(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+        _cos_exact_udf()(F.col("__qv"), F.col("__cv")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -249,7 +249,7 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a", "id_b",
-            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cos"),
+            _cos_exact_udf()(F.col("__va"), F.col("__vb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -842,7 +842,7 @@ def _adc_join_tail(
         F.col(vec_col).alias("__qv2"))
     exact = (top.join(vecs, "neighbor_id").join(qdf, "query_id")
              .select("query_id", "neighbor_id",
-                     cosine_similarity(F.col("__qv2"),
+                     _cos_exact_udf()(F.col("__qv2"),
                                        F.col("__cv")).alias("cos")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -988,7 +988,7 @@ def ann_knn(
     )
     scored = cand.select(
         "query_id", "neighbor_id",
-        cosine_similarity(F.col("__qv"), F.col("__cv")).alias("cos"),
+        _cos_exact_udf()(F.col("__qv"), F.col("__cv")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -1125,7 +1125,7 @@ def _adc_topk_or_refine(
         F.col(vec_col).alias("__cv"))
     exact = (cand.join(vecs, "neighbor_id").join(qdf, "query_id")
              .select("query_id", "neighbor_id",
-                     cosine_similarity(F.col("__qv"),
+                     _cos_exact_udf()(F.col("__qv"),
                                        F.col("__cv")).alias("cos")))
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -1460,7 +1460,7 @@ def semantic_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+            _cos_exact_udf()(F.col("a.__v"), F.col("b.__v")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -1534,7 +1534,7 @@ def hard_negatives(
         scored = (ab.crossJoin(cb)
                   .filter(F.col("anchor_id") != F.col("item_id"))
                   .select("anchor_id", "item_id",
-                          cosine_similarity(F.col("__av"),
+                          _cos_exact_udf()(F.col("__av"),
                                             F.col("__cv")).alias("cos")))
     else:
         scored = candidates.select(
