@@ -9,6 +9,24 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 Encode/decode queries are forced through the ``noop`` sink so Catalyst
 cannot prune the measured column; timings are the median of 3 runs for
 the scan-shaped queries and a single run for the write-shaped ones.
+
+Self-adjudication (round 11 — three rounds of host drift manufactured
+false 2x-bar breaches on unchanged code): the artifact now carries
+
+- ``canary``: one fixed cheap entry (``morton_native_i32x2``) re-timed
+  BEFORE and AFTER the suite; post/pre >> 1 on identical code means
+  the session itself slowed while the suite ran.
+- ``over_bar_reruns``: every entry whose in-suite median exceeds 2x of
+  its BASELINE.md anchor (``lindel_spark/bench_anchors.py``) is
+  AUTOMATICALLY re-measured in a FRESH subprocess (own JVM, setup
+  restricted to that entry via ``--only``), and both numbers land in
+  the artifact with a mechanical verdict: isolated median back inside
+  the bar -> "drift", still over -> "regression" (noise-band entries
+  like pagerank are labeled as such).
+
+``python bench.py --only a,b`` runs just those entries (fresh session,
+entry-scoped setup) and prints the same one-line JSON — the subprocess
+face of the adjudicator, also usable by hand.
 """
 
 from __future__ import annotations
@@ -41,7 +59,34 @@ def _noop(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
-def main() -> None:
+def _rerun_isolated(names: list[str], timeout_s: int = 900) -> dict:
+    """Re-measure entries in a FRESH subprocess (own JVM, own session).
+
+    Parses the one-line JSON the ``--only`` invocation prints; returns
+    {} (with a stderr note) on any failure — adjudication must never
+    take the bench run down with it.
+    """
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--only", ",".join(names)]
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_BENCH_OUT", None)  # don't clobber the artifact
+    try:
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout_s, env=env)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        print(f"BENCH ADJUDICATE WARNING: no JSON from isolated rerun "
+              f"(rc={proc.returncode})", file=sys.stderr)
+    except Exception as ex:  # timeout, parse, spawn
+        print(f"BENCH ADJUDICATE WARNING: {type(ex).__name__}: {ex}",
+              file=sys.stderr)
+    return {}
+
+
+def main(only: set[str] | None = None) -> None:
     from lindel_spark.contract import assert_data_contract
     # fail loudly on driver-layout drift; allow_missing because derived
     # scale-up dirs (.scale/sf1) carry only the benchmarked tables
@@ -52,7 +97,14 @@ def main() -> None:
     from lindel_spark import similarity as LS
     from lindel_spark import text as LT
     from lindel_spark import write as LW
+    from lindel_spark.bench_anchors import ANCHORS, NOISE_BAND, OVER_BAR_X
     from lindel_spark.session import get_spark
+
+    def need(*names: str) -> bool:
+        # setup gate: in --only mode, build just the artifacts the
+        # selected entries touch — an isolated rerun of one entry must
+        # not pay (or be perturbed by) the full-suite setup
+        return only is None or bool(only.intersection(names))
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
     # harness-only driver knob (see lindel_spark.session.get_spark)
@@ -81,7 +133,9 @@ def main() -> None:
     # the chain costs ~2s of driver-side plan construction, so timing
     # construction per rep would measure the analyzer, not the scan
     # (see hilbert_encode_native warning; BASELINE.md round 7)
-    _hn = LF.hilbert_encode_native(li, i2, "int32", out_col="h").select("h")
+    if need("hilbert_native_i32x2"):
+        _hn = LF.hilbert_encode_native(li, i2, "int32",
+                                       out_col="h").select("h")
 
     def q_hilbert_native_i32(_):
         _noop(_hn)
@@ -143,7 +197,8 @@ def main() -> None:
         queries_df = emb.filter(F.col("vec_id") % 50 == 0)
         _noop(LS.ivf_knn(emb, queries_df, k=10, n_centroids=16, nprobe=8))
 
-    _ivf_centroids = LS.train_centroids(emb, 16)
+    if need("knn_ivf_probe"):
+        _ivf_centroids = LS.train_centroids(emb, 16)
 
     def q_knn_ivf_probe(_):
         # steady-state cost: codebook pretrained (the production shape)
@@ -152,16 +207,21 @@ def main() -> None:
                          centroids=_ivf_centroids))
 
     _auto_nc, _auto_np = LS.auto_ivf_config(n_emb)
-    _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
-    _pq_books = LS.train_pq(emb, m=8, ks=256)
+    if need("knn_ivf_auto", "knn_join_dist", "knn_ivfpq_refined",
+            "knn_join_pq_dist", "ivf_store_pruned_scan",
+            "ivf_store_full_scan"):
+        _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
+    if need("knn_pq_refined", "knn_ivfpq_refined", "knn_join_pq_dist"):
+        _pq_books = LS.train_pq(emb, m=8, ks=256)
     # codes are the *stored* representation — materialize to parquet
     # and read back, so the timed scans survive the per-entry
     # clearCache() (a persist() would be silently dropped and the
     # timings would re-measure encoding)
     _store = tempfile.mkdtemp(prefix="lindel_bench_store_")
-    LS.pq_encode(emb, _pq_books).write.mode("overwrite").parquet(
-        os.path.join(_store, "pq_codes"))
-    _pq_codes = spark.read.parquet(os.path.join(_store, "pq_codes"))
+    if need("knn_pq_refined"):
+        LS.pq_encode(emb, _pq_books).write.mode("overwrite").parquet(
+            os.path.join(_store, "pq_codes"))
+        _pq_codes = spark.read.parquet(os.path.join(_store, "pq_codes"))
 
     def q_knn_pq_refined(_):
         # production shape: ADC scan over stored 8-byte codes, then
@@ -186,10 +246,12 @@ def main() -> None:
                           centroids=_ivf_auto_centroids,
                           nprobe=_auto_np))
 
-    LS.ivf_pq_encode(emb, _ivf_auto_centroids, _pq_books) \
-        .write.mode("overwrite").parquet(os.path.join(_store, "ivfpq_codes"))
-    _ivfpq_codes = spark.read.parquet(
-        os.path.join(_store, "ivfpq_codes"))  # cell+code stored form
+    if need("knn_ivfpq_refined", "knn_join_pq_dist"):
+        LS.ivf_pq_encode(emb, _ivf_auto_centroids, _pq_books) \
+            .write.mode("overwrite").parquet(
+                os.path.join(_store, "ivfpq_codes"))
+        _ivfpq_codes = spark.read.parquet(
+            os.path.join(_store, "ivfpq_codes"))  # cell+code stored form
 
     def q_knn_ivfpq_refined(_):
         # cell pruning x code compression: scan nprobe cells of 8-byte
@@ -215,24 +277,26 @@ def main() -> None:
     # full entry reads the whole store. Scanned-bytes ratio is measured
     # from the store layout itself and emitted as `ivf_store` evidence.
     _ivf_store = os.path.join(_store, "ivf_store")
-    LS.ivf_write(emb, _ivf_store, centroids=_ivf_auto_centroids)
-    _probe_cells = sorted(
-        int(d.split("=", 1)[1]) for d in os.listdir(_ivf_store)
-        if d.startswith("cell=")
-    )[:_auto_np]
+    _store_total_b = _probed_b = 0
+    if need("ivf_store_pruned_scan", "ivf_store_full_scan"):
+        LS.ivf_write(emb, _ivf_store, centroids=_ivf_auto_centroids)
+        _probe_cells = sorted(
+            int(d.split("=", 1)[1]) for d in os.listdir(_ivf_store)
+            if d.startswith("cell=")
+        )[:_auto_np]
 
-    def _dir_bytes(p):
-        total = 0
-        for root, _dirs, files in os.walk(p):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
+        def _dir_bytes(p):
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
 
-    _store_total_b = _dir_bytes(_ivf_store)
-    _probed_b = sum(
-        _dir_bytes(os.path.join(_ivf_store, f"cell={c}"))
-        for c in _probe_cells
-    )
+        _store_total_b = _dir_bytes(_ivf_store)
+        _probed_b = sum(
+            _dir_bytes(os.path.join(_ivf_store, f"cell={c}"))
+            for c in _probe_cells
+        )
 
     def q_ivf_store_pruned(_):
         _noop(LS.ivf_scan_cells(spark, _ivf_store, _probe_cells)
@@ -272,7 +336,8 @@ def main() -> None:
     # steady-state semantic dedup: quantizer pretrained (same protocol
     # as the IVF entries)
     _sem_nc, _ = LS.auto_ivf_config(n_emb)
-    _sem_centroids = LS.train_centroids(emb, _sem_nc)
+    if need("semantic_dedup"):
+        _sem_centroids = LS.train_centroids(emb, _sem_nc)
 
     def q_semantic_dedup(_):
         _noop(LS.semantic_dedup(emb, threshold=0.35,
@@ -389,14 +454,15 @@ def main() -> None:
               .agg(F.count(F.lit(1)).alias("n")))
 
     from lindel_spark.sources import load_events_raw
-    try:
-        n_clicks = (
-            load_events_raw(spark, SF_DIR)
-            .filter(F.col("event_type") == "click").count()
-        )  # = asof result rows (one output row per left click)
-    except Exception as ex:
-        print(f"BENCH SETUP WARNING events: {ex}", file=sys.stderr)
-        n_clicks = -1
+    n_clicks = -1
+    if need("asof_join_events", "merge_upsert_events"):
+        try:
+            n_clicks = (
+                load_events_raw(spark, SF_DIR)
+                .filter(F.col("event_type") == "click").count()
+            )  # = asof result rows (one output row per left click)
+        except Exception as ex:
+            print(f"BENCH SETUP WARNING events: {ex}", file=sys.stderr)
 
     scan_shaped = [
         ("hilbert_encode_i32x2", q_hilbert_i32, n_li),
@@ -443,14 +509,16 @@ def main() -> None:
     # predicate, the full entry filter-scans everything (round 8)
     from lindel_spark import profile as LP
     _mstore = os.path.join(_store, "manifest_z")
-    LW.zorder_write(li, [F.col("l_orderkey").cast("int"),
-                         F.col("l_partkey").cast("int")],
-                    _mstore, elem="int32", num_files=32)
-    _manifest = LP.file_minmax_manifest(
-        spark, _mstore, ["l_orderkey"]).collect()
     _mlo, _mhi = 1000, int(n_li * 0.02) + 1000
-    _mhits, _mstats = LP.manifest_pruned_read(
-        spark, _mstore, _manifest, {"l_orderkey": (_mlo, _mhi)})
+    _mstats = None
+    if need("manifest_pruned_scan", "manifest_full_scan"):
+        LW.zorder_write(li, [F.col("l_orderkey").cast("int"),
+                             F.col("l_partkey").cast("int")],
+                        _mstore, elem="int32", num_files=32)
+        _manifest = LP.file_minmax_manifest(
+            spark, _mstore, ["l_orderkey"]).collect()
+        _mhits, _mstats = LP.manifest_pruned_read(
+            spark, _mstore, _manifest, {"l_orderkey": (_mlo, _mhi)})
 
     def q_manifest_pruned(_):
         hits, _st = LP.manifest_pruned_read(
@@ -469,11 +537,12 @@ def main() -> None:
     # l_orderkey (built once at init, off the clock) so the equality
     # probe entry measures pure index-read + survivor-scan cost.
     _zsel_store = os.path.join(_store, "zsel")
-    LW.zorder_store_init(li, [F.col("l_orderkey").cast("int"),
-                              F.col("l_partkey").cast("int")],
-                         _zsel_store, stat_cols=["l_orderkey"],
-                         bloom_cols=["l_orderkey"],
-                         elem="int32", num_files=32)
+    if need("zorder_store_select", "zorder_store_lookup"):
+        LW.zorder_store_init(li, [F.col("l_orderkey").cast("int"),
+                                  F.col("l_partkey").cast("int")],
+                             _zsel_store, stat_cols=["l_orderkey"],
+                             bloom_cols=["l_orderkey"],
+                             elem="int32", num_files=32)
 
     def q_zorder_store_select(_):
         hits, _st = LW.zorder_store_select(
@@ -570,27 +639,49 @@ def main() -> None:
         write_shaped.append(
             ("bucketed_join_cycle", q_bucketed_join_cycle, -1))
 
+    entries = scan_shaped + write_shaped
+    if only is not None:
+        unknown = only - {n for n, _f, _r in entries}
+        if unknown:
+            raise SystemExit(f"bench --only: unknown entries {unknown}")
+        entries = [(n, f, r) for n, f, r in entries if n in only]
+
     queries: dict[str, float] = {}
     rows: dict[str, int] = {}
     reps: dict[str, list] = {}
     errors: dict[str, str] = {}
     tmp = tempfile.mkdtemp(prefix="lindel_bench_")
+
+    def _time_entry(fn) -> list[float]:
+        spark.catalog.clearCache()
+        fn(tmp)  # warmup: codegen compile + JIT off the clock
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(tmp)
+            times.append(time.perf_counter() - t0)
+        return times
+
+    # machine-state canary: one fixed cheap entry timed before and
+    # after the suite on identical code — post/pre tells a uniformly
+    # drifting host apart from any per-entry regression
+    canary_entry = "morton_native_i32x2"
+    canary = {"entry": canary_entry}
     try:
-        for name, fn, n in scan_shaped + write_shaped:
+        canary["pre"] = round(
+            statistics.median(_time_entry(q_morton_native_i32)), 4)
+    except Exception as ex:
+        print(f"BENCH CANARY WARNING: {ex}", file=sys.stderr)
+    try:
+        for name, fn, n in entries:
             # Isolate entries: operators that persist intermediates
             # (dedup signatures, winnow fps) must not carry cached
             # blocks into the next entry's timings. Fault-isolate too:
             # one broken query must never zero out the whole run's
             # numbers (round-5 incident: an AnalysisException in one
             # warmup produced an empty BENCH artifact).
-            spark.catalog.clearCache()
             try:
-                fn(tmp)  # warmup: codegen compile + JIT off the clock
-                times = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    fn(tmp)
-                    times.append(time.perf_counter() - t0)
+                times = _time_entry(fn)
             except Exception as ex:
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 print(f"BENCH ERROR {name}: {errors[name]}",
@@ -603,9 +694,56 @@ def main() -> None:
             # alone — a wide rep spread on unchanged code is drift, a
             # tight-but-slower spread is a real regression
             reps[name] = [round(t, 4) for t in times]
+        try:
+            canary["post"] = round(
+                statistics.median(_time_entry(q_morton_native_i32)), 4)
+            if canary.get("pre"):
+                canary["post_pre_ratio"] = round(
+                    canary["post"] / canary["pre"], 3)
+        except Exception as ex:
+            print(f"BENCH CANARY WARNING: {ex}", file=sys.stderr)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(_store, ignore_errors=True)
+
+    if only is not None:
+        # subprocess face of the adjudicator: one line, no artifact
+        # write, no recursive over-bar pass
+        print("\n" + json.dumps({
+            "only": sorted(only), "queries": queries, "reps": reps,
+            "canary": canary, "sf": _sf(),
+            **({"errors": errors} if errors else {}),
+        }), flush=True)
+        return
+
+    # --- self-adjudication pass (round 11) -------------------------
+    # any anchored entry over the 2x bar is re-measured in a FRESH
+    # subprocess (own JVM, entry-scoped setup); the artifact records
+    # both numbers and a mechanical verdict, so a drifted session can
+    # no longer flag unchanged code
+    over_bar_reruns: dict[str, dict] = {}
+    for name, sec in queries.items():
+        anchor = ANCHORS.get(name)
+        if not anchor or sec <= OVER_BAR_X * anchor:
+            continue
+        rec = {"anchor": anchor, "in_suite": sec,
+               "in_suite_ratio": round(sec / anchor, 3)}
+        iso = _rerun_isolated([name])
+        iso_sec = iso.get("queries", {}).get(name)
+        if iso_sec is None:
+            rec["verdict"] = "rerun_failed"
+        else:
+            rec["isolated"] = iso_sec
+            rec["isolated_ratio"] = round(iso_sec / anchor, 3)
+            rec["isolated_reps"] = iso.get("reps", {}).get(name)
+            rec["isolated_canary_pre"] = iso.get("canary", {}).get("pre")
+            if name in NOISE_BAND:
+                rec["verdict"] = "noise_band"
+            elif iso_sec <= OVER_BAR_X * anchor:
+                rec["verdict"] = "drift"
+            else:
+                rec["verdict"] = "regression"
+        over_bar_reruns[name] = rec
 
     out = {
         "metric": "bench_total",
@@ -615,6 +753,8 @@ def main() -> None:
         "sf": _sf(),
         "rows": rows,
         "reps": reps,
+        "canary": canary,
+        "over_bar_reruns": over_bar_reruns,
         "manifest": _mstats,
         "ivf_store": {
             "n_centroids": _auto_nc,
@@ -646,6 +786,16 @@ def main() -> None:
     slim = {
         "metric": out["metric"], "value": out["value"],
         "unit": out["unit"], "queries": out["queries"], "sf": out["sf"],
+        # adjudication summary IN the parsed line (round 11): the
+        # canary delta and, per over-bar entry, a compact
+        # anchor/suite/isolated/verdict record — small when healthy
+        # (over_bar_reruns == {}), still bounded when not
+        "canary": canary,
+        "over_bar_reruns": {
+            n: {"anchor": r.get("anchor"), "suite": r.get("in_suite"),
+                "iso": r.get("isolated"), "verdict": r.get("verdict")}
+            for n, r in over_bar_reruns.items()
+        },
     }
     if errors:
         slim["n_errors"] = len(errors)
@@ -657,4 +807,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    _only = None
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--only":
+        if len(argv) < 2 or not argv[1]:
+            raise SystemExit("usage: bench.py [--only entry1,entry2]")
+        _only = {s for s in argv[1].split(",") if s}
+    main(only=_only)

@@ -1,0 +1,111 @@
+"""BASELINE.md anchor table, machine-readable.
+
+One entry per bench query: the FIRST committed measurement of that
+entry (sf0.1, local[32], median of 3 — the number later rounds are
+graded against). Sources:
+
+- round-2 headline table (BASELINE.md "measured" table): the curve
+  encode/decode + write entries.
+- round-5/7/8 "vs baseline" tables: the `baseline (s)` column — the
+  canonical anchors for the pipeline entries.
+- round-7 new-operator tables: bm25/lm/cms/semantic/merge/scd2/
+  interval/bloom/tfidf/ohlc/pagerank/audio/corpus/zorder_store_cycle/
+  bucketed_join_cycle.
+- round-8 new entries: knn_join_dist, manifest_* scans,
+  zorder_store_cycle re-anchor (kept at the r7 first number).
+- round-9 new entries: knn_join_pq_dist, zorder_store_select.
+- round-10 new entries (BENCH_r10.json driver artifact — their first
+  measurement): zorder_store_lookup, substring_dedup, hybrid_rrf_topk,
+  record_linkage, label_propagation.
+
+The 2x bar: an entry whose median exceeds ``OVER_BAR_X * anchor`` is
+over the bar.  ``NOISE_BAND`` entries are pure scheduling-floor
+measurements whose documented run-to-run band already spans ~2x
+(BASELINE.md round-7: pagerank 4.2-7.9 s on identical code) — the
+adjudicator still re-measures them but labels the verdict
+accordingly.
+"""
+
+from __future__ import annotations
+
+OVER_BAR_X = 2.0
+
+# entry -> first-measurement seconds (sf0.1, local[32])
+ANCHORS: dict[str, float] = {
+    # round-2 headline (BASELINE.md lines ~37-43)
+    "hilbert_encode_i32x2": 0.72,
+    "hilbert_encode_f64x2": 1.77,
+    "morton_native_i32x2": 0.21,
+    "morton_udf_i32x2": 0.36,
+    "hilbert_decode_rt_i32x2": 0.98,
+    "zorder_write_i32x2": 3.00,
+    "plain_write": 1.30,
+    # round-5 first measurements (the `baseline (s)` column of the
+    # r7/r8 comparison tables)
+    "text_stats": 0.80,
+    "dedup_near_pairs": 1.15,
+    "dedup_simhash_pairs": 1.02,
+    "knn_brute_fast": 0.87,
+    "asof_join_events": 0.58,
+    "spatial_range_join": 2.23,
+    "winnow_fingerprints": 1.11,
+    "embedding_ops": 1.65,
+    "embedding_ops_fast": 0.40,
+    "knn_ivf": 1.71,
+    "knn_ivf_probe": 1.43,
+    # round-7 (native-Hilbert investigation + new-operator tables)
+    "hilbert_native_i32x2": 1.10,
+    "knn_ivf_auto": 0.82,
+    "knn_pq_refined": 1.55,
+    "knn_ivfpq_refined": 1.43,
+    "ivf_store_pruned_scan": 0.27,
+    "ivf_store_full_scan": 0.26,
+    "bm25_topk": 1.50,
+    "lm_quality": 0.73,
+    "cms_heavy_hitters": 1.34,
+    "semantic_dedup": 1.05,
+    "merge_upsert_events": 0.36,
+    "bucketed_join_cycle": 1.13,
+    "scd2_history": 0.39,
+    "interval_overlap": 0.41,
+    "bloom_semi_join": 0.75,
+    "tfidf_topk": 0.75,
+    "ohlc_daily": 0.36,
+    "pagerank_transitions": 4.2,
+    "audio_features": 0.35,
+    "corpus_prep": 2.11,
+    "zorder_store_cycle": 3.5,
+    # round-8
+    "knn_join_dist": 1.07,
+    "manifest_pruned_scan": 0.11,
+    "manifest_full_scan": 0.12,
+    # round-9
+    "knn_join_pq_dist": 1.12,
+    "zorder_store_select": 0.27,
+    # round-10 (BENCH_r10.json first measurements)
+    "zorder_store_lookup": 0.4772,
+    "substring_dedup": 1.914,
+    "hybrid_rrf_topk": 2.1225,
+    "record_linkage": 0.6455,
+    "label_propagation": 3.2702,
+}
+
+# Entries whose documented same-code noise band already approaches or
+# exceeds the bar (scheduling-floor measurements); over-bar hits here
+# are labeled "noise_band" rather than drift/regression.
+NOISE_BAND: frozenset[str] = frozenset({"pagerank_transitions"})
+
+
+def over_bar(queries: dict[str, float]) -> dict[str, float]:
+    """Entries whose measured median exceeds the 2x bar.
+
+    Returns {entry: measured/anchor ratio} for every anchored entry
+    over the bar (entries without an anchor — first measured this
+    round — can't breach by definition).
+    """
+    out = {}
+    for name, sec in queries.items():
+        a = ANCHORS.get(name)
+        if a and sec > OVER_BAR_X * a:
+            out[name] = round(sec / a, 3)
+    return out

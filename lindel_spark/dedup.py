@@ -610,13 +610,14 @@ def dup_clusters(
     where ``cluster`` is the minimum id reachable from ``id`` (docs in
     no pair form singleton clusters).
 
-    Iterative min-label propagation: per round, every vertex takes the
-    min of its own and its neighbors' labels — one shuffle join per
-    round, lineage cut with ``localCheckpoint``, stop when the
-    (monotonically decreasing) label sum is unchanged. Rounds needed =
-    graph diameter; near-dup clusters are near-cliques, so this
-    converges in 2-3 rounds at any corpus size. The canonical scalable
-    CC formulation (no driver-side graph, no recursion depth limits).
+    Engine (round 11): alternating large-star/small-star
+    (``graph.connected_components`` default — Kiveris et al. 2014),
+    O(log n) rounds regardless of diameter, so the long CHAINS
+    fuzzy/sorted-neighborhood pair outputs can produce (a≈b≈c≈… with
+    no a≈c edge) cost ~10 rounds at any corpus size, not ~diameter.
+    Near-clique LSH clusters converge in 1-2 rounds either way;
+    results are engine-independent (pytest-pinned vs min-label on
+    every pair family).
     """
     if pairs is None:
         pairs = near_dup_pairs(df, text_col, id_col, **near_dup_kwargs)

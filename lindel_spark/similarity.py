@@ -147,6 +147,7 @@ def brute_force_knn_fast(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 65536,
 ) -> DataFrame:
     """Matmul brute force with per-batch top-k pruning.
 
@@ -154,7 +155,21 @@ def brute_force_knn_fast(
     call and emits only its local top-k per query, so the global top-k
     merge shuffles ≤ batches·|Q|·k rows — the scan dominates, which is
     the best a brute-force pass can do at 100 TB.
+
+    Routing (round 11 — the last collect()-ceiling entry point after
+    the r10 pass): the matmul plan needs the query matrix on the
+    driver; query frames over ``max_collect_rows`` (one cheap count)
+    are AUTOMATICALLY routed through :func:`knn_join` in ALL-PROBE
+    mode — cell-keyed shuffle equi-join where every (query, corpus
+    row) pair is scored exactly once, so the result stays EXACT (same
+    tie-breaks: cos desc, neighbor id asc) and a 10M-query batch is a
+    join plan, not a driver OOM. No caller opt-in.
     """
+    if queries.count() > max_collect_rows:
+        n_centroids, _ = auto_ivf_config(corpus.count())
+        return knn_join(corpus, queries, k=k, id_col=id_col,
+                        vec_col=vec_col, n_centroids=n_centroids,
+                        nprobe=None)  # all-probe: exact
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], np.int64)
     Q = np.array([np.asarray(r[1], np.float64) for r in qrows])
@@ -1504,6 +1519,8 @@ def hard_negatives(
     vec_col: str = "embedding",
     candidates: DataFrame | None = None,
     round_digits: int = 9,
+    max_collect_rows: int = 65536,
+    overfetch: int = 4,
 ) -> DataFrame:
     """Top-``k`` most-similar NON-POSITIVE corpus items per anchor —
     the contrastive-training hard-negative miner (anchors' own rows
@@ -1523,7 +1540,23 @@ def hard_negatives(
     those pairs are excluded/re-ranked; the standard ANN-overfetch
     recipe (fetch enough extra that exclusions cannot starve the
     top-k). Returns (anchor_id, rank, item_id, cos_r).
+
+    Routing (round 11): an anchors frame over ``max_collect_rows``
+    (one cheap count) can't broadcast — it is AUTOMATICALLY routed
+    through :func:`knn_join` in ALL-PROBE mode with ``k * overfetch``
+    candidates per anchor, then the same exclusion/rank tail below;
+    all-probe keeps the candidate scores EXACT, and the overfetch
+    guarantees the post-exclusion top-k matches the broadcast path
+    whenever each anchor has < ``k * (overfetch - 1)`` excluded rows
+    in its neighborhood (the usual contrastive-mining regime; pass a
+    pre-pruned ``candidates`` frame to control the trade explicitly).
     """
+    if candidates is None and anchors.count() > max_collect_rows:
+        n_centroids, _ = auto_ivf_config(corpus.count())
+        candidates = knn_join(corpus, anchors, k=k * overfetch,
+                              id_col=id_col, vec_col=vec_col,
+                              n_centroids=n_centroids,
+                              nprobe=None)  # all-probe: exact scores
     if candidates is None:
         ab = F.broadcast(anchors.select(
             F.col(id_col).cast("long").alias("anchor_id"),

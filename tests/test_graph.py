@@ -86,3 +86,78 @@ def test_connected_components_chain_diameter(spark):
     out = {r.node: r.component for r in
            connected_components(edges).collect()}
     assert set(out.values()) == {0} and len(out) == 13
+
+
+# ---------------------------------------------------------------------------
+# round 11: alternating large-star/small-star CC (Kiveris et al. 2014)
+# ---------------------------------------------------------------------------
+
+def test_cc_star_path_graph_logarithmic_rounds(spark):
+    """A 1000-node path graph (diameter 999) must converge in O(log n)
+    star rounds — the whole point of the alternating algorithm (the
+    min-label engine needs ~diameter rounds here)."""
+    from lindel_spark.graph import _cc_star
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "src long, dst long")
+    labels, rounds = _cc_star(edges, "src", "dst", None, 50)
+    rows = labels.collect()
+    assert len(rows) == 1000
+    assert all(r.component == 0 for r in rows)
+    assert rounds <= 12, f"star took {rounds} rounds on a path-1000"
+
+
+def test_cc_star_equals_minlabel_random_graph(spark):
+    """Star and min-label engines agree node-for-node on a
+    multi-component random graph (self-loops, duplicate edges,
+    isolates via nodes=)."""
+    import random
+
+    from lindel_spark.graph import connected_components
+    rng = random.Random(7)
+    E = [(rng.randrange(300), rng.randrange(300)) for _ in range(220)]
+    E += [(5, 5), (0, 1), (0, 1)]  # self-loop + dup edges
+    edges = spark.createDataFrame(E, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(320)], "node long")  # 300..319 isolated-ish
+    a = {(r.node, r.component) for r in connected_components(
+        edges, nodes=nodes, method="star").collect()}
+    b = {(r.node, r.component) for r in connected_components(
+        edges, nodes=nodes, method="minlabel", max_iter=60).collect()}
+    assert a == b
+
+
+def test_cc_star_equals_minlabel_on_dedup_family_pairs(spark):
+    """The verdict-5 pin: every dedup family's pair output clusters
+    identically under both CC engines (star is dup_clusters' engine
+    now — this is the no-regression contract)."""
+    from lindel_spark import dedup as LD
+    from lindel_spark import similarity as LS
+    from lindel_spark import text as LT
+    from lindel_spark.graph import connected_components
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    fams = {
+        "minhash": LD.near_dup_pairs(docs).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        "simhash": LD.simhash_near_dup_pairs(docs).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        "winnow": LT.winnow_near_dup_pairs(docs).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        "embedding": LS.embedding_near_dup_pairs(emb).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    }
+    for name, pairs in fams.items():
+        a = {(r.node, r.component) for r in connected_components(
+            pairs, method="star").collect()}
+        b = {(r.node, r.component) for r in connected_components(
+            pairs, method="minlabel").collect()}
+        assert a == b, f"{name}: star != minlabel"
+
+
+def test_cc_rejects_unknown_method(spark):
+    from lindel_spark.graph import connected_components
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="method"):
+        connected_components(edges, method="bogus")

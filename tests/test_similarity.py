@@ -631,3 +631,47 @@ def test_arrow_cosine_bit_identical_to_expression_fold(spark):
         ).collect()
         for r in got:
             assert r.expr == r.arrow, (r.id, r.expr, r.arrow)
+
+
+# ---------------------------------------------------------------------------
+# round-11 size-bound auto-routing (round-10 verdict item 2): the last
+# two collect()/broadcast-ceiling entry points
+# ---------------------------------------------------------------------------
+
+def test_brute_force_knn_fast_routes_large_queries(emb, queries_df):
+    """brute_force_knn_fast above max_collect_rows routes through
+    knn_join ALL-PROBE — exact (every pair scored once), no query
+    collect, identical ids/ranks; cos agrees to 1e-9 (BLAS matmul vs
+    sequential-accumulate fp summation orders)."""
+    small = LS.brute_force_knn_fast(emb, queries_df, k=5)
+    large = LS.brute_force_knn_fast(emb, queries_df, k=5,
+                                    max_collect_rows=1)
+    a, b = small.collect(), large.collect()
+    key = lambda rows: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.neighbor_id) for r in rows)
+    assert key(a) == key(b)
+    ca = {(r.query_id, r.neighbor_id): r.cos for r in a}
+    assert all(abs(ca[(r.query_id, r.neighbor_id)] - r.cos) < 1e-9
+               for r in b)
+    plan = large._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hard_negatives_routes_large_anchors(emb, queries_df):
+    """hard_negatives above max_collect_rows auto-routes through the
+    knn_join all-probe overfetch + the existing anti-join/rank tail —
+    value-identical to the broadcast-anchor exact path (same
+    _cos_exact_udf scores both routes, so cos_r is bit-equal)."""
+    positives = queries_df.select(
+        F.col("vec_id").alias("anchor_id"),
+        (F.col("vec_id") + 1).alias("item_id"))
+    exact = LS.hard_negatives(emb, queries_df, positives, k=5)
+    routed = LS.hard_negatives(emb, queries_df, positives, k=5,
+                               max_collect_rows=1)
+    key = lambda df: sorted(  # noqa: E731
+        (r.anchor_id, r.rank, r.item_id, r.cos_r) for r in df.collect())
+    assert key(routed) == key(exact)
+    # the routed plan must not pin a broadcast of the anchor frame
+    log = routed._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in log
