@@ -8117,3 +8117,148 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     count → cut value-for-value."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return LT.bpe_pair_counts(docs, "text", top_n=100)
+
+
+# ---------------------------------------------------------------------------
+# round 11: full BPE merge-training loop (text.bpe_train / bpe_vocab)
+# ---------------------------------------------------------------------------
+
+def _bpe_oracle_sql(num_merges: int, vocab: bool) -> str:
+    """Unrolled DuckDB replay of the BPE training loop: each merge
+    step is one (symbols → pair counts → argmax → replace) CTE block,
+    so the ADAPTIVE loop (every step's best pair depends on the data)
+    becomes static SQL — the pagerank unrolled-oracle idiom. CTEs are
+    MATERIALIZED: w{i} is referenced twice per step and naive inlining
+    would be exponential in the step count."""
+    sep = "chr(31)"
+    parts = [f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS r,
+             COUNT(*)::BIGINT AS freq
+      FROM (
+        SELECT unnest(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS w
+        FROM documents
+      )
+      WHERE regexp_matches(w, '^[A-Za-z]+$')
+      GROUP BY w
+    )"""]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        parts.append(f"""
+    , s{i} AS MATERIALIZED (
+      SELECT freq, string_split(substring(r, 2, length(r) - 2),
+                                {sep} || {sep}) AS sy
+      FROM w{p}
+    ), p{i} AS MATERIALIZED (
+      SELECT sy[k] AS l, sy[k + 1] AS rr, SUM(freq)::BIGINT AS n
+      FROM s{i}, UNNEST(generate_series(1, len(sy) - 1)) AS u(k)
+      WHERE len(sy) >= 2
+      GROUP BY 1, 2
+    ), b{i} AS MATERIALIZED (
+      SELECT l, rr, n FROM p{i} ORDER BY n DESC, l, rr LIMIT 1
+    ), w{i} AS MATERIALIZED (
+      SELECT replace(w{p}.r,
+                     {sep} || b{i}.l || {sep} || {sep} || b{i}.rr || {sep},
+                     {sep} || b{i}.l || b{i}.rr || {sep}) AS r,
+             freq
+      FROM w{p}, b{i}
+    )""")
+    if vocab:
+        parts.append(f"""
+    SELECT sym AS symbol, SUM(freq)::BIGINT AS n
+    FROM (
+      SELECT unnest(string_split(substring(r, 2, length(r) - 2),
+                                 {sep} || {sep})) AS sym, freq
+      FROM w{num_merges}
+    )
+    GROUP BY 1 ORDER BY symbol""")
+    else:
+        rows = "\n      UNION ALL ".join(
+            f"SELECT {i}::BIGINT AS step, l AS lhs, rr AS rhs, n FROM b{i}"
+            for i in range(1, num_merges + 1))
+        parts.append(f"""
+    SELECT * FROM (
+      {rows}
+    ) ORDER BY step""")
+    return "".join(parts)
+
+
+_BPE_TRAIN_MERGES = 8
+
+
+@query("text_bpe_train", _bpe_oracle_sql(_BPE_TRAIN_MERGES, vocab=False))
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge-training loop (round 11,
+    :func:`lindel_spark.text.bpe_train`): the first 8 merges learned
+    from the documents corpus — char-level within alphabetic
+    pretokens, weighted by pretoken frequency, ties broken n desc /
+    left asc / right asc. The DuckDB oracle replays the ENTIRE
+    adaptive loop (8 unrolled argmax+replace steps over the same
+    wrapped-symbol rendering) value-for-value."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.bpe_train(docs, "text",
+                        num_merges=_BPE_TRAIN_MERGES).select(
+        "step", F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"), "n")
+
+
+@query("text_bpe_vocab", _bpe_oracle_sql(_BPE_TRAIN_MERGES, vocab=True))
+def q_text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final BPE vocabulary after the 8 trained merges (round 11,
+    :func:`lindel_spark.text.bpe_vocab`): (symbol, weighted count) —
+    the tokenizer vocab file's contents, replayed value-for-value by
+    the same unrolled DuckDB loop."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return LT.bpe_vocab(docs, "text", num_merges=_BPE_TRAIN_MERGES)
+
+
+@query(
+    "sketch_kll_quantiles",
+    """
+    WITH keyed AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(('0x' || substr(md5('kll' || '|'
+                    || CAST(l_orderkey AS VARCHAR) || '|'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), lv AS (
+      SELECT v, CASE WHEN h = 0 THEN 40
+                     ELSE LEAST(40, CAST(round(log2(h & -h)) AS BIGINT))
+                END AS lvl
+      FROM keyed
+    ), nn AS (SELECT COUNT(*) AS n FROM lv),
+    js AS (
+      SELECT MIN(j) AS j
+      FROM range(0, 41) t(j), nn
+      WHERE nn.n <= 4096 * (CAST(1 AS BIGINT) << CAST(j AS INT))
+    ), s AS (SELECT v FROM lv, js WHERE lvl >= js.j),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS m
+      FROM s
+    ), q AS (
+      SELECT CAST(q AS DOUBLE) AS q
+      FROM (VALUES (0.01), (0.1), (0.25), (0.5),
+                   (0.75), (0.9), (0.99), (1.0)) t(q)
+    )
+    SELECT q.q AS q, r.v AS est
+    FROM q JOIN ranked r ON r.rn = CAST(ceil(q.q * r.m) AS BIGINT)
+    ORDER BY q
+    """,
+)
+def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-free mergeable quantile sketch (round 11,
+    :func:`lindel_spark.sketch.kll_sketch`): price quantiles off a
+    capacity-4096 deterministic level sample — the one-pass
+    unknown-range case ``histogram_sketch``'s fixed [lo, hi] grid
+    cannot serve. The compaction coin is the row's own 60-bit md5
+    hash (trailing-zero level), so DuckDB replays every kept sample
+    row AND the type-1 quantile read bit-for-bit."""
+    from lindel_spark import sketch as SK
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sk = SK.kll_sketch(li, "l_extendedprice",
+                       ["l_orderkey", "l_linenumber"])
+    return SK.kll_quantiles(
+        sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])

@@ -439,3 +439,146 @@ def kmv_intersect_estimate(
             .alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: bound-free mergeable quantile sketch (KLL-style levels,
+# deterministic hash compaction)
+# ---------------------------------------------------------------------------
+
+KLL_CAPACITY = 4096
+_KLL_MAX_LEVEL = 40
+
+
+def _kll_level(h: Column) -> Column:
+    """Sampling level of a 60-bit hash: its trailing-zero count
+    (P[lvl >= j] = 2^-j) — ``log2(h & -h)`` is exact because
+    ``h & -h`` is a power of two; ``round`` guards libm noise. This
+    IS the deterministic compaction coin: membership in level j
+    depends only on the row's hash, never on buffer order, which is
+    what makes the sketch order-independent, merge-exact and
+    SQL-replayable (a literal KLL compactor keeps alternate
+    *positions* of a sorted buffer — order-dependent, so two runs of
+    the same plan could disagree)."""
+    return F.when(h == 0, F.lit(_KLL_MAX_LEVEL)).otherwise(
+        F.least(
+            F.lit(_KLL_MAX_LEVEL),
+            F.round(F.log2(h.bitwiseAND(-h))).cast("long"),
+        )
+    )
+
+
+def _kll_threshold(n: int, capacity: int) -> int:
+    """Smallest j with ``n <= capacity * 2^j`` (exact integer loop —
+    no float log whose rounding could flip an exact power of two)."""
+    j = 0
+    while n > (capacity << j) and j < _KLL_MAX_LEVEL:
+        j += 1
+    return j
+
+
+def kll_sketch(
+    df: DataFrame,
+    col: str,
+    key_cols,
+    capacity: int = KLL_CAPACITY,
+) -> DataFrame:
+    """One-pass bound-free quantile sketch: ``(v, lvl, w, n)`` —
+    a deterministic geometric-level sample of ``col`` with NO prior
+    ``[lo, hi]`` bounds (the case :func:`histogram_sketch`'s fixed
+    grid cannot serve).
+
+    KLL-style level hierarchy (Karnin-Lang-Liberty 2016) with the
+    compaction coin replaced by the row's own hash: each row gets
+    ``lvl`` = trailing zeros of its 60-bit md5 key hash, and the
+    sketch keeps rows with ``lvl >= j*`` where ``j*`` is the smallest
+    level holding expected size under ``capacity``. Kept rows are a
+    uniform hash-sample of rate ``2^-j*`` — so the sample's empirical
+    quantiles estimate the population's with rank error
+    ``O(sqrt(q(1-q)/capacity))`` w.h.p. — and membership is a pure
+    function of (row key, j*): two sketches MERGE EXACTLY (union +
+    re-threshold ≡ one pass over the concatenation,
+    :func:`kll_merge`), shards/streams/days compose, and a SQL engine
+    replays every kept row bit-for-bit (the repo's md5 idiom, see
+    :func:`cms_bucket`).
+
+    ``key_cols`` must identify rows uniquely (exact-duplicate keys
+    sample together, biasing duplicate-heavy columns); ``n`` — the one
+    bounded driver scalar, same contract as ``graph.pagerank`` — rides
+    along as a constant column so the sketch is self-contained.
+    NULLs in ``col`` are skipped. State is O(capacity) regardless of
+    input size.
+    """
+    if capacity < 16:
+        raise ValueError("capacity must be >= 16")
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    v = F.col(col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", F.lit("kll"),
+                *[F.col(c).cast("string") for c in key_cols])),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    rows = df.filter(v.isNotNull()).select(
+        v.alias("v"), _kll_level(h).alias("lvl"))
+    n = rows.count()
+    j = _kll_threshold(n, capacity)
+    return (
+        rows.filter(F.col("lvl") >= j)
+        .withColumn("w", F.lit(1 << j).cast("long"))
+        .withColumn("n", F.lit(n).cast("long"))
+    )
+
+
+def kll_merge(*sketches: DataFrame, capacity: int = KLL_CAPACITY) -> DataFrame:
+    """Merge KLL sketches built with the same ``capacity``: union,
+    re-threshold at the combined size. EXACTLY the single-pass sketch
+    of the concatenated inputs (level membership is a pure function
+    of the row hash; the combined threshold ``j**`` >= every input's
+    ``j*``, and each input kept ALL its rows with ``lvl >= j*``) —
+    asserted row-identical in tests/test_sketch_kll.py."""
+    if len(sketches) < 2:
+        raise ValueError("need at least two sketches to merge")
+    n_tot = 0
+    for s in sketches:
+        row = s.select(F.max("n").alias("n")).first()
+        n_tot += int(row["n"] or 0)
+    j = _kll_threshold(n_tot, capacity)
+    u = sketches[0].select("v", "lvl")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select("v", "lvl"))
+    return (
+        u.filter(F.col("lvl") >= j)
+        .withColumn("w", F.lit(1 << j).cast("long"))
+        .withColumn("n", F.lit(n_tot).cast("long"))
+    )
+
+
+def kll_quantiles(sketch: DataFrame, quantiles) -> DataFrame:
+    """Quantile estimates off a :func:`kll_sketch`: ``(q, est)`` with
+    ``est`` = the sample's type-1 (nearest-rank) empirical quantile —
+    the sorted sample's value at position ``ceil(q * |sample|)``.
+    Deterministic closed form, no interpolation floats — replayable
+    value-for-value by any engine. Quantiles must lie in (0, 1].
+    Stays distributed: one window over O(capacity) rows joined to a
+    broadcast quantile list."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v")
+    ranked = (
+        sketch.select("v")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))))
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double")
+    return (
+        qdf.join(
+            F.broadcast(ranked),
+            F.col("rn") == F.ceil(F.col("q") * F.col("m")).cast("long"),
+        )
+        .select("q", F.col("v").alias("est"))
+    )

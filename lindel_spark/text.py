@@ -661,3 +661,145 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text",
         out = out.orderBy(F.col("n").desc(), F.col("pair").asc()) \
             .limit(int(top_n))
     return out
+
+
+# ---------------------------------------------------------------------------
+# round 11: full BPE merge-training loop
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "\x1f"  # unit separator: wraps every symbol in the rendered form
+
+
+def _bpe_render(word: Column) -> Column:
+    """Render a word as wrapped symbols: ``abc`` → ``␟a␟␟b␟␟c␟``.
+
+    The wrapper makes merge application a plain string ``replace``:
+    the pair (a, b) occurs iff ``␟a␟␟b␟`` occurs, replacing it with
+    ``␟ab␟`` is leftmost-non-overlapping in every engine's replace(),
+    and no neighbor's wrapper is ever consumed — so adjacent
+    occurrences all merge in one pass (``aaa`` + merge(a,a) → (aa, a),
+    the BPE convention). Engine-portable: DuckDB replays the render
+    with ``regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g')``
+    and the merge step with ``replace()``."""
+    return F.regexp_replace(word, "(.)", BPE_SEP + "$1" + BPE_SEP)
+
+
+def _bpe_symbols(r: Column) -> Column:
+    """Symbol array of a rendered word: strip the outer wrappers,
+    split on the doubled separator."""
+    return F.split(F.substring(r, 2, F.length(r) - 2),
+                   BPE_SEP + BPE_SEP)
+
+
+def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
+    """(rendered, freq) over the corpus's ALPHABETIC pretokens.
+
+    BPE trains on the word-frequency table, not the corpus — the one
+    corpus-sized pass is this group-by; every merge iteration then
+    runs over the (much smaller, still distributed) vocabulary.
+    Alphabetic-only keeps the symbol alphabet disjoint from the
+    ``\\x1f`` wrapper for ANY input bytes and keeps per-codepoint
+    semantics identical between Java regex and RE2 (non-BMP chars
+    split differently under Java's UTF-16 ``.``)."""
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(BPE_SPLIT_PATTERN), 0))
+            .alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(_bpe_render(F.col("w")).alias("r"), "freq")
+    )
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts weighted by word freq:
+    (left, right, n). Let-binds the symbol array in its own projection
+    (the round-7 lambda-capture lesson: an expression captured by a
+    HOF lambda is inlined at every reference)."""
+    ws = (words.select("r", "freq",
+                       _bpe_symbols(F.col("r")).alias("__s"))
+          # guard: sequence(1, 0) runs DESCENDING, so single-symbol
+          # words must not reach it (same guard as bpe_pair_counts)
+          .filter(F.size("__s") >= 2))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__s") - 1),
+        lambda i: F.struct(
+            F.element_at("__s", i).alias("l"),
+            F.element_at("__s", i + 1).alias("rr")))
+    return (ws.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.l").alias("left"),
+                     F.col("p.rr").alias("right"))
+            .agg(F.sum("freq").cast("long").alias("n")))
+
+
+def _bpe_loop(df: DataFrame, text_col: str,
+              num_merges: int) -> tuple[list, DataFrame]:
+    """Run ``num_merges`` BPE iterations; returns (merges, words) —
+    merges = [(step, left, right, n)], words = the final rendered
+    vocabulary frame.
+
+    Per iteration (the ``pagerank`` iteration pattern, graph.py:22):
+    one map-side-combined pair aggregate over the distributed word
+    table, ONE bounded driver row (the argmax pair — ties break
+    n desc, left asc, right asc so the sequence is deterministic and
+    an unrolled SQL oracle replays it), and a map-only ``replace``
+    applying the merge. ``localCheckpoint`` per iteration keeps the
+    plan depth constant (the word table is vocabulary-sized)."""
+    if num_merges < 1:
+        raise ValueError("num_merges must be >= 1")
+    words = _bpe_words(df, text_col).localCheckpoint()
+    merges = []
+    for step in range(1, num_merges + 1):
+        best = (_bpe_pairs(words)
+                .orderBy(F.col("n").desc(), F.col("left").asc(),
+                         F.col("right").asc())
+                .first())
+        if best is None:
+            break  # every word is a single symbol: nothing to merge
+        merges.append((step, best["left"], best["right"],
+                       int(best["n"])))
+        pat = (BPE_SEP + best["left"] + BPE_SEP
+               + BPE_SEP + best["right"] + BPE_SEP)
+        rep = BPE_SEP + best["left"] + best["right"] + BPE_SEP
+        words = words.select(
+            F.replace(F.col("r"), F.lit(pat), F.lit(rep)).alias("r"),
+            "freq",
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              num_merges: int = 20) -> DataFrame:
+    """Train a BPE merge table (Sennrich et al. 2016) over the
+    corpus: ``(step, left, right, n)`` — the first ``num_merges``
+    merges in training order; ``n`` = the merged pair's weighted
+    frequency at its decision step.
+
+    Character-level BPE within alphabetic pretokens, weighted by
+    pretoken frequency — the real tokenizer-training loop that
+    :func:`bpe_pair_counts` (one iteration's statistic) and
+    :func:`vocab_coverage` were the bookends of. Stops early if the
+    vocabulary runs out of adjacent pairs."""
+    merges, _ = _bpe_loop(df, text_col, num_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "step long, left string, right string, n long")
+
+
+def bpe_vocab(df: DataFrame, text_col: str = "text",
+              num_merges: int = 20) -> DataFrame:
+    """Final symbol vocabulary after ``num_merges`` BPE merges:
+    ``(symbol, n)`` with ``n`` = total weighted occurrences of the
+    symbol across the corpus's pretokens. The single-character
+    alphabet plus every surviving merged symbol — what you'd ship as
+    the tokenizer's vocab file."""
+    _, words = _bpe_loop(df, text_col, num_merges)
+    return (
+        words.select(F.explode(_bpe_symbols(F.col("r")))
+                     .alias("symbol"), "freq")
+        .groupBy("symbol")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )

@@ -636,3 +636,65 @@ def test_canonicalize_text_cases(spark):
     assert got[3] == "ünïcöde dash test"
     assert got[4] == "中文 标点 保留 文字"
     assert got[5] == ""
+
+
+# ---------------------------------------------------------------------------
+# round 11: full BPE merge-training loop
+# ---------------------------------------------------------------------------
+
+def test_bpe_train_matches_hand_computed_sequence(spark):
+    """The classic Sennrich corpus (low×5 lower×2 newest×6 widest×3):
+    the merge sequence is hand-computable — pair counts, argmax with
+    n-desc/left-asc/right-asc ties, leftmost-non-overlap application."""
+    from lindel_spark.text import bpe_train, bpe_vocab
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [(r.step, r.left, r.right, r.n)
+           for r in bpe_train(df, num_merges=6).orderBy("step").collect()]
+    assert got == [
+        (1, "e", "s", 9),     # es:9 ties st:9 -> lexicographic
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),     # lo:7 ties ow:7
+        (4, "lo", "w", 7),
+        (5, "e", "w", 6),     # ew:6 ties ne:6, (w,est):6
+        (6, "ew", "est", 6),  # (ew,est) ties (n,ew)
+    ]
+    vocab = {r.symbol: r.n
+             for r in bpe_vocab(df, num_merges=6).collect()}
+    assert vocab == {"low": 7, "e": 2, "r": 2, "n": 6, "ewest": 6,
+                     "w": 3, "i": 3, "d": 3, "est": 3}
+
+
+def test_bpe_train_adjacent_overlap_is_leftmost_nonoverlapping(spark):
+    """aaaa + merge(a,a) must become (aa)(aa), aaa must become (aa)(a)
+    — the wrapped-symbol replace() preserves BPE's left-greedy
+    convention across adjacent occurrences."""
+    from lindel_spark.text import bpe_train, bpe_vocab
+    df = spark.createDataFrame(
+        [("aaaa aaaa aaa",)], "text string")
+    m = bpe_train(df, num_merges=1).collect()
+    # n counts every adjacent index (overlaps included — the Sennrich
+    # statistic): 3 per 'aaaa' x2 words + 2 per 'aaa' = 8
+    assert [(r.left, r.right, r.n) for r in m] == [("a", "a", 8)]
+    # after merging: aaaa -> (aa,aa) x2 words, aaa -> (aa,a)
+    vocab = {r.symbol: r.n for r in bpe_vocab(df, num_merges=1).collect()}
+    assert vocab == {"aa": 5, "a": 1}
+
+
+def test_bpe_train_nonalpha_pretokens_excluded(spark):
+    """Digits/punctuation pretokens never enter the merge table (the
+    alphabet stays disjoint from the wrapper byte for any input)."""
+    from lindel_spark.text import bpe_train
+    df = spark.createDataFrame(
+        [("ab ab 12 12 12 !! ?? ab",)], "text string")
+    m = bpe_train(df, num_merges=3).collect()
+    assert [(r.left, r.right, r.n) for r in m] == [("a", "b", 3)]
+    # loop stops early: nothing left to merge after (a,b)
+
+
+def test_bpe_train_validates(spark):
+    from lindel_spark.text import bpe_train
+    df = spark.createDataFrame([("x",)], "text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="num_merges"):
+        bpe_train(df, num_merges=0)
