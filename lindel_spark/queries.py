@@ -8262,3 +8262,91 @@ def q_sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ["l_orderkey", "l_linenumber"])
     return SK.kll_quantiles(
         sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+
+
+@query(
+    "text_bm25_store",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+            FROM norm)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             SUM(tf)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE AS avgdl
+      FROM postings
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
+      FROM norm WHERE doc_id % 97 = 0
+    ),
+    dfs AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf::DOUBLE * (1.2 + 1.0))
+                 / (p.tf::DOUBLE
+                    + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * p.dl::DOUBLE / s.avgdl))) AS score
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+           doc_id::BIGINT AS doc_id, round(score, 4) AS score_r4
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY round(score, 4) DESC,
+                                             doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_text_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED incremental retrieval index
+    (round 11, :func:`lindel_spark.retrieval.bm25_index_init`/
+    ``bm25_index_append``/``bm25_topk_store``): the store is built
+    here from two-thirds of the corpus, the remaining third arrives
+    via the INCREMENTAL append (postings into the tail, df/length
+    stats as algebraic deltas), and top-5 is answered from the stored
+    postings + (term, df) table — no tokenize pass, no per-query df
+    window. The oracle is the SAME fresh-computation SQL as
+    ``text_bm25_topk``: store round-trip ≡ fresh computation,
+    value-for-value."""
+    import tempfile
+
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="lindel_bm25_store_"), "idx")
+    LR.bm25_index_init(docs.filter(F.col("doc_id") % 3 != 0), store)
+    LR.bm25_index_append(docs.filter(F.col("doc_id") % 3 == 0), store)
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query"),
+    )
+    res = LR.bm25_topk_store(spark, store, queries_df, k=5,
+                             rank_round=4)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 4).alias("score_r4"),
+    )

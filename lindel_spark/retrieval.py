@@ -146,6 +146,18 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
     matched = matched.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
 
+    return _bm25_score_tail(matched, qterms, stats, k, k1, b,
+                            rank_round)
+
+
+def _bm25_score_tail(matched: DataFrame, qterms: DataFrame,
+                     stats: DataFrame, k: int, k1: float, b: float,
+                     rank_round: int | None) -> DataFrame:
+    """Shared BM25 scoring tail: ``matched`` = query-term-filtered
+    unique (doc_id, term, tf, dl, df) postings, ``qterms`` =
+    (query_id, term), ``stats`` = one row (n_docs, avgdl). Both the
+    fresh-computation path and the persisted-index path feed this, so
+    the two are value-identical by construction."""
     # Re-cluster the filtered postings by document BEFORE the query
     # join: every (query_id, doc_id) group is then complete within a
     # partition, so the score aggregation below completes with NO
@@ -386,3 +398,204 @@ def reciprocal_rank_fusion(
                 "doc_id", F.round("rrf", round_digits).alias("rrf"),
                 "n_lists")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 11: persisted + incremental retrieval index
+# ---------------------------------------------------------------------------
+# Every other heavy artifact in the repo (IVF cells, z-order
+# manifests, MinHash gram stores, linkage masters) has a persisted +
+# incremental store form; this closes the retrieval leg:
+# ``bm25_topk``/``tfidf_topk`` recomputed postings + df/len stats per
+# call. Layout mirrors write.zorder_store_* (write.py:414 — versioned
+# dirs + an append-only commit log through the Hadoop FS shim, never
+# an in-place rewrite):
+#
+#     path/_commits/v{N}      -> commit log (latest = max)
+#     path/_META              -> tokenizer/id-col contract (once)
+#     path/postings-v{N}/     -> (doc_id, term, tf, dl) parquet
+#     path/postings-tail/     -> per-append postings part files
+#     path/termdf-v{N}/       -> (term, df) document frequencies
+#     path/termdf-tail/       -> per-append df DELTAS (algebraic)
+#     path/stats-v{N}/        -> one row (n_docs, total_tokens)
+#     path/stats-tail/        -> per-append stat DELTAS (algebraic)
+#
+# df and length stats are algebraic (counts/sums — the
+# history.merge_agg_states pattern, history.py:98), so an append
+# computes them for the NEW docs only and readers fold base + deltas
+# with one group-by / one-row sum.
+
+
+def _rstore_commits(path: str) -> str:
+    from lindel_spark import fs as _fs
+    return _fs.join(path, "_commits")
+
+
+def _rstore_latest(spark, path: str) -> int | None:
+    from lindel_spark import fs as _fs
+    vs = _fs.committed_versions(spark, _rstore_commits(path))
+    return vs[-1] if vs else None
+
+
+def _corpus_stats(docs: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """One row (n_docs, total_tokens) over docs with >= 1 token —
+    the SAME doc-level definition bm25_topk's fresh path uses, so
+    store reads reproduce its avgdl bit-for-bit."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    return (docs.select(F.size(toks).cast("long").alias("__dl"))
+            .filter(F.col("__dl") > 0)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("__dl").cast("long").alias("total_tokens")))
+
+
+def bm25_index_init(docs: DataFrame, path: str, id_col: str = "doc_id",
+                    text_col: str = "text") -> None:
+    """Create the persisted retrieval index: postings + per-term df +
+    corpus length stats, committed as version 0."""
+    import json
+
+    from lindel_spark import fs as _fs
+
+    spark = docs.sparkSession
+    post = doc_term_stats(docs, id_col, text_col)
+    post.write.mode("overwrite").parquet(
+        _fs.join(path, "postings-v0"))
+    post_stored = spark.read.parquet(_fs.join(path, "postings-v0"))
+    # df from the STORED postings (one term-keyed aggregate at build
+    # time — queries then never pay the per-query df window/shuffle)
+    post_stored.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).write.mode("overwrite").parquet(_fs.join(path, "termdf-v0"))
+    _corpus_stats(docs, id_col, text_col).write.mode(
+        "overwrite").parquet(_fs.join(path, "stats-v0"))
+    _fs.commit_new(spark, _fs.join(path, "_META"),
+                   json.dumps({"id_col": id_col,
+                               "text_col": text_col}))
+    _fs.commit_new(spark, _fs.join(_rstore_commits(path), "v0"))
+
+
+def bm25_index_append(docs_new: DataFrame, path: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> None:
+    """Incremental append of NEW documents (new doc ids — updates
+    need a rebuild): postings for the new docs land in the tail, and
+    the df / length stats land as algebraic DELTAS computed from the
+    new docs ONLY — no rescan of the resident corpus. Multi-writer
+    safe the same way zorder_store_append is: data first, deltas
+    after, every append its own part files."""
+    from lindel_spark import fs as _fs
+
+    post = doc_term_stats(docs_new, id_col, text_col)
+    post.write.mode("append").parquet(
+        _fs.join(path, "postings-tail"))
+    post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).write.mode("append").parquet(_fs.join(path, "termdf-tail"))
+    _corpus_stats(docs_new, id_col, text_col).write.mode(
+        "append").parquet(_fs.join(path, "stats-tail"))
+
+
+def bm25_index_read(spark, path: str) -> tuple[DataFrame, DataFrame,
+                                               DataFrame]:
+    """(postings, termdf, stats) with tails folded in: postings =
+    base ∪ tail; termdf = base + deltas summed per term; stats = one
+    row (n_docs, avgdl) from the summed deltas."""
+    from lindel_spark import fs as _fs
+
+    v = _rstore_latest(spark, path)
+    if v is None:
+        raise FileNotFoundError(f"LINDEL: no retrieval index at {path}")
+
+    def _with_tail(name: str) -> DataFrame:
+        out = spark.read.parquet(_fs.join(path, f"{name}-v{v}"))
+        tail = _fs.list_files(spark, _fs.join(path, f"{name}-tail"))
+        if tail:
+            out = out.unionByName(spark.read.parquet(*tail))
+        return out
+
+    postings = _with_tail("postings")
+    termdf = _with_tail("termdf").groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"))
+    stats = _with_tail("stats").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+    ).select(
+        "n_docs",
+        (F.col("total_tokens").cast("double")
+         / F.col("n_docs").cast("double")).alias("avgdl"),
+    )
+    return postings, termdf, stats
+
+
+def bm25_index_maintain(spark, path: str,
+                        tail_ratio: float = 0.1) -> dict:
+    """Fold the tails into a new version when they exceed
+    ``tail_ratio`` of the base postings bytes (same amortization
+    contract as zorder_store_maintain: O(log) rewrites per corpus
+    doubling). Keeps the previous version for time-travel; deletes
+    exactly the tail files it folded (a concurrent append's files are
+    never lost — they simply stay in the tail)."""
+    from lindel_spark import fs as _fs
+
+    v = _rstore_latest(spark, path)
+    if v is None:
+        raise FileNotFoundError(f"LINDEL: no retrieval index at {path}")
+    snap = {
+        name: sorted(_fs.list_files(spark,
+                                    _fs.join(path, f"{name}-tail")))
+        for name in ("postings", "termdf", "stats")
+    }
+    base_b, _ = _fs.du_suffix(spark, _fs.join(path, f"postings-v{v}"))
+    tail_b = sum(_fs.du_suffix(spark, f)[0] for f in snap["postings"])
+    if not snap["postings"] or tail_b < tail_ratio * max(base_b, 1):
+        return {"rewritten": False, "version": v,
+                "tail_bytes": tail_b, "base_bytes": base_b}
+    nv = v + 1
+
+    def _fold(name: str, agg):
+        cur = spark.read.parquet(_fs.join(path, f"{name}-v{v}"))
+        if snap[name]:
+            cur = cur.unionByName(spark.read.parquet(*snap[name]))
+        agg(cur).write.mode("overwrite").parquet(
+            _fs.join(path, f"{name}-v{nv}"))
+
+    _fold("postings", lambda d: d)
+    _fold("termdf", lambda d: d.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df")))
+    _fold("stats", lambda d: d.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens")))
+    _fs.commit_new(spark, _fs.join(_rstore_commits(path), f"v{nv}"))
+    for name in ("postings", "termdf", "stats"):
+        for f in snap[name]:
+            _fs.delete(spark, f, recursive=False)
+    return {"rewritten": True, "version": nv,
+            "tail_bytes": tail_b, "base_bytes": base_b}
+
+
+def bm25_topk_store(spark, path: str, queries: DataFrame, k: int = 10,
+                    k1: float = BM25_K1, b: float = BM25_B,
+                    query_id_col: str = "query_id",
+                    query_col: str = "query",
+                    rank_round: int | None = None) -> DataFrame:
+    """BM25 top-k served from the persisted index: no tokenize pass,
+    no corpus scan beyond the term-filtered postings read, and df
+    comes from the stored (term, df) table instead of the per-query
+    window — the aggregates a fresh call pays per query were paid
+    once at build/append time. Value-identical to
+    ``bm25_topk(docs, queries, ...)`` over the same corpus (shared
+    scoring tail; pytest- and oracle-pinned)."""
+    postings, termdf, stats = bm25_index_read(spark, path)
+    qterms = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.explode(tokens(normalize_text(F.col(query_col))))
+        .alias("term"),
+    ).distinct()
+    matched = (
+        postings.join(F.broadcast(qterms.select("term").distinct()),
+                      "term")
+        .join(termdf, "term")
+    )
+    return _bm25_score_tail(matched, qterms, stats, k, k1, b,
+                            rank_round)

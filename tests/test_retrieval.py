@@ -131,3 +131,78 @@ def test_bigram_logprob_discriminates(spark):
     # transitions -> strictly lower mean conditional log-prob
     assert rows[0] > rows[1]
     assert rows[1] < 0.0
+
+
+# ---------------------------------------------------------------------------
+# round 11: persisted + incremental retrieval index
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def docs_real(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _queries(docs):
+    from lindel_spark import text as LT
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    return docs.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query"))
+
+
+def _key(df):
+    return sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
+                  for r in df.collect())
+
+
+def test_bm25_store_roundtrip_equals_fresh(spark, docs_real, tmp_path):
+    """bm25_topk_store over an index built from the whole corpus must
+    be VALUE-identical to bm25_topk's fresh computation (shared
+    scoring tail)."""
+    store = str(tmp_path / "idx")
+    LR.bm25_index_init(docs_real, store)
+    qd = _queries(docs_real)
+    fresh = LR.bm25_topk(docs_real, qd, k=5, rank_round=4)
+    stored = LR.bm25_topk_store(spark, store, qd, k=5, rank_round=4)
+    assert _key(stored) == _key(fresh)
+
+
+def test_bm25_store_append_equals_rebuild(spark, docs_real, tmp_path):
+    """Init on 2/3 + incremental append of 1/3 (postings tail +
+    algebraic df/len deltas) must serve IDENTICAL results to an index
+    rebuilt from scratch on the full corpus — the verdict-4 pin."""
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    LR.bm25_index_init(docs_real.filter("doc_id % 3 != 0"), inc)
+    LR.bm25_index_append(docs_real.filter("doc_id % 3 = 0"), inc)
+    LR.bm25_index_init(docs_real, full)
+    qd = _queries(docs_real)
+    a = _key(LR.bm25_topk_store(spark, inc, qd, k=5, rank_round=4))
+    b = _key(LR.bm25_topk_store(spark, full, qd, k=5, rank_round=4))
+    assert a == b
+
+
+def test_bm25_store_maintain_folds_tail(spark, docs_real, tmp_path):
+    """Maintain above the tail threshold rewrites v1, drains the
+    folded tail files, and serves unchanged results; below threshold
+    it is a no-op."""
+    from lindel_spark import fs as _fs
+    store = str(tmp_path / "m")
+    LR.bm25_index_init(docs_real.filter("doc_id % 3 != 0"), store)
+    LR.bm25_index_append(docs_real.filter("doc_id % 3 = 0"), store)
+    qd = _queries(docs_real)
+    before = _key(LR.bm25_topk_store(spark, store, qd, k=5,
+                                     rank_round=4))
+    noop = LR.bm25_index_maintain(spark, store, tail_ratio=100.0)
+    assert noop["rewritten"] is False
+    st = LR.bm25_index_maintain(spark, store, tail_ratio=0.01)
+    assert st["rewritten"] is True and st["version"] == 1
+    assert not _fs.list_files(spark, store + "/postings-tail")
+    after = _key(LR.bm25_topk_store(spark, store, qd, k=5,
+                                    rank_round=4))
+    assert after == before
+
+
+def test_bm25_store_missing_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="retrieval index"):
+        LR.bm25_index_read(spark, str(tmp_path / "nope"))
