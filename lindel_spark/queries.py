@@ -8350,3 +8350,89 @@ def q_text_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("score", 4).alias("score_r4"),
     )
+
+
+@query(
+    "knn_propagate_rounds",
+    """
+    WITH e AS (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v,
+             label::BIGINT AS lab
+      FROM embeddings
+    ), s1 AS MATERIALIZED (
+      SELECT id, v, lab FROM e WHERE id % 2 = 0
+    ), q1 AS MATERIALIZED (
+      SELECT id, v FROM e WHERE id % 10 = 1
+    ), sc1 AS (
+      SELECT q1.id AS qid, s1.id AS nid, s1.lab,
+             list_dot_product(q1.v, s1.v)
+               / (sqrt(list_dot_product(q1.v, q1.v))
+                  * sqrt(list_dot_product(s1.v, s1.v))) AS cos
+      FROM q1 JOIN s1 ON q1.id != s1.id
+    ), top1 AS (
+      SELECT qid, lab FROM (
+        SELECT qid, lab,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) AS rnk
+        FROM sc1
+      ) WHERE rnk <= 5
+    ), v1 AS (
+      SELECT qid, lab, COUNT(*)::BIGINT AS votes
+      FROM top1 GROUP BY 1, 2
+    ), a1 AS MATERIALIZED (
+      SELECT qid, lab, votes FROM (
+        SELECT qid, lab, votes,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY votes DESC, lab) AS rn
+        FROM v1
+      ) WHERE rn = 1 AND votes >= 2
+    ), s2 AS MATERIALIZED (
+      SELECT id, v, lab FROM s1
+      UNION ALL
+      SELECT q1.id, q1.v, a1.lab FROM q1 JOIN a1 ON q1.id = a1.qid
+    ), q2 AS MATERIALIZED (
+      SELECT id, v FROM q1 WHERE id NOT IN (SELECT qid FROM a1)
+    ), sc2 AS (
+      SELECT q2.id AS qid, s2.id AS nid, s2.lab,
+             list_dot_product(q2.v, s2.v)
+               / (sqrt(list_dot_product(q2.v, q2.v))
+                  * sqrt(list_dot_product(s2.v, s2.v))) AS cos
+      FROM q2 JOIN s2 ON q2.id != s2.id
+    ), top2 AS (
+      SELECT qid, lab FROM (
+        SELECT qid, lab,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) AS rnk
+        FROM sc2
+      ) WHERE rnk <= 5
+    ), v2 AS (
+      SELECT qid, lab, COUNT(*)::BIGINT AS votes
+      FROM top2 GROUP BY 1, 2
+    ), a2 AS (
+      SELECT qid, lab, votes FROM (
+        SELECT qid, lab, votes,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY votes DESC, lab) AS rn
+        FROM v2
+      ) WHERE rn = 1 AND votes >= 2
+    )
+    SELECT qid AS vec_id, lab AS predicted_label, votes,
+           1::BIGINT AS round FROM a1
+    UNION ALL
+    SELECT qid, lab, votes, 2::BIGINT FROM a2
+    """,
+)
+def q_knn_propagate_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round label propagation (round 11,
+    :func:`lindel_spark.similarity.propagate_labels_multi`): even
+    vec_ids seed, every 10th-plus-one vector is unlabeled; a row
+    adopts when >= 2 of its 5 nearest labeled rows agree, adopted rows
+    seed round 2. knn_join all-probe keeps both rounds exact, so the
+    two-round unrolled DuckDB replay (brute-force scoring, identical
+    vote/tie algebra, adopted seeds unioned in) must agree
+    bit-for-bit, including the `round` each row adopted in."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    seeds = emb.filter(F.col("vec_id") % 2 == 0)
+    probes = emb.filter(F.col("vec_id") % 10 == 1)
+    return LS.propagate_labels_multi(seeds, probes, k=5, rounds=2,
+                                     min_votes=2, n_centroids=16)

@@ -1638,3 +1638,81 @@ def propagate_labels(
             .select(F.col("query_id").alias(id_col),
                     F.col("__lab").alias("predicted_label"),
                     F.col("votes").cast("long").alias("votes")))
+
+
+def propagate_labels_multi(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    rounds: int = 2,
+    min_votes: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroids: np.ndarray | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Multi-round label propagation (round 11): iterate
+    :func:`propagate_labels` with a confidence threshold — rows whose
+    winning label holds ``>= min_votes`` of the k neighbor votes ADOPT
+    it and become seeds for the next round, until ``rounds`` rounds or
+    a round adopts nothing. The standard semi-supervised loop (Zhu &
+    Ghahramani 2002 iterated): labels flow outward through the
+    manifold one neighborhood hop per round, so a point too far from
+    the hand-labeled seeds to clear the threshold in round 1 adopts in
+    a later round through its newly-labeled neighbors.
+
+    ``min_votes=None`` adopts every row (one round then reproduces
+    :func:`propagate_labels` exactly — pytest-pinned bit-identity).
+    Each round is the existing one-shot plan (distributed
+    :func:`knn_join` both sides, integer votes, votes-desc/label-asc
+    ties); the per-round driver traffic is ONE scalar (the adopted
+    count, for early stop), and seed/remaining frames are
+    ``localCheckpoint``-ed so plan depth stays constant. Returns
+    (``id_col``, predicted_label, votes, round) — one row per adopted
+    input row; rows never clearing the threshold are absent.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if min_votes is not None and not (1 <= min_votes <= k):
+        raise ValueError("min_votes must be in [1, k]")
+    seeds = labeled.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias(vec_col),
+        F.col(label_col).cast("long").alias(label_col))
+    remaining = unlabeled.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col).alias(vec_col))
+    adopted: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        preds = propagate_labels(
+            seeds, remaining, k=k, id_col=id_col, vec_col=vec_col,
+            label_col=label_col, centroids=centroids,
+            n_centroids=n_centroids, nprobe=nprobe)
+        if min_votes is not None:
+            preds = preds.filter(F.col("votes") >= min_votes)
+        preds = preds.withColumn(
+            "round", F.lit(r).cast("long")).localCheckpoint()
+        if preds.isEmpty():
+            break
+        adopted = preds if adopted is None \
+            else adopted.unionByName(preds)
+        if r == rounds:
+            break
+        new_seeds = remaining.join(
+            preds.select(id_col,
+                         F.col("predicted_label").alias(label_col)),
+            id_col)
+        seeds = seeds.unionByName(
+            new_seeds.select(id_col, vec_col, label_col)
+        ).localCheckpoint()
+        remaining = remaining.join(
+            preds.select(id_col), id_col, "left_anti"
+        ).localCheckpoint()
+    if adopted is None:
+        spark = labeled.sparkSession
+        return spark.createDataFrame(
+            [], f"{id_col} long, predicted_label long, votes long, "
+                f"round long")
+    return adopted

@@ -675,3 +675,68 @@ def test_hard_negatives_routes_large_anchors(emb, queries_df):
     # the routed plan must not pin a broadcast of the anchor frame
     log = routed._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in log
+
+
+# ---------------------------------------------------------------------------
+# round 11: multi-round label propagation
+# ---------------------------------------------------------------------------
+
+def test_propagate_multi_one_round_bit_identical(emb, queries_df):
+    """rounds=1, no threshold: output must be propagate_labels plus a
+    round=1 column, row-for-row."""
+    seeds = emb.filter(F.col("vec_id") % 2 == 0)
+    probes = emb.filter(F.col("vec_id") % 20 == 1)
+    one = LS.propagate_labels(seeds, probes, k=5, n_centroids=16)
+    multi = LS.propagate_labels_multi(seeds, probes, k=5, rounds=1,
+                                      n_centroids=16)
+    a = sorted((r.vec_id, r.predicted_label, r.votes)
+               for r in one.collect())
+    b = sorted((r.vec_id, r.predicted_label, r.votes, r.round)
+               for r in multi.collect())
+    assert [(i, p, v, 1) for i, p, v in a] == b
+
+
+def test_propagate_multi_converges_through_rounds(spark):
+    """Two-cluster synthetic: a midpoint probe splits its 2-NN vote
+    1-1 in round 1 (below the unanimous threshold), then adopts in
+    round 2 through the round-1 adoptee that sits between it and its
+    cluster — the label flowed one hop per round."""
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.99, 0.14], 0),
+         (2, [0.0, 1.0], 7), (3, [0.14, 0.99], 7)],
+        "vec_id long, embedding array<double>, label long")
+    probes = spark.createDataFrame(
+        [(10, [0.9, 0.44]),    # 2-NN both cluster-A -> round 1
+         (11, [0.74, 0.67])],  # 2-NN split A/B -> round 2 via 10
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.predicted_label, r.votes, r.round)
+           for r in LS.propagate_labels_multi(
+               seeds, probes, k=2, rounds=3, min_votes=2).collect()}
+    assert got[10] == (0, 2, 1)
+    assert got[11][0] == 0 and got[11][2] == 2
+
+
+def test_propagate_multi_below_threshold_rows_absent(spark):
+    """A probe that never reaches min_votes stays unlabeled (absent),
+    and the loop early-stops when a round adopts nothing."""
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (2, [0.0, 1.0], 7)],
+        "vec_id long, embedding array<double>, label long")
+    probes = spark.createDataFrame(
+        [(11, [1.0, 1.0])],  # exact 1-1 split forever
+        "vec_id long, embedding array<double>")
+    out = LS.propagate_labels_multi(seeds, probes, k=2, rounds=4,
+                                    min_votes=2).collect()
+    assert out == []
+
+
+def test_propagate_multi_validates(spark):
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label long")
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.1])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="rounds"):
+        LS.propagate_labels_multi(seeds, probes, rounds=0)
+    with pytest.raises(ValueError, match="min_votes"):
+        LS.propagate_labels_multi(seeds, probes, k=3, min_votes=9)
