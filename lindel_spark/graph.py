@@ -276,3 +276,42 @@ def _cc_star(
         )
     )
     return labels, rounds
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts of an undirected graph:
+    ``(node, triangles)`` for every node in at least one triangle.
+
+    The canonical distributed formulation (ordered-wedge join): edges
+    canonicalize to ``a < b`` (self-loops and duplicates dropped),
+    wedges enumerate as (a,b) ⋈ (b,c) on the shared middle with
+    ``a < b < c`` by construction, and a wedge is a triangle iff the
+    closing edge (a,c) exists — two hash joins keyed on node ids, no
+    per-node adjacency materialization, so the plan survives hub
+    skew the way the star-CC rounds do (AQE splits the hot join
+    keys). Each triangle {a,b,c} is found exactly once and credited
+    to all three corners. Node ids must be orderable; counts are
+    exact integers, so the whole operator is value-level
+    SQL-replayable.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("a"),
+                 F.greatest("u", "v").alias("b"))
+         .distinct())
+    w = (e.alias("e1")
+         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+         .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                 F.col("e2.b").alias("z")))
+    tri = w.join(
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+        ["x", "z"])
+    corners = (tri.select(F.col("x").alias("node"))
+               .unionAll(tri.select(F.col("y").alias("node")))
+               .unionAll(tri.select(F.col("z").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles"))

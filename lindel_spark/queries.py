@@ -54,53 +54,30 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-10 rotation (the driver samples the first ~50): (a)
+    # round-11 rotation (the driver samples the first ~50): (a)
     # queries whose operators were added or CHANGED this round — the
-    # driver must record them; (b) stale-first re-entry, led by the
-    # two families the round-9 verdict item 8 named (the rt_* curve
-    # round-trips and the streaming batch faces, both last sampled in
-    # r8), then families absent from BOTH the r8 and r9 samples
-    # (computed from CORRECTNESS_r08/r09 keys). Everything else stays
-    # covered by the local full-registry sweeps at three scales.
-    # (a) round-10 new / operator-changed
-    "linkage_customer_pairs",    # new: blocked multi-field record linkage
-    "linkage_incremental_batch",  # new: MDM ingest vs master store
-    "text_bpe_pairs",            # new: BPE merge-candidate pair counts
-    "knn_label_propagation",     # new: kNN majority-vote label spread
-    "sampling_mixture_plan",     # new: token-budget mixture planner
-    "pipeline_length_batches",   # new: length-bucketed batch assembly
-    "text_canonicalized",        # new: canonical normalization pass
-    "dedup_substring_spans",     # new: exact duplicated-span removal
-    "dedup_substring_incremental",  # new: span dedup vs gram store
-    "zorder_store_lookup",       # new: persisted bloom equality probe
-    "text_hybrid_topk",          # new: BM25 + ANN reciprocal-rank fusion
-    "pipeline_bloom_pruned",     # read path distributed + Spark-rendered
-    "dedup_near_pairs",          # map-side signatures (one shuffle)
-    "dedup_ngram_jaccard",       # same path, char shingles
-    "zorder_store_select",       # drained-tail guard + single-pass stats
-    "zorder_store_cycle",        # uuid-staged commit_new
-    "pipeline_manifest_pruned",  # single-pass count+survivors
-    "knn_pq_recall",             # pq_knn auto-routing touched
-    "knn_ivfpq_recall",          # ivf_pq_knn auto-routing touched
-    "knn_ann_simhash",           # ann_knn broadcast bound touched
-    "knn_ivf_recall",            # train_centroids refine_iters param
-    "knn_ivf_refined_recall",    # new: Lloyd-refined codebook gate
-    "knn_route_parity",          # new: collect vs distributed route
-    "sampling_hard_negatives",   # new: contrastive negative miner
-    "dedup_kept_best",           # new: quality-aware cluster survivor
-    # (b) stale-first: rt_* curve rows (last sampled r8 — verdict r9
-    # item 8 asks them back within 2 rounds)
-    "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
-    "rt_hilbert_i16", "rt_hilbert_i16_8", "rt_hilbert_i8_16",
-    "rt_hilbert_f32", "rt_hilbert_f64", "rt_morton_f32",
-    "rt_morton_f32_4", "rt_morton_i8", "rt_morton_i8_8",
-    "rt_unsigned_i16", "golden_scalars",
-    # (b) streaming batch faces (last sampled r8)
-    "streaming_first_seen", "events_gapfilled_rollup",
-    "events_sliding_rollup", "events_interval_join",
-    "events_rolling_hour", "events_debounce_dedup",
-    # (b) absent from both r8 and r9 samples, oldest coverage first
-    "graph_pagerank_transitions", "text_bm25_topk", "text_lm_quality",
+    # driver must record them; (b) stale-first re-entry: families the
+    # r10 driver sample did NOT cover, oldest driver coverage first
+    # (r10 covered the rotation block below plus the rt_*/streaming
+    # re-entries). Everything else stays covered by the local
+    # full-registry sweeps at three scales.
+    # (a) round-11 new
+    "text_bpe_train",            # new: full BPE merge-training loop
+    "text_bpe_vocab",            # new: trained-vocab readout
+    "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
+    "text_bm25_store",           # new: persisted+incremental index
+    "knn_propagate_rounds",      # new: multi-round label propagation
+    # (a) round-11 operator-changed
+    "dedup_clusters",            # dup_clusters -> star CC engine
+    "dedup_kept_best",           # consumes dup_clusters (star CC)
+    "knn_brute",                 # brute_force_knn_fast size routing
+    "knn_route_parity",          # routing family re-pin
+    "sampling_hard_negatives",   # exact path size routing
+    "text_bm25_topk",            # scoring tail refactor (shared)
+    "text_hybrid_topk",          # consumes bm25_topk tail
+    "knn_label_propagation",     # one-shot face of the multi-round op
+    # (b) stale-first: families not in the r10 driver sample
+    "graph_pagerank_transitions", "text_lm_quality",
     "text_lm_bigram", "text_tfidf_topk", "text_winnow_fingerprints",
     "text_scrub_pii", "text_sentence_stats", "text_quality_deciles",
     "events_ohlc_daily", "events_time_weighted_avg",
@@ -131,6 +108,24 @@ _SAMPLE_FIRST = [
     "tpch_q12_late_lines", "tpch_q2_top_supplier_per_part",
     "tpch_q11_important_parts", "tpch_q16_supplier_cnt",
     "tpch_q20_promo_suppliers", "tpch_q21_waiting_suppliers",
+    # r10 rotation block (driver-covered in r10, keep adjacent)
+    "linkage_customer_pairs", "linkage_incremental_batch",
+    "text_bpe_pairs", "sampling_mixture_plan",
+    "pipeline_length_batches", "text_canonicalized",
+    "dedup_substring_spans", "dedup_substring_incremental",
+    "zorder_store_lookup", "pipeline_bloom_pruned",
+    "dedup_near_pairs", "dedup_ngram_jaccard",
+    "zorder_store_select", "zorder_store_cycle",
+    "pipeline_manifest_pruned", "knn_pq_recall", "knn_ivfpq_recall",
+    "knn_ann_simhash", "knn_ivf_recall", "knn_ivf_refined_recall",
+    "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
+    "rt_hilbert_i16", "rt_hilbert_i16_8", "rt_hilbert_i8_16",
+    "rt_hilbert_f32", "rt_hilbert_f64", "rt_morton_f32",
+    "rt_morton_f32_4", "rt_morton_i8", "rt_morton_i8_8",
+    "rt_unsigned_i16", "golden_scalars",
+    "streaming_first_seen", "events_gapfilled_rollup",
+    "events_sliding_rollup", "events_interval_join",
+    "events_rolling_hour", "events_debounce_dedup",
 ]
 
 
@@ -8436,3 +8431,100 @@ def q_knn_propagate_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") % 10 == 1)
     return LS.propagate_labels_multi(seeds, probes, k=5, rounds=2,
                                      min_votes=2, n_centroids=16)
+
+
+def _bpe_encode_oracle_sql(num_merges: int) -> str:
+    """Train-then-apply replay: the unrolled training CTEs of
+    :func:`_bpe_oracle_sql` followed by a per-document application of
+    the learned merges (nested plain-string replaces over the same
+    wrapped rendering) — token counts under the trained tokenizer."""
+    sep = "chr(31)"
+    train = _bpe_oracle_sql(num_merges, vocab=False)
+    head = train[:train.index("\n    SELECT * FROM (")]
+    chain = "r"
+    for i in range(1, num_merges + 1):
+        chain = (f"replace({chain}, {sep} || b{i}.l || {sep} || {sep} "
+                 f"|| b{i}.rr || {sep}, "
+                 f"{sep} || b{i}.l || b{i}.rr || {sep})")
+    froms = ", ".join(f"b{i}" for i in range(1, num_merges + 1))
+    return head + f"""
+    , docs_pre AS (
+      SELECT doc_id, unnest(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS w
+      FROM documents
+    ), enc1 AS (
+      SELECT doc_id,
+             regexp_matches(w, '^[A-Za-z]+$') AS alpha,
+             regexp_replace(w, '(.)', {sep} || '\\1' || {sep}, 'g') AS r
+      FROM docs_pre
+    ), enc2 AS (
+      SELECT doc_id, alpha, {chain} AS r2
+      FROM enc1, {froms}
+    ), enc3 AS (
+      SELECT doc_id,
+             CASE WHEN alpha
+                  THEN len(string_split(substring(r2, 2,
+                             length(r2) - 2), {sep} || {sep}))
+                  ELSE 1 END AS ntok
+      FROM enc2
+    )
+    SELECT d.doc_id::BIGINT AS doc_id,
+           COALESCE(SUM(ntok), 0)::BIGINT AS n_bpe_tokens
+    FROM documents d LEFT JOIN enc3 ON d.doc_id = enc3.doc_id
+    GROUP BY 1"""
+
+
+@query("text_bpe_encode", _bpe_encode_oracle_sql(_BPE_TRAIN_MERGES))
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the TRAINED tokenizer (round 11,
+    :func:`lindel_spark.text.bpe_encode`): train 8 merges on the
+    documents corpus, apply them corpus-side (one map-only expression
+    chain — the merge table collapses to static literals), return
+    per-document BPE token counts. The oracle replays train AND apply
+    (unrolled loop + nested replaces) value-for-value — the token
+    budget a packing/mixture pipeline would run under the real
+    tokenizer instead of the whitespace proxy."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = LT.bpe_train(docs, "text", num_merges=_BPE_TRAIN_MERGES)
+    return LT.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+@query(
+    "graph_triangle_counts",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey::BIGINT AS a, b.l_partkey::BIGINT AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), w AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pp e1 JOIN pp e2 ON e1.b = e2.a
+    ), t AS (
+      SELECT x, y, z FROM w JOIN pp ON pp.a = w.x AND pp.b = w.z
+    ), c AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    )
+    SELECT node, COUNT(*)::BIGINT AS triangles FROM c GROUP BY 1
+    """,
+)
+def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (round 11,
+    :func:`lindel_spark.graph.triangle_count`) over the co-purchase
+    graph — parts sharing an order are connected; a part's triangle
+    count is its clustering signal (how much its co-purchase
+    neighborhood buys together). Ordered-wedge join: two hash joins,
+    each triangle found exactly once, exact integers — DuckDB replays
+    the same algebra."""
+    from lindel_spark.graph import triangle_count
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    return triangle_count(edges)

@@ -803,3 +803,60 @@ def bpe_vocab(df: DataFrame, text_col: str = "text",
         .groupBy("symbol")
         .agg(F.sum("freq").cast("long").alias("n"))
     )
+
+
+def bpe_apply_expr(text: Column, merges: list[tuple[str, str]]) -> Column:
+    """Tokenize ``text`` with a TRAINED merge table: returns the
+    array<string> of BPE tokens — alphabetic pretokens are split to
+    characters and the merges replay IN TRAINING ORDER (each one the
+    same leftmost-non-overlapping wrapped-symbol ``replace`` the
+    trainer used, so apply ∘ train is self-consistent by
+    construction); non-alphabetic pretokens pass through as single
+    tokens.
+
+    Pure column algebra: the merge chain compiles to one map-only
+    projection (merges are driver-side literals — the broadcast-merge
+    -table-per-iteration of training collapses to a static expression
+    chain at apply time), so encoding a 100 TB corpus is a scan.
+    """
+    pre = F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), 0)
+
+    def per_word(w: Column) -> Column:
+        r = F.regexp_replace(w, "(.)", BPE_SEP + "$1" + BPE_SEP)
+        for left, right in merges:
+            r = F.replace(
+                r,
+                F.lit(BPE_SEP + left + BPE_SEP + BPE_SEP + right
+                      + BPE_SEP),
+                F.lit(BPE_SEP + left + right + BPE_SEP))
+        # single-reference symbol extraction (no sibling recompute of
+        # the replace chain): collapse doubled separators, split on
+        # the separator, drop the empty edge artifacts
+        return F.array_remove(
+            F.split(F.replace(r, F.lit(BPE_SEP + BPE_SEP),
+                              F.lit(BPE_SEP)), BPE_SEP), "")
+
+    return F.flatten(F.transform(
+        pre,
+        lambda w: F.when(w.rlike("^[A-Za-z]+$"), per_word(w))
+                   .otherwise(F.array(w))))
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Corpus tokenization under a trained BPE merge table:
+    (``id_col``, bpe_tokens array<string>, n_bpe_tokens) — the token
+    counting a budget/packing pipeline runs under the REAL tokenizer
+    instead of the whitespace proxy. ``merges`` is
+    :func:`bpe_train` output (a DataFrame with step/left/right — its
+    bounded ``num_merges`` rows collect to drive the expression
+    chain) or a pre-collected [(left, right), ...] list."""
+    if isinstance(merges, DataFrame):
+        merges = [(r["left"], r["right"])
+                  for r in merges.orderBy("step").collect()]
+    toks = bpe_apply_expr(F.col(text_col), list(merges))
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        toks.alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens",
+                 F.size("bpe_tokens").cast("long"))

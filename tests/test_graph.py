@@ -161,3 +161,23 @@ def test_cc_rejects_unknown_method(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="method"):
         connected_components(edges, method="bogus")
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: two triangles sharing an edge — shared
+    corners credited twice, each triangle found exactly once; dup
+    edges / self-loops / reversed orientation are canonicalized."""
+    from lindel_spark.graph import triangle_count
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4), (2, 4), (2, 2)],
+        "src long, dst long")
+    # triangles: {1,2,3} and {2,3,4}
+    got = {r.node: r.triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_count_triangle_free(spark):
+    from lindel_spark.graph import triangle_count
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    assert triangle_count(edges).count() == 0

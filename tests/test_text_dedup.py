@@ -698,3 +698,30 @@ def test_bpe_train_validates(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="num_merges"):
         bpe_train(df, num_merges=0)
+
+
+def test_bpe_encode_applies_trained_merges(spark):
+    """Apply ∘ train self-consistency on the Sennrich corpus: after 6
+    merges, 'lowest' tokenizes [low, est] (merges learned from other
+    words compose), digits/punct stay single tokens."""
+    from lindel_spark.text import bpe_encode, bpe_train
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    train_df = spark.createDataFrame([(" ".join(words),)], "text string")
+    merges = bpe_train(train_df, num_merges=6)
+    apply_df = spark.createDataFrame(
+        [(1, "lowest 42 !"), (2, "newest low"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+           for r in bpe_encode(apply_df, merges).collect()}
+    # lowest -> low + est; '42' and '!' pass through unsplit
+    assert got[1] == (["low", "est", "42", "!"], 4)
+    # newest -> n + ewest (merges 1,2,5,6); low -> low (merges 3,4)
+    assert got[2] == (["n", "ewest", "low"], 3)
+    assert got[3] == ([], 0)
+
+
+def test_bpe_encode_accepts_list_merges(spark):
+    from lindel_spark.text import bpe_encode
+    df = spark.createDataFrame([(7, "abab")], "doc_id long, text string")
+    got = bpe_encode(df, [("a", "b"), ("ab", "ab")]).collect()[0]
+    assert list(got.bpe_tokens) == ["abab"] and got.n_bpe_tokens == 1
