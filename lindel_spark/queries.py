@@ -8528,3 +8528,61 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     return triangle_count(edges)
+
+
+@query(
+    "text_tfidf_store",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM norm)
+      GROUP BY doc_id, term
+    ),
+    dfs AS (
+      SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY term
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    scored AS (
+      SELECT p.doc_id, p.term,
+             p.tf::DOUBLE * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0)
+               AS score
+      FROM postings p JOIN dfs d USING (term) CROSS JOIN n
+    )
+    SELECT doc_id::BIGINT AS doc_id, rank::BIGINT AS rank, term,
+           round(score, 4) AS score_r4
+    FROM (SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keywords served from the PERSISTED retrieval index
+    (round 11, :func:`lindel_spark.retrieval.tfidf_topk_store`): the
+    same store text_bm25_store exercises (init 2/3 + incremental
+    append 1/3) answers keyword extraction from stored postings +
+    stored (term, df) + the stored raw doc count — the other
+    recompute-per-call consumer the round-10 verdict named. Oracle =
+    the fresh-computation text_tfidf_topk SQL: store ≡ fresh."""
+    import tempfile
+
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="lindel_tfidf_store_"), "idx")
+    LR.bm25_index_init(docs.filter(F.col("doc_id") % 3 != 0), store)
+    LR.bm25_index_append(docs.filter(F.col("doc_id") % 3 == 0), store)
+    out = LR.tfidf_topk_store(spark, store, k=3)
+    return out.select(
+        "doc_id", F.col("rank").cast("long").alias("rank"), "term",
+        F.round("score", 4).alias("score_r4"))

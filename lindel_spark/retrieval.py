@@ -319,6 +319,17 @@ def tfidf_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
         F.count(F.lit(1)).cast("double").alias("__n"))
+    return _tfidf_score_tail(postings, dfreq, n_docs, k)
+
+
+def _tfidf_score_tail(postings: DataFrame, dfreq: DataFrame,
+                      n_docs: DataFrame, k: int) -> DataFrame:
+    """Shared TF-IDF scoring tail: ``postings`` (doc_id, term, tf),
+    ``dfreq`` (term, df), ``n_docs`` one row (__n double). Fresh and
+    store-served paths both feed this — value-identical by
+    construction."""
+    from pyspark.sql import Window
+
     scored = (
         postings.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -334,6 +345,19 @@ def tfidf_topk(df: DataFrame, k: int = 3, id_col: str = "doc_id",
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "score")
     )
+
+
+def tfidf_topk_store(spark, path: str, k: int = 3) -> DataFrame:
+    """TF-IDF top-k keywords served from the persisted retrieval
+    index (:func:`bm25_index_init`): stored postings + stored
+    (term, df) table + the stored raw doc count — no tokenize pass,
+    no per-call df aggregate. Value-identical to ``tfidf_topk`` over
+    the same corpus (same tail; ``n_docs_raw`` preserves tfidf's
+    all-rows n_docs definition, zero-token docs included)."""
+    postings, termdf, stats = bm25_index_read(spark, path)
+    n_docs = stats.select(
+        F.col("n_docs_raw").cast("double").alias("__n"))
+    return _tfidf_score_tail(postings, termdf, n_docs, k)
 
 
 # ---------------------------------------------------------------------------
@@ -439,14 +463,19 @@ def _rstore_latest(spark, path: str) -> int | None:
 
 def _corpus_stats(docs: DataFrame, id_col: str,
                   text_col: str) -> DataFrame:
-    """One row (n_docs, total_tokens) over docs with >= 1 token —
-    the SAME doc-level definition bm25_topk's fresh path uses, so
-    store reads reproduce its avgdl bit-for-bit."""
+    """One row (n_docs, total_tokens, n_docs_raw): ``n_docs`` counts
+    docs with >= 1 token (bm25_topk's fresh-path definition, so store
+    reads reproduce its avgdl bit-for-bit); ``n_docs_raw`` counts ALL
+    rows (tfidf_topk's fresh-path n_docs, zero-token docs included).
+    Both are algebraic, so appends ship them as deltas."""
     toks = tokens(normalize_text(F.col(text_col)))
     return (docs.select(F.size(toks).cast("long").alias("__dl"))
-            .filter(F.col("__dl") > 0)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
-                 F.sum("__dl").cast("long").alias("total_tokens")))
+            .agg(F.sum(F.when(F.col("__dl") > 0, 1).otherwise(0))
+                 .cast("long").alias("n_docs"),
+                 F.sum(F.when(F.col("__dl") > 0, F.col("__dl"))
+                       .otherwise(0))
+                 .cast("long").alias("total_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_docs_raw")))
 
 
 def bm25_index_init(docs: DataFrame, path: str, id_col: str = "doc_id",
@@ -520,10 +549,12 @@ def bm25_index_read(spark, path: str) -> tuple[DataFrame, DataFrame,
     stats = _with_tail("stats").agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_docs_raw").cast("long").alias("n_docs_raw"),
     ).select(
         "n_docs",
         (F.col("total_tokens").cast("double")
          / F.col("n_docs").cast("double")).alias("avgdl"),
+        "n_docs_raw",
     )
     return postings, termdf, stats
 
@@ -565,7 +596,8 @@ def bm25_index_maintain(spark, path: str,
         F.sum("df").cast("long").alias("df")))
     _fold("stats", lambda d: d.agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("total_tokens").cast("long").alias("total_tokens")))
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_docs_raw").cast("long").alias("n_docs_raw")))
     _fs.commit_new(spark, _fs.join(_rstore_commits(path), f"v{nv}"))
     for name in ("postings", "termdf", "stats"):
         for f in snap[name]:

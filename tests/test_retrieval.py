@@ -206,3 +206,17 @@ def test_bm25_store_maintain_folds_tail(spark, docs_real, tmp_path):
 def test_bm25_store_missing_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="retrieval index"):
         LR.bm25_index_read(spark, str(tmp_path / "nope"))
+
+
+def test_tfidf_store_equals_fresh(spark, docs_real, tmp_path):
+    """tfidf_topk_store over an incrementally-built index must equal
+    the fresh tfidf_topk (n_docs_raw preserves the all-rows n_docs
+    definition, zero-token docs included)."""
+    store = str(tmp_path / "t")
+    LR.bm25_index_init(docs_real.filter("doc_id % 3 != 0"), store)
+    LR.bm25_index_append(docs_real.filter("doc_id % 3 = 0"), store)
+    key = lambda df: sorted(  # noqa: E731
+        (r.doc_id, r.rank, r.term, round(r.score, 9))
+        for r in df.collect())
+    assert key(LR.tfidf_topk_store(spark, store, k=3)) == \
+        key(LR.tfidf_topk(docs_real, k=3))
