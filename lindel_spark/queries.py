@@ -8586,3 +8586,62 @@ def q_text_tfidf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("rank").cast("long").alias("rank"), "term",
         F.round("score", 4).alias("score_r4"))
+
+
+@query(
+    "sketch_kll_by_type",
+    """
+    WITH keyed AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v,
+             CAST(('0x' || substr(md5('kll' || '|'
+                    || CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events WHERE value IS NOT NULL
+    ), lv AS (
+      SELECT event_type, v,
+             CASE WHEN h = 0 THEN 40
+                  ELSE LEAST(40, CAST(round(log2(h & -h)) AS BIGINT))
+             END AS lvl
+      FROM keyed
+    ), cnt AS (
+      SELECT event_type, COUNT(*) AS n FROM lv GROUP BY 1
+    ), lev AS (
+      SELECT j, 1024 * (CAST(1 AS BIGINT) << CAST(j AS INT)) AS cap_at
+      FROM range(0, 41) t(j)
+    ), th AS (
+      SELECT event_type, MIN(j) AS j
+      FROM cnt JOIN lev ON cnt.n <= lev.cap_at GROUP BY 1
+    ), s AS (
+      SELECT lv.event_type, v
+      FROM lv JOIN th USING (event_type) WHERE lvl >= th.j
+    ), ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM s
+    ), q AS (
+      SELECT CAST(q AS DOUBLE) AS q
+      FROM (VALUES (0.25), (0.5), (0.95), (0.99)) t(q)
+    )
+    SELECT r.event_type, q.q AS q, r.v AS est
+    FROM q JOIN ranked r
+      ON r.rn = CAST(ceil(q.q * r.m) AS BIGINT)
+    """,
+)
+def q_sketch_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles off a GROUPED bound-free KLL-style
+    sketch (round 11, :func:`lindel_spark.sketch.kll_sketch_grouped`):
+    unlike sketch_quantiles_by_type's fixed [lo, hi] grid this needs
+    NO prior bounds, and the per-group threshold resolves in-plan
+    (broadcast 41-row levels join on the exact integer inequality —
+    zero driver scalars, so a million groups cost the same plan).
+    DuckDB replays sample membership and the type-1 reads
+    bit-for-bit."""
+    from lindel_spark import sketch as SK
+
+    ev = _events(spark, sf_dir)
+    sk = SK.kll_sketch_grouped(ev, "event_type", "value",
+                               ["event_id"], capacity=1024)
+    return SK.kll_quantiles_grouped(
+        sk, "event_type", [0.25, 0.5, 0.95, 0.99])

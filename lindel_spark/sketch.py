@@ -582,3 +582,84 @@ def kll_quantiles(sketch: DataFrame, quantiles) -> DataFrame:
         )
         .select("q", F.col("v").alias("est"))
     )
+
+
+def kll_sketch_grouped(
+    df: DataFrame,
+    keys,
+    col: str,
+    key_cols,
+    capacity: int = KLL_CAPACITY,
+) -> DataFrame:
+    """Per-group :func:`kll_sketch`: ``(*keys, v, lvl, w, n)`` — every
+    tenant/day/domain gets its own bound-free quantile sample in ONE
+    pass with NO driver scalar at all: group sizes come from one
+    aggregate, and each group's threshold ``j*`` (smallest j with
+    ``n_g <= capacity * 2^j``) resolves IN-PLAN by joining a
+    broadcast 41-row levels frame on the exact integer inequality
+    (``n <= capacity << j``) and taking the min — no float ``log2``
+    whose rounding could flip an exact power of two, and the same
+    trick a SQL oracle replays verbatim. Per-group state is
+    O(capacity); membership stays a pure function of (row key, j*),
+    so per-group merges compose exactly like the global sketch."""
+    if capacity < 16:
+        raise ValueError("capacity must be >= 16")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    v = F.col(col).cast("double")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(
+                "|", F.lit("kll"),
+                *[F.col(c).cast("string") for c in key_cols])),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    rows = df.filter(v.isNotNull()).select(
+        *keys, v.alias("v"), _kll_level(h).alias("lvl"))
+    counts = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    spark = df.sparkSession
+    levels = spark.createDataFrame(
+        [(j, capacity << j) for j in range(_KLL_MAX_LEVEL + 1)],
+        "j long, cap_at long")
+    thresholds = (
+        counts.join(F.broadcast(levels), F.col("n") <= F.col("cap_at"))
+        .groupBy(*keys, "n").agg(F.min("j").alias("j"))
+    )
+    return (
+        rows.join(thresholds, keys)
+        .filter(F.col("lvl") >= F.col("j"))
+        .select(*keys, "v", "lvl",
+                # 2^j: exact in double for j <= 40 (shiftleft takes
+                # only a literal bit count, not a Column)
+                F.pow(F.lit(2.0), F.col("j"))
+                .cast("long").alias("w"),
+                "n")
+    )
+
+
+def kll_quantiles_grouped(sketch: DataFrame, keys, quantiles) -> DataFrame:
+    """Per-group quantiles off a :func:`kll_sketch_grouped`:
+    ``(*keys, q, est)`` — the sorted sample's type-1 value per group,
+    one window partitioned by the group keys (≤ ~capacity rows per
+    partition), quantile list broadcast in. Quantiles in (0, 1]."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = Window.partitionBy(*keys).orderBy("v")
+    ranked = (
+        sketch.select(*keys, "v")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(
+            Window.partitionBy(*keys)))
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double")
+    return (
+        ranked.join(
+            F.broadcast(qdf),
+            F.col("rn") == F.ceil(F.col("q") * F.col("m")).cast("long"),
+        )
+        .select(*keys, "q", F.col("v").alias("est"))
+    )

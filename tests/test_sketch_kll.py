@@ -93,3 +93,39 @@ def test_kll_skips_nulls_and_validates(spark):
         SK.kll_sketch(df, "x", ["id"], capacity=2)
     with pytest.raises(ValueError, match="at least two"):
         SK.kll_merge(sk)
+
+
+def test_kll_grouped_equals_per_group_global(spark):
+    """The grouped sketch must equal running the global sketch on
+    each group separately (same hash, same in-plan threshold)."""
+    ev = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", float(i % 97)) for i in range(3000)],
+        "event_id long, event_type string, value double")
+    g = SK.kll_sketch_grouped(ev, "event_type", "value",
+                              ["event_id"], capacity=256)
+    got = {
+        t: sorted((r.v, r.lvl, r.w, r.n) for r in rows)
+        for t, rows in (
+            (t, [r for r in g.collect() if r.event_type == t])
+            for t in ("a", "b"))
+    }
+    for t in ("a", "b"):
+        solo = SK.kll_sketch(ev.filter(F.col("event_type") == t),
+                             "value", ["event_id"], capacity=256)
+        assert got[t] == sorted(
+            (r.v, r.lvl, r.w, r.n) for r in solo.collect()), t
+
+
+def test_kll_grouped_quantiles_small_group_exact(spark):
+    """A group under capacity keeps every row (w=1) and the grouped
+    reader returns its exact type-1 quantiles."""
+    ev = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])],
+        "event_id long, event_type string, value double")
+    sk = SK.kll_sketch_grouped(ev, "event_type", "value",
+                               ["event_id"], capacity=16)
+    assert sk.count() == 5
+    assert sk.select(F.max("w")).first()[0] == 1
+    got = {r.q: r.est for r in SK.kll_quantiles_grouped(
+        sk, "event_type", [0.2, 0.6, 1.0]).collect()}
+    assert got == {0.2: 1.0, 0.6: 5.0, 1.0: 9.0}
