@@ -598,6 +598,59 @@ def main(only: set[str] | None = None) -> None:
              LinkField("c_acctbal", "numeric", 0.4, 500.0)],
             threshold=0.9))
 
+    # --- round-11 entries (first measurements become anchors) ------
+    def q_bpe_train(_):
+        # 8 merges over the full docs corpus: per iteration one pair
+        # aggregate + one bounded argmax + a map-only replace
+        _noop(LT.bpe_train(docs, num_merges=8))
+
+    _bpe_merges = [("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"),
+                   ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r")]
+
+    def q_bpe_encode(_):
+        # steady-state tokenization under a pretrained merge table:
+        # one map-only expression chain over the corpus
+        _noop(LT.bpe_encode(docs, _bpe_merges).select(
+            "doc_id", "n_bpe_tokens"))
+
+    def q_kll_quantiles(_):
+        from lindel_spark import sketch as SK
+        sk = SK.kll_sketch(li, "l_extendedprice",
+                           ["l_orderkey", "l_linenumber"])
+        _noop(SK.kll_quantiles(sk, [0.25, 0.5, 0.75, 0.9, 0.99]))
+
+    _bm25_store_dir = os.path.join(_store, "bm25_idx")
+    if need("bm25_store_topk"):
+        from lindel_spark import retrieval as _LRS
+        _LRS.bm25_index_init(docs, _bm25_store_dir)
+
+    def q_bm25_store(_):
+        # steady-state store-served BM25: postings+df+stats persisted
+        # at setup (off the clock), queries pay only the filtered
+        # reads + scoring — the production shape after index build
+        from lindel_spark import retrieval as LR
+        toks = LT.tokens(LT.normalize_text(F.col("text")))
+        qd = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(toks, 1, 5), " ").alias("query"))
+        _noop(LR.bm25_topk_store(spark, _bm25_store_dir, qd, k=10))
+
+    def q_triangles(_):
+        from lindel_spark.graph import triangle_count
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("dst"))
+        edges = (a.join(b, "ok")
+                 .filter(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct())
+        _noop(triangle_count(edges))
+
+    def q_cc_star(_):
+        from lindel_spark.graph import connected_components
+        pairs = LD.simhash_near_dup_pairs(docs)
+        _noop(connected_components(pairs, src="id_a", dst="id_b"))
+
     def q_label_propagation(_):
         # nprobe=4/16: the realistic ANN operating point (the
         # registry query pins the exact all-probe path; here the
@@ -617,6 +670,12 @@ def main(only: set[str] | None = None) -> None:
         ("hybrid_rrf_topk", q_hybrid_rrf, n_docs),
         ("record_linkage", q_record_linkage, -1),
         ("label_propagation", q_label_propagation, n_emb),
+        ("bpe_train_8", q_bpe_train, n_docs),
+        ("bpe_encode", q_bpe_encode, n_docs),
+        ("kll_quantiles", q_kll_quantiles, n_li),
+        ("bm25_store_topk", q_bm25_store, n_docs),
+        ("triangle_counts", q_triangles, n_li),
+        ("cc_star_simhash", q_cc_star, n_docs),
     ]
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
