@@ -8645,3 +8645,52 @@ def q_sketch_kll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ["event_id"], capacity=1024)
     return SK.kll_quantiles_grouped(
         sk, "event_type", [0.25, 0.5, 0.95, 0.99])
+
+
+@query(
+    "zorder_store_delete_cycle",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(l_orderkey)::BIGINT AS sum_ok,
+           SUM(l_partkey)::BIGINT AS sum_pk,
+           COUNT(DISTINCT l_orderkey)::BIGINT AS n_orders
+    FROM lineitem WHERE l_orderkey % 7 != 3
+    """,
+)
+def q_zorder_store_delete_cycle(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Row-level delete lifecycle (round 11,
+    :func:`lindel_spark.write.zorder_store_delete`): init a clustered
+    base from 80% of lineitem, fast-append the rest, TOMBSTONE every
+    ``l_orderkey % 7 == 3`` key (append-only parquet write, no data
+    rewrite, immediately visible to every read path), then force a
+    maintenance rewrite (tombstones always make the rewrite
+    worthwhile — the physical purge is the point) and aggregate the
+    store. The oracle recomputes from the raw table with the same
+    key filter — delete + purge is exact end to end."""
+    import tempfile
+
+    from lindel_spark import write as LWR
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="lindel_zdel_"), "s")
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    LWR.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols,
+                          store, stat_cols=["l_orderkey"],
+                          elem="int32", num_files=8)
+    LWR.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+    victims = li.filter("l_orderkey % 7 = 3") \
+        .select("l_orderkey").distinct()
+    LWR.zorder_store_delete(spark, store, "l_orderkey", victims)
+    st = LWR.zorder_store_maintain(spark, store, cols,
+                                   tail_ratio=100.0, elem="int32",
+                                   num_files=8)
+    assert st["rewritten"], "tombstones must force the rewrite"
+    out = LWR.zorder_store_read(spark, store)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_ok"),
+        F.sum("l_partkey").cast("long").alias("sum_pk"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"))

@@ -546,7 +546,7 @@ def zorder_store_read(spark, path: str,
     tail_files = _fs.list_files(spark, _fs.join(path, "tail"))
     if tail_files:
         out = out.unionByName(spark.read.parquet(*tail_files))
-    return out
+    return _zstore_apply_deletes(spark, path, out)
 
 
 def zorder_store_maintain(spark, path: str, cols: Sequence,
@@ -585,7 +585,16 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
     tail_dir = _fs.join(path, "tail")
     bb, _nb = _fs.du_suffix(spark, base_dir)
     tb, _nt = _fs.du_suffix(spark, tail_dir)
-    if tb == 0 or (bb > 0 and tb / bb < tail_ratio):
+    # tombstone snapshot (round 11): pending deletes always make the
+    # rewrite worthwhile — the physical purge is the point — and the
+    # snapshot bounds what this pass folds/clears, so keys tombstoned
+    # by a concurrent delete mid-rewrite survive to the next pass
+    dsnap = {
+        c: _fs.list_files(spark, _fs.join(path, "deletes", c))
+        for c in _zstore_delete_cols(spark, path)
+    }
+    dsnap = {c: fl for c, fl in dsnap.items() if fl}
+    if not dsnap and (tb == 0 or (bb > 0 and tb / bb < tail_ratio)):
         return {"rewritten": False, "base_bytes": bb, "tail_bytes": tb}
     # snapshot stats parts BEFORE tail files: every part in this
     # snapshot describes only files visible in the later tail listing
@@ -598,6 +607,9 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
     merged = spark.read.parquet(base_dir)
     if tail_files:
         merged = merged.unionByName(spark.read.parquet(*tail_files))
+    if dsnap:
+        merged = _zstore_apply_deletes(spark, path, merged,
+                                       files=dsnap)
     new_base = _fs.join(path, f"base-v{v + 1}")
     zorder_write(merged, cols, new_base, **zorder_kwargs)
     meta = _zstore_meta(spark, path)
@@ -621,6 +633,11 @@ def zorder_store_maintain(spark, path: str, cols: Sequence,
         _fs.delete(spark, f, recursive=False)
     for f in mtail_parts + btail_parts:
         _fs.delete(spark, f, recursive=False)
+    # tombstones are physically folded into base-v{N+1}: clear exactly
+    # the snapshotted files (a concurrent delete's parts stay pending)
+    for fl in dsnap.values():
+        for f in fl:
+            _fs.delete(spark, f, recursive=False)
     return {"rewritten": True, "base_bytes": bb, "tail_bytes": tb}
 
 
@@ -772,7 +789,8 @@ def zorder_store_select(spark, path: str, ranges: dict
                 spark.read.parquet(*scan).filter(residual))
     else:
         stats["tail_files_scanned"] = 0
-    return out, stats
+    # tombstones are always applied on current-timeline reads
+    return _zstore_apply_deletes(spark, path, out), stats
 
 
 def zorder_store_lookup(spark, path: str, col: str, value,
@@ -858,4 +876,89 @@ def zorder_store_lookup(spark, path: str, col: str, value,
                 spark.read.parquet(*scan).filter(residual))
     else:
         stats["tail_files_scanned"] = 0
-    return out, stats
+    # tombstones are always applied on current-timeline reads
+    return _zstore_apply_deletes(spark, path, out), stats
+
+
+# ---------------------------------------------------------------------------
+# round 11: row-level deletes for the incremental z-order store
+# ---------------------------------------------------------------------------
+
+def _zstore_delete_cols(spark, path: str) -> list[str]:
+    from lindel_spark import fs as _fs
+    ddir = _fs.join(path, "deletes")
+    if not _fs.is_dir(spark, ddir):
+        return []
+    return [d for d in _fs.list_names(spark, ddir)
+            if _fs.list_files(spark, _fs.join(ddir, d))]
+
+
+def _zstore_apply_deletes(spark, path: str, df: "DataFrame",
+                          files: dict | None = None) -> "DataFrame":
+    """Anti-join the store frame against every tombstone column's key
+    set. Tombstones are advisory-until-maintained the same way tail
+    stats are — but in the OTHER direction: reads must always apply
+    them (a deleted row may still exist physically until the next
+    maintenance rewrite). One keyed anti-join per tombstoned column;
+    AQE broadcasts the key side while it is small."""
+    from lindel_spark import fs as _fs
+    cols = (sorted(files) if files is not None
+            else _zstore_delete_cols(spark, path))
+    for c in cols:
+        parts = (files[c] if files is not None
+                 else _fs.list_files(spark,
+                                     _fs.join(path, "deletes", c)))
+        if not parts or c not in df.columns:
+            continue
+        keys = spark.read.parquet(*parts).select(
+            F.col("k").alias("__del_k")).distinct()
+        df = df.join(keys, df[c] == F.col("__del_k"), "left_anti")
+    return df
+
+
+def zorder_store_delete(spark, path: str, key_col: str,
+                        keys) -> int:
+    """Row-level delete from the incremental store by key value —
+    the GDPR/right-to-be-forgotten path: tombstone the keys NOW (an
+    append-only parquet write, no data rewrite), physically drop the
+    rows at the next :func:`zorder_store_maintain` rewrite. Every
+    read path (:func:`zorder_store_read`, ``_select``, ``_lookup``)
+    anti-joins the tombstones, so deletes are visible immediately;
+    historical ``zorder_store_read(version=)`` reads are NOT
+    affected (tombstones belong to the current timeline — the same
+    contract the tail has).
+
+    ``keys``: a one-column DataFrame or a Python list of values.
+    Multi-writer safe (each call appends its own part files).
+    Returns the number of distinct keys tombstoned by this call.
+    """
+    from lindel_spark import fs as _fs
+
+    if _zstore_latest(spark, path) is None:
+        raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
+    if isinstance(keys, DataFrame):
+        kdf = keys.select(F.col(keys.columns[0]).alias("k")).distinct()
+    else:
+        keys = list(keys)
+        if not keys:
+            return 0
+        kdf = spark.createDataFrame(
+            [(k,) for k in keys], ["k"]).distinct()
+    n = kdf.count()
+    kdf.write.mode("append").parquet(
+        _fs.join(path, "deletes", key_col))
+    return n
+
+
+def zorder_store_maintain_deletes(spark, path: str, cols: Sequence,
+                                  **zorder_kwargs) -> dict:
+    """Force-fold tombstones: a maintenance rewrite that runs even
+    below the tail-ratio threshold whenever tombstones exist, so the
+    physical purge (the part compliance actually requires) can be
+    scheduled independently of compaction economics. Delegates to
+    :func:`zorder_store_maintain` with ``tail_ratio=0`` when any
+    tombstone column is present; no-op otherwise."""
+    if not _zstore_delete_cols(spark, path):
+        return {"rewritten": False, "reason": "no tombstones"}
+    return zorder_store_maintain(spark, path, cols, tail_ratio=0.0,
+                                 **zorder_kwargs)

@@ -243,3 +243,72 @@ def test_commit_new_unique_tmp_and_duplicate_refusal(spark,
         FS.commit_new(spark, target, "other")
     # the refused commit must not have clobbered the original
     assert FS.read_text(spark, target) == "payload"
+
+
+# ---------------------------------------------------------------------------
+# round 11: row-level tombstone deletes
+# ---------------------------------------------------------------------------
+
+def test_zorder_store_delete_lifecycle(spark, tmp_path):
+    """Tombstone -> every read path excludes immediately -> maintain
+    purges physically (even below the tail threshold), drains the
+    tombstone files, results stable; time-travel to the pre-delete
+    base still sees the rows."""
+    from pyspark.sql import functions as F
+
+    from lindel_spark import fs as _fs
+    from lindel_spark import write as LW
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    store = str(tmp_path / "s")
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    LW.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols, store,
+                         stat_cols=["l_orderkey"],
+                         bloom_cols=["l_orderkey"],
+                         elem="int32", num_files=4)
+    LW.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+    victims = li.filter("l_orderkey % 7 = 3") \
+        .select("l_orderkey").distinct()
+    a_victim = int(victims.first().l_orderkey)
+    n = LW.zorder_store_delete(spark, store, "l_orderkey", victims)
+    assert n == victims.count()
+    expect = li.filter("l_orderkey % 7 != 3").count()
+    assert LW.zorder_store_read(spark, store).count() == expect
+    hits, _ = LW.zorder_store_select(
+        spark, store, {"l_orderkey": (0, 10 ** 9)})
+    assert hits.count() == expect
+    h2, _ = LW.zorder_store_lookup(spark, store, "l_orderkey",
+                                   a_victim)
+    assert h2.count() == 0
+    st = LW.zorder_store_maintain(spark, store, cols,
+                                  tail_ratio=100.0, elem="int32",
+                                  num_files=4)
+    assert st["rewritten"] is True  # tombstones force the rewrite
+    assert not _fs.list_files(spark, store + "/deletes/l_orderkey")
+    assert LW.zorder_store_read(spark, store).count() == expect
+    base1 = spark.read.parquet(store + "/base-v1")
+    assert base1.filter(F.col("l_orderkey") % 7 == 3).count() == 0
+    # historical read: the retained pre-delete base keeps its rows
+    v0 = LW.zorder_store_read(spark, store, version=0)
+    assert v0.filter(F.col("l_orderkey") % 7 == 3).count() > 0
+
+
+def test_zorder_store_delete_empty_and_missing(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lindel_spark import write as LW
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    store = str(tmp_path / "s2")
+    with pytest.raises(FileNotFoundError):
+        LW.zorder_store_delete(spark, store, "l_orderkey", [1])
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    LW.zorder_store_init(li, cols, store, elem="int32", num_files=4)
+    assert LW.zorder_store_delete(spark, store, "l_orderkey", []) == 0
+    n_all = li.count()
+    assert LW.zorder_store_read(spark, store).count() == n_all
+    # maintain without tombstones keeps the no-op economics
+    st = LW.zorder_store_maintain(spark, store, cols,
+                                  tail_ratio=100.0, elem="int32",
+                                  num_files=4)
+    assert st["rewritten"] is False
