@@ -67,6 +67,11 @@ _SAMPLE_FIRST = [
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
     "text_bm25_store",           # new: persisted+incremental index
     "knn_propagate_rounds",      # new: multi-round label propagation
+    "text_bpe_encode",           # new: tokenize under trained merges
+    "text_tfidf_store",          # new: TF-IDF from the persisted index
+    "sketch_kll_by_type",        # new: grouped bound-free quantiles
+    "graph_triangle_counts",     # new: per-node triangle counts
+    "zorder_store_delete_cycle",  # new: tombstone delete + purge
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
