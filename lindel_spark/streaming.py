@@ -599,3 +599,43 @@ def zorder_store_stream_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def bm25_index_stream_sink(
+    stream_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    maintain_every: int = 10,
+    tail_ratio: float = 0.1,
+    checkpoint: str | None = None,
+):
+    """Stream documents into the persisted retrieval index
+    (:func:`lindel_spark.retrieval.bm25_index_init`): every
+    micro-batch runs the INCREMENTAL append — postings for the new
+    docs only, df/length stats as algebraic deltas — and every
+    ``maintain_every`` batches the amortized tail fold runs if the
+    postings tail crossed ``tail_ratio``. The retrieval twin of
+    :func:`zorder_store_stream_sink`: continuous ingest, queries stay
+    served from the store at any point (``bm25_topk_store`` /
+    ``tfidf_topk_store`` read base + tail). First batch initializes
+    the index if none exists. Batches are assumed to carry NEW doc
+    ids (the append contract)."""
+    from lindel_spark.retrieval import (_rstore_latest,
+                                        bm25_index_append,
+                                        bm25_index_init,
+                                        bm25_index_maintain)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _rstore_latest(spark, path) is None:
+            bm25_index_init(batch_df, path, id_col, text_col)
+            return
+        bm25_index_append(batch_df, path, id_col, text_col)
+        if maintain_every > 0 and (batch_id + 1) % maintain_every == 0:
+            bm25_index_maintain(spark, path, tail_ratio=tail_ratio)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -575,3 +575,43 @@ def test_zorder_store_stream_sink_with_bloom_cols(spark,
     total = (stats["files_total"] + stats["tail_files_total"])
     scanned = (stats["files_scanned"] + stats["tail_files_scanned"])
     assert scanned <= total
+
+
+def test_bm25_index_stream_sink_equals_batch_index(
+        spark, tmp_path_factory):
+    """Streaming ingest into the persisted retrieval index: after the
+    stream drains, store-served BM25 equals an index built in one
+    batch over the same corpus (init on batch 0, incremental appends
+    after, periodic maintenance folds)."""
+    from pyspark.sql import functions as F
+
+    from lindel_spark import retrieval as LR
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src_dir = str(tmp_path_factory.mktemp("bm_src"))
+    store = str(tmp_path_factory.mktemp("bm_store") / "idx")
+    full = str(tmp_path_factory.mktemp("bm_full") / "idx")
+    ckpt = str(tmp_path_factory.mktemp("bm_ckpt"))
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema("doc_id long, text string")
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.bm25_index_stream_sink(
+        src, store, maintain_every=2, tail_ratio=0.01,
+        checkpoint=ckpt,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    LR.bm25_index_init(docs, full)
+    from lindel_spark import text as LT
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    qd = docs.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query"))
+    key = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in df.collect())
+    assert key(LR.bm25_topk_store(spark, store, qd, k=5)) == \
+        key(LR.bm25_topk_store(spark, full, qd, k=5))
