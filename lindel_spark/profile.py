@@ -710,3 +710,56 @@ def bloom_pruned_read(spark, path: str, manifest, col: str, value,
         return (spark.read.parquet(path).filter(residual).limit(0),
                 stats)
     return spark.read.parquet(*keep).filter(residual), stats
+
+
+def column_entropy_profile(
+    df: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Value-distribution audit per column: ``(column, n_values,
+    n_distinct, entropy, top_value, top_cnt, top_share)`` — the
+    skew/degeneracy signals :func:`profile_table`'s min/max/distinct
+    pass can't see (a column can have healthy bounds and still be 99%
+    one value). ``entropy`` is Shannon entropy in nats over non-null
+    values, computed as ``ln(n) − Σ cnt·ln(cnt) / n`` (integer counts
+    feed the one transcendental, so cross-engine drift is sub-ulp and
+    registry queries round to 6dp); ``top_value`` breaks count ties on
+    the smaller string.
+
+    Plan shape: one ``stack`` unpivot (map-only) → one
+    map-side-combined groupBy on (column, value) → per-column
+    aggregates + a top-1 window over column partitions. The value
+    table is |columns| × |distinct values| — vocabulary-sized, never
+    row-sized — so the same plan profiles a 100 TB table.
+    """
+    from pyspark.sql import Window
+
+    columns = list(columns)
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    pairs = []
+    for c in columns:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    long = df.select(
+        F.stack(F.lit(len(columns)), *pairs).alias("column", "v"))
+    counts = (long.filter(F.col("v").isNotNull())
+              .groupBy("column", "v")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    per_col = counts.groupBy("column").agg(
+        F.sum("cnt").cast("long").alias("n_values"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (F.log(F.sum("cnt").cast("double"))
+         - F.sum(F.col("cnt").cast("double")
+                 * F.log(F.col("cnt").cast("double")))
+         / F.sum("cnt").cast("double")).alias("entropy"),
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.col("cnt").desc(), F.col("v").asc())
+    top = (counts.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1)
+           .select("column", F.col("v").alias("top_value"),
+                   F.col("cnt").alias("top_cnt")))
+    return (per_col.join(top, "column")
+            .withColumn("top_share",
+                        F.col("top_cnt").cast("double")
+                        / F.col("n_values").cast("double")))

@@ -8699,3 +8699,57 @@ def q_zorder_store_delete_cycle(spark: SparkSession,
         F.sum("l_orderkey").cast("long").alias("sum_ok"),
         F.sum("l_partkey").cast("long").alias("sum_pk"),
         F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+
+
+@query(
+    "profile_column_entropy",
+    """
+    WITH long AS (
+      SELECT 'c_mktsegment' AS col, CAST(c_mktsegment AS VARCHAR) AS v
+      FROM customer
+      UNION ALL
+      SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'c_acctbal', CAST(c_acctbal AS VARCHAR) FROM customer
+    ), counts AS (
+      SELECT col, v, COUNT(*)::BIGINT AS cnt
+      FROM long WHERE v IS NOT NULL GROUP BY 1, 2
+    ), per_col AS (
+      SELECT col, SUM(cnt)::BIGINT AS n_values,
+             COUNT(*)::BIGINT AS n_distinct,
+             ln(SUM(cnt)::DOUBLE)
+               - SUM(cnt::DOUBLE * ln(cnt::DOUBLE)) / SUM(cnt)::DOUBLE
+               AS entropy
+      FROM counts GROUP BY 1
+    ), top AS (
+      SELECT col, v AS top_value, cnt AS top_cnt FROM (
+        SELECT col, v, cnt,
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY cnt DESC, v) AS rn
+        FROM counts
+      ) WHERE rn = 1
+    )
+    SELECT p.col AS column, n_values, n_distinct,
+           round(entropy, 6) AS entropy_r6, top_value, top_cnt,
+           round(top_cnt::DOUBLE / n_values::DOUBLE, 9) AS top_share_r9
+    FROM per_col p JOIN top USING (col)
+    """,
+)
+def q_profile_column_entropy(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Value-distribution audit (round 11,
+    :func:`lindel_spark.profile.column_entropy_profile`): Shannon
+    entropy, distinct counts and top-value share for three customer
+    columns — the skew/degeneracy screen a pipeline runs before
+    trusting a column as a key or feature. Counts exact; entropy's
+    single ``ln`` rounded to 6dp on both engines."""
+    from lindel_spark.profile import column_entropy_profile
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    out = column_entropy_profile(
+        cust, ["c_mktsegment", "c_nationkey", "c_acctbal"])
+    return out.select(
+        "column", "n_values", "n_distinct",
+        F.round("entropy", 6).alias("entropy_r6"),
+        "top_value", "top_cnt",
+        F.round("top_share", 9).alias("top_share_r9"))

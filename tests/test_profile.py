@@ -277,3 +277,34 @@ def test_bloom_rows_path_rejects_nonportable_probe_types(
         LP.bloom_pruned_read(spark, pd_, rows, "d", 1.5)
     with _p.raises(TypeError, match="int/str"):
         LP.bloom_pruned_read(spark, pd_, rows, "d", True)
+
+
+def test_column_entropy_profile_hand_computed(spark):
+    """Constructed distribution: entropy/top/tie-break verified by
+    hand — column a: {x:3, y:1} (H = ln4 - (3ln3)/4), column b:
+    uniform over two values with a count tie -> lexicographic top,
+    H = ln 2; nulls excluded from n_values."""
+    import math
+
+    from lindel_spark.profile import column_entropy_profile
+    df = spark.createDataFrame(
+        [("x", "q"), ("x", "p"), ("x", None), ("y", "q"), (None, "p")],
+        "a string, b string")
+    out = {r.column: r for r in
+           column_entropy_profile(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a.n_values, a.n_distinct, a.top_value, a.top_cnt) \
+        == (4, 2, "x", 3)
+    assert abs(a.entropy - (math.log(4) - 3 * math.log(3) / 4)) < 1e-12
+    assert abs(a.top_share - 0.75) < 1e-12
+    b = out["b"]
+    assert (b.n_values, b.n_distinct, b.top_value, b.top_cnt) \
+        == (4, 2, "p", 2)  # 2-2 tie -> smaller string
+    assert abs(b.entropy - math.log(2)) < 1e-12
+
+
+def test_column_entropy_profile_validates(spark):
+    from lindel_spark.profile import column_entropy_profile
+    df = spark.createDataFrame([("x",)], "a string")
+    with pytest.raises(ValueError, match="non-empty"):
+        column_entropy_profile(df, [])
