@@ -306,5 +306,6 @@ def test_column_entropy_profile_hand_computed(spark):
 def test_column_entropy_profile_validates(spark):
     from lindel_spark.profile import column_entropy_profile
     df = spark.createDataFrame([("x",)], "a string")
+    import pytest
     with pytest.raises(ValueError, match="non-empty"):
         column_entropy_profile(df, [])
