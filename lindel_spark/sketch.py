@@ -532,13 +532,16 @@ def kll_sketch(
     )
 
 
-def kll_merge(*sketches: DataFrame, capacity: int = KLL_CAPACITY) -> DataFrame:
+def kll_merge(*sketches: DataFrame, capacity: int) -> DataFrame:
     """Merge KLL sketches built with the same ``capacity``: union,
     re-threshold at the combined size. EXACTLY the single-pass sketch
     of the concatenated inputs (level membership is a pure function
     of the row hash; the combined threshold ``j**`` >= every input's
     ``j*``, and each input kept ALL its rows with ``lvl >= j*``) —
-    asserted row-identical in tests/test_sketch_kll.py."""
+    asserted row-identical in tests/test_sketch_kll.py. ``capacity``
+    is a REQUIRED keyword and must match the inputs' (the kmv_merge
+    precedent, ADVICE r9: a default would silently mis-threshold
+    sketches built with any other capacity)."""
     if len(sketches) < 2:
         raise ValueError("need at least two sketches to merge")
     n_tot = 0

@@ -92,7 +92,9 @@ def test_kll_skips_nulls_and_validates(spark):
     with pytest.raises(ValueError, match="capacity"):
         SK.kll_sketch(df, "x", ["id"], capacity=2)
     with pytest.raises(ValueError, match="at least two"):
-        SK.kll_merge(sk)
+        SK.kll_merge(sk, capacity=16)
+    with pytest.raises(TypeError):
+        SK.kll_merge(sk, sk)  # capacity is a required keyword
 
 
 def test_kll_grouped_equals_per_group_global(spark):
