@@ -483,10 +483,12 @@ def kll_sketch(
     key_cols,
     capacity: int = KLL_CAPACITY,
 ) -> DataFrame:
-    """One-pass bound-free quantile sketch: ``(v, lvl, w, n)`` —
-    a deterministic geometric-level sample of ``col`` with NO prior
+    """Bound-free quantile sketch: ``(v, lvl, w, n)`` — a
+    deterministic geometric-level sample of ``col`` with NO prior
     ``[lo, hi]`` bounds (the case :func:`histogram_sketch`'s fixed
-    grid cannot serve).
+    grid cannot serve). Costs one count pass + one filtered scan
+    (the threshold needs n first); :func:`kll_sketch_grouped` resolves
+    thresholds in-plan and is the single-action form.
 
     KLL-style level hierarchy (Karnin-Lang-Liberty 2016) with the
     compaction coin replaced by the row's own hash: each row gets
