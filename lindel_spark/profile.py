@@ -763,3 +763,116 @@ def column_entropy_profile(
             .withColumn("top_share",
                         F.col("top_cnt").cast("double")
                         / F.col("n_values").cast("double")))
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: Sequence[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Per-column distribution-drift audit between a reference
+    snapshot and a current one: ``(column, n_ref, n_cur, psi, kl)``
+    — PSI (population stability index) and KL(ref ‖ cur) over
+    ``bins`` equi-width bins whose edges come from the REFERENCE
+    min/max, so the same fixed binning scores every future snapshot
+    (the standard train-vs-serve / yesterday-vs-today screen; rule of
+    thumb: PSI < 0.1 stable, > 0.25 action).
+
+    Shares are Laplace-smoothed — ``(cnt + 0.5) / (n + 0.5·bins)`` —
+    so empty bins on either side stay finite, and every term is a
+    closed form over integer counts (two ``ln`` calls per bin) any
+    engine replays bit-for-bit. Values outside the reference range
+    clamp into the edge bins, so novel out-of-range mass is visible
+    as edge-bin drift rather than silently dropped.
+
+    Plan shape: one ``stack`` unpivot per side (map-only) → per-side
+    (column, bin) map-side-combined counts (≤ |columns|·bins keys) →
+    a broadcast-sized full-outer bin join → one |columns|-row
+    aggregate. Bin edges ride an in-plan one-row-per-column stats
+    join — nothing is collected, so the same plan screens a 100 TB
+    snapshot pair.
+    """
+    columns = list(columns)
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+
+    def _long(df: DataFrame) -> DataFrame:
+        pairs = []
+        for c in columns:
+            pairs += [F.lit(c), F.col(c).cast("double")]
+        return (df.select(F.stack(F.lit(len(columns)), *pairs)
+                          .alias("column", "v"))
+                .filter(F.col("v").isNotNull()))
+
+    lref, lcur = _long(ref), _long(cur)
+    stats = lref.groupBy("column").agg(F.min("v").alias("lo"),
+                                       F.max("v").alias("hi"))
+
+    def _binned(long: DataFrame) -> DataFrame:
+        step = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(F.lit(bins - 1),
+                    F.greatest(F.lit(0),
+                               F.floor((F.col("v") - F.col("lo"))
+                                       / step).cast("int"))))
+        return (long.join(F.broadcast(stats), "column")
+                .select("column", b.alias("bin"))
+                .groupBy("column", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+    rc = _binned(lref).withColumnRenamed("cnt", "ref_cnt")
+    cc = _binned(lcur).withColumnRenamed("cnt", "cur_cnt")
+    both = (rc.join(cc, ["column", "bin"], "full_outer")
+            .select("column", "bin",
+                    F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),
+                    F.coalesce("cur_cnt", F.lit(0)).alias("cur_cnt")))
+    totals = both.groupBy("column").agg(
+        F.sum("ref_cnt").cast("long").alias("n_ref"),
+        F.sum("cur_cnt").cast("long").alias("n_cur"))
+    denom_pad = F.lit(0.5 * bins)
+    rs = ((F.col("ref_cnt").cast("double") + F.lit(0.5))
+          / (F.col("n_ref").cast("double") + denom_pad))
+    cs = ((F.col("cur_cnt").cast("double") + F.lit(0.5))
+          / (F.col("n_cur").cast("double") + denom_pad))
+    return (both.join(F.broadcast(totals), "column")
+            .select("column", "n_ref", "n_cur",
+                    ((cs - rs) * (F.log(cs) - F.log(rs)))
+                    .alias("psi_term"),
+                    (rs * (F.log(rs) - F.log(cs))).alias("kl_term"))
+            .groupBy("column")
+            .agg(F.first("n_ref").alias("n_ref"),
+                 F.first("n_cur").alias("n_cur"),
+                 F.sum("psi_term").alias("psi"),
+                 F.sum("kl_term").alias("kl")))
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit — the screen k-anonymity misses: a
+    quasi-identifier class can be large (k-anonymous) yet have every
+    member share ONE sensitive value, so membership alone discloses
+    it. One row per equivalence class: the quasi-identifier values,
+    ``group_n``, ``n_sensitive`` (distinct non-null sensitive values)
+    and ``diverse`` (n_sensitive ≥ l). Release gate = every class
+    diverse; fix = suppress or generalize the failing classes.
+
+    Same plan as :func:`k_anonymity_report` with a distinct count
+    folded in: one map-side-combined groupBy keyed by the QI tuple —
+    shuffle keys = equivalence classes, never rows.
+    """
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_n"),
+             F.countDistinct(sensitive_col).cast("long")
+             .alias("n_sensitive"))
+        .withColumn("diverse", F.col("n_sensitive") >= F.lit(l))
+    )

@@ -72,6 +72,8 @@ _SAMPLE_FIRST = [
     "sketch_kll_by_type",        # new: grouped bound-free quantiles
     "graph_triangle_counts",     # new: per-node triangle counts
     "zorder_store_delete_cycle",  # new: tombstone delete + purge
+    "profile_drift_report",      # new: PSI/KL snapshot drift audit
+    "profile_l_diversity",       # new: l-diversity disclosure audit
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
@@ -8753,3 +8755,117 @@ def q_profile_column_entropy(spark: SparkSession,
         F.round("entropy", 6).alias("entropy_r6"),
         "top_value", "top_cnt",
         F.round("top_share", 9).alias("top_share_r9"))
+
+
+@query(
+    "profile_drift_report",
+    """
+    WITH lref AS (
+      SELECT col, v FROM (
+        SELECT 'value' AS col, value::DOUBLE AS v FROM events
+        WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT 'user_id', user_id::DOUBLE FROM events
+        WHERE event_id % 2 = 0
+      ) WHERE v IS NOT NULL
+    ), lcur AS (
+      SELECT col, v FROM (
+        SELECT 'value' AS col, value::DOUBLE AS v FROM events
+        WHERE event_id % 2 = 1
+        UNION ALL
+        SELECT 'user_id', user_id::DOUBLE FROM events
+        WHERE event_id % 2 = 1
+      ) WHERE v IS NOT NULL
+    ), stats AS (
+      SELECT col, MIN(v) AS lo, MAX(v) AS hi FROM lref GROUP BY col
+    ), rb AS (
+      SELECT l.col,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((l.v - s.lo) / ((s.hi - s.lo) / 10.0))
+                         AS INT))) END AS bin,
+             COUNT(*)::BIGINT AS ref_cnt
+      FROM lref l JOIN stats s USING (col) GROUP BY 1, 2
+    ), cb AS (
+      SELECT l.col,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(9, GREATEST(0,
+                    CAST(FLOOR((l.v - s.lo) / ((s.hi - s.lo) / 10.0))
+                         AS INT))) END AS bin,
+             COUNT(*)::BIGINT AS cur_cnt
+      FROM lcur l JOIN stats s USING (col) GROUP BY 1, 2
+    ), both_b AS (
+      SELECT COALESCE(rb.col, cb.col) AS col,
+             COALESCE(rb.bin, cb.bin) AS bin,
+             COALESCE(ref_cnt, 0) AS ref_cnt,
+             COALESCE(cur_cnt, 0) AS cur_cnt
+      FROM rb FULL OUTER JOIN cb ON rb.col = cb.col AND rb.bin = cb.bin
+    ), totals AS (
+      SELECT col, SUM(ref_cnt)::BIGINT AS n_ref,
+             SUM(cur_cnt)::BIGINT AS n_cur
+      FROM both_b GROUP BY col
+    ), terms AS (
+      SELECT b.col, t.n_ref, t.n_cur,
+             ((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 5.0)
+              - (ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 5.0))
+             * (ln((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 5.0))
+                - ln((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 5.0)))
+               AS psi_term,
+             ((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 5.0))
+             * (ln((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 5.0))
+                - ln((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 5.0)))
+               AS kl_term
+      FROM both_b b JOIN totals t USING (col)
+    )
+    SELECT col AS "column", n_ref, n_cur,
+           round(SUM(psi_term), 6) AS psi_r6,
+           round(SUM(kl_term), 6) AS kl_r6
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q_profile_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift audit (round 11,
+    :func:`lindel_spark.profile.distribution_drift`): PSI + KL per
+    column between two snapshot halves of the events table
+    (even/odd ``event_id`` — a same-distribution pair, so the
+    expected reading is "stable"), 10 reference-anchored equi-width
+    bins, Laplace-smoothed shares. Every term is closed-form algebra
+    over integer bin counts; the two ``ln`` calls round at 6dp."""
+    from lindel_spark.profile import distribution_drift
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    out = distribution_drift(ref, cur, ["value", "user_id"], bins=10)
+    return out.select("column", "n_ref", "n_cur",
+                      F.round("psi", 6).alias("psi_r6"),
+                      F.round("kl", 6).alias("kl_r6"))
+
+
+@query(
+    "profile_l_diversity",
+    """
+    SELECT c_mktsegment, c_nationkey::BIGINT AS c_nationkey,
+           COUNT(*)::BIGINT AS group_n,
+           COUNT(DISTINCT c_acctbal)::BIGINT AS n_sensitive,
+           COUNT(DISTINCT c_acctbal) >= 3 AS diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q_profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (round 11,
+    :func:`lindel_spark.profile.l_diversity_report`): per
+    (mktsegment, nationkey) equivalence class, the class size and the
+    distinct count of the sensitive attribute (acctbal) with the
+    l=3 release flag — the disclosure screen k-anonymity's size-only
+    check misses. Exact integers end to end."""
+    from lindel_spark.profile import l_diversity_report
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    out = l_diversity_report(
+        cust, ["c_mktsegment", "c_nationkey"], "c_acctbal", l=3)
+    return out.select("c_mktsegment",
+                      F.col("c_nationkey").cast("long")
+                      .alias("c_nationkey"),
+                      "group_n", "n_sensitive", "diverse")

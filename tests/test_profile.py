@@ -309,3 +309,72 @@ def test_column_entropy_profile_validates(spark):
     import pytest
     with pytest.raises(ValueError, match="non-empty"):
         column_entropy_profile(df, [])
+
+
+def test_distribution_drift_identical_and_shifted(spark):
+    import math
+
+    from lindel_spark.profile import distribution_drift
+
+    base = [(float(i % 10),) for i in range(100)]
+    ref = spark.createDataFrame(base, ["v"])
+    same = spark.createDataFrame(base, ["v"])
+    out = {r.column: r for r in
+           distribution_drift(ref, same, ["v"], bins=10).collect()}
+    # identical distributions: smoothing cancels, psi == kl == 0
+    assert abs(out["v"].psi) < 1e-12 and abs(out["v"].kl) < 1e-12
+    assert out["v"].n_ref == 100 and out["v"].n_cur == 100
+
+    # all mass moves to one value: drift must scream
+    shifted = spark.createDataFrame([(9.0,)] * 100, ["v"])
+    d = distribution_drift(ref, shifted, ["v"], bins=10).collect()[0]
+    assert d.psi > 1.0 and d.kl > 1.0
+
+    # hand-check one cell of the shifted case: bin 9 holds all 100
+    # cur rows vs 10 ref rows -> shares (100.5/105, 10.5/105)
+    cs, rs = 100.5 / 105.0, 10.5 / 105.0
+    term9 = (cs - rs) * (math.log(cs) - math.log(rs))
+    # bins 0..8: cur 0 vs ref 10 each
+    cs0, rs0 = 0.5 / 105.0, 10.5 / 105.0
+    expected = term9 + 9 * (cs0 - rs0) * (math.log(cs0) - math.log(rs0))
+    assert abs(d.psi - expected) < 1e-12
+
+
+def test_distribution_drift_out_of_range_clamps(spark):
+    from lindel_spark.profile import distribution_drift
+
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    cur = spark.createDataFrame([(-50.0,), (50.0,), (None,)], ["v"])
+    d = distribution_drift(ref, cur, ["v"], bins=5).collect()[0]
+    assert d.n_cur == 2  # null dropped; out-of-range rows kept (edge bins)
+    assert d.psi > 0.0
+
+
+def test_l_diversity_flags_homogeneous_class(spark):
+    from lindel_spark.profile import l_diversity_report
+
+    df = spark.createDataFrame(
+        [("a", 1, "flu"), ("a", 1, "flu"), ("a", 1, "flu"),
+         ("b", 2, "flu"), ("b", 2, "cold"), ("b", 2, "hiv")],
+        "zip string, age long, dx string")
+    rows = {(r.zip, r.age): r for r in
+            l_diversity_report(df, ["zip", "age"], "dx", l=2).collect()}
+    assert rows[("a", 1)].group_n == 3
+    assert rows[("a", 1)].n_sensitive == 1
+    assert not rows[("a", 1)].diverse  # 3-anonymous yet fully disclosed
+    assert rows[("b", 2)].n_sensitive == 3 and rows[("b", 2)].diverse
+
+
+def test_drift_and_l_diversity_validate(spark):
+    import pytest
+
+    from lindel_spark.profile import (distribution_drift,
+                                      l_diversity_report)
+
+    df = spark.createDataFrame([(1.0,)], ["v"])
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, [], bins=10)
+    with pytest.raises(ValueError):
+        distribution_drift(df, df, ["v"], bins=1)
+    with pytest.raises(ValueError):
+        l_diversity_report(df, ["v"], "v", l=0)
