@@ -315,3 +315,56 @@ def triangle_count(
                .unionAll(tri.select(F.col("z").alias("node"))))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("triangles"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances, bounded at
+    ``max_hops``: returns ``(node, dist)`` — the minimum hop count
+    from ANY source — for every node reachable within the bound
+    (unreached nodes are absent). The neighborhood-expansion
+    primitive behind "within two links of a seed domain" quality
+    propagation and blast-radius queries.
+
+    Per hop: the frontier (nodes first reached last hop) equi-joins
+    the edge list and the union re-aggregates to the per-node minimum
+    — one join + one map-side-combined min per hop, keyed on node
+    ids, no driver-side frontier and no per-hop action (hop count is
+    fixed rather than convergence-tested, same determinism contract
+    as :func:`pagerank`, so an unrolled / bounded-recursion SQL
+    oracle replays it). Settled nodes never re-expand: a node's
+    first-reach hop is its minimum, so the ``dist == h-1`` frontier
+    filter touches each node once across the whole run. Lineage is
+    ``localCheckpoint``-truncated every ``checkpoint_every`` hops.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"),
+                         F.col(src).alias("__d")))
+    e = e.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    dist = sources.select(F.col(node).alias("node")).distinct() \
+        .withColumn("dist", F.lit(0))
+    for h in range(1, max_hops + 1):
+        frontier = dist.filter(F.col("dist") == h - 1) \
+            .select(F.col("node").alias("__s"))
+        reached = (frontier.join(e, "__s")
+                   .select(F.col("__d").alias("node"),
+                           F.lit(h).alias("dist")))
+        dist = (dist.unionByName(reached)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+        if h % checkpoint_every == 0 and h < max_hops:
+            dist = dist.localCheckpoint()
+    return dist.select("node", F.col("dist").cast("int").alias("dist"))

@@ -181,3 +181,43 @@ def test_triangle_count_triangle_free(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "src long, dst long")
     assert triangle_count(edges).count() == 0
+
+
+def test_bfs_distances_path_graph_bounded(spark):
+    from lindel_spark.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist
+           for r in bfs_distances(edges, srcs, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond the bound
+
+
+def test_bfs_distances_multi_source_min_and_directed(spark):
+    from lindel_spark.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 2)], "src long, dst long")
+    srcs = spark.createDataFrame([(0,), (10,)], "node long")
+    und = {r.node: r.dist
+           for r in bfs_distances(edges, srcs, max_hops=4).collect()}
+    assert und[2] == 1  # via 10, not 2 via 0
+    assert und[3] == 2
+    # directed: edge 10->2 only; node 10 unreachable FROM 0
+    d = {r.node: r.dist
+         for r in bfs_distances(edges,
+                                spark.createDataFrame([(0,)], "node long"),
+                                max_hops=4, directed=True).collect()}
+    assert d == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_distances_validates(spark):
+    import pytest
+
+    from lindel_spark.graph import bfs_distances
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(ValueError):
+        bfs_distances(e, s, max_hops=0)
