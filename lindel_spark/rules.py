@@ -100,3 +100,52 @@ def association_rules(
     if min_confidence > 0.0:
         rules = rules.filter(F.col("confidence") >= min_confidence)
     return rules
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_baskets: int,
+) -> DataFrame:
+    """Frequent 3-itemsets ``(item_a, item_b, item_c, n_baskets)``
+    with ``item_a < item_b < item_c`` and basket count ≥
+    ``min_support_baskets`` — one Apriori level above
+    :func:`association_rules`' pairwise surface (triple-conditioned
+    recommendations, bundle design).
+
+    Apriori pruning keeps the candidate volume survivable: a triple's
+    support is bounded by EVERY sub-pair's support, so candidates are
+    generated only from baskets whose (a, b) pair is already
+    frequent, and the (a, c)/(b, c) legs are semi-joined against the
+    frequent-pair table before the count — the pruning is lossless by
+    the anti-monotone support bound, so the plan change never changes
+    the answer. All joins are keyed (basket id or pair tuple):
+    per-basket fan-out bounds the explode, never |items|³.
+    """
+    if min_support_baskets < 1:
+        raise ValueError("min_support_baskets must be >= 1")
+    b = df.select(F.col(basket_col).alias("__b"),
+                  F.col(item_col).alias("__i")).distinct()
+    fp = (cooccurrence_pairs(df, basket_col, item_col)
+          .filter(F.col("n_baskets") >= min_support_baskets)
+          .select("item_a", "item_b"))
+    x, y = b.alias("x"), b.alias("y")
+    bp = (x.join(y, on="__b")
+          .filter(F.col("x.__i") < F.col("y.__i"))
+          .select("__b", F.col("x.__i").alias("item_a"),
+                  F.col("y.__i").alias("item_b"))
+          .join(fp, ["item_a", "item_b"], "left_semi"))
+    z = b.select(F.col("__b").alias("__b"),
+                 F.col("__i").alias("item_c"))
+    cand = (bp.join(z, "__b")
+            .filter(F.col("item_c") > F.col("item_b"))
+            .join(fp.select(F.col("item_a"),
+                            F.col("item_b").alias("item_c")),
+                  ["item_a", "item_c"], "left_semi")
+            .join(fp.select(F.col("item_a").alias("item_b"),
+                            F.col("item_b").alias("item_c")),
+                  ["item_b", "item_c"], "left_semi"))
+    return (cand.groupBy("item_a", "item_b", "item_c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+            .filter(F.col("n_baskets") >= min_support_baskets))

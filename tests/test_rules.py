@@ -43,3 +43,66 @@ def test_cooccurrence_set_semantics(spark):
     out = RL.cooccurrence_pairs(df, "basket", "item").collect()
     assert len(out) == 1
     assert (out[0].item_a, out[0].item_b, out[0].n_baskets) == ("x", "y", 1)
+
+
+def test_frequent_triples_exact_counts(spark):
+    from lindel_spark.rules import frequent_triples
+
+    # baskets: {a,b,c} x3, {a,b,d} x1, {a,b,c,d} x1
+    rows = []
+    for bk, items in enumerate(
+            [["a", "b", "c"]] * 3 + [["a", "b", "d"]]
+            + [["a", "b", "c", "d"]]):
+        rows += [(bk, i) for i in items]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    got = {(r.item_a, r.item_b, r.item_c): r.n_baskets
+           for r in frequent_triples(df, "bk", "it", 2).collect()}
+    assert got == {("a", "b", "c"): 4, ("a", "b", "d"): 2}
+    got3 = {(r.item_a, r.item_b, r.item_c): r.n_baskets
+            for r in frequent_triples(df, "bk", "it", 3).collect()}
+    assert got3 == {("a", "b", "c"): 4}
+
+
+def test_frequent_triples_ground_truth_brute(spark):
+    from itertools import combinations
+
+    from lindel_spark.rules import frequent_triples
+
+    baskets = {
+        0: {"a", "b", "c"}, 1: {"a", "b", "c"}, 2: {"a", "b", "c"},
+        3: {"a", "b", "d"}, 4: {"a", "b", "c", "d"}, 5: {"b", "c"},
+    }
+    rows = [(bk, i) for bk, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    from collections import Counter
+    truth = Counter()
+    for items in baskets.values():
+        for t in combinations(sorted(items), 3):
+            truth[t] += 1
+    for minsup in (1, 2, 3, 4):
+        want = {t: n for t, n in truth.items() if n >= minsup}
+        got = {(r.item_a, r.item_b, r.item_c): r.n_baskets
+               for r in frequent_triples(df, "bk", "it",
+                                         minsup).collect()}
+        assert got == want, (minsup, got, want)
+
+
+def test_frequent_triples_duplicate_rows_set_semantics(spark):
+    from lindel_spark.rules import frequent_triples
+
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "a"), (0, "b"), (0, "c"), (1, "a"), (1, "b"),
+         (1, "c")],
+        "bk long, it string")
+    got = frequent_triples(df, "bk", "it", 2).collect()
+    assert len(got) == 1 and got[0].n_baskets == 2
+
+
+def test_frequent_triples_validates(spark):
+    import pytest
+
+    from lindel_spark.rules import frequent_triples
+
+    df = spark.createDataFrame([(0, "a")], "bk long, it string")
+    with pytest.raises(ValueError):
+        frequent_triples(df, "bk", "it", 0)
