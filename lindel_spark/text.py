@@ -860,3 +860,56 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
         toks.alias("bpe_tokens"),
     ).withColumn("n_bpe_tokens",
                  F.size("bpe_tokens").cast("long"))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 500,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency curve: one row
+    ``(n_points, slope, intercept, r2)`` from an exact least-squares
+    regression of ``ln(cnt)`` on ``ln(rank)`` for the ``top_n`` most
+    frequent tokens — the corpus-health screen that complements
+    :func:`vocab_coverage`: natural language sits near slope ≈ −1;
+    a much flatter slope flags synthetic/templated text, a much
+    steeper one flags degenerate repetition. ``r2`` says whether the
+    power law holds at all.
+
+    Same token ranking as :func:`vocab_coverage` (count desc, token
+    asc — deterministic), then the regression is the closed
+    normal-equation form over five sums of at most ``top_n`` doubles
+    — identical expression order in the SQL oracle, rounded at 6dp.
+    Plan: vocabulary-keyed groupBy, top-n rank window (LocalLimit
+    pushdown), one scalar aggregate. Nothing row-scale shuffles.
+    """
+    from pyspark.sql import Window
+
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2")
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    top = (counts.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= top_n)
+           .select(F.log(F.col("rank").cast("double")).alias("x"),
+                   F.log(F.col("cnt").cast("double")).alias("y")))
+    sums = top.agg(F.count(F.lit(1)).cast("double").alias("n"),
+                   F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                   F.sum(F.col("y") * F.col("y")).alias("syy"),
+                   F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    return sums.select(
+        F.col("n").cast("long").alias("n_points"),
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+        .alias("slope"),
+        ((F.col("sy") - (F.col("n") * F.col("sxy")
+                         - F.col("sx") * F.col("sy"))
+          / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+          * F.col("sx")) / F.col("n")).alias("intercept"),
+        (((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+          * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")))
+         / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
+        .alias("r2"))

@@ -725,3 +725,37 @@ def test_bpe_encode_accepts_list_merges(spark):
     df = spark.createDataFrame([(7, "abab")], "doc_id long, text string")
     got = bpe_encode(df, [("a", "b"), ("ab", "ab")]).collect()[0]
     assert list(got.bpe_tokens) == ["abab"] and got.n_bpe_tokens == 1
+
+
+def test_zipf_fit_recovers_constructed_power_law(spark):
+    import math
+
+    # exact Zipf corpus: token t_r appears round(1000/r) times ->
+    # slope should land near -1 with high r2
+    rows = []
+    for r in range(1, 51):
+        rows += [(" ".join([f"tok{r:03d}"] * round(1000 / r)),)]
+    df = spark.createDataFrame(rows, ["text"])
+    from lindel_spark.text import zipf_fit
+    got = zipf_fit(df, top_n=50).collect()[0]
+    assert got.n_points == 50
+    assert abs(got.slope - (-1.0)) < 0.01
+    assert got.r2 > 0.999
+    # NumPy ground truth on the same points
+    import numpy as np
+    x = np.log(np.arange(1, 51, dtype=float))
+    y = np.log(np.array([round(1000 / r) for r in range(1, 51)],
+                        dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(got.slope - slope) < 1e-9
+    assert abs(got.intercept - intercept) < 1e-9
+    assert math.isfinite(got.r2)
+
+
+def test_zipf_fit_validates(spark):
+    import pytest
+
+    from lindel_spark.text import zipf_fit
+    df = spark.createDataFrame([("a b",)], ["text"])
+    with pytest.raises(ValueError):
+        zipf_fit(df, top_n=1)
