@@ -1716,3 +1716,66 @@ def propagate_labels_multi(
             [], f"{id_col} long, predicted_label long, votes long, "
                 f"round long")
     return adopted
+
+
+def projection_signs(in_dim: int, out_dim: int,
+                     seed: str = "rp") -> list:
+    """Deterministic Rademacher projection matrix: ``signs[j][i]`` is
+    ``+1.0`` when the first hex char of ``md5("{seed}:{i}:{j}")`` is
+    below ``8`` else ``-1.0`` — reproducible from the seed alone in
+    any engine with md5 (the :func:`sampling.split_fraction` trick in
+    matrix form), so the projection needs no stored artifact and the
+    SQL oracle regenerates it independently."""
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(f"{seed}:{i}:{j}".encode())
+                    .hexdigest()[0], 16) < 8 else -1.0
+         for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int | None = None,
+    out_dim: int = 8,
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC Rademacher matrix: ``out[j] = Σ_i ±v[i] / √k`` —
+    the cheap front half of every embedding pipeline here (coarse
+    near-dup pre-filters, low-dim index keys, storage-lean rollouts)
+    with ±1 entries so the projection is exact integer-sign algebra
+    over the input floats. Within JL distortion (ε ≈ √(ln n / k))
+    pairwise distances survive, which is all the downstream
+    cosine/L2 consumers need.
+
+    Entirely JVM-side: each output lane is one ``zip_with`` against a
+    literal sign array folded by ``aggregate`` — no UDF, no stored
+    matrix, whole-stage-codegen friendly; map-only, so it composes
+    with any upstream scan without adding a shuffle. ``in_dim``
+    defaults to the first row's length and is enforced per row by
+    ``zip_with``'s null padding (a short row would surface nulls, not
+    silent truncation).
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if in_dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer in_dim from an empty frame")
+        in_dim = first.d
+    signs = projection_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(float(out_dim))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    lanes = [
+        (F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda acc, x: acc + x) * F.lit(scale))
+        .alias(f"p{j}")
+        for j in range(out_dim)
+    ]
+    return df.select("*", F.array(*lanes).alias("projected"))

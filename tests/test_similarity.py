@@ -740,3 +740,54 @@ def test_propagate_multi_validates(spark):
         LS.propagate_labels_multi(seeds, probes, rounds=0)
     with pytest.raises(ValueError, match="min_votes"):
         LS.propagate_labels_multi(seeds, probes, k=3, min_votes=9)
+
+
+def test_random_project_matches_numpy_and_preserves_distance(spark):
+    import numpy as np
+
+    from lindel_spark.similarity import projection_signs, random_project
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 32)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    k = 16
+    out = random_project(df, "embedding", in_dim=32, out_dim=k)
+    got = {r.vec_id: np.array(r.projected)
+           for r in out.select("vec_id", "projected").collect()}
+    S = np.array(projection_signs(32, k), dtype=float)  # (k, 32)
+    want = (vecs.astype(float) @ S.T) / np.sqrt(k)
+    for i in range(40):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-9)
+    # JL distance preservation, loose bound for k=16
+    d_in = np.linalg.norm(vecs[:, None, :].astype(float)
+                          - vecs[None, :, :], axis=2)
+    P = np.stack([want[i] for i in range(40)])
+    d_out = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)
+    iu = np.triu_indices(40, 1)
+    ratio = d_out[iu] / d_in[iu]
+    assert 0.4 < ratio.min() and ratio.max() < 2.1
+    assert abs(np.median(ratio) - 1.0) < 0.2
+
+
+def test_random_project_deterministic_across_seeds_and_layout(spark):
+    from lindel_spark.similarity import random_project
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, -2.0]) for i in range(10)],
+        "vec_id long, embedding array<float>")
+    a = {r.vec_id: tuple(r.projected) for r in
+         random_project(df, in_dim=3, out_dim=4).collect()}
+    b = {r.vec_id: tuple(r.projected) for r in
+         random_project(df.repartition(5), in_dim=3,
+                        out_dim=4).collect()}
+    assert a == b
+    c = {r.vec_id: tuple(r.projected) for r in
+         random_project(df, in_dim=3, out_dim=4,
+                        seed="other").collect()}
+    assert a != c
+
+    import pytest
+    with pytest.raises(ValueError):
+        random_project(df, in_dim=3, out_dim=0)
