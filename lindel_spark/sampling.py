@@ -405,3 +405,40 @@ def mixture_plan(
                            need - F.col("observed_size").cast("double")),
                 9).alias("deficit_size"),
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[float] = (0.9, 0.1),
+    names: Sequence[str] = ("train", "test"),
+    salt: str = "",
+    cluster_col: str = "cluster",
+    out_col: str = "split",
+) -> DataFrame:
+    """Near-dup-aware leak-safe split: every document splits by its
+    DEDUP CLUSTER representative, so a near-duplicate family can
+    never straddle train/test (the eval-contamination hole a
+    row-level split leaves open even after dedup keeps one COPY — the
+    kept copy and a paraphrase may both survive distinct clusters
+    only if they really are distinct). ``clusters`` is any
+    ``(id, cluster)`` frame — :func:`lindel_spark.dedup.dup_clusters`
+    over whichever pair family fits (exact / MinHash / SemDeDup);
+    documents absent from it are their own singleton representative.
+
+    One left join docs→clusters (cluster frame is id-keyed and
+    usually much smaller than the corpus), then the same md5
+    split-algebra as :func:`deterministic_split` on the
+    representative — no shuffle beyond the join, engine-replayable.
+    """
+    cl = clusters.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(cluster_col).cast("long").alias("__rep"))
+    joined = (df.withColumn(id_col, F.col(id_col).cast("long"))
+              .join(cl, id_col, "left")
+              .withColumn("__rep", F.coalesce(F.col("__rep"),
+                                              F.col(id_col))))
+    return (deterministic_split(joined, "__rep", weights, names,
+                                salt=salt, out_col=out_col)
+            .drop("__rep"))

@@ -261,3 +261,41 @@ def test_mixture_plan_rejects_zero_weights(spark):
     df = spark.createDataFrame([("a", 1)], "source string, n int")
     with _pt.raises(ValueError, match="sum > 0"):
         mixture_plan(df, "source", "n", {}, budget=10)
+
+
+def test_cluster_split_never_straddles_and_singletons_pass(spark):
+    from lindel_spark.sampling import cluster_split
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(40)],
+                                 "doc_id long, text string")
+    # clusters: {0..9}->0, {10,11}->10; 12..39 absent (singletons)
+    cl = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(10, 10), (11, 10)],
+        "doc_id long, cluster long")
+    out = cluster_split(docs, cl, "doc_id", weights=(0.5, 0.5),
+                        names=("train", "test")).collect()
+    by_id = {r.doc_id: r.split for r in out}
+    assert len(by_id) == 40
+    assert len({by_id[i] for i in range(10)}) == 1  # family together
+    assert len({by_id[10], by_id[11]}) == 1
+    # splits stable under repartition + both sides populated
+    out2 = {r.doc_id: r.split
+            for r in cluster_split(docs.repartition(7), cl, "doc_id",
+                                   weights=(0.5, 0.5),
+                                   names=("train", "test")).collect()}
+    assert by_id == out2
+    assert set(by_id.values()) == {"train", "test"}
+
+
+def test_cluster_split_salt_re_splits(spark):
+    from lindel_spark.sampling import cluster_split
+
+    docs = spark.createDataFrame([(i, "t") for i in range(100)],
+                                 "doc_id long, text string")
+    cl = spark.createDataFrame([], "doc_id long, cluster long")
+    a = {r.doc_id: r.split
+         for r in cluster_split(docs, cl, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in cluster_split(docs, cl, "doc_id",
+                                salt="v2").collect()}
+    assert a != b
