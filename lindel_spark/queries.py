@@ -74,6 +74,11 @@ _SAMPLE_FIRST = [
     "zorder_store_delete_cycle",  # new: tombstone delete + purge
     "profile_drift_report",      # new: PSI/KL snapshot drift audit
     "profile_l_diversity",       # new: l-diversity disclosure audit
+    "graph_bfs_hops",            # new: multi-source bounded BFS
+    "basket_triples",            # new: Apriori frequent 3-itemsets
+    "text_zipf_fit",             # new: Zipf power-law corpus screen
+    "embedding_random_projection",  # new: deterministic JL reduction
+    "dedup_cluster_split",       # new: cluster-aware leak-safe split
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
@@ -8869,3 +8874,210 @@ def q_profile_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("c_nationkey").cast("long")
                       .alias("c_nationkey"),
                       "group_n", "n_sensitive", "diverse")
+
+
+@query(
+    "graph_bfs_hops",
+    """
+    WITH RECURSIVE pp AS (
+      SELECT DISTINCT a.l_partkey::BIGINT AS s, b.l_partkey::BIGINT AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT s, d FROM pp UNION SELECT d, s FROM pp
+    ), srcs AS (
+      SELECT DISTINCT l_partkey::BIGINT AS node FROM lineitem
+      WHERE l_partkey % 50 = 0
+    ), walk(node, dist) AS (
+      SELECT node, 0 FROM srcs
+      UNION
+      SELECT e.d, w.dist + 1
+      FROM walk w JOIN e ON e.s = w.node
+      WHERE w.dist < 2
+    )
+    SELECT node, MIN(dist)::INT AS dist FROM walk GROUP BY node
+    """,
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS (round 11,
+    :func:`lindel_spark.graph.bfs_distances`): minimum hop distance
+    from the ``l_partkey % 50 == 0`` seed parts over the undirected
+    co-purchase graph, 2 hops — the "within-N-links of a trusted
+    seed" neighborhood query. DuckDB replays it as bounded-depth
+    recursive reachability with a min aggregate; exact integers."""
+    from lindel_spark.graph import bfs_distances
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    srcs = (li.filter(F.col("l_partkey") % 50 == 0)
+            .select(F.col("l_partkey").cast("long").alias("node"))
+            .distinct())
+    return bfs_distances(edges, srcs, max_hops=2)
+
+
+@query(
+    "basket_triples",
+    """
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
+           COUNT(*)::BIGINT AS n_baskets
+    FROM b x
+    JOIN b y ON x.bk = y.bk AND x.it < y.it
+    JOIN b z ON y.bk = z.bk AND y.it < z.it
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= 60
+    """,
+)
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets (round 11,
+    :func:`lindel_spark.rules.frequent_triples`): brand triples
+    co-purchased in ≥60 orders, Apriori-pruned through the
+    frequent-pair table (lossless by the anti-monotone support bound
+    — the oracle counts all triples directly and lands on the same
+    set). Exact integers."""
+    from lindel_spark.rules import frequent_triples
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    baskets = (li.join(part, li.l_partkey == part.p_partkey)
+               .select(F.col("l_orderkey").alias("basket"),
+                       F.col("p_brand").alias("item")))
+    return frequent_triples(baskets, "basket", "item",
+                            min_support_baskets=60)
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH t AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ), c AS (
+      SELECT token, COUNT(*)::BIGINT AS cnt FROM t GROUP BY token
+    ), r AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+      FROM c
+    ), xy AS (
+      SELECT ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+      FROM r WHERE rank <= 300
+    ), s AS (
+      SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(x * y) AS sxy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_r6,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept_r6,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r2_r6
+    FROM s
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (round 11, :func:`lindel_spark.text.zipf_fit`):
+    least-squares slope/intercept/r² of ln(cnt) on ln(rank) over the
+    top-300 tokens — the power-law corpus-health screen next to
+    `text_vocab_coverage`'s curve. Closed normal-equation algebra,
+    identical expression order both engines, 6dp rounding on the
+    regression outputs."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = LT.zipf_fit(docs, top_n=300)
+    return out.select("n_points",
+                      F.round("slope", 6).alias("slope_r6"),
+                      F.round("intercept", 6).alias("intercept_r6"),
+                      F.round("r2", 6).alias("r2_r6"))
+
+
+@query(
+    "embedding_random_projection",
+    """
+    WITH s AS (
+      SELECT j.range AS j, i.range AS i,
+             CASE WHEN strpos('01234567',
+                              substr(md5('rp:' || i.range || ':'
+                                         || j.range), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(8) j, range(64) i
+    ), x AS (
+      SELECT vec_id, i.range AS i,
+             embedding[i.range + 1]::DOUBLE AS v
+      FROM embeddings, range(64) i
+    ), p AS (
+      SELECT vec_id, s.j,
+             SUM(x.v * s.sgn) / sqrt(8.0) AS val
+      FROM x JOIN s ON x.i = s.i
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, j::BIGINT AS lane, round(val, 6) AS val_r6 FROM p
+    """,
+)
+def q_embedding_random_projection(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Deterministic JL random projection (round 11,
+    :func:`lindel_spark.similarity.random_project`): 64-dim
+    embeddings to 8 Rademacher lanes, the ±1 matrix regenerated
+    independently by both engines from md5 of the seed — no stored
+    artifact, no UDF. Dot-product doubles round at 6dp."""
+    from lindel_spark.similarity import random_project
+
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet"))
+    out = random_project(emb, "embedding", in_dim=64, out_dim=8)
+    return (out.select("vec_id",
+                       F.posexplode("projected")
+                       .alias("lane", "val"))
+            .select("vec_id", F.col("lane").cast("long").alias("lane"),
+                    F.round("val", 6).alias("val_r6")))
+
+
+@query(
+    "dedup_cluster_split",
+    _near_dup_cte().replace("WITH d AS", "WITH RECURSIVE d AS", 1)
+    + """
+    , edges AS (
+      SELECT id_a AS s, id_b AS d FROM verified
+      UNION ALL
+      SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT doc_id::BIGINT AS id, doc_id::BIGINT AS label FROM documents
+      UNION
+      SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.id
+    ), clusters AS (
+      SELECT id, MIN(label)::BIGINT AS cluster FROM reach GROUP BY id
+    )
+    SELECT id AS doc_id,
+           CASE WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 15))::BIGINT
+                     / 1152921504606846976.0 < 0.8
+                THEN 'train' ELSE 'test' END AS split
+    FROM clusters
+    """,
+)
+def q_dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware leak-safe split (round 11,
+    :func:`lindel_spark.sampling.cluster_split`): every document
+    splits by its near-dup cluster representative, so no duplicate
+    family straddles train/test — the eval-contamination gap a
+    row-keyed split leaves open. Oracle replays the recursive-CTE
+    clusters plus the same md5 split algebra, per-document."""
+    from lindel_spark.sampling import cluster_split
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    clusters = LD.dup_clusters(docs).withColumnRenamed("id", "doc_id")
+    out = cluster_split(docs, clusters, "doc_id",
+                        weights=(0.8, 0.2), names=("train", "test"))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "split")
