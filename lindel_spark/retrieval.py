@@ -631,3 +631,113 @@ def bm25_topk_store(spark, path: str, queries: DataFrame, k: int = 10,
     )
     return _bm25_score_tail(matched, qterms, stats, k, k1, b,
                             rank_round)
+
+
+def trigram_backoff_logprob(
+    model: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean trigram STUPID-BACKOFF log-score of
+    ``target`` under a model trained on ``model`` — the
+    reference-corpus perplexity filter (CCNet-style: score crawl text
+    under a clean-corpus LM, drop the worst tail). Unlike
+    :func:`bigram_logprob`'s self-scored ML, the model and scored
+    corpora are DIFFERENT frames, so unseen n-grams are the normal
+    case and the score backs off:
+
+    - trigram seen:      ``c3(w1,w2,w3) / p2(w1,w2)``
+    - else bigram seen:  ``alpha   · c2(w2,w3) / p1(w2)``
+    - else:              ``alpha^2 · (c1(w3) + 1) / (N + V)``
+
+    (Brants et al. 2007 stupid backoff; the final unigram level is
+    Laplace-floored so every position scores finite, and each level's
+    denominator counts PREFIX occurrences at that gram order so seen
+    levels are exact ML.) Returns ``(doc_id, n_trigrams,
+    avg_logscore)``; target docs with < 3 tokens drop out.
+
+    Shape: map-side gram explodes on both frames, vocabulary-sized
+    model count tables, then term-keyed LEFT joins of target trigrams
+    against the four count tables plus one broadcast (N, V) row — the
+    same aligned-aggregation plan family as BM25; nothing row-scale
+    shuffles except the gram stream itself.
+    """
+    def _toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            tokens(normalize_text(F.col(text_col))).alias("__toks"))
+
+    def _trigrams(df: DataFrame) -> DataFrame:
+        base = _toks(df).filter(F.size("__toks") >= 3)
+        pairs = F.zip_with(
+            "__toks",
+            F.slice("__toks", 2,
+                    F.greatest(F.size("__toks") - 1, F.lit(1))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        tris = F.slice(
+            F.zip_with(
+                pairs,
+                F.slice("__toks", 3,
+                        F.greatest(F.size("__toks") - 2, F.lit(1))),
+                lambda p, c: F.struct(p["w1"].alias("w1"),
+                                      p["w2"].alias("w2"),
+                                      c.alias("w3"))),
+            1, F.size("__toks") - 2)
+        return (base.select("doc_id", F.explode(tris).alias("g"))
+                .select("doc_id", "g.w1", "g.w2", "g.w3"))
+
+    def _bigrams(df: DataFrame) -> DataFrame:
+        base = _toks(df).filter(F.size("__toks") >= 2)
+        grams = F.slice(
+            F.zip_with(
+                "__toks",
+                F.slice("__toks", 2,
+                        F.greatest(F.size("__toks") - 1, F.lit(1))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
+            1, F.size("__toks") - 1)
+        return (base.select(F.explode(grams).alias("g"))
+                .select("g.w1", "g.w2"))
+
+    mtri = _trigrams(model)
+    c3 = mtri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3"))
+    p2 = mtri.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("p2"))
+    mbi = _bigrams(model)
+    c2 = (mbi.groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+          .agg(F.count(F.lit(1)).cast("long").alias("c2")))
+    p1 = mbi.groupBy(F.col("w1").alias("w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("p1"))
+    muni = _toks(model).select(F.explode("__toks").alias("w3"))
+    c1 = muni.groupBy("w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c1"))
+    nv = muni.agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                  F.countDistinct("w3").cast("long").alias("v_total"))
+
+    tt = _trigrams(target)
+    a = float(alpha)
+    score = F.when(
+        F.col("c3").isNotNull(),
+        F.col("c3").cast("double") / F.col("p2").cast("double"),
+    ).when(
+        F.col("c2").isNotNull(),
+        F.lit(a) * F.col("c2").cast("double")
+        / F.col("p1").cast("double"),
+    ).otherwise(
+        F.lit(a * a)
+        * (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.col("n_total").cast("double")
+           + F.col("v_total").cast("double")))
+    return (tt.join(c3, ["w1", "w2", "w3"], "left")
+            .join(p2, ["w1", "w2"], "left")
+            .join(c2, ["w2", "w3"], "left")
+            .join(p1, ["w2"], "left")
+            .join(c1, ["w3"], "left")
+            .crossJoin(F.broadcast(nv))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                 (F.sum(F.log(score))
+                  / F.count(F.lit(1)).cast("double"))
+                 .alias("avg_logscore")))

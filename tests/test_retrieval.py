@@ -220,3 +220,45 @@ def test_tfidf_store_equals_fresh(spark, docs_real, tmp_path):
         for r in df.collect())
     assert key(LR.tfidf_topk_store(spark, store, k=3)) == \
         key(LR.tfidf_topk(docs_real, k=3))
+
+
+def test_trigram_backoff_all_three_levels_hand_computed(spark):
+    import math
+
+    from lindel_spark.retrieval import trigram_backoff_logprob
+
+    model = spark.createDataFrame(
+        [(0, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    # model trigrams: (a,b,c)x2, (b,c,d), (b,c,e); bigrams:
+    # ab x2, bc x2, cd, ce; unigrams: N=8, V=5 (a,b,c,d,e)
+    target = spark.createDataFrame(
+        [(1, "a b c"),      # seen trigram: c3=2, p2(a,b)=2 -> 1.0
+         (3, "b c d"),      # seen trigram: c3=1, p2(b,c)=2 -> 0.5
+         (5, "x c d"),      # unseen tri (x,c,d), bigram (c,d) seen:
+                            #   0.4 * c2(c,d)=1 / p1(c)=2 -> 0.2
+         (7, "x y z")],     # unseen everything: z unseen unigram ->
+                            #   0.16... * (0+1)/(8+5)
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           trigram_backoff_logprob(model, target).collect()}
+    assert got[1].n_trigrams == 1
+    assert abs(got[1].avg_logscore - math.log(1.0)) < 1e-12
+    assert abs(got[3].avg_logscore - math.log(0.5)) < 1e-12
+    assert abs(got[5].avg_logscore - math.log(0.4 * 0.5)) < 1e-12
+    floor = (0.4 * 0.4) * 1.0 / (8.0 + 5.0)
+    assert abs(got[7].avg_logscore - math.log(floor)) < 1e-12
+    # seen-unigram backoff floor: 'a' appears twice in the model
+    t2 = spark.createDataFrame([(9, "z z a")], "doc_id long, text string")
+    g2 = trigram_backoff_logprob(model, t2).collect()[0]
+    want = (0.4 * 0.4) * (2.0 + 1.0) / 13.0
+    assert abs(g2.avg_logscore - math.log(want)) < 1e-12
+
+
+def test_trigram_backoff_short_docs_drop(spark):
+    from lindel_spark.retrieval import trigram_backoff_logprob
+
+    model = spark.createDataFrame([(0, "a b c d")],
+                                  "doc_id long, text string")
+    target = spark.createDataFrame([(1, "a b"), (3, "")],
+                                   "doc_id long, text string")
+    assert trigram_backoff_logprob(model, target).count() == 0
