@@ -97,3 +97,37 @@ def quantile_normalize(df: DataFrame, value_col: str, id_col: str,
         .withColumn(out_col, (F.col("__ar") - 0.5) / F.lit(float(n)))
         .drop("__v", "__ar")
     )
+
+
+def robust_scale(df: DataFrame, cols, suffix: str = "_rb") -> DataFrame:
+    """Median/MAD scaling: ``(x - median) / (1.4826 · MAD)`` appended
+    as ``<col><suffix>`` — the outlier-immune sibling of
+    :func:`standard_scale` (mean and stddev move with the tail;
+    median and MAD don't), with the 1.4826 consistency constant so
+    the scaled values read in sigma units for normal-ish bulk. A
+    zero-MAD column (>50% one value) scales to 0.0, never NULL/inf.
+
+    Two single-scan aggregates over all columns (medians, then MADs
+    of the broadcast-centered deviations — the MAD needs the median
+    first, irreducibly), each broadcast back; exact interpolated
+    ``percentile`` so any engine replays the numbers.
+    """
+    if isinstance(cols, str):
+        cols = [cols]
+    med = df.agg(*[F.percentile(F.col(c).cast("double"), F.lit(0.5))
+                   .alias(f"__med_{c}") for c in cols])
+    centered = df.crossJoin(F.broadcast(med))
+    mad = centered.agg(*[
+        F.percentile(F.abs(F.col(c).cast("double")
+                           - F.col(f"__med_{c}")), F.lit(0.5))
+        .alias(f"__mad_{c}") for c in cols])
+    out = centered.crossJoin(F.broadcast(mad))
+    for c in cols:
+        denom = F.col(f"__mad_{c}") * F.lit(1.4826)
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(f"__mad_{c}") == 0, F.lit(0.0)).otherwise(
+                (F.col(c).cast("double") - F.col(f"__med_{c}"))
+                / denom))
+    return out.drop(*[f"__med_{c}" for c in cols],
+                    *[f"__mad_{c}" for c in cols])

@@ -76,3 +76,33 @@ def test_quantile_normalize_null_passthrough(spark):
            for r in FE.quantile_normalize(d, "v", "id").collect()}
     assert got[2] is None
     assert got[1] is not None and got[3] is not None
+
+
+def test_robust_scale_hand_computed_and_outlier_immune(spark):
+    from lindel_spark.features import robust_scale
+
+    # values 1..9 plus a wild outlier; median 5.5 -> with 1e6 the
+    # median of [1..9, 1e6] is 5.5, adevs [4.5,3.5,...,0.5,...,1e6-5.5]
+    vals = [float(v) for v in range(1, 10)] + [1e6]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = {r.id: r.v_rb for r in robust_scale(df, ["v"]).collect()}
+    import numpy as np
+    med = np.median(vals)
+    mad = np.median(np.abs(np.array(vals) - med))
+    for i, v in enumerate(vals):
+        assert abs(out[i] - (v - med) / (mad * 1.4826)) < 1e-9
+    # the outlier cannot blow up the bulk's scale: scaled bulk stays O(1)
+    assert all(abs(out[i]) < 3 for i in range(9))
+
+
+def test_robust_scale_zero_mad_and_multi_col(spark):
+    from lindel_spark.features import robust_scale
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 2.0), (3, 5.0, 3.0)],
+        "id long, c double, v double")
+    out = robust_scale(df, ["c", "v"]).collect()
+    assert all(r.c_rb == 0.0 for r in out)  # constant column
+    assert {round(r.v_rb, 6) for r in out} == \
+        {round(x / 1.4826, 6) for x in (-1.0, 0.0, 1.0)}
