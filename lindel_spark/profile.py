@@ -876,3 +876,42 @@ def l_diversity_report(
              .alias("n_sensitive"))
         .withColumn("diverse", F.col("n_sensitive") >= F.lit(l))
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``(bin, n, lo, hi)`` with (near-)equal
+    ROW counts per bin — the selectivity-honest complement to
+    :func:`value_histogram`'s equi-width bins, which collapse to one
+    bar on heavy-tailed columns (where equi-depth bin EDGES are the
+    quantiles an optimizer or drift monitor actually wants). Bin
+    sizes differ by at most one row by construction.
+
+    Bin id is exact integer algebra on the global rank —
+    ``(rank−1)·n_bins div n`` — so per-bin counts and min/max are
+    deterministic even where tied values make individual ranks
+    arbitrary (ties share a value; whichever side of a boundary they
+    land, the bin's extremes and size are the same numbers).
+    Rank comes from :func:`lindel_spark.util.global_rank` — never a
+    single-task window — then one map-side-combined groupBy on the
+    bin id; the only driver scalar is the row count.
+    """
+    from lindel_spark.util import global_rank
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    vals = (df.select(F.col(col).cast("double").alias("v"))
+            .filter(F.col("v").isNotNull()))
+    ranked = global_rank(vals, ["v"], out_col="__rank")
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return (ranked.crossJoin(F.broadcast(total))
+            .withColumn(
+                "bin",
+                F.expr(f"CAST(((__rank - 1) * {int(n_bins)})"
+                       " DIV __n AS INT)"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")))

@@ -378,3 +378,45 @@ def test_drift_and_l_diversity_validate(spark):
         distribution_drift(df, df, ["v"], bins=1)
     with pytest.raises(ValueError):
         l_diversity_report(df, ["v"], "v", l=0)
+
+
+def test_equidepth_histogram_equal_counts_and_edges(spark):
+    from lindel_spark.profile import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    rows = {r.bin: r for r in
+            equidepth_histogram(df, "v", n_bins=10).collect()}
+    assert set(rows) == set(range(10))
+    assert all(rows[b].n == 10 for b in rows)
+    assert rows[0].lo == 0.0 and rows[0].hi == 9.0
+    assert rows[9].lo == 90.0 and rows[9].hi == 99.0
+
+
+def test_equidepth_histogram_heavy_tail_and_ties(spark):
+    from lindel_spark.profile import equidepth_histogram
+
+    # 90 zeros + 10 spread values: equi-width would put 99% in bin 0;
+    # equi-depth keeps counts equal and is deterministic under ties
+    vals = [0.0] * 90 + [float(10 ** k) for k in range(1, 11)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    rows = sorted(equidepth_histogram(df, "v", n_bins=4).collect())
+    assert [r.n for r in rows] == [25, 25, 25, 25]
+    assert rows[0].lo == 0.0 and rows[0].hi == 0.0
+    assert rows[3].hi == 1e10
+    # determinism across layouts despite the 90-way tie
+    again = sorted(equidepth_histogram(df.repartition(13), "v",
+                                       n_bins=4).collect())
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_equidepth_histogram_uneven_split_and_validate(spark):
+    import pytest
+
+    from lindel_spark.profile import equidepth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    rows = sorted(equidepth_histogram(df, "v", n_bins=3).collect())
+    assert sum(r.n for r in rows) == 10
+    assert max(r.n for r in rows) - min(r.n for r in rows) <= 1
+    with pytest.raises(ValueError):
+        equidepth_histogram(df, "v", n_bins=0)
