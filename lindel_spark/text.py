@@ -913,3 +913,51 @@ def zipf_fit(
          / ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
             * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))))
         .alias("r2"))
+
+
+CARD_CANDIDATE_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(c: Column) -> Column:
+    """Luhn mod-10 checksum over the digits of ``c`` (separators
+    ``[ -]`` stripped first) — true iff the digit string is a valid
+    card-shaped account number. Pure column algebra: one ``aggregate``
+    over the character positions, doubling every second digit from
+    the right and folding the >9 carry, so any engine with the same
+    lambda surface replays it."""
+    ds = F.regexp_replace(c, "[ -]", "")
+    n = F.length(ds)
+    digit = lambda i: F.ascii(F.substring(ds, i, 1)) - F.lit(48)  # noqa: E731
+    return (
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0),
+            lambda acc, i: acc + F.when(
+                ((n - i) % 2) == 0, digit(i)
+            ).otherwise(
+                F.when(digit(i) * 2 > 9, digit(i) * 2 - 9)
+                .otherwise(digit(i) * 2)),
+        ) % 10 == 0
+    )
+
+
+def scrub_card_numbers(c: Column, token: str = "<CARD>") -> Column:
+    """Replace card-shaped digit runs (13–19 digits, optional
+    space/dash separators) ONLY when they pass the Luhn checksum —
+    the precision guard the length-only `scrub_pii` phone pattern
+    cannot give: order ids and timestamps that merely look numeric
+    survive, real PANs do not (every issued card number is
+    Luhn-valid by ISO/IEC 7812).
+
+    Map-only and JVM-side end to end: candidates from one
+    ``regexp_extract_all``, each validated by :func:`luhn_valid`'s
+    fold, then the survivors are folded over the text with literal
+    ``replace`` — no UDF, no shuffle, composes with the rest of the
+    scrub chain."""
+    cands = F.filter(
+        F.array_distinct(
+            F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), 0)),
+        luhn_valid,
+    )
+    return F.aggregate(
+        cands, c, lambda acc, cand: F.replace(acc, cand, F.lit(token)))

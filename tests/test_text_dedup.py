@@ -759,3 +759,47 @@ def test_zipf_fit_validates(spark):
     df = spark.createDataFrame([("a b",)], ["text"])
     with pytest.raises(ValueError):
         zipf_fit(df, top_n=1)
+
+
+def test_luhn_valid_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from lindel_spark.text import luhn_valid
+
+    cases = [
+        ("4539 1488 0343 6467", True),   # Visa test PAN
+        ("4539148803436467", True),      # no separators
+        ("4539-1488-0343-6467", True),   # dashes
+        ("1234 5678 9012 3456", False),  # fails mod-10
+        ("4539 1488 0343 6468", False),  # one digit off
+        ("79927398713", True),           # classic Luhn example
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["s"])
+    got = [r.v for r in
+           df.select(luhn_valid(F.col("s")).alias("v")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_scrub_card_numbers_precision_and_recall(spark):
+    from pyspark.sql import functions as F
+
+    from lindel_spark.text import scrub_card_numbers
+
+    rows = [
+        # valid PAN scrubbed, invalid lookalike kept
+        ("pay 4539 1488 0343 6467 now", "pay <CARD> now"),
+        ("order 1234 5678 9012 3456 ok", "order 1234 5678 9012 3456 ok"),
+        # two occurrences of the same valid PAN both go
+        ("a 4539148803436467 b 4539148803436467",
+         "a <CARD> b <CARD>"),
+        # Luhn-valid but too short to be card-shaped: untouched
+        ("a 79927398713 b", "a 79927398713 b"),
+        # short digit runs untouched
+        ("call 555 1234", "call 555 1234"),
+        ("no digits here", "no digits here"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], ["s"])
+    got = [r.o for r in
+           df.select(scrub_card_numbers(F.col("s")).alias("o"))
+           .collect()]
+    assert got == [w for _, w in rows]
