@@ -1779,3 +1779,50 @@ def random_project(
         for j in range(out_dim)
     ]
     return df.select("*", F.array(*lanes).alias("projected"))
+
+
+def ivf_health(
+    spark,
+    path: str,
+    n_centroids: int,
+) -> DataFrame:
+    """Index-health audit for a persisted IVF store: one row of the
+    balance numbers that decide whether an index needs retraining —
+    ``(n_vectors, cells_used, cells_total, empty_cells, min_cell,
+    max_cell, max_share, balance_entropy, expected_scan_frac)``.
+    ``balance_entropy`` is Shannon entropy of the cell-size
+    distribution in nats (ln(cells_total) = perfectly balanced);
+    ``expected_scan_frac`` is ``Σ (n_c/n)²`` — the fraction of the
+    corpus a 1-probe query scans in expectation IF queries distribute
+    like the data, i.e. the number the ~nprobe/n_centroids sizing
+    assumption silently relies on. A skewed store (one hot cell)
+    shows max_share ≫ 1/cells_total and expected_scan_frac ≫
+    1/cells_total long before latency regressions surface.
+
+    Footer-free and cell-local: one groupBy on the hive partition
+    column (cell-count-sized state) and a single-row aggregate —
+    reads no vector payloads beyond Spark's scan of the partition
+    column, so auditing a billion-vector store costs one count pass.
+    """
+    if n_centroids < 1:
+        raise ValueError("n_centroids must be >= 1")
+    counts = (spark.read.parquet(path)
+              .groupBy("cell")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("cells_used"),
+        F.lit(int(n_centroids)).cast("long").alias("cells_total"),
+        (F.lit(int(n_centroids)) - F.count(F.lit(1))).cast("long")
+        .alias("empty_cells"),
+        F.min("cnt").alias("min_cell"),
+        F.max("cnt").alias("max_cell"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double"))
+        .alias("max_share"),
+        (F.log(F.sum("cnt").cast("double"))
+         - F.sum(F.col("cnt").cast("double")
+                 * F.log(F.col("cnt").cast("double")))
+         / F.sum("cnt").cast("double")).alias("balance_entropy"),
+        (F.sum(F.col("cnt").cast("double") * F.col("cnt").cast("double"))
+         / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double")))
+        .alias("expected_scan_frac"))

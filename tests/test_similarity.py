@@ -791,3 +791,30 @@ def test_random_project_deterministic_across_seeds_and_layout(spark):
     import pytest
     with pytest.raises(ValueError):
         random_project(df, in_dim=3, out_dim=0)
+
+
+def test_ivf_health_hand_computed(spark, tmp_path):
+    import math
+
+    from lindel_spark.similarity import ivf_health
+
+    # fake store layout: hive 'cell' partitions with known sizes
+    rows = ([(i, 0) for i in range(8)] + [(100 + i, 1) for i in range(2)]
+            + [(200 + i, 3) for i in range(6)])
+    df = spark.createDataFrame(rows, "vec_id long, cell int")
+    path = str(tmp_path / "ivf")
+    df.write.partitionBy("cell").parquet(path)
+    h = ivf_health(spark, path, n_centroids=5).collect()[0]
+    assert h.n_vectors == 16 and h.cells_used == 3
+    assert h.cells_total == 5 and h.empty_cells == 2
+    assert h.min_cell == 2 and h.max_cell == 8
+    assert abs(h.max_share - 8 / 16) < 1e-12
+    want_H = math.log(16) - (8 * math.log(8) + 2 * math.log(2)
+                             + 6 * math.log(6)) / 16
+    assert abs(h.balance_entropy - want_H) < 1e-12
+    want_scan = (64 + 4 + 36) / 256
+    assert abs(h.expected_scan_frac - want_scan) < 1e-12
+
+    import pytest
+    with pytest.raises(ValueError):
+        ivf_health(spark, path, n_centroids=0)
