@@ -79,6 +79,11 @@ _SAMPLE_FIRST = [
     "text_zipf_fit",             # new: Zipf power-law corpus screen
     "embedding_random_projection",  # new: deterministic JL reduction
     "dedup_cluster_split",       # new: cluster-aware leak-safe split
+    "text_trigram_backoff",      # new: reference-corpus LM filter
+    "features_robust_scaled",    # new: median/MAD scaling
+    "profile_equidepth_histogram",  # new: quantile-bin histogram
+    "text_card_scrub",           # new: Luhn-validated card scrub
+    "knn_ivf_health",            # new: IVF balance audit
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
@@ -9081,3 +9086,245 @@ def q_dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                         weights=(0.8, 0.2), names=("train", "test"))
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "split")
+
+
+_TRI_TOKS = ("list_filter(string_split(trim(regexp_replace(lower(text),"
+             " '\\s+', ' ', 'g')), ' '), t -> t <> '')")
+
+@query(
+    "text_trigram_backoff",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_TRI_TOKS} AS toks FROM documents
+    ), model AS (
+      SELECT * FROM norm WHERE doc_id % 2 = 0
+    ), targ AS (
+      SELECT * FROM norm WHERE doc_id % 2 = 1
+    ), mtri AS (
+      SELECT u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+        SELECT unnest(list_transform(range(1, len(toks) - 1),
+          p -> struct_pack(w1 := toks[p], w2 := toks[p + 1],
+                           w3 := toks[p + 2]))) AS u
+        FROM model WHERE len(toks) >= 3)
+    ), c3 AS (
+      SELECT w1, w2, w3, COUNT(*)::BIGINT AS c3 FROM mtri GROUP BY 1, 2, 3
+    ), p2 AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS p2 FROM mtri GROUP BY 1, 2
+    ), mbi AS (
+      SELECT u.w1 AS w2, u.w2 AS w3 FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          p -> struct_pack(w1 := toks[p], w2 := toks[p + 1]))) AS u
+        FROM model WHERE len(toks) >= 2)
+    ), c2 AS (
+      SELECT w2, w3, COUNT(*)::BIGINT AS c2 FROM mbi GROUP BY 1, 2
+    ), p1 AS (
+      SELECT w2, COUNT(*)::BIGINT AS p1 FROM mbi GROUP BY 1
+    ), muni AS (
+      SELECT unnest(toks) AS w3 FROM model
+    ), c1 AS (
+      SELECT w3, COUNT(*)::BIGINT AS c1 FROM muni GROUP BY 1
+    ), nv AS (
+      SELECT COUNT(*)::BIGINT AS n_total,
+             COUNT(DISTINCT w3)::BIGINT AS v_total FROM muni
+    ), ttri AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2, u.w3 AS w3 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+          p -> struct_pack(w1 := toks[p], w2 := toks[p + 1],
+                           w3 := toks[p + 2]))) AS u
+        FROM targ WHERE len(toks) >= 3)
+    ), scored AS (
+      SELECT t.doc_id,
+             CASE WHEN c3.c3 IS NOT NULL
+                    THEN c3.c3::DOUBLE / p2.p2::DOUBLE
+                  WHEN c2.c2 IS NOT NULL
+                    THEN 0.4 * c2.c2::DOUBLE / p1.p1::DOUBLE
+                  ELSE 0.16000000000000003
+                       * (COALESCE(c1.c1, 0)::DOUBLE + 1.0)
+                       / (nv.n_total::DOUBLE + nv.v_total::DOUBLE)
+             END AS s
+      FROM ttri t
+      LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+      LEFT JOIN p2 ON t.w1 = p2.w1 AND t.w2 = p2.w2
+      LEFT JOIN c2 ON t.w2 = c2.w2 AND t.w3 = c2.w3
+      LEFT JOIN p1 ON t.w2 = p1.w2
+      LEFT JOIN c1 ON t.w3 = c1.w3
+      CROSS JOIN nv
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_trigrams,
+           round(SUM(ln(s)) / COUNT(*)::DOUBLE, 6) AS avg_logscore_r6
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-corpus LM quality filter (round 11,
+    :func:`lindel_spark.retrieval.trigram_backoff_logprob`): odd-id
+    documents scored under a trigram stupid-backoff model trained on
+    the even-id half — the CCNet-style perplexity screen where unseen
+    n-grams genuinely back off (trigram → 0.4·bigram →
+    0.16·Laplace-floored unigram). All levels exact ML over integer
+    counts; the per-doc mean of ln(score) rounds at 6dp."""
+    from lindel_spark.retrieval import trigram_backoff_logprob
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    targ = docs.filter(F.col("doc_id") % 2 == 1)
+    out = trigram_backoff_logprob(model, targ)
+    return out.select("doc_id", "n_trigrams",
+                      F.round("avg_logscore", 6)
+                      .alias("avg_logscore_r6"))
+
+
+@query(
+    "features_robust_scaled",
+    """
+    WITH med AS (
+      SELECT median(value::DOUBLE) AS med FROM events
+      WHERE value IS NOT NULL
+    ), mad AS (
+      SELECT median(abs(value::DOUBLE - med.med)) AS mad
+      FROM events, med WHERE value IS NOT NULL
+    )
+    SELECT event_id,
+           round(CASE WHEN mad.mad = 0 THEN 0.0
+                      ELSE (value::DOUBLE - med.med)
+                           / (mad.mad * 1.4826) END, 6) AS value_rb_r6
+    FROM events, med, mad
+    WHERE value IS NOT NULL
+    """,
+)
+def q_features_robust_scaled(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Median/MAD robust scaling (round 11,
+    :func:`lindel_spark.features.robust_scale`): the events value
+    column in MAD-sigma units — outlier-immune where z-scores are
+    not. Exact interpolated medians both engines; the one division
+    rounds at 6dp."""
+    from lindel_spark.features import robust_scale
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .filter(F.col("value").isNotNull()))
+    out = robust_scale(ev, ["value"])
+    return out.select("event_id",
+                      F.round("value_rb", 6).alias("value_rb_r6"))
+
+
+@query(
+    "profile_equidepth_histogram",
+    """
+    WITH v AS (
+      SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             COUNT(*) OVER () AS n FROM v
+    )
+    SELECT CAST(((rn - 1) * 8) // n AS INT) AS bin,
+           COUNT(*)::BIGINT AS n, MIN(v) AS lo, MAX(v) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def q_profile_equidepth_histogram(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (round 11,
+    :func:`lindel_spark.profile.equidepth_histogram`): 8 equal-count
+    bins over the events value column — quantile bin edges where the
+    equi-width `profile_value_histogram` collapses on heavy tails.
+    Integer-exact bin assignment off the distributed global rank;
+    per-bin stats deterministic under ties."""
+    from lindel_spark.profile import equidepth_histogram
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return equidepth_histogram(ev, "value", n_bins=8)
+
+
+@query(
+    "text_card_scrub",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                    THEN text || ' card 4539 1488 0343 6467 ok'
+                  WHEN doc_id % 3 = 1
+                    THEN text || ' ref 1234 5678 9012 3456 no'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                  THEN replace(text, '4539 1488 0343 6467', '<CARD>')
+                ELSE text END AS scrubbed
+    FROM seeded
+    """,
+)
+def q_text_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card scrub (round 11,
+    :func:`lindel_spark.text.scrub_card_numbers`): documents seeded
+    with a Luhn-VALID PAN (must scrub) and a Luhn-INVALID lookalike
+    (must survive — the precision the length-only phone pattern can't
+    give). The oracle knows the injected literals' validity (pinned
+    by the hand-computed checksum pytest), so it states the expected
+    full texts directly; the corpus itself carries no 13+-digit runs
+    (checked), so behavior on the real text is covered too."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    seeded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" card 4539 1488 0343 6467 ok")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.col("text"),
+                       F.lit(" ref 1234 5678 9012 3456 no")))
+        .otherwise(F.col("text")).alias("text"))
+    return seeded.select(
+        "doc_id", LT.scrub_card_numbers(F.col("text")).alias("scrubbed"))
+
+
+@query(
+    "knn_ivf_health",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_vectors,
+           true AS cells_ok,
+           true AS counts_match_assignment,
+           true AS entropy_bounds_ok,
+           true AS scan_frac_bounds_ok
+    """,
+)
+def q_knn_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF store health audit (round 11,
+    :func:`lindel_spark.similarity.ivf_health`): balance entropy,
+    max-cell share and the expected 1-probe scan fraction for a
+    16-cell store over the sf embeddings — the retrain-decision
+    numbers. Self-checking oracle: the report must agree with an
+    INDEPENDENT in-memory cell assignment (vector count, used-cell
+    count, max cell), entropy must sit in [0, ln(cells_used)], and
+    the scan fraction in [1/cells_used, max_share]."""
+    import math as _math
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = tempfile.mkdtemp(prefix="lindel_ivfh_")
+    store = os.path.join(out, "ivf")
+    C = LS.train_centroids(emb, 16)
+    LS.ivf_write(emb, store, n_centroids=16, centroids=C)
+    h = LS.ivf_health(spark, store, 16).collect()[0]
+
+    assigned = emb.select(
+        F.element_at(LS._cell_assign_udf(C, 1)(F.col("embedding")), 1)
+        .alias("cell"))
+    ind = (assigned.groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .agg(F.sum("cnt").cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("used"),
+                F.max("cnt").cast("long").alias("mx")).collect()[0])
+    cells_ok = (h.cells_total == 16 and 1 <= h.cells_used <= 16
+                and h.empty_cells == 16 - h.cells_used
+                and 1 <= h.min_cell <= h.max_cell)
+    counts_match = (h.n_vectors == ind.n and h.cells_used == ind.used
+                    and h.max_cell == ind.mx)
+    entropy_ok = (-1e-9 <= h.balance_entropy
+                  <= _math.log(h.cells_used) + 1e-9)
+    scan_ok = (1.0 / h.cells_used - 1e-12 <= h.expected_scan_frac
+               <= h.max_share + 1e-12)
+    return spark.createDataFrame(
+        [(h.n_vectors, cells_ok, counts_match, entropy_ok, scan_ok)],
+        "n_vectors long, cells_ok boolean, "
+        "counts_match_assignment boolean, entropy_bounds_ok boolean, "
+        "scan_frac_bounds_ok boolean")
