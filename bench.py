@@ -677,6 +677,63 @@ def main(only: set[str] | None = None) -> None:
         ("triangle_counts", q_triangles, n_li),
         ("cc_star_simhash", q_cc_star, n_docs),
     ]
+
+    def q_trigram_backoff(_):
+        from lindel_spark.retrieval import trigram_backoff_logprob
+        model = docs.filter(F.col("doc_id") % 2 == 0)
+        targ = docs.filter(F.col("doc_id") % 2 == 1)
+        _noop(trigram_backoff_logprob(model, targ))
+
+    def q_bfs_hops(_):
+        from lindel_spark.graph import bfs_distances
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("dst"))
+        edges = (a.join(b, "ok")
+                 .filter(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct())
+        srcs = (li.filter(F.col("l_partkey") % 50 == 0)
+                .select(F.col("l_partkey").cast("long").alias("node"))
+                .distinct())
+        _noop(bfs_distances(edges, srcs, max_hops=2))
+
+    def q_frequent_triples(_):
+        from lindel_spark.rules import frequent_triples
+        part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+        baskets = (li.join(part, li.l_partkey == part.p_partkey)
+                   .select(F.col("l_orderkey").alias("basket"),
+                           F.col("p_brand").alias("item")))
+        _noop(frequent_triples(baskets, "basket", "item",
+                               max(2, int(60 * _sf() / 0.01))))
+
+    def q_random_projection(_):
+        from lindel_spark.similarity import random_project
+        _noop(random_project(emb, "embedding", in_dim=64, out_dim=8)
+              .select("vec_id", "projected"))
+
+    def q_drift_report(_):
+        from lindel_spark.profile import distribution_drift
+        from lindel_spark.sources import load_events
+        ev = load_events(spark, SF_DIR)
+        ref = ev.filter(F.col("event_id") % 2 == 0)
+        cur = ev.filter(F.col("event_id") % 2 == 1)
+        _noop(distribution_drift(ref, cur, ["value", "user_id"],
+                                 bins=10))
+
+    def q_equidepth(_):
+        from lindel_spark.profile import equidepth_histogram
+        _noop(equidepth_histogram(li, "l_extendedprice", n_bins=16))
+
+    scan_shaped += [
+        ("trigram_backoff_lm", q_trigram_backoff, n_docs),
+        ("bfs_hops_2", q_bfs_hops, n_li),
+        ("frequent_triples", q_frequent_triples, n_li),
+        ("random_projection", q_random_projection, n_emb),
+        ("drift_report", q_drift_report, -1),
+        ("equidepth_histogram", q_equidepth, n_li),
+    ]
+
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

@@ -561,3 +561,57 @@ def test_round10_new_operators_plan_contracts(spark, docs):
     p_bpe = plan_of(bpe_pair_counts(docs, top_n=50))
     assert "TakeOrderedAndProject" in p_bpe
     assert "partial_count" in p_bpe or "partial count" in p_bpe.lower()
+
+
+def test_round11_late_ops_no_cartesian(spark, li, docs):
+    from lindel_spark.graph import bfs_distances
+    from lindel_spark.retrieval import trigram_backoff_logprob
+    from lindel_spark.rules import frequent_triples
+
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok").filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    srcs = li.select(F.col("l_partkey").cast("long")
+                     .alias("node")).limit(5)
+    baskets = li.select(F.col("l_orderkey").alias("basket"),
+                        F.col("l_partkey").alias("item"))
+    model = docs.filter(F.col("doc_id") % 2 == 0)
+    targ = docs.filter(F.col("doc_id") % 2 == 1)
+    for name, df in [
+        ("bfs", bfs_distances(edges, srcs, max_hops=2)),
+        ("triples", frequent_triples(baskets, "basket", "item", 2)),
+        ("trigram", trigram_backoff_logprob(model, targ)),
+    ]:
+        p = plan_of(df)
+        assert "CartesianProduct" not in p, name
+        if name == "trigram":
+            # exactly one BNLJ: the ONE-ROW (N, V) stats broadcast —
+            # the pagerank dangling-mass pattern, bounded by
+            # construction; the gram joins themselves must hash
+            # ("formatted" prints each node twice: tree + details)
+            assert p.count("BroadcastNestedLoopJoin") == 2, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_random_projection_stays_jvm_side(spark):
+    from lindel_spark.similarity import random_project
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>")
+    p = plan_of(random_project(emb, in_dim=8, out_dim=4))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_drift_report_broadcasts_stats_not_rows(spark):
+    from lindel_spark.profile import distribution_drift
+
+    ref = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    cur = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    p = plan_of(distribution_drift(ref, cur, ["v"], bins=10))
+    assert "CartesianProduct" not in p
+    # the per-column stats ride broadcast joins; row frames never do
+    assert "BroadcastExchange" in p
