@@ -765,6 +765,82 @@ def column_entropy_profile(
                         / F.col("n_values").cast("double")))
 
 
+def _drift_long(df: DataFrame, columns: list) -> DataFrame:
+    pairs = []
+    for c in columns:
+        pairs += [F.lit(c), F.col(c).cast("double")]
+    return (df.select(F.stack(F.lit(len(columns)), *pairs)
+                      .alias("column", "v"))
+            .filter(F.col("v").isNotNull()))
+
+
+def _drift_binned(long: DataFrame, stats: DataFrame,
+                  bins: int) -> DataFrame:
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1),
+                F.greatest(F.lit(0),
+                           F.floor((F.col("v") - F.col("lo"))
+                                   / step).cast("int"))))
+    return (long.join(F.broadcast(stats), "column")
+            .select("column", b.alias("bin"))
+            .groupBy("column", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def drift_reference(
+    ref: DataFrame,
+    columns: Sequence[str],
+    bins: int = 10,
+) -> DataFrame:
+    """The persistable half of :func:`distribution_drift`: per-column
+    bin edges (reference min/max) + reference bin counts,
+    ``(column, bin, ref_cnt, lo, hi)`` — ≤ |columns|·bins rows.
+    Compute it ONCE on the training/reference snapshot, write it
+    anywhere, and score any number of later snapshots (or stream
+    micro-batches, :func:`lindel_spark.streaming.drift_stream_sink`)
+    against it with :func:`drift_against` without rescanning the
+    reference."""
+    columns = list(columns)
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    lref = _drift_long(ref, columns)
+    stats = lref.groupBy("column").agg(F.min("v").alias("lo"),
+                                       F.max("v").alias("hi"))
+    return (_drift_binned(lref, stats, bins)
+            .withColumnRenamed("cnt", "ref_cnt")
+            .join(F.broadcast(stats), "column"))
+
+
+def drift_against(
+    cur: DataFrame,
+    reference: DataFrame,
+    columns: Sequence[str],
+    bins: int = 10,
+) -> DataFrame:
+    """Score a current snapshot against a stored
+    :func:`drift_reference` profile — the serving half of
+    :func:`distribution_drift`, same output and same algebra, with
+    the reference side read from the (vocabulary-sized) profile
+    instead of rescanned."""
+    columns = list(columns)
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    # a stored profile may carry more columns than this scoring asks
+    # for — restrict it, or absent-in-cur profile rows would surface
+    # as phantom all-zero-cur drift rows
+    reference = reference.filter(F.col("column").isin(columns))
+    stats = reference.select("column", "lo", "hi").distinct()
+    rc = reference.select("column", "bin", "ref_cnt")
+    cc = (_drift_binned(_drift_long(cur, columns), stats, bins)
+          .withColumnRenamed("cnt", "cur_cnt"))
+    return _drift_tail(rc, cc, bins)
+
+
 def distribution_drift(
     ref: DataFrame,
     cur: DataFrame,
@@ -777,7 +853,10 @@ def distribution_drift(
     ``bins`` equi-width bins whose edges come from the REFERENCE
     min/max, so the same fixed binning scores every future snapshot
     (the standard train-vs-serve / yesterday-vs-today screen; rule of
-    thumb: PSI < 0.1 stable, > 0.25 action).
+    thumb: PSI < 0.1 stable, > 0.25 action). For repeated scoring
+    against one reference, persist :func:`drift_reference` and call
+    :func:`drift_against` — identical numbers by construction (this
+    function IS that composition).
 
     Shares are Laplace-smoothed — ``(cnt + 0.5) / (n + 0.5·bins)`` —
     so empty bins on either side stay finite, and every term is a
@@ -793,38 +872,11 @@ def distribution_drift(
     join — nothing is collected, so the same plan screens a 100 TB
     snapshot pair.
     """
-    columns = list(columns)
-    if not columns:
-        raise ValueError("columns must be non-empty")
-    if bins < 2:
-        raise ValueError("bins must be >= 2")
+    return drift_against(cur, drift_reference(ref, columns, bins),
+                         columns, bins)
 
-    def _long(df: DataFrame) -> DataFrame:
-        pairs = []
-        for c in columns:
-            pairs += [F.lit(c), F.col(c).cast("double")]
-        return (df.select(F.stack(F.lit(len(columns)), *pairs)
-                          .alias("column", "v"))
-                .filter(F.col("v").isNotNull()))
 
-    lref, lcur = _long(ref), _long(cur)
-    stats = lref.groupBy("column").agg(F.min("v").alias("lo"),
-                                       F.max("v").alias("hi"))
-
-    def _binned(long: DataFrame) -> DataFrame:
-        step = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
-        b = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(F.lit(bins - 1),
-                    F.greatest(F.lit(0),
-                               F.floor((F.col("v") - F.col("lo"))
-                                       / step).cast("int"))))
-        return (long.join(F.broadcast(stats), "column")
-                .select("column", b.alias("bin"))
-                .groupBy("column", "bin")
-                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-
-    rc = _binned(lref).withColumnRenamed("cnt", "ref_cnt")
-    cc = _binned(lcur).withColumnRenamed("cnt", "cur_cnt")
+def _drift_tail(rc: DataFrame, cc: DataFrame, bins: int) -> DataFrame:
     both = (rc.join(cc, ["column", "bin"], "full_outer")
             .select("column", "bin",
                     F.coalesce("ref_cnt", F.lit(0)).alias("ref_cnt"),

@@ -639,3 +639,40 @@ def bm25_index_stream_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def drift_stream_sink(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    columns,
+    path: str,
+    bins: int = 10,
+    checkpoint: str | None = None,
+):
+    """Serving-time drift monitor: every micro-batch is scored
+    against a STORED :func:`lindel_spark.profile.drift_reference`
+    profile (computed once on the training snapshot) and the
+    per-column PSI/KL rows land append-only under ``path`` tagged
+    with the batch id — the feature-drift alarm feed for a model
+    serving on streaming input. Per batch the cost is one map-side
+    bin count over the batch plus a broadcast join against the
+    vocabulary-sized profile; the reference is never rescanned.
+
+    Each logged row is the exact :func:`drift_against` of that batch
+    slice (pytest-pinned: stream-drain ≡ per-slice batch scoring), so
+    PSI thresholds calibrated offline transfer unchanged. Batches are
+    windows here; to alarm on coarser grains, aggregate the logged
+    bin counts downstream or re-window upstream of the sink."""
+    from lindel_spark.profile import drift_against
+
+    cols = list(columns)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (drift_against(batch_df, reference, cols, bins)
+         .withColumn("batch_id", F.lit(batch_id).cast("long"))
+         .write.mode("append").parquet(path))
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -615,3 +615,49 @@ def test_bm25_index_stream_sink_equals_batch_index(
         for r in df.collect())
     assert key(LR.bm25_topk_store(spark, store, qd, k=5)) == \
         key(LR.bm25_topk_store(spark, full, qd, k=5))
+
+
+def test_drift_stream_sink_per_batch_equals_batch_scoring(
+        spark, tmp_path_factory):
+    """Streaming drift monitor: each micro-batch's logged PSI/KL row
+    equals drift_against run on that slice in batch mode, against a
+    profile persisted and read back from parquet."""
+    from pyspark.sql import functions as F
+
+    from lindel_spark.profile import drift_against, drift_reference
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "value")
+    ref = ev.filter(F.col("event_id") % 3 == 0)
+    prof_dir = str(tmp_path_factory.mktemp("drift_prof") / "p")
+    drift_reference(ref, ["value"], bins=8).write.parquet(prof_dir)
+    prof = spark.read.parquet(prof_dir)
+
+    src_dir = str(tmp_path_factory.mktemp("drift_src"))
+    log_dir = str(tmp_path_factory.mktemp("drift_log") / "log")
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in (1, 2)]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema("event_id long, value double")
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.drift_stream_sink(src, prof, ["value"], log_dir, bins=8) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    logged = spark.read.parquet(log_dir).collect()
+    assert len(logged) == 2 and {r.batch_id for r in logged} == {0, 1}
+    # match each logged row to one slice's batch scoring (file order
+    # into batches is not guaranteed, so compare as multisets)
+    want = sorted(
+        (r.n_ref, r.n_cur, round(r.psi, 9), round(r.kl, 9))
+        for s in slices
+        for r in drift_against(s, prof, ["value"], bins=8).collect())
+    got = sorted((r.n_ref, r.n_cur, round(r.psi, 9), round(r.kl, 9))
+                 for r in logged)
+    assert got == want
+    # and the identical-slice sanity: scoring the reference against
+    # itself reads stable
+    self_psi = drift_against(ref, prof, ["value"],
+                             bins=8).collect()[0].psi
+    assert abs(self_psi) < 1e-12
