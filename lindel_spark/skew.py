@@ -84,3 +84,51 @@ def two_phase_distinct(
         .groupBy(key)
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
     )
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    top_n: int = 20,
+) -> DataFrame:
+    """Pre-flight skew diagnosis for an equi-join: the ``top_n``
+    hottest join keys by OUTPUT fan-out — ``(key, cnt_left,
+    cnt_right, out_rows, out_share)`` where ``out_rows =
+    cnt_left · cnt_right`` is exactly how many rows that key will
+    produce and ``out_share`` its fraction of the whole join's
+    output. The decision input for :func:`salted_join` (a key with
+    out_share ≈ 1 needs salting; a flat profile doesn't) and the
+    estimator that catches the accidental many-to-many BEFORE it runs
+    — a key you believed unique showing cnt_left·cnt_right ≫
+    cnt_left+cnt_right is the classic join-explosion smell.
+
+    Cost: two map-side-combined per-key counts, one vocabulary-sized
+    equi-join of the count tables, one total, one top-n
+    (TakeOrderedAndProject) — never the join itself. Ties break on
+    ascending key so the report is deterministic.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    rk = right_key if right_key is not None else left_key
+    lc = (left.select(F.col(left_key).alias("key"))
+          .filter(F.col("key").isNotNull())
+          .groupBy("key")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt_left")))
+    rc = (right.select(F.col(rk).alias("key"))
+          .filter(F.col("key").isNotNull())
+          .groupBy("key")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt_right")))
+    per_key = (lc.join(rc, "key")
+               .withColumn("out_rows",
+                           F.col("cnt_left") * F.col("cnt_right")))
+    total = per_key.agg(F.sum("out_rows").cast("long")
+                        .alias("__total_out"))
+    return (per_key.crossJoin(F.broadcast(total))
+            .withColumn("out_share",
+                        F.col("out_rows").cast("double")
+                        / F.col("__total_out").cast("double"))
+            .drop("__total_out")
+            .orderBy(F.col("out_rows").desc(), F.col("key").asc())
+            .limit(top_n))

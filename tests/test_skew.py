@@ -75,3 +75,35 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "outer", "right_outer", "full_outer"):
         with pytest.raises(ValueError, match="salt-invariant"):
             salted_join(df, df, on="k", how=how)
+
+
+def test_join_skew_report_exact_fanout_and_order(spark):
+    from lindel_spark.skew import join_skew_report
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1] * 10 + [2] * 3 + [3] * 1 + [None]],
+        "k long")
+    right = spark.createDataFrame(
+        [(k,) for k in [1] * 4 + [2] * 5 + [4] * 9],
+        "k long")
+    rows = join_skew_report(left, right, "k", top_n=10).collect()
+    # key 3 and 4 don't co-occur; nulls never join
+    assert [(r.key, r.cnt_left, r.cnt_right, r.out_rows)
+            for r in rows] == [(1, 10, 4, 40), (2, 3, 5, 15)]
+    assert abs(rows[0].out_share - 40 / 55) < 1e-12
+    # the predicted fan-out IS the join's row count
+    actual = left.join(right, "k").count()
+    assert sum(r.out_rows for r in rows) == actual == 55
+
+
+def test_join_skew_report_top_n_tie_break_and_validate(spark):
+    import pytest
+
+    from lindel_spark.skew import join_skew_report
+
+    df = spark.createDataFrame([(k,) for k in range(100)], "k long")
+    rows = join_skew_report(df, df, "k", top_n=5).collect()
+    # all fan-outs tie at 1: ascending-key tie-break
+    assert [r.key for r in rows] == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        join_skew_report(df, df, "k", top_n=0)
