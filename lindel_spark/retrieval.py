@@ -741,3 +741,80 @@ def trigram_backoff_logprob(
                  (F.sum(F.log(score))
                   / F.count(F.lit(1)).cast("double"))
                  .alias("avg_logscore")))
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str | None = None,
+) -> DataFrame:
+    """Standard ranked-retrieval evaluation per query:
+    ``(query_id, n_rel, n_hits, recall_k, mrr_k, ndcg_k)`` — the
+    measurement leg the BM25 / TF-IDF / hybrid-RRF / ANN stack here
+    needs before any of them is tuned. ``results`` is any ranked
+    frame (what the top-k operators emit); ``qrels`` the judgments
+    ``(query_id, doc_id[, rel])`` with graded relevance when
+    ``rel_col`` is set, binary otherwise.
+
+    - ``recall_k``: judged docs retrieved in the top k / judged docs
+    - ``mrr_k``: 1/rank of the first relevant hit (0 if none)
+    - ``ndcg_k``: Σ (2^rel − 1)/log2(rank+1) over hits, normalized
+      by the ideal DCG of the top-k judgments ranked rel-desc
+      (ties on ascending doc id — deterministic)
+
+    Queries present in ``qrels`` but missing from ``results`` score
+    zeros (they ARE failures); log2 is spelled ``ln(x)/ln(2)`` so
+    every engine computes the identical expression. Shape: one
+    (query, doc)-keyed hit join + two query-keyed aggregates + one
+    window over qrels partitions (bounded by judgments per query,
+    never corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    rel = (F.col(rel_col).cast("double") if rel_col is not None
+           else F.lit(1.0))
+    q = qrels.select(F.col(query_col).alias("query_id"),
+                     F.col(doc_col).alias("doc_id"),
+                     rel.alias("rel"))
+    r = results.select(F.col(query_col).alias("query_id"),
+                       F.col(doc_col).alias("doc_id"),
+                       F.col(rank_col).alias("rank")) \
+        .filter(F.col("rank") <= k)
+    ln2 = F.log(F.lit(2.0))
+    gain = lambda relc, pos: ((F.pow(F.lit(2.0), relc) - F.lit(1.0))  # noqa: E731
+                              / (F.log(pos.cast("double") + F.lit(1.0))
+                                 / ln2))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = (q.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= k)
+             .groupBy("query_id")
+             .agg(F.sum(gain(F.col("rel"), F.col("__rn")))
+                  .alias("idcg")))
+    per_q = q.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"))
+    hits = (r.join(q, ["query_id", "doc_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.min("rank").alias("__first"),
+                 F.sum(gain(F.col("rel"), F.col("rank")))
+                 .alias("__dcg")))
+    return (per_q.join(F.broadcast(ideal), "query_id")
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id", "n_rel",
+                F.coalesce("n_hits", F.lit(0)).cast("long")
+                .alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)).cast("double")
+                 / F.col("n_rel").cast("double")).alias("recall_k"),
+                F.coalesce(F.lit(1.0)
+                           / F.col("__first").cast("double"),
+                           F.lit(0.0)).alias("mrr_k"),
+                F.coalesce(F.col("__dcg") / F.col("idcg"),
+                           F.lit(0.0)).alias("ndcg_k")))

@@ -262,3 +262,55 @@ def test_trigram_backoff_short_docs_drop(spark):
     target = spark.createDataFrame([(1, "a b"), (3, "")],
                                    "doc_id long, text string")
     assert trigram_backoff_logprob(model, target).count() == 0
+
+
+def test_retrieval_metrics_hand_computed_graded(spark):
+    import math
+
+    from lindel_spark.retrieval import retrieval_metrics
+
+    # q1: rels a(3), b(1), c(2); results rank1=b, rank2=x, rank3=a
+    # q2: rels d(1); results miss entirely
+    # q3: rels e(1); no results at all
+    results = spark.createDataFrame(
+        [(1, "b", 1), (1, "x", 2), (1, "a", 3),
+         (2, "y", 1), (2, "z", 2)],
+        "query_id long, doc_id string, rank long")
+    qrels = spark.createDataFrame(
+        [(1, "a", 3), (1, "b", 1), (1, "c", 2), (2, "d", 1),
+         (3, "e", 1)],
+        "query_id long, doc_id string, rel long")
+    got = {r.query_id: r for r in
+           retrieval_metrics(results, qrels, k=3,
+                             rel_col="rel").collect()}
+    lg2 = lambda x: math.log(x) / math.log(2.0)  # noqa: E731
+    # q1: hits b@1 (rel1), a@3 (rel3)
+    dcg = (2 ** 1 - 1) / lg2(2) + (2 ** 3 - 1) / lg2(4)
+    idcg = (2 ** 3 - 1) / lg2(2) + (2 ** 2 - 1) / lg2(3) \
+        + (2 ** 1 - 1) / lg2(4)
+    assert got[1].n_rel == 3 and got[1].n_hits == 2
+    assert abs(got[1].recall_k - 2 / 3) < 1e-12
+    assert abs(got[1].mrr_k - 1.0) < 1e-12
+    assert abs(got[1].ndcg_k - dcg / idcg) < 1e-12
+    for qid in (2, 3):
+        g = got[qid]
+        assert (g.n_hits, g.recall_k, g.mrr_k, g.ndcg_k) == \
+            (0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_k_cut_and_binary_default(spark):
+    import pytest
+
+    from lindel_spark.retrieval import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [(1, "a", 5)], "query_id long, doc_id string, rank long")
+    qrels = spark.createDataFrame(
+        [(1, "a")], "query_id long, doc_id string")
+    # hit at rank 5 is outside k=3
+    g3 = retrieval_metrics(results, qrels, k=3).collect()[0]
+    assert g3.n_hits == 0 and g3.ndcg_k == 0.0
+    g5 = retrieval_metrics(results, qrels, k=5).collect()[0]
+    assert g5.n_hits == 1 and abs(g5.mrr_k - 0.2) < 1e-12
+    with pytest.raises(ValueError):
+        retrieval_metrics(results, qrels, k=0)
