@@ -84,6 +84,9 @@ _SAMPLE_FIRST = [
     "profile_equidepth_histogram",  # new: quantile-bin histogram
     "text_card_scrub",           # new: Luhn-validated card scrub
     "knn_ivf_health",            # new: IVF balance audit
+    "profile_drift_store",       # new: store-served drift scoring
+    "join_skew_report",          # new: join fan-out pre-flight
+    "text_retrieval_eval",       # new: recall/MRR/nDCG eval
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
@@ -9328,3 +9331,218 @@ def q_knn_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors long, cells_ok boolean, "
         "counts_match_assignment boolean, entropy_bounds_ok boolean, "
         "scan_frac_bounds_ok boolean")
+
+
+@query(
+    "profile_drift_store",
+    """
+    WITH lref AS (
+      SELECT 'value' AS col, value::DOUBLE AS v FROM events
+      WHERE event_id % 3 = 0 AND value IS NOT NULL
+    ), lcur AS (
+      SELECT 'value' AS col, value::DOUBLE AS v FROM events
+      WHERE event_id % 3 <> 0 AND value IS NOT NULL
+    ), stats AS (
+      SELECT col, MIN(v) AS lo, MAX(v) AS hi FROM lref GROUP BY col
+    ), rb AS (
+      SELECT l.col,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(7, GREATEST(0,
+                    CAST(FLOOR((l.v - s.lo) / ((s.hi - s.lo) / 8.0))
+                         AS INT))) END AS bin,
+             COUNT(*)::BIGINT AS ref_cnt
+      FROM lref l JOIN stats s USING (col) GROUP BY 1, 2
+    ), cb AS (
+      SELECT l.col,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(7, GREATEST(0,
+                    CAST(FLOOR((l.v - s.lo) / ((s.hi - s.lo) / 8.0))
+                         AS INT))) END AS bin,
+             COUNT(*)::BIGINT AS cur_cnt
+      FROM lcur l JOIN stats s USING (col) GROUP BY 1, 2
+    ), both_b AS (
+      SELECT COALESCE(rb.col, cb.col) AS col,
+             COALESCE(rb.bin, cb.bin) AS bin,
+             COALESCE(ref_cnt, 0) AS ref_cnt,
+             COALESCE(cur_cnt, 0) AS cur_cnt
+      FROM rb FULL OUTER JOIN cb ON rb.col = cb.col AND rb.bin = cb.bin
+    ), totals AS (
+      SELECT col, SUM(ref_cnt)::BIGINT AS n_ref,
+             SUM(cur_cnt)::BIGINT AS n_cur
+      FROM both_b GROUP BY col
+    ), terms AS (
+      SELECT b.col, t.n_ref, t.n_cur,
+             ((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 4.0)
+              - (ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0))
+             * (ln((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 4.0))
+                - ln((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0)))
+               AS psi_term,
+             ((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0))
+             * (ln((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0))
+                - ln((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 4.0)))
+               AS kl_term
+      FROM both_b b JOIN totals t USING (col)
+    )
+    SELECT col AS "column", n_ref, n_cur,
+           round(SUM(psi_term), 6) AS psi_r6,
+           round(SUM(kl_term), 6) AS kl_r6
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q_profile_drift_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-served drift scoring (round 11,
+    :func:`lindel_spark.profile.drift_reference` /
+    :func:`drift_against`): the reference profile is computed once,
+    PERSISTED to parquet, read back, and the current snapshot scored
+    against it — the serving-time monitor face (and what
+    `streaming.drift_stream_sink` runs per micro-batch). Numbers
+    identical to the one-shot `profile_drift_report` algebra by
+    construction; the oracle recomputes them from the raw halves."""
+    from lindel_spark.profile import drift_against, drift_reference
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ref = ev.filter(F.col("event_id") % 3 == 0)
+    cur = ev.filter(F.col("event_id") % 3 != 0)
+    out_dir = tempfile.mkdtemp(prefix="lindel_driftp_")
+    prof_path = os.path.join(out_dir, "profile")
+    drift_reference(ref, ["value"], bins=8).write.parquet(prof_path)
+    prof = spark.read.parquet(prof_path)
+    out = drift_against(cur, prof, ["value"], bins=8)
+    return out.select("column", "n_ref", "n_cur",
+                      F.round("psi", 6).alias("psi_r6"),
+                      F.round("kl", 6).alias("kl_r6"))
+
+
+@query(
+    "join_skew_report",
+    """
+    WITH lc AS (
+      SELECT l_partkey::BIGINT AS key, COUNT(*)::BIGINT AS cnt_left
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    ), rc AS (
+      SELECT p_partkey::BIGINT AS key, COUNT(*)::BIGINT AS cnt_right
+      FROM part WHERE p_partkey IS NOT NULL GROUP BY 1
+    ), pk AS (
+      SELECT lc.key, cnt_left, cnt_right,
+             cnt_left * cnt_right AS out_rows
+      FROM lc JOIN rc USING (key)
+    ), tot AS (
+      SELECT SUM(out_rows)::BIGINT AS total_out FROM pk
+    )
+    SELECT key, cnt_left, cnt_right, out_rows,
+           round(out_rows::DOUBLE / total_out::DOUBLE, 9)
+             AS out_share_r9
+    FROM pk, tot
+    ORDER BY out_rows DESC, key ASC
+    LIMIT 20
+    """,
+)
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-flight (round 11,
+    :func:`lindel_spark.skew.join_skew_report`): the 20 hottest
+    lineitem⋈part keys by exact output fan-out with their share of
+    the join's output — the decision input for `salted_join` and the
+    many-to-many-explosion smell test, computed from two key-count
+    tables without running the join. Exact integers; the one share
+    division rounds at 9dp."""
+    from lindel_spark.skew import join_skew_report
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    out = join_skew_report(li, part, "l_partkey", "p_partkey",
+                           top_n=20)
+    return out.select(F.col("key").cast("long").alias("key"),
+                      "cnt_left", "cnt_right", "out_rows",
+                      F.round("out_share", 9).alias("out_share_r9"))
+
+
+@query(
+    "text_retrieval_eval",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+            FROM norm)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs,
+             SUM(tf)::DOUBLE / COUNT(DISTINCT doc_id)::DOUBLE AS avgdl
+      FROM postings
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(toks[1:40]) AS term
+      FROM norm WHERE doc_id % 97 = 0
+    ),
+    dfs AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             SUM(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf::DOUBLE * (1.2 + 1.0))
+                 / (p.tf::DOUBLE
+                    + 1.2 * ((1.0 - 0.75)
+                             + 0.75 * p.dl::DOUBLE / s.avgdl))) AS score
+      FROM postings p
+      JOIN dfs d USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY round(score, 4) DESC,
+                                         doc_id) AS rank
+      FROM scored
+    ),
+    hit AS (
+      SELECT query_id, rank FROM ranked
+      WHERE doc_id = query_id AND rank <= 10
+    )
+    SELECT q.query_id::BIGINT AS query_id, 1::BIGINT AS n_rel,
+           (CASE WHEN h.rank IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS n_hits,
+           round(CASE WHEN h.rank IS NULL THEN 0.0 ELSE 1.0 END, 6)
+             AS recall_r6,
+           round(COALESCE(1.0 / h.rank::DOUBLE, 0.0), 6) AS mrr_r6,
+           round(COALESCE(1.0 / (ln(h.rank::DOUBLE + 1.0) / ln(2.0)),
+                          0.0), 6) AS ndcg_r6
+    FROM (SELECT DISTINCT query_id FROM qterms) q
+    LEFT JOIN hit h USING (query_id)
+    """,
+)
+def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation (round 11,
+    :func:`lindel_spark.retrieval.retrieval_metrics`): recall@10,
+    MRR@10 and nDCG@10 of BM25 self-retrieval — each pseudo-query
+    (first forty tokens of every 97th doc) judges exactly its source
+    document relevant, so the metrics read "does the source come
+    back, and how high". The oracle replays BM25 AND the metric
+    algebra (binary-rel nDCG = 1/log2(rank+1), log2 spelled
+    ln/ln(2) on both engines)."""
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    qd = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").cast("long").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 40), " ").alias("query"))
+    res = LR.bm25_topk(docs, qd, k=10, rank_round=4)
+    qrels = qd.select("query_id",
+                      F.col("query_id").alias("doc_id"))
+    out = LR.retrieval_metrics(res, qrels, k=10)
+    return out.select("query_id", "n_rel", "n_hits",
+                      F.round("recall_k", 6).alias("recall_r6"),
+                      F.round("mrr_k", 6).alias("mrr_r6"),
+                      F.round("ndcg_k", 6).alias("ndcg_r6"))
