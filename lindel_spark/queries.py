@@ -87,6 +87,7 @@ _SAMPLE_FIRST = [
     "profile_drift_store",       # new: store-served drift scoring
     "join_skew_report",          # new: join fan-out pre-flight
     "text_retrieval_eval",       # new: recall/MRR/nDCG eval
+    "embedding_drift_report",    # new: JL-lane embedding drift
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
@@ -9546,3 +9547,103 @@ def q_text_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("recall_k", 6).alias("recall_r6"),
                       F.round("mrr_k", 6).alias("mrr_r6"),
                       F.round("ndcg_k", 6).alias("ndcg_r6"))
+
+
+@query(
+    "embedding_drift_report",
+    """
+    WITH s AS (
+      SELECT j.range AS j, i.range AS i,
+             CASE WHEN strpos('01234567',
+                              substr(md5('edrift:' || i.range || ':'
+                                         || j.range), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(4) j, range(64) i
+    ), x AS (
+      SELECT vec_id, i.range AS i,
+             embedding[i.range + 1]::DOUBLE AS v
+      FROM embeddings, range(64) i
+    ), p AS (
+      SELECT vec_id, s.j,
+             SUM(x.v * s.sgn) / sqrt(4.0) AS val
+      FROM x JOIN s ON x.i = s.i GROUP BY 1, 2
+    ), lref AS (
+      SELECT 'p' || j AS col, val AS v FROM p WHERE vec_id % 2 = 0
+    ), lcur AS (
+      SELECT 'p' || j AS col, val AS v FROM p WHERE vec_id % 2 = 1
+    ), stats AS (
+      SELECT col, MIN(v) AS lo, MAX(v) AS hi FROM lref GROUP BY col
+    ), rb AS (
+      SELECT l.col,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(7, GREATEST(0,
+                    CAST(FLOOR((l.v - s.lo) / ((s.hi - s.lo) / 8.0))
+                         AS INT))) END AS bin,
+             COUNT(*)::BIGINT AS ref_cnt
+      FROM lref l JOIN stats s USING (col) GROUP BY 1, 2
+    ), cb AS (
+      SELECT l.col,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(7, GREATEST(0,
+                    CAST(FLOOR((l.v - s.lo) / ((s.hi - s.lo) / 8.0))
+                         AS INT))) END AS bin,
+             COUNT(*)::BIGINT AS cur_cnt
+      FROM lcur l JOIN stats s USING (col) GROUP BY 1, 2
+    ), both_b AS (
+      SELECT COALESCE(rb.col, cb.col) AS col,
+             COALESCE(rb.bin, cb.bin) AS bin,
+             COALESCE(ref_cnt, 0) AS ref_cnt,
+             COALESCE(cur_cnt, 0) AS cur_cnt
+      FROM rb FULL OUTER JOIN cb ON rb.col = cb.col AND rb.bin = cb.bin
+    ), totals AS (
+      SELECT col, SUM(ref_cnt)::BIGINT AS n_ref,
+             SUM(cur_cnt)::BIGINT AS n_cur
+      FROM both_b GROUP BY col
+    ), terms AS (
+      SELECT b.col, t.n_ref, t.n_cur,
+             ((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 4.0)
+              - (ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0))
+             * (ln((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 4.0))
+                - ln((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0)))
+               AS psi_term,
+             ((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0))
+             * (ln((ref_cnt::DOUBLE + 0.5) / (n_ref::DOUBLE + 4.0))
+                - ln((cur_cnt::DOUBLE + 0.5) / (n_cur::DOUBLE + 4.0)))
+               AS kl_term
+      FROM both_b b JOIN totals t USING (col)
+    )
+    SELECT col AS "column", n_ref, n_cur,
+           round(SUM(psi_term), 6) AS psi_r6,
+           round(SUM(kl_term), 6) AS kl_r6
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q_embedding_drift_report(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (round 11): the composition of
+    two oracle-exact operators — project 64-dim embeddings onto 4
+    deterministic Rademacher lanes
+    (:func:`lindel_spark.similarity.random_project`, JL distances
+    survive so distribution change survives too) and score the lanes
+    with the PSI audit
+    (:func:`lindel_spark.profile.distribution_drift`) — the
+    production screen for "did the embedding model or upstream data
+    shift", without ever binning 64 raw dimensions. Both halves
+    replayed in SQL end to end."""
+    from lindel_spark.profile import distribution_drift
+    from lindel_spark.similarity import random_project
+
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet"))
+    proj = random_project(emb, "embedding", in_dim=64, out_dim=4,
+                          seed="edrift")
+    lanes = proj.select(
+        "vec_id", *[F.col("projected")[j].alias(f"p{j}")
+                    for j in range(4)])
+    ref = lanes.filter(F.col("vec_id") % 2 == 0)
+    cur = lanes.filter(F.col("vec_id") % 2 == 1)
+    out = distribution_drift(ref, cur, [f"p{j}" for j in range(4)],
+                             bins=8)
+    return out.select("column", "n_ref", "n_cur",
+                      F.round("psi", 6).alias("psi_r6"),
+                      F.round("kl", 6).alias("kl_r6"))
