@@ -131,3 +131,50 @@ def robust_scale(df: DataFrame, cols, suffix: str = "_rb") -> DataFrame:
                 / denom))
     return out.drop(*[f"__med_{c}" for c in cols],
                     *[f"__mad_{c}" for c in cols])
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    suffix: str = "_te",
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing: the
+    category's target mean EXCLUDING the current row, shrunk toward
+    the global mean —
+
+        ``(sum_y(cat) − y + m · prior) / (n(cat) − 1 + m)``
+
+    — the standard high-cardinality categorical feature that a
+    one-hot cannot serve (and, done naively with the row included,
+    leaks the row's own label into its feature; the leave-one-out
+    form is the leak-safe variant). ``m = smoothing`` is the
+    pseudo-count pulling rare categories toward ``prior`` (the global
+    target mean), so a 1-row category encodes as the prior, not its
+    own label. NULL targets are excluded from sums and denominators;
+    rows with a NULL target still RECEIVE an encoding (all-inclusive
+    category stats).
+
+    One map-side-combined per-category aggregate + one global 1-row
+    aggregate, both broadcast back — two vocabulary-sized joins, no
+    row-scale shuffle, exact algebra any engine replays.
+    """
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    y = F.col(target_col).cast("double")
+    per_cat = df.groupBy(cat_col).agg(
+        F.sum(y).alias("__sum_y"),
+        F.count(y).cast("long").alias("__n_y"))
+    glob = df.agg((F.sum(y) / F.count(y)).alias("__prior"))
+    m = F.lit(float(smoothing))
+    own = F.when(y.isNotNull(), y).otherwise(F.lit(0.0))
+    own_n = F.when(y.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return (df.join(F.broadcast(per_cat), cat_col, "left")
+            .crossJoin(F.broadcast(glob))
+            .withColumn(
+                cat_col + suffix,
+                (F.coalesce(F.col("__sum_y"), F.lit(0.0)) - own
+                 + m * F.col("__prior"))
+                / (F.coalesce(F.col("__n_y"), F.lit(0)) - own_n + m))
+            .drop("__sum_y", "__n_y", "__prior"))

@@ -88,6 +88,7 @@ _SAMPLE_FIRST = [
     "join_skew_report",          # new: join fan-out pre-flight
     "text_retrieval_eval",       # new: recall/MRR/nDCG eval
     "embedding_drift_report",    # new: JL-lane embedding drift
+    "features_target_encoded",   # new: leave-one-out target encoding
     # (a) round-11 operator-changed
     "dedup_clusters",            # dup_clusters -> star CC engine
     "dedup_kept_best",           # consumes dup_clusters (star CC)
@@ -9647,3 +9648,47 @@ def q_embedding_drift_report(spark: SparkSession,
     return out.select("column", "n_ref", "n_cur",
                       F.round("psi", 6).alias("psi_r6"),
                       F.round("kl", 6).alias("kl_r6"))
+
+
+@query(
+    "features_target_encoded",
+    """
+    WITH per_cat AS (
+      SELECT o_custkey, SUM(o_totalprice::DOUBLE) AS sum_y,
+             COUNT(o_totalprice)::BIGINT AS n_y
+      FROM orders GROUP BY o_custkey
+    ), gstats AS (
+      SELECT SUM(o_totalprice::DOUBLE) / COUNT(o_totalprice) AS prior
+      FROM orders
+    )
+    SELECT o.o_orderkey,
+           round((COALESCE(c.sum_y, 0.0)
+                  - (CASE WHEN o.o_totalprice IS NOT NULL
+                          THEN o.o_totalprice::DOUBLE ELSE 0.0 END)
+                  + 20.0 * g.prior)
+                 / (COALESCE(c.n_y, 0)
+                    - (CASE WHEN o.o_totalprice IS NOT NULL
+                            THEN 1 ELSE 0 END) + 20.0), 6)
+             AS o_custkey_te_r6
+    FROM orders o
+    LEFT JOIN per_cat c USING (o_custkey)
+    CROSS JOIN gstats g
+    """,
+)
+def q_features_target_encoded(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (round 11,
+    :func:`lindel_spark.features.target_encode`): each order's
+    customer encoded by that customer's mean order value EXCLUDING
+    the order itself, shrunk toward the global mean with a 20-row
+    pseudo-count — the leak-safe high-cardinality categorical
+    feature. Closed-form algebra, identical expression order both
+    engines, 6dp."""
+    from lindel_spark.features import target_encode
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = target_encode(orders, "o_custkey", "o_totalprice",
+                        smoothing=20.0)
+    return out.select("o_orderkey",
+                      F.round("o_custkey_te", 6)
+                      .alias("o_custkey_te_r6"))

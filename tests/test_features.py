@@ -106,3 +106,43 @@ def test_robust_scale_zero_mad_and_multi_col(spark):
     assert all(r.c_rb == 0.0 for r in out)  # constant column
     assert {round(r.v_rb, 6) for r in out} == \
         {round(x / 1.4826, 6) for x in (-1.0, 0.0, 1.0)}
+
+
+def test_target_encode_leave_one_out_hand_computed(spark):
+    from lindel_spark.features import target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0),
+         (4, "b", 100.0), (5, "b", None), (6, "c", 50.0)],
+        "id long, cat string, y double")
+    prior = (10 + 20 + 30 + 100 + 50) / 5.0  # null excluded
+    m = 2.0
+    out = {r.id: r.cat_te for r in
+           target_encode(df, "cat", "y", smoothing=m).collect()}
+    # row 1: (60 - 10 + m*prior) / (3 - 1 + m)
+    assert abs(out[1] - (50 + m * prior) / 4) < 1e-12
+    assert abs(out[2] - (40 + m * prior) / 4) < 1e-12
+    # row 5 (null target): receives the full-category stats
+    assert abs(out[5] - (100 + m * prior) / (1 + m)) < 1e-12
+    # singleton category: own label fully excluded -> pure prior pull
+    assert abs(out[6] - (0 + m * prior) / (0 + m)) < 1e-12
+    assert abs(out[6] - prior) < 1e-12  # i.e. exactly the prior
+
+
+def test_target_encode_no_leak_and_validate(spark):
+    import pytest
+
+    from lindel_spark.features import target_encode
+
+    # two rows, same cat, wildly different y: each must see ONLY the
+    # other's label (plus shrinkage), never its own
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 1000.0)], "id long, cat string, y double")
+    out = {r.id: r.cat_te for r in
+           target_encode(df, "cat", "y", smoothing=1.0).collect()}
+    prior = 500.0
+    assert abs(out[1] - (1000.0 + prior) / 2) < 1e-12
+    assert abs(out[2] - (0.0 + prior) / 2) < 1e-12
+    assert out[1] != out[2]
+    with pytest.raises(ValueError):
+        target_encode(df, "cat", "y", smoothing=-1)
