@@ -156,9 +156,11 @@ def target_encode(
     rows with a NULL target still RECEIVE an encoding (all-inclusive
     category stats).
 
-    One map-side-combined per-category aggregate + one global 1-row
-    aggregate, both broadcast back — two vocabulary-sized joins, no
-    row-scale shuffle, exact algebra any engine replays.
+    One map-side-combined per-category aggregate joined back on the
+    category key (NO broadcast hint — at the high cardinalities this
+    feature exists for, the stats table is itself large; AQE picks
+    the broadcast when it fits) + one global 1-row broadcast. Exact
+    algebra any engine replays.
     """
     if smoothing < 0:
         raise ValueError("smoothing must be >= 0")
@@ -170,7 +172,7 @@ def target_encode(
     m = F.lit(float(smoothing))
     own = F.when(y.isNotNull(), y).otherwise(F.lit(0.0))
     own_n = F.when(y.isNotNull(), F.lit(1)).otherwise(F.lit(0))
-    return (df.join(F.broadcast(per_cat), cat_col, "left")
+    return (df.join(per_cat, cat_col, "left")
             .crossJoin(F.broadcast(glob))
             .withColumn(
                 cat_col + suffix,
