@@ -967,3 +967,196 @@ def equidepth_histogram(
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.min("v").alias("lo"), F.max("v").alias("hi")))
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient over a non-negative value column
+    — the single-number inequality summary behind the Pareto report's
+    "top 20% of parts = X% of revenue" rows: 0 = perfectly even,
+    1 → one row holds everything.
+
+    Computed from the rank form ``G = 2·Σ rᵢxᵢ / (n·Σx) − (n+1)/n``
+    over values sorted ascending. Ties need no tiebreak: tied values
+    share one ``x`` across a consecutive rank run, so ``Σ r·x`` — and
+    therefore G — is invariant to how the run is permuted; the result
+    is value-deterministic even where individual ranks are not.
+
+    Ungrouped (``keys=None``): rank comes from
+    :func:`lindel_spark.util.global_rank` (never a single-task
+    window), then one scalar aggregate — one row out. Grouped: a
+    per-group window rank (hash Exchange on ``keys``, per-group sort)
+    + one map-side-combined groupBy — per-key state only, 100 TB-safe
+    as long as no single group is the table.
+    """
+    from pyspark.sql import Window
+
+    from lindel_spark.util import global_rank
+
+    vals = (df.select(*(keys or []),
+                      F.col(value_col).cast("double").alias("__v"))
+            .filter(F.col("__v").isNotNull()))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("__v")
+        ranked = vals.withColumn("__r", F.row_number().over(w))
+        grp = ranked.groupBy(*keys)
+    else:
+        ranked = global_rank(vals, ["__v"], out_col="__r")
+        grp = ranked.groupBy()
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("total"),
+        ((F.lit(2.0) * F.sum(F.col("__r").cast("double") * F.col("__v")))
+         / (F.count(F.lit(1)).cast("double") * F.sum("__v"))
+         - (F.count(F.lit(1)).cast("double") + F.lit(1.0))
+         / F.count(F.lit(1)).cast("double")).alias("gini"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, in nats,
+    with both marginal entropies and the normalized form — the
+    feature-redundancy / leakage screen :func:`column_entropy_profile`
+    (per-column only) can't see: NMI ≈ 1 means the columns carry the
+    same information and one of them is either redundant or a label
+    leak.
+
+    One row: ``(n, h_a, h_b, mi, nmi)`` where
+    ``mi = Σ c_ab/n · ln(n·c_ab / (c_a·c_b))`` over the joint count
+    table and ``nmi = mi / sqrt(h_a·h_b)`` (0 when either entropy is
+    0). Every ``ln`` sees a ratio of integer counts, so cross-engine
+    drift is sub-ulp and registry queries round to 6dp.
+
+    Plan: one map-side-combined groupBy on ``(a, b)`` — the joint
+    table is vocabulary², never row-sized — then marginals as two
+    window sums over that table (no second scan of the data) and one
+    scalar aggregate. Rows with a NULL on either side are excluded
+    (MI is defined over observed pairs).
+    """
+    from pyspark.sql import Window
+
+    joint = (df.select(F.col(col_a).cast("string").alias("__a"),
+                       F.col(col_b).cast("string").alias("__b"))
+             .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    t = (joint
+         .withColumn("__ca", F.sum("__c").over(wa))
+         .withColumn("__cb", F.sum("__c").over(wb)))
+    n = F.sum("__c").cast("double")
+    cd = F.col("__c").cast("double")
+    ca = F.col("__ca").cast("double")
+    cb = F.col("__cb").cast("double")
+    # Σ_joint c·ln(c_a) groups to Σ_a c_a·ln(c_a), so one pass over the
+    # joint table yields both marginal entropies and the MI sum
+    agg = t.agg(
+        F.sum("__c").cast("long").alias("n"),
+        (F.log(n) - F.sum(cd * F.log(ca)) / n).alias("h_a"),
+        (F.log(n) - F.sum(cd * F.log(cb)) / n).alias("h_b"),
+        (F.sum(cd * F.log(cd / (ca * cb))) / n + F.log(n)).alias("mi"),
+    )
+    return agg.withColumn(
+        "nmi",
+        F.when((F.col("h_a") > 0) & (F.col("h_b") > 0),
+               F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")))
+        .otherwise(F.lit(0.0)))
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant: Sequence[str],
+    dependent: str,
+) -> DataFrame:
+    """Functional-dependency audit: every determinant group where
+    ``determinant → dependent`` is VIOLATED (more than one distinct
+    dependent value) — the consistency screen behind "one nation per
+    customer", "one brand per part key": referential integrity
+    (:func:`referential_integrity_report`) checks the key EXISTS,
+    this checks it is UNIQUELY determined.
+
+    Output per violated group: the determinant columns, ``n_rows``,
+    ``n_dependent`` (distinct dependent values, > 1 by construction),
+    and the smallest/largest conflicting values as evidence
+    (``example_lo``, ``example_hi``). One map-side-combined groupBy
+    keyed by the determinant — per-group state is a handful of
+    scalars, so a 100 TB audit shuffles group summaries, never rows.
+    NULL dependent values count as a distinct (conflicting) value via
+    a sentinel-free two-branch count.
+    """
+    determinant = [determinant] if isinstance(determinant, str) \
+        else list(determinant)
+    if not determinant:
+        raise ValueError("determinant must be non-empty")
+    dep = F.col(dependent).cast("string")
+    agg = df.groupBy(*determinant).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.countDistinct(dep)
+         + F.max(F.when(dep.isNull(), 1).otherwise(0))
+         ).cast("long").alias("n_dependent"),
+        F.min(dep).alias("example_lo"),
+        F.max(dep).alias("example_hi"),
+    )
+    return agg.filter(F.col("n_dependent") > 1)
+
+
+def agreement_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa between two categorical label columns — the
+    chance-corrected agreement score for comparing two annotators, a
+    model vs a gold column, or two labeling-pipeline versions; raw
+    percent-agreement over-credits whatever the majority class is.
+
+    One row: ``(n, po, pe, kappa)`` with ``po`` the observed agreement
+    ``Σ c_kk / n``, ``pe`` the chance agreement ``Σ rowₖ·colₖ / n²``
+    from the marginals, ``kappa = (po − pe) / (1 − pe)`` (defined as
+    1.0 when ``pe = 1``: both columns constant and identical). Closed
+    algebra over integer counts. ``pe`` comes from an outer join of
+    the two marginal tables — NOT from the joint table's diagonal,
+    which would silently drop a category both raters use but never
+    agree on (its joint diagonal count is zero, its ``rowₖ·colₖ``
+    term is not).
+
+    Plan: one map-side-combined groupBy on the label pair
+    (vocabulary², never row-sized), marginals re-aggregated from that
+    count table, two scalar aggregates joined on a literal key. NULL
+    on either side excluded.
+    """
+    joint = (df.select(F.col(col_a).cast("string").alias("__a"),
+                       F.col(col_b).cast("string").alias("__b"))
+             .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    nd = F.sum("__c").cast("double")
+    obs = joint.agg(
+        F.sum("__c").cast("long").alias("n"),
+        (F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+               .otherwise(F.lit(0)).cast("double")) / nd).alias("po"),
+    )
+    ma = joint.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__c").cast("double").alias("__ca"))
+    mb = joint.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__c").cast("double").alias("__cb"))
+    chance = (ma.join(mb, "__k")
+              .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__rc")))
+    agg = (obs.crossJoin(F.broadcast(chance))
+           .withColumn("pe", F.col("__rc")
+                       / (F.col("n").cast("double")
+                          * F.col("n").cast("double")))
+           .drop("__rc"))
+    return agg.withColumn(
+        "kappa",
+        F.when(F.col("pe") >= 1.0, F.lit(1.0))
+        .otherwise((F.col("po") - F.col("pe"))
+                   / (F.lit(1.0) - F.col("pe"))))

@@ -62,6 +62,11 @@ _SAMPLE_FIRST = [
     # re-entries). Everything else stays covered by the local
     # full-registry sweeps at three scales.
     # (a) round-11 new
+    "profile_gini_spend",        # new: Gini concentration scalar
+    "profile_mutual_information",  # new: MI/NMI redundancy screen
+    "profile_fd_violations",     # new: functional-dependency audit
+    "profile_agreement_kappa",   # new: Cohen's kappa agreement
+    "events_acf",                # new: lag-k autocorrelation
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -9692,3 +9697,210 @@ def q_features_target_encoded(spark: SparkSession,
     return out.select("o_orderkey",
                       F.round("o_custkey_te", 6)
                       .alias("o_custkey_te_r6"))
+
+
+@query(
+    "profile_gini_spend",
+    """
+    WITH spend AS (
+      SELECT SUM(o_totalprice::DOUBLE) AS v FROM orders
+      GROUP BY o_custkey
+    ), ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v) AS r,
+             COUNT(*) OVER () AS n, SUM(v) OVER () AS tot
+      FROM spend
+    )
+    SELECT MAX(n)::BIGINT AS n, round(MAX(tot), 4) AS total_r4,
+           round(2.0 * SUM(r * v) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini_r6
+    FROM ranked
+    """,
+)
+def q_profile_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend (round 11,
+    :func:`lindel_spark.profile.gini_coefficient`): one inequality
+    scalar over per-customer order totals — the single-number form of
+    the Pareto report. Rank-form algebra is tie-invariant (Σ r·x over
+    a tie run is fixed), so the distributed global_rank's arbitrary
+    tie placement cannot move the value; 6dp."""
+    from lindel_spark.profile import gini_coefficient
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("double")).alias("spend"))
+    g = gini_coefficient(spend, "spend")
+    return g.select("n", F.round("total", 4).alias("total_r4"),
+                    F.round("gini", 6).alias("gini_r6"))
+
+
+@query(
+    "profile_mutual_information",
+    """
+    WITH joint AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             COUNT(*)::DOUBLE AS c
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT a, b, c,
+             SUM(c) OVER (PARTITION BY a) AS ca,
+             SUM(c) OVER (PARTITION BY b) AS cb,
+             SUM(c) OVER () AS n
+      FROM joint
+    )
+    SELECT MAX(n)::BIGINT AS n,
+           round(ln(MAX(n)) - SUM(c * ln(ca)) / MAX(n), 6) AS h_a_r6,
+           round(ln(MAX(n)) - SUM(c * ln(cb)) / MAX(n), 6) AS h_b_r6,
+           round(SUM(c * ln(c / (ca * cb))) / MAX(n) + ln(MAX(n)), 6)
+             AS mi_r6,
+           round((SUM(c * ln(c / (ca * cb))) / MAX(n) + ln(MAX(n)))
+                 / sqrt((ln(MAX(n)) - SUM(c * ln(ca)) / MAX(n))
+                        * (ln(MAX(n)) - SUM(c * ln(cb)) / MAX(n))), 6)
+             AS nmi_r6
+    FROM m
+    """,
+)
+def q_profile_mutual_information(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Mutual information between order status and priority (round
+    11, :func:`lindel_spark.profile.mutual_information`): the
+    feature-redundancy / label-leak screen — NMI ≈ 1 says one column
+    is the other in disguise. Every ln sees integer-count ratios;
+    identical expression order both engines; 6dp."""
+    from lindel_spark.profile import mutual_information
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    mi = mutual_information(orders, "o_orderstatus", "o_orderpriority")
+    return mi.select(
+        "n", F.round("h_a", 6).alias("h_a_r6"),
+        F.round("h_b", 6).alias("h_b_r6"),
+        F.round("mi", 6).alias("mi_r6"),
+        F.round("nmi", 6).alias("nmi_r6"))
+
+
+@query(
+    "profile_fd_violations",
+    """
+    SELECT c_mktsegment,
+           COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT c_nationkey)::BIGINT AS n_dependent,
+           MIN(c_nationkey::VARCHAR) AS example_lo,
+           MAX(c_nationkey::VARCHAR) AS example_hi
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING COUNT(DISTINCT c_nationkey) > 1
+    """,
+)
+def q_profile_fd_violations(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (round 11,
+    :func:`lindel_spark.profile.fd_violations`): every market segment
+    that does NOT determine a single nation, with the conflicting
+    value range as evidence — the "should be unique per key"
+    consistency check referential integrity can't express. One
+    map-side-combined groupBy; group summaries shuffle, rows never
+    do."""
+    from lindel_spark.profile import fd_violations
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return fd_violations(cust, ["c_mktsegment"], "c_nationkey")
+
+
+@query(
+    "profile_agreement_kappa",
+    """
+    WITH labeled AS (
+      SELECT CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS a,
+             CASE WHEN value + (user_id % 20) - 10.0 > 50.0
+                  THEN 'hi' ELSE 'lo' END AS b
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), joint AS (
+      SELECT a, b, COUNT(*)::DOUBLE AS c FROM labeled GROUP BY a, b
+    ), obs AS (
+      SELECT SUM(c)::BIGINT AS n,
+             SUM(CASE WHEN a = b THEN c ELSE 0 END) / SUM(c) AS po
+      FROM joint
+    ), ma AS (SELECT a AS k, SUM(c) AS ca FROM joint GROUP BY a),
+    mb AS (SELECT b AS k, SUM(c) AS cb FROM joint GROUP BY b),
+    chance AS (
+      SELECT SUM(ca * cb) AS rc FROM ma JOIN mb USING (k)
+    )
+    SELECT n, round(po, 6) AS po_r6,
+           round(rc / (n::DOUBLE * n::DOUBLE), 6) AS pe_r6,
+           round((po - rc / (n::DOUBLE * n::DOUBLE))
+                 / (1.0 - rc / (n::DOUBLE * n::DOUBLE)), 6) AS kappa_r6
+    FROM obs CROSS JOIN chance
+    """,
+)
+def q_profile_agreement_kappa(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Cohen's kappa between a gold threshold label and a noisy
+    re-rating of the same events (round 11,
+    :func:`lindel_spark.profile.agreement_kappa`): chance-corrected
+    agreement — the annotator-QA score raw percent-agreement
+    over-credits on imbalanced labels. pe comes from the marginal
+    join, never the joint diagonal; 6dp."""
+    from lindel_spark.profile import agreement_kappa
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    labeled = (ev.filter(F.col("value").isNotNull()
+                         & F.col("user_id").isNotNull())
+               .select(
+        F.when(F.col("value") > 50.0, "hi").otherwise("lo").alias("a"),
+        F.when(F.col("value")
+               + (F.col("user_id") % 20).cast("double")
+               - F.lit(10.0) > 50.0, "hi").otherwise("lo").alias("b")))
+    k = agreement_kappa(labeled, "a", "b")
+    return k.select("n", F.round("po", 6).alias("po_r6"),
+                    F.round("pe", 6).alias("pe_r6"),
+                    F.round("kappa", 6).alias("kappa_r6"))
+
+
+@query(
+    "events_acf",
+    """
+    WITH seq AS (
+      SELECT event_type, value::DOUBLE AS x,
+             LEAD(value::DOUBLE, 1) OVER w AS y1,
+             LEAD(value::DOUBLE, 2) OVER w AS y2,
+             LEAD(value::DOUBLE, 8) OVER w AS y8
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), long AS (
+      SELECT event_type, 1 AS lag, x, y1 AS y FROM seq
+      UNION ALL
+      SELECT event_type, 2, x, y2 FROM seq
+      UNION ALL
+      SELECT event_type, 8, x, y8 FROM seq
+    ), g AS (
+      SELECT event_type, lag, COUNT(*)::BIGINT AS n_pairs,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+             SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM long WHERE x IS NOT NULL AND y IS NOT NULL
+      GROUP BY event_type, lag
+    )
+    SELECT event_type, lag::BIGINT AS lag, n_pairs,
+           round(CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                       AND (n_pairs * syy - sy * sy) > 0
+                 THEN (n_pairs * sxy - sx * sy)
+                      / sqrt((n_pairs * sxx - sx * sx)
+                             * (n_pairs * syy - sy * sy))
+                 ELSE NULL END, 6) AS acf_r6
+    FROM g
+    """,
+)
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation per event type (round 11,
+    :func:`lindel_spark.timeseries.acf`): exact Pearson between x_t
+    and x_{t+k} for lags 1/2/8 over the (ts, event_id)-ordered
+    series — the seasonality/persistence screen. One window pass
+    computes every lag; raw-sums correlation so both engines evaluate
+    the identical tree; 6dp."""
+    from lindel_spark.timeseries import acf
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = acf(ev, ["event_type"], "ts", "value", "event_id",
+              lags=[1, 2, 8])
+    return out.select("event_type", F.col("lag").cast("long").alias("lag"),
+                      "n_pairs", F.round("acf", 6).alias("acf_r6"))

@@ -86,3 +86,68 @@ def time_weighted_avg(
                F.col("__tw") / F.col("span")).alias("twa"),
         "span", "n",
     )
+
+
+def acf(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    lags: Sequence[int],
+) -> DataFrame:
+    """Lag-k autocorrelation per series — the seasonality /
+    persistence screen for event streams: ACF(24h) ≈ 1 says daily
+    cycle, ACF(1) ≈ 0 says the metric is noise and smoothing it is
+    pointless.
+
+    For each key group and each requested lag ``k``, exact Pearson
+    correlation between ``x_t`` and ``x_{t+k}`` over the row sequence
+    ordered by ``(ts_col, tiebreak)`` (the tiebreaker makes the
+    sequence — and therefore the pairing — deterministic under any
+    partitioning). Output: ``(*keys, lag, n_pairs, acf)``; groups with
+    fewer than ``k+1`` rows or zero variance on either side emit NULL.
+
+    The correlation is computed from raw sums
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))`` rather than
+    a library ``corr`` so both engines evaluate the identical
+    expression tree.
+
+    Plan: ONE window pass (hash Exchange on ``keys`` + one per-group
+    sort) computes every lag column off the same sorted frame; a
+    stack unpivot (map-only) then one map-side-combined groupBy on
+    ``(*keys, lag)``. Adding lags adds columns, not shuffles.
+    """
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be >= 1")
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    x = F.col(value_col).cast("double")
+    lagged = df.select(
+        *keys,
+        x.alias("__x"),
+        *[F.lead(x, k).over(w).alias(f"__y{k}") for k in lags],
+    )
+    pairs = []
+    for k in lags:
+        pairs += [F.lit(k), F.col("__x"), F.col(f"__y{k}")]
+    long = (lagged.select(
+        *keys,
+        F.stack(F.lit(len(lags)), *pairs).alias("lag", "x", "y"))
+        .filter(F.col("y").isNotNull() & F.col("x").isNotNull()))
+    g = long.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").alias("__sx"), F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return (g.withColumn(
+        "acf",
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        .otherwise(F.lit(None).cast("double")))
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy"))
