@@ -67,6 +67,10 @@ _SAMPLE_FIRST = [
     "profile_fd_violations",     # new: functional-dependency audit
     "profile_agreement_kappa",   # new: Cohen's kappa agreement
     "events_acf",                # new: lag-k autocorrelation
+    "sketch_hll_parts",          # new: deterministic HLL registers
+    "text_ngram_novelty",        # new: reference-corpus gram novelty
+    "embedding_covariance",      # new: distributed Gram/cov aggregate
+    "embedding_pca_component",   # new: matrix-free power iteration
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -9904,3 +9908,216 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
               lags=[1, 2, 8])
     return out.select("event_type", F.col("lag").cast("long").alias("lag"),
                       "n_pairs", F.round("acf", 6).alias("acf_r6"))
+
+
+@query(
+    "sketch_hll_parts",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT
+               AS h
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ), br AS (
+      SELECT l_returnflag, h >> 51 AS bucket,
+             CASE WHEN (h & ((CAST(1 AS BIGINT) << 51) - 1)) = 0
+                  THEN 52
+                  ELSE CAST(round(log2(
+                         (h & ((CAST(1 AS BIGINT) << 51) - 1))
+                         & -(h & ((CAST(1 AS BIGINT) << 51) - 1))))
+                       AS BIGINT) + 1
+             END AS rho
+      FROM h
+    ), reg AS (
+      SELECT l_returnflag, bucket, MAX(rho) AS rho
+      FROM br GROUP BY l_returnflag, bucket
+    ), agg AS (
+      SELECT l_returnflag, COUNT(*)::DOUBLE AS present,
+             SUM(power(2.0, -(rho::DOUBLE))) AS sp
+      FROM reg GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(CASE WHEN ((0.7213 / (1.0 + 1.079 / 512.0))
+                            * 512.0 * 512.0)
+                           / (512.0 - present + sp) <= 2.5 * 512.0
+                       AND (512.0 - present) > 0
+                 THEN 512.0 * ln(512.0 / (512.0 - present))
+                 ELSE ((0.7213 / (1.0 + 1.079 / 512.0))
+                       * 512.0 * 512.0) / (512.0 - present + sp)
+                 END, 4) AS est_r4
+    FROM agg
+    """,
+)
+def q_sketch_hll_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per return flag from a deterministic
+    HyperLogLog sketch (round 11,
+    :func:`lindel_spark.sketch.hll_sketch`): 512 registers whose
+    content is a pure function of each value's md5, so — unlike
+    engine-opaque HLL state — DuckDB replays every register AND the
+    alpha-corrected estimate value-for-value. The fixed-size,
+    cheap-merge counterpart to the KMV sketch."""
+    from lindel_spark import sketch as SK
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    sk = SK.hll_sketch(li, ["l_returnflag"], "l_partkey", p=9)
+    est = SK.hll_estimate(sk, p=9)
+    return est.select("l_returnflag", F.round("est", 4).alias("est_r4"))
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    tgt AS (SELECT doc_id, toks FROM norm WHERE doc_id % 2 = 1),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                           toks[i + 2])))) AS gram
+      FROM tgt WHERE len(toks) >= 3
+    ),
+    ref AS (
+      SELECT DISTINCT
+             unnest(list_transform(
+               range(1, len(toks) - 1),
+               i -> concat(toks[i], ' ', toks[i + 1], ' ',
+                           toks[i + 2]))) AS gram
+      FROM norm WHERE doc_id % 2 = 0 AND len(toks) >= 3
+    ),
+    per AS (
+      SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+             SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel
+      FROM grams g LEFT JOIN ref r USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+           COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+           round(CASE WHEN p.n_grams > 0
+                 THEN p.n_novel::DOUBLE / p.n_grams::DOUBLE
+                 ELSE NULL END, 6) AS novelty_r6
+    FROM tgt t LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty of odd documents against the even-document
+    reference corpus (round 11,
+    :func:`lindel_spark.text.ngram_novelty`): the fraction of each
+    doc's distinct word trigrams unseen in the reference — the
+    memorization-risk screen that catches re-stitched phrasing the
+    doc-level decontamination verdict misses. Gram-keyed joins only;
+    6dp."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    out = LT.ngram_novelty(tgt, ref, n=3)
+    return out.select("doc_id", "n_grams", "n_novel",
+                      F.round("novelty", 6).alias("novelty_r6"))
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH xe AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT a.i::INT AS i, b.i::INT AS j,
+           round(SUM(a.x * b.x) / COUNT(*)
+                 - (SUM(a.x) / COUNT(*)) * (SUM(b.x) / COUNT(*)), 6)
+             AS cov_r6
+    FROM xe a JOIN xe b USING (vec_id)
+    WHERE b.i >= a.i AND a.i < 8 AND b.i < 8
+    GROUP BY a.i, b.i
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact covariance of the embedding space (round 11,
+    :func:`lindel_spark.similarity.covariance_matrix`), upper
+    triangle of the first 8 dims for a value-bounded replay — the
+    d×d spectral input computed as one map-side-combined Gram
+    aggregate; exact sum algebra, 6dp."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cov = LS.covariance_matrix(emb, "embedding")
+    return (cov.filter((F.col("i") < 8) & (F.col("j") < 8))
+            .select("i", "j", F.round("cov", 6).alias("cov_r6")))
+
+
+_PCA_ITERS = 8
+
+
+def _pca_oracle_sql(iters: int) -> str:
+    """Generated DuckDB replay of :func:`power_iteration_pca`'s
+    FIXED-ITERATION power method (the BPE-oracle precedent for
+    adaptive/iterative loops: the oracle unrolls the exact same
+    deterministic schedule — v0 = 1/sqrt(d), k matrix-free C·v
+    steps, normalize each step, one final sign convention)."""
+    ctes = ["""
+    xe AS MATERIALIZED (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), nn AS MATERIALIZED (SELECT COUNT(DISTINCT vec_id)::DOUBLE AS n FROM xe),
+    mu AS MATERIALIZED (
+      SELECT pos, SUM(x) / MAX(nn.n) AS mu FROM xe, nn GROUP BY pos
+    ),
+    v0 AS MATERIALIZED (
+      SELECT pos, 1.0 / sqrt(COUNT(*) OVER ()) AS val
+      FROM (SELECT DISTINCT pos FROM xe)
+    )"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        ctes.append(f"""
+    d{k} AS MATERIALIZED (
+      SELECT xe.vec_id, SUM(xe.x * p.val) AS dt
+      FROM xe JOIN v{p} p USING (pos) GROUP BY xe.vec_id
+    ), s{k} AS MATERIALIZED (
+      SELECT xe.pos, SUM(xe.x * d{k}.dt) AS s
+      FROM xe JOIN d{k} USING (vec_id) GROUP BY xe.pos
+    ), md{k} AS MATERIALIZED (
+      SELECT SUM(m.mu * p.val) AS md FROM mu m JOIN v{p} p USING (pos)
+    ), w{k} AS MATERIALIZED (
+      SELECT s.pos, s.s / nn.n - m.mu * md{k}.md AS w
+      FROM s{k} s JOIN mu m USING (pos), md{k}, nn
+    ), nr{k} AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nr FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT pos, w / nr{k}.nr AS val FROM w{k}, nr{k})""")
+    last = f"v{iters}"
+    return f"""
+    WITH {','.join(ctes)},
+    sgn AS (
+      SELECT CASE WHEN val < 0 THEN -1.0 ELSE 1.0 END AS s
+      FROM {last} ORDER BY abs(val) DESC, pos ASC LIMIT 1
+    )
+    SELECT pos::INT AS pos, round(val * sgn.s, 6) AS loading_r6
+    FROM {last}, sgn
+    """
+
+
+@query("embedding_pca_component", _pca_oracle_sql(_PCA_ITERS))
+def q_embedding_pca_component(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding space by distributed
+    matrix-free power iteration (round 11,
+    :func:`lindel_spark.similarity.power_iteration_pca`): a FIXED
+    8-step schedule — deterministic by construction (v0 = 1/sqrt(d),
+    per-step normalize, final largest-|loading|-positive sign) — so
+    the oracle replays the identical iteration unrolled in SQL (the
+    BPE-training-loop precedent), value-for-value at 6dp. Convergence
+    to the true eigenvector is the PYTEST's job (constructed
+    large-eigengap corpus vs NumPy eigh); the registry pins the
+    distributed algebra."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    comp = LS.power_iteration_pca(emb, "embedding", iters=_PCA_ITERS)
+    return comp.select("pos", F.round("loading", 6).alias("loading_r6"))

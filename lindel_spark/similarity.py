@@ -1826,3 +1826,166 @@ def ivf_health(
         (F.sum(F.col("cnt").cast("double") * F.col("cnt").cast("double"))
          / (F.sum("cnt").cast("double") * F.sum("cnt").cast("double")))
         .alias("expected_scan_frac"))
+
+
+def power_iteration_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding column by DISTRIBUTED
+    power iteration — variance structure of a corpus's embedding
+    space (the "is there one dominant axis / did the encoder
+    collapse" screen, and the strongest single projection for
+    1-D ordering) WITHOUT ever materializing the d×d covariance or
+    collecting a row.
+
+    Per iteration ``w ← C·v`` is computed matrix-free:
+    ``C·v = Σ xᵢ(xᵢ·v)/n − μ(μ·v)``, i.e. one map-only per-row dot
+    (``zip_with`` + ``aggregate`` fold — exact left-to-right, no UDF)
+    and one map-side-combined groupBy on vector position whose
+    shuffle is ``d`` rows per task — never row-scale. The ONLY driver
+    state is the d-vector itself between iterations (the bounded-
+    scalar contract of ``graph.pagerank``'s dangling-mass row).
+    Deterministic by construction: v₀ = 1/√d, fixed iteration count,
+    and a sign convention (the largest-|loading| coordinate — ties to
+    the smallest index — is made positive), so two runs and two
+    ENGINES agree to float noise.
+
+    Returns ``(pos, loading, eigenvalue)`` — d rows; ``eigenvalue``
+    is the Rayleigh quotient ``vᵀCv`` of the last iterate (the
+    component's variance). Raises on a degenerate (zero-variance)
+    input. Iterations converge at rate (λ₂/λ₁)^k — 8 is plenty for
+    reporting; raise ``iters`` for tiny eigengaps.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = df.sparkSession
+    vecs = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("__v")).filter(F.col("__v").isNotNull())
+    vecs = vecs.persist()
+    try:
+        pe = vecs.select(F.posexplode("__v").alias("pos", "x"))
+        stats = (pe.groupBy("pos")
+                 .agg(F.sum("x").alias("s"),
+                      F.sum(F.col("x") * F.col("x")).alias("ss"),
+                      F.count(F.lit(1)).cast("long").alias("c"))
+                 .orderBy("pos").collect())
+        if not stats:
+            raise ValueError("power_iteration_pca: empty input")
+        d = len(stats)
+        n = float(stats[0].c)
+        mu = [r.s / n for r in stats]
+        # zero-variance guard BEFORE iterating: trace(C) relative to
+        # the mean squared magnitude (identical rows leave only float
+        # residue in both, so an exact-zero test would never fire)
+        msq = sum(r.ss / n for r in stats)
+        trace = sum(r.ss / n - m * m for r, m in zip(stats, mu))
+        if msq == 0.0 or trace <= 1e-12 * msq:
+            raise ValueError(
+                "power_iteration_pca: zero-variance input "
+                "(covariance trace is numerically zero)")
+        v = [1.0 / math.sqrt(d)] * d
+        lam = 0.0
+        for _ in range(iters):
+            lit_v = F.array(*[F.lit(x) for x in v])
+            dot = F.aggregate(
+                F.zip_with("__v", lit_v, lambda x, s: x * s),
+                F.lit(0.0), lambda acc, x: acc + x)
+            s_rows = (vecs
+                      .select(F.posexplode("__v").alias("pos", "x"),
+                              dot.alias("__d"))
+                      .groupBy("pos")
+                      .agg(F.sum(F.col("x") * F.col("__d")).alias("s"))
+                      .orderBy("pos").collect())
+            mudot = sum(m * x for m, x in zip(mu, v))
+            w = [r.s / n - m * mudot for r, m in zip(s_rows, mu)]
+            lam = sum(a * b for a, b in zip(v, w))  # Rayleigh vᵀCv
+            nrm = math.sqrt(sum(x * x for x in w))
+            if nrm == 0.0:
+                raise ValueError(
+                    "power_iteration_pca: covariance annihilates "
+                    "the iterate (degenerate spectrum)")
+            v = [x / nrm for x in w]
+        # sign convention: largest |loading| (ties -> smallest pos)
+        # points positive
+        idx = max(range(d), key=lambda i: (abs(v[i]), -i))
+        if v[idx] < 0:
+            v = [-x for x in v]
+    finally:
+        vecs.unpersist()
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(d)],
+        "pos INT, loading DOUBLE, eigenvalue DOUBLE")
+
+
+def pca_scores(
+    df: DataFrame,
+    component,
+    vec_col: str = "embedding",
+    center=None,
+    out_col: str = "pc1",
+) -> DataFrame:
+    """Project every row onto a principal component (map-only):
+    ``score = (x − μ)·v``, with ``component`` (and optional
+    ``center``) as plain Python lists — e.g.
+    ``[r.loading for r in power_iteration_pca(df).collect()]``. The
+    same ``zip_with`` + exact left-to-right ``aggregate`` fold as
+    :func:`random_project`; adds zero shuffles, so it rides along any
+    downstream scan."""
+    comp = [float(x) for x in component]
+    lit_v = F.array(*[F.lit(x) for x in comp])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if center is not None:
+        mu = [float(x) for x in center]
+        if len(mu) != len(comp):
+            raise ValueError("center and component lengths differ")
+        lit_mu = F.array(*[F.lit(x) for x in mu])
+        v = F.zip_with(v, lit_mu, lambda x, m: x - m)
+    score = F.aggregate(
+        F.zip_with(v, lit_v, lambda x, s: x * s),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return df.withColumn(out_col, score)
+
+
+def covariance_matrix(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact covariance matrix of an embedding column, distributed:
+    ``(i, j, cov)`` for the upper triangle ``j >= i`` — the input to
+    any driver-side spectral step (d×d is tiny even when n is 100 TB)
+    and the raw material :func:`power_iteration_pca` deliberately
+    avoids materializing (use THIS when you want the whole spectrum,
+    the power method when you want one component and d² per row is
+    too much map-side expansion).
+
+    ``cov(i,j) = Σ xᵢxⱼ/n − μᵢμⱼ`` (population/biased form — exact
+    algebra over sums, engine-replayable). Plan: one per-row pair
+    expansion (posexplode × element transform, d(d+1)/2 products per
+    row, map-only) into ONE map-side-combined groupBy on ``(i, j)``
+    — the shuffle carries d(d+1)/2 cells per task, never rows. The
+    standard distributed Gram-matrix plan (cf. Spark MLlib
+    RowMatrix.computeCovariance); means ride the same aggregate, no
+    second scan.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vecs = df.select(v.alias("__v")).filter(F.col("__v").isNotNull())
+    pe = vecs.select(F.posexplode("__v").alias("i", "xi"),
+                     F.col("__v"))
+    pairs = (pe.select(
+        "i", "xi",
+        F.posexplode("__v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i")))
+    agg = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("__sxy"),
+        F.sum("xi").alias("__sx"),
+        F.sum("xj").alias("__sy"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    return agg.select(
+        "i", "j",
+        (F.col("__sxy") / n
+         - (F.col("__sx") / n) * (F.col("__sy") / n)).alias("cov"))

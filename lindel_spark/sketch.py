@@ -668,3 +668,110 @@ def kll_quantiles_grouped(sketch: DataFrame, keys, quantiles) -> DataFrame:
         )
         .select(*keys, "q", F.col("v").alias("est"))
     )
+
+
+# ---------------------------------------------------------------- HLL
+
+_HLL_HASH_BITS = 60
+
+
+def _hll_cols(value: Column, p: int) -> tuple[Column, Column]:
+    """(bucket, rho) of a value under the repo's 60-bit md5 idiom.
+
+    ``bucket`` = top ``p`` hash bits; ``rho`` = trailing-zero count of
+    the remaining ``60-p`` bits + 1 (all-zero remainder saturates at
+    ``60-p+1``). Trailing — not leading — zeros on purpose: the bits
+    are iid, so P[rho = k] = 2^-k either way, and trailing zeros are
+    exact in BOTH engines as ``round(log2(rem & -rem))`` (a power of
+    two is exactly representable; the leading-zero form needs
+    ``floor(log2(rem))``, which libm can put on the wrong side of an
+    integer). Same geometric observable, none of the float risk.
+    """
+    rem_bits = _HLL_HASH_BITS - p
+    h = F.conv(F.substring(F.md5(value.cast("string")), 1, 15),
+               16, 10).cast("long")
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.round(F.log2(rem.bitwiseAND(-rem))).cast("long") + F.lit(1))
+    return bucket, rho
+
+
+def hll_sketch(
+    df: DataFrame,
+    keys,
+    col: str,
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog distinct sketch per group, deterministic and
+    SQL-replayable: ``(*keys, bucket, rho)`` — the max trailing-zero
+    rank observed in each of the ``2^p`` register buckets (absent
+    buckets mean register 0; the sketch is stored SPARSE).
+
+    The fixed-size counterpart to :func:`kmv_sketch`: KMV state is
+    O(k) VALUES and supports set algebra (:func:`kmv_intersect_estimate`),
+    HLL state is ≤ 2^p 1-byte-ish registers with a cheaper merge (max
+    per bucket, :func:`hll_merge`) and the standard ~1.04/sqrt(2^p)
+    relative error (Flajolet et al. 2007). Every register is a pure
+    function of the value's md5, so DuckDB replays sketch AND estimate
+    bit-for-bit — no opaque engine HLL state.
+
+    Plan: hash + bucket/rho map-side, one map-side-combined groupBy on
+    ``(*keys, bucket)`` — at most groups × 2^p rows ever shuffle.
+    NULLs are skipped (COUNT DISTINCT semantics).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    bucket, rho = _hll_cols(F.col(col), p)
+    return (df.filter(F.col(col).isNotNull())
+            .select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(*keys, "bucket")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*sketches: DataFrame, p: int) -> DataFrame:
+    """Merge HLL sketches built with the same ``p``: union + per-bucket
+    max — EXACTLY the sketch of the concatenated inputs (register
+    content is a max over per-value observables, and max is
+    associative/commutative/idempotent), so shards, days and streams
+    compose losslessly. ``p`` is a REQUIRED keyword (the
+    ``kmv_merge``/``kll_merge`` precedent): merging sketches built
+    with different ``p`` would silently mix register spaces."""
+    if len(sketches) < 2:
+        raise ValueError("need at least two sketches to merge")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    keys = [c for c in u.columns if c not in ("bucket", "rho")]
+    return u.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
+    """Distinct-count estimate per group from an HLL sketch:
+    ``alpha_m · m² / (Σ 2^-M_j)`` with the standard small-range
+    correction ``m·ln(m/V)`` when the raw estimate is under ``2.5m``
+    and ``V`` registers are still zero (Flajolet et al. 2007, fig. 3).
+    Absent (sparse) buckets contribute ``2^0 = 1`` to the denominator:
+    ``Σ = (m − n_present) + Σ_present 2^-rho``. Closed-form column
+    algebra over the sketch rows — deterministic, engine-replayable.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    keys = [c for c in sketch.columns if c not in ("bucket", "rho")]
+    grp = sketch.groupBy(*keys) if keys else sketch.groupBy()
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("__present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho").cast("double")))
+        .alias("__sum_present"),
+    )
+    denom = (F.lit(float(m)) - F.col("__present").cast("double")
+             + F.col("__sum_present"))
+    raw = F.lit(alpha * m * m) / denom
+    zeros = F.lit(float(m)) - F.col("__present").cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*keys, est.alias("est")) if keys \
+        else agg.select(est.alias("est"))

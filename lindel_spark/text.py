@@ -961,3 +961,68 @@ def scrub_card_numbers(c: Column, token: str = "<CARD>") -> Column:
     )
     return F.aggregate(
         cands, c, lambda acc, cand: F.replace(acc, cand, F.lit(token)))
+
+
+def word_ngrams(c: Column, n: int) -> Column:
+    """Word n-grams of normalized text as an array of
+    space-joined strings — pure column algebra (transform over a
+    token-index sequence), no UDF, map-only. Texts with fewer than
+    ``n`` tokens yield an empty array."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens(normalize_text(c))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_novelty(
+    target: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty of ``target`` against a REFERENCE
+    corpus: the fraction of each doc's DISTINCT word n-grams that do
+    not occur anywhere in the reference — the memorization-risk /
+    freshness screen (novelty ≈ 0: the doc is assembled from
+    already-seen phrases — near-dup or benchmark echo the
+    fingerprint families may miss when wording is re-stitched;
+    novelty ≈ 1: genuinely new text). The gram-level complement of
+    :func:`lindel_spark.dedup.decontaminate`'s doc-level verdict.
+
+    Returns ``(doc_id, n_grams, n_novel, novelty)``; docs with fewer
+    than ``n`` tokens emit ``n_grams = 0`` and ``novelty`` NULL.
+
+    Plan: map-side gram explodes on both frames → distinct; the
+    reference side collapses to its vocabulary (a gram SET, never
+    rows) and the check is one gram-keyed LEFT join + a doc-keyed
+    map-side-combined aggregate. Both shuffles are keyed on gram /
+    doc id — the BM25 plan family; no driver state, no all-pairs.
+    """
+    tg = (target.select(F.col(id_col).cast("long").alias("doc_id"),
+                        word_ngrams(F.col(text_col), n).alias("__g"))
+          .select("doc_id", F.explode_outer("__g").alias("gram"))
+          .distinct())
+    ref = (reference
+           .select(F.explode(word_ngrams(F.col(text_col), n))
+                   .alias("gram"))
+           .distinct()
+           .withColumn("__seen", F.lit(1)))
+    joined = tg.join(ref, "gram", "left")
+    return (joined.groupBy("doc_id").agg(
+        F.count("gram").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("gram").isNotNull()
+                     & F.col("__seen").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_novel"))
+        .withColumn(
+            "novelty",
+            F.when(F.col("n_grams") > 0,
+                   F.col("n_novel").cast("double")
+                   / F.col("n_grams").cast("double"))
+            .otherwise(F.lit(None).cast("double"))))

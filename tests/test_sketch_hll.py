@@ -1,0 +1,61 @@
+"""Deterministic HyperLogLog sketch: accuracy, exact merge,
+determinism."""
+
+import pytest
+
+from lindel_spark.sketch import hll_estimate, hll_merge, hll_sketch
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(30000)], ["g", "x"])
+
+
+def test_hll_error_within_bound(spark, df):
+    # p=9: sigma ~ 1.04/sqrt(512) ~ 4.6%; assert < 3 sigma
+    est = {r.g: r.est
+           for r in hll_estimate(hll_sketch(df, ["g"], "x", p=9),
+                                 p=9).collect()}
+    for g, true in [(0, 10000), (1, 10000), (2, 10000)]:
+        assert abs(est[g] - true) / true < 0.14
+
+
+def test_hll_merge_equals_one_shot(spark, df):
+    a = hll_sketch(df.filter("x like 'v1%'"), ["g"], "x", p=9)
+    b = hll_sketch(df.filter("x not like 'v1%'"), ["g"], "x", p=9)
+    m = hll_merge(a, b, p=9)
+    one = hll_sketch(df, ["g"], "x", p=9)
+    assert m.exceptAll(one).count() == 0
+    assert one.exceptAll(m).count() == 0
+
+
+def test_hll_small_range_near_exact(spark):
+    tiny = spark.createDataFrame([(f"t{i % 10}",) for i in range(200)],
+                                 ["x"])
+    e = hll_estimate(hll_sketch(tiny, [], "x", p=9), p=9).collect()[0].est
+    assert abs(e - 10) < 1.0
+
+
+def test_hll_deterministic_across_partitioning(spark, df):
+    a = hll_sketch(df, ["g"], "x", p=7)
+    b = hll_sketch(df.repartition(13), ["g"], "x", p=7)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    base = spark.createDataFrame([(f"u{i}",) for i in range(1000)], ["x"])
+    duped = base.union(base).union(base)
+    ea = hll_estimate(hll_sketch(base, [], "x", p=9), p=9).collect()[0].est
+    eb = hll_estimate(hll_sketch(duped, [], "x", p=9), p=9).collect()[0].est
+    assert ea == eb
+
+
+def test_hll_rejects_bad_p(spark, df):
+    with pytest.raises(ValueError):
+        hll_sketch(df, ["g"], "x", p=3)
+    with pytest.raises(ValueError):
+        hll_sketch(df, ["g"], "x", p=17)
+    with pytest.raises(ValueError):
+        hll_merge(hll_sketch(df, ["g"], "x"), p=9)
