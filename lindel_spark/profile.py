@@ -10,6 +10,7 @@ fine for profiling runs); pass ``approx=True`` to switch to HLL
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -1160,3 +1161,115 @@ def agreement_kappa(
         F.when(F.col("pe") >= 1.0, F.lit(1.0))
         .otherwise((F.col("po") - F.col("pe"))
                    / (F.lit(1.0) - F.col("pe"))))
+
+
+def benford_report(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit — the synthetic-data / fraud /
+    unit-mixing screen for naturally-spanning magnitudes (amounts,
+    populations, file sizes): genuine multi-scale data puts digit d
+    first with probability ``log10(1 + 1/d)``; fabricated or
+    template-generated numbers don't.
+
+    Returns 9 rows ``(digit, cnt, obs_share, exp_share, chi2_term)``
+    with ``chi2_term = (cnt − n·p_d)² / (n·p_d)`` — Σ over the rows is
+    the χ² statistic against the Benford null (8 degrees of freedom).
+    Digits absent from the data still emit their row (their expected
+    mass still counts against the fit).
+
+    Values are truncated to integer magnitude first (Benford applies
+    to magnitudes ≥ 1; pre-scale fractional data), and the first
+    digit comes from the INTEGER's string form — engine-identical,
+    unlike ``floor(log10(x))`` which libm can put on the wrong side
+    of a power of ten. Plan: map-side digit extraction → one 9-row
+    groupBy → broadcast join against a 9-row literal frame. Nothing
+    row-scale shuffles.
+    """
+    spark = df.sparkSession
+    v = F.abs(F.col(col).cast("double")).cast("bigint")
+    digits = (df.select(v.alias("__m"))
+              .filter(F.col("__m").isNotNull() & (F.col("__m") >= 1))
+              .select(F.substring(F.col("__m").cast("string"), 1, 1)
+                      .cast("int").alias("digit")))
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    expected = spark.createDataFrame(
+        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+        "digit INT, exp_share DOUBLE")
+    joined = (F.broadcast(expected)
+              .join(counts, "digit", "left")
+              .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0))
+                          .cast("long")))
+    from pyspark.sql import Window
+
+    n = F.sum("cnt").over(Window.partitionBy())
+    t = joined.withColumn("__n", n)
+    e = F.col("__n").cast("double") * F.col("exp_share")
+    return (t.select(
+        "digit", "cnt",
+        (F.col("cnt").cast("double")
+         / F.col("__n").cast("double")).alias("obs_share"),
+        "exp_share",
+        ((F.col("cnt").cast("double") - e) * (F.col("cnt").cast("double") - e)
+         / e).alias("chi2_term")))
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns: one row ``(n, dof, chi2, cramers_v)`` — the
+    significance-scaled companion to :func:`mutual_information`
+    (MI says how MUCH information is shared; χ²/Cramér's V says
+    whether the association is bigger than chance at this n).
+
+    ``chi2 = Σ (o_ab − e_ab)²/e_ab`` over the FULL marginal cross
+    product (a cell with zero joint count but non-zero marginals
+    still contributes its expected mass — the same
+    zero-diagonal trap :func:`agreement_kappa` avoids), with
+    ``e_ab = c_a·c_b/n``; ``dof = (r−1)(c−1)``;
+    ``cramers_v = sqrt(chi2 / (n·min(r−1, c−1)))`` (0.0 when either
+    column is constant). Plan: one map-side-combined groupBy on the
+    pair, two vocabulary-sized marginal aggregates, one broadcast
+    cross of the marginals LEFT-joined back to the joint counts —
+    vocab², never row-sized.
+    """
+    joint = (df.select(F.col(col_a).cast("string").alias("__a"),
+                       F.col(col_b).cast("string").alias("__b"))
+             .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    ma = joint.groupBy("__a").agg(F.sum("__c").alias("__ca"))
+    mb = joint.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    cross = ma.crossJoin(F.broadcast(mb))
+    cells = (cross.join(joint, ["__a", "__b"], "left")
+             .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0))))
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    t = (cells
+         .withColumn("__n", F.sum(F.when(F.col("__c") > 0, F.col("__c"))
+                                  .otherwise(F.lit(0))).over(wall)))
+    # n from the joint counts only (each observation counted once)
+    e = (F.col("__ca").cast("double") * F.col("__cb").cast("double")
+         / F.col("__n").cast("double"))
+    o = F.col("__c").cast("double")
+    agg = t.agg(
+        F.max("__n").cast("long").alias("n"),
+        ((F.countDistinct("__a") - 1)
+         * (F.countDistinct("__b") - 1)).cast("long").alias("dof"),
+        F.sum((o - e) * (o - e) / e).alias("chi2"),
+        F.least(F.countDistinct("__a") - 1,
+                F.countDistinct("__b") - 1).cast("long").alias("__mind"),
+    )
+    return agg.select(
+        "n", "dof", "chi2",
+        F.when(F.col("__mind") > 0,
+               F.sqrt(F.col("chi2")
+                      / (F.col("n").cast("double")
+                         * F.col("__mind").cast("double"))))
+        .otherwise(F.lit(0.0)).alias("cramers_v"))

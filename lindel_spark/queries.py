@@ -71,6 +71,9 @@ _SAMPLE_FIRST = [
     "text_ngram_novelty",        # new: reference-corpus gram novelty
     "embedding_covariance",      # new: distributed Gram/cov aggregate
     "embedding_pca_component",   # new: matrix-free power iteration
+    "text_textrank_keywords",    # new: co-occurrence PageRank keywords
+    "profile_benford_prices",    # new: Benford first-digit audit
+    "profile_chi_square",        # new: chi-square independence test
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -6690,6 +6693,34 @@ def q_events_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_iter_sql(iterations: int, d: float) -> str:
+    """Unrolled PageRank iteration CTEs (shared by every
+    pagerank-backed oracle): assumes ``trans(src, dst, w)``,
+    ``nodes(node)``, ``nn(n)``, ``outw(src, wout)`` and ``r0`` are
+    already defined; emits ``r1..r{iterations}``."""
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+    , r{i + 1} AS (
+      SELECT n.node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+             + {d} * (coalesce(c.contrib, 0)
+                      + (SELECT coalesce(sum(r.rank), 0) FROM r{i} r
+                         LEFT JOIN outw o ON r.node = o.src
+                         WHERE o.src IS NULL) / (SELECT n FROM nn))
+               AS rank
+      FROM nodes n
+      LEFT JOIN (
+        SELECT t.dst AS node, sum(r.rank * t.w / o.wout) AS contrib
+        FROM trans t
+        JOIN outw o ON o.src = t.src
+        JOIN r{i} r ON r.node = t.src
+        GROUP BY t.dst
+      ) c ON n.node = c.node
+    )""")
+    return "".join(its)
+
+
 def _pagerank_cte(iterations: int = 5, d: float = 0.85) -> str:
     """DuckDB replay of :func:`lindel_spark.graph.pagerank` over the
     event-type transition graph, iterations unrolled."""
@@ -6714,27 +6745,7 @@ def _pagerank_cte(iterations: int = 5, d: float = 0.85) -> str:
     outw AS (SELECT src, sum(w) AS wout FROM trans GROUP BY src),
     r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
     """
-    its = []
-    for i in range(iterations):
-        its.append(f"""
-    , r{i + 1} AS (
-      SELECT n.node,
-             (1.0 - {d}) / (SELECT n FROM nn)
-             + {d} * (coalesce(c.contrib, 0)
-                      + (SELECT coalesce(sum(r.rank), 0) FROM r{i} r
-                         LEFT JOIN outw o ON r.node = o.src
-                         WHERE o.src IS NULL) / (SELECT n FROM nn))
-               AS rank
-      FROM nodes n
-      LEFT JOIN (
-        SELECT t.dst AS node, sum(r.rank * t.w / o.wout) AS contrib
-        FROM trans t
-        JOIN outw o ON o.src = t.src
-        JOIN r{i} r ON r.node = t.src
-        GROUP BY t.dst
-      ) c ON n.node = c.node
-    )""")
-    return head + "".join(its)
+    return head + _pr_iter_sql(iterations, d)
 
 
 @query(
@@ -10121,3 +10132,164 @@ def q_embedding_pca_component(spark: SparkSession,
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     comp = LS.power_iteration_pca(emb, "embedding", iters=_PCA_ITERS)
     return comp.select("pos", F.round("loading", 6).alias("loading_r6"))
+
+
+def _textrank_oracle(iterations: int = 5, d: float = 0.85,
+                     top_n: int = 20) -> str:
+    """DuckDB replay of :func:`lindel_spark.text.textrank_keywords`
+    (window=2, min_token_len=3) over documents: same co-occurrence
+    edge construction, then the shared unrolled PageRank CTEs."""
+    head = """
+    WITH norm AS (
+      SELECT list_filter(
+               list_filter(
+                 string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '),
+                 t -> t <> ''),
+               t -> length(t) >= 3) AS toks
+      FROM documents
+    ), o1 AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+        i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS u
+      FROM norm WHERE len(toks) >= 2
+    ), o2 AS (
+      SELECT unnest(list_transform(range(1, len(toks) - 1),
+        i -> struct_pack(a := toks[i], b := toks[i + 2]))) AS u
+      FROM norm WHERE len(toks) >= 2
+    ), fp AS (
+      SELECT u.a AS a, u.b AS b FROM o1 WHERE u.a <> u.b
+      UNION ALL
+      SELECT u.a, u.b FROM o2 WHERE u.a <> u.b AND u.b IS NOT NULL
+    ), trans AS (
+      SELECT src, dst, COUNT(*)::DOUBLE AS w
+      FROM (SELECT a AS src, b AS dst FROM fp
+            UNION ALL SELECT b, a FROM fp)
+      GROUP BY src, dst
+    ), nodes AS (
+      SELECT src AS node FROM trans UNION SELECT dst FROM trans
+    ), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS wout FROM trans GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+    """
+    tail = f"""
+    SELECT pos::BIGINT AS pos, token, round(score, 6) AS score_r6
+    FROM (SELECT row_number() OVER (ORDER BY rank DESC, node) AS pos,
+                 node AS token, rank AS score
+          FROM r{iterations})
+    WHERE pos <= {top_n}
+    """
+    return head + _pr_iter_sql(iterations, d) + tail
+
+
+@query("text_textrank_keywords", _textrank_oracle(5, 0.85, 20))
+def q_text_textrank_keywords(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction over the document corpus (round
+    11, :func:`lindel_spark.text.textrank_keywords`): window-2
+    co-occurrence graph (map-only zip_with construction, no per-doc
+    self-join) ranked by 5 fixed PageRank iterations — the oracle
+    builds the same graph in SQL and replays the shared unrolled
+    iteration CTEs; rank-desc/token-asc deterministic top-20, 6dp."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = LT.textrank_keywords(docs, "text", window=2, iterations=5,
+                               damping=0.85, top_n=20)
+    return out.select(F.col("pos").cast("long").alias("pos"), "token",
+                      F.round("score", 6).alias("score_r6"))
+
+
+@query(
+    "profile_benford_prices",
+    """
+    WITH m AS (
+      SELECT CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT) AS m
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), d AS (
+      SELECT CAST(substr(m::VARCHAR, 1, 1) AS INT) AS digit
+      FROM m WHERE m >= 1
+    ), cnts AS (
+      SELECT digit, COUNT(*)::BIGINT AS cnt FROM d GROUP BY digit
+    ), exp AS (
+      SELECT t.d AS digit, log10(1.0 + 1.0 / t.d) AS exp_share
+      FROM (SELECT unnest(range(1, 10)) AS d) t
+    ), j AS (
+      SELECT e.digit, COALESCE(c.cnt, 0)::BIGINT AS cnt, e.exp_share,
+             SUM(COALESCE(c.cnt, 0)) OVER () AS n
+      FROM exp e LEFT JOIN cnts c USING (digit)
+    )
+    SELECT digit, cnt,
+           round(cnt::DOUBLE / n::DOUBLE, 6) AS obs_share_r6,
+           round(exp_share, 6) AS exp_share_r6,
+           round((cnt::DOUBLE - n::DOUBLE * exp_share)
+                 * (cnt::DOUBLE - n::DOUBLE * exp_share)
+                 / (n::DOUBLE * exp_share), 6) AS chi2_term_r6
+    FROM j
+    """,
+)
+def q_profile_benford_prices(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (round 11,
+    :func:`lindel_spark.profile.benford_report`): observed vs
+    ``log10(1+1/d)`` shares + per-digit chi-square terms — the
+    synthetic-data / fabricated-amounts screen. First digit comes
+    from the truncated integer's string form (engine-identical, no
+    ``floor(log10)`` edge risk); 6dp."""
+    from lindel_spark.profile import benford_report
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = benford_report(orders, "o_totalprice")
+    return out.select(
+        "digit", "cnt",
+        F.round("obs_share", 6).alias("obs_share_r6"),
+        F.round("exp_share", 6).alias("exp_share_r6"),
+        F.round("chi2_term", 6).alias("chi2_term_r6"))
+
+
+@query(
+    "profile_chi_square",
+    """
+    WITH joint AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             COUNT(*)::BIGINT AS c
+      FROM orders
+      WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+      GROUP BY 1, 2
+    ), ma AS (SELECT a, SUM(c) AS ca FROM joint GROUP BY a),
+    mb AS (SELECT b, SUM(c) AS cb FROM joint GROUP BY b),
+    nn AS (SELECT SUM(c)::DOUBLE AS n, SUM(c)::BIGINT AS nl FROM joint),
+    cells AS (
+      SELECT ma.a, mb.b, ma.ca, mb.cb, COALESCE(j.c, 0)::DOUBLE AS o
+      FROM ma CROSS JOIN mb LEFT JOIN joint j
+        ON j.a = ma.a AND j.b = mb.b
+    )
+    SELECT nn.nl AS n,
+           ((SELECT COUNT(*) FROM ma) - 1)::BIGINT
+             * ((SELECT COUNT(*) FROM mb) - 1)::BIGINT AS dof,
+           round(SUM((o - ca::DOUBLE * cb::DOUBLE / nn.n)
+                     * (o - ca::DOUBLE * cb::DOUBLE / nn.n)
+                     / (ca::DOUBLE * cb::DOUBLE / nn.n)), 6)
+             AS chi2_r6,
+           round(sqrt(SUM((o - ca::DOUBLE * cb::DOUBLE / nn.n)
+                          * (o - ca::DOUBLE * cb::DOUBLE / nn.n)
+                          / (ca::DOUBLE * cb::DOUBLE / nn.n))
+                      / (nn.n * LEAST((SELECT COUNT(*) FROM ma) - 1,
+                                      (SELECT COUNT(*) FROM mb) - 1))),
+                 6) AS cramers_v_r6
+    FROM cells, nn
+    GROUP BY nn.nl, nn.n
+    """,
+)
+def q_profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between order status and priority
+    (round 11, :func:`lindel_spark.profile.chi_square_independence`):
+    the significance-scaled companion to the MI screen over the same
+    column pair — expected counts over the FULL marginal cross so
+    zero-joint cells still contribute; Cramér's V normalizes; 6dp."""
+    from lindel_spark.profile import chi_square_independence
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = chi_square_independence(orders, "o_orderstatus",
+                                  "o_orderpriority")
+    return out.select("n", "dof", F.round("chi2", 6).alias("chi2_r6"),
+                      F.round("cramers_v", 6).alias("cramers_v_r6"))

@@ -1026,3 +1026,73 @@ def ngram_novelty(
                    F.col("n_novel").cast("double")
                    / F.col("n_grams").cast("double"))
             .otherwise(F.lit(None).cast("double"))))
+
+
+def textrank_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 5,
+    damping: float = 0.85,
+    top_n: int = 20,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau
+    2004): tokens are nodes, co-occurrence within ``window`` positions
+    is a symmetric weighted edge, and the keyword score is weighted
+    PageRank over that graph — the unsupervised "what is this corpus
+    about" screen that frequency alone gets wrong (a term that
+    co-occurs with many DIFFERENT hub terms outranks a term repeated
+    in one boilerplate block). Returns the ``top_n`` keywords as
+    ``(pos, token, score)``, rank-desc / token-asc deterministic.
+
+    Graph construction is map-only column algebra: per offset
+    ``o <= window`` one ``zip_with`` of the token array against its
+    own o-shift (the trigram-builder idiom), exploded and counted
+    into a vocabulary²-bounded edge list — no per-doc self-join, so
+    a long document can't quadratic-blow a task. Ranking reuses
+    :func:`lindel_spark.graph.pagerank` (fixed iterations, dangling
+    mass via one broadcast row — replayable by the same unrolled SQL
+    oracle); the final top-n window is over the vocabulary-sized rank
+    frame, never rows.
+    """
+    from lindel_spark.graph import pagerank
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    toks = F.filter(
+        tokens(normalize_text(F.col(text_col))),
+        lambda t: F.length(t) >= min_token_len)
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    offs = []
+    for o in range(1, window + 1):
+        z = F.zip_with(
+            "__t",
+            F.slice("__t", o + 1,
+                    F.greatest(F.size("__t") - o, F.lit(1))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+        offs.append(
+            base.select(F.explode(z).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b"))))
+    pairs = offs[0]
+    for o in offs[1:]:
+        pairs = pairs.unionByName(o)
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = (sym.groupBy(F.col("a").alias("src"),
+                         F.col("b").alias("dst"))
+             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+    pr = pagerank(edges, iterations=iterations, damping=damping,
+                  weight="w")
+    from pyspark.sql import Window
+
+    # vocabulary-sized frame: the unpartitioned window is bounded by
+    # |vocab|, never rows (the zipf_fit precedent)
+    w_rank = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (pr.withColumn("pos", F.row_number().over(w_rank))
+            .filter(F.col("pos") <= top_n)
+            .select("pos", F.col("node").alias("token"),
+                    F.col("rank").alias("score")))
