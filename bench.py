@@ -734,6 +734,41 @@ def main(only: set[str] | None = None) -> None:
         ("equidepth_histogram", q_equidepth, n_li),
     ]
 
+    def q_textrank(_):
+        from lindel_spark.text import textrank_keywords
+        _noop(textrank_keywords(docs, "text", window=2, iterations=5,
+                                top_n=20))
+
+    def q_pca_power(_):
+        from lindel_spark.similarity import power_iteration_pca
+        _noop(power_iteration_pca(emb, "embedding", iters=8))
+
+    def q_ngram_novelty(_):
+        from lindel_spark.text import ngram_novelty
+        tgt = docs.filter(F.col("doc_id") % 2 == 1)
+        ref = docs.filter(F.col("doc_id") % 2 == 0)
+        _noop(ngram_novelty(tgt, ref, n=3))
+
+    def q_hll_distinct(_):
+        from lindel_spark.sketch import hll_estimate, hll_sketch
+        _noop(hll_estimate(
+            hll_sketch(li, ["l_returnflag"], "l_partkey", p=9), p=9))
+
+    def q_acf_lags(_):
+        from lindel_spark.sources import load_events
+        from lindel_spark.timeseries import acf
+        ev = load_events(spark, SF_DIR)
+        _noop(acf(ev, ["event_type"], "ts", "value", "event_id",
+                  lags=[1, 2, 8]))
+
+    scan_shaped += [
+        ("textrank_keywords", q_textrank, n_docs),
+        ("pca_power_8", q_pca_power, n_emb),
+        ("ngram_novelty", q_ngram_novelty, n_docs),
+        ("hll_distinct", q_hll_distinct, n_li),
+        ("acf_lags", q_acf_lags, -1),
+    ]
+
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

@@ -1,0 +1,151 @@
+"""Model-evaluation metrics over score/label frames: exact ROC-AUC,
+Brier score, calibration (reliability) bins.
+
+The measurement leg for classifier-shaped pipeline stages (quality
+gates, linkage thresholds, label propagation, hard-negative miners):
+``retrieval.retrieval_metrics`` grades RANKED retrieval,
+``profile.agreement_kappa`` grades label agreement — this module
+grades scored binary predictions. Everything is closed-form algebra
+over counts and rank sums, so every metric is engine-replayable at
+value level (no sklearn, no sampling).
+
+Part of the build brief's pipeline tier beside the reference's curve
+surface (src/lindel_extension.cpp:948-1026 registers scalar curve
+functions only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank identity:
+    ``AUC = (Σ midranks(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` — one
+    row ``(n_pos, n_neg, auc)``. Ties get MIDRANKS (the average rank
+    of the tied block), so equal scores contribute exactly ½ — the
+    textbook tie-corrected U statistic, identical in any engine, no
+    trapezoid sweep and no threshold grid.
+
+    Plan: scores collapse to a (score → pos/neg counts) table first
+    (map-side-combined groupBy — DISTINCT-SCORE-sized, never rows);
+    the prefix sum over that sorted table runs as a DISTRIBUTED
+    two-phase cumulative (range-partition → pin placement with a
+    vocabulary-sized localCheckpoint → per-partition totals offset a
+    per-partition window) — never an unpartitioned window, so a
+    continuous score column with row-scale distinct values still
+    ranks in parallel. The per-partition totals are the one bounded
+    driver scalar (P rows — the ``global_rank`` contract). Labels
+    must be 0/1 (NULLs excluded); degenerate inputs (no positives or
+    no negatives) return NULL auc.
+    """
+    lab = F.col(label_col).cast("int")
+    pairs = (df.select(F.col(score_col).cast("double").alias("s"),
+                       lab.alias("y"))
+             .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    counts = pairs.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    spark = df.sparkSession
+    P = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # pin partition placement BEFORE the two dependent jobs (offsets +
+    # final aggregate): repartitionByRange re-samples boundaries per
+    # execution, so without the checkpoint the per-partition totals
+    # could disagree with the enumeration pass (the global_rank
+    # checkpoint-method contract; the pinned frame is distinct-score-
+    # sized, not row-sized)
+    c = (counts.withColumn("__cnt", F.col("pos") + F.col("neg"))
+         .repartitionByRange(P, "s")
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint())
+    per = {r["__pid"]: r["t"] for r in
+           c.groupBy("__pid").agg(F.sum("__cnt").alias("t")).collect()}
+    offs, acc = {}, 0
+    for pid in sorted(per):
+        offs[pid] = acc
+        acc += per[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offs.items()] or [(0, 0)],
+        "__pid INT, __off LONG")
+    wp = Window.partitionBy("__pid").orderBy("s") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    # midrank of a tied block at score s: ranks occupied are
+    # (cum_before + 1 .. cum_before + cnt) -> mean = cum_before + (cnt+1)/2
+    t = (c.join(F.broadcast(off_df), "__pid")
+         .withColumn("__cum",
+                     F.col("__off") + F.sum("__cnt").over(wp))
+         .withColumn(
+             "__midrank",
+             (F.col("__cum") - F.col("__cnt")).cast("double")
+             + (F.col("__cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)))
+    agg = t.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos").cast("double") * F.col("__midrank"))
+        .alias("__rank_sum"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn_ = F.col("n_neg").cast("double")
+    return agg.select(
+        "n_pos", "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+               (F.col("__rank_sum") - np_ * (np_ + F.lit(1.0)) / F.lit(2.0))
+               / (np_ * nn_))
+        .otherwise(F.lit(None).cast("double")).alias("auc"))
+
+
+def brier_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Brier score (mean squared error of the probability forecast)
+    with its calibration/refinement-friendly companions: one row
+    ``(n, brier, base_rate)``. Lower is better; a constant forecast
+    of the base rate scores ``p(1−p)`` — beat that or the model adds
+    nothing. One scalar aggregate; labels 0/1, scores in [0, 1]
+    expected (not enforced — probabilities are the caller's
+    contract), NULLs excluded."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pairs = df.select(s.alias("s"), y.alias("y")).filter(
+        F.col("s").isNotNull() & F.col("y").isNotNull())
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg((F.col("s") - F.col("y")) * (F.col("s") - F.col("y")))
+        .alias("brier"),
+        F.avg("y").alias("base_rate"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table: scores bucketed into ``n_bins`` equal-width
+    probability bins, each row ``(bin, n, avg_score, frac_pos)`` —
+    the calibration curve's points (a calibrated model has
+    ``avg_score ≈ frac_pos`` per bin) plus the inputs to ECE
+    (``Σ n_b/n · |avg_score − frac_pos|``). Scores at exactly 1.0
+    close into the last bin. One map-side-combined groupBy on the
+    bin id — ``n_bins`` rows of state, 100 TB-safe."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    pairs = df.select(s.alias("s"), y.alias("y")).filter(
+        F.col("s").isNotNull() & F.col("y").isNotNull())
+    b = F.least(F.lit(n_bins - 1),
+                F.floor(F.col("s") * n_bins).cast("int")).alias("bin")
+    return (pairs.select(b, "s", "y")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.avg("s").alias("avg_score"),
+                 F.avg("y").alias("frac_pos")))

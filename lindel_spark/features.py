@@ -180,3 +180,58 @@ def target_encode(
                  + m * F.col("__prior"))
                 / (F.coalesce(F.col("__n_y"), F.lit(0)) - own_n + m))
             .drop("__sum_y", "__n_y", "__prior"))
+
+
+def corr_matrix(df: DataFrame, cols) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns:
+    ``(col_a, col_b, n, corr)`` for the upper triangle (incl. the
+    diagonal as a 1.0 sanity row) — the tabular-column counterpart to
+    :func:`lindel_spark.similarity.covariance_matrix` and the input
+    to redundant-feature pruning.
+
+    Every pairwise correlation comes from ONE aggregation pass: per
+    pair five raw sums over rows where BOTH sides are non-null
+    (pairwise-complete semantics — per-pair n, like pandas
+    ``df.corr``), then the closed ``(nΣxy − ΣxΣy)/√(…)`` form.
+    k(k+1)/2 × 5 aggregate expressions, one job, no shuffle beyond
+    the single partial-agg exchange. Zero-variance pairs emit NULL.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            xa = F.col(a).cast("double")
+            xb = F.col(b).cast("double")
+            both = xa.isNotNull() & xb.isNotNull()
+            x = F.when(both, xa)
+            y = F.when(both, xb)
+            tag = f"{a}__{b}"
+            pairs.append((a, b, tag))
+            aggs += [
+                F.count(x).cast("long").alias(f"__n_{tag}"),
+                F.sum(x).alias(f"__sx_{tag}"),
+                F.sum(y).alias(f"__sy_{tag}"),
+                F.sum(x * x).alias(f"__sxx_{tag}"),
+                F.sum(y * y).alias(f"__syy_{tag}"),
+                F.sum(x * y).alias(f"__sxy_{tag}"),
+            ]
+    row = df.agg(*aggs)
+    structs = []
+    for a, b, tag in pairs:
+        n = F.col(f"__n_{tag}").cast("double")
+        cov = n * F.col(f"__sxy_{tag}") \
+            - F.col(f"__sx_{tag}") * F.col(f"__sy_{tag}")
+        vx = n * F.col(f"__sxx_{tag}") \
+            - F.col(f"__sx_{tag}") * F.col(f"__sx_{tag}")
+        vy = n * F.col(f"__syy_{tag}") \
+            - F.col(f"__sy_{tag}") * F.col(f"__sy_{tag}")
+        structs.append(F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"__n_{tag}").alias("n"),
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+            .otherwise(F.lit(None).cast("double")).alias("corr")))
+    return (row.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.col_a", "s.col_b", "s.n", "s.corr"))

@@ -74,6 +74,11 @@ _SAMPLE_FIRST = [
     "text_textrank_keywords",    # new: co-occurrence PageRank keywords
     "profile_benford_prices",    # new: Benford first-digit audit
     "profile_chi_square",        # new: chi-square independence test
+    "eval_roc_auc",              # new: exact midrank ROC-AUC
+    "eval_calibration",          # new: reliability bins
+    "eval_brier",                # new: Brier score
+    "events_cusum",              # new: CUSUM drift alarms
+    "features_corr_matrix",      # new: one-pass correlation matrix
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -10293,3 +10298,234 @@ def q_profile_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "o_orderpriority")
     return out.select("n", "dof", F.round("chi2", 6).alias("chi2_r6"),
                       F.round("cramers_v", 6).alias("cramers_v_r6"))
+
+
+#: shared score/label derivation for the evaluation-metric queries: a
+#: noisy monotone transform of the event value as the "model score",
+#: the clean threshold as the binary label (the agreement_kappa
+#: fixture family) — identical expressions in both engines.
+_EVAL_PAIR_SQL = """
+      SELECT LEAST(1.0, GREATEST(0.0,
+               (value + (user_id % 20) - 10.0) / 100.0)) AS s,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.filter(F.col("value").isNotNull()
+                      & F.col("user_id").isNotNull())
+            .select(
+        F.least(F.lit(1.0), F.greatest(
+            F.lit(0.0),
+            (F.col("value") + (F.col("user_id") % 20).cast("double")
+             - F.lit(10.0)) / F.lit(100.0))).alias("s"),
+        F.when(F.col("value") > 50.0, 1).otherwise(0).alias("y")))
+
+
+@query(
+    "eval_roc_auc",
+    f"""
+    WITH pairs AS ({_EVAL_PAIR_SQL}),
+    counts AS (
+      SELECT s, SUM(y)::BIGINT AS pos,
+             SUM(1 - y)::BIGINT AS neg
+      FROM pairs GROUP BY s
+    ), t AS (
+      SELECT pos, neg, pos + neg AS cnt,
+             SUM(pos + neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts
+    )
+    SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+           round((SUM(pos::DOUBLE * ((cum - cnt)::DOUBLE
+                                     + (cnt::DOUBLE + 1.0) / 2.0))
+                  - SUM(pos)::DOUBLE * (SUM(pos)::DOUBLE + 1.0) / 2.0)
+                 / (SUM(pos)::DOUBLE * SUM(neg)::DOUBLE), 6) AS auc_r6
+    FROM t
+    """,
+)
+def q_eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of the noisy score against the
+    clean threshold label (round 11,
+    :func:`lindel_spark.evaluation.roc_auc`): Mann–Whitney midrank
+    identity — no threshold sweep; the distributed prefix sum over
+    the distinct-score table replayed by the oracle's cumulative
+    window; 6dp."""
+    from lindel_spark.evaluation import roc_auc
+
+    out = roc_auc(_eval_pairs(spark, sf_dir), "s", "y")
+    return out.select("n_pos", "n_neg",
+                      F.round("auc", 6).alias("auc_r6"))
+
+
+@query(
+    "eval_calibration",
+    f"""
+    WITH pairs AS ({_EVAL_PAIR_SQL})
+    SELECT LEAST(9, CAST(floor(s * 10) AS INT)) AS bin,
+           COUNT(*)::BIGINT AS n,
+           round(AVG(s), 6) AS avg_score_r6,
+           round(AVG(y::DOUBLE), 6) AS frac_pos_r6
+    FROM pairs GROUP BY 1
+    """,
+)
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the noisy score (round 11,
+    :func:`lindel_spark.evaluation.calibration_bins`): 10 equal-width
+    probability bins with observed positive rate — the calibration
+    curve + ECE inputs; n_bins rows of state; 6dp."""
+    from lindel_spark.evaluation import calibration_bins
+
+    out = calibration_bins(_eval_pairs(spark, sf_dir), "s", "y",
+                           n_bins=10)
+    return out.select("bin", "n",
+                      F.round("avg_score", 6).alias("avg_score_r6"),
+                      F.round("frac_pos", 6).alias("frac_pos_r6"))
+
+
+@query(
+    "eval_brier",
+    f"""
+    WITH pairs AS ({_EVAL_PAIR_SQL})
+    SELECT COUNT(*)::BIGINT AS n,
+           round(AVG((s - y::DOUBLE) * (s - y::DOUBLE)), 6) AS brier_r6,
+           round(AVG(y::DOUBLE), 6) AS base_rate_r6
+    FROM pairs
+    """,
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of the noisy probability forecast (round 11,
+    :func:`lindel_spark.evaluation.brier_score`) with the base rate
+    it must beat (constant-forecast score = p(1−p)); 6dp."""
+    from lindel_spark.evaluation import brier_score
+
+    out = brier_score(_eval_pairs(spark, sf_dir), "s", "y")
+    return out.select("n", F.round("brier", 6).alias("brier_r6"),
+                      F.round("base_rate", 6).alias("base_rate_r6"))
+
+
+@query(
+    "events_cusum",
+    """
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             SUM(value - 55.0) OVER w AS chi,
+             SUM(-(value - 45.0)) OVER w AS clo
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_type,
+             chi - LEAST(0.0, MIN(chi) OVER w2) AS hi,
+             clo - LEAST(0.0, MIN(clo) OVER w2) AS lo
+      FROM c
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN hi > 400.0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_alarm_hi,
+           SUM(CASE WHEN lo > 400.0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_alarm_lo,
+           round(MAX(hi), 6) AS max_hi_r6,
+           round(MAX(lo), 6) AS max_lo_r6
+    FROM s GROUP BY event_type
+    """,
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift alarms per event type (round 11,
+    :func:`lindel_spark.timeseries.cusum_changepoints`): one-sided
+    cumulative sums around target 50 ± slack 5, alarm at 400 — the
+    telescoped closed window form (cum − running min), sequential
+    window order identical in both engines so even the float sums
+    replay; per-type alarm counts + max excursions; 6dp."""
+    from lindel_spark.timeseries import cusum_changepoints
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .filter(F.col("value").isNotNull()))
+    out = cusum_changepoints(ev, ["event_type"], "ts", "value",
+                             "event_id", target=50.0, slack=5.0,
+                             threshold=400.0)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("alarm_hi"), 1).otherwise(0))
+        .cast("long").alias("n_alarm_hi"),
+        F.sum(F.when(F.col("alarm_lo"), 1).otherwise(0))
+        .cast("long").alias("n_alarm_lo"),
+        F.round(F.max("cusum_hi"), 6).alias("max_hi_r6"),
+        F.round(F.max("cusum_lo"), 6).alias("max_lo_r6"))
+
+
+@query(
+    "features_corr_matrix",
+    """
+    WITH p AS (
+      SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS e,
+             l_discount::DOUBLE AS d, l_tax::DOUBLE AS t
+      FROM lineitem
+    ), pairs AS (
+      SELECT 'l_quantity' AS col_a, 'l_quantity' AS col_b,
+             COUNT(q)::BIGINT AS n,
+             COUNT(q)*SUM(q*q) - SUM(q)*SUM(q) AS vx,
+             COUNT(q)*SUM(q*q) - SUM(q)*SUM(q) AS vy,
+             COUNT(q)*SUM(q*q) - SUM(q)*SUM(q) AS cv
+      FROM p
+      UNION ALL SELECT 'l_quantity', 'l_extendedprice', COUNT(*),
+             COUNT(*)*SUM(q*q) - SUM(q)*SUM(q),
+             COUNT(*)*SUM(e*e) - SUM(e)*SUM(e),
+             COUNT(*)*SUM(q*e) - SUM(q)*SUM(e) FROM p
+      UNION ALL SELECT 'l_quantity', 'l_discount', COUNT(*),
+             COUNT(*)*SUM(q*q) - SUM(q)*SUM(q),
+             COUNT(*)*SUM(d*d) - SUM(d)*SUM(d),
+             COUNT(*)*SUM(q*d) - SUM(q)*SUM(d) FROM p
+      UNION ALL SELECT 'l_quantity', 'l_tax', COUNT(*),
+             COUNT(*)*SUM(q*q) - SUM(q)*SUM(q),
+             COUNT(*)*SUM(t*t) - SUM(t)*SUM(t),
+             COUNT(*)*SUM(q*t) - SUM(q)*SUM(t) FROM p
+      UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', COUNT(*),
+             COUNT(*)*SUM(e*e) - SUM(e)*SUM(e),
+             COUNT(*)*SUM(e*e) - SUM(e)*SUM(e),
+             COUNT(*)*SUM(e*e) - SUM(e)*SUM(e) FROM p
+      UNION ALL SELECT 'l_extendedprice', 'l_discount', COUNT(*),
+             COUNT(*)*SUM(e*e) - SUM(e)*SUM(e),
+             COUNT(*)*SUM(d*d) - SUM(d)*SUM(d),
+             COUNT(*)*SUM(e*d) - SUM(e)*SUM(d) FROM p
+      UNION ALL SELECT 'l_extendedprice', 'l_tax', COUNT(*),
+             COUNT(*)*SUM(e*e) - SUM(e)*SUM(e),
+             COUNT(*)*SUM(t*t) - SUM(t)*SUM(t),
+             COUNT(*)*SUM(e*t) - SUM(e)*SUM(t) FROM p
+      UNION ALL SELECT 'l_discount', 'l_discount', COUNT(*),
+             COUNT(*)*SUM(d*d) - SUM(d)*SUM(d),
+             COUNT(*)*SUM(d*d) - SUM(d)*SUM(d),
+             COUNT(*)*SUM(d*d) - SUM(d)*SUM(d) FROM p
+      UNION ALL SELECT 'l_discount', 'l_tax', COUNT(*),
+             COUNT(*)*SUM(d*d) - SUM(d)*SUM(d),
+             COUNT(*)*SUM(t*t) - SUM(t)*SUM(t),
+             COUNT(*)*SUM(d*t) - SUM(d)*SUM(t) FROM p
+      UNION ALL SELECT 'l_tax', 'l_tax', COUNT(*),
+             COUNT(*)*SUM(t*t) - SUM(t)*SUM(t),
+             COUNT(*)*SUM(t*t) - SUM(t)*SUM(t),
+             COUNT(*)*SUM(t*t) - SUM(t)*SUM(t) FROM p
+    )
+    SELECT col_a, col_b, n,
+           round(CASE WHEN vx > 0 AND vy > 0
+                 THEN cv / sqrt(vx * vy) ELSE NULL END, 6) AS corr_r6
+    FROM pairs
+    """,
+)
+def q_features_corr_matrix(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns (round 11, :func:`lindel_spark.features.corr_matrix`):
+    every pair from ONE aggregation pass (five raw sums per pair,
+    closed normal-equation form, pairwise-complete n); the
+    redundant-feature pruning input; 6dp."""
+    from lindel_spark.features import corr_matrix
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = corr_matrix(li, ["l_quantity", "l_extendedprice",
+                           "l_discount", "l_tax"])
+    return out.select("col_a", "col_b", "n",
+                      F.round("corr", 6).alias("corr_r6"))

@@ -151,3 +151,57 @@ def acf(
         F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
         .otherwise(F.lit(None).cast("double")))
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy"))
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection per series (Page 1954):
+    flag the points where the upper/lower cumulative sums
+    ``s⁺_t = max(0, s⁺_{t-1} + (x_t − target − slack))`` /
+    ``s⁻_t = max(0, s⁻_{t-1} − (x_t − target + slack))`` cross
+    ``threshold`` — the sequential drift alarm that catches a
+    sustained small shift long before any single point trips a
+    2-sigma rule.
+
+    The recursive max has a CLOSED window form (the reset-to-zero
+    recursion telescopes): with ``c_t = Σ_{i≤t} (x_i − target −
+    slack)``, ``s⁺_t = c_t − min(0, min_{j≤t} c_j)`` — so both sides
+    are two cumulative windows over one per-key sort, no recursion,
+    no UDF, engine-replayable. Output: every row with
+    ``(… , cusum_hi, cusum_lo, alarm_hi, alarm_lo)``.
+
+    ``target`` is the in-control mean, ``slack`` (k) the half-shift
+    you want to tolerate, ``threshold`` (h) the alarm level — all
+    explicit constants rather than data-derived so the operator stays
+    one pass (derive them upstream from a reference window if
+    needed). One hash Exchange on ``keys`` + one sort both windows
+    share; per-key state only.
+    """
+    x = F.col(value_col).cast("double")
+    w = (Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    c_hi = F.sum(x - F.lit(float(target)) - F.lit(float(slack))).over(w)
+    c_lo = F.sum(-(x - F.lit(float(target)) + F.lit(float(slack)))).over(w)
+    out = (df
+           .withColumn("__chi", c_hi)
+           .withColumn("__clo", c_lo))
+    w2 = (Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    hi = F.col("__chi") - F.least(F.lit(0.0), F.min("__chi").over(w2))
+    lo = F.col("__clo") - F.least(F.lit(0.0), F.min("__clo").over(w2))
+    return (out
+            .withColumn("cusum_hi", hi)
+            .withColumn("cusum_lo", lo)
+            .withColumn("alarm_hi",
+                        F.col("cusum_hi") > F.lit(float(threshold)))
+            .withColumn("alarm_lo",
+                        F.col("cusum_lo") > F.lit(float(threshold)))
+            .drop("__chi", "__clo"))
