@@ -40,10 +40,14 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class LinkField:
-    """One compared field: ``kind`` ∈ {levenshtein, exact, numeric}.
+    """One compared field: ``kind`` ∈ {levenshtein, jaro_winkler,
+    exact, numeric}.
 
     ``scale`` (numeric only): the difference at which similarity
-    reaches 0 — sim = max(0, 1 − |a−b|/scale).
+    reaches 0 — sim = max(0, 1 − |a−b|/scale). ``jaro_winkler``
+    (round 11) forgives transpositions and rewards shared prefixes —
+    the name/address comparator; it is the one Python-side (Arrow
+    pandas-batch) term, every other kind stays whole-stage codegen.
     """
 
     col: str
@@ -58,6 +62,8 @@ def _field_sim(a: Column, b: Column, f: LinkField) -> Column:
         sim = F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom
         # two empty strings are identical, not 0/0
         return F.when(denom == 0, F.lit(1.0)).otherwise(sim)
+    if f.kind == "jaro_winkler":
+        return jaro_winkler(a, b)
     if f.kind == "exact":
         return F.when(a.eqNullSafe(b), F.lit(1.0)).otherwise(F.lit(0.0))
     if f.kind == "numeric":
@@ -189,3 +195,82 @@ def incremental_linkage(
     new_records = (batch.join(matched, id_col, "left_anti")
                    .join(batch_dups, id_col, "left_anti"))
     return matches, new_records
+
+
+def _jaro_winkler_py(a, b) -> float:
+    """Plain-Python Jaro–Winkler, pinned to the standard definition
+    DuckDB's ``jaro_winkler_similarity`` implements (verified against
+    it case-by-case in tests/test_linkage_jw.py): match window
+    ``max(len)//2 − 1``, transpositions ``t//2``, Winkler prefix boost
+    (scale 0.1, prefix ≤ 4) only when jaro > 0.7, empty input → 0.0.
+    Executor-side helper for the Arrow-batched UDF below."""
+    if not a or not b:
+        return 0.0
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    a_match = [False] * la
+    b_match = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        for j in range(lo, hi):
+            if not b_match[j] and b[j] == ca:
+                a_match[i] = b_match[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        pfx = 0
+        for i in range(min(4, la, lb)):
+            if a[i] != b[i]:
+                break
+            pfx += 1
+        jaro = jaro + pfx * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler(a: Column, b: Column) -> Column:
+    """Jaro–Winkler similarity as an Arrow-batched pandas UDF — the
+    short-string comparator edit distance gets wrong (it forgives
+    transpositions and rewards shared prefixes, which is what human
+    name/address variants look like). Spark has no built-in, so this
+    is one of the repo's few Python-side kernels: pandas-batch (never
+    row-at-a-time), pure function, NULL in → NULL out (SQL
+    semantics, matching DuckDB's jaro_winkler_similarity which the
+    oracle uses)."""
+    global _JW_UDF
+    if _JW_UDF is None:
+        import pandas as pd
+
+        def _jw(sa, sb):
+            out = [
+                None if (x is None or y is None)
+                else _jaro_winkler_py(x, y)
+                for x, y in zip(sa, sb)
+            ]
+            return pd.Series(out, dtype="float64")
+
+        _JW_UDF = F.pandas_udf(_jw, "double")
+    return _JW_UDF(a, b)
+
+
+_JW_UDF = None

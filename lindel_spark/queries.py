@@ -79,6 +79,7 @@ _SAMPLE_FIRST = [
     "eval_brier",                # new: Brier score
     "events_cusum",              # new: CUSUM drift alarms
     "features_corr_matrix",      # new: one-pass correlation matrix
+    "linkage_jaro_pairs",        # new: Jaro-Winkler comparator
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -10529,3 +10530,51 @@ def q_features_corr_matrix(spark: SparkSession,
                            "l_discount", "l_tax"])
     return out.select("col_a", "col_b", "n",
                       F.round("corr", 6).alias("corr_r6"))
+
+
+@query(
+    "linkage_jaro_pairs",
+    """
+    WITH c AS (
+      SELECT c_custkey::BIGINT AS id, c_name AS name,
+             c_nationkey AS nat, c_mktsegment AS seg, c_acctbal AS bal,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS balb
+      FROM customer
+    ), scored AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(0.6 * jaro_winkler_similarity(a.name, b.name)
+                   + 0.4 * GREATEST(0.0,
+                             1.0 - ABS(a.bal - b.bal) / 500.0),
+                   9) AS score
+      FROM c a JOIN c b
+        ON a.nat = b.nat AND a.seg = b.seg AND a.balb = b.balb
+       AND a.id < b.id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.93
+    """,
+)
+def q_linkage_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with the Jaro–Winkler name comparator (round
+    11, :func:`lindel_spark.linkage.jaro_winkler`): same blocking as
+    ``linkage_customer_pairs`` but the name term forgives
+    transpositions and rewards shared prefixes — scored against
+    DuckDB's built-in ``jaro_winkler_similarity``, which the
+    pandas-batch kernel matches bit-for-bit (3k-case fuzz pinned in
+    tests/test_linkage_jw.py)."""
+    from lindel_spark import linkage as LK
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    cust = cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("balb"))
+    pairs = LK.record_linkage(
+        cust, "c_custkey",
+        block_cols=["c_nationkey", "c_mktsegment", "balb"],
+        fields=[LK.LinkField("c_name", "jaro_winkler", weight=0.6),
+                LK.LinkField("c_acctbal", "numeric", weight=0.4,
+                             scale=500.0)],
+        threshold=0.93)
+    return pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                        F.col("id_b").cast("long").alias("id_b"),
+                        "score")

@@ -661,3 +661,23 @@ def test_drift_stream_sink_per_batch_equals_batch_scoring(
     self_psi = drift_against(ref, prof, ["value"],
                              bins=8).collect()[0].psi
     assert abs(self_psi) < 1e-12
+
+
+def test_hll_sketch_streaming_matches_batch(spark, events, stream_src):
+    """hll_sketch is select + groupBy-max, so it runs unchanged as a
+    streaming aggregation; the drained register table must equal the
+    batch sketch exactly (max is order/merge-insensitive)."""
+    from lindel_spark.sketch import hll_sketch
+
+    schema = events.schema
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", "1").parquet(stream_src))
+    sk = hll_sketch(src, ["event_type"], "user_id", p=7)
+    q = (sk.writeStream.outputMode("complete")
+         .format("memory").queryName("hll_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hll_t")
+    want = hll_sketch(events, ["event_type"], "user_id", p=7)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
