@@ -490,3 +490,47 @@ def bloom_semi_join(
         )
     dim_side = F.broadcast(keys) if broadcast_dim else keys
     return pruned.join(dim_side, on, "left_semi")
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    eps: float,
+) -> DataFrame:
+    """1-D numeric band join: every (left, right) pair with
+    ``|left_col − right_col| <= eps`` — price-proximity matching,
+    sensor alignment by reading value, the numeric-similarity
+    blocking step of record linkage generalized. The 1-D sibling of
+    :func:`spatial_range_join` (same cell trick, 3 cells instead of
+    3×3): Spark would otherwise plan the pure inequality predicate as
+    a BroadcastNestedLoopJoin — quadratic and driver-bound.
+
+    Each left row lands in bucket ``floor(v/eps)``; each right row
+    probes its own bucket ± 1 (one map-side 3-element explode on the
+    SMALLER-side-by-role frame — choose operands accordingly), the
+    join is a hash equi-join on the bucket id, and the exact band
+    predicate filters the candidates. Every true pair shares a probe
+    bucket (|a−b| ≤ eps ⇒ bucket ids differ by ≤ 1), so candidates
+    are complete; buckets are value-derived, so skew follows value
+    skew and AQE can split hot buckets.
+    """
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    lv = F.col(left_col).cast("double")
+    rv = F.col(right_col).cast("double")
+    lb = left.filter(lv.isNotNull()).withColumn(
+        "__cell", F.floor(lv / F.lit(float(eps))).cast("long"))
+    probe = right.filter(rv.isNotNull()).withColumn(
+        "__cell",
+        F.explode(F.array(
+            F.floor(rv / F.lit(float(eps))).cast("long") - 1,
+            F.floor(rv / F.lit(float(eps))).cast("long"),
+            F.floor(rv / F.lit(float(eps))).cast("long") + 1)))
+    joined = lb.join(probe, "__cell")
+    return (joined
+            .filter(F.abs(F.col(left_col).cast("double")
+                          - F.col(right_col).cast("double"))
+                    <= F.lit(float(eps)))
+            .drop("__cell"))

@@ -80,6 +80,11 @@ _SAMPLE_FIRST = [
     "events_cusum",              # new: CUSUM drift alarms
     "features_corr_matrix",      # new: one-pass correlation matrix
     "linkage_jaro_pairs",        # new: Jaro-Winkler comparator
+    "parts_band_join",           # new: 1-D numeric band join
+    "events_interarrival",       # new: burstiness profile
+    "events_gap_report",         # new: missing-data gaps
+    "events_rolling_zscore",     # new: windowed point anomalies
+    "text_pmi_collocations",     # new: PMI multi-word expressions
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -10578,3 +10583,207 @@ def q_linkage_jaro_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(F.col("id_a").cast("long").alias("id_a"),
                         F.col("id_b").cast("long").alias("id_b"),
                         "score")
+
+
+@query(
+    "parts_band_join",
+    """
+    SELECT a.p_partkey::BIGINT AS id_a, b.p_partkey::BIGINT AS id_b,
+           a.p_retailprice::DOUBLE AS price_a,
+           b.p_retailprice::DOUBLE AS price_b
+    FROM part a JOIN part b
+      ON abs(a.p_retailprice - b.p_retailprice) <= 5.0
+    WHERE a.p_partkey % 40 = 0 AND b.p_partkey % 40 = 20
+    """,
+)
+def q_parts_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D numeric band join (round 11,
+    :func:`lindel_spark.joins.band_join`): price-proximity pairs
+    (|Δprice| ≤ 5) between two part samples via the floor(v/eps)
+    cell trick + 3-cell probe — a hash equi-join where the bare
+    inequality would plan as a quadratic BroadcastNestedLoopJoin.
+    Oracle runs the plain inequality join."""
+    from lindel_spark.joins import band_join
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    a = part.filter(F.col("p_partkey") % 40 == 0).select(
+        F.col("p_partkey").cast("long").alias("id_a"),
+        F.col("p_retailprice").cast("double").alias("price_a"))
+    b = part.filter(F.col("p_partkey") % 40 == 20).select(
+        F.col("p_partkey").cast("long").alias("id_b"),
+        F.col("p_retailprice").cast("double").alias("price_b"))
+    out = band_join(a, b, "price_a", "price_b", eps=5.0)
+    return out.select("id_a", "id_b", "price_a", "price_b")
+
+
+@query(
+    "events_interarrival",
+    """
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id)))::DOUBLE
+               / 1e6 AS gap
+      FROM events
+    ), a AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_gaps,
+             SUM(gap) AS s, SUM(gap * gap) AS ss, MAX(gap) AS mx
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(s / n_gaps, 6) AS mean_gap_r6,
+           round(sqrt(GREATEST(ss / n_gaps
+                               - (s / n_gaps) * (s / n_gaps), 0.0)), 6)
+             AS std_gap_r6,
+           round(sqrt(GREATEST(ss / n_gaps
+                               - (s / n_gaps) * (s / n_gaps), 0.0))
+                 / (s / n_gaps), 6) AS cv_r6,
+           round(mx, 6) AS max_gap_r6
+    FROM a
+    """,
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness profile per event type (round 11,
+    :func:`lindel_spark.timeseries.interarrival_stats`): CV ≈ 1 is
+    Poisson-like, ≫ 1 is bursts+silences, ≈ 0 is synthetic metronome
+    traffic; closed population-std algebra; 6dp."""
+    from lindel_spark.timeseries import interarrival_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = interarrival_stats(ev, ["event_type"], "ts", "event_id")
+    return out.select(
+        "event_type", "n_gaps",
+        F.round("mean_gap_s", 6).alias("mean_gap_r6"),
+        F.round("std_gap_s", 6).alias("std_gap_r6"),
+        F.round("cv", 6).alias("cv_r6"),
+        F.round("max_gap_s", 6).alias("max_gap_r6"))
+
+
+@query(
+    "events_gap_report",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id % 97 = 0
+    )
+    SELECT user_id::BIGINT AS user_id,
+           epoch_us(prev)::BIGINT AS gap_start_us,
+           epoch_us(ts)::BIGINT AS gap_end_us,
+           round((epoch_us(ts) - epoch_us(prev))::DOUBLE / 1e6, 6)
+             AS gap_seconds_r6
+    FROM s
+    WHERE prev IS NOT NULL
+      AND (epoch_us(ts) - epoch_us(prev))::DOUBLE / 1e6 > 43200.0
+    """,
+)
+def q_events_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data gap report (round 11,
+    :func:`lindel_spark.timeseries.gap_report`): every >12 h silence
+    in a sampled user's event stream — the ingestion-outage /
+    completeness-SLA report (the inverse of sessionization); exact
+    timestamps, 6dp seconds."""
+    from lindel_spark.timeseries import gap_report
+
+    ev = (spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+          .filter(F.col("user_id") % 97 == 0))
+    out = gap_report(ev, ["user_id"], "ts", "event_id",
+                     max_gap="12 hours")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("gap_start").cast("timestamp"))
+        .alias("gap_start_us"),
+        F.unix_micros(F.col("gap_end").cast("timestamp"))
+        .alias("gap_end_us"),
+        F.round("gap_seconds", 6).alias("gap_seconds_r6"))
+
+
+@query(
+    "events_rolling_zscore",
+    """
+    WITH s AS (
+      SELECT event_id, value::DOUBLE AS x,
+             COUNT(value) OVER w AS n,
+             SUM(value::DOUBLE) OVER w AS s,
+             SUM(value::DOUBLE * value::DOUBLE) OVER w AS ss
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id::BIGINT AS event_id,
+           round(CASE WHEN n >= 5
+                       AND sqrt(GREATEST(ss / n - (s / n) * (s / n),
+                                         0.0)) > 0
+                 THEN (x - s / n)
+                      / sqrt(GREATEST(ss / n - (s / n) * (s / n), 0.0))
+                 ELSE NULL END, 6) AS zscore_r6
+    FROM s
+    """,
+)
+def q_events_rolling_zscore(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Rolling-window point-anomaly score (round 11,
+    :func:`lindel_spark.timeseries.rolling_zscore`): each event's
+    z-score against the PRECEDING 20 events of its type (self
+    excluded so a spike can't mask itself); cold-start and
+    zero-variance emit NULL; the point-anomaly sibling of the CUSUM
+    drift alarm; 6dp."""
+    from lindel_spark.timeseries import rolling_zscore
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = rolling_zscore(ev, ["event_type"], "ts", "value",
+                         "event_id", lookback=20, min_points=5)
+    return out.select(F.col("event_id").cast("long").alias("event_id"),
+                      F.round("zscore", 6).alias("zscore_r6"))
+
+
+@query(
+    "text_pmi_collocations",
+    """
+    WITH norm AS (
+      SELECT list_filter(
+               list_filter(
+                 string_split(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '),
+                 t -> t <> ''),
+               t -> length(t) >= 3) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT u.l AS l, u.r AS r FROM (
+        SELECT unnest(list_transform(range(1, len(toks)),
+          i -> struct_pack(l := toks[i], r := toks[i + 1]))) AS u
+        FROM norm WHERE len(toks) >= 2)
+    ), pc AS (
+      SELECT l, r, COUNT(*)::BIGINT AS n_pair FROM pairs GROUP BY l, r
+    ), ml AS (SELECT l, SUM(n_pair) AS cl FROM pc GROUP BY l),
+    mr AS (SELECT r, SUM(n_pair) AS cr FROM pc GROUP BY r),
+    nn AS (SELECT SUM(n_pair)::DOUBLE AS n FROM pc),
+    scored AS (
+      SELECT pc.l, pc.r, pc.n_pair,
+             ln(nn.n * pc.n_pair::DOUBLE
+                / (ml.cl::DOUBLE * mr.cr::DOUBLE)) AS pmi
+      FROM pc JOIN ml USING (l) JOIN mr USING (r), nn
+      WHERE pc.n_pair >= 5
+    )
+    SELECT pos::BIGINT AS pos, l AS left_tok, r AS right_tok, n_pair,
+           round(pmi, 6) AS pmi_r6
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, l, r) AS pos
+          FROM scored)
+    WHERE pos <= 30
+    """,
+)
+def q_text_pmi_collocations(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Top-30 PMI collocations over adjacent token pairs (round 11,
+    :func:`lindel_spark.text.pmi_collocations`): the multi-word-
+    expression detector raw pair frequency gets wrong; min-count 5
+    floors hapax pairs; pmi over integer counts is bit-identical in
+    both engines so even the ranking replays; 6dp."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = LT.pmi_collocations(docs, "text", min_count=5, top_n=30)
+    return out.select(F.col("pos").cast("long").alias("pos"),
+                      F.col("left").alias("left_tok"),
+                      F.col("right").alias("right_tok"), "n_pair",
+                      F.round("pmi", 6).alias("pmi_r6"))

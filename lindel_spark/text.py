@@ -1096,3 +1096,68 @@ def textrank_keywords(
             .filter(F.col("pos") <= top_n)
             .select("pos", F.col("node").alias("token"),
                     F.col("rank").alias("score")))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+    min_token_len: int = 3,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over ADJACENT
+    token pairs: ``(pos, left, right, n_pair, pmi)`` — the
+    multi-word-expression detector ("new york", "machine learning")
+    raw pair frequency gets wrong (frequent-word pairs dominate;
+    PMI = ln(n·c_ab/(c_a·c_b)) normalizes by both unigram rates).
+    The local counterpart of :func:`textrank_keywords`' global graph
+    score, and one deterministic merge-quality lens on the pairs
+    :func:`bpe_pair_counts` counts.
+
+    ``min_count`` floors the pair count (PMI over-rewards rare
+    hapax pairs — the standard guard). Ordering is pmi-desc /
+    (left, right)-asc, deterministic. Plan: the bigram zip_with
+    explode (map-only) → vocabulary²-bounded pair counts → two
+    vocabulary-sized marginal joins → top-n window over the
+    SURVIVOR pairs (already ≥ min_count), never rows. Token counts
+    use the same filtered positions the pairs are built from, so the
+    marginals are exactly the pair table's own margins.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    toks = F.filter(
+        tokens(normalize_text(F.col(text_col))),
+        lambda t: F.length(t) >= min_token_len)
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    z = F.zip_with(
+        "__t",
+        F.slice("__t", 2, F.greatest(F.size("__t") - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    pairs = (base.select(F.explode(z).alias("p"))
+             .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+             .filter(F.col("r").isNotNull()))
+    pc = pairs.groupBy("l", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair"))
+    # marginals of the PAIR table (left-position and right-position
+    # unigram rates) so pmi's margins sum to exactly n
+    ml = pc.groupBy("l").agg(F.sum("n_pair").alias("__cl"))
+    mr = pc.groupBy("r").agg(F.sum("n_pair").alias("__cr"))
+    from pyspark.sql import Window
+
+    total = pc.agg(F.sum("n_pair").alias("__n"))
+    scored = (pc.filter(F.col("n_pair") >= min_count)
+              .join(ml, "l").join(mr, "r")
+              .crossJoin(F.broadcast(total))
+              .withColumn(
+                  "pmi",
+                  F.log(F.col("__n").cast("double")
+                        * F.col("n_pair").cast("double")
+                        / (F.col("__cl").cast("double")
+                           * F.col("__cr").cast("double")))))
+    w = Window.orderBy(F.col("pmi").desc(), F.col("l"), F.col("r"))
+    return (scored.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= top_n)
+            .select("pos", F.col("l").alias("left"),
+                    F.col("r").alias("right"), "n_pair", "pmi"))

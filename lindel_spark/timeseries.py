@@ -205,3 +205,128 @@ def cusum_changepoints(
             .withColumn("alarm_lo",
                         F.col("cusum_lo") > F.lit(float(threshold)))
             .drop("__chi", "__clo"))
+
+
+def interarrival_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Inter-arrival-time profile per series: ``(*keys, n_gaps,
+    mean_gap_s, std_gap_s, cv, max_gap_s)`` — the burstiness screen
+    (CV ≈ 1: Poisson-like arrivals; CV ≫ 1: bursts + silences —
+    batchy upstream producers, retry storms; CV ≈ 0: a metronome,
+    i.e. synthetic traffic). Gaps in seconds between consecutive
+    events under the deterministic ``(ts, tiebreak)`` order;
+    population std via the closed ``√(Σg²/n − (Σg/n)²)`` form so both
+    engines evaluate the identical tree. One window pass + one
+    map-side-combined groupBy; per-key state only.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    # events tables arrive as TIMESTAMP_NTZ from raw parquet; sessions
+    # here run UTC, so the cast is lossless
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    g = (df.withColumn("__gap",
+                       (tus - F.lag(tus).over(w)).cast("double")
+                       / F.lit(1e6))
+         .filter(F.col("__gap").isNotNull()))
+    agg = g.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("__gap").alias("__s"),
+        F.sum(F.col("__gap") * F.col("__gap")).alias("__ss"),
+        F.max("__gap").alias("max_gap_s"),
+    )
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("__s") / n
+    var = F.col("__ss") / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (agg
+            .withColumn("mean_gap_s", mean)
+            .withColumn("std_gap_s", std)
+            .withColumn(
+                "cv",
+                F.when(mean > 0, std / mean)
+                .otherwise(F.lit(None).cast("double")))
+            .drop("__s", "__ss")
+            .select(*keys, "n_gaps", "mean_gap_s", "std_gap_s", "cv",
+                    "max_gap_s"))
+
+
+def gap_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    max_gap: str,
+) -> DataFrame:
+    """Missing-data gaps per series: every consecutive-event gap
+    longer than ``max_gap`` (an interval string like ``'2 hours'``),
+    as ``(*keys, gap_start, gap_end, gap_seconds)`` — the outage /
+    ingestion-hole report a completeness SLA reads (the inverse of
+    sessionization: sessions keep what's inside the gap threshold,
+    this emits what's missing). One window pass, map-only filter;
+    per-key state only.
+    """
+    out = (df.select(*keys, F.col(ts_col).alias("__ts"),
+                     F.col(tiebreak).alias("__tb"))
+           .withColumn("__prev", F.lag("__ts").over(
+               Window.partitionBy(*keys).orderBy("__ts", "__tb"))))
+    gap_s = (F.unix_micros(F.col("__ts").cast("timestamp"))
+             - F.unix_micros(F.col("__prev").cast("timestamp"))
+             ).cast("double") / F.lit(1e6)
+    thresh = (F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {max_gap}"))).cast("double") / F.lit(1e6)
+    return (out.filter(F.col("__prev").isNotNull())
+            .withColumn("gap_seconds", gap_s)
+            .filter(F.col("gap_seconds") > thresh)
+            .select(*keys, F.col("__prev").alias("gap_start"),
+                    F.col("__ts").alias("gap_end"), "gap_seconds"))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    lookback: int = 20,
+    min_points: int = 5,
+) -> DataFrame:
+    """Point-anomaly score per event: z-score of each value against
+    the PRECEDING ``lookback`` rows of its own series (never
+    including itself — a spike must not mask itself by inflating its
+    own baseline). The point-anomaly sibling of
+    :func:`cusum_changepoints` (CUSUM catches sustained small drifts,
+    this catches single excursions) and the per-series counterpart of
+    the global MAD rule.
+
+    Adds ``(roll_mean, roll_std, zscore)``; rows with fewer than
+    ``min_points`` preceding points emit NULL zscore (cold start),
+    zero-variance baselines too. Population std via the closed
+    ``√(Σx²/n − mean²)`` form. One window pass (hash Exchange on
+    ``keys`` + one sort), rows-between frame — map-only after the
+    sort, per-key state only.
+    """
+    if lookback < 1:
+        raise ValueError("lookback must be >= 1")
+    if min_points < 2:
+        raise ValueError("min_points must be >= 2")
+    x = F.col(value_col).cast("double")
+    w = (Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+         .rowsBetween(-lookback, -1))
+    n = F.count(x).over(w).cast("double")
+    s = F.sum(x).over(w)
+    ss = F.sum(x * x).over(w)
+    mean = s / n
+    var = ss / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (df
+            .withColumn("roll_mean", mean)
+            .withColumn("roll_std", std)
+            .withColumn(
+                "zscore",
+                F.when((n >= min_points) & (std > 0),
+                       (x - mean) / std)
+                .otherwise(F.lit(None).cast("double"))))
