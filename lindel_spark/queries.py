@@ -85,6 +85,7 @@ _SAMPLE_FIRST = [
     "events_gap_report",         # new: missing-data gaps
     "events_rolling_zscore",     # new: windowed point anomalies
     "text_pmi_collocations",     # new: PMI multi-word expressions
+    "zorder_store_vacuum_cycle",  # new: retention vacuum / GDPR leg
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -10787,3 +10788,57 @@ def q_text_pmi_collocations(spark: SparkSession,
                       F.col("left").alias("left_tok"),
                       F.col("right").alias("right_tok"), "n_pair",
                       F.round("pmi", 6).alias("pmi_r6"))
+
+
+@query(
+    "zorder_store_vacuum_cycle",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(l_orderkey)::BIGINT AS sum_ok,
+           1::BIGINT AS bases_kept,
+           true AS history_gone
+    FROM lineitem
+    """,
+)
+def q_zorder_store_vacuum_cycle(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Retention-vacuum lifecycle (round 11,
+    :func:`lindel_spark.write.zorder_store_vacuum`): init (v0) +
+    append + forced maintenance (v1 commits, v0 retained for time
+    travel) + ``vacuum(keep_versions=1)`` — exactly one base/manifest
+    generation must remain on disk, the v0 time-travel read must fail
+    loudly, and the current read must still equal the raw table
+    (asserted in-frame; the oracle recomputes the aggregate and the
+    expected retention facts)."""
+    import tempfile
+
+    from lindel_spark import fs as _fs
+    from lindel_spark import write as LWR
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    store = os.path.join(tempfile.mkdtemp(prefix="lindel_zvac_"), "s")
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    LWR.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols,
+                          store, stat_cols=["l_orderkey"],
+                          elem="int32", num_files=8)
+    LWR.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+    st = LWR.zorder_store_maintain(spark, store, cols,
+                                   tail_ratio=0.0001, elem="int32",
+                                   num_files=8)
+    assert st["rewritten"], "tail must force the rewrite"
+    rep = LWR.zorder_store_vacuum(spark, store, keep_versions=1)
+    bases_kept = len([d for d in rep["kept"]
+                      if d.startswith("base-v")])
+    assert "base-v0" in rep["deleted"], rep
+    try:
+        LWR.zorder_store_read(spark, store, version=0)
+        history_gone = False
+    except FileNotFoundError:
+        history_gone = True
+    out = LWR.zorder_store_read(spark, store)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("sum_ok"),
+        F.lit(bases_kept).cast("long").alias("bases_kept"),
+        F.lit(history_gone).alias("history_gone"))

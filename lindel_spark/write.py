@@ -962,3 +962,52 @@ def zorder_store_maintain_deletes(spark, path: str, cols: Sequence,
         return {"rewritten": False, "reason": "no tombstones"}
     return zorder_store_maintain(spark, path, cols, tail_ratio=0.0,
                                  **zorder_kwargs)
+
+
+def zorder_store_vacuum(spark, path: str,
+                        keep_versions: int = 2) -> dict:
+    """Retention vacuum for the incremental z-order store: keep the
+    newest ``keep_versions`` committed base versions (with their
+    manifests and bloom indexes), physically delete everything older.
+    :func:`zorder_store_maintain` hard-codes a keep-2 prune for time
+    travel; vacuum makes retention a policy — and
+    ``keep_versions=1`` is the GDPR COMPLETION step: after a
+    tombstone purge rewrites ``base-v{N+1}``, the RETAINED previous
+    base still physically holds the deleted rows until this runs.
+
+    Only committed, older-than-retention versions are touched:
+    directories numbered above the latest commit (an in-flight
+    maintainer's work) are left alone, and the append-only commit
+    log is never rewritten — a time-travel read of a vacuumed
+    version fails loudly with the existing not-retained error. Pure
+    metadata-layer deletes through the Hadoop FileSystem API
+    (object-store-safe); the current timeline (base, tail, deletes,
+    tail stats) is untouched. Returns ``{"latest", "kept",
+    "deleted"}`` directory lists.
+    """
+    from lindel_spark import fs as _fs
+
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    v = _zstore_latest(spark, path)
+    if v is None:
+        raise FileNotFoundError(f"LINDEL: no zorder store at {path}")
+    cutoff = v - keep_versions + 1
+    deleted: list[str] = []
+    kept: list[str] = []
+    for d in _fs.list_names(spark, path):
+        for pref in ("base-v", "manifest-v", "bloom-v"):
+            if d.startswith(pref):
+                try:
+                    dv = int(d.rsplit("-v", 1)[1])
+                except ValueError:
+                    continue
+                if dv > v:
+                    continue  # in-flight maintainer's uncommitted work
+                if dv < cutoff:
+                    _fs.delete(spark, _fs.join(path, d), recursive=True)
+                    deleted.append(d)
+                else:
+                    kept.append(d)
+    return {"latest": v, "kept": sorted(kept),
+            "deleted": sorted(deleted)}

@@ -315,3 +315,57 @@ def test_zorder_store_select_equality_consults_bloom(
     assert h1.count() == li.filter(
         (F.col("l_suppkey") >= probe)
         & (F.col("l_suppkey") <= probe + 1)).count()
+
+
+def test_zorder_store_vacuum_retention_and_gdpr(spark,
+                                                tmp_path_factory):
+    """vacuum(keep_versions=k): old bases + manifests physically gone,
+    current timeline untouched, commit log append-only; keep=1 after a
+    tombstone purge removes the last physical copy of deleted rows
+    (the GDPR completion)."""
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    cols = [F.col("l_orderkey").cast("int"),
+            F.col("l_partkey").cast("int")]
+    store = str(tmp_path_factory.mktemp("zvac") / "s")
+    opts = {"elem": "int32", "num_files": 4}
+    LW.zorder_store_init(li.filter("l_orderkey % 5 != 0"), cols,
+                         store, stat_cols=["l_orderkey"], **opts)
+    LW.zorder_store_append(li.filter("l_orderkey % 5 = 0"), store)
+    victims = (li.filter("l_orderkey % 7 = 3")
+               .select("l_orderkey").distinct())
+    LW.zorder_store_delete(spark, store, "l_orderkey", victims)
+    st = LW.zorder_store_maintain(spark, store, cols,
+                                  tail_ratio=100.0, **opts)
+    assert st["rewritten"]
+
+    # keep=5 is a no-op here (only v0+v1 exist)
+    rep = LW.zorder_store_vacuum(spark, store, keep_versions=5)
+    assert rep["deleted"] == [] and "base-v1" in rep["kept"]
+
+    # v0 still physically holds the tombstoned rows (retention copy)
+    v0 = spark.read.parquet(os.path.join(store, "base-v0"))
+    assert v0.filter("l_orderkey % 7 = 3").count() > 0
+
+    rep = LW.zorder_store_vacuum(spark, store, keep_versions=1)
+    assert "base-v0" in rep["deleted"]
+    assert "manifest-v0" in rep["deleted"]
+    assert not os.path.exists(os.path.join(store, "base-v0"))
+    # commit log untouched (append-only contract)
+    assert os.path.exists(os.path.join(store, "_commits", "v0"))
+    # current read unaffected, purge now physical EVERYWHERE
+    cur = LW.zorder_store_read(spark, store)
+    want = li.filter("l_orderkey % 7 != 3").count()
+    assert cur.count() == want
+    import glob as _glob
+    for d in _glob.glob(os.path.join(store, "base-v*")):
+        got = spark.read.parquet(d).filter("l_orderkey % 7 = 3").count()
+        assert got == 0, d
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        LW.zorder_store_read(spark, store, version=0)
+    # select still serves from the persisted manifest
+    out, stats = LW.zorder_store_select(
+        spark, store, {"l_orderkey": (1000, 2000)})
+    assert stats["files_scanned"] <= stats["files_total"]
+    assert out.count() > 0
+    with pytest.raises(ValueError):
+        LW.zorder_store_vacuum(spark, store, keep_versions=0)
