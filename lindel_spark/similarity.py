@@ -1866,26 +1866,49 @@ def power_iteration_pca(
         .alias("__v")).filter(F.col("__v").isNotNull())
     vecs = vecs.persist()
     try:
-        pe = vecs.select(F.posexplode("__v").alias("pos", "x"))
-        stats = (pe.groupBy("pos")
-                 .agg(F.sum("x").alias("s"),
-                      F.sum(F.col("x") * F.col("x")).alias("ss"),
-                      F.count(F.lit(1)).cast("long").alias("c"))
-                 .orderBy("pos").collect())
-        if not stats:
-            raise ValueError("power_iteration_pca: empty input")
-        d = len(stats)
-        n = float(stats[0].c)
-        mu = [r.s / n for r in stats]
-        # zero-variance guard BEFORE iterating: trace(C) relative to
-        # the mean squared magnitude (identical rows leave only float
-        # residue in both, so an exact-zero test would never fire)
-        msq = sum(r.ss / n for r in stats)
-        trace = sum(r.ss / n - m * m for r, m in zip(stats, mu))
-        if msq == 0.0 or trace <= 1e-12 * msq:
-            raise ValueError(
-                "power_iteration_pca: zero-variance input "
-                "(covariance trace is numerically zero)")
+        comps = _pca_power_core(vecs, iters, n_components=1)
+    finally:
+        vecs.unpersist()
+    v, lam = comps[0]
+    d = len(v)
+    return spark.createDataFrame(
+        [(i, v[i], lam) for i in range(d)],
+        "pos INT, loading DOUBLE, eigenvalue DOUBLE")
+
+
+def _pca_power_core(vecs: DataFrame, iters: int,
+                    n_components: int) -> list:
+    """Shared matrix-free power-iteration engine over a persisted
+    ``(__v: array<double>)`` frame: returns ``[(loadings, λ), …]`` for
+    the top ``n_components``, extracted one at a time with DRIVER-SIDE
+    deflation — component j iterates ``C_j·v = C·v − Σ_{i<j}
+    λᵢ(vᵢ·v)vᵢ`` where only the ``C·v`` half is distributed (the same
+    one dot-product map + d-row groupBy per step) and the deflation
+    is d-dim list algebra on the driver. State between steps stays
+    ``n_components`` d-vectors — the pagerank bounded-scalar
+    contract."""
+    pe = vecs.select(F.posexplode("__v").alias("pos", "x"))
+    stats = (pe.groupBy("pos")
+             .agg(F.sum("x").alias("s"),
+                  F.sum(F.col("x") * F.col("x")).alias("ss"),
+                  F.count(F.lit(1)).cast("long").alias("c"))
+             .orderBy("pos").collect())
+    if not stats:
+        raise ValueError("power_iteration_pca: empty input")
+    d = len(stats)
+    n = float(stats[0].c)
+    mu = [r.s / n for r in stats]
+    # zero-variance guard BEFORE iterating: trace(C) relative to
+    # the mean squared magnitude (identical rows leave only float
+    # residue in both, so an exact-zero test would never fire)
+    msq = sum(r.ss / n for r in stats)
+    trace = sum(r.ss / n - m * m for r, m in zip(stats, mu))
+    if msq == 0.0 or trace <= 1e-12 * msq:
+        raise ValueError(
+            "power_iteration_pca: zero-variance input "
+            "(covariance trace is numerically zero)")
+    done: list = []
+    for _comp in range(n_components):
         v = [1.0 / math.sqrt(d)] * d
         lam = 0.0
         for _ in range(iters):
@@ -1901,7 +1924,13 @@ def power_iteration_pca(
                       .orderBy("pos").collect())
             mudot = sum(m * x for m, x in zip(mu, v))
             w = [r.s / n - m * mudot for r, m in zip(s_rows, mu)]
-            lam = sum(a * b for a, b in zip(v, w))  # Rayleigh vᵀCv
+            # driver-side deflation: subtract previous components'
+            # spectral mass (d-dim algebra, no extra distributed work)
+            for pv, plam in done:
+                pdot = sum(a * b for a, b in zip(pv, v))
+                w = [wi - plam * pdot * pvi
+                     for wi, pvi in zip(w, pv)]
+            lam = sum(a * b for a, b in zip(v, w))  # Rayleigh vᵀC_jv
             nrm = math.sqrt(sum(x * x for x in w))
             if nrm == 0.0:
                 raise ValueError(
@@ -1913,11 +1942,52 @@ def power_iteration_pca(
         idx = max(range(d), key=lambda i: (abs(v[i]), -i))
         if v[idx] < 0:
             v = [-x for x in v]
+        done.append((v, lam))
+    return done
+
+
+def power_iteration_pca_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    iters: int = 12,
+) -> DataFrame:
+    """Top-k principal components by deflated power iteration:
+    ``(component, pos, loading, eigenvalue)`` — k·d rows, components
+    numbered 0..k−1 in decreasing eigenvalue. Same matrix-free
+    distributed step as :func:`power_iteration_pca`; each later
+    component iterates against the DEFLATED operator ``C − Σλᵢvᵢvᵢᵀ``
+    where the deflation term is pure d-dim driver algebra, so the
+    distributed cost is exactly k× the single-component run. Use more
+    ``iters`` than the 1-component default — deflation compounds
+    convergence error from earlier components into later ones.
+
+    Components are renumbered by DESCENDING Rayleigh quotient after
+    extraction: on a near-degenerate spectrum a fixed-iteration run
+    can leave enough top-eigenspace mass in the deflated operator
+    that a later extraction lands a larger λ than an earlier one —
+    the spanned subspace is still right, and the renumbering keeps
+    the decreasing-eigenvalue contract unconditional."""
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    spark = df.sparkSession
+    vecs = df.select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("__v")).filter(F.col("__v").isNotNull())
+    vecs = vecs.persist()
+    try:
+        comps = _pca_power_core(vecs, iters, n_components)
     finally:
         vecs.unpersist()
+    comps = sorted(comps, key=lambda t: -t[1])
+    rows = [(c, i, v[i], lam)
+            for c, (v, lam) in enumerate(comps)
+            for i in range(len(v))]
     return spark.createDataFrame(
-        [(i, v[i], lam) for i in range(d)],
-        "pos INT, loading DOUBLE, eigenvalue DOUBLE")
+        rows, "component INT, pos INT, loading DOUBLE, "
+              "eigenvalue DOUBLE")
 
 
 def pca_scores(

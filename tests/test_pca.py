@@ -93,3 +93,55 @@ def test_pca_validations(spark, xdf):
         power_iteration_pca(df, "embedding", iters=0)
     with pytest.raises(ValueError):
         pca_scores(df, [1.0, 0.0], center=[0.0])
+
+
+def test_topk_components_match_numpy(spark):
+    # distinct spectrum (the _aniso fixture's residual is isotropic,
+    # so its 2nd/3rd eigenvectors are ill-defined): scales 6/3/1.5/...
+    rng = np.random.RandomState(17)
+    d = 8
+    Q, _ = np.linalg.qr(rng.randn(d, d))
+    scales = np.array([6.0, 3.0, 1.5, 0.7, 0.3, 0.15, 0.07, 0.03])
+    X = rng.randn(500, d) * scales @ Q.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        ["id", "embedding"])
+    from lindel_spark.similarity import power_iteration_pca_topk
+
+    out = power_iteration_pca_topk(df, "embedding", n_components=3,
+                                   iters=40)
+    C = np.cov(X.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    by_comp = {}
+    for r in out.collect():
+        by_comp.setdefault(r.component, {})[r.pos] = (r.loading,
+                                                      r.eigenvalue)
+    assert set(by_comp) == {0, 1, 2}
+    for c in range(3):
+        v = np.array([by_comp[c][i][0] for i in range(X.shape[1])])
+        lam = by_comp[c][0][1]
+        ref = V[:, -1 - c]
+        assert abs(float(v @ ref)) > 0.999, c
+        assert lam == pytest.approx(w[-1 - c], rel=1e-3), c
+    # orthogonality + eigenvalue ordering
+    v0 = np.array([by_comp[0][i][0] for i in range(X.shape[1])])
+    v1 = np.array([by_comp[1][i][0] for i in range(X.shape[1])])
+    assert abs(float(v0 @ v1)) < 1e-6
+    assert by_comp[0][0][1] >= by_comp[1][0][1] >= by_comp[2][0][1]
+
+
+def test_topk_first_component_consistent(xdf):
+    _, df = xdf
+    from lindel_spark.similarity import (
+        power_iteration_pca,
+        power_iteration_pca_topk,
+    )
+
+    one = {r.pos: r.loading
+           for r in power_iteration_pca(df, "embedding",
+                                        iters=9).collect()}
+    topk = {r.pos: r.loading
+            for r in power_iteration_pca_topk(
+                df, "embedding", n_components=1, iters=9).collect()}
+    for p in one:
+        assert one[p] == pytest.approx(topk[p], abs=1e-12)
