@@ -48,42 +48,21 @@ def roc_auc(
     pairs = (df.select(F.col(score_col).cast("double").alias("s"),
                        lab.alias("y"))
              .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    from lindel_spark.util import prefix_sums
+
     counts = pairs.groupBy("s").agg(
         F.sum("y").cast("long").alias("pos"),
         F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
     )
-    spark = df.sparkSession
-    P = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # pin partition placement BEFORE the two dependent jobs (offsets +
-    # final aggregate): repartitionByRange re-samples boundaries per
-    # execution, so without the checkpoint the per-partition totals
-    # could disagree with the enumeration pass (the global_rank
-    # checkpoint-method contract; the pinned frame is distinct-score-
-    # sized, not row-sized)
-    c = (counts.withColumn("__cnt", F.col("pos") + F.col("neg"))
-         .repartitionByRange(P, "s")
-         .withColumn("__pid", F.spark_partition_id())
-         .localCheckpoint())
-    per = {r["__pid"]: r["t"] for r in
-           c.groupBy("__pid").agg(F.sum("__cnt").alias("t")).collect()}
-    offs, acc = {}, 0
-    for pid in sorted(per):
-        offs[pid] = acc
-        acc += per[pid]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offs.items()] or [(0, 0)],
-        "__pid INT, __off LONG")
-    wp = Window.partitionBy("__pid").orderBy("s") \
-        .rowsBetween(Window.unboundedPreceding, 0)
+    c = prefix_sums(
+        counts.withColumn("__cnt", F.col("pos") + F.col("neg")),
+        "s", ["__cnt"])
     # midrank of a tied block at score s: ranks occupied are
     # (cum_before + 1 .. cum_before + cnt) -> mean = cum_before + (cnt+1)/2
-    t = (c.join(F.broadcast(off_df), "__pid")
-         .withColumn("__cum",
-                     F.col("__off") + F.sum("__cnt").over(wp))
-         .withColumn(
-             "__midrank",
-             (F.col("__cum") - F.col("__cnt")).cast("double")
-             + (F.col("__cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)))
+    t = c.withColumn(
+        "__midrank",
+        (F.col("cum___cnt") - F.col("__cnt")).cast("double")
+        + (F.col("__cnt").cast("double") + F.lit(1.0)) / F.lit(2.0))
     agg = t.agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),

@@ -1273,3 +1273,58 @@ def chi_square_independence(
                       / (F.col("n").cast("double")
                          * F.col("__mind").cast("double"))))
         .otherwise(F.lit(0.0)).alias("cramers_v"))
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic: one row
+    ``(n_a, n_b, ks_d, at_value)`` with ``ks_d = max_x |F_a(x) −
+    F_b(x)|`` over the pooled empirical CDFs and ``at_value`` the
+    smallest value attaining it — the BIN-FREE drift test that
+    complements :func:`distribution_drift`'s PSI/KL (PSI needs a
+    binning and a reference profile; KS needs neither and detects any
+    CDF separation, at the cost of an exact sort). Exact integer
+    count algebra until the final two divisions, so both engines
+    agree to the ulp.
+
+    Plan: both sides collapse map-side to per-distinct-value counts
+    (one groupBy each, distinct-value-sized, never rows), an outer
+    merge on value, then the repo's DISTRIBUTED prefix sum
+    (:func:`lindel_spark.util.prefix_sums` — range-partitioned,
+    placement pinned, never an unpartitioned window) and one scalar
+    aggregate with a deterministic argmax tie-break. NULLs excluded.
+    """
+    from lindel_spark.util import prefix_sums
+
+    def counts(df, tag):
+        return (df.select(F.col(col).cast("double").alias("v"))
+                .filter(F.col("v").isNotNull())
+                .groupBy("v")
+                .agg(F.count(F.lit(1)).cast("long").alias(tag)))
+
+    merged = (counts(df_a, "ca").join(counts(df_b, "cb"), "v", "outer")
+              .select("v",
+                      F.coalesce("ca", F.lit(0)).alias("ca"),
+                      F.coalesce("cb", F.lit(0)).alias("cb")))
+    cum = prefix_sums(merged, "v", ["ca", "cb"])
+    from pyspark.sql import Window
+
+    tot = cum.agg(F.sum("ca").cast("long").alias("n_a"),
+                  F.sum("cb").cast("long").alias("n_b"))
+    t = cum.crossJoin(F.broadcast(tot))
+    diff = F.abs(F.col("cum_ca").cast("double")
+                 / F.col("n_a").cast("double")
+                 - F.col("cum_cb").cast("double")
+                 / F.col("n_b").cast("double"))
+    scored = t.withColumn("__d", diff)
+    # deterministic argmax: max d, then the smallest attaining value
+    best = scored.agg(F.max("__d").alias("__dmax"))
+    out = (scored.crossJoin(F.broadcast(best))
+           .filter(F.col("__d") == F.col("__dmax"))
+           .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"),
+                F.max("__d").alias("ks_d"),
+                F.min("v").alias("at_value")))
+    return out

@@ -86,6 +86,8 @@ _SAMPLE_FIRST = [
     "events_rolling_zscore",     # new: windowed point anomalies
     "text_pmi_collocations",     # new: PMI multi-word expressions
     "zorder_store_vacuum_cycle",  # new: retention vacuum / GDPR leg
+    "events_ks_test",            # new: bin-free exact KS drift test
+    "text_url_canonical",        # new: crawl URL canonicalization
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -10842,3 +10844,107 @@ def q_zorder_store_vacuum_cycle(spark: SparkSession,
         F.sum("l_orderkey").cast("long").alias("sum_ok"),
         F.lit(bases_kept).cast("long").alias("bases_kept"),
         F.lit(history_gone).alias("history_gone"))
+
+
+@query(
+    "events_ks_test",
+    """
+    WITH a AS (
+      SELECT value::DOUBLE AS v FROM events
+      WHERE event_type = 'click' AND value IS NOT NULL
+    ), b AS (
+      SELECT value::DOUBLE AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), ca AS (SELECT v, COUNT(*)::BIGINT AS c FROM a GROUP BY v),
+    cb AS (SELECT v, COUNT(*)::BIGINT AS c FROM b GROUP BY v),
+    m AS (
+      SELECT COALESCE(ca.v, cb.v) AS v,
+             COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      FROM ca FULL JOIN cb ON ca.v = cb.v
+    ), nn AS (
+      SELECT SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b FROM m
+    ), cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb
+      FROM m
+    ), d AS (
+      SELECT v, abs(cca::DOUBLE / nn.n_a - ccb::DOUBLE / nn.n_b) AS dd
+      FROM cum, nn
+    )
+    SELECT nn.n_a, nn.n_b,
+           round(MAX(dd), 6) AS ks_d_r6,
+           round(MIN(CASE WHEN dd = (SELECT MAX(dd) FROM d)
+                          THEN v END), 6) AS at_value_r6
+    FROM d, nn GROUP BY nn.n_a, nn.n_b
+    """,
+)
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between click and
+    purchase event values (round 11,
+    :func:`lindel_spark.profile.ks_test`): the bin-free drift test
+    (PSI needs a binning, KS doesn't) — pooled empirical CDFs via the
+    repo's distributed prefix sum, exact integer algebra to the final
+    divisions, deterministic argmax; 6dp."""
+    from lindel_spark.profile import ks_test
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    out = ks_test(a, b, "value")
+    return out.select("n_a", "n_b",
+                      F.round("ks_d", 6).alias("ks_d_r6"),
+                      F.round("at_value", 6).alias("at_value_r6"))
+
+
+@query(
+    "text_url_canonical",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN
+             'http://shop.example.com/cat/'
+               || CAST(o_custkey % 50 AS VARCHAR) || '/item/'
+               || CAST(o_orderkey AS VARCHAR)
+               || '?a=' || o_orderstatus
+               || '&ref=' || CAST(o_orderkey % 7 AS VARCHAR)
+           ELSE
+             'https://shop.example.com/cat/'
+               || CAST(o_custkey % 50 AS VARCHAR) || '/item/'
+               || CAST(o_orderkey AS VARCHAR)
+               || '?a=' || o_orderstatus
+               || '&ref=' || CAST(o_orderkey % 7 AS VARCHAR)
+           END AS canon_url
+    FROM orders
+    """,
+)
+def q_text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (round 11,
+    :func:`lindel_spark.text.canonicalize_url`): messy crawl-style
+    URLs seeded from order keys — mixed-case scheme/host, default
+    ports, tracking params, unsorted query, trailing slash, fragment
+    — must collapse to the clean form the oracle CONSTRUCTS directly
+    from the same keys (it never parses: an independent derivation,
+    not a replay)."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    messy = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        F.concat(F.lit("HTTP://Shop.Example.COM:80/cat/"),
+                 (F.col("o_custkey") % 50).cast("string"),
+                 F.lit("/item/"),
+                 F.col("o_orderkey").cast("string"),
+                 F.lit("/?utm_source=mail&ref="),
+                 (F.col("o_orderkey") % 7).cast("string"),
+                 F.lit("&a="), F.col("o_orderstatus"),
+                 F.lit("#sec"))
+    ).otherwise(
+        F.concat(F.lit("HTTPS://Shop.Example.COM:443/cat/"),
+                 (F.col("o_custkey") % 50).cast("string"),
+                 F.lit("/item/"),
+                 F.col("o_orderkey").cast("string"),
+                 F.lit("?ref="),
+                 (F.col("o_orderkey") % 7).cast("string"),
+                 F.lit("&fbclid=xyz&a="), F.col("o_orderstatus")))
+    return orders.select(
+        "o_orderkey", LT.canonicalize_url(messy).alias("canon_url"))

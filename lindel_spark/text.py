@@ -1161,3 +1161,64 @@ def pmi_collocations(
             .filter(F.col("pos") <= top_n)
             .select("pos", F.col("l").alias("left"),
                     F.col("r").alias("right"), "n_pair", "pmi"))
+
+
+#: query parameters stripped by canonicalize_url: analytics/click
+#: trackers that vary per visit without changing the resource.
+URL_TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid")
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical form of a URL column — the dedup key for web-crawl
+    pipelines, where the same resource arrives as
+    ``HTTP://Site.com:80/a?utm_source=x&b=2&a=1#frag`` and
+    ``http://site.com/a?a=1&b=2``:
+
+    - fragment stripped;
+    - scheme and authority lowercased (path/query case preserved —
+      paths are case-significant on most origins);
+    - default ports dropped (``:80`` for http, ``:443`` for https);
+    - tracking parameters removed (:data:`URL_TRACKING_PARAMS`);
+    - remaining query parameters SORTED (order never distinguishes
+      resources in practice, but varies by emitter);
+    - trailing path slash stripped (except a bare ``/``), empty path
+      normalized to no slash;
+    - empty query string dropped.
+
+    Pure column algebra (regexp_extract + split/filter/sort/join —
+    all RE2-safe, no lookaheads, no replacement groups), map-only, so
+    it rides any scan; deliberately mirror-able in any engine with
+    list functions. NULL in → NULL out.
+    """
+    frag_free = F.regexp_replace(c, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(
+        frag_free, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    authority = F.lower(F.regexp_extract(
+        frag_free, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    authority = (
+        F.when((scheme == "http") & authority.endswith(":80"),
+               F.substring(authority, 1,
+                           F.length(authority) - F.lit(3)))
+        .when((scheme == "https") & authority.endswith(":443"),
+              F.substring(authority, 1,
+                          F.length(authority) - F.lit(4)))
+        .otherwise(authority))
+    tail = F.regexp_extract(
+        frag_free, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(tail, "^([^?]*)", 1)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - F.lit(1))
+    ).otherwise(path)
+    query = F.regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~F.exists(
+            F.array(*[F.lit(t) for t in URL_TRACKING_PARAMS]),
+            lambda t: p.startswith(t)))
+    qcanon = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme, F.lit("://"), authority, path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
+        .otherwise(F.lit("")))
+    return F.when(scheme == "", c).otherwise(rebuilt)

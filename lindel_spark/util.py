@@ -215,3 +215,53 @@ def _global_rank_checkpoint(df: DataFrame, cols, out_col: str,
                     (F.col("__gr_off") + F.col("__gr_local") + 1))
         .drop("__gr_pid", "__gr_local", "__gr_off")
     )
+
+
+def prefix_sums(df: DataFrame, order_col: str, cols,
+                num_partitions: int | None = None) -> DataFrame:
+    """Running (inclusive) cumulative sums of ``cols`` under the total
+    order of ``order_col`` — DISTRIBUTED, never an unpartitioned
+    window: range-partition on the order column, PIN placement with a
+    localCheckpoint (repartitionByRange re-samples boundaries per
+    execution, so without the pin the per-partition totals job and
+    the enumeration job could disagree — the ``global_rank``
+    checkpoint-method contract), then per-partition totals (the one
+    bounded driver collect, P rows) offset a partitioned window.
+
+    Intended for AGGREGATED frames (distinct order keys, e.g. a
+    per-score or per-value count table): the checkpoint materializes
+    the input, so collapse row-scale data first. ``order_col`` must
+    be duplicate-free — with duplicate keys rows of equal key would
+    be ordered arbitrarily within the window and the inclusive
+    cumulative would be placement-dependent.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    spark = df.sparkSession
+    P = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    c = (df.repartitionByRange(P, order_col)
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint())
+    per = (c.groupBy("__pid")
+           .agg(*[F.sum(x).alias(f"__t_{x}") for x in cols])
+           .collect())
+    per = sorted((r["__pid"], r) for r in per)
+    offs = []
+    acc = {x: 0 for x in cols}
+    for pid, r in per:
+        offs.append(tuple([pid] + [acc[x] for x in cols]))
+        for x in cols:
+            acc[x] += r[f"__t_{x}"] or 0
+    off_df = spark.createDataFrame(
+        offs or [tuple([0] + [0] * len(cols))],
+        ", ".join(["__pid INT"] + [f"__off_{x} LONG" for x in cols]))
+    w = Window.partitionBy("__pid").orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = c.join(F.broadcast(off_df), "__pid")
+    for x in cols:
+        out = out.withColumn(
+            f"cum_{x}", F.col(f"__off_{x}") + F.sum(x).over(w))
+    return out.drop("__pid", *[f"__off_{x}" for x in cols])
