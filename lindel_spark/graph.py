@@ -368,3 +368,60 @@ def bfs_distances(
         if h % checkpoint_every == 0 and h < max_hops:
             dist = dist.localCheckpoint()
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts as its own label; each round every
+    node adopts its neighbors' MOST FREQUENT label (ties → smallest
+    label, so the algorithm — normally run with random tie-breaks —
+    is fully deterministic and SQL-replayable). Returns ``(node,
+    label)``; nodes sharing a label after ``rounds`` rounds are one
+    community. The modularity-flavored complement to
+    :func:`connected_components` (CC says "reachable at all", LPA
+    says "densely attached"), built for the same dedup/co-occurrence
+    graphs.
+
+    Edges are treated as UNDIRECTED (symmetrized internally; pass
+    each pair once). Per round: one edge⋈labels hash join + one
+    map-side-combined count on ``(node, label)`` + an aggregate-only
+    argmax (``max(struct(cnt, −label))`` — no window, so a hub's
+    neighborhood never funnels through one task). Isolated nodes
+    never appear in an edge list; fixed ``rounds`` keeps it
+    replayable (the pagerank contract), ``checkpoint_every`` bounds
+    plan depth.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).cast("long").alias("__s"),
+                     F.col(dst).cast("long").alias("__d"))
+    sym = (e.unionByName(e.select(F.col("__d").alias("__s"),
+                                  F.col("__s").alias("__d")))
+           .filter(F.col("__s") != F.col("__d"))
+           .distinct()
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = sym.select(F.col("__s").alias("node")).distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    labels = nodes.withColumn("label", F.col("node"))
+    for it in range(rounds):
+        votes = (sym.join(labels,
+                          sym["__d"] == labels["node"])
+                 .groupBy(F.col("__s").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+        labels = (votes.groupBy("node")
+                  .agg(F.max(F.struct(
+                      F.col("__cnt"),
+                      (-F.col("label")).alias("__neg"))).alias("__b"))
+                  .select("node",
+                          (-F.col("__b.__neg")).alias("label")))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < rounds:
+            labels = labels.localCheckpoint()
+    return labels

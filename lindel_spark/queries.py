@@ -88,6 +88,7 @@ _SAMPLE_FIRST = [
     "zorder_store_vacuum_cycle",  # new: retention vacuum / GDPR leg
     "events_ks_test",            # new: bin-free exact KS drift test
     "text_url_canonical",        # new: crawl URL canonicalization
+    "graph_lpa_communities",     # new: label-propagation communities
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -10948,3 +10949,62 @@ def q_text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("&fbclid=xyz&a="), F.col("o_orderstatus")))
     return orders.select(
         "o_orderkey", LT.canonicalize_url(messy).alias("canon_url"))
+
+
+def _lpa_oracle(rounds: int = 2) -> str:
+    """DuckDB replay of
+    :func:`lindel_spark.graph.label_propagation_communities` over the
+    part co-purchase graph, rounds unrolled (the pagerank idiom);
+    the argmax tie-break (count desc, label asc) mirrors the
+    engine's ``max(struct(cnt, −label))`` aggregate exactly."""
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS s,
+                      b.l_partkey::BIGINT AS d
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), sym AS MATERIALIZED (
+      SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+    ), l0 AS (
+      SELECT DISTINCT s AS node, s AS label FROM sym
+    )"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f"""
+    , v{i} AS MATERIALIZED (
+      SELECT sym.s AS node, l.label, COUNT(*)::BIGINT AS c
+      FROM sym JOIN l{i - 1} l ON l.node = sym.d
+      GROUP BY 1, 2
+    ), l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+    )""")
+    return head + "".join(its) + f"""
+    SELECT node, label FROM l{rounds}
+    """
+
+
+@query("graph_lpa_communities", _lpa_oracle(2))
+def q_graph_lpa_communities(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the part co-purchase graph
+    (round 11,
+    :func:`lindel_spark.graph.label_propagation_communities`): two
+    deterministic synchronous rounds (most-frequent neighbor label,
+    ties to the smallest — an aggregate-only argmax, no window), the
+    densely-attached complement to connected components; the oracle
+    unrolls the identical rounds."""
+    from lindel_spark.graph import label_propagation_communities
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    return label_propagation_communities(edges, rounds=2)

@@ -221,3 +221,49 @@ def test_bfs_distances_validates(spark):
     s = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(ValueError):
         bfs_distances(e, s, max_hops=0)
+
+
+def test_lpa_two_cliques_converge(spark):
+    """Two 4-cliques joined by one bridge edge: after a few rounds
+    each clique shares one label and the two labels differ."""
+    from lindel_spark.graph import label_propagation_communities
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(3, 10)], ["src", "dst"])
+    out = {r.node: r.label
+           for r in label_propagation_communities(
+               edges, rounds=4).collect()}
+    lab1 = {out[n] for n in range(4)}
+    lab2 = {out[n + 10] for n in range(4)}
+    assert len(lab1) == 1 and len(lab2) == 1
+    assert lab1 != lab2
+
+
+def test_lpa_deterministic_tiebreak(spark):
+    """A path a-b-c: b's neighbors carry two labels with equal count;
+    the smaller label must win every time."""
+    from lindel_spark.graph import label_propagation_communities
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {r.node: r.label
+           for r in label_propagation_communities(
+               edges, rounds=1).collect()}
+    assert out[2] == 1  # tie between labels 1 and 3 -> smallest
+    assert out[1] == 2 and out[3] == 2  # their only neighbor
+
+
+def test_lpa_validations_and_repartition_stability(spark):
+    from lindel_spark.graph import label_propagation_communities
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["src", "dst"])
+    a = sorted((r.node, r.label) for r in
+               label_propagation_communities(edges, rounds=3).collect())
+    b = sorted((r.node, r.label) for r in
+               label_propagation_communities(
+                   edges.repartition(7), rounds=3).collect())
+    assert a == b
+    import pytest as _p
+    with _p.raises(ValueError):
+        label_propagation_communities(edges, rounds=0)
