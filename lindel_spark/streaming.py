@@ -676,3 +676,80 @@ def drift_stream_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def cusum_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """Streaming CUSUM drift alarms — the continuous face of
+    :func:`lindel_spark.timeseries.cusum_changepoints`: per key the
+    state store carries exactly two scalars (``s⁺``, ``s⁻``), each
+    micro-batch advances the recursion over its rows in ``(ts,
+    tiebreak)`` order and emits the rows whose cumulative sum crosses
+    ``threshold`` — the alarm feed, not the full series. O(1) state
+    per key forever, regardless of stream volume.
+
+    Ordering contract: rows are sequenced within each micro-batch and
+    batches are assumed time-ordered per key (the usual contract for
+    any sequential statistic over a stream — an out-of-order late
+    event perturbs the running sums the way it would any online
+    monitor). Stream-drain ≡ batch alarms is pytest-pinned on a
+    time-partitioned source.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_f = stream_df.schema[key_col]
+    out_schema = T.StructType([
+        key_f,
+        stream_df.schema[ts_col],
+        stream_df.schema[tiebreak],
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cusum_hi", T.DoubleType()),
+        T.StructField("cusum_lo", T.DoubleType()),
+        T.StructField("alarm_hi", T.BooleanType()),
+        T.StructField("alarm_lo", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("s_hi", T.DoubleType()),
+        T.StructField("s_lo", T.DoubleType()),
+    ])
+    t, k_, h = float(target), float(slack), float(threshold)
+
+    def fn(key, pdfs, state):
+        s_hi, s_lo = (state.get if state.exists else (0.0, 0.0))
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak])
+            rows = []
+            for _, r in pdf.iterrows():
+                x = r[value_col]
+                if pd.isna(x):
+                    continue
+                s_hi = max(0.0, s_hi + (float(x) - t - k_))
+                s_lo = max(0.0, s_lo - (float(x) - t) - k_)
+                if s_hi > h or s_lo > h:
+                    rows.append((key[0], r[ts_col], r[tiebreak],
+                                 float(x), s_hi, s_lo,
+                                 s_hi > h, s_lo > h))
+            if rows:
+                outs.append(pd.DataFrame(
+                    rows, columns=[key_col, ts_col, tiebreak, "value",
+                                   "cusum_hi", "cusum_lo",
+                                   "alarm_hi", "alarm_lo"]))
+        state.update((s_hi, s_lo))
+        yield (pd.concat(outs) if outs else pd.DataFrame(
+            columns=[key_col, ts_col, tiebreak, "value", "cusum_hi",
+                     "cusum_lo", "alarm_hi", "alarm_lo"]))
+
+    return (stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -681,3 +681,38 @@ def test_hll_sketch_streaming_matches_batch(spark, events, stream_src):
     want = hll_sketch(events, ["event_type"], "user_id", p=7)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_cusum_stream_matches_batch(spark, events, tmp_path_factory):
+    """Stream-drained CUSUM alarms == the batch operator's alarm rows
+    on a time-partitioned source (2 files split at the median ts, so
+    micro-batch order respects event time per key)."""
+    from lindel_spark.timeseries import cusum_changepoints
+
+    d = str(tmp_path_factory.mktemp("cusum_src"))
+    lo = events.orderBy("ts", "event_id").limit(events.count() // 2)
+    hi = events.join(lo.select("event_id"), "event_id", "left_anti")
+    lo.coalesce(1).write.parquet(d + "/p1")
+    hi.coalesce(1).write.parquet(d + "/p2")
+    src = (spark.readStream.schema(events.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("recursiveFileLookup", "true").parquet(d))
+    alarms = ST.cusum_stream(src, "event_type", "ts", "value",
+                             "event_id", target=50.0, slack=5.0,
+                             threshold=200.0)
+    q = (alarms.writeStream.outputMode("append")
+         .format("memory").queryName("cusum_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.event_type, r.event_id, round(r.cusum_hi, 6),
+            round(r.cusum_lo, 6))
+           for r in spark.sql("SELECT * FROM cusum_t").collect()}
+    batch = cusum_changepoints(
+        events.filter(F.col("value").isNotNull()), ["event_type"],
+        "ts", "value", "event_id", target=50.0, slack=5.0,
+        threshold=200.0)
+    want = {(r.event_type, r.event_id, round(r.cusum_hi, 6),
+             round(r.cusum_lo, 6))
+            for r in batch.filter("alarm_hi OR alarm_lo").collect()}
+    assert got == want
+    assert len(want) > 0  # the fixture must actually alarm
