@@ -89,6 +89,7 @@ _SAMPLE_FIRST = [
     "events_ks_test",            # new: bin-free exact KS drift test
     "text_url_canonical",        # new: crawl URL canonicalization
     "graph_lpa_communities",     # new: label-propagation communities
+    "sampling_kfold",            # new: deterministic k-fold CV
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -11008,3 +11009,32 @@ def q_graph_lpa_communities(spark: SparkSession,
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     return label_propagation_communities(edges, rounds=2)
+
+
+@query(
+    "sampling_kfold",
+    """
+    SELECT CAST(('0x' || substr(md5('' || '|'
+             || CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 5
+             AS fold,
+           COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT o_custkey)::BIGINT AS n_keys,
+           SUM(o_orderkey)::BIGINT AS sum_ok
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_sampling_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (round 11,
+    :func:`lindel_spark.sampling.kfold`): orders folded by CUSTOMER
+    key (every customer's orders share a fold — no user-level
+    leakage across CV folds), per-fold sizes and key counts replayed
+    from the same md5 algebra."""
+    from lindel_spark.sampling import kfold
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = kfold(orders, "o_custkey", k=5)
+    return out.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_keys"),
+        F.sum("o_orderkey").cast("long").alias("sum_ok"))

@@ -442,3 +442,32 @@ def cluster_split(
     return (deterministic_split(joined, "__rep", weights, names,
                                 salt=salt, out_col=out_col)
             .drop("__rep"))
+
+
+def kfold(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    salt: str = "",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold id in ``[0, k)`` from the
+    60-bit md5 of the key — the cross-validation counterpart of
+    :func:`deterministic_split`, with the same guarantees a
+    ``randomSplit`` loop cannot give: stable under repartitioning and
+    engines, all rows sharing a key (a dedup-cluster id, a user id —
+    whatever must not straddle folds) land in one fold, and ``salt``
+    derives independent re-folds. ``fold = h mod k`` over the md5
+    integer, so folds are balanced to within the hash's uniformity
+    and a SQL oracle replays every assignment. Map-only, no shuffle;
+    train/test for fold i = ``fold != i`` / ``fold == i``.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt),
+                              F.col(key_col).cast("string"))),
+            1, 15),
+        16, 10).cast("long")
+    return df.withColumn(out_col, F.pmod(h, F.lit(int(k))).cast("int"))

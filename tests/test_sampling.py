@@ -299,3 +299,44 @@ def test_cluster_split_salt_re_splits(spark):
          for r in cluster_split(docs, cl, "doc_id",
                                 salt="v2").collect()}
     assert a != b
+
+
+def test_kfold_partition_of_rows(spark):
+    from lindel_spark.sampling import kfold
+
+    df = spark.createDataFrame([(i, i % 97) for i in range(2000)],
+                               ["id", "key"])
+    out = kfold(df, "key", k=5)
+    folds = out.groupBy("fold").count().collect()
+    assert sum(r["count"] for r in folds) == 2000
+    assert set(r.fold for r in folds) <= {0, 1, 2, 3, 4}
+    # balance within hash uniformity on 97 keys
+    assert all(r["count"] > 100 for r in folds)
+
+
+def test_kfold_key_cohesion_and_stability(spark):
+    from lindel_spark.sampling import kfold
+
+    df = spark.createDataFrame([(i, i % 50) for i in range(1000)],
+                               ["id", "key"])
+    out = kfold(df, "key", k=4)
+    per_key = out.groupBy("key").agg(
+        F.countDistinct("fold").alias("nf")).collect()
+    assert all(r.nf == 1 for r in per_key)  # no key straddles folds
+    a = {(r.id, r.fold) for r in out.collect()}
+    b = {(r.id, r.fold)
+         for r in kfold(df.repartition(7), "key", k=4).collect()}
+    assert a == b
+
+
+def test_kfold_salt_and_validation(spark):
+    from lindel_spark.sampling import kfold
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["key"])
+    a = {r.key: r.fold for r in kfold(df, "key", k=5).collect()}
+    b = {r.key: r.fold
+         for r in kfold(df, "key", k=5, salt="x").collect()}
+    assert any(a[k] != b[k] for k in a)  # salt re-folds
+    import pytest as _p
+    with _p.raises(ValueError):
+        kfold(df, "key", k=1)
