@@ -90,6 +90,7 @@ _SAMPLE_FIRST = [
     "text_url_canonical",        # new: crawl URL canonicalization
     "graph_lpa_communities",     # new: label-propagation communities
     "sampling_kfold",            # new: deterministic k-fold CV
+    "events_temporal_split",     # new: time split with embargo
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -11038,3 +11039,40 @@ def q_sampling_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("o_custkey").cast("long").alias("n_keys"),
         F.sum("o_orderkey").cast("long").alias("sum_ok"))
+
+
+@query(
+    "events_temporal_split",
+    """
+    WITH r AS (
+      SELECT event_type,
+             row_number() OVER (ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    )
+    SELECT CASE WHEN rn > n - CAST(floor(0.2 * n) AS BIGINT)
+                  THEN 'test'
+                WHEN rn > n - CAST(floor(0.2 * n) AS BIGINT) - 500
+                  THEN 'embargo'
+                ELSE 'train' END AS split,
+           COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT event_type)::BIGINT AS n_types
+    FROM r GROUP BY 1
+    """,
+)
+def q_events_temporal_split(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Temporal train/test split with a 500-row embargo (round 11,
+    :func:`lindel_spark.sampling.temporal_split`): the newest 20% of
+    events by (ts, event_id) rank become test, the 500 rows before
+    the boundary embargo out — the time-series-CV leakage guard;
+    exact rank-cut algebra, deterministic under boundary-timestamp
+    ties."""
+    from lindel_spark.sampling import temporal_split
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = temporal_split(ev, "ts", "event_id", test_fraction=0.2,
+                         embargo_rows=500)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("event_type").cast("long").alias("n_types"))

@@ -14,6 +14,7 @@ splits are exactly replayable (and oracle-checkable) cross-engine.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -471,3 +472,46 @@ def kfold(
             1, 15),
         16, 10).cast("long")
     return df.withColumn(out_col, F.pmod(h, F.lit(int(k))).cast("int"))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    tiebreak: str,
+    test_fraction: float = 0.2,
+    embargo_rows: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Time-ordered train/test split with an EMBARGO — the
+    time-series-CV leakage guard :func:`deterministic_split` (hash)
+    and :func:`kfold` cannot express: the newest ``test_fraction`` of
+    rows (under the ``(ts, tiebreak)`` total order) become ``test``,
+    the ``embargo_rows`` rows immediately before the boundary become
+    ``embargo`` (dropped from both sides by the caller — they're the
+    rows whose windows/targets overlap the boundary), everything
+    older is ``train``.
+
+    Count-based rather than timestamp-threshold-based on purpose: the
+    boundary is an exact rank cut, so the split is deterministic even
+    when many rows share the boundary timestamp (the tiebreaker
+    orders them), and an engine replays it with plain integer rank
+    algebra — no interpolated-percentile semantics to align. Rank
+    comes from :func:`lindel_spark.util.global_rank` (never a
+    single-task window); the only driver scalar is the row count.
+    """
+    if not 0.0 < test_fraction < 1.0:
+        raise ValueError("test_fraction must be in (0, 1)")
+    if embargo_rows < 0:
+        raise ValueError("embargo_rows must be >= 0")
+    from lindel_spark.util import global_rank
+
+    ranked = global_rank(df, [ts_col, tiebreak], out_col="__r")
+    n = ranked.count()
+    cut = n - int(math.floor(test_fraction * n))  # first test rank - 1
+    lo = cut - embargo_rows
+    return (ranked.withColumn(
+        out_col,
+        F.when(F.col("__r") > cut, F.lit("test"))
+        .when(F.col("__r") > lo, F.lit("embargo"))
+        .otherwise(F.lit("train")))
+        .drop("__r"))

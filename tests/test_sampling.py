@@ -340,3 +340,51 @@ def test_kfold_salt_and_validation(spark):
     import pytest as _p
     with _p.raises(ValueError):
         kfold(df, "key", k=1)
+
+
+def test_temporal_split_exact_counts_and_order(spark):
+    from lindel_spark.sampling import temporal_split
+
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "ts"])
+    out = temporal_split(df, "ts", "id", test_fraction=0.2,
+                         embargo_rows=10)
+    got = {r.id: r.split for r in out.collect()}
+    assert sum(1 for v in got.values() if v == "test") == 20
+    assert sum(1 for v in got.values() if v == "embargo") == 10
+    # every train row is strictly older than every embargo row,
+    # which is strictly older than every test row
+    assert max(i for i, v in got.items() if v == "train") \
+        < min(i for i, v in got.items() if v == "embargo") \
+        <= max(i for i, v in got.items() if v == "embargo") \
+        < min(i for i, v in got.items() if v == "test")
+
+
+def test_temporal_split_tie_determinism(spark):
+    from lindel_spark.sampling import temporal_split
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    # all rows share one timestamp: the tiebreak decides, stably
+    df = spark.createDataFrame([(i, t0) for i in range(50)],
+                               ["id", "ts"])
+    a = {r.id: r.split
+         for r in temporal_split(df, "ts", "id", 0.2, 5).collect()}
+    b = {r.id: r.split
+         for r in temporal_split(df.repartition(7), "ts", "id",
+                                 0.2, 5).collect()}
+    assert a == b
+    assert sum(1 for v in a.values() if v == "test") == 10
+
+
+def test_temporal_split_validation(spark):
+    from lindel_spark.sampling import temporal_split
+
+    df = spark.createDataFrame([(1, 1)], ["id", "ts"])
+    import pytest as _p
+    with _p.raises(ValueError):
+        temporal_split(df, "ts", "id", 0.0)
+    with _p.raises(ValueError):
+        temporal_split(df, "ts", "id", 0.5, embargo_rows=-1)
