@@ -40,21 +40,31 @@ Operator modules (import as submodules):
                              bloom-filter runtime-filter semi-join
     lindel_spark.skew        salted join, two-phase distinct
     lindel_spark.sources     schema-disciplined CSV/JSONL/ORC readers+sinks
-    lindel_spark.sampling    deterministic splits / mixtures / weighted /
+    lindel_spark.sampling    deterministic splits / k-fold / temporal
+                             split with embargo / mixtures / weighted /
                              negative sampling / token-budget
                              mixture planning
     lindel_spark.retrieval   BM25, corpus LMs, TF-IDF keywords,
                              reciprocal-rank hybrid fusion
-    lindel_spark.sketch      count-min, histogram quantiles (mergeable)
+    lindel_spark.sketch      count-min, histogram/KLL quantiles,
+                             KMV + deterministic HLL distinct
     lindel_spark.history     SCD2 builds, incremental agg maintenance
-    lindel_spark.timeseries  OHLC resample, time-weighted average
-    lindel_spark.graph       PageRank, connected components
+    lindel_spark.timeseries  OHLC resample, time-weighted average,
+                             lag-k ACF, CUSUM change-points,
+                             rolling z-score anomalies,
+                             inter-arrival stats, gap report
+    lindel_spark.graph       PageRank, connected components,
+                             triangles, bounded BFS,
+                             label-propagation communities
     lindel_spark.profile     table profiling, expectations, k-anonymity,
                              file min/max manifest index + pruned reads,
                              per-file bloom index for point lookups
     lindel_spark.packing     sequence packing, document chunking,
                              length-bucketed batching
-    lindel_spark.features    z-score / min-max / quantile normalization
+    lindel_spark.features    z-score / min-max / robust / quantile
+                             normalization, target encoding,
+                             one-pass correlation matrix
+    lindel_spark.evaluation  exact ROC-AUC, Brier, calibration bins
     lindel_spark.rules       market-basket co-occurrence, association rules
     lindel_spark.fs          Hadoop-FileSystem shim for store metadata
                              (append-only version-log commits)
