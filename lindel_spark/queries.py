@@ -10437,9 +10437,9 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type, COUNT(*)::BIGINT AS n,
-           SUM(CASE WHEN hi > 400.0 THEN 1 ELSE 0 END)::BIGINT
+           SUM(CASE WHEN round(hi, 6) > 400.0 THEN 1 ELSE 0 END)::BIGINT
              AS n_alarm_hi,
-           SUM(CASE WHEN lo > 400.0 THEN 1 ELSE 0 END)::BIGINT
+           SUM(CASE WHEN round(lo, 6) > 400.0 THEN 1 ELSE 0 END)::BIGINT
              AS n_alarm_lo,
            round(MAX(hi), 6) AS max_hi_r6,
            round(MAX(lo), 6) AS max_lo_r6
@@ -10460,12 +10460,19 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cusum_changepoints(ev, ["event_type"], "ts", "value",
                              "event_id", target=50.0, slack=5.0,
                              threshold=400.0)
+    # alarm counts re-derived from 6dp-ROUNDED sums (not the
+    # operator's exact flags): a cumulative sum can land within an
+    # ulp of the threshold, where engine-internal accumulation-order
+    # noise (DuckDB's windowed SUM uses tree aggregation) would flip
+    # a strict comparison — observed once at sf0.1 (signup, exactly
+    # 400.0). Rounding first makes the knife-edge deterministic in
+    # both engines; the operator's own alarm columns stay exact.
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("alarm_hi"), 1).otherwise(0))
-        .cast("long").alias("n_alarm_hi"),
-        F.sum(F.when(F.col("alarm_lo"), 1).otherwise(0))
-        .cast("long").alias("n_alarm_lo"),
+        F.sum(F.when(F.round(F.col("cusum_hi"), 6) > 400.0, 1)
+              .otherwise(0)).cast("long").alias("n_alarm_hi"),
+        F.sum(F.when(F.round(F.col("cusum_lo"), 6) > 400.0, 1)
+              .otherwise(0)).cast("long").alias("n_alarm_lo"),
         F.round(F.max("cusum_hi"), 6).alias("max_hi_r6"),
         F.round(F.max("cusum_lo"), 6).alias("max_lo_r6"))
 
