@@ -724,26 +724,38 @@ def cusum_stream(
     t, k_, h = float(target), float(slack), float(threshold)
 
     def fn(key, pdfs, state):
+        # whole-batch NumPy via the drawdown identity (with carry-in
+        # state s0 >= 0 and c_t = s0 + cumsum(d):
+        # s_t = c_t - min(0, running_min(c)) == the max(0, s+d)
+        # recursion, exactly) - no per-row Python
+        import numpy as np
+
         s_hi, s_lo = (state.get if state.exists else (0.0, 0.0))
         outs = []
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, tiebreak])
-            rows = []
-            for _, r in pdf.iterrows():
-                x = r[value_col]
-                if pd.isna(x):
-                    continue
-                s_hi = max(0.0, s_hi + (float(x) - t - k_))
-                s_lo = max(0.0, s_lo - (float(x) - t) - k_)
-                if s_hi > h or s_lo > h:
-                    rows.append((key[0], r[ts_col], r[tiebreak],
-                                 float(x), s_hi, s_lo,
-                                 s_hi > h, s_lo > h))
-            if rows:
-                outs.append(pd.DataFrame(
-                    rows, columns=[key_col, ts_col, tiebreak, "value",
-                                   "cusum_hi", "cusum_lo",
-                                   "alarm_hi", "alarm_lo"]))
+            pdf = pdf[pdf[value_col].notna()]
+            if len(pdf) == 0:
+                continue
+            x = pdf[value_col].to_numpy(dtype="float64")
+            c_hi = s_hi + np.cumsum(x - t - k_)
+            c_lo = s_lo + np.cumsum(-(x - t) - k_)
+            shi = c_hi - np.minimum(np.minimum.accumulate(c_hi), 0.0)
+            slo = c_lo - np.minimum(np.minimum.accumulate(c_lo), 0.0)
+            s_hi, s_lo = float(shi[-1]), float(slo[-1])
+            mask = (shi > h) | (slo > h)
+            if mask.any():
+                sel = pdf.loc[mask]
+                outs.append(pd.DataFrame({
+                    key_col: key[0],
+                    ts_col: sel[ts_col].to_numpy(),
+                    tiebreak: sel[tiebreak].to_numpy(),
+                    "value": x[mask],
+                    "cusum_hi": shi[mask],
+                    "cusum_lo": slo[mask],
+                    "alarm_hi": shi[mask] > h,
+                    "alarm_lo": slo[mask] > h,
+                }))
         state.update((s_hi, s_lo))
         yield (pd.concat(outs) if outs else pd.DataFrame(
             columns=[key_col, ts_col, tiebreak, "value", "cusum_hi",
