@@ -202,13 +202,15 @@ def corr_matrix(df: DataFrame, cols) -> DataFrame:
     aggs = []
     pairs = []
     for i, a in enumerate(cols):
-        for b in cols[i:]:
+        for j, b in enumerate(cols[i:], start=i):
             xa = F.col(a).cast("double")
             xb = F.col(b).cast("double")
             both = xa.isNotNull() & xb.isNotNull()
             x = F.when(both, xa)
             y = F.when(both, xb)
-            tag = f"{a}__{b}"
+            # positional tag: name-based tags collide for columns
+            # containing the separator (review catch, round 11)
+            tag = f"{i}_{j}"
             pairs.append((a, b, tag))
             aggs += [
                 F.count(x).cast("long").alias(f"__n_{tag}"),

@@ -408,8 +408,9 @@ def label_propagation_communities(
            .filter(F.col("__s") != F.col("__d"))
            .distinct()
            .persist(StorageLevel.MEMORY_AND_DISK))
-    nodes = sym.select(F.col("__s").alias("node")).distinct() \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # nodes feeds the lineage exactly once (initial labels) and is a
+    # cheap distinct over the persisted edges — no persist of its own
+    nodes = sym.select(F.col("__s").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     for it in range(rounds):
         votes = (sym.join(labels,

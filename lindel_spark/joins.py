@@ -529,8 +529,12 @@ def band_join(
             F.floor(rv / F.lit(float(eps))).cast("long"),
             F.floor(rv / F.lit(float(eps))).cast("long") + 1)))
     joined = lb.join(probe, "__cell")
+    # frame-qualified references: left_col/right_col may be the SAME
+    # name on both sides (the natural price-to-price call) — bare
+    # F.col would be ambiguous (review catch, round 11); the output
+    # keeps both columns under Spark's usual duplicate-name rules
     return (joined
-            .filter(F.abs(F.col(left_col).cast("double")
-                          - F.col(right_col).cast("double"))
+            .filter(F.abs(lb[left_col].cast("double")
+                          - probe[right_col].cast("double"))
                     <= F.lit(float(eps)))
             .drop("__cell"))

@@ -1123,8 +1123,9 @@ def agreement_kappa(
     ``Σ c_kk / n``, ``pe`` the chance agreement ``Σ rowₖ·colₖ / n²``
     from the marginals, ``kappa = (po − pe) / (1 − pe)`` (defined as
     1.0 when ``pe = 1``: both columns constant and identical). Closed
-    algebra over integer counts. ``pe`` comes from an outer join of
-    the two marginal tables — NOT from the joint table's diagonal,
+    algebra over integer counts. ``pe`` comes from the marginal
+    tables joined on the shared categories (disjoint label sets —
+    zero shared mass — coalesce to pe = 0, kappa = po) — NOT from the joint table's diagonal,
     which would silently drop a category both raters use but never
     agree on (its joint diagonal count is zero, its ``rowₖ·colₖ``
     term is not).
@@ -1152,7 +1153,7 @@ def agreement_kappa(
     chance = (ma.join(mb, "__k")
               .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__rc")))
     agg = (obs.crossJoin(F.broadcast(chance))
-           .withColumn("pe", F.col("__rc")
+           .withColumn("pe", F.coalesce(F.col("__rc"), F.lit(0.0))
                        / (F.col("n").cast("double")
                           * F.col("n").cast("double")))
            .drop("__rc"))

@@ -732,7 +732,12 @@ def cusum_stream(
 
         s_hi, s_lo = (state.get if state.exists else (0.0, 0.0))
         outs = []
-        for pdf in pdfs:
+        # concat BEFORE sorting: a group's micro-batch can span
+        # several Arrow chunks, and chunk boundaries are arbitrary —
+        # sorting per chunk would run the recursion time-disordered
+        # (review catch, round 11)
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks)] if chunks else []):
             pdf = pdf.sort_values([ts_col, tiebreak])
             pdf = pdf[pdf[value_col].notna()]
             if len(pdf) == 0:

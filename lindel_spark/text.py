@@ -1005,7 +1005,7 @@ def ngram_novelty(
     map-side-combined aggregate. Both shuffles are keyed on gram /
     doc id — the BM25 plan family; no driver state, no all-pairs.
     """
-    tg = (target.select(F.col(id_col).cast("long").alias("doc_id"),
+    tg = (target.select(F.col(id_col).alias("doc_id"),
                         word_ngrams(F.col(text_col), n).alias("__g"))
           .select("doc_id", F.explode_outer("__g").alias("gram"))
           .distinct())

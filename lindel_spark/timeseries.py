@@ -105,8 +105,10 @@ def acf(
     correlation between ``x_t`` and ``x_{t+k}`` over the row sequence
     ordered by ``(ts_col, tiebreak)`` (the tiebreaker makes the
     sequence — and therefore the pairing — deterministic under any
-    partitioning). Output: ``(*keys, lag, n_pairs, acf)``; groups with
-    fewer than ``k+1`` rows or zero variance on either side emit NULL.
+    partitioning). Output: ``(*keys, lag, n_pairs, acf)``; a (key,
+    lag) with zero variance on either side emits a row with NULL acf;
+    a group with fewer than ``k+1`` rows has no pairs at that lag and
+    emits NO row (join on (key, lag) accordingly).
 
     The correlation is computed from raw sums
     ``(n·Σxy − Σx·Σy) / sqrt((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))`` rather than
@@ -275,9 +277,13 @@ def gap_report(
     gap_s = (F.unix_micros(F.col("__ts").cast("timestamp"))
              - F.unix_micros(F.col("__prev").cast("timestamp"))
              ).cast("double") / F.lit(1e6)
-    thresh = (F.unix_micros(
-        F.lit("1970-01-01 00:00:00").cast("timestamp")
-        + F.expr(f"INTERVAL {max_gap}"))).cast("double") / F.lit(1e6)
+    # interval length WITHOUT an absolute epoch anchor: the session
+    # timezone shifts both terms of the difference identically, so
+    # the threshold is tz-independent (an anchored unix_micros of an
+    # epoch string is NOT — review catch, round 11)
+    t0 = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    thresh = (F.unix_micros(t0 + F.expr(f"INTERVAL {max_gap}"))
+              - F.unix_micros(t0)).cast("double") / F.lit(1e6)
     return (out.filter(F.col("__prev").isNotNull())
             .withColumn("gap_seconds", gap_s)
             .filter(F.col("gap_seconds") > thresh)

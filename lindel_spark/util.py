@@ -245,19 +245,26 @@ def prefix_sums(df: DataFrame, order_col: str, cols,
     c = (df.repartitionByRange(P, order_col)
          .withColumn("__pid", F.spark_partition_id())
          .localCheckpoint())
+    # offset frame typed from the INPUT columns (integral -> LONG,
+    # fractional -> DOUBLE) so running sums of double-valued columns
+    # work too (review catch, round 11)
+    dtypes = dict(df.dtypes)
+    frac = {x: dtypes[x] in ("double", "float") for x in cols}
     per = (c.groupBy("__pid")
            .agg(*[F.sum(x).alias(f"__t_{x}") for x in cols])
            .collect())
     per = sorted((r["__pid"], r) for r in per)
     offs = []
-    acc = {x: 0 for x in cols}
+    acc = {x: (0.0 if frac[x] else 0) for x in cols}
     for pid, r in per:
         offs.append(tuple([pid] + [acc[x] for x in cols]))
         for x in cols:
-            acc[x] += r[f"__t_{x}"] or 0
+            acc[x] += r[f"__t_{x}"] or (0.0 if frac[x] else 0)
     off_df = spark.createDataFrame(
-        offs or [tuple([0] + [0] * len(cols))],
-        ", ".join(["__pid INT"] + [f"__off_{x} LONG" for x in cols]))
+        offs or [tuple([0] + [acc[x] for x in cols])],
+        ", ".join(["__pid INT"]
+                  + [f"__off_{x} " + ("DOUBLE" if frac[x] else "LONG")
+                     for x in cols]))
     w = Window.partitionBy("__pid").orderBy(order_col) \
         .rowsBetween(Window.unboundedPreceding, 0)
     out = c.join(F.broadcast(off_df), "__pid")

@@ -172,3 +172,14 @@ def test_corr_matrix_constant_column_null(spark):
     assert got[("a", "a")] == pytest.approx(1.0, abs=1e-12)
     with pytest.raises(ValueError):
         corr_matrix(df, ["a"])
+
+
+def test_corr_matrix_separator_collision_safe(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i) * 2, float(-i)) for i in range(50)],
+        ["a__b", "a", "b__a"])
+    got = {(r.col_a, r.col_b): r.corr
+           for r in corr_matrix(df, ["a__b", "a", "b__a"]).collect()}
+    assert len(got) == 6
+    assert got[("a__b", "a")] == pytest.approx(1.0, abs=1e-9)
+    assert got[("a", "b__a")] == pytest.approx(-1.0, abs=1e-9)

@@ -124,3 +124,12 @@ def test_url_collapses_crawl_variants(spark):
     ]
     got = set(_canon(spark, variants))
     assert got == {"http://shop.com/item/7?x=1&y=2"}
+
+
+def test_prefix_sums_double_column(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.25), (3, 0.25)], ["k", "w"])
+    got = {r.k: r.cum_w for r in prefix_sums(df, "k", ["w"]).collect()}
+    assert got[1] == pytest.approx(1.5)
+    assert got[2] == pytest.approx(3.75)
+    assert got[3] == pytest.approx(4.0)

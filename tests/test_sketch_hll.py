@@ -59,3 +59,25 @@ def test_hll_rejects_bad_p(spark, df):
         hll_sketch(df, ["g"], "x", p=17)
     with pytest.raises(ValueError):
         hll_merge(hll_sketch(df, ["g"], "x"), p=9)
+
+
+def test_hll_small_m_alpha_constants(spark):
+    # p=4 (m=16) must use Flajolet's fixed 0.673, not the asymptotic
+    # formula; with 10 distinct values the small-range branch fires,
+    # so check the constant through a sketch that FILLS the registers
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5000)], ["x"])
+    sk = hll_sketch(df, [], "x", p=4)
+    est = hll_estimate(sk, p=4).collect()[0].est
+    # registers full (no small-range branch at 5000 >> 2.5*16):
+    # estimate within the (large for m=16) error band of the truth
+    assert 2000 < est < 10000
+    # and the exact constant is pinned by replaying the formula
+    import math
+    rows = sk.collect()
+    sp = sum(2.0 ** -r.rho for r in rows)
+    denom = (16.0 - len(rows)) + sp
+    raw = 0.673 * 16 * 16 / denom
+    zeros = 16.0 - len(rows)
+    want = 16.0 * math.log(16.0 / zeros) \
+        if (raw <= 2.5 * 16 and zeros > 0) else raw
+    assert est == pytest.approx(want, abs=1e-9)

@@ -245,3 +245,10 @@ def test_acf_rejects_bad_lags(spark):
         acf(df, ["k"], "t", "v", "t", lags=[])
     with pytest.raises(ValueError):
         acf(df, ["k"], "t", "v", "t", lags=[0])
+
+
+def test_kappa_disjoint_label_sets_zero(spark):
+    # raters share NO category: pe has zero shared mass -> kappa = po
+    df = spark.createDataFrame([("cat", "dog")] * 10, ["a", "b"])
+    r = agreement_kappa(df, "a", "b").collect()[0]
+    assert r.pe == 0.0 and r.po == 0.0 and r.kappa == 0.0

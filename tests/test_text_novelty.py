@@ -68,3 +68,14 @@ def test_novelty_every_target_doc_emits_row(spark):
     ref = _docs(spark, ["a b c"])
     tgt = _docs(spark, ["a b c", "x", "p q r s"])
     assert ngram_novelty(tgt, ref, n=3).count() == 3
+
+
+def test_novelty_string_doc_ids(spark):
+    ref = spark.createDataFrame([("r1", "a b c d")],
+                                ["doc_id", "text"])
+    tgt = spark.createDataFrame(
+        [("doc-001", "a b c"), ("doc-002", "x y z")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r.novelty
+           for r in ngram_novelty(tgt, ref, n=3).collect()}
+    assert got == {"doc-001": 0.0, "doc-002": 1.0}

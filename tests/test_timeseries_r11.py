@@ -152,3 +152,30 @@ def test_pmi_min_count_floors_hapax(spark):
     out = pmi_collocations(df, "text", min_count=5, top_n=10).collect()
     assert all((r.left, r.right) != ("rare", "gem") for r in out)
     assert any((r.left, r.right) == ("common", "word") for r in out)
+
+
+def test_band_join_same_column_name_both_sides(spark):
+    a = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "price"])
+    b = spark.createDataFrame([(3, 10.3), (4, 25.0)], ["id", "price"])
+    out = band_join(a.select("price"), b.select("price"),
+                    "price", "price", eps=0.5)
+    assert out.count() == 1  # only (10.0, 10.3)
+
+
+def test_gap_report_timezone_independent(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k", i, base + dt.timedelta(seconds=s))
+            for i, s in enumerate([0, 60, 5 * 3600])]
+    df = spark.createDataFrame(rows, ["k", "i", "ts"])
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Tokyo", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = gap_report(df, ["k"], "ts", "i",
+                             max_gap="1 hour").collect()
+            assert len(got) == 1, tz
+            assert got[0].gap_seconds == pytest.approx(
+                5 * 3600 - 60, abs=1e-6), tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
