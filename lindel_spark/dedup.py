@@ -1319,3 +1319,52 @@ def keep_best_in_cluster(
     return (joined.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", "__cluster"))
+
+
+def hamming_banded_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Exact hamming-distance pairs over ANY precomputed bit-signature
+    column (``hamming <= max_hamming``) — the generic core of
+    :func:`simhash_near_dup_pairs`, exposed for signatures that are
+    not text SimHashes (perceptual image hashes, feature
+    fingerprints). Same pigeonhole exactness: with ``bands >
+    max_hamming`` a qualifying pair agrees on at least one band, so
+    the banded self-join generates every candidate and the
+    ``bit_count`` verify keeps exactly the true pairs; the shuffle is
+    band-keyed, never all-pairs. Returns ``(id_a, id_b, hamming)``.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            "bands must exceed max_hamming (pigeonhole exactness)")
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    band_bits = bits // bands
+    band_mask = (1 << band_bits) - 1
+    from pyspark import StorageLevel
+
+    s = sig.select(F.col(id_col).cast("long").alias("id"),
+                   F.col(sig_col).cast("long").alias("sig")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    keyed = s.select(
+        "id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("sig"), b * band_bits)
+            .bitwiseAND(F.lit(band_mask))
+            for b in range(bands)
+        ])).alias("band_idx", "band_key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (a.join(b, on=["band_idx", "band_key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.bit_count(F.col("a.sig")
+                                .bitwiseXOR(F.col("b.sig")))
+                    .cast("long").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -307,3 +307,74 @@ def audio_features(
                 "zero_crossings": zc})
 
     return src.mapInPandas(run, schema)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("ahash", T.LongType()),
+])
+
+
+def ahash_images(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id",
+                 decoder: Callable[[bytes], np.ndarray] = decode_image,
+                 ) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints: decode →
+    grayscale (mean of RGB per pixel) → 64 bits, bit ``p`` set when
+    ``round(gray_p − mean_gray, 9) > 0`` — the standard
+    near-duplicate image fingerprint (robust to re-encodes and small
+    edits under a real decoder; under :func:`fake_decode_image` the
+    whole path — and the hash VALUES — replay in SQL from the sha
+    pixel chain). Bit 63 is the sign bit of the LongType carrier
+    (explicit two's-complement pack, identical in any engine).
+
+    ``mapInPandas`` stage like :func:`image_features` (injectable
+    decoder, Arrow batches); pair it with
+    :func:`lindel_spark.dedup.hamming_banded_pairs` for exact
+    banded near-dup search — see :func:`image_near_dup_pairs`.
+
+    The bit test rounds ``gray − mean`` at 9dp before comparing:
+    gray and mean are rationals over denominator 192, so a REAL tie
+    (64·s_p = Σs — common enough to matter) lands within float noise
+    of zero where engines' different summation orders would disagree
+    on a strict ``>``; after rounding, ties are exactly 0 in every
+    engine and the smallest genuine gap (≥ ~1/192²) is untouched.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, hashes = [], []
+            for i, data in zip(b[id_col], b[content_col]):
+                img = decoder(bytes(data))
+                gray = img.reshape(-1, img.shape[-1]).mean(axis=1)
+                gray = gray[:64]
+                m = gray.mean()
+                h = np.uint64(0)
+                for p, g in enumerate(gray):
+                    if round(g - m, 9) > 0:
+                        h |= np.uint64(1) << np.uint64(p)
+                ids.append(int(i))
+                hashes.append(int(h.astype(np.int64)))
+            yield pd.DataFrame({"id": ids, "ahash": hashes})
+
+    return df.select(id_col, content_col).mapInPandas(
+        run, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(df: DataFrame, content_col: str = "content",
+                         id_col: str = "doc_id",
+                         decoder: Callable[[bytes], np.ndarray]
+                         = decode_image,
+                         bands: int = 8,
+                         max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs: aHash fingerprints +
+    :func:`lindel_spark.dedup.hamming_banded_pairs` — exact within
+    the hamming budget by pigeonhole, band-keyed shuffles, never
+    all-pairs; the image leg of the dedup ladder (byte-level
+    :func:`content_dedup_groups` catches identical FILES, this
+    catches identical-looking PICTURES)."""
+    from lindel_spark.dedup import hamming_banded_pairs
+
+    sig = ahash_images(df, content_col, id_col, decoder)
+    return hamming_banded_pairs(sig, "id", "ahash", bits=64,
+                                bands=bands, max_hamming=max_hamming)

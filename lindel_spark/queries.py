@@ -91,6 +91,7 @@ _SAMPLE_FIRST = [
     "graph_lpa_communities",     # new: label-propagation communities
     "sampling_kfold",            # new: deterministic k-fold CV
     "events_temporal_split",     # new: time split with embargo
+    "multimodal_image_neardup",  # new: perceptual-hash image dedup
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -11083,3 +11084,66 @@ def q_events_temporal_split(spark: SparkSession,
     return out.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.countDistinct("event_type").cast("long").alias("n_types"))
+
+
+@query(
+    "multimodal_image_neardup",
+    """
+    WITH seeded AS (
+      SELECT doc_id::BIGINT AS id,
+             CASE WHEN doc_id % 30 = 0
+                  THEN 'shared-img-' || CAST((doc_id // 30) % 4
+                                             AS VARCHAR)
+                  ELSE text END AS payload
+      FROM documents WHERE doc_id % 10 = 0
+    ), c1 AS (
+      SELECT id, sha256(payload) AS b1 FROM seeded
+    ), c2 AS (SELECT *, sha256(b1) AS b2 FROM c1),
+    c3 AS (SELECT *, sha256(b2) AS b3 FROM c2),
+    c4 AS (SELECT *, sha256(b3) AS b4 FROM c3),
+    c5 AS (SELECT *, sha256(b4) AS b5 FROM c4),
+    c6 AS (SELECT id, b1||b2||b3||b4||b5||sha256(b5) AS hx FROM c5),
+    px AS (
+      SELECT id, i, ('0x'||substr(hx, 2*i+1, 2))::INT AS v
+      FROM c6, generate_series(0, 191) g(i)
+    ), gray AS (
+      SELECT id, i // 3 AS p, AVG(v) AS g FROM px GROUP BY id, i // 3
+    ), mh AS (SELECT id, AVG(g) AS m FROM gray GROUP BY id),
+    hsh AS (
+      SELECT gray.id,
+             SUM(CASE WHEN round(gray.g - mh.m, 9) > 0 THEN
+                   CASE WHEN gray.p = 63
+                        THEN (-9223372036854775807 - 1)
+                        ELSE (CAST(1 AS BIGINT) << CAST(gray.p AS INT))
+                   END ELSE 0 END)::BIGINT AS ahash
+      FROM gray JOIN mh USING (id) GROUP BY gray.id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+    FROM hsh a JOIN hsh b ON a.id < b.id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 4
+    """,
+)
+def q_multimodal_image_neardup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup pairs (round 11,
+    :func:`lindel_spark.multimodal.image_near_dup_pairs`): aHash
+    fingerprints under the deterministic fake decoder; a sampled doc
+    slice seeded with four SHARED payloads (every 30th doc) so real
+    duplicate clusters exist — pixels replay from the sha chain, so
+    the oracle computes every 64-bit HASH and the brute-force hamming
+    pairs independently in SQL + the generic banded hamming join — exact by pigeonhole, band-keyed, never
+    all-pairs on the Spark side."""
+    docs = (spark.read.parquet(os.path.join(sf_dir,
+                                            "documents.parquet"))
+            .filter(F.col("doc_id") % 10 == 0))
+    payload = F.when(
+        F.col("doc_id") % 30 == 0,
+        F.concat(F.lit("shared-img-"),
+                 ((F.col("doc_id") / 30).cast("long") % 4)
+                 .cast("string"))
+    ).otherwise(F.col("text"))
+    blobs = docs.select("doc_id",
+                        F.encode(payload, "UTF-8").alias("content"))
+    return MM.image_near_dup_pairs(
+        blobs, decoder=MM.fake_decode_image, bands=8, max_hamming=4)

@@ -135,3 +135,63 @@ def test_audio_features_drops_partial_frames(spark):
     import pytest as _p
     with _p.raises(ValueError, match="frame_samples"):
         audio_features(df, frame_samples=1)
+
+
+def test_ahash_deterministic_and_sign_bit(spark):
+    from lindel_spark import multimodal as MM
+
+    blobs = spark.createDataFrame(
+        [(i, bytes(f"payload-{i % 3}", "utf8")) for i in range(30)],
+        ["doc_id", "content"])
+    a = {r.id: r.ahash
+         for r in MM.ahash_images(
+             blobs, decoder=MM.fake_decode_image).collect()}
+    b = {r.id: r.ahash
+         for r in MM.ahash_images(
+             blobs.repartition(5),
+             decoder=MM.fake_decode_image).collect()}
+    assert a == b
+    # identical payloads -> identical hashes; distinct -> distinct
+    assert a[0] == a[3] == a[27]
+    assert len({a[0], a[1], a[2]}) == 3
+    # some payload among many will set the sign bit eventually; at
+    # minimum the hash must round-trip the LongType carrier
+    assert all(isinstance(v, int) for v in a.values())
+
+
+def test_image_near_dup_pairs_exact_vs_brute(spark):
+    import itertools
+
+    from lindel_spark import multimodal as MM
+
+    blobs = spark.createDataFrame(
+        [(i, bytes(f"img-{i % 4}", "utf8")) for i in range(20)],
+        ["doc_id", "content"])
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in MM.image_near_dup_pairs(
+               blobs, decoder=MM.fake_decode_image,
+               bands=8, max_hamming=4).collect()}
+    sig = {r.id: r.ahash
+           for r in MM.ahash_images(
+               blobs, decoder=MM.fake_decode_image).collect()}
+    want = {}
+    for x, y in itertools.combinations(sorted(sig), 2):
+        h = bin((sig[x] ^ sig[y]) & ((1 << 64) - 1)).count("1")
+        if h <= 4:
+            want[(x, y)] = h
+    assert got == want
+    assert len(want) > 0  # the %4 payload groups must pair up
+
+
+def test_hamming_banded_pairs_pigeonhole_guard(spark):
+    from lindel_spark.dedup import hamming_banded_pairs
+
+    sig = spark.createDataFrame([(1, 5), (2, 7)], ["id", "sig"])
+    import pytest as _p
+    with _p.raises(ValueError):
+        hamming_banded_pairs(sig, bands=4, max_hamming=4)
+    with _p.raises(ValueError):
+        hamming_banded_pairs(sig, bits=64, bands=7)
+    # hamming(5,7)=1 <= 2 with bands=8: found
+    out = hamming_banded_pairs(sig, bands=8, max_hamming=2).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 1)]
