@@ -32,6 +32,7 @@ def asof_join(
     value_cols: Sequence[str] = (),
     suffix: str = "_r",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """As-of join: for every left row, the nearest right row of the
     same ``on`` key on the time axis (unmatched left rows keep NULLs).
@@ -43,6 +44,12 @@ def asof_join(
     - ``"forward"``: earliest right with ``right_ts >= left_ts``.
     - ``"nearest"``: whichever of the two is closer in absolute time;
       exact ties take the backward match (documented, deterministic).
+
+    ``tolerance`` (round 11) bounds the match's staleness: a matched
+    row farther than ``tolerance`` from the left timestamp is treated
+    as NO match (values NULL) — the standard max-staleness guard for
+    sensor alignment and feature lookup. Units: the ts columns' own
+    units for numeric timestamps, SECONDS for TimestampType columns.
 
     Plan: tag and union both inputs, one window pass per key ordered
     by (ts, side) carrying the right values across with ``last(...,
@@ -60,6 +67,25 @@ def asof_join(
         raise ValueError(
             f"LINDEL: asof_join direction must be backward/forward/"
             f"nearest, got {direction!r}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("LINDEL: tolerance must be >= 0")
+    ts_type = left.schema[left_ts].dataType.typeName()
+    is_time = ts_type.startswith("timestamp")
+
+    def _tnum(c):
+        return (F.unix_micros(c.cast("timestamp")).cast("double")
+                if is_time else c.cast("double"))
+
+    tol_scaled = (None if tolerance is None
+                  else float(tolerance) * (1e6 if is_time else 1.0))
+
+    def _gate(value_expr, matched_ts):
+        if tol_scaled is None:
+            return value_expr
+        ok = (matched_ts.isNotNull()
+              & (F.abs(_tnum(F.col("__ts")) - _tnum(matched_ts))
+                 <= F.lit(tol_scaled)))
+        return F.when(ok, value_expr)
     if not value_cols:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
     lcols = left.columns
@@ -101,13 +127,15 @@ def asof_join(
     if direction in ("backward", "forward"):
         order = (F.col("__ts").asc() if direction == "backward"
                  else F.col("__ts").desc())
-        vals, _mts = fill(order)
+        vals, mts = fill(order)
         filled = union.select(
-            "*", *[v.alias(c + suffix + "__f")
-                   for v, c in zip(vals, value_cols)])
+            "*", mts.alias("__mts"),
+            *[v.alias(c + suffix + "__f")
+              for v, c in zip(vals, value_cols)])
         return filled.filter(F.col("__side") == 1).select(
             *[F.col(c) for c in lcols],
-            *[F.col(c + suffix + "__f").alias(c + suffix)
+            *[_gate(F.col(c + suffix + "__f"), F.col("__mts"))
+              .alias(c + suffix)
               for c in value_cols],
         )
     bvals, bmts = fill(F.col("__ts").asc())
@@ -124,11 +152,15 @@ def asof_join(
         | ((F.col("__ts") - F.col("__bts"))
            <= (F.col("__fts") - F.col("__ts")))
     )
+    chosen_ts = F.when(take_b, F.col("__bts")).otherwise(F.col("__fts"))
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
         *[
-            F.when(take_b, F.col(c + suffix + "__b"))
-            .otherwise(F.col(c + suffix + "__f")).alias(c + suffix)
+            _gate(
+                F.when(take_b, F.col(c + suffix + "__b"))
+                .otherwise(F.col(c + suffix + "__f")),
+                chosen_ts,
+            ).alias(c + suffix)
             for c in value_cols
         ],
     )

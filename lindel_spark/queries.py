@@ -92,6 +92,7 @@ _SAMPLE_FIRST = [
     "sampling_kfold",            # new: deterministic k-fold CV
     "events_temporal_split",     # new: time split with embargo
     "multimodal_image_neardup",  # new: perceptual-hash image dedup
+    "asof_join_tolerance",       # new: staleness-bounded as-of
     "text_bpe_train",            # new: full BPE merge-training loop
     "text_bpe_vocab",            # new: trained-vocab readout
     "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
@@ -11147,3 +11148,47 @@ def q_multimodal_image_neardup(spark: SparkSession,
                         F.encode(payload, "UTF-8").alias("content"))
     return MM.image_near_dup_pairs(
         blobs, decoder=MM.fake_decode_image, bands=8, max_hamming=4)
+
+
+@query(
+    "asof_join_tolerance",
+    """
+    WITH c AS (
+      SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+             epoch_us(ts)::BIGINT AS tus
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), m AS (
+      SELECT c.event_id, c.user_id, c.tus, p.pval, p.tus AS mts
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.tus >= p.tus
+    )
+    SELECT event_id, user_id, tus,
+           CASE WHEN mts IS NOT NULL
+                 AND (tus - mts) <= 86400000000 THEN pval END
+             AS value_r
+    FROM m
+    """,
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 24 h staleness bound (round 11,
+    :func:`lindel_spark.joins.asof_join` ``tolerance=``): a prior
+    purchase older than a day is treated as NO match — the standard
+    max-staleness guard; the oracle applies the same bound on
+    DuckDB's native ASOF match."""
+    from lindel_spark.joins import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("tus", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"), "tus")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy(F.col("user_id").cast("long")
+                          .alias("user_id"), "tus")
+                 .agg(F.max("value").alias("value")))
+    return asof_join(clicks, purchases, on="user_id", left_ts="tus",
+                     right_ts="tus", value_cols=["value"],
+                     tolerance=86400000000.0)

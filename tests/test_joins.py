@@ -276,3 +276,68 @@ def test_bloom_semi_join_empty_dim(spark):
     fact = spark.range(100).select(F.col("id").alias("key"))
     dim = spark.range(0).select(F.col("id").alias("key"))
     assert bloom_semi_join(fact, dim, on="key").count() == 0
+
+
+def test_asof_tolerance_gates_stale_matches(spark):
+    from lindel_spark.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (3, 500.0)], ["id", "ts"])
+    left = left.withColumnRenamed("id", "k").selectExpr(
+        "1 as key", "ts", "k")
+    right = spark.createDataFrame(
+        [(1, 95.0, "a"), (1, 480.0, "b")], ["key", "ts", "v"])
+    out = {r.k: r.v_r
+           for r in asof_join(left, right, on="key", left_ts="ts",
+                              right_ts="ts", value_cols=["v"],
+                              tolerance=10.0).collect()}
+    # ts=100 matches 95 (gap 5 <= 10); ts=200's backward match is 95
+    # (gap 105 > 10 -> NULL); ts=500 matches 480 (gap 20 > 10 -> NULL)
+    assert out == {1: "a", 2: None, 3: None}
+    # without tolerance the stale matches come back
+    full = {r.k: r.v_r
+            for r in asof_join(left, right, on="key", left_ts="ts",
+                               right_ts="ts",
+                               value_cols=["v"]).collect()}
+    assert full == {1: "a", 2: "a", 3: "b"}
+
+
+def test_asof_tolerance_nearest_and_validation(spark):
+    from lindel_spark.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 100.0)], ["k", "key", "ts"])
+    right = spark.createDataFrame(
+        [(1, 92.0, "back"), (1, 103.0, "fwd")], ["key", "ts", "v"])
+    near = asof_join(left, right, on="key", left_ts="ts",
+                     right_ts="ts", value_cols=["v"],
+                     direction="nearest", tolerance=5.0).collect()[0]
+    assert near.v_r == "fwd"  # forward is closer (3 vs 8) and <= 5
+    tight = asof_join(left, right, on="key", left_ts="ts",
+                      right_ts="ts", value_cols=["v"],
+                      direction="nearest", tolerance=2.0).collect()[0]
+    assert tight.v_r is None
+    import pytest as _p
+    with _p.raises(ValueError):
+        asof_join(left, right, on="key", left_ts="ts", right_ts="ts",
+                  value_cols=["v"], tolerance=-1.0)
+
+
+def test_asof_tolerance_timestamp_seconds(spark):
+    import datetime as dt
+
+    from lindel_spark.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0 + dt.timedelta(seconds=100))], ["k", "key", "ts"])
+    right = spark.createDataFrame(
+        [(1, t0, "old"), (1, t0 + dt.timedelta(seconds=70), "new")],
+        ["key", "ts", "v"])
+    got = asof_join(left, right, on="key", left_ts="ts",
+                    right_ts="ts", value_cols=["v"],
+                    tolerance=60.0).collect()[0]
+    assert got.v_r == "new"  # 30 s gap within the 60 s bound
+    got2 = asof_join(left, right, on="key", left_ts="ts",
+                     right_ts="ts", value_cols=["v"],
+                     tolerance=10.0).collect()[0]
+    assert got2.v_r is None
