@@ -32,9 +32,16 @@ def norm_cell(v):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "item"):  # numpy scalar
         return norm_cell(v.item())
+    import datetime
     import decimal
+
+    # match tools/oracle_check.py's pandas-mediated canonicalization:
+    # Decimals become floats (int() truncated 0.9 -> 0 and flagged
+    # three green queries), dates compare as their ISO string
     if isinstance(v, decimal.Decimal):
-        return int(v)
+        return norm_cell(float(v))
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
     return v
 
 
