@@ -311,20 +311,31 @@ def rolling_zscore(
     Adds ``(roll_mean, roll_std, zscore)``; rows with fewer than
     ``min_points`` preceding points emit NULL zscore (cold start),
     zero-variance baselines too. Population std via the closed
-    ``√(Σx²/n − mean²)`` form. One window pass (hash Exchange on
-    ``keys`` + one sort), rows-between frame — map-only after the
-    sort, per-key state only.
+    ``√(Σx²/n − mean²)`` form over window sums computed in DECIMAL —
+    values quantize at 6 decimal places on entry (far inside any real
+    metric's noise), buying EXACT order-independent accumulation: the
+    scores are bit-identical across engines and partitionings, where
+    double sums made near-zero-variance windows explode differently.
+    One window pass (hash Exchange on ``keys`` + one sort),
+    rows-between frame — map-only after the sort, per-key state
+    only.
     """
     if lookback < 1:
         raise ValueError("lookback must be >= 1")
     if min_points < 2:
         raise ValueError("min_points must be >= 2")
     x = F.col(value_col).cast("double")
+    # window sums in DECIMAL (the windowed_rollup precedent): decimal
+    # addition is exact and associative, so the sums — and therefore
+    # the scores — are bit-identical under ANY accumulation order
+    # (DuckDB's segment-tree window sums vs Spark's sequential frame
+    # made near-zero-variance windows explode differently at sf1)
+    xd = F.col(value_col).cast("decimal(18,6)")
     w = (Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
          .rowsBetween(-lookback, -1))
-    n = F.count(x).over(w).cast("double")
-    s = F.sum(x).over(w)
-    ss = F.sum(x * x).over(w)
+    n = F.count(xd).over(w).cast("double")
+    s = F.sum(xd).over(w).cast("double")
+    ss = F.sum(xd * xd).over(w).cast("double")
     mean = s / n
     var = ss / n - mean * mean
     std = F.sqrt(F.greatest(var, F.lit(0.0)))

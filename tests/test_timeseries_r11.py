@@ -95,7 +95,8 @@ def test_gap_report_threshold_exclusive(spark):
 
 def test_rolling_zscore_matches_numpy(spark):
     rng = np.random.RandomState(1)
-    vals = rng.randn(80) * 3 + 7
+    # quantize like the operator (decimal(18,6) window sums)
+    vals = np.round(rng.randn(80) * 3 + 7, 6)
     df = spark.createDataFrame(
         [("k", i, float(v)) for i, v in enumerate(vals)],
         ["k", "t", "v"])

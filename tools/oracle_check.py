@@ -82,6 +82,16 @@ def main() -> int:
     os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "4g")
     spark = get_spark("lindel-oracle-check")
     con = duckdb.connect()
+    # let big oracles (set-similarity joins at sf1) spill instead of
+    # dying on a bad-allocation: DuckDB's default limit assumes the
+    # whole host's RAM, but the Spark JVM holds a large slice here
+    try:
+        con.execute("SET temp_directory='/tmp/lindel_duck_spill'")
+        con.execute("SET memory_limit='16GB'")
+        con.execute("SET threads=16")
+        con.execute("SET preserve_insertion_order=false")
+    except Exception:
+        pass  # older duckdb: defaults
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # derived scale-up dirs write table.parquet/ as a DIRECTORY of
