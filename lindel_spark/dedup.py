@@ -559,43 +559,17 @@ def simhash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming).
     """
-    band_bits = bits // bands
-    band_mask = (1 << band_bits) - 1
     df = ensure_parallelism(df)
     # Arrow fast path (bit-identical to the column form, pytest-
-    # checked); persist the signature — both self-join sides read it.
+    # checked); the banding/verify core is the shared
+    # :func:`hamming_banded_pairs` (round-11 refactor — one place to
+    # maintain the pigeonhole join).
     sig = df.filter(F.size(tokens(F.col(text_col))) > 0).select(
         F.col(id_col).cast("long").alias("id"),
         simhash_fast(F.col(text_col), bits).alias("sim"),
     )
-    from pyspark import StorageLevel
-
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    keyed = sig.select(
-        "id", "sim",
-        F.posexplode(
-            F.array(*[
-                F.shiftrightunsigned(F.col("sim"), b * band_bits)
-                .bitwiseAND(F.lit(band_mask))
-                for b in range(bands)
-            ])
-        ).alias("band_idx", "band_key"),
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = (
-        a.join(b, on=["band_idx", "band_key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(
-                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
-            ).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
-    return pairs
+    return hamming_banded_pairs(sig, "id", "sim", bits=bits,
+                                bands=bands, max_hamming=max_hamming)
 
 
 def dup_clusters(
@@ -1338,6 +1312,13 @@ def hamming_banded_pairs(
     the banded self-join generates every candidate and the
     ``bit_count`` verify keeps exactly the true pairs; the shuffle is
     band-keyed, never all-pairs. Returns ``(id_a, id_b, hamming)``.
+
+    The signature frame is persisted (both self-join sides read it)
+    and, like ``near_dup_pairs``' shingle cache and ``pagerank``'s
+    graph frames, stays cached backing the LAZY result's lineage —
+    MEMORY_AND_DISK blocks are LRU-evictable; an eager
+    checkpoint-then-unpersist tail costs more than it saves (the
+    repo-wide contract, BASELINE.md round 10).
     """
     if bands <= max_hamming:
         raise ValueError(

@@ -70,7 +70,9 @@ def asof_join(
     if tolerance is not None and tolerance < 0:
         raise ValueError("LINDEL: tolerance must be >= 0")
     ts_type = left.schema[left_ts].dataType.typeName()
-    is_time = ts_type.startswith("timestamp")
+    # dates ride the timestamp path (cast is lossless, tolerance in
+    # seconds); everything else must be numeric
+    is_time = ts_type.startswith("timestamp") or ts_type == "date"
 
     def _tnum(c):
         return (F.unix_micros(c.cast("timestamp")).cast("double")
@@ -117,34 +119,46 @@ def asof_join(
                        for c in value_cols])
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        # __mts tracks the matched right row's timestamp (for nearest)
+        # __mts tracks the matched right row's timestamp (for nearest);
+        # per-VALUE matched ts tracks the row that actually SUPPLIED
+        # each carried value — with NULL right values the ignorenulls
+        # carry can reach past the nearest row, and the staleness gate
+        # must age the supplier, not the nearest row (review catch)
         mts = F.when(F.col("__side") == 0, F.col("__ts"))
         return (
             [F.last(c + suffix, ignorenulls=True).over(w) for c in value_cols],
             F.last(mts, ignorenulls=True).over(w),
+            [F.last(F.when((F.col("__side") == 0)
+                           & F.col(c + suffix).isNotNull(),
+                           F.col("__ts")),
+                    ignorenulls=True).over(w) for c in value_cols],
         )
 
     if direction in ("backward", "forward"):
         order = (F.col("__ts").asc() if direction == "backward"
                  else F.col("__ts").desc())
-        vals, mts = fill(order)
+        vals, _mts, vts = fill(order)
         filled = union.select(
-            "*", mts.alias("__mts"),
+            "*",
             *[v.alias(c + suffix + "__f")
-              for v, c in zip(vals, value_cols)])
+              for v, c in zip(vals, value_cols)],
+            *[t.alias(c + suffix + "__t")
+              for t, c in zip(vts, value_cols)])
         return filled.filter(F.col("__side") == 1).select(
             *[F.col(c) for c in lcols],
-            *[_gate(F.col(c + suffix + "__f"), F.col("__mts"))
-              .alias(c + suffix)
+            *[_gate(F.col(c + suffix + "__f"),
+                    F.col(c + suffix + "__t")).alias(c + suffix)
               for c in value_cols],
         )
-    bvals, bmts = fill(F.col("__ts").asc())
-    fvals, fmts = fill(F.col("__ts").desc())
+    bvals, bmts, bvts = fill(F.col("__ts").asc())
+    fvals, fmts, fvts = fill(F.col("__ts").desc())
     filled = union.select(
         "*",
         bmts.alias("__bts"), fmts.alias("__fts"),
         *[v.alias(c + suffix + "__b") for v, c in zip(bvals, value_cols)],
         *[v.alias(c + suffix + "__f") for v, c in zip(fvals, value_cols)],
+        *[t.alias(c + suffix + "__bt") for t, c in zip(bvts, value_cols)],
+        *[t.alias(c + suffix + "__ft") for t, c in zip(fvts, value_cols)],
     )
     # nearest: backward wins on tie or when forward is absent
     take_b = F.col("__bts").isNotNull() & (
@@ -152,14 +166,14 @@ def asof_join(
         | ((F.col("__ts") - F.col("__bts"))
            <= (F.col("__fts") - F.col("__ts")))
     )
-    chosen_ts = F.when(take_b, F.col("__bts")).otherwise(F.col("__fts"))
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
         *[
             _gate(
                 F.when(take_b, F.col(c + suffix + "__b"))
                 .otherwise(F.col(c + suffix + "__f")),
-                chosen_ts,
+                F.when(take_b, F.col(c + suffix + "__bt"))
+                .otherwise(F.col(c + suffix + "__ft")),
             ).alias(c + suffix)
             for c in value_cols
         ],

@@ -345,9 +345,23 @@ def ahash_images(df: DataFrame, content_col: str = "content",
         for b in batches:
             ids, hashes = [], []
             for i, data in zip(b[id_col], b[content_col]):
+                if data is None:
+                    continue  # NULL payload: no fingerprint row
                 img = decoder(bytes(data))
-                gray = img.reshape(-1, img.shape[-1]).mean(axis=1)
-                gray = gray[:64]
+                gm = img.reshape(img.shape[0], img.shape[1], -1) \
+                    .mean(axis=2)
+                # block-mean downsample to 8x8 (crop any remainder) —
+                # an 8x8 input (the fake decoder) passes through
+                # pixel-for-pixel, a real decode gets the actual
+                # aHash reduction instead of its first scanline
+                hh = (gm.shape[0] // 8) * 8
+                ww = (gm.shape[1] // 8) * 8
+                if hh == 0 or ww == 0:
+                    continue  # degenerate decode: nothing to hash
+                gray = (gm[:hh, :ww]
+                        .reshape(8, hh // 8, 8, ww // 8)
+                        .mean(axis=(1, 3))
+                        .reshape(-1))
                 m = gray.mean()
                 h = np.uint64(0)
                 for p, g in enumerate(gray):

@@ -10746,7 +10746,7 @@ def q_events_rolling_zscore(spark: SparkSession,
     z-score against the PRECEDING 20 events of its type (self
     excluded so a spike can't mask itself); cold-start and
     zero-variance emit NULL; the point-anomaly sibling of the CUSUM
-    drift alarm; 6dp."""
+    drift alarm; 4dp (see the in-body note)."""
     from lindel_spark.timeseries import rolling_zscore
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

@@ -299,6 +299,7 @@ def rolling_zscore(
     tiebreak: str,
     lookback: int = 20,
     min_points: int = 5,
+    quantize: int | None = 6,
 ) -> DataFrame:
     """Point-anomaly score per event: z-score of each value against
     the PRECEDING ``lookback`` rows of its own series (never
@@ -311,11 +312,18 @@ def rolling_zscore(
     Adds ``(roll_mean, roll_std, zscore)``; rows with fewer than
     ``min_points`` preceding points emit NULL zscore (cold start),
     zero-variance baselines too. Population std via the closed
-    ``√(Σx²/n − mean²)`` form over window sums computed in DECIMAL —
-    values quantize at 6 decimal places on entry (far inside any real
-    metric's noise), buying EXACT order-independent accumulation: the
-    scores are bit-identical across engines and partitionings, where
-    double sums made near-zero-variance windows explode differently.
+    ``√(Σx²/n − mean²)`` form over window sums computed in DECIMAL:
+    values quantize at ``quantize`` decimal places on entry (default
+    6 — far inside most metrics' noise), buying EXACT
+    order-independent accumulation: the scores are bit-identical
+    across engines and partitionings, where double sums made
+    near-zero-variance windows explode differently. For
+    small-magnitude series (|values| comparable to 10^-quantize, e.g.
+    probabilities at the default) RAISE ``quantize`` or pass
+    ``quantize=None`` for full-double sums (order-dependent in the
+    last ulps — fine for monitoring, not for bit-replay). Values
+    beyond the decimal range (|v| ≥ 10^(18−quantize)) or NaN become
+    NULL under the cast and drop from the window, like NULL inputs.
     One window pass (hash Exchange on ``keys`` + one sort),
     rows-between frame — map-only after the sort, per-key state
     only.
@@ -330,7 +338,10 @@ def rolling_zscore(
     # the scores — are bit-identical under ANY accumulation order
     # (DuckDB's segment-tree window sums vs Spark's sequential frame
     # made near-zero-variance windows explode differently at sf1)
-    xd = F.col(value_col).cast("decimal(18,6)")
+    if quantize is not None and not 0 <= quantize <= 12:
+        raise ValueError("quantize must be in [0, 12] or None")
+    xd = (x if quantize is None
+          else F.col(value_col).cast(f"decimal(18,{int(quantize)})"))
     w = (Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
          .rowsBetween(-lookback, -1))
     n = F.count(xd).over(w).cast("double")

@@ -341,3 +341,39 @@ def test_asof_tolerance_timestamp_seconds(spark):
                      right_ts="ts", value_cols=["v"],
                      tolerance=10.0).collect()[0]
     assert got2.v_r is None
+
+
+def test_asof_tolerance_ages_the_supplying_row(spark):
+    """With NULL right values the ignorenulls carry can reach PAST
+    the nearest right row; the staleness gate must age the row that
+    supplied the value, not the nearest row (review catch)."""
+    from lindel_spark.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 12.0)], ["k", "key", "ts"])
+    right = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 10.0, None)], ["key", "ts", "v"])
+    r = asof_join(left, right, on="key", left_ts="ts", right_ts="ts",
+                  value_cols=["v"], tolerance=3.0).collect()[0]
+    assert r.v_r is None  # 'a' is 7 units stale; nearest row is NULL
+    r2 = asof_join(left, right, on="key", left_ts="ts", right_ts="ts",
+                   value_cols=["v"], tolerance=8.0).collect()[0]
+    assert r2.v_r == "a"  # within bound once the supplier qualifies
+
+
+def test_asof_tolerance_date_columns(spark):
+    import datetime as dt
+
+    from lindel_spark.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, dt.date(2024, 1, 10))], ["k", "key", "d"])
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 8), "x")], ["key", "d", "v"])
+    got = asof_join(left, right, on="key", left_ts="d", right_ts="d",
+                    value_cols=["v"],
+                    tolerance=3 * 86400.0).collect()[0]
+    assert got.v_r == "x"  # 2 days within a 3-day bound
+    tight = asof_join(left, right, on="key", left_ts="d",
+                      right_ts="d", value_cols=["v"],
+                      tolerance=86400.0).collect()[0]
+    assert tight.v_r is None

@@ -86,12 +86,20 @@ def main() -> int:
     # dying on a bad-allocation: DuckDB's default limit assumes the
     # whole host's RAM, but the Spark JVM holds a large slice here
     try:
+        import os as _os
+
+        ram_gb = (_os.sysconf("SC_PAGE_SIZE")
+                  * _os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
+        # a Spark JVM shares the host: cap DuckDB at a quarter of RAM
+        # (floor 2 GB, ceiling 16 GB) so big oracles spill to disk
+        # instead of malloc-failing, and halve the thread default
+        budget = max(2, min(16, int(ram_gb // 4)))
         con.execute("SET temp_directory='/tmp/lindel_duck_spill'")
-        con.execute("SET memory_limit='16GB'")
-        con.execute("SET threads=16")
+        con.execute(f"SET memory_limit='{budget}GB'")
+        con.execute(f"SET threads={max(2, (_os.cpu_count() or 8) // 2)}")
         con.execute("SET preserve_insertion_order=false")
     except Exception:
-        pass  # older duckdb: defaults
+        pass  # older duckdb / exotic host: defaults
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # derived scale-up dirs write table.parquet/ as a DIRECTORY of
