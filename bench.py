@@ -211,8 +211,15 @@ def main(only: set[str] | None = None) -> None:
             "knn_join_pq_dist", "ivf_store_pruned_scan",
             "ivf_store_full_scan"):
         _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
-    if need("knn_pq_refined", "knn_ivfpq_refined", "knn_join_pq_dist"):
+    if need("knn_pq_refined"):
         _pq_books = LS.train_pq(emb, m=8, ks=256)
+    if need("knn_ivfpq_refined", "knn_join_pq_dist"):
+        # round-12 IVFADC default: mean-anchored coarse cells +
+        # residual-trained books
+        _ivfpq_centroids = LS.train_centroids(emb, _auto_nc,
+                                              spherical=False)
+        _pq_books_res = LS.train_pq(emb, m=8, ks=256,
+                                    centroids=_ivfpq_centroids)
     # codes are the *stored* representation — materialize to parquet
     # and read back, so the timed scans survive the per-entry
     # clearCache() (a persist() would be silently dropped and the
@@ -247,7 +254,7 @@ def main(only: set[str] | None = None) -> None:
                           nprobe=_auto_np))
 
     if need("knn_ivfpq_refined", "knn_join_pq_dist"):
-        LS.ivf_pq_encode(emb, _ivf_auto_centroids, _pq_books) \
+        LS.ivf_pq_encode(emb, _ivfpq_centroids, _pq_books_res) \
             .write.mode("overwrite").parquet(
                 os.path.join(_store, "ivfpq_codes"))
         _ivfpq_codes = spark.read.parquet(
@@ -258,8 +265,8 @@ def main(only: set[str] | None = None) -> None:
         # codes, exact-refine survivors — the billion-scale shape
         queries_df = emb.filter(F.col("vec_id") % 50 == 0)
         _noop(LS.ivf_pq_knn(emb, queries_df, k=10,
-                            centroids=_ivf_auto_centroids,
-                            codebooks=_pq_books, codes=_ivfpq_codes,
+                            centroids=_ivfpq_centroids,
+                            codebooks=_pq_books_res, codes=_ivfpq_codes,
                             nprobe=_auto_np, refine_with=emb, refine=8))
 
     def q_knn_join_pq_dist(_):
@@ -268,7 +275,7 @@ def main(only: set[str] | None = None) -> None:
         # collecting to the driver; the shape a 10M-query batch takes
         queries_df = emb.filter(F.col("vec_id") % 50 == 0)
         _noop(LS.knn_join_pq(_ivfpq_codes, queries_df,
-                             _ivf_auto_centroids, _pq_books, k=10,
+                             _ivfpq_centroids, _pq_books_res, k=10,
                              nprobe=_auto_np, refine_with=emb,
                              refine=8))
 

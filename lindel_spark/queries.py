@@ -4828,16 +4828,19 @@ def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS-IVFADC-shaped) ANN, self-checking: coarse cells
     prune the scan to nprobe/n_centroids of the corpus AND the scan
-    reads 8-byte PQ codes (ADC) with exact refine — recall@10 vs
-    in-Spark brute force thresholded at 0.5 (near-random driver
-    embeddings are the IVF worst case; measured ~0.8 at sf0.01 with
-    half the cells probed)."""
+    reads 8-byte RESIDUAL PQ codes (round 12: codebooks train on
+    v − C[cell], ADC adds the q·C[cell] term — canonical IVFADC, the
+    coarse quantizer absorbs between-cell variance) with exact refine
+    — recall@10 vs in-Spark brute force thresholded at 0.7, up from
+    the raw-encoding 0.5 gate (near-random driver embeddings are the
+    IVF worst case; residual encoding at the same 8-byte budget is
+    what buys the raise)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     approx = LS.ivf_pq_knn(emb, queries_df, k=10, n_centroids=16,
                            nprobe=8, refine_with=emb, refine=8)
-    return _recall_check(brute, approx, 0.5)
+    return _recall_check(brute, approx, 0.7)
 
 
 @query("knn_join_pq_topk", _N_QUERIES_ORACLE)
@@ -4856,8 +4859,8 @@ def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     n = emb.count()
     nc, _np = LS.auto_ivf_config(n)
-    cents = LS.train_centroids(emb, nc)
-    books = LS.train_pq(emb, m=8, ks=256)
+    cents = LS.train_centroids(emb, nc, spherical=False)
+    books = LS.train_pq(emb, m=8, ks=256, centroids=cents)
     codes = LS.ivf_pq_encode(emb, cents, books)
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     approx = LS.knn_join_pq(codes, queries_df, cents, books, k=10,

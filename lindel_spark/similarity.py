@@ -384,6 +384,16 @@ def auto_ivf_config(corpus_rows: int) -> tuple[int, int]:
     return nc, max(4, nc // 8)
 
 
+def _nearest_scores(Vn: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(rows, cells) nearness scores under L2: ``2·v·c − ||c||²``
+    (argmax ≡ argmin ||v−c||²). For unit-norm centroid matrices the
+    ``||c||²`` term is constant, so ranking degenerates to the dot
+    product — every spherical caller keeps its round-≤11 assignment
+    bit-for-bit, while mean-anchored (non-unit) matrices from
+    ``train_centroids(spherical=False)`` assign correctly."""
+    return 2.0 * (Vn @ C.T) - (C * C).sum(1)[None, :]
+
+
 def train_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -392,9 +402,21 @@ def train_centroids(
     iters: int = 10,
     seed: int = DEFAULT_SEED,
     refine_iters: int = 0,
+    spherical: bool = True,
 ) -> np.ndarray:
     """Spherical k-means centroids from a bounded driver-side sample,
     optionally REFINED over the full corpus.
+
+    ``spherical=False`` (round 12) skips the per-iteration
+    renormalization — centroids are then true cell MEANS (plain
+    Lloyd), the anchor the residual IVF-PQ layout needs: by the
+    variance decomposition, ``E‖v − μ(cell)‖²`` = within-cell
+    variance < total variance, so residuals are strictly easier to
+    quantize than raw vectors even on near-random data (a unit-norm
+    centroid can make them HARDER: ‖v − c‖² = 2 − 2cos > ‖v‖² when
+    alignment is poor). Assignment under either mode is L2-nearest
+    (:func:`_nearest_scores`), which for unit centroids is the same
+    dot-product argmax as before.
 
     Training reads at most ``sample_limit`` vectors (the standard IVF
     recipe at any corpus size — centroid quality needs a sample, not a
@@ -416,19 +438,20 @@ def train_centroids(
     n_centroids = min(n_centroids, len(Vn))
     C = Vn[rng.choice(len(Vn), n_centroids, replace=False)].copy()
     for _ in range(iters):
-        assign = np.argmax(Vn @ C.T, axis=1)
+        assign = np.argmax(_nearest_scores(Vn, C), axis=1)
         for c in range(n_centroids):
             members = Vn[assign == c]
             if len(members):
                 C[c] = members.mean(axis=0)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        if spherical:
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
     for _ in range(int(refine_iters)):
-        C = _lloyd_step(corpus, C, vec_col)
+        C = _lloyd_step(corpus, C, vec_col, spherical=spherical)
     return C
 
 
 def _lloyd_step(corpus: DataFrame, C: np.ndarray,
-                vec_col: str) -> np.ndarray:
+                vec_col: str, spherical: bool = True) -> np.ndarray:
     """One distributed Lloyd iteration of spherical k-means: assign
     every (normalized) corpus vector to its nearest centroid and
     replace each centroid with its members' renormalized mean.
@@ -455,7 +478,7 @@ def _lloyd_step(corpus: DataFrame, C: np.ndarray,
                 continue
             V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            a = np.argmax(Vn @ Cc.T, axis=1)
+            a = np.argmax(_nearest_scores(Vn, Cc), axis=1)
             np.add.at(sums, a, Vn)
             cnt += np.bincount(a, minlength=k)
         hit = np.nonzero(cnt)[0]
@@ -482,9 +505,11 @@ def _lloyd_step(corpus: DataFrame, C: np.ndarray,
     newC = Cc.copy()
     live = cnt > 0
     means = sums[live] / cnt[live, None]
-    norms = np.linalg.norm(means, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    newC[live] = means / norms
+    if spherical:
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        means = means / norms
+    newC[live] = means
     return newC
 
 
@@ -496,7 +521,7 @@ def _cell_assign_udf(C: np.ndarray, nprobe: int):
         for s in it:
             V = np.stack([np.asarray(v, np.float64) for v in s])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            S = Vn @ C.T
+            S = _nearest_scores(Vn, C)
             top = np.argsort(-S, axis=1)[:, :nprobe].astype(np.int32)
             yield pd.Series(list(top), dtype=object)
 
@@ -720,6 +745,7 @@ def knn_join_pq(
     refine: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = True,
 ) -> DataFrame:
     """Distributed-query-side IVF-PQ kNN: ADC over stored codes with
     the QUERIES staying a DataFrame end to end — no ``collect()``, so
@@ -730,8 +756,12 @@ def knn_join_pq(
 
     ``codes`` is :func:`ivf_pq_encode` output (vec_id, cell, code),
     possibly read back from a cell-partitioned store; ``centroids`` /
-    ``codebooks`` MUST be the matrices that produced it (same
-    invariant as :func:`ivf_pq_knn`).
+    ``codebooks`` / ``residual`` MUST match what produced it (same
+    invariant as :func:`ivf_pq_knn`). With ``residual=True`` (the
+    round-12 IVFADC default) the per-group scorer adds the
+    ``q·C[cell]`` term to each candidate's LUT sum — the cell id
+    already rides on every candidate row, so the decomposition costs
+    one extra gather, no extra shuffle.
 
     Plan shape — every stage key-partitioned, never a cartesian
     (plan-asserted in tests/test_plans.py):
@@ -780,10 +810,12 @@ def knn_join_pq(
     cand = (
         qb.join(cb, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "__qv", "neighbor_id", "__c")
+        .select("query_id", "__qv", "neighbor_id", "__c",
+                *(["cell"] if residual else []))
     )
     return _adc_join_tail(cand, queries, books, k, kk_out, refine_with,
-                          id_col, vec_col)
+                          id_col, vec_col,
+                          centroids=C if residual else None)
 
 
 def _adc_join_tail(
@@ -795,14 +827,18 @@ def _adc_join_tail(
     refine_with: DataFrame | None,
     id_col: str,
     vec_col: str,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Shared distributed-query-side ADC tail (:func:`knn_join_pq` and
     the large-query route of :func:`pq_knn`): per-Arrow-batch LUT
     scoring of (query_id, __qv, neighbor_id, __c) candidate rows,
     global top-``kk_out`` window, then optional exact re-scoring
     through SHUFFLED id-keyed joins (the query side is deliberately
-    NOT broadcast — it is the unbounded side)."""
+    NOT broadcast — it is the unbounded side). With ``centroids``
+    the codes are residual-encoded: candidate rows also carry
+    ``cell`` and each score adds ``q·C[cell]``."""
     m, ks, sub = books.shape
+    C = np.ascontiguousarray(centroids) if centroids is not None else None
 
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
@@ -824,6 +860,8 @@ def _adc_join_tail(
                 codes_np = np.stack(
                     [np.asarray(c, np.int64) for c in g["__c"]])
                 adc = lut[codes_np + offs[None, :]].sum(axis=1)
+                if C is not None:
+                    adc = adc + C[g["cell"].to_numpy(np.int64)] @ qn
                 kk = min(kk_out, len(adc))
                 if kk < len(adc):
                     idx = np.argpartition(-adc, kk - 1)[:kk]
@@ -1028,6 +1066,7 @@ def train_pq(
     sample_limit: int = 65536,
     iters: int = 10,
     seed: int = DEFAULT_SEED,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks, shape (m, ks, dim/m).
 
@@ -1038,10 +1077,23 @@ def train_pq(
     corpus pass). A 64-dim float32 vector (256 B) compresses to ``m``
     one-byte codes — the tier that keeps a 100 TB embedding corpus's
     scan volume down by ~32x.
+
+    With ``centroids`` (an IVF coarse quantizer), codebooks are
+    trained on RESIDUALS ``v − c(v)`` instead of raw vectors — the
+    canonical IVFADC layout (Jégou 2011 §IV): the coarse quantizer
+    absorbs the between-cell variance, so the same 8-byte budget
+    quantizes a much smaller-radius distribution and roughly halves
+    quantization error. One shared residual codebook across cells
+    (the standard memory/recall compromise — per-cell books would be
+    ``n_centroids×`` larger). Pass the SAME centroids to
+    :func:`ivf_pq_encode` / the scorers.
     """
     rows = corpus.select(vec_col).limit(sample_limit).collect()
     V = np.array([r[0] for r in rows], np.float64)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    if centroids is not None:
+        C = np.ascontiguousarray(centroids)
+        Vn = Vn - C[np.argmax(_nearest_scores(Vn, C), axis=1)]
     n, d = Vn.shape
     if d % m:
         raise ValueError(f"LINDEL: dim {d} not divisible by m={m}")
@@ -1263,6 +1315,7 @@ def ivf_pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = True,
 ) -> DataFrame:
     """(vec_id, cell, code): the IVF-PQ *stored* representation — each
     row's nearest coarse cell plus its PQ code, computed in one Arrow
@@ -1270,7 +1323,14 @@ def ivf_pq_encode(
     ``partitionBy("cell")`` (as :func:`ivf_write` does for raw
     vectors) and a probe becomes a partition-pruned scan of ~nprobe /
     n_centroids of 8-byte codes — the canonical billion-scale ANN
-    storage layout (IVFADC, Jégou et al. 2011)."""
+    storage layout (IVFADC, Jégou et al. 2011).
+
+    ``residual=True`` (the IVFADC default since round 12) PQ-codes
+    the residual ``v − C[cell]`` — train ``codebooks`` with
+    ``train_pq(..., centroids=centroids)`` to match, and score with
+    the same ``residual`` flag; ``residual=False`` keeps the round-10
+    raw-vector layout (codes then decode independently of the cell,
+    which is what makes full-probe IVF-PQ ≡ plain PQ)."""
     C = np.ascontiguousarray(centroids)
     books = np.ascontiguousarray(codebooks)
     out_schema = T.StructType([
@@ -1283,10 +1343,12 @@ def ivf_pq_encode(
         for pdf in batches:
             V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cells = np.argmax(_nearest_scores(Vn, C), axis=1)
+            X = Vn - C[cells] if residual else Vn
             yield pd.DataFrame({
                 "vec_id": pdf["__id"].to_numpy(np.int64),
-                "cell": np.argmax(Vn @ C.T, axis=1).astype(np.int32),
-                "code": list(_pq_codes_np(Vn, books)),
+                "cell": cells.astype(np.int32),
+                "code": list(_pq_codes_np(X, books)),
             })
 
     c = ensure_parallelism(corpus).select(
@@ -1312,12 +1374,22 @@ def ivf_pq_knn(
     refine: int = 4,
     seed: int = DEFAULT_SEED,
     max_collect_rows: int = 65536,
+    residual: bool = True,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition that carries ANN to
     billion-row corpora: the coarse quantizer prunes the scan to
     ``nprobe`` cells per query AND the scan reads 8-byte PQ codes
     instead of float vectors (ADC), so scan volume drops by
     ~(nprobe/n_centroids) x 32 versus brute force.
+
+    ``residual=True`` (default, round 12): codes are PQ over the
+    residual ``v − C[cell]`` (canonical IVFADC — the coarse quantizer
+    absorbs between-cell variance, roughly halving quantization error
+    at the same code budget), and ADC scores decompose as ``q·v ≈
+    q·C[cell] + LUT(q, code)`` — one extra (Q × n_centroids) dot
+    matrix, no extra shuffle. Must match the flag that encoded
+    ``codes``; internally-trained codebooks are residual-trained
+    automatically.
 
     Routing (round-10, round-9 verdict item 3): the probe-matrix plan
     below holds the query set driver-side; query frames over
@@ -1358,17 +1430,22 @@ def ivf_pq_knn(
         nprobe = max(4, n_centroids // 8)
     nprobe = min(nprobe, n_centroids)
     if centroids is None:
-        centroids = train_centroids(corpus, n_centroids, vec_col, seed=seed)
+        # residual anchors are cell MEANS (plain Lloyd) — see
+        # train_centroids(spherical=False)
+        centroids = train_centroids(corpus, n_centroids, vec_col, seed=seed,
+                                    spherical=not residual)
     if codebooks is None:
-        codebooks = train_pq(corpus, m=m, ks=ks, vec_col=vec_col, seed=seed)
+        codebooks = train_pq(corpus, m=m, ks=ks, vec_col=vec_col, seed=seed,
+                             centroids=centroids if residual else None)
     if codes is None:
-        codes = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col)
+        codes = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col,
+                              residual=residual)
 
     if queries.count() > max_collect_rows:
         return knn_join_pq(codes, queries, centroids, codebooks, k=k,
                            nprobe=nprobe, refine_with=refine_with,
                            refine=refine, id_col=id_col,
-                           vec_col=vec_col)
+                           vec_col=vec_col, residual=residual)
 
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], np.int64)
@@ -1377,12 +1454,16 @@ def ivf_pq_knn(
     C = np.ascontiguousarray(centroids)
     books = np.ascontiguousarray(codebooks)
     m_, ks_, sub = books.shape
-    # probe matrix: P[q, cell] = query q probes that cell
-    order = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    # probe matrix: P[q, cell] = query q probes that cell (L2-nearest
+    # rule, ≡ dot for unit-norm centroid matrices)
+    order = np.argsort(-_nearest_scores(Qn, C), axis=1)[:, :nprobe]
     P = np.zeros((len(Qn), len(C)), bool)
     np.put_along_axis(P, order, True, axis=1)
     Tq = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Qn), m_, sub), books)
     T2 = np.ascontiguousarray(Tq.reshape(len(Qn), m_ * ks_))
+    # residual decomposition: q·v ≈ q·C[cell] + q·r, so the per-cell
+    # term is one (Q, n_centroids) matrix gathered at each row's cell
+    QC = np.ascontiguousarray(Qn @ C.T) if residual else None
     kk_out = k * refine if refine_with is not None else k
 
     out_schema = T.StructType([
@@ -1399,6 +1480,8 @@ def ivf_pq_knn(
             codes_np = np.stack(
                 [np.asarray(c, np.int64) for c in pdf["__c"]])
             S = T2[:, codes_np + offs[None, :]].sum(axis=2)  # (Q, rows)
+            if QC is not None:
+                S = S + QC[:, cells]
             S[~P[:, cells]] = -np.inf                # unprobed cells
             S[q_ids[:, None] == ids[None, :]] = -np.inf  # self
             kk = min(kk_out, S.shape[1])

@@ -261,22 +261,82 @@ def test_train_pq_rejects_bad_m(emb):
 
 
 def test_ivf_pq_full_probe_equals_plain_pq(spark, emb):
-    """Probing every cell reduces IVF-PQ to plain PQ exactly — same
-    codebooks, same refine, identical ranked output."""
+    """With residual=False, probing every cell reduces IVF-PQ to plain
+    PQ exactly — same codebooks, same refine, identical ranked output.
+    (Under the residual default the code REPRESENTATION differs by
+    construction, so this equivalence is the raw-layout contract.)"""
     from lindel_spark import similarity as LS
     from pyspark.sql import functions as F
 
     q = emb.filter(F.col("vec_id") % 100 == 0)
     books = LS.train_pq(emb, m=8, ks=64)
     cents = LS.train_centroids(emb, 8)
-    codes = LS.ivf_pq_encode(emb, cents, books)
+    codes = LS.ivf_pq_encode(emb, cents, books, residual=False)
     full = LS.ivf_pq_knn(emb, q, k=5, centroids=cents, codebooks=books,
-                         codes=codes, nprobe=8, refine_with=emb, refine=4)
+                         codes=codes, nprobe=8, refine_with=emb, refine=4,
+                         residual=False)
     plain = LS.pq_knn(LS.pq_encode(emb, books), q, books, k=5,
                       refine_with=emb, refine=4)
     fs = sorted((r.query_id, r.neighbor_id, r.rank) for r in full.collect())
     ps = sorted((r.query_id, r.neighbor_id, r.rank) for r in plain.collect())
     assert fs == ps and len(fs) > 0
+
+
+def test_ivf_pq_residual_adc_matches_numpy_replay(spark, emb):
+    """Residual IVFADC scores decompose as q·C[cell] + LUT(q, code):
+    the unrefined full-probe Spark scores must equal a driver-side
+    NumPy replay of exactly that decomposition."""
+    import numpy as np
+    from lindel_spark import similarity as LS
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = LS.train_centroids(emb, 8, spherical=False)
+    books = LS.train_pq(emb, m=8, ks=64, centroids=cents)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    got = LS.ivf_pq_knn(emb, q, k=3, centroids=cents, codebooks=books,
+                        codes=codes, nprobe=8).collect()
+
+    code_rows = {r.vec_id: (r.cell, np.asarray(r.code, np.int64))
+                 for r in codes.collect()}
+    qvecs = {r.vec_id: np.asarray(r.embedding, np.float64)
+             for r in q.collect()}
+    m, ks, sub = books.shape
+    assert len(got) > 0
+    for r in got:
+        qn = qvecs[r.query_id] / np.linalg.norm(qvecs[r.query_id])
+        cell, code = code_rows[r.neighbor_id]
+        lut = np.einsum("js,jcs->jc", qn.reshape(m, sub), books)
+        expect = qn @ cents[cell] + lut[np.arange(m), code].sum()
+        assert abs(r.cos - expect) < 1e-9, (r, expect)
+
+
+def test_ivf_pq_residual_reconstruction_beats_raw(emb):
+    """The point of residual encoding: reconstruction error of
+    C[cell] + decode(code) under residual-trained books is strictly
+    below decode(code) under raw-trained books at the same (m, ks)
+    budget — the mechanism behind the recall-gate raise."""
+    import numpy as np
+    from lindel_spark import similarity as LS
+
+    V = np.array([r.embedding for r in emb.select("embedding").collect()],
+                 np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cents = LS.train_centroids(emb, 16, spherical=False)
+    cells = np.argmax(LS._nearest_scores(Vn, cents), axis=1)
+    books_raw = LS.train_pq(emb, m=8, ks=64)
+    books_res = LS.train_pq(emb, m=8, ks=64, centroids=cents)
+    m, ks, sub = books_raw.shape
+
+    def decode(X, books):
+        codes = LS._pq_codes_np(X, books)
+        return np.concatenate(
+            [books[j][codes[:, j]] for j in range(m)], axis=1)
+
+    err_raw = ((Vn - decode(Vn, books_raw)) ** 2).sum(1).mean()
+    rec_res = cents[cells] + decode(Vn - cents[cells], books_res)
+    err_res = ((Vn - rec_res) ** 2).sum(1).mean()
+    assert err_res < err_raw, (err_res, err_raw)
 
 
 def test_ivf_pq_pruning_restricts_to_probed_cells(spark, emb):
@@ -366,8 +426,8 @@ def test_knn_join_pq_agrees_with_collect_path(emb, queries_df):
     result as the collect-based ivf_pq_knn under identical quantizers
     and probe settings (all cells probed, same exact-refine depth) —
     the two strategies differ only in where the queries live."""
-    cents = LS.train_centroids(emb, 8)
-    books = LS.train_pq(emb, m=8, ks=64)
+    cents = LS.train_centroids(emb, 8, spherical=False)
+    books = LS.train_pq(emb, m=8, ks=64, centroids=cents)
     codes = LS.ivf_pq_encode(emb, cents, books)
     a = LS.ivf_pq_knn(emb, queries_df, k=10, centroids=cents,
                       codebooks=books, codes=codes, nprobe=8,
@@ -397,11 +457,14 @@ def test_knn_join_pq_plan_no_cartesian_no_collect(emb, queries_df):
 def test_knn_join_pq_unrefined_adc_ranks(emb, queries_df):
     """Without refine the output ranks by raw ADC scores — top-1 by
     ADC must match the collect-based pq scorer's top-1 under the same
-    codebooks (sanity that LUT math is identical across paths)."""
+    codebooks (sanity that LUT math is identical across paths —
+    residual=False so the cell term drops and plain pq_knn is the
+    reference)."""
     cents = LS.train_centroids(emb, 8)
     books = LS.train_pq(emb, m=8, ks=64)
-    codes = LS.ivf_pq_encode(emb, cents, books)
-    got = LS.knn_join_pq(codes, queries_df, cents, books, k=5).collect()
+    codes = LS.ivf_pq_encode(emb, cents, books, residual=False)
+    got = LS.knn_join_pq(codes, queries_df, cents, books, k=5,
+                         residual=False).collect()
     ref = LS.pq_knn(codes.drop("cell"), queries_df, books, k=5).collect()
     a = {(r.query_id, r.rank): r.neighbor_id for r in got}
     b = {(r.query_id, r.rank): r.neighbor_id for r in ref}
