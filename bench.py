@@ -86,7 +86,7 @@ def _rerun_isolated(names: list[str], timeout_s: int = 900) -> dict:
     return {}
 
 
-def main(only: set[str] | None = None) -> None:
+def main(only: set[str] | None = None, fast: bool = False) -> None:
     from lindel_spark.contract import assert_data_contract
     # fail loudly on driver-layout drift; allow_missing because derived
     # scale-up dirs (.scale/sf1) carry only the benchmarked tables
@@ -798,6 +798,13 @@ def main(only: set[str] | None = None) -> None:
             ("bucketed_join_cycle", q_bucketed_join_cycle, -1))
 
     entries = scan_shaped + write_shaped
+    if fast:
+        # --fast tier (round 12): skip the NOISE_BAND scheduling-floor
+        # entries (~33 s of the ~109 s full run at r11) so iteration
+        # loops get tighter reps; the full tier stays the artifact of
+        # record (BASELINE.md round-12 addendum)
+        entries = [(n, f, r) for n, f, r in entries
+                   if n not in NOISE_BAND]
     if only is not None:
         unknown = only - {n for n, _f, _r in entries}
         if unknown:
@@ -966,9 +973,14 @@ def main(only: set[str] | None = None) -> None:
 
 if __name__ == "__main__":
     _only = None
+    _fast = False
     argv = sys.argv[1:]
+    if "--fast" in argv:
+        _fast = True
+        argv = [a for a in argv if a != "--fast"]
     if argv and argv[0] == "--only":
         if len(argv) < 2 or not argv[1]:
-            raise SystemExit("usage: bench.py [--only entry1,entry2]")
+            raise SystemExit(
+                "usage: bench.py [--fast] [--only entry1,entry2]")
         _only = {s for s in argv[1].split(",") if s}
-    main(only=_only)
+    main(only=_only, fast=_fast)

@@ -88,12 +88,38 @@ ANCHORS: dict[str, float] = {
     "hybrid_rrf_topk": 2.1225,
     "record_linkage": 0.6455,
     "label_propagation": 3.2702,
+    # round-11 first measurements (BENCH_r11.json clean-host run,
+    # canary 0.773, zero over-bar — BASELINE.md r11/r12 addenda)
+    "bpe_train_8": 1.6737,
+    "bpe_encode": 0.7688,
+    "kll_quantiles": 2.3467,
+    "bm25_store_topk": 1.1878,
+    "cc_star_simhash": 3.7161,
+    "trigram_backoff_lm": 1.3028,
+    "bfs_hops_2": 1.3663,
+    "frequent_triples": 1.7582,
+    "random_projection": 0.5013,
+    "drift_report": 0.8992,
+    "equidepth_histogram": 2.1826,
+    "textrank_keywords": 9.2261,
+    "pca_power_8": 7.1612,
+    "ngram_novelty": 2.6198,
+    "hll_distinct": 0.8098,
+    "acf_lags": 0.4013,
+    # round-12: re-anchored on the degree-ordered edge-iterator
+    # rewrite (r11 id-ordered anchor 16.19 s is obsolete code)
+    "triangle_counts": 5.0,
 }
 
 # Entries whose documented same-code noise band already approaches or
 # exceeds the bar (scheduling-floor measurements); over-bar hits here
 # are labeled "noise_band" rather than drift/regression.
-NOISE_BAND: frozenset[str] = frozenset({"pagerank_transitions"})
+# textrank/pca/cc_star are per-iteration scheduling-floor entries
+# (BASELINE.md r11 addendum) — same class as pagerank.
+NOISE_BAND: frozenset[str] = frozenset({
+    "pagerank_transitions", "textrank_keywords", "pca_power_8",
+    "cc_star_simhash",
+})
 
 
 def over_bar(queries: dict[str, float]) -> dict[str, float]:
