@@ -720,6 +720,102 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_char_grams(src: str, key: str, text_expr: str) -> str:
+    """UNION-ALL char 2+3-gram extraction CTE body mirroring
+    :func:`lindel_spark.text.char_ngrams` (normalize → 1-based substr
+    window → length filter)."""
+    s = f"trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g'))"
+    parts = []
+    for n in (2, 3):
+        parts.append(
+            f"SELECT {key}, unnest(list_filter(list_transform("
+            f"range(1, greatest(len({s}) - {n - 1}, 1) + 1), "
+            f"i -> substr({s}, i, {n})), x -> len(x) = {n})) AS gram "
+            f"FROM {src}")
+    return " UNION ALL ".join(parts)
+
+
+def _langid_trained_oracle() -> str:
+    seeds = ", ".join(
+        f"('{code}', '{s}')"
+        for code, sents in sorted(LT.LANG_SEEDS.items()) for s in sents)
+    langs = sorted(LT.LANG_STOPWORDS.items())
+    score_exprs = []
+    for code, words in langs:
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(list_filter(string_split(lower(text), ' '), "
+            f"t -> t != ''), t -> list_contains([{lst}], t))) AS s_{code}")
+    best = "greatest(" + ", ".join(f"s_{c}" for c, _ in langs) + ")"
+    whens = " ".join(f"WHEN s_{c} = {best} THEN '{c}'" for c, _ in langs)
+    return f"""
+    WITH seeds(lang, text) AS (VALUES {seeds}),
+    sg AS ({_duck_char_grams('seeds', 'lang', 'text')}),
+    model AS (
+      SELECT lang, gram, COUNT(*)::BIGINT AS cnt FROM sg GROUP BY 1, 2
+    ),
+    dg AS ({_duck_char_grams('documents', 'doc_id', 'text')}),
+    tg AS (
+      SELECT doc_id, gram, COUNT(*)::BIGINT AS m FROM dg GROUP BY 1, 2
+    ),
+    docn AS (SELECT doc_id, SUM(m) AS n_g FROM tg GROUP BY 1),
+    lstat AS (SELECT lang, SUM(cnt)::DOUBLE AS t FROM model GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT gram)::DOUBLE AS v FROM model),
+    seen AS (
+      SELECT tg.doc_id, model.lang,
+             SUM(tg.m * ln(model.cnt + 1.0)) AS s1,
+             SUM(tg.m)::BIGINT AS n_seen
+      FROM tg JOIN model USING (gram) GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT d.doc_id, l.lang,
+             round(COALESCE(se.s1, 0.0) - d.n_g * ln(l.t + vv.v),
+                   6) AS score,
+             COALESCE(se.n_seen, 0) AS n_seen
+      FROM docn d CROSS JOIN lstat l CROSS JOIN vv
+      LEFT JOIN seen se ON se.doc_id = d.doc_id AND se.lang = l.lang
+    ),
+    best AS (
+      SELECT doc_id, lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang ASC) AS rk
+      FROM sc
+    ),
+    tot AS (SELECT doc_id, SUM(n_seen) AS seen FROM sc GROUP BY 1),
+    fb AS (
+      SELECT doc_id, CASE {whens} END AS fbg
+      FROM (SELECT doc_id, {", ".join(score_exprs)} FROM documents)
+    )
+    SELECT b.doc_id,
+           CASE WHEN t.seen > 0 THEN b.lang ELSE f.fbg END AS guess,
+           b.score
+    FROM best b
+    JOIN tot t USING (doc_id)
+    JOIN fb f ON f.doc_id = b.doc_id
+    WHERE b.rk = 1
+    """
+
+
+@query("text_langid_trained", _langid_trained_oracle())
+def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained char-n-gram Naive Bayes language ID (round 12,
+    :func:`lindel_spark.text.trained_language_id`): a char 2+3-gram
+    count model trains corpus-side on the deterministic
+    ``LANG_SEEDS`` corpus (pure integer groupBy — the persisted-store
+    pattern), scoring is Laplace log-count algebra joined gram-keyed
+    (never doc×vocab), argmax over 6dp-rounded scores with the
+    stopword argmax as fallback for unseen scripts. DuckDB replays
+    the whole thing — seeds, grams, counts, logs, argmax, fallback —
+    value-for-value."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    seeds = spark.createDataFrame(
+        [(c, s) for c, ss in sorted(LT.LANG_SEEDS.items()) for s in ss],
+        "lang string, text string")
+    model = LT.langid_train(seeds)
+    return LT.trained_language_id(model, docs).select(
+        "doc_id", "guess", "score")
+
+
 @query(
     "text_bigrams",
     f"""

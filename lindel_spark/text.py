@@ -1222,3 +1222,187 @@ def canonicalize_url(c: Column) -> Column:
         F.when(qcanon != "", F.concat(F.lit("?"), qcanon))
         .otherwise(F.lit("")))
     return F.when(scheme == "", c).otherwise(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# Trained char-n-gram language ID (round 12 — r11 verdict task 5)
+# ---------------------------------------------------------------------------
+
+# Deterministic multilingual seed corpus for the default trained
+# language-id model: a handful of ordinary sentences per language
+# (self-written; plain text, no quotes, so the same literals embed
+# verbatim in a SQL VALUES oracle). The stopword table above is the
+# FALLBACK tier; these seeds feed the char-n-gram Naive Bayes, which
+# also separates short and stopword-free text the token-level
+# heuristic cannot.
+LANG_SEEDS: dict[str, tuple[str, ...]] = {
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund",
+        "ich habe heute keine zeit für eine lange besprechung",
+        "das wetter ist schön und wir gehen in den park spazieren",
+        "die kinder spielen im garten hinter dem alten haus",
+        "können sie mir bitte sagen wie spät es ist",
+        "wir müssen morgen früh zum bahnhof fahren",
+    ),
+    "en": (
+        "the quick brown fox jumps over the lazy dog",
+        "i do not have time for a long meeting today",
+        "the weather is nice and we are walking in the park",
+        "the children are playing in the garden behind the old house",
+        "could you please tell me what time it is",
+        "we have to drive to the station early tomorrow morning",
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso",
+        "hoy no tengo tiempo para una reunión larga",
+        "hace buen tiempo y vamos a pasear por el parque",
+        "los niños juegan en el jardín detrás de la casa vieja",
+        "puede decirme por favor qué hora es",
+        "tenemos que ir a la estación mañana por la mañana",
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux",
+        "je ne pas le temps pour une longue réunion aujourd hui",
+        "il fait beau et nous allons nous promener dans le parc",
+        "les enfants jouent dans le jardin derrière la vieille maison",
+        "pouvez vous me dire quelle heure il est sil vous plaît",
+        "nous devons aller à la gare demain matin de bonne heure",
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒狗",
+        "我今天没有时间开长会",
+        "天气很好我们去公园散步",
+        "孩子们在老房子后面的花园里玩耍",
+        "请问现在几点了",
+        "我们明天一早要去火车站",
+        "他们每天早上都要去上班工作",
+        "我想买两个新的面包和一杯牛奶",
+        "她住在一个很大的城市里",
+        "我们的孩子喜欢在学校学习中文",
+    ),
+}
+
+
+def char_ngrams(c: Column, n: int) -> Column:
+    """Array of overlapping character ``n``-grams of the NORMALIZED
+    text (lowercase, whitespace-collapsed — :func:`normalize_text`),
+    1-based ``substr`` sliding window so DuckDB's
+    ``list_transform(range(...), i -> substr(s, i, n))`` replays it
+    character-for-character. Texts shorter than ``n`` yield an empty
+    array (the upper bound clamps to 1 — ``sequence(1, 0)`` would
+    DESCEND in Spark — and a length filter drops the partial gram a
+    too-short text produces)."""
+    s = normalize_text(c)
+    grams = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))),
+        lambda i: s.substr(i, F.lit(n)))
+    return F.filter(grams, lambda g: F.length(g) == n)
+
+
+def langid_train(
+    labeled: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    orders: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """``(lang, gram, cnt)`` char-n-gram count table — the trained
+    language-id model (char-n-gram Naive Bayes, the classic public
+    technique behind langid.py / fastText's char features; Cavnar &
+    Trenkle 1994). Pure integer count algebra: one explode + one
+    map-side-combined groupBy per call, so the model trains
+    corpus-side at any scale and persists under the same
+    store pattern as the BM25 index. Scoring is log-count algebra
+    over this frame (:func:`langid_scores`) — no floats are stored."""
+    grams = None
+    for n in orders:
+        g = labeled.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+        grams = g if grams is None else grams.unionByName(g)
+    return grams.groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def langid_scores(
+    model: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    orders: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-``(doc, lang)`` Naive Bayes log-score of ``target`` under a
+    :func:`langid_train` model: ``score = Σ_g m_g·ln(c(lang,g)+1)
+    − n_g·ln(T_lang + V)`` (Laplace smoothing; uniform prior), where
+    ``m_g`` is the doc's gram multiplicity, ``n_g = Σ m_g``,
+    ``T_lang`` the model's total gram count for the language and
+    ``V`` the model vocabulary size. Unseen grams contribute
+    ``ln(1) = 0`` to the first sum, so ONLY seen grams join — one
+    gram-keyed equi-join + keyed aggregates, never doc×vocab. Also
+    returns ``n_seen`` (seen-gram occurrences) so callers can fall
+    back when the model never saw the document's script at all.
+    Everything is ``ln`` over integer counts — value-replayable in
+    any SQL engine."""
+    grams = None
+    for n in orders:
+        g = target.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+        grams = g if grams is None else grams.unionByName(g)
+    tg = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    doc_n = tg.groupBy("doc_id").agg(F.sum("m").alias("n_g"))
+    lang_stats = model.groupBy("lang").agg(F.sum("cnt").alias("t"))
+    vocab = model.select("gram").distinct().count()
+    seen = (tg.join(model, "gram")
+            .groupBy("doc_id", "lang")
+            .agg(F.sum(F.col("m") * F.log(F.col("cnt") + F.lit(1.0)))
+                 .alias("s1"),
+                 F.sum("m").alias("n_seen")))
+    base = doc_n.crossJoin(F.broadcast(lang_stats))
+    return (base.join(seen, ["doc_id", "lang"], "left")
+            .select(
+                "doc_id", "lang",
+                (F.coalesce(F.col("s1"), F.lit(0.0))
+                 - F.col("n_g").cast("double")
+                 * F.log(F.col("t").cast("double") + F.lit(float(vocab)))
+                 ).alias("score"),
+                F.coalesce(F.col("n_seen"), F.lit(0)).cast("long")
+                .alias("n_seen")))
+
+
+def trained_language_id(
+    model: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    orders: tuple[int, ...] = (2, 3),
+    score_round: int = 6,
+) -> DataFrame:
+    """``(doc_id, guess, score)`` — argmax language under the trained
+    char-n-gram NB model, with the STOPWORD argmax
+    (:func:`language_id`) as the fallback tier for documents whose
+    grams the model has never seen (``n_seen = 0`` across every
+    language: unscored script, empty text). Scores are rounded to
+    ``score_round`` dp BEFORE the argmax so the cross-engine
+    tie-break (score desc, lang asc) never hinges on the last ulp of
+    a distributed float sum (the events_cusum lesson, BASELINE.md
+    round 11)."""
+    from pyspark.sql import Window
+
+    sc = langid_scores(model, target, id_col, text_col, orders)
+    sc = sc.withColumn("score", F.round("score", score_round))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc())
+    best = (sc.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1))
+    tot_seen = sc.groupBy("doc_id").agg(
+        F.sum("n_seen").alias("__seen"))
+    fb = target.select(F.col(id_col).alias("doc_id"),
+                       language_id(F.col(text_col)).alias("__fb"))
+    return (best.join(tot_seen, "doc_id").join(fb, "doc_id")
+            .select(
+                "doc_id",
+                F.when(F.col("__seen") > 0, F.col("lang"))
+                .otherwise(F.col("__fb")).alias("guess"),
+                "score"))
