@@ -4920,6 +4920,31 @@ def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(brute, approx, 0.7)
 
 
+@query("knn_opq_recall", _N_QUERIES_ORACLE)
+def q_knn_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ ANN (round 12,
+    :func:`lindel_spark.similarity.opq_rotation`): a deterministic
+    PCA + eigenvalue-allocation orthogonal rotation (Ge et al. 2013,
+    parametric OPQ) is applied before codebook training, encoding and
+    LUT construction — dot products are rotation-invariant, so ADC
+    scores the same geometry over better-conditioned subspaces
+    (quantization MSE strictly below unrotated PQ at the same (m, ks)
+    budget; pytest-pinned on both the driver embeddings and a
+    constructed anisotropic set). Self-checking like the other ANN
+    entries: refined recall@10 vs in-Spark brute force over the same
+    0.7 floor as ``knn_pq_recall``."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    R = LS.opq_rotation(emb, m=8)
+    books = LS.train_pq(emb, m=8, ks=256, rotation=R)
+    codes = LS.pq_encode(emb, books, rotation=R)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.pq_knn(codes, queries_df, books, k=10, rotation=R,
+                       refine_with=emb, refine=max(8, n // 250))
+    return _recall_check(brute, approx, 0.7)
+
+
 @query("knn_ivfpq_recall", _N_QUERIES_ORACLE)
 def q_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS-IVFADC-shaped) ANN, self-checking: coarse cells

@@ -828,6 +828,7 @@ def _adc_join_tail(
     id_col: str,
     vec_col: str,
     centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Shared distributed-query-side ADC tail (:func:`knn_join_pq` and
     the large-query route of :func:`pq_knn`): per-Arrow-batch LUT
@@ -839,6 +840,7 @@ def _adc_join_tail(
     ``cell`` and each score adds ``q·C[cell]``."""
     m, ks, sub = books.shape
     C = np.ascontiguousarray(centroids) if centroids is not None else None
+    R = np.ascontiguousarray(rotation) if rotation is not None else None
 
     out_schema = T.StructType([
         T.StructField("query_id", T.LongType()),
@@ -855,6 +857,8 @@ def _adc_join_tail(
             for qid, g in pdf.groupby("query_id", sort=False):
                 q = np.asarray(g["__qv"].iloc[0], np.float64)
                 qn = q / np.linalg.norm(q)
+                if R is not None:
+                    qn = R @ qn
                 lut = np.einsum("js,jcs->jc", qn.reshape(m, sub),
                                 books).reshape(-1)
                 codes_np = np.stack(
@@ -1058,6 +1062,60 @@ def ann_knn(
 # Product quantization (PQ): 32x-compressed codes + asymmetric distance
 # ---------------------------------------------------------------------------
 
+def opq_rotation(
+    corpus: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    sample_limit: int = 65536,
+) -> np.ndarray:
+    """Deterministic (d, d) orthogonal rotation to apply BEFORE PQ
+    coding — parametric OPQ (Ge et al. 2013, "Optimized Product
+    Quantization", the OPQ-P init): rotate into the PCA basis of the
+    normalized sample's second-moment matrix, then EIGENVALUE
+    ALLOCATION — greedily deal the next-largest-variance direction to
+    the subspace with the smallest running log-variance-product — so
+    the ``m`` subquantizers see balanced variance instead of the
+    first subspace swallowing the whole spectrum (the failure mode of
+    plain PCA rotation). Dot products are rotation-invariant
+    (``(Rq)·(Rv) = q·v``), so ADC under the rotation scores the same
+    geometry while each 1-byte code covers a better-conditioned
+    subspace.
+
+    Deterministic: ``eigh`` on the sample second moment, stable
+    descending sort, per-eigvector sign fixed by its largest-|entry|
+    component. An (near-)isotropic spectrum returns the identity —
+    OPQ's objective is rotation-invariant there, so identity is the
+    canonical minimizer (pytest-pinned). Same bounded driver-side
+    sample contract as :func:`train_pq`. For corpora whose sample
+    under-represents the spectrum, :func:`power_iteration_pca_topk`
+    computes the same basis fully distributed."""
+    rows = corpus.select(vec_col).limit(sample_limit).collect()
+    V = np.array([r[0] for r in rows], np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    d = Vn.shape[1]
+    if d % m:
+        raise ValueError(f"LINDEL: dim {d} not divisible by m={m}")
+    S = (Vn.T @ Vn) / len(Vn)
+    vals, vecs = np.linalg.eigh(S)
+    order = np.argsort(-vals, kind="stable")
+    vals, vecs = vals[order], vecs[:, order]
+    if vals[0] - vals[-1] < 1e-9 * max(abs(vals[0]), 1.0):
+        return np.eye(d)
+    for j in range(d):
+        if vecs[np.argmax(np.abs(vecs[:, j])), j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    sub = d // m
+    logs = np.zeros(m)
+    slots: list[list[int]] = [[] for _ in range(m)]
+    for i in range(d):
+        open_subs = [j for j in range(m) if len(slots[j]) < sub]
+        j = min(open_subs, key=lambda jj: (logs[jj], jj))
+        slots[j].append(i)
+        logs[j] += math.log(max(vals[i], 1e-300))
+    perm = [i for j in range(m) for i in slots[j]]
+    return np.ascontiguousarray(vecs[:, perm].T)  # x_rot = R @ x
+
+
 def train_pq(
     corpus: DataFrame,
     m: int = 8,
@@ -1067,6 +1125,7 @@ def train_pq(
     iters: int = 10,
     seed: int = DEFAULT_SEED,
     centroids: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """Product-quantization codebooks, shape (m, ks, dim/m).
 
@@ -1087,13 +1146,25 @@ def train_pq(
     (the standard memory/recall compromise — per-cell books would be
     ``n_centroids×`` larger). Pass the SAME centroids to
     :func:`ivf_pq_encode` / the scorers.
+
+    With ``rotation`` (an :func:`opq_rotation` matrix), training
+    vectors are rotated BEFORE the subspace split — pass the same
+    matrix to :func:`pq_encode` / :func:`pq_knn`. Rotation composed
+    with residual coding is not supported yet (the anchors would need
+    rotating consistently); pass one or the other.
     """
+    if centroids is not None and rotation is not None:
+        raise ValueError(
+            "LINDEL: train_pq rotation= cannot compose with centroids= "
+            "(residual) yet — pass one or the other")
     rows = corpus.select(vec_col).limit(sample_limit).collect()
     V = np.array([r[0] for r in rows], np.float64)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
     if centroids is not None:
         C = np.ascontiguousarray(centroids)
         Vn = Vn - C[np.argmax(_nearest_scores(Vn, C), axis=1)]
+    if rotation is not None:
+        Vn = Vn @ np.ascontiguousarray(rotation).T
     n, d = Vn.shape
     if d % m:
         raise ValueError(f"LINDEL: dim {d} not divisible by m={m}")
@@ -1134,11 +1205,15 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, code array<smallint>): each row's PQ code — the compressed
     representation to *store* (32x smaller scans for ANN). One Arrow
-    pass, fully distributed; the codebook rides in the task closure."""
+    pass, fully distributed; the codebook rides in the task closure.
+    ``rotation`` (an :func:`opq_rotation` matrix) must match the one
+    the codebooks were trained under — and the one the scorer gets."""
     books = np.ascontiguousarray(codebooks)
+    R = np.ascontiguousarray(rotation) if rotation is not None else None
     out_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("code", T.ArrayType(T.ShortType())),
@@ -1148,6 +1223,8 @@ def pq_encode(
         for pdf in batches:
             V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            if R is not None:
+                Vn = Vn @ R.T
             codes = _pq_codes_np(Vn, books)
             yield pd.DataFrame({
                 "vec_id": pdf["__id"].to_numpy(np.int64),
@@ -1212,6 +1289,7 @@ def pq_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_collect_rows: int = 65536,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k over *stored PQ codes* by asymmetric distance
     (ADC): each query precomputes an (m, ks) table of subspace dot
@@ -1262,11 +1340,14 @@ def pq_knn(
             .select("query_id", "__qv", "neighbor_id", "__c")
         )
         return _adc_join_tail(cand, queries, books, k, kk_out,
-                              refine_with, id_col, vec_col)
+                              refine_with, id_col, vec_col,
+                              rotation=rotation)
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], np.int64)
     Q = np.array([np.asarray(r[1], np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    if rotation is not None:
+        Qn = Qn @ np.ascontiguousarray(rotation).T
     books = np.ascontiguousarray(codebooks)
     m, ks, sub = books.shape
     # T[q, j, c] = q_j . C_j[c]; flattened for one-gather scoring

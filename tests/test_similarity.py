@@ -881,3 +881,100 @@ def test_ivf_health_hand_computed(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         ivf_health(spark, path, n_centroids=0)
+
+
+# ---------------------------------------------------------------------------
+# round-12 OPQ rotation (r11 verdict task 6)
+# ---------------------------------------------------------------------------
+
+def test_opq_rotation_orthogonal_and_identity_on_isotropic(spark):
+    import numpy as np
+
+    # isotropic: one-hot basis vectors, each direction equally loaded
+    rows = [(i * 8 + j, [1.0 if t == j else 0.0 for t in range(8)])
+            for i in range(10) for j in range(8)]
+    iso = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    R = LS.opq_rotation(iso, m=4)
+    assert np.allclose(R, np.eye(8)), "flat spectrum must be identity"
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    R2 = LS.opq_rotation(emb, m=8)
+    assert np.allclose(R2 @ R2.T, np.eye(R2.shape[0]), atol=1e-10)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not divisible"):
+        LS.opq_rotation(emb, m=7)
+
+
+def test_opq_reduces_quantization_error(spark, emb):
+    """The OPQ objective: reconstruction MSE under the rotation is
+    below unrotated PQ at the same (m, ks) budget — on the driver
+    embeddings AND on a constructed anisotropic set (geometric
+    per-dim variances, where eigenvalue allocation must spread the
+    heavy directions across subquantizers)."""
+    import numpy as np
+
+    def mse(X, books):
+        m = books.shape[0]
+        codes = LS._pq_codes_np(X, books)
+        rec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                             axis=1)
+        return ((X - rec) ** 2).sum(1).mean()
+
+    def check(df, m, ks):
+        V = np.array([r.embedding for r in
+                      df.select("embedding").collect()], np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        R = LS.opq_rotation(df, m=m)
+        raw = mse(Vn, LS.train_pq(df, m=m, ks=ks))
+        rot = mse(Vn @ R.T, LS.train_pq(df, m=m, ks=ks, rotation=R))
+        assert rot < raw, (rot, raw)
+
+    check(emb, m=8, ks=64)
+    rng = np.random.RandomState(7)
+    sigma = np.geomspace(8.0, 0.05, 16)
+    V = rng.randn(600, 16) * sigma
+    aniso = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>")
+    check(aniso, m=4, ks=32)
+
+
+def test_pq_knn_rotation_route_parity(emb, queries_df):
+    """Rotation flows through BOTH pq_knn routes (collect-based LUT
+    and the salted distributed plan) value-identically."""
+    R = LS.opq_rotation(emb, m=8)
+    books = LS.train_pq(emb, m=8, ks=64, rotation=R)
+    codes = LS.pq_encode(emb, books, rotation=R)
+    small = LS.pq_knn(codes, queries_df, books, k=5, rotation=R,
+                      refine_with=emb)
+    large = LS.pq_knn(codes, queries_df, books, k=5, rotation=R,
+                      refine_with=emb, max_collect_rows=1)
+    assert _rows_key(large.collect()) == _rows_key(small.collect())
+
+
+def test_opq_refined_recall_floor(emb, queries_df, brute):
+    """Production shape (rotation + exact refine) clears the same 0.7
+    floor as unrotated refined PQ — rotation must never break the
+    two-stage recipe. (Unrefined recall on these near-isotropic
+    driver embeddings differs from raw PQ by ±0.01 — rank-flip noise;
+    the rotation's contract is the MSE test above.)"""
+    n = emb.count()
+    R = LS.opq_rotation(emb, m=8)
+    books = LS.train_pq(emb, m=8, ks=256, rotation=R)
+    codes = LS.pq_encode(emb, books, rotation=R)
+    got = _topk_sets(
+        LS.pq_knn(codes, queries_df, books, k=10, rotation=R,
+                  refine_with=emb, refine=max(8, n // 250)).collect())
+    exact = _topk_sets(brute)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.7, f"OPQ refined recall {recall:.3f}"
+
+
+def test_train_pq_rejects_rotation_with_residual(emb):
+    import pytest as _pt
+    import numpy as np
+    cents = LS.train_centroids(emb, 8, spherical=False)
+    R = LS.opq_rotation(emb, m=8)
+    with _pt.raises(ValueError, match="rotation"):
+        LS.train_pq(emb, m=8, centroids=cents, rotation=R)
