@@ -495,3 +495,79 @@ def label_propagation_communities(
         if (it + 1) % checkpoint_every == 0 and it + 1 < rounds:
             labels = labels.localCheckpoint()
     return labels
+
+
+def degree_profile(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree-distribution histogram of the undirected graph:
+    ``(degree, n_nodes, wedges)`` — how many nodes carry each degree
+    and the middle-node wedge volume ``n_nodes · deg·(deg−1)/2`` that
+    degree class would contribute to a wedge join. The pre-flight
+    audit for :func:`triangle_count` / :func:`connected_components` /
+    :func:`label_propagation_communities` costs (pairs with the IVF
+    balance audit, ``similarity.ivf_health``): a heavy tail here is
+    the signal that degree-ordered plans and AQE skew handling are
+    load-bearing, BEFORE the 16-second join teaches it the hard way.
+    Two keyed aggregates; exact integers, SQL-replayable."""
+    e = _canonical_edges(edges, src, dst)
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return (deg.groupBy("degree")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .select(
+                F.col("degree").cast("long").alias("degree"),
+                "n_nodes",
+                (F.col("n_nodes") * F.col("degree")
+                 * (F.col("degree") - 1) / F.lit(2)).cast("long")
+                .alias("wedges")))
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Nodes surviving ``rounds`` synchronous peels of the ``k``-core
+    reduction: each round drops every node whose degree among STILL-
+    ALIVE nodes is below ``k``, cascading removals one round at a
+    time (Batagelj–Zaveršnik peeling, the distributed formulation).
+    Returns ``(node, degree)`` — the within-subgraph degree after the
+    last round. With ``rounds`` at least the longest peel cascade the
+    result IS the exact k-core; the count is fixed rather than
+    convergence-tested so a bounded-round unrolled SQL oracle replays
+    it value-for-value (the :func:`pagerank` determinism contract —
+    same trade as :func:`bfs_distances`).
+
+    Per round: two alive-set semi-joins on the symmetrized edge list
+    + one map-side-combined degree count — all keyed on node ids, no
+    driver-side state; lineage localCheckpoint-truncated every
+    ``checkpoint_every`` rounds.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = _canonical_edges(edges, src, dst)
+    adj = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(e.select(F.col("b").alias("u"),
+                              F.col("a").alias("v"))))
+    adj = adj.localCheckpoint()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    alive = deg.filter(F.col("degree") >= k).select("u", "degree")
+    for r in range(1, rounds):
+        au = alive.select("u")
+        kept = (adj.join(au, "u")
+                .join(au.select(F.col("u").alias("v")), "v"))
+        deg = kept.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+        alive = deg.filter(F.col("degree") >= k)
+        if r % checkpoint_every == 0:
+            alive = alive.localCheckpoint()
+    return alive.select(F.col("u").alias("node"),
+                        F.col("degree").cast("long").alias("degree"))

@@ -8715,6 +8715,102 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+_KCORE_EDGE_SQL = """
+    pp AS (
+      SELECT DISTINCT a.l_partkey::BIGINT AS a, b.l_partkey::BIGINT AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    adj AS (
+      SELECT a AS u, b AS v FROM pp
+      UNION ALL SELECT b AS u, a AS v FROM pp
+    )"""
+
+
+@query(
+    "graph_degree_profile",
+    f"""
+    WITH {_KCORE_EDGE_SQL},
+    d AS (SELECT u, COUNT(*)::BIGINT AS degree FROM adj GROUP BY u)
+    SELECT degree, COUNT(*)::BIGINT AS n_nodes,
+           (COUNT(*) * degree * (degree - 1) // 2)::BIGINT AS wedges
+    FROM d GROUP BY degree
+    """,
+)
+def q_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution pre-flight (round 12,
+    :func:`lindel_spark.graph.degree_profile`) over the co-purchase
+    graph: per-degree node counts plus each class's middle-node wedge
+    volume — the cost driver of triangle/wedge plans. Pairs with
+    ``knn_ivf_health`` as the graph tier's balance audit."""
+    from lindel_spark.graph import degree_profile
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    return degree_profile(edges)
+
+
+def _kcore_oracle(rounds: int) -> str:
+    """Unrolled bounded-round k-core peel (k = floored median degree,
+    so the query is scale-adaptive across sf0.01/0.1/1 — degree grows
+    ~10× per scale step and a constant k would peel everything or
+    nothing)."""
+    ctes = [f"""
+    d0 AS (SELECT u, COUNT(*)::BIGINT AS degree FROM adj GROUP BY u),
+    kk AS (SELECT CAST(floor(percentile_cont(0.5)
+                  WITHIN GROUP (ORDER BY degree) * 0.7) AS BIGINT) AS k
+           FROM d0),
+    a0 AS (SELECT u FROM d0, kk WHERE degree >= kk.k)"""]
+    for r in range(1, rounds):
+        ctes.append(f"""
+    d{r} AS (SELECT adj.u, COUNT(*)::BIGINT AS degree
+             FROM adj
+             JOIN a{r - 1} x ON adj.u = x.u
+             JOIN a{r - 1} y ON adj.v = y.u
+             GROUP BY adj.u),
+    a{r} AS (SELECT u FROM d{r}, kk WHERE degree >= kk.k)""")
+    last = rounds - 1
+    return f"""
+    WITH {_KCORE_EDGE_SQL},{",".join(ctes)}
+    SELECT d{last}.u AS node, d{last}.degree
+    FROM d{last}, kk WHERE d{last}.degree >= kk.k
+    """
+
+
+@query("graph_kcore", _kcore_oracle(rounds=4))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (round 12,
+    :func:`lindel_spark.graph.kcore`) of the co-purchase graph at
+    k = floor(0.7 × median degree) (computed identically on BOTH
+    engines, so the query self-adapts across scales; 0.7 keeps k
+    below the random-graph collapse threshold — at the raw median the
+    whole graph peels to nothing): 4 synchronous
+    Batagelj–Zaveršnik peeling rounds, each two alive-set semi-joins
+    + one keyed degree count — the density audit for the graph tier
+    (which parts sit in the stable co-purchase backbone). Fixed
+    rounds = unrolled-CTE DuckDB replay, the pagerank contract."""
+    from lindel_spark.graph import kcore
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    deg = (edges.select(F.col("src").alias("n"))
+           .unionAll(edges.select(F.col("dst").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    k = int(deg.agg(F.expr("floor(percentile(d, 0.5) * 0.7)")).first()[0])
+    return kcore(edges, k=k, rounds=4)
+
+
 @query(
     "text_tfidf_store",
     """

@@ -326,3 +326,50 @@ def test_triangle_count_skewed_hub_wedge_reduction(spark):
            for r in _triangle_count_idordered(edges).collect()}
     assert got == ref
     assert got[50] == 3  # hub is a corner of all three triangles
+
+
+def test_degree_profile_hand_computed(spark):
+    from lindel_spark.graph import degree_profile
+    # star: hub 0 with 3 leaves, plus edge (1,2) — degrees: 0:3, 1:2,
+    # 2:2, 3:1; dup/reversed edges canonicalize away
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2)], "src long, dst long")
+    got = {r.degree: (r.n_nodes, r.wedges)
+           for r in degree_profile(edges).collect()}
+    assert got == {3: (1, 3), 2: (2, 2), 1: (1, 0)}
+
+
+def test_kcore_hand_computed_k4_with_tail(spark):
+    """K4 + a pendant path 4-5-6: with k=3 the path peels off one
+    node per round (cascade) and exactly the K4 survives with
+    within-core degree 3."""
+    from lindel_spark.graph import kcore
+    rows = [(a, b) for a in range(4) for b in range(4) if a < b]
+    rows += [(3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r.node: r.degree for r in kcore(edges, k=3, rounds=4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k=2: the whole path still dies (ends have degree 1, cascading),
+    # K4 survives with degree 3
+    got2 = {r.node: r.degree
+            for r in kcore(edges, k=2, rounds=4).collect()}
+    assert got2 == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k=5 > max degree: empty
+    assert kcore(edges, k=5, rounds=2).count() == 0
+
+
+def test_kcore_bounded_rounds_contract(spark):
+    """A 6-node path with k=2 peels one end-node per round from each
+    side: after r rounds exactly 6-2r nodes remain — the fixed-round
+    contract the SQL oracle unrolls."""
+    from lindel_spark.graph import kcore
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long")
+    assert kcore(edges, k=2, rounds=1).count() == 4
+    assert kcore(edges, k=2, rounds=2).count() == 2
+    assert kcore(edges, k=2, rounds=3).count() == 0
+    import pytest as _p
+    with _p.raises(ValueError):
+        kcore(edges, k=0)
+    with _p.raises(ValueError):
+        kcore(edges, k=2, rounds=0)
