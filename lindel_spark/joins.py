@@ -51,6 +51,17 @@ def asof_join(
     sensor alignment and feature lookup. Units: the ts columns' own
     units for numeric timestamps, SECONDS for TimestampType columns.
 
+    **NULL right values carry past (round-12 advice, documented
+    semantic):** each value column independently takes the latest
+    NON-NULL value in direction — a right row whose value is NULL is
+    skipped, and the staleness gate ages the row that actually
+    SUPPLIED the value, not the nearest right row. This is the
+    pandas ``merge_asof``-on-non-null-columns shape, NOT native SQL
+    ASOF (DuckDB's ``ASOF JOIN`` matches on the nearest ROW and would
+    return that row's NULL). Pytest-pinned below; feed
+    ``.filter(col.isNotNull())`` right frames if row-nearest
+    semantics are wanted.
+
     Plan: tag and union both inputs, one window pass per key ordered
     by (ts, side) carrying the right values across with ``last(...,
     ignorenulls=True)``, keep left rows. One shuffle on the join key,

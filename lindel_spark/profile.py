@@ -1180,19 +1180,26 @@ def benford_report(
     Digits absent from the data still emit their row (their expected
     mass still counts against the fit).
 
-    Values are truncated to integer magnitude first (Benford applies
-    to magnitudes ≥ 1; pre-scale fractional data), and the first
-    digit comes from the INTEGER's string form — engine-identical,
+    The first digit comes from the DOUBLE's shortest-round-trip
+    string form (first character after abs; Benford applies to
+    magnitudes ≥ 1, pre-scale fractional data) — engine-identical,
     unlike ``floor(log10(x))`` which libm can put on the wrong side
-    of a power of ten. Plan: map-side digit extraction → one 9-row
-    groupBy → broadcast join against a 9-row literal frame. Nothing
-    row-scale shuffles.
+    of a power of ten, and unlike a bigint truncation, which under
+    Spark's non-ANSI cast silently NULLed-and-dropped magnitudes
+    ≥ 2⁶³ while a SQL replay's CAST would raise (round-12 advice;
+    both decimal "123.45" and scientific "4.5E18" forms lead with
+    the first significant digit in Spark and DuckDB alike).
+    Non-finite values have no first digit and fall out of the audit.
+    Plan: map-side digit extraction → one 9-row groupBy → broadcast
+    join against a 9-row literal frame. Nothing row-scale shuffles.
     """
     spark = df.sparkSession
-    v = F.abs(F.col(col).cast("double")).cast("bigint")
-    digits = (df.select(v.alias("__m"))
-              .filter(F.col("__m").isNotNull() & (F.col("__m") >= 1))
-              .select(F.substring(F.col("__m").cast("string"), 1, 1)
+    v = F.abs(F.col(col).cast("double"))
+    digits = (df.select(v.alias("__v"))
+              .filter(F.col("__v").isNotNull() & (F.col("__v") >= 1)
+                      & ~F.isnan(F.col("__v"))
+                      & (F.col("__v") != F.lit(float("inf"))))
+              .select(F.substring(F.col("__v").cast("string"), 1, 1)
                       .cast("int").alias("digit")))
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))

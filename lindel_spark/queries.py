@@ -10441,12 +10441,12 @@ def q_text_textrank_keywords(spark: SparkSession,
     "profile_benford_prices",
     """
     WITH m AS (
-      SELECT CAST(trunc(abs(o_totalprice::DOUBLE)) AS BIGINT) AS m
+      SELECT abs(o_totalprice::DOUBLE) AS v
       FROM orders
       WHERE o_totalprice IS NOT NULL
     ), d AS (
-      SELECT CAST(substr(m::VARCHAR, 1, 1) AS INT) AS digit
-      FROM m WHERE m >= 1
+      SELECT CAST(substr(v::VARCHAR, 1, 1) AS INT) AS digit
+      FROM m WHERE v >= 1 AND isfinite(v)
     ), cnts AS (
       SELECT digit, COUNT(*)::BIGINT AS cnt FROM d GROUP BY digit
     ), exp AS (

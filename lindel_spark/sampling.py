@@ -462,13 +462,26 @@ def kfold(
     integer, so folds are balanced to within the hash's uniformity
     and a SQL oracle replays every assignment. Map-only, no shuffle;
     train/test for fold i = ``fold != i`` / ``fold == i``.
+
+    NULL keys raise in-plan (round-12 advice): Spark's ``concat_ws``
+    SKIPS nulls (every NULL key would silently pile into the
+    ``md5(salt)`` fold) while SQL string concat propagates NULL — a
+    cross-engine contract hole. A row with no key has no well-defined
+    fold; pre-filter or coalesce a sentinel upstream if that is the
+    intent.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    key = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(F.lit(
+            f"LINDEL: kfold: NULL in key column {key_col!r} — fold "
+            "assignment is undefined for NULL keys (coalesce a "
+            "sentinel upstream if intended)"))
+    ).otherwise(F.col(key_col).cast("string"))
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.lit(salt),
-                              F.col(key_col).cast("string"))),
+            F.md5(F.concat_ws("|", F.lit(salt), key)),
             1, 15),
         16, 10).cast("long")
     return df.withColumn(out_col, F.pmod(h, F.lit(int(k))).cast("int"))

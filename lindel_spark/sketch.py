@@ -737,14 +737,48 @@ def hll_merge(*sketches: DataFrame, p: int) -> DataFrame:
     associative/commutative/idempotent), so shards, days and streams
     compose losslessly. ``p`` is a REQUIRED keyword (the
     ``kmv_merge``/``kll_merge`` precedent): merging sketches built
-    with different ``p`` would silently mix register spaces."""
+    with different ``p`` would silently mix register spaces.
+
+    ``p`` is validated (4..16) and cross-checked IN-PLAN against the
+    register contents (round-12 advice): a bucket ≥ 2^p or a rho over
+    the p-implied ceiling means some input was built under a
+    different p — the merge raises at execution instead of silently
+    blending register spaces."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
     if len(sketches) < 2:
         raise ValueError("need at least two sketches to merge")
     u = sketches[0]
     for s in sketches[1:]:
         u = u.unionByName(s)
+    u = _hll_p_guard(u, p, "hll_merge")
     keys = [c for c in u.columns if c not in ("bucket", "rho")]
     return u.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def _hll_p_guard(sketch: DataFrame, p: int, where: str) -> DataFrame:
+    """In-plan consistency check between a sketch and a claimed ``p``:
+    a register with ``bucket >= 2^p`` (built under a larger p) or
+    ``rho`` above the p-implied ceiling (built under a smaller p)
+    raises AT EXECUTION — no extra job, the guard rides the existing
+    scan. A wrong p would otherwise just return a silently wrong
+    estimate (wrong m and alpha). The guard wraps RHO (the column
+    every downstream aggregate actually reads) — wrapping bucket
+    would be column-pruned away by Catalyst in hll_estimate, whose
+    aggregate never touches it."""
+    m = 1 << p
+    rho_max = _HLL_HASH_BITS - p + 1
+    bad = (F.col("bucket") >= m) | (F.col("rho") > rho_max)
+    guard = F.when(
+        bad,
+        F.raise_error(F.concat(
+            F.lit(f"LINDEL: {where}: register (bucket="),
+            F.col("bucket").cast("string"), F.lit(", rho="),
+            F.col("rho").cast("string"),
+            F.lit(f") inconsistent with p={p} — the sketch was built "
+                  f"with a different p"))).cast("long")
+    ).otherwise(F.col("rho"))
+    return sketch.withColumn("rho", guard)
 
 
 def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
@@ -755,7 +789,13 @@ def hll_estimate(sketch: DataFrame, p: int = 9) -> DataFrame:
     Absent (sparse) buckets contribute ``2^0 = 1`` to the denominator:
     ``Σ = (m − n_present) + Σ_present 2^-rho``. Closed-form column
     algebra over the sketch rows — deterministic, engine-replayable.
+    ``p`` is validated and cross-checked in-plan against the register
+    contents (round-12 advice — a mismatched p used to return a
+    silently wrong estimate).
     """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    sketch = _hll_p_guard(sketch, p, "hll_estimate")
     m = 1 << p
     # Flajolet et al. 2007 fig. 3: fixed constants below m = 128, the
     # asymptotic formula above (review catch, round 11 — the formula

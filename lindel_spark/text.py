@@ -1211,11 +1211,25 @@ def canonicalize_url(c: Column) -> Column:
         F.substring(path, 1, F.length(path) - F.lit(1))
     ).otherwise(path)
     query = F.regexp_extract(tail, "^[^?]*\\?(.*)$", 1)
+    # tracker matching is on the param NAME (before '='): entries
+    # ending in '_' are name PREFIXES (the utm_ family), the rest
+    # must equal the name exactly — 'gclid' must not swallow a
+    # legitimate 'gclid_backup' or 'gclidx' param (round-12 advice)
+    prefix_trackers = [t for t in URL_TRACKING_PARAMS if t.endswith("_")]
+    exact_trackers = [t for t in URL_TRACKING_PARAMS if not t.endswith("_")]
+
+    def _is_tracker(p: Column) -> Column:
+        name = F.element_at(F.split(p, "=", 2), 1)
+        cond = F.lit(False)
+        for t in prefix_trackers:
+            cond = cond | name.startswith(t)
+        if exact_trackers:
+            cond = cond | name.isin(*exact_trackers)
+        return cond
+
     params = F.filter(
         F.split(query, "&"),
-        lambda p: (p != F.lit("")) & ~F.exists(
-            F.array(*[F.lit(t) for t in URL_TRACKING_PARAMS]),
-            lambda t: p.startswith(t)))
+        lambda p: (p != F.lit("")) & ~_is_tracker(p))
     qcanon = F.array_join(F.array_sort(params), "&")
     rebuilt = F.concat(
         scheme, F.lit("://"), authority, path,

@@ -377,3 +377,32 @@ def test_asof_tolerance_date_columns(spark):
                       right_ts="d", value_cols=["v"],
                       tolerance=86400.0).collect()[0]
     assert tight.v_r is None
+
+
+def test_asof_tolerance_null_right_values_age_the_supplier(spark):
+    """round-12 advice pin: a NULL-valued right row is skipped (the
+    carry reaches past it to the older non-NULL supplier) and the
+    staleness tolerance gates on THAT supplier row — so a left row
+    whose nearest right row is NULL-valued gets (a) the older value
+    when the supplier is within tolerance, (b) NULL when the supplier
+    has aged out. Native SQL ASOF (row-nearest) would return NULL in
+    both cases; this is the documented divergence."""
+    from lindel_spark.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 10.0, 7.0),    # old non-NULL supplier
+         ("k", 95.0, None)],  # nearest row, NULL value
+        "on string, ts double, v double")
+    left = spark.createDataFrame(
+        [("k", 100.0),   # supplier age 90 <= tol -> carried 7.0
+         ("k", 200.0)],  # supplier age 190 > tol -> NULL
+        "on string, ts double")
+    got = {r.ts: r.v_r for r in asof_join(
+        left, right, on="on", left_ts="ts", right_ts="ts",
+        value_cols=["v"], tolerance=150.0).collect()}
+    assert got == {100.0: 7.0, 200.0: None}
+    # without tolerance the skip-carry still applies
+    got2 = {r.ts: r.v_r for r in asof_join(
+        left, right, on="on", left_ts="ts", right_ts="ts",
+        value_cols=["v"]).collect()}
+    assert got2 == {100.0: 7.0, 200.0: 7.0}

@@ -133,3 +133,19 @@ def test_prefix_sums_double_column(spark):
     assert got[1] == pytest.approx(1.5)
     assert got[2] == pytest.approx(3.75)
     assert got[3] == pytest.approx(4.0)
+
+
+def test_url_tracker_match_is_name_exact_for_ids(spark):
+    """round-12 advice: 'gclid' must match the param NAME exactly —
+    'gclid_backup=1' and 'gclidx=2' are legitimate params and must
+    survive; the utm_ family stays prefix-matched."""
+    got = _canon(spark, [
+        "https://a.b/p?gclid_backup=1&gclid=Zx9&b=2",
+        "https://a.b/p?gclidx=2&fbclid=q&msclkid2=keepme",
+        "https://a.b/p?utm_source=x&utm_whatever=y&a=1",
+    ])
+    assert got == [
+        "https://a.b/p?b=2&gclid_backup=1",
+        "https://a.b/p?gclidx=2&msclkid2=keepme",
+        "https://a.b/p?a=1",
+    ]

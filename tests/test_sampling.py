@@ -388,3 +388,19 @@ def test_temporal_split_validation(spark):
         temporal_split(df, "ts", "id", 0.0)
     with _p.raises(ValueError):
         temporal_split(df, "ts", "id", 0.5, embargo_rows=-1)
+
+
+def test_kfold_null_key_raises(spark):
+    """round-12 advice: concat_ws skips NULLs, so NULL keys would all
+    silently hash into the md5(salt) fold while a SQL replay yields
+    NULL — kfold now raises in-plan instead."""
+    import pytest
+    from lindel_spark.sampling import kfold
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, key string")
+    with pytest.raises(Exception, match="NULL in key column"):
+        kfold(df, "key", k=3).collect()
+    # NULL-free frames are unaffected
+    ok = kfold(df.filter("key is not null"), "key", k=3).collect()
+    assert len(ok) == 2 and all(0 <= r.fold < 3 for r in ok)

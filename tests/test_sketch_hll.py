@@ -81,3 +81,30 @@ def test_hll_small_m_alpha_constants(spark):
     want = 16.0 * math.log(16.0 / zeros) \
         if (raw <= 2.5 * 16 and zeros > 0) else raw
     assert est == pytest.approx(want, abs=1e-9)
+
+
+def test_hll_p_mismatch_raises(spark):
+    """round-12 advice: estimating/merging under the wrong p must
+    raise, not silently return a wrong estimate."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from lindel_spark import sketch as SK
+
+    df = spark.createDataFrame(
+        [(1, f"u{i}") for i in range(200)], "g int, u string")
+    sk9 = SK.hll_sketch(df, "g", "u", p=9)
+    # smaller claimed p than built: bucket bound violated (the
+    # reliably detectable direction — a LARGER claimed p only trips
+    # the rho ceiling when an extreme register happens to exist)
+    with pytest.raises(Exception, match="inconsistent with p"):
+        SK.hll_estimate(sk9, p=4).collect()
+    with pytest.raises(ValueError, match="p must be"):
+        SK.hll_estimate(sk9, p=3)
+    with pytest.raises(ValueError, match="p must be"):
+        SK.hll_merge(sk9, sk9, p=20)
+    # correct p still estimates fine (guard is transparent)
+    est = SK.hll_estimate(sk9, p=9).collect()[0].est
+    assert 150 <= est <= 250
+    # merge under a smaller claimed p raises at execution
+    with pytest.raises(Exception, match="inconsistent with p"):
+        SK.hll_merge(sk9, sk9, p=5).collect()

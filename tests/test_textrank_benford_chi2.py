@@ -147,3 +147,22 @@ def test_chi2_constant_column(spark):
     r = chi_square_independence(df, "a", "b").collect()[0]
     assert r.dof == 0 and r.chi2 == pytest.approx(0.0, abs=1e-12)
     assert r.cramers_v == 0.0
+
+
+def test_benford_extreme_magnitudes_not_dropped(spark):
+    """round-12 advice: values >= 2^63 used to NULL out under the
+    bigint truncation and silently vanish from the audit; the
+    string-form extraction keeps them, and non-finite values fall
+    out cleanly."""
+    from lindel_spark.profile import benford_report
+
+    df = spark.createDataFrame(
+        [(4.5e18,), (9.3e21,), (123.4,), (2.0e63,),
+         (float("inf",),), (float("nan"),), (0.5,), (None,)],
+        "v double")
+    rows = {r.digit: r.cnt for r in benford_report(df, "v").collect()}
+    # 4.5e18 -> 4, 9.3e21 -> 9, 123.4 -> 1, 2.0e63 -> 2; inf/nan/0.5/
+    # NULL drop; all 9 digit rows still emitted
+    assert sum(rows.values()) == 4
+    assert rows[4] == 1 and rows[9] == 1 and rows[1] == 1 and rows[2] == 1
+    assert set(rows) == set(range(1, 10))
