@@ -776,6 +776,53 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         ("acf_lags", q_acf_lags, -1),
     ]
 
+    # round-12 operators
+    def q_kcore(_):
+        from lindel_spark.graph import kcore
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("dst"))
+        edges = (a.join(b, "ok")
+                 .filter(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct())
+        deg = (edges.select(F.col("src").alias("n"))
+               .unionAll(edges.select(F.col("dst").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+        k = int(deg.agg(
+            F.expr("floor(percentile(d, 0.5) * 0.7)")).first()[0])
+        _noop(kcore(edges, k=k, rounds=4))
+
+    def q_langid_trained(_):
+        from lindel_spark.text import LANG_SEEDS, langid_train, \
+            trained_language_id
+        seeds = spark.createDataFrame(
+            [(c, s) for c, ss in sorted(LANG_SEEDS.items()) for s in ss],
+            "lang string, text string")
+        model = langid_train(seeds)
+        _noop(trained_language_id(model, docs))
+
+    if need("knn_opq_refined"):
+        _opq_R = LS.opq_rotation(emb, m=8)
+        _opq_books = LS.train_pq(emb, m=8, ks=256, rotation=_opq_R)
+        LS.pq_encode(emb, _opq_books, rotation=_opq_R) \
+            .write.mode("overwrite").parquet(
+                os.path.join(_store, "opq_codes"))
+        _opq_codes = spark.read.parquet(os.path.join(_store, "opq_codes"))
+
+    def q_knn_opq_refined(_):
+        # rotated ADC scan over stored codes + exact refine — the
+        # same production shape as knn_pq_refined, one rotation away
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(LS.pq_knn(_opq_codes, queries_df, _opq_books, k=10,
+                        rotation=_opq_R, refine_with=emb, refine=8))
+
+    scan_shaped += [
+        ("kcore_copurchase", q_kcore, n_li),
+        ("langid_trained", q_langid_trained, n_docs),
+        ("knn_opq_refined", q_knn_opq_refined, n_emb),
+    ]
+
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

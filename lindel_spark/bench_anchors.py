@@ -109,6 +109,11 @@ ANCHORS: dict[str, float] = {
     # round-12: re-anchored on the degree-ordered edge-iterator
     # rewrite (r11 id-ordered anchor 16.19 s is obsolete code)
     "triangle_counts": 5.0,
+    # round-12 new entries (first isolated measurements, BASELINE.md
+    # r12 addendum)
+    "kcore_copurchase": 8.06,
+    "langid_trained": 10.01,
+    "knn_opq_refined": 1.70,
 }
 
 # Entries whose documented same-code noise band already approaches or

@@ -54,13 +54,45 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-11 rotation (the driver samples the first ~50): (a)
-    # queries whose operators were added or CHANGED this round — the
-    # driver must record them; (b) stale-first re-entry: families the
-    # r10 driver sample did NOT cover, oldest driver coverage first
-    # (r10 covered the rotation block below plus the rt_*/streaming
-    # re-entries). Everything else stays covered by the local
-    # full-registry sweeps at three scales.
+    # round-12 rotation (the driver samples the first ~50): (a) new
+    # this round; (b) operator-CHANGED this round; (c) stale-first
+    # re-entry — families the r11 driver sample did NOT cover, oldest
+    # first. Everything else stays covered by the local full-registry
+    # sweeps at three scales.
+    # (a) round-12 new
+    "graph_kcore",               # new: bounded-round k-core peel
+    "graph_degree_profile",      # new: degree/wedge pre-flight audit
+    "text_langid_trained",       # new: char-n-gram NB language ID
+    "knn_opq_recall",            # new: OPQ rotation before PQ
+    # (b) round-12 operator-changed
+    "graph_triangle_counts",     # degree-ordered edge-iterator rewrite
+    "knn_ivfpq_recall",          # residual IVFADC default, gate 0.7
+    "knn_join_pq_topk",          # residual ADC distributed path
+    "knn_pq_recall",             # train_pq/pq_knn rotation params
+    "knn_route_parity",          # pq routing family re-pin
+    "text_url_canonical",        # name-exact tracker matching
+    "sampling_kfold",            # NULL-key in-plan raise
+    "profile_benford_prices",    # string-form digit extraction
+    "sketch_hll_parts",          # p validation + in-plan guard
+    "events_hll_users",          # consumes hll_estimate (guarded)
+    "asof_join_tolerance",       # NULL-supplier semantic pinned
+    "knn_ivf_recall",            # L2-nearest assignment rule (unit ≡ dot)
+    "dedup_semantic",            # assign_cells under the shared rule
+    # (c) stale-first: families the r11 driver sample did NOT cover
+    "knn_ivf_health", "join_skew_report", "text_retrieval_eval",
+    "embedding_drift_report", "features_target_encoded",
+    "profile_drift_store", "profile_equidepth_histogram",
+    "text_card_scrub", "dedup_clusters", "dedup_kept_best",
+    "knn_brute", "sampling_hard_negatives", "text_bm25_topk",
+    "text_hybrid_topk", "knn_label_propagation",
+    "graph_pagerank_transitions", "text_lm_quality", "text_lm_bigram",
+    "text_tfidf_topk", "text_winnow_fingerprints", "text_scrub_pii",
+    "text_sentence_stats", "text_quality_deciles", "events_ohlc_daily",
+    "events_time_weighted_avg", "events_scd2_history",
+    "events_merge_upsert", "events_snapshot_diff", "events_rank_family",
+    "events_grouping_sets", "events_mad_outliers", "events_user_entropy",
+    "events_wow_growth",
+    # --- r11 rotation below (driver-covered r11; keep order) ---
     # (a) round-11 new
     "profile_gini_spend",        # new: Gini concentration scalar
     "profile_mutual_information",  # new: MI/NMI redundancy screen

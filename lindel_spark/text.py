@@ -1305,13 +1305,24 @@ def char_ngrams(c: Column, n: int) -> Column:
     character-for-character. Texts shorter than ``n`` yield an empty
     array (the upper bound clamps to 1 — ``sequence(1, 0)`` would
     DESCEND in Spark — and a length filter drops the partial gram a
-    too-short text produces)."""
+    too-short text produces).
+
+    The normalized string is LET-BOUND through a one-element-array
+    transform (the ``quality_score`` trick) before the sliding
+    window: a lambda that closes over the raw normalize expression
+    re-evaluates the regexp PER ELEMENT — O(len²) regexp work per
+    document, measured 22 s → ~2 s on the sf0.1 corpus."""
     s = normalize_text(c)
-    grams = F.transform(
-        F.sequence(F.lit(1),
-                   F.greatest(F.length(s) - F.lit(n - 1), F.lit(1))),
-        lambda i: s.substr(i, F.lit(n)))
-    return F.filter(grams, lambda g: F.length(g) == n)
+
+    def _grams(ss: Column) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length(ss) - F.lit(n - 1),
+                                  F.lit(1))),
+            lambda i: ss.substr(i, F.lit(n)))
+        return F.filter(g, lambda x: F.length(x) == n)
+
+    return F.element_at(F.transform(F.array(s), _grams), 1)
 
 
 def langid_train(
