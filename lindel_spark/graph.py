@@ -571,3 +571,59 @@ def kcore(
             alive = alive.localCheckpoint()
     return alive.select(F.col("u").alias("node"),
                         F.col("degree").cast("long").alias("degree"))
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    label: str = "label",
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    graph: ``Q = Σ_c [ m_c/m − (d_c / 2m)² ]`` where ``m`` is the
+    edge count, ``m_c`` the edges with BOTH endpoints in community
+    ``c`` and ``d_c`` the sum of member degrees (Newman & Girvan
+    2004) — the standard "did the clustering find real structure"
+    score for :func:`label_propagation_communities` /
+    :func:`connected_components` output (Q ≈ 0: no better than
+    random; Q ≳ 0.3: meaningful structure). Returns one row per
+    community ``(label, n_nodes, m_in, d_c, q_c)`` plus the graph
+    constants, so both the per-community contributions and the global
+    Q = Σ q_c replay as exact-count algebra ÷ two global scalars.
+
+    Plan: canonical edge set → two label joins (community lookup is
+    node-keyed) → one count aggregate for ``m_c``, one degree-sum
+    aggregate for ``d_c`` — nothing beyond the CC/LPA plan family;
+    the two graph constants ride a broadcast one-row frame, never a
+    driver action.
+    """
+    e = _canonical_edges(edges, src, dst)
+    lab = communities.select(F.col(node).alias("__n"),
+                             F.col(label).alias("__l"))
+    both = (e.join(lab.select(F.col("__n").alias("a"),
+                              F.col("__l").alias("la")), "a")
+            .join(lab.select(F.col("__n").alias("b"),
+                             F.col("__l").alias("lb")), "b"))
+    m_in = (both.filter(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("m_in")))
+    deg = (e.select(F.col("a").alias("__n"))
+           .unionAll(e.select(F.col("b").alias("__n")))
+           .groupBy("__n").agg(F.count(F.lit(1)).alias("__d")))
+    dc = (lab.join(deg, "__n", "left")
+          .groupBy(F.col("__l").alias("label"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+               F.sum(F.coalesce(F.col("__d"), F.lit(0)))
+               .cast("long").alias("d_c")))
+    consts = e.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    out = (dc.join(m_in, "label", "left")
+           .withColumn("m_in",
+                       F.coalesce(F.col("m_in"), F.lit(0)).cast("long"))
+           .crossJoin(F.broadcast(consts)))
+    q_c = (F.col("m_in").cast("double") / F.col("__m")
+           - F.pow(F.col("d_c").cast("double")
+                   / (F.lit(2.0) * F.col("__m")), F.lit(2.0)))
+    return out.select("label", "n_nodes", "m_in", "d_c",
+                      q_c.alias("q_c"))

@@ -10144,6 +10144,67 @@ def q_profile_agreement_kappa(spark: SparkSession,
 
 
 @query(
+    "events_seasonal_decompose",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             SUM(value::DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT event_type, hour, v,
+             CAST((ROW_NUMBER() OVER w - 1) % 24 AS INT) AS phase,
+             CASE WHEN COUNT(*) OVER wma = 24
+                  THEN AVG(v) OVER wma END AS trend
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour),
+             wma AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+    ), ph AS (
+      SELECT event_type, phase, AVG(v - trend) AS s_raw
+      FROM b WHERE trend IS NOT NULL GROUP BY 1, 2
+    ), ctr AS (
+      SELECT event_type, AVG(s_raw) AS s_mean FROM ph GROUP BY 1
+    ), seas AS (
+      SELECT ph.event_type, ph.phase, ph.s_raw - ctr.s_mean AS seasonal
+      FROM ph JOIN ctr USING (event_type)
+    )
+    SELECT b.event_type, b.hour, b.phase,
+           round(b.v, 6) AS value_r6,
+           round(b.trend, 6) AS trend_r6,
+           round(seas.seasonal, 6) AS seasonal_r6,
+           round(b.v - b.trend - seas.seasonal, 6) AS resid_r6
+    FROM b LEFT JOIN seas
+      ON seas.event_type = b.event_type AND seas.phase = b.phase
+    """,
+)
+def q_events_seasonal_decompose(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (round 12,
+    :func:`lindel_spark.timeseries.seasonal_decompose`) of the hourly
+    per-type value series at period 24: value = 24-row centered
+    moving-average trend + per-hour-of-cycle seasonal (detrended
+    phase means, re-centered) + residual — the statsmodels recipe as
+    key-partitioned windows and one (key, phase) aggregate; the
+    deseasonalized residual is what the CUSUM/z-score anomaly tier
+    wants to score. 6dp (float means; events_cusum precedent)."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.timeseries import seasonal_decompose
+
+    ev = load_events(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.col("value").cast("double")).alias("v")))
+    out = seasonal_decompose(hourly, ["event_type"], "hour", "v",
+                             period=24, tiebreak="hour")
+    return out.select(
+        "event_type", "hour", "phase",
+        F.round("value", 6).alias("value_r6"),
+        F.round("trend", 6).alias("trend_r6"),
+        F.round("seasonal", 6).alias("seasonal_r6"),
+        F.round("resid", 6).alias("resid_r6"))
+
+
+@query(
     "events_acf",
     """
     WITH seq AS (
@@ -11257,6 +11318,73 @@ def _lpa_oracle(rounds: int = 2) -> str:
     return head + "".join(its) + f"""
     SELECT node, label FROM l{rounds}
     """
+
+
+def _modularity_oracle(rounds: int = 2) -> str:
+    """Modularity tail composed onto the unrolled LPA replay: exact
+    count algebra over the canonical (undirected) edge set ``e0`` —
+    m_in per label (both endpoints inside), degree sums, then
+    q_c = m_in/m − (d_c/2m)²."""
+    lpa = _lpa_oracle(rounds)
+    body = lpa[:lpa.rfind("SELECT node, label")]
+    return body + f"""
+    , comm AS (SELECT node, label FROM l{rounds})
+    , lab_e AS (
+      SELECT e0.s, e0.d, ca.label AS la, cb.label AS lb
+      FROM e0 JOIN comm ca ON ca.node = e0.s
+              JOIN comm cb ON cb.node = e0.d
+    )
+    , m_in AS (
+      SELECT la AS label, COUNT(*)::BIGINT AS m_in FROM lab_e
+      WHERE la = lb GROUP BY 1
+    )
+    , deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM (
+        SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0
+      ) GROUP BY 1
+    )
+    , dc AS (
+      SELECT comm.label, COUNT(*)::BIGINT AS n_nodes,
+             SUM(COALESCE(deg.d, 0))::BIGINT AS d_c
+      FROM comm LEFT JOIN deg USING (node) GROUP BY 1
+    )
+    , mm AS (SELECT COUNT(*)::DOUBLE AS m FROM e0)
+    SELECT dc.label, dc.n_nodes,
+           COALESCE(m_in.m_in, 0)::BIGINT AS m_in, dc.d_c,
+           round(COALESCE(m_in.m_in, 0)::DOUBLE / mm.m
+                 - (dc.d_c::DOUBLE / (2.0 * mm.m))
+                 * (dc.d_c::DOUBLE / (2.0 * mm.m)), 6) + 0.0 AS q_c_r6
+    FROM dc LEFT JOIN m_in USING (label) CROSS JOIN mm
+    """
+
+
+@query("graph_modularity", _modularity_oracle(2))
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity of the 2-round LPA communities (round 12,
+    :func:`lindel_spark.graph.modularity`): per-community
+    ``q_c = m_in/m − (d_c/2m)²`` whose sum is Newman's Q — the
+    clustering-quality score closing the graph-health tier
+    (degree_profile → kcore → did-LPA-find-structure). Exact count
+    algebra over the same canonical edge set; the oracle composes
+    the modularity tail onto the unrolled LPA replay."""
+    from lindel_spark.graph import label_propagation_communities, \
+        modularity
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    comm = label_propagation_communities(edges, rounds=2)
+    out = modularity(edges, comm)
+    # + 0.0 normalizes the signed zero a tiny-negative q_c rounds to
+    # (singleton communities): DuckDB's round keeps -0.0, Spark's
+    # doesn't — IEEE -0.0 + 0.0 = +0.0 on both
+    return out.select("label", "n_nodes", "m_in", "d_c",
+                      (F.round("q_c", 6) + F.lit(0.0)).alias("q_c_r6"))
 
 
 @query("graph_lpa_communities", _lpa_oracle(2))

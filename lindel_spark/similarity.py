@@ -746,6 +746,7 @@ def knn_join_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = True,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """Distributed-query-side IVF-PQ kNN: ADC over stored codes with
     the QUERIES staying a DataFrame end to end — no ``collect()``, so
@@ -815,7 +816,8 @@ def knn_join_pq(
     )
     return _adc_join_tail(cand, queries, books, k, kk_out, refine_with,
                           id_col, vec_col,
-                          centroids=C if residual else None)
+                          centroids=C if residual else None,
+                          rotation=rotation)
 
 
 def _adc_join_tail(
@@ -857,9 +859,12 @@ def _adc_join_tail(
             for qid, g in pdf.groupby("query_id", sort=False):
                 q = np.asarray(g["__qv"].iloc[0], np.float64)
                 qn = q / np.linalg.norm(q)
-                if R is not None:
-                    qn = R @ qn
-                lut = np.einsum("js,jcs->jc", qn.reshape(m, sub),
+                # LUT scores the stored (possibly rotated) code
+                # space; the q·C[cell] anchor term stays in the
+                # ORIGINAL space — using the rotated query there
+                # would score R·q against unrotated anchors
+                qlut = R @ qn if R is not None else qn
+                lut = np.einsum("js,jcs->jc", qlut.reshape(m, sub),
                                 books).reshape(-1)
                 codes_np = np.stack(
                     [np.asarray(c, np.int64) for c in g["__c"]])
@@ -1149,14 +1154,14 @@ def train_pq(
 
     With ``rotation`` (an :func:`opq_rotation` matrix), training
     vectors are rotated BEFORE the subspace split — pass the same
-    matrix to :func:`pq_encode` / :func:`pq_knn`. Rotation composed
-    with residual coding is not supported yet (the anchors would need
-    rotating consistently); pass one or the other.
+    matrix to :func:`pq_encode` / :func:`pq_knn`. Rotation COMPOSES
+    with residual coding (round 12): cell assignment happens in the
+    original space (L2-nearest is rotation-invariant, so cells are
+    identical either way), then the RESIDUAL is rotated before the
+    split — ``R·(v − C[cell])`` — and ADC decomposes as
+    ``q·v ≈ q·C[cell] + (R·q)·r̃``; pass the same (centroids,
+    rotation) pair to :func:`ivf_pq_encode` and the scorers.
     """
-    if centroids is not None and rotation is not None:
-        raise ValueError(
-            "LINDEL: train_pq rotation= cannot compose with centroids= "
-            "(residual) yet — pass one or the other")
     rows = corpus.select(vec_col).limit(sample_limit).collect()
     V = np.array([r[0] for r in rows], np.float64)
     Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
@@ -1397,6 +1402,7 @@ def ivf_pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = True,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(vec_id, cell, code): the IVF-PQ *stored* representation — each
     row's nearest coarse cell plus its PQ code, computed in one Arrow
@@ -1411,9 +1417,13 @@ def ivf_pq_encode(
     ``train_pq(..., centroids=centroids)`` to match, and score with
     the same ``residual`` flag; ``residual=False`` keeps the round-10
     raw-vector layout (codes then decode independently of the cell,
-    which is what makes full-probe IVF-PQ ≡ plain PQ)."""
+    which is what makes full-probe IVF-PQ ≡ plain PQ). ``rotation``
+    (round 12) rotates the residual before coding — OPQ composed with
+    IVFADC (cells still assign in the original space); must match
+    training and scoring."""
     C = np.ascontiguousarray(centroids)
     books = np.ascontiguousarray(codebooks)
+    R = np.ascontiguousarray(rotation) if rotation is not None else None
     out_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("cell", T.IntegerType()),
@@ -1426,6 +1436,8 @@ def ivf_pq_encode(
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             cells = np.argmax(_nearest_scores(Vn, C), axis=1)
             X = Vn - C[cells] if residual else Vn
+            if R is not None:
+                X = X @ R.T
             yield pd.DataFrame({
                 "vec_id": pdf["__id"].to_numpy(np.int64),
                 "cell": cells.astype(np.int32),
@@ -1456,6 +1468,7 @@ def ivf_pq_knn(
     seed: int = DEFAULT_SEED,
     max_collect_rows: int = 65536,
     residual: bool = True,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition that carries ANN to
     billion-row corpora: the coarse quantizer prunes the scan to
@@ -1517,16 +1530,18 @@ def ivf_pq_knn(
                                     spherical=not residual)
     if codebooks is None:
         codebooks = train_pq(corpus, m=m, ks=ks, vec_col=vec_col, seed=seed,
-                             centroids=centroids if residual else None)
+                             centroids=centroids if residual else None,
+                             rotation=rotation)
     if codes is None:
         codes = ivf_pq_encode(corpus, centroids, codebooks, id_col, vec_col,
-                              residual=residual)
+                              residual=residual, rotation=rotation)
 
     if queries.count() > max_collect_rows:
         return knn_join_pq(codes, queries, centroids, codebooks, k=k,
                            nprobe=nprobe, refine_with=refine_with,
                            refine=refine, id_col=id_col,
-                           vec_col=vec_col, residual=residual)
+                           vec_col=vec_col, residual=residual,
+                           rotation=rotation)
 
     qrows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], np.int64)
@@ -1536,11 +1551,16 @@ def ivf_pq_knn(
     books = np.ascontiguousarray(codebooks)
     m_, ks_, sub = books.shape
     # probe matrix: P[q, cell] = query q probes that cell (L2-nearest
-    # rule, ≡ dot for unit-norm centroid matrices)
+    # rule, ≡ dot for unit-norm centroid matrices; rotation-invariant,
+    # so probing/assignment always run in the ORIGINAL space)
     order = np.argsort(-_nearest_scores(Qn, C), axis=1)[:, :nprobe]
     P = np.zeros((len(Qn), len(C)), bool)
     np.put_along_axis(P, order, True, axis=1)
-    Tq = np.einsum("qjs,jcs->qjc", Qn.reshape(len(Qn), m_, sub), books)
+    # LUTs score the stored code space: rotated when codes are
+    # OPQ-rotated residuals (q·v ≈ q·C[cell] + (R·q)·r̃)
+    Qlut = (Qn @ np.ascontiguousarray(rotation).T
+            if rotation is not None else Qn)
+    Tq = np.einsum("qjs,jcs->qjc", Qlut.reshape(len(Qn), m_, sub), books)
     T2 = np.ascontiguousarray(Tq.reshape(len(Qn), m_ * ks_))
     # residual decomposition: q·v ≈ q·C[cell] + q·r, so the per-cell
     # term is one (Q, n_centroids) matrix gathered at each row's cell

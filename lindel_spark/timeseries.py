@@ -358,3 +358,65 @@ def rolling_zscore(
                 F.when((n >= min_points) & (std > 0),
                        (x - mean) / std)
                 .otherwise(F.lit(None).cast("double"))))
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    period: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Classical additive seasonal decomposition at a FIXED period:
+    ``value = trend + seasonal + resid`` per key series — the
+    descriptive screen behind "is this metric's weekly shape stable"
+    and the pre-whitening step for the CUSUM/z-score anomaly tier
+    (deseasonalized residuals alarm far cleaner than raw values).
+
+    Textbook moving-average method (the ``statsmodels
+    seasonal_decompose`` recipe, public): rows order per key by
+    ``(ts, tiebreak)``; ``trend`` = the ``period``-row centered
+    moving average (rows −⌊p/2⌋ … p−1−⌊p/2⌋ — symmetric for odd
+    ``period``, trailing-by-half for even; edge rows without a FULL
+    window get NULL trend, exactly like statsmodels); ``seasonal`` =
+    the per-``phase`` mean of the detrended series, re-centered so
+    one period sums to ~0; ``resid`` = value − trend − seasonal
+    (NULL where trend is NULL). ``phase`` = 0-based position mod
+    ``period``.
+
+    Every step is key-partitioned (two window passes + one
+    (key, phase) aggregate + broadcast-size joins) — no unpartitioned
+    window, no driver state; sums of doubles, so registry replays
+    round to 6dp (the events_cusum precedent).
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    keys = list(keys)
+    lo, hi = -(period // 2), period - 1 - period // 2
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    w_ord = Window.partitionBy(*keys).orderBy(*order)
+    w_ma = w_ord.rowsBetween(lo, hi)
+    v = F.col(value_col).cast("double")
+    base = (df.withColumn("__pos", F.row_number().over(w_ord) - 1)
+            .withColumn("phase", (F.col("__pos") % period).cast("int"))
+            .withColumn(
+                "trend",
+                F.when(F.count(F.lit(1)).over(w_ma) == period,
+                       F.avg(v).over(w_ma))))
+    detr = base.withColumn("__d", v - F.col("trend"))
+    ph = (detr.filter(F.col("__d").isNotNull())
+          .groupBy(*keys, "phase")
+          .agg(F.avg("__d").alias("__s_raw")))
+    center = ph.groupBy(*keys).agg(F.avg("__s_raw").alias("__s_mean"))
+    seas = (ph.join(center, keys)
+            .select(*keys, "phase",
+                    (F.col("__s_raw") - F.col("__s_mean"))
+                    .alias("seasonal")))
+    out = (base.join(seas, keys + ["phase"], "left")
+           .withColumn("resid",
+                       v - F.col("trend") - F.col("seasonal")))
+    id_cols = [ts_col] if tiebreak == ts_col else [ts_col, tiebreak]
+    return out.select(
+        *keys, *id_cols, v.alias("value"), "phase",
+        "trend", "seasonal", "resid")

@@ -373,3 +373,27 @@ def test_kcore_bounded_rounds_contract(spark):
         kcore(edges, k=0)
     with _p.raises(ValueError):
         kcore(edges, k=2, rounds=0)
+
+
+def test_modularity_two_cliques_hand_computed(spark):
+    """Two triangles bridged by one edge, communities = the cliques:
+    m=7, m_in=3 each, d_c=7 each -> q_c = 3/7 - (7/14)^2 per side,
+    Q = 2*q_c ~ 0.357. A single all-in community scores exactly 0."""
+    from lindel_spark.graph import modularity
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long")
+    comm = spark.createDataFrame(
+        [(i, "A" if i < 3 else "B") for i in range(6)],
+        "node string, label string")
+    comm = comm.selectExpr("CAST(node AS LONG) AS node", "label")
+    got = {r.label: r for r in modularity(edges, comm).collect()}
+    expect = 3.0 / 7.0 - (7.0 / 14.0) ** 2
+    for lbl in ("A", "B"):
+        assert got[lbl].n_nodes == 3 and got[lbl].m_in == 3
+        assert got[lbl].d_c == 7
+        assert abs(got[lbl].q_c - expect) < 1e-12
+    one = spark.createDataFrame([(i, "X") for i in range(6)],
+                                "node long, label string")
+    q = modularity(edges, one).collect()
+    assert len(q) == 1 and abs(q[0].q_c) < 1e-12

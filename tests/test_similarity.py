@@ -971,10 +971,82 @@ def test_opq_refined_recall_floor(emb, queries_df, brute):
     assert recall >= 0.7, f"OPQ refined recall {recall:.3f}"
 
 
-def test_train_pq_rejects_rotation_with_residual(emb):
-    import pytest as _pt
+def test_opq_residual_composition_matches_numpy_replay(spark, emb):
+    """OPQ × IVFADC composition: cells assign in the ORIGINAL space
+    (L2-nearest is rotation-invariant), the residual rotates before
+    coding, and ADC decomposes as q·C[cell] + (R·q)·r̃ — the
+    unrefined full-probe Spark scores must equal the NumPy replay of
+    exactly that."""
     import numpy as np
+    from pyspark.sql import functions as F
+
+    q = emb.filter(F.col("vec_id") % 100 == 0)
     cents = LS.train_centroids(emb, 8, spherical=False)
     R = LS.opq_rotation(emb, m=8)
-    with _pt.raises(ValueError, match="rotation"):
-        LS.train_pq(emb, m=8, centroids=cents, rotation=R)
+    books = LS.train_pq(emb, m=8, ks=64, centroids=cents, rotation=R)
+    codes = LS.ivf_pq_encode(emb, cents, books, rotation=R)
+    got = LS.ivf_pq_knn(emb, q, k=3, centroids=cents, codebooks=books,
+                        codes=codes, nprobe=8, rotation=R).collect()
+
+    code_rows = {r.vec_id: (r.cell, np.asarray(r.code, np.int64))
+                 for r in codes.collect()}
+    qvecs = {r.vec_id: np.asarray(r.embedding, np.float64)
+             for r in q.collect()}
+    m, ks, sub = books.shape
+    assert len(got) > 0
+    for r in got:
+        qn = qvecs[r.query_id] / np.linalg.norm(qvecs[r.query_id])
+        cell, code = code_rows[r.neighbor_id]
+        qr = R @ qn
+        lut = np.einsum("js,jcs->jc", qr.reshape(m, sub), books)
+        expect = qn @ cents[cell] + lut[np.arange(m), code].sum()
+        assert abs(r.cos - expect) < 1e-9, (r, expect)
+
+
+def test_opq_residual_composition_route_parity(emb, queries_df):
+    """Residual + rotation flows through BOTH ivf_pq_knn routes
+    (collect LUT and knn_join_pq) value-identically."""
+    cents = LS.train_centroids(emb, 16, spherical=False)
+    R = LS.opq_rotation(emb, m=8)
+    books = LS.train_pq(emb, m=8, ks=64, centroids=cents, rotation=R)
+    codes = LS.ivf_pq_encode(emb, cents, books, rotation=R)
+    small = LS.ivf_pq_knn(None, queries_df, k=5, centroids=cents,
+                          codebooks=books, codes=codes, nprobe=16,
+                          refine_with=emb, rotation=R)
+    large = LS.ivf_pq_knn(None, queries_df, k=5, centroids=cents,
+                          codebooks=books, codes=codes, nprobe=16,
+                          refine_with=emb, rotation=R,
+                          max_collect_rows=1)
+    assert _rows_key(large.collect()) == _rows_key(small.collect())
+
+
+def test_opq_residual_composition_reduces_error_on_anisotropic(spark):
+    """On a variance-skewed set the composed layout (rotate the
+    residual before coding) reconstructs at least as well as residual
+    alone at the same budget — the reason the seam was closed."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    sigma = np.geomspace(8.0, 0.05, 16)
+    V = rng.randn(600, 16) * sigma
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(600)],
+        "vec_id long, embedding array<double>")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cents = LS.train_centroids(df, 8, spherical=False)
+    cells = np.argmax(LS._nearest_scores(Vn, cents), axis=1)
+    res = Vn - cents[cells]
+    m = 4
+
+    def mse(X, books):
+        codes = LS._pq_codes_np(X, books)
+        rec = np.concatenate([books[j][codes[:, j]] for j in range(m)],
+                             axis=1)
+        return ((X - rec) ** 2).sum(1).mean()
+
+    books_res = LS.train_pq(df, m=m, ks=32, centroids=cents)
+    R = LS.opq_rotation(df, m=m)
+    books_both = LS.train_pq(df, m=m, ks=32, centroids=cents, rotation=R)
+    e_res = mse(res, books_res)
+    e_both = mse(res @ R.T, books_both)
+    assert e_both < e_res * 1.001, (e_both, e_res)

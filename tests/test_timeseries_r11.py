@@ -180,3 +180,58 @@ def test_gap_report_timezone_independent(spark):
                 5 * 3600 - 60, abs=1e-6), tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# ---------------------------------------------------------------------------
+# round-12 seasonal decomposition
+# ---------------------------------------------------------------------------
+
+def test_seasonal_decompose_recovers_structure(spark):
+    """Constructed series = linear trend + exact period-4 seasonal:
+    interior trend must equal the linear component (a centered MA is
+    exact on a line + zero-mean cycle), seasonal must re-center to
+    ~0 per period, and value == trend + seasonal + resid wherever
+    trend is defined; edge rows get NULL trend/resid."""
+    import math
+    from lindel_spark.timeseries import seasonal_decompose
+
+    season = [3.0, -1.0, -2.5, 0.5]  # sums to 0
+    rows = [("k", i, 10.0 + 0.5 * i + season[i % 4], i)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, v double, tb long")
+    out = {r.t: r for r in seasonal_decompose(
+        df, ["k"], "t", "v", period=4, tiebreak="tb").collect()}
+    assert len(out) == 40
+    # period=4: lo=-2, hi=1 -> rows 0,1 and 38,39... window needs 4
+    # rows: positions 0..1 lack preceding, 39 lacks following
+    assert out[0].trend is None and out[1].trend is None
+    assert out[39].trend is None and out[38].trend is not None
+    for i in range(2, 38):
+        r = out[i]
+        # centered-even MA of a line+cycle: trend = line shifted by
+        # half-step asymmetry 0.5*0.5/... compute expected directly
+        expect_trend = sum(10.0 + 0.5 * j + season[j % 4]
+                           for j in range(i - 2, i + 2)) / 4.0
+        assert abs(r.trend - expect_trend) < 1e-9
+        assert abs(r.value - (r.trend + r.seasonal + r.resid)) < 1e-9
+        assert r.phase == i % 4
+    # seasonal depends only on phase and sums ~0 over one period
+    phases = {out[i].phase: out[i].seasonal for i in range(2, 6)}
+    assert abs(sum(phases.values())) < 1e-9
+    for i in range(2, 38):
+        assert abs(out[i].seasonal - phases[i % 4]) < 1e-9
+
+
+def test_seasonal_decompose_validations_and_key_isolation(spark):
+    import pytest
+    from lindel_spark.timeseries import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0, 0), ("b", 0, 9.0, 0)],
+        "k string, t long, v double, tb long")
+    with pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, ["k"], "t", "v", period=1, tiebreak="tb")
+    # two keys never mix: each is its own (too-short) series
+    out = seasonal_decompose(df, ["k"], "t", "v", period=2,
+                             tiebreak="tb").collect()
+    assert all(r.trend is None for r in out) and len(out) == 2
