@@ -128,3 +128,58 @@ def calibration_bins(
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.avg("s").alias("avg_score"),
                  F.avg("y").alias("frac_pos")))
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Average precision (the PR-AUC summary, sklearn's step-wise
+    ``average_precision_score`` definition): ``AP = Σ_k ΔR_k · P_k``
+    over DISTINCT score thresholds descending — precision at each
+    threshold weighted by the recall it adds. The precision-recall
+    companion to :func:`roc_auc`: under heavy class imbalance (the
+    usual shape for dedup-pair labels, linkage matches, quality
+    flags) ROC-AUC saturates while AP keeps discriminating. One row
+    ``(n_pos, n_neg, ap)``.
+
+    Same plan family as :func:`roc_auc`: scores collapse to the
+    distinct-score count table, the cumulative runs through the
+    DISTRIBUTED prefix sum (never an unpartitioned window), and the
+    descending cumulative is derived from the ascending one by
+    complement — exact count algebra ÷ two totals, so any engine
+    replays it. Tied scores share one threshold (the step-wise
+    definition makes tie handling exact, no interpolation). NULLs
+    excluded; no positives → NULL ap.
+    """
+    lab = F.col(label_col).cast("int")
+    pairs = (df.select(F.col(score_col).cast("double").alias("s"),
+                       lab.alias("y"))
+             .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    from lindel_spark.util import prefix_sums
+
+    counts = pairs.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    c = prefix_sums(
+        counts.withColumn("__cnt", F.col("pos") + F.col("neg")),
+        "s", ["pos", "__cnt"])
+    tot = c.agg(F.sum("pos").cast("long").alias("n_pos"),
+                F.sum("neg").cast("long").alias("n_neg"))
+    j = c.crossJoin(F.broadcast(tot))
+    # descending cumulatives by complement of the ascending prefix
+    cum_pos_d = (F.col("n_pos") - (F.col("cum_pos") - F.col("pos"))) \
+        .cast("double")
+    cum_cnt_d = ((F.col("n_pos") + F.col("n_neg"))
+                 - (F.col("cum___cnt") - F.col("__cnt"))).cast("double")
+    term = F.when(
+        F.col("pos") > 0,
+        (F.col("pos").cast("double") / F.col("n_pos").cast("double"))
+        * (cum_pos_d / cum_cnt_d)).otherwise(F.lit(0.0))
+    agg = j.groupBy("n_pos", "n_neg").agg(F.sum(term).alias("__ap"))
+    return agg.select(
+        "n_pos", "n_neg",
+        F.when(F.col("n_pos") > 0, F.col("__ap"))
+        .otherwise(F.lit(None).cast("double")).alias("ap"))

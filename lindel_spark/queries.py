@@ -64,6 +64,11 @@ _SAMPLE_FIRST = [
     "graph_degree_profile",      # new: degree/wedge pre-flight audit
     "text_langid_trained",       # new: char-n-gram NB language ID
     "knn_opq_recall",            # new: OPQ rotation before PQ
+    "graph_modularity",          # new: community-quality Newman Q
+    "events_seasonal_decompose",  # new: fixed-period decomposition
+    "eval_avg_precision",        # new: step-wise PR-AUC
+    "knn_silhouette",            # new: quantizer separation audit
+    "sampling_importance_weights",  # new: DSIR data selection
     # (b) round-12 operator-changed
     "graph_triangle_counts",     # degree-ordered edge-iterator rewrite
     "knn_ivfpq_recall",          # residual IVFADC default, gate 0.7
@@ -9575,6 +9580,55 @@ def q_text_card_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_silhouette",
+    """
+    SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_vectors,
+           true AS counts_match_assignment,
+           true AS scores_in_range,
+           true AS numpy_replay_match
+    """,
+)
+def q_knn_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette audit (round 12,
+    :func:`lindel_spark.similarity.silhouette_by_cell`): per-cell
+    separation of the 16-cell quantizer over the sf embeddings — the
+    companion number to ``knn_ivf_health``'s balance (balanced but
+    unseparated cells mean the quantizer is hashing, not
+    clustering). Self-checking like ivf_health: per-cell counts must
+    equal an independent assignment, scores must sit in [−1, 1], and
+    the n-weighted overall mean must match a driver-side NumPy
+    replay of the same a/b/s algebra to 1e-9."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    C = LS.train_centroids(emb, 16)
+    rows = LS.silhouette_by_cell(emb, C).collect()
+    n_total = sum(r.n_vectors for r in rows)
+    in_range = all(-1.0 - 1e-12 <= r.min_s <= r.mean_s <= r.max_s
+                   <= 1.0 + 1e-12 for r in rows)
+    V = np.array([r.embedding for r in
+                  emb.select("embedding").collect()], np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    d2 = np.maximum(1.0 + (C * C).sum(1)[None, :] - 2.0 * (Vn @ C.T),
+                    0.0)
+    order = np.argsort(d2, axis=1, kind="stable")
+    a = np.sqrt(d2[np.arange(len(Vn)), order[:, 0]])
+    b = np.sqrt(d2[np.arange(len(Vn)), order[:, 1]])
+    s = (b - a) / np.maximum(np.maximum(a, b), 1e-300)
+    cells, counts = np.unique(order[:, 0], return_counts=True)
+    ind = dict(zip(cells.tolist(), counts.tolist()))
+    counts_ok = (n_total == len(Vn)
+                 and all(ind.get(r.cell, 0) == r.n_vectors
+                         for r in rows))
+    overall = sum(r.n_vectors * r.mean_s for r in rows) / n_total
+    replay_ok = abs(overall - float(s.mean())) < 1e-9
+    return spark.createDataFrame(
+        [(n_total, counts_ok, in_range, replay_ok)],
+        "n_vectors long, counts_match_assignment boolean, "
+        "scores_in_range boolean, numpy_replay_match boolean")
+
+
+@query(
     "knn_ivf_health",
     """
     SELECT (SELECT COUNT(*) FROM embeddings)::BIGINT AS n_vectors,
@@ -10688,6 +10742,45 @@ def q_eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_avg_precision",
+    f"""
+    WITH pairs AS ({_EVAL_PAIR_SQL}),
+    counts AS (
+      SELECT s, SUM(y)::BIGINT AS pos, SUM(1 - y)::BIGINT AS neg
+      FROM pairs GROUP BY s
+    ), t AS (
+      SELECT pos, neg,
+             SUM(pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos_d,
+             SUM(pos + neg) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cnt_d
+      FROM counts
+    )
+    SELECT SUM(pos)::BIGINT AS n_pos, SUM(neg)::BIGINT AS n_neg,
+           round(SUM(CASE WHEN pos > 0 THEN
+                  (pos::DOUBLE / (SELECT SUM(pos) FROM counts))
+                  * (cum_pos_d::DOUBLE / cum_cnt_d::DOUBLE)
+                  ELSE 0.0 END), 6) AS ap_r6
+    FROM t
+    """,
+)
+def q_eval_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC (round 12,
+    :func:`lindel_spark.evaluation.average_precision`): step-wise
+    ``Σ ΔR·P`` over distinct thresholds descending — the
+    imbalance-robust companion to ``eval_roc_auc`` on the same
+    scored frame; the oracle's descending cumulative window replays
+    the distributed prefix-sum complement exactly; 6dp."""
+    from lindel_spark.evaluation import average_precision
+
+    out = average_precision(_eval_pairs(spark, sf_dir), "s", "y")
+    return out.select("n_pos", "n_neg",
+                      F.round("ap", 6).alias("ap_r6"))
+
+
+@query(
     "eval_calibration",
     f"""
     WITH pairs AS ({_EVAL_PAIR_SQL})
@@ -11408,6 +11501,67 @@ def q_graph_lpa_communities(spark: SparkSession,
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     return label_propagation_communities(edges, rounds=2)
+
+
+@query(
+    "sampling_importance_weights",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents
+    ), feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(toks,
+               CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END)) AS f
+      FROM base
+    ), fb AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('|' || f), 1, 15))::BIGINT % 8192
+               AS bucket
+      FROM feats
+    ), tc AS (
+      SELECT bucket, COUNT(*)::BIGINT AS ct FROM fb
+      WHERE lang = 'en' GROUP BY 1
+    ), rc AS (
+      SELECT bucket, COUNT(*)::BIGINT AS cr FROM fb GROUP BY 1
+    ), tt AS (SELECT SUM(ct)::DOUBLE AS t FROM tc),
+    tr AS (SELECT SUM(cr)::DOUBLE AS t FROM rc),
+    dfm AS (
+      SELECT doc_id, bucket, COUNT(*)::BIGINT AS m FROM fb GROUP BY 1, 2
+    ), sc AS (
+      SELECT doc_id, SUM(m)::BIGINT AS n_feats,
+             SUM(m::DOUBLE * (ln(COALESCE(tc.ct, 0) + 1.0)
+                              - ln(COALESCE(rc.cr, 0) + 1.0))) AS s
+      FROM dfm LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_feats,
+           round(s - n_feats::DOUBLE
+                 * (ln(tt.t + 8192.0) - ln(tr.t + 8192.0)), 6)
+             AS logweight_r6
+    FROM sc CROSS JOIN tt CROSS JOIN tr
+    """,
+)
+def q_sampling_importance_weights(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-weights (round 12,
+    :func:`lindel_spark.sampling.importance_weights`): every document
+    scored by how much more likely its hashed unigram+bigram features
+    are under the TARGET slice (here lang='en') than under the whole
+    pool — Laplace-smoothed bucket models, md5 buckets (the kfold
+    hash idiom), log-count algebra; feed the weights to the existing
+    weighted samplers to resample toward the target (Xie et al. 2023
+    recipe). The oracle replays features, buckets, counts and logs
+    value-for-value; 6dp."""
+    from lindel_spark.sampling import importance_weights
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    target = docs.filter(F.col("lang") == "en")
+    out = importance_weights(target, docs)
+    return out.select("doc_id", "n_feats",
+                      F.round("logweight", 6).alias("logweight_r6"))
 
 
 @query(

@@ -2243,3 +2243,57 @@ def covariance_matrix(
         "i", "j",
         (F.col("__sxy") / n
          - (F.col("__sx") / n) * (F.col("__sy") / n)).alias("cov"))
+
+
+def silhouette_by_cell(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell SIMPLIFIED silhouette of a centroid assignment:
+    for each (normalized) vector, ``a`` = L2 distance to its own
+    centroid, ``b`` = distance to the nearest OTHER centroid,
+    ``s = (b − a) / max(a, b)`` — the O(n·k) centroid-based variant
+    of the silhouette coefficient (the exact pairwise form is O(n²)
+    and never runs at corpus scale; the simplified form is the
+    standard practical audit, e.g. Hruschka et al.). Returns
+    ``(cell, n_vectors, mean_s, min_s, max_s)`` — the clustering
+    counterpart of :func:`ivf_health`'s balance numbers (balance
+    says cells are even; silhouette says they are SEPARATED — a
+    well-balanced but zero-silhouette quantizer is hashing, not
+    clustering). Overall score = Σ n·mean_s / Σ n.
+
+    One Arrow pass (distances to all k centroids per batch, k·d in
+    the closure) + one cell-keyed aggregate; assignment uses the
+    shared L2-nearest rule, so cells match :func:`assign_cells` /
+    :func:`ivf_pq_encode` exactly. Requires ≥ 2 centroids.
+    """
+    C = np.ascontiguousarray(centroids)
+    if len(C) < 2:
+        raise ValueError("LINDEL: silhouette needs >= 2 centroids")
+    out_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("s", T.DoubleType()),
+    ])
+    c2 = (C * C).sum(1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack([np.asarray(v, np.float64) for v in pdf["__v"]])
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            d2 = np.maximum(1.0 + c2[None, :] - 2.0 * (Vn @ C.T), 0.0)
+            order = np.argsort(d2, axis=1, kind="stable")
+            own = order[:, 0]
+            a = np.sqrt(d2[np.arange(len(Vn)), own])
+            b = np.sqrt(d2[np.arange(len(Vn)), order[:, 1]])
+            mx = np.maximum(np.maximum(a, b), 1e-300)
+            yield pd.DataFrame({"cell": own.astype(np.int32),
+                                "s": (b - a) / mx})
+
+    pts = ensure_parallelism(corpus).select(F.col(vec_col).alias("__v"))
+    per = pts.mapInPandas(run, out_schema)
+    return per.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.avg("s").alias("mean_s"),
+        F.min("s").alias("min_s"),
+        F.max("s").alias("max_s"))

@@ -183,3 +183,51 @@ def test_corr_matrix_separator_collision_safe(spark):
     assert len(got) == 6
     assert got[("a__b", "a")] == pytest.approx(1.0, abs=1e-9)
     assert got[("a", "b__a")] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    """Hand replay of the step-wise AP on a small scored set with
+    ties — must equal the direct Python computation (sklearn's
+    average_precision_score definition)."""
+    from lindel_spark.evaluation import average_precision
+
+    rows = [(0.9, 1), (0.8, 0), (0.8, 1), (0.7, 0), (0.6, 1),
+            (0.5, 0), (0.5, 0), (0.4, 1), (0.3, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = average_precision(df, "s", "y").collect()[0]
+    # python replay over distinct thresholds descending
+    from collections import Counter
+    pos = Counter(); cnt = Counter()
+    for s, y in rows:
+        pos[s] += y; cnt[s] += 1
+    n_pos = sum(y for _, y in rows)
+    cp = cc = 0; ap = 0.0
+    for s in sorted(pos, reverse=True):
+        cp += pos[s]; cc += cnt[s]
+        if pos[s]:
+            ap += (pos[s] / n_pos) * (cp / cc)
+    assert got.n_pos == 4 and got.n_neg == 6
+    assert abs(got.ap - ap) < 1e-12
+    # perfect ranking -> AP = 1; degenerate no-positives -> NULL
+    perfect = spark.createDataFrame(
+        [(1.0, 1), (0.9, 1), (0.1, 0)], "s double, y int")
+    assert abs(average_precision(perfect, "s", "y").collect()[0].ap
+               - 1.0) < 1e-12
+    nopos = spark.createDataFrame([(0.5, 0)], "s double, y int")
+    assert average_precision(nopos, "s", "y").collect()[0].ap is None
+
+
+def test_average_precision_beats_auc_under_imbalance(spark):
+    """The reason AP exists: with 2 positives in 200 rows, a model
+    that ranks one positive first and buries the other scores near
+    0.5 AP but still decent AUC — assert AP is the more pessimistic
+    (discriminating) number here."""
+    from lindel_spark.evaluation import average_precision, roc_auc
+
+    rows = [(1.0, 1)] + [(0.5 - i * 0.001, 0) for i in range(198)] \
+        + [(0.5 - 147.5 * 0.001, 1)]  # 2nd positive buried mid-pack
+    df = spark.createDataFrame(rows, "s double, y int")
+    ap = average_precision(df, "s", "y").collect()[0].ap
+    auc = roc_auc(df, "s", "y").collect()[0].auc
+    assert ap < auc, (ap, auc)
+    assert 0.5 <= ap <= 0.52

@@ -404,3 +404,61 @@ def test_kfold_null_key_raises(spark):
     # NULL-free frames are unaffected
     ok = kfold(df.filter("key is not null"), "key", k=3).collect()
     assert len(ok) == 2 and all(0 <= r.fold < 3 for r in ok)
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    """DSIR contract: documents that share the target slice's
+    vocabulary outscore documents that don't; the weight is a pure
+    function of content (repartition-stable); hand-replay on a tiny
+    corpus matches exactly."""
+    import math
+    from collections import Counter
+    from lindel_spark.sampling import importance_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark shuffle join window agg") for i in range(5)],
+        "doc_id long, text string")
+    raw = spark.createDataFrame(
+        [(0, "spark shuffle join window"),
+         (1, "cat dog bird fish"),
+         (2, "spark join cat dog")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           importance_weights(target, raw, n_buckets=64).collect()}
+    assert got[0].logweight > got[2].logweight > got[1].logweight
+    # bigrams counted: "spark shuffle join window" -> 4 unigrams + 3
+    # bigrams
+    assert got[0].n_feats == 7
+
+    # exact hand replay (python md5, same bucket rule)
+    import hashlib
+
+    def bucket(f, B=64):
+        return int(hashlib.md5(("|" + f).encode()).hexdigest()[:15],
+                   16) % B
+
+    def feats(text):
+        t = [x for x in text.split(" ") if x]
+        return t + [a + " " + b for a, b in zip(t, t[1:])]
+
+    tc = Counter(bucket(f) for _ in range(5)
+                 for f in feats("spark shuffle join window agg"))
+    rc = Counter(bucket(f) for d in
+                 ["spark shuffle join window", "cat dog bird fish",
+                  "spark join cat dog"] for f in feats(d))
+    tt, tr = sum(tc.values()), sum(rc.values())
+    for doc_id, text in [(0, "spark shuffle join window"),
+                         (1, "cat dog bird fish")]:
+        fs = feats(text)
+        lw = sum(math.log(tc.get(bucket(f), 0) + 1.0)
+                 - math.log(rc.get(bucket(f), 0) + 1.0) for f in fs) \
+            - len(fs) * (math.log(tt + 64.0) - math.log(tr + 64.0))
+        assert abs(got[doc_id].logweight - lw) < 1e-9, (doc_id, lw)
+
+    again = {r.doc_id: r.logweight for r in importance_weights(
+        target.repartition(5), raw.repartition(3),
+        n_buckets=64).collect()}
+    assert all(abs(again[d] - got[d].logweight) < 1e-12 for d in again)
+    import pytest
+    with pytest.raises(ValueError, match="n_buckets"):
+        importance_weights(target, raw, n_buckets=1)

@@ -1050,3 +1050,58 @@ def test_opq_residual_composition_reduces_error_on_anisotropic(spark):
     e_res = mse(res, books_res)
     e_both = mse(res @ R.T, books_both)
     assert e_both < e_res * 1.001, (e_both, e_res)
+
+
+def test_silhouette_two_blobs_high_and_shared_assignment(spark):
+    """Two tight, well-separated blobs with their exact centers as
+    centroids: simplified silhouette near 1; per-cell counts match;
+    constructed overlap drives it toward 0."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    A = np.array([1.0] + [0.0] * 7) + rng.randn(60, 8) * 0.02
+    B = np.array([0.0] * 7 + [1.0]) + rng.randn(60, 8) * 0.02
+    V = np.vstack([A, B])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in V[i]]) for i in range(len(V))],
+        "vec_id long, embedding array<double>")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = np.vstack([Vn[:60].mean(0), Vn[60:].mean(0)])
+    rows = {r.cell: r for r in
+            LS.silhouette_by_cell(df, C).collect()}
+    assert sum(r.n_vectors for r in rows.values()) == 120
+    assert all(r.mean_s > 0.9 for r in rows.values()), rows
+    # one shared centroid twice -> b == a is impossible; instead test
+    # an overlapping blob pair: silhouette collapses toward 0
+    O = np.vstack([A, A + rng.randn(60, 8) * 0.002])
+    df2 = spark.createDataFrame(
+        [(int(i), [float(x) for x in O[i]]) for i in range(len(O))],
+        "vec_id long, embedding array<double>")
+    On = O / np.linalg.norm(O, axis=1, keepdims=True)
+    C2 = np.vstack([On[:60].mean(0), On[60:].mean(0)])
+    rows2 = LS.silhouette_by_cell(df2, C2).collect()
+    overall = sum(r.n_vectors * r.mean_s for r in rows2) / 120
+    assert overall < 0.2, overall
+    import pytest as _pt
+    with _pt.raises(ValueError, match="2 centroids"):
+        LS.silhouette_by_cell(df, C[:1])
+
+
+def test_silhouette_matches_numpy_replay(emb):
+    import numpy as np
+
+    C = LS.train_centroids(emb, 8)
+    rows = LS.silhouette_by_cell(emb, C).collect()
+    V = np.array([r.embedding for r in
+                  emb.select("embedding").collect()], np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    d2 = np.maximum(1.0 + (C * C).sum(1)[None, :] - 2.0 * (Vn @ C.T),
+                    0.0)
+    order = np.argsort(d2, axis=1, kind="stable")
+    a = np.sqrt(d2[np.arange(len(Vn)), order[:, 0]])
+    b = np.sqrt(d2[np.arange(len(Vn)), order[:, 1]])
+    s = (b - a) / np.maximum(np.maximum(a, b), 1e-300)
+    for r in rows:
+        mask = order[:, 0] == r.cell
+        assert r.n_vectors == int(mask.sum())
+        assert abs(r.mean_s - float(s[mask].mean())) < 1e-12
