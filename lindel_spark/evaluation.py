@@ -183,3 +183,112 @@ def average_precision(
         "n_pos", "n_neg",
         F.when(F.col("n_pos") > 0, F.col("__ap"))
         .otherwise(F.lit(None).cast("double")).alias("ap"))
+
+
+def conformal_split(
+    df_cal: DataFrame,
+    df_test: DataFrame,
+    score_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk et al. 2005; the
+    distribution-free coverage recipe): from the CALIBRATION fold's
+    nonconformity scores take the exact order statistic ``q̂ =
+    s_(⌈(n+1)(1−α)⌉)``, then measure the TEST fold's empirical
+    coverage ``P(s ≤ q̂)`` — one row ``(n_cal, n_test, k, qhat,
+    coverage)``. If test is exchangeable with calibration, coverage
+    ≥ 1−α is guaranteed; a drop below is a drift alarm with a
+    finite-sample guarantee, which is what makes this the
+    model-agnostic companion to the PSI/KS monitors. ``k`` > n_cal
+    (tiny folds / tight α) yields ``qhat = +∞`` semantics: returned
+    as NULL qhat with coverage 1 by definition.
+
+    Plan: calibration collapses to per-distinct-score counts and the
+    order statistic comes from the repo's DISTRIBUTED prefix sum
+    (never an unpartitioned window, never a full sort); the test
+    side is one broadcast-threshold aggregate. Exact integer count
+    algebra; NULL scores excluded.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    from lindel_spark.util import prefix_sums
+
+    cal = (df_cal.select(F.col(score_col).cast("double").alias("s"))
+           .filter(F.col("s").isNotNull()))
+    counts = cal.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    cum = prefix_sums(counts, "s", ["c"])
+    tot = cum.agg(F.max("cum_c").cast("long").alias("n_cal"))
+    # k = ceil((n+1)(1-alpha)) without float edges:
+    # ceil(a/b) = -floor(-a/b) over exact integers when alpha is a
+    # dyadic-safe literal; compute in double then ceil — standard.
+    withk = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "__k", F.ceil((F.col("n_cal") + 1).cast("double")
+                      * F.lit(1.0 - float(alpha))).cast("long"))
+    qhat = (withk.filter(F.col("cum_c") >= F.col("__k"))
+            .agg(F.min("s").alias("qhat")))
+    base = (tot.withColumn(
+        "k", F.ceil((F.col("n_cal") + 1).cast("double")
+                    * F.lit(1.0 - float(alpha))).cast("long"))
+        .crossJoin(F.broadcast(qhat)))
+    test = (df_test.select(F.col(score_col).cast("double").alias("s"))
+            .filter(F.col("s").isNotNull()))
+    cov = test.crossJoin(F.broadcast(base)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.avg(F.when(F.col("k") > F.col("n_cal"), 1.0)
+              .otherwise(
+                  F.when(F.col("s") <= F.col("qhat"), 1.0)
+                  .otherwise(0.0))).alias("coverage"))
+    return (base.crossJoin(F.broadcast(cov))
+            .select("n_cal", "n_test", "k",
+                    F.when(F.col("k") <= F.col("n_cal"),
+                           F.col("qhat")).alias("qhat"),
+                    "coverage"))
+
+
+def roc_auc_by(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC PER GROUP — :func:`roc_auc`'s
+    midrank identity applied within each ``by`` partition: one row
+    per group ``(by…, n_pos, n_neg, auc)``. The fairness/segment
+    screen (does the scorer degrade on a slice?) that reruns of the
+    global metric can't see.
+
+    Plan: rows collapse map-side to per-(group, distinct-score)
+    counts, midranks come from a window PARTITIONED by the group
+    columns (per-group state = the group's distinct scores — a
+    partitioned window is the scale-correct tool here, unlike the
+    global metric where only the distributed prefix sum avoids the
+    single-task funnel), one aggregate closes. Labels must be 0/1;
+    degenerate groups (single class) return NULL auc.
+    """
+    from pyspark.sql.window import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    pairs = (df.select(*by,
+                       F.col(score_col).cast("double").alias("s"),
+                       F.col(label_col).cast("int").alias("y"))
+             .filter(F.col("s").isNotNull() & F.col("y").isNotNull()))
+    counts = pairs.groupBy(*by, "s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"))
+    w = (Window.partitionBy(*by).orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn(
+        "cumc", F.sum(F.col("pos") + F.col("neg")).over(w))
+    mid2 = 2 * F.col("cumc") - (F.col("pos") + F.col("neg")) + 1
+    agg = cum.groupBy(*by).agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * mid2).cast("long").alias("r1_2"))
+    np_, nn_ = F.col("n_pos"), F.col("n_neg")
+    auc = F.when(
+        (np_ > 0) & (nn_ > 0),
+        (F.col("r1_2").cast("double") / 2.0
+         - (np_ * (np_ + 1)).cast("double") / 2.0)
+        / (np_ * nn_).cast("double"))
+    return agg.select(*by, "n_pos", "n_neg", auc.alias("auc"))

@@ -237,3 +237,49 @@ def corr_matrix(df: DataFrame, cols) -> DataFrame:
             .otherwise(F.lit(None).cast("double")).alias("corr")))
     return (row.select(F.explode(F.array(*structs)).alias("s"))
             .select("s.col_a", "s.col_b", "s.n", "s.corr"))
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category
+    of a categorical feature against a 0/1 label — the classic
+    scorecard-era feature screen (Siddiqi 2006) and the
+    LOG-ODDS-scaled companion to :func:`target_encode` (which returns
+    smoothed means): ``WOE_i = ln(dist_pos_i / dist_neg_i)`` with
+    Laplace mass ``smoothing`` added per category on BOTH sides (so
+    pure categories stay finite), ``iv_term_i = (dist_pos_i −
+    dist_neg_i) · WOE_i``; the feature's IV is the sum over rows of
+    the output (rule of thumb: < 0.02 useless, > 0.5 suspicious).
+
+    Plan: one map-side-combined groupBy to category counts
+    (category-sized, never rows), one broadcast one-row totals frame
+    — the distributions normalize by ``(pos_tot + s·K)`` where ``K``
+    is the category count, so smoothed masses sum to exactly 1 on
+    both engines. NULL features or labels are excluded; labels must
+    be 0/1.
+    """
+    s = float(smoothing)
+    base = (df.select(F.col(feature_col).alias("category"),
+                      F.col(label_col).cast("int").alias("__y"))
+            .filter(F.col("category").isNotNull()
+                    & F.col("__y").isNotNull()))
+    cat = base.groupBy("category").agg(
+        F.sum("__y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("neg"))
+    tot = cat.agg(F.sum("pos").cast("double").alias("__pt"),
+                  F.sum("neg").cast("double").alias("__nt"),
+                  F.count(F.lit(1)).cast("double").alias("__k"))
+    j = cat.crossJoin(F.broadcast(tot))
+    dp = (F.col("pos").cast("double") + F.lit(s)) \
+        / (F.col("__pt") + F.lit(s) * F.col("__k"))
+    dn = (F.col("neg").cast("double") + F.lit(s)) \
+        / (F.col("__nt") + F.lit(s) * F.col("__k"))
+    woe = F.log(dp / dn)
+    return j.select("category", "pos", "neg",
+                    (F.col("pos") + F.col("neg")).alias("n"),
+                    woe.alias("woe"),
+                    ((dp - dn) * woe).alias("iv_term"))

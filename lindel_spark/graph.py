@@ -627,3 +627,134 @@ def modularity(
                    / (F.lit(2.0) * F.col("__m")), F.lit(2.0)))
     return out.select("label", "n_nodes", "m_in", "d_c",
                       q_c.alias("q_c"))
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_middle_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood link prediction over an undirected graph: for
+    every NON-adjacent pair ``(src, dst)`` sharing at least one
+    neighbor, returns the three classic scores ``(common_neighbors,
+    jaccard, adamic_adar)`` (Liben-Nowell & Kleinberg 2003):
+    ``CN = |Γ(u)∩Γ(v)|``, ``J = CN / |Γ(u)∪Γ(v)|``, ``AA = Σ_{z ∈
+    Γ(u)∩Γ(v)} 1/ln(deg z)`` — AA's hub down-weighting is the reason
+    it wins on co-occurrence graphs. Exact count algebra plus two
+    ``ln`` calls, so the frame replays value-level in any engine.
+
+    Plan: wedge enumeration at the shared middle ``z`` (adjacency
+    self-join keyed on ``z``, pair ordered ``u < v``), one
+    map-side-combined aggregate per pair, degree dimension joined
+    twice, existing edges removed with a left-anti join. Candidate
+    volume is inherently ``Σ_z deg(z)²`` — the METRIC enumerates
+    every 2-path, unlike triangle counting there is no closing edge
+    to orient away — so run :func:`degree_profile` first and cap
+    hubs with ``max_middle_degree`` (standard practice: a 10⁶-degree
+    hub contributes no signal at 1/ln(10⁶) each but 10¹² candidate
+    pairs); excluded middles are EXCLUDED FROM THE SCORES, matching
+    the capped oracle, and the cap is a documented semantic knob,
+    not an approximation toggle.
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = (e.select(F.col("a").alias("z"), F.col("b").alias("n"))
+           .unionAll(e.select(F.col("b").alias("z"),
+                              F.col("a").alias("n"))))
+    deg = adj.groupBy("z").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    mid = adj.join(deg, "z")
+    if max_middle_degree is not None:
+        mid = mid.filter(F.col("deg") <= F.lit(int(max_middle_degree)))
+    left = mid.select("z", F.col("n").alias("u"),
+                      F.col("deg").alias("degz"))
+    right = mid.select("z", F.col("n").alias("v"))
+    wedges = (left.join(right, "z")
+              .filter(F.col("u") < F.col("v")))
+    scores = (wedges.groupBy("u", "v")
+              .agg(F.count(F.lit(1)).cast("long").alias("cn"),
+                   F.sum(F.lit(1.0)
+                         / F.log(F.col("degz").cast("double")))
+                   .alias("adamic_adar")))
+    cand = scores.join(
+        e, (scores["u"] == e["a"]) & (scores["v"] == e["b"]),
+        "left_anti")
+    du = deg.select(F.col("z").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("z").alias("v"), F.col("deg").alias("dv"))
+    out = (cand.join(du, "u").join(dv, "v")
+           .select(F.col("u").alias(src), F.col("v").alias(dst),
+                   "cn",
+                   (F.col("cn").cast("double")
+                    / (F.col("du") + F.col("dv") - F.col("cn"))
+                    .cast("double")).alias("jaccard"),
+                   "adamic_adar"))
+    return out
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED edge list (Kleinberg
+    1999): returns ``(node, hub, authority)``. Per iteration the
+    authority of ``v`` is the sum of hub scores over in-edges and the
+    hub of ``u`` the sum of authorities over out-edges, each vector
+    L1-normalized (sum = 1) — L1 instead of the textbook L2 so the
+    normalizer is a plain SUM and the whole loop replays as an
+    unrolled SQL oracle exactly, same fixed-round determinism
+    contract as :func:`pagerank`.
+
+    Plan per iteration: one join + map-side-combined aggregate per
+    direction, the normalizer a broadcast one-row frame. Unlike
+    :func:`pagerank` (one normalization per round, lazy throughout),
+    HITS normalizes TWICE per round and each normalizer references
+    the full upstream plan — left lazy the plan QUADRUPLES per
+    iteration (4 rounds ≈ 256 replays of the caller's edge
+    derivation; measured OOM on the transition-graph fixture), so
+    both NODE-sized score frames are ``localCheckpoint``-ed every
+    round: the materialization is |V| rows, never the edge list.
+    Self-loops and duplicate edges are kept (they are signal in
+    HITS); isolated directions yield 0 scores. ``checkpoint_every``
+    is kept for signature symmetry with :func:`pagerank` but
+    truncation is per-round for the reason above.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionByName(e.select(F.col("v").alias("node")))
+             .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for it in range(iterations):
+        a_raw = (e.join(hubs, e["u"] == hubs["node"])
+                 .groupBy(F.col("v").alias("node"))
+                 .agg(F.sum("hub").alias("__s")))
+        a_tot = a_raw.agg(F.sum("__s").alias("__t"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(a_tot))
+                .select("node",
+                        (F.coalesce(F.col("__s"), F.lit(0.0))
+                         / F.col("__t")).alias("authority"))
+                .localCheckpoint())
+        h_raw = (e.join(auth, e["v"] == auth["node"])
+                 .groupBy(F.col("u").alias("node"))
+                 .agg(F.sum("authority").alias("__s")))
+        h_tot = h_raw.agg(F.sum("__s").alias("__t"))
+        hubs = (nodes.join(h_raw, "node", "left")
+                .crossJoin(F.broadcast(h_tot))
+                .select("node",
+                        (F.coalesce(F.col("__s"), F.lit(0.0))
+                         / F.col("__t")).alias("hub"))
+                .localCheckpoint())
+    return (nodes.join(hubs.withColumnRenamed("node", "n1"),
+                       F.col("node") == F.col("n1"))
+            .join(auth.withColumnRenamed("node", "n2"),
+                  F.col("node") == F.col("n2"))
+            .select("node", "hub", "authority"))

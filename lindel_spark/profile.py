@@ -1336,3 +1336,247 @@ def ks_test(
                 F.max("__d").alias("ks_d"),
                 F.min("v").alias("at_value")))
     return out
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) test: one row
+    ``(n1, n0, u1, z)`` comparing the ``label==1`` sample against the
+    ``label==0`` sample — the NONPARAMETRIC companion to
+    :func:`welch_ttest` (no normality assumption; detects any
+    stochastic-dominance shift) and the test behind
+    :func:`lindel_spark.evaluation.roc_auc`'s rank identity
+    (``U1 = AUC · n1 · n0``). ``z`` is the tie-corrected normal
+    approximation ``(U1 − n1·n0/2) / σ`` with
+    ``σ² = n1·n0/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`` over tie-group
+    sizes ``t`` — the textbook correction, exact integer algebra
+    until the final division so both engines agree to the ulp.
+
+    Plan: rows collapse map-side to a per-distinct-value
+    ``(c1, c0)`` count table (distinct-value-sized, never rows);
+    midranks come from the repo's DISTRIBUTED prefix sum
+    (:func:`lindel_spark.util.prefix_sums` — range-partitioned,
+    placement-pinned, never an unpartitioned window); one scalar
+    aggregate closes. Labels must be 0/1; NULLs excluded; degenerate
+    inputs (either sample empty, or all values tied) return NULL z.
+    """
+    from lindel_spark.util import prefix_sums
+
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(label_col).cast("int").alias("y"))
+             .filter(F.col("v").isNotNull() & F.col("y").isNotNull()))
+    counts = pairs.groupBy("v").agg(
+        F.sum("y").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("c0"),
+    ).withColumn("cnt", (F.col("c1") + F.col("c0")).cast("long"))
+    c = prefix_sums(counts, "v", ["cnt"])
+    # midrank of the tied block at v: ranks cum−cnt+1 … cum, average
+    # = cum − cnt + (cnt+1)/2 — kept as 2·midrank (integer) until the
+    # final scalar so rank sums stay exact
+    mid2 = 2 * F.col("cum_cnt") - F.col("cnt") + 1  # 2 × midrank
+    agg = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * mid2).cast("long").alias("r1_2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
+              - F.col("cnt")).cast("long").alias("tie3"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    n = n1 + n0
+    u1 = F.col("r1_2").cast("double") / 2.0 \
+        - (n1 * (n1 + 1)).cast("double") / 2.0
+    var = (n1 * n0).cast("double") / 12.0 \
+        * ((n + 1).cast("double")
+           - F.col("tie3").cast("double")
+           / (n.cast("double") * (n - 1).cast("double")))
+    z = F.when((n1 > 0) & (n0 > 0) & (var > 0),
+               (u1 - (n1 * n0).cast("double") / 2.0) / F.sqrt(var))
+    return agg.select("n1", "n0", u1.alias("u1"), z.alias("z"))
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test: one row ``(n1, n0, mean1,
+    mean0, t_stat, df_welch)`` comparing the ``label==1`` sample mean
+    against ``label==0`` — the parametric companion to
+    :func:`mann_whitney_u` (same scored-frame contract as
+    ``evaluation.roc_auc``). ``t = (m1−m0)/√(v1/n1+v0/n0)`` with the
+    Welch–Satterthwaite degrees of freedom; variances are SAMPLE
+    variances computed from the explicit ``(Σx, Σx², n)`` moment
+    algebra (not the engine's ``var_samp``) so both engines run the
+    identical formula. One map-side-combined aggregate — no shuffle
+    beyond the single scalar reduce; NULLs excluded; groups with
+    fewer than 2 rows return NULL t.
+    """
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(label_col).cast("int").alias("y"))
+             .filter(F.col("v").isNotNull() & F.col("y").isNotNull()))
+    one = pairs.agg(
+        F.sum("y").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n0"),
+        F.sum(F.col("v") * F.col("y")).alias("s1"),
+        F.sum(F.col("v") * (F.lit(1) - F.col("y"))).alias("s0"),
+        F.sum(F.col("v") * F.col("v") * F.col("y")).alias("q1"),
+        F.sum(F.col("v") * F.col("v")
+              * (F.lit(1) - F.col("y"))).alias("q0"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    m1, m0 = F.col("s1") / n1, F.col("s0") / n0
+    v1 = (F.col("q1") - F.col("s1") * F.col("s1") / n1) / (n1 - 1)
+    v0 = (F.col("q0") - F.col("s0") * F.col("s0") / n0) / (n0 - 1)
+    se2 = v1 / n1 + v0 / n0
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1)
+    t = F.when(ok & (se2 > 0), (m1 - m0) / F.sqrt(se2))
+    dfw = F.when(
+        ok & (se2 > 0),
+        se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                     + (v0 / n0) * (v0 / n0) / (n0 - 1)))
+    return one.select("n1", "n0", m1.alias("mean1"), m0.alias("mean0"),
+                      t.alias("t_stat"), dfw.alias("df_welch"))
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation: one row ``(n, rho)`` — Pearson
+    correlation of the MIDRANKS of ``x`` and ``y`` (the tie-correct
+    definition), the monotone-association companion to
+    :func:`lindel_spark.features.corr_matrix`'s linear Pearson.
+    The final Pearson runs the explicit five-moment formula
+    ``(nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))`` over EXACT-integer
+    2×midranks so both engines agree bit-for-bit until the closing
+    division.
+
+    Plan: each column collapses to a per-distinct-value count table
+    (map-side-combined groupBy), midranks come from the repo's
+    DISTRIBUTED prefix sum (never an unpartitioned window), and the
+    rank dimension joins back to the paired rows as an equi-join on
+    value — distinct-value-sized shuffles, row-scale only in the one
+    final scalar aggregate. Rows with a NULL on either side are
+    excluded (pairwise-complete). Constant columns return NULL rho.
+    """
+    from lindel_spark.util import prefix_sums
+
+    pairs = (df.select(F.col(x_col).cast("double").alias("x"),
+                       F.col(y_col).cast("double").alias("y"))
+             .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+
+    def midranks(col):
+        cnts = (pairs.groupBy(col)
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+        c = prefix_sums(cnts, col, ["cnt"])
+        # 2×midrank stays integral — exact until the closing division
+        return c.select(
+            col,
+            (2 * F.col("cum_cnt") - F.col("cnt") + 1)
+            .cast("long").alias(f"r2_{col}"))
+
+    ranked = (pairs.join(midranks("x"), "x").join(midranks("y"), "y"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2_x").cast("double").alias("sx"),
+        F.sum("r2_y").cast("double").alias("sy"),
+        F.sum(F.col("r2_x").cast("double")
+              * F.col("r2_x").cast("double")).alias("qx"),
+        F.sum(F.col("r2_y").cast("double")
+              * F.col("r2_y").cast("double")).alias("qy"),
+        F.sum(F.col("r2_x").cast("double")
+              * F.col("r2_y").cast("double")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = ((nn * F.col("qx") - F.col("sx") * F.col("sx"))
+            * (nn * F.col("qy") - F.col("sy") * F.col("sy")))
+    rho = F.when(den2 > 0, num / F.sqrt(den2))
+    return m.select("n", rho.alias("rho"))
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_identifiers,
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    screen :func:`l_diversity_report` misses: a class can hold l
+    DISTINCT sensitive values yet be skewed far from the corpus
+    (e.g. 99 % one diagnosis), so membership still shifts an
+    attacker's posterior. One row per equivalence class: the
+    quasi-identifier values, ``group_n``, ``tvd`` (total variation
+    distance between the class's sensitive-value distribution and
+    the GLOBAL one — the categorical EMD the paper reduces to) and
+    ``close`` (tvd ≤ t). Together with ``k_anonymity_report`` and
+    ``l_diversity_report`` this completes the standard release-gate
+    trio.
+
+    Plan: one global per-value count (dimension-sized) broadcast
+    against per-(class, value) counts; absent values fold in closed
+    form — ``tvd = ½(Σ_present |p−q| + 1 − Σ_present q)`` — so the
+    class×vocabulary cross never materializes. Shuffle keys = classes
+    and (class, value) pairs, never rows; NULL sensitive values are
+    excluded.
+    """
+    qi = list(quasi_identifiers)
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    s = F.col(sensitive_col).alias("__s")
+    gcnt = (base.select(s).groupBy("__s")
+            .agg(F.count(F.lit(1)).cast("long").alias("__gc")))
+    gtot = gcnt.agg(F.sum("__gc").cast("double").alias("__gt"))
+    g = (gcnt.crossJoin(F.broadcast(gtot))
+         .select("__s", (F.col("__gc") / F.col("__gt")).alias("__q")))
+    cls = (base.select(*qi, s).groupBy(*qi, "__s")
+           .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    sizes = (base.groupBy(*qi)
+             .agg(F.count(F.lit(1)).cast("long").alias("group_n")))
+    per = (cls.join(g, "__s").join(sizes, qi)
+           .groupBy(*qi)
+           .agg(F.max("group_n").alias("group_n"),
+                F.sum(F.abs(F.col("__c").cast("double")
+                            / F.col("group_n").cast("double")
+                            - F.col("__q"))).alias("__sabs"),
+                F.sum("__q").alias("__sq")))
+    tvd = 0.5 * (F.col("__sabs") + 1.0 - F.col("__sq"))
+    return per.select(*qi, "group_n", tvd.alias("tvd"),
+                      (tvd <= F.lit(float(t))).alias("close"))
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    success_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): one row ``(n1, n0, p1, p0,
+    z)`` comparing success rates between the ``group==1`` and
+    ``group==0`` samples — the conversion-rate / pass-rate companion
+    to :func:`welch_ttest` (means) and :func:`mann_whitney_u`
+    (ranks): ``z = (p1−p0) / √(p̂(1−p̂)(1/n1+1/n0))`` with the pooled
+    ``p̂``. One map-side-combined scalar aggregate, exact integer
+    counts to the final divisions. Successes must be 0/1; NULLs
+    excluded; degenerate inputs (either group empty, pooled rate 0
+    or 1) return NULL z.
+    """
+    base = (df.select(F.col(success_col).cast("int").alias("x"),
+                      F.col(group_col).cast("int").alias("g"))
+            .filter(F.col("x").isNotNull() & F.col("g").isNotNull()))
+    agg = base.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("n0"),
+        F.sum(F.col("x") * F.col("g")).cast("long").alias("s1"),
+        F.sum(F.col("x") * (F.lit(1) - F.col("g"))).cast("long")
+        .alias("s0"))
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    p1, p0 = F.col("s1") / n1, F.col("s0") / n0
+    pp = (F.col("s1") + F.col("s0")).cast("double") / (n1 + n0)
+    se2 = pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n0)
+    z = F.when((F.col("n1") > 0) & (F.col("n0") > 0) & (se2 > 0),
+               (p1 - p0) / F.sqrt(se2))
+    return agg.select("n1", "n0", p1.alias("p1"), p0.alias("p0"),
+                      z.alias("z"))

@@ -60,29 +60,47 @@ _SAMPLE_FIRST = [
     # first. Everything else stays covered by the local full-registry
     # sweeps at three scales.
     # (a) round-12 new
-    "graph_kcore",               # new: bounded-round k-core peel
-    "graph_degree_profile",      # new: degree/wedge pre-flight audit
-    "text_langid_trained",       # new: char-n-gram NB language ID
-    "knn_opq_recall",            # new: OPQ rotation before PQ
-    "graph_modularity",          # new: community-quality Newman Q
+    "events_mann_whitney",  # new: tie-corrected rank-sum test
+    "graph_link_prediction",  # new: CN/Jaccard/Adamic-Adar
+    "graph_hits_transitions",  # new: HITS hubs/authorities
+    "profile_t_closeness",  # new: TVD release-gate audit
+    "features_woe_iv",  # new: WOE/IV category screen
+    "events_ewma",  # new: FIR EWMA smoothing
+    "text_dirichlet_ql",  # new: LM retrieval ranking
+    "text_readability",  # new: Flesch reading ease
+    "eval_conformal",  # new: split-conformal coverage
+    "text_rake_phrases",  # new: RAKE keyphrases
+    "text_tfidf_cosine_pairs",  # new: sparse lexical sim join
+    "eval_auc_by_type",  # new: per-segment exact AUC
+    "text_script_profile",  # new: script-class router
+    "events_proportion_test",  # new: two-proportion z
+    "events_kaplan_meier",  # new: survival/retention curve
+    "text_heaps_fit",  # new: vocabulary-growth law
+    "events_welch_ttest",  # new: unequal-variance t-test
+    "events_spearman",  # new: midrank Spearman rho
+    "graph_kcore",  # new: bounded-round k-core peel
+    "graph_degree_profile",  # new: degree/wedge pre-flight audit
+    "text_langid_trained",  # new: char-n-gram NB language ID
+    "knn_opq_recall",  # new: OPQ rotation before PQ
+    "graph_modularity",  # new: community-quality Newman Q
     "events_seasonal_decompose",  # new: fixed-period decomposition
-    "eval_avg_precision",        # new: step-wise PR-AUC
-    "knn_silhouette",            # new: quantizer separation audit
+    "eval_avg_precision",  # new: step-wise PR-AUC
+    "knn_silhouette",  # new: quantizer separation audit
     "sampling_importance_weights",  # new: DSIR data selection
     # (b) round-12 operator-changed
-    "graph_triangle_counts",     # degree-ordered edge-iterator rewrite
-    "knn_ivfpq_recall",          # residual IVFADC default, gate 0.7
-    "knn_join_pq_topk",          # residual ADC distributed path
-    "knn_pq_recall",             # train_pq/pq_knn rotation params
-    "knn_route_parity",          # pq routing family re-pin
-    "text_url_canonical",        # name-exact tracker matching
-    "sampling_kfold",            # NULL-key in-plan raise
-    "profile_benford_prices",    # string-form digit extraction
-    "sketch_hll_parts",          # p validation + in-plan guard
-    "events_hll_users",          # consumes hll_estimate (guarded)
-    "asof_join_tolerance",       # NULL-supplier semantic pinned
-    "knn_ivf_recall",            # L2-nearest assignment rule (unit ≡ dot)
-    "dedup_semantic",            # assign_cells under the shared rule
+    "graph_triangle_counts",  # degree-ordered edge-iterator rewrite
+    "knn_ivfpq_recall",  # residual IVFADC default, gate 0.7
+    "knn_join_pq_topk",  # residual ADC distributed path
+    "knn_pq_recall",  # train_pq/pq_knn rotation params
+    "knn_route_parity",  # pq routing family re-pin
+    "text_url_canonical",  # name-exact tracker matching
+    "sampling_kfold",  # NULL-key in-plan raise
+    "profile_benford_prices",  # string-form digit extraction
+    "sketch_hll_parts",  # p validation + in-plan guard
+    "events_hll_users",  # consumes hll_estimate (guarded)
+    "asof_join_tolerance",  # NULL-supplier semantic pinned
+    "knn_ivf_recall",  # L2-nearest assignment rule (unit ≡ dot)
+    "dedup_semantic",  # assign_cells under the shared rule
     # (c) stale-first: families the r11 driver sample did NOT cover
     "knn_ivf_health", "join_skew_report", "text_retrieval_eval",
     "embedding_drift_report", "features_target_encoded",
@@ -99,83 +117,53 @@ _SAMPLE_FIRST = [
     "events_wow_growth",
     # --- r11 rotation below (driver-covered r11; keep order) ---
     # (a) round-11 new
-    "profile_gini_spend",        # new: Gini concentration scalar
+    "profile_gini_spend",  # new: Gini concentration scalar
     "profile_mutual_information",  # new: MI/NMI redundancy screen
-    "profile_fd_violations",     # new: functional-dependency audit
-    "profile_agreement_kappa",   # new: Cohen's kappa agreement
-    "events_acf",                # new: lag-k autocorrelation
-    "sketch_hll_parts",          # new: deterministic HLL registers
-    "text_ngram_novelty",        # new: reference-corpus gram novelty
-    "embedding_covariance",      # new: distributed Gram/cov aggregate
-    "embedding_pca_component",   # new: matrix-free power iteration
-    "text_textrank_keywords",    # new: co-occurrence PageRank keywords
-    "profile_benford_prices",    # new: Benford first-digit audit
-    "profile_chi_square",        # new: chi-square independence test
-    "eval_roc_auc",              # new: exact midrank ROC-AUC
-    "eval_calibration",          # new: reliability bins
-    "eval_brier",                # new: Brier score
-    "events_cusum",              # new: CUSUM drift alarms
-    "features_corr_matrix",      # new: one-pass correlation matrix
-    "linkage_jaro_pairs",        # new: Jaro-Winkler comparator
-    "parts_band_join",           # new: 1-D numeric band join
-    "events_interarrival",       # new: burstiness profile
-    "events_gap_report",         # new: missing-data gaps
-    "events_rolling_zscore",     # new: windowed point anomalies
-    "text_pmi_collocations",     # new: PMI multi-word expressions
+    "profile_fd_violations",  # new: functional-dependency audit
+    "profile_agreement_kappa",  # new: Cohen's kappa agreement
+    "events_acf",  # new: lag-k autocorrelation
+    "text_ngram_novelty",  # new: reference-corpus gram novelty
+    "embedding_covariance",  # new: distributed Gram/cov aggregate
+    "embedding_pca_component",  # new: matrix-free power iteration
+    "text_textrank_keywords",  # new: co-occurrence PageRank keywords
+    "profile_chi_square",  # new: chi-square independence test
+    "eval_roc_auc",  # new: exact midrank ROC-AUC
+    "eval_calibration",  # new: reliability bins
+    "eval_brier",  # new: Brier score
+    "events_cusum",  # new: CUSUM drift alarms
+    "features_corr_matrix",  # new: one-pass correlation matrix
+    "linkage_jaro_pairs",  # new: Jaro-Winkler comparator
+    "parts_band_join",  # new: 1-D numeric band join
+    "events_interarrival",  # new: burstiness profile
+    "events_gap_report",  # new: missing-data gaps
+    "events_rolling_zscore",  # new: windowed point anomalies
+    "text_pmi_collocations",  # new: PMI multi-word expressions
     "zorder_store_vacuum_cycle",  # new: retention vacuum / GDPR leg
-    "events_ks_test",            # new: bin-free exact KS drift test
-    "text_url_canonical",        # new: crawl URL canonicalization
-    "graph_lpa_communities",     # new: label-propagation communities
-    "sampling_kfold",            # new: deterministic k-fold CV
-    "events_temporal_split",     # new: time split with embargo
+    "events_ks_test",  # new: bin-free exact KS drift test
+    "graph_lpa_communities",  # new: label-propagation communities
+    "events_temporal_split",  # new: time split with embargo
     "multimodal_image_neardup",  # new: perceptual-hash image dedup
-    "asof_join_tolerance",       # new: staleness-bounded as-of
-    "text_bpe_train",            # new: full BPE merge-training loop
-    "text_bpe_vocab",            # new: trained-vocab readout
-    "sketch_kll_quantiles",      # new: bound-free KLL-style sketch
-    "text_bm25_store",           # new: persisted+incremental index
-    "knn_propagate_rounds",      # new: multi-round label propagation
-    "text_bpe_encode",           # new: tokenize under trained merges
-    "text_tfidf_store",          # new: TF-IDF from the persisted index
-    "sketch_kll_by_type",        # new: grouped bound-free quantiles
-    "graph_triangle_counts",     # new: per-node triangle counts
+    "text_bpe_train",  # new: full BPE merge-training loop
+    "text_bpe_vocab",  # new: trained-vocab readout
+    "sketch_kll_quantiles",  # new: bound-free KLL-style sketch
+    "text_bm25_store",  # new: persisted+incremental index
+    "knn_propagate_rounds",  # new: multi-round label propagation
+    "text_bpe_encode",  # new: tokenize under trained merges
+    "text_tfidf_store",  # new: TF-IDF from the persisted index
+    "sketch_kll_by_type",  # new: grouped bound-free quantiles
     "zorder_store_delete_cycle",  # new: tombstone delete + purge
-    "profile_drift_report",      # new: PSI/KL snapshot drift audit
-    "profile_l_diversity",       # new: l-diversity disclosure audit
-    "graph_bfs_hops",            # new: multi-source bounded BFS
-    "basket_triples",            # new: Apriori frequent 3-itemsets
-    "text_zipf_fit",             # new: Zipf power-law corpus screen
+    "profile_drift_report",  # new: PSI/KL snapshot drift audit
+    "profile_l_diversity",  # new: l-diversity disclosure audit
+    "graph_bfs_hops",  # new: multi-source bounded BFS
+    "basket_triples",  # new: Apriori frequent 3-itemsets
+    "text_zipf_fit",  # new: Zipf power-law corpus screen
     "embedding_random_projection",  # new: deterministic JL reduction
-    "dedup_cluster_split",       # new: cluster-aware leak-safe split
-    "text_trigram_backoff",      # new: reference-corpus LM filter
-    "features_robust_scaled",    # new: median/MAD scaling
-    "profile_equidepth_histogram",  # new: quantile-bin histogram
-    "text_card_scrub",           # new: Luhn-validated card scrub
-    "knn_ivf_health",            # new: IVF balance audit
-    "profile_drift_store",       # new: store-served drift scoring
-    "join_skew_report",          # new: join fan-out pre-flight
-    "text_retrieval_eval",       # new: recall/MRR/nDCG eval
-    "embedding_drift_report",    # new: JL-lane embedding drift
-    "features_target_encoded",   # new: leave-one-out target encoding
+    "dedup_cluster_split",  # new: cluster-aware leak-safe split
+    "text_trigram_backoff",  # new: reference-corpus LM filter
+    "features_robust_scaled",  # new: median/MAD scaling
     # (a) round-11 operator-changed
-    "dedup_clusters",            # dup_clusters -> star CC engine
-    "dedup_kept_best",           # consumes dup_clusters (star CC)
-    "knn_brute",                 # brute_force_knn_fast size routing
-    "knn_route_parity",          # routing family re-pin
-    "sampling_hard_negatives",   # exact path size routing
-    "text_bm25_topk",            # scoring tail refactor (shared)
-    "text_hybrid_topk",          # consumes bm25_topk tail
-    "knn_label_propagation",     # one-shot face of the multi-round op
     # (b) stale-first: families not in the r10 driver sample
-    "graph_pagerank_transitions", "text_lm_quality",
-    "text_lm_bigram", "text_tfidf_topk", "text_winnow_fingerprints",
-    "text_scrub_pii", "text_sentence_stats", "text_quality_deciles",
-    "events_ohlc_daily", "events_time_weighted_avg",
-    "events_scd2_history", "events_merge_upsert",
-    "events_snapshot_diff", "events_rank_family",
-    "events_grouping_sets", "events_mad_outliers",
-    "events_user_entropy", "events_wow_growth",
-    "dedup_fuzzy_pairs", "dedup_incremental_near", "dedup_semantic",
+    "dedup_fuzzy_pairs", "dedup_incremental_near",
     "sketch_heavy_hitters", "sketch_quantile_grid",
     "sketch_quantiles_by_type",
     "profile_value_histogram", "profile_parquet_layout",
@@ -206,8 +194,8 @@ _SAMPLE_FIRST = [
     "zorder_store_lookup", "pipeline_bloom_pruned",
     "dedup_near_pairs", "dedup_ngram_jaccard",
     "zorder_store_select", "zorder_store_cycle",
-    "pipeline_manifest_pruned", "knn_pq_recall", "knn_ivfpq_recall",
-    "knn_ann_simhash", "knn_ivf_recall", "knn_ivf_refined_recall",
+    "pipeline_manifest_pruned",
+    "knn_ann_simhash", "knn_ivf_refined_recall",
     "rt_hilbert_i32", "rt_morton_i32", "rt_hilbert_i64",
     "rt_hilbert_i16", "rt_hilbert_i16_8", "rt_hilbert_i8_16",
     "rt_hilbert_f32", "rt_hilbert_f64", "rt_morton_f32",
@@ -11735,3 +11723,1020 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, on="user_id", left_ts="tus",
                      right_ts="tus", value_cols=["value"],
                      tolerance=86400000000.0)
+
+
+_MWU_PAIR_SQL = """
+      SELECT value::DOUBLE AS v, (user_id % 2)::INT AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+"""
+
+
+def _mwu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.filter(F.col("value").isNotNull()
+                      & F.col("user_id").isNotNull())
+            .select(F.col("value").cast("double").alias("v"),
+                    (F.col("user_id") % 2).cast("int").alias("y")))
+
+
+@query(
+    "events_mann_whitney",
+    f"""
+    WITH pairs AS ({_MWU_PAIR_SQL}),
+    c AS (
+      SELECT v, SUM(y)::BIGINT AS c1, SUM(1 - y)::BIGINT AS c0,
+             COUNT(*)::BIGINT AS cnt
+      FROM pairs GROUP BY v
+    ), cum AS (
+      SELECT c1, c0, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM c
+    ), agg AS (
+      SELECT SUM(c1)::BIGINT AS n1, SUM(c0)::BIGINT AS n0,
+             SUM(c1 * (2 * cumc - cnt + 1))::BIGINT AS r1_2,
+             SUM(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+      FROM cum
+    )
+    SELECT n1, n0,
+           round(r1_2 / 2.0 - n1 * (n1 + 1) / 2.0, 4) AS u1_r4,
+           round((r1_2 / 2.0 - n1 * (n1 + 1) / 2.0
+                  - n1 * n0 / 2.0)
+                 / sqrt(n1 * n0 / 12.0
+                        * ((n1 + n0 + 1)
+                           - tie3::DOUBLE
+                           / ((n1 + n0)::DOUBLE
+                              * (n1 + n0 - 1)))), 6) AS z_r6
+    FROM agg
+    """,
+)
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann–Whitney U between even- and odd-user event
+    values (round 12, :func:`lindel_spark.profile.mann_whitney_u`):
+    the nonparametric location-shift test — midranks via the
+    distributed prefix sum, exact integer rank algebra (2×midrank
+    stays BIGINT) to the final divisions, textbook tie-corrected σ;
+    the oracle replays the identical algebra through one window."""
+    from lindel_spark.profile import mann_whitney_u
+
+    out = mann_whitney_u(_mwu_pairs(spark, sf_dir), "v", "y")
+    return out.select("n1", "n0",
+                      F.round("u1", 4).alias("u1_r4"),
+                      F.round("z", 6).alias("z_r6"))
+
+
+@query(
+    "events_welch_ttest",
+    f"""
+    WITH pairs AS ({_MWU_PAIR_SQL}),
+    agg AS (
+      SELECT SUM(y)::BIGINT AS n1, SUM(1 - y)::BIGINT AS n0,
+             SUM(v * y) AS s1, SUM(v * (1 - y)) AS s0,
+             SUM(v * v * y) AS q1, SUM(v * v * (1 - y)) AS q0
+      FROM pairs
+    ), m AS (
+      SELECT n1, n0, s1 / n1 AS m1, s0 / n0 AS m0,
+             ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1 AS e1,
+             ((q0 - s0 * s0 / n0) / (n0 - 1)) / n0 AS e0
+      FROM agg
+    )
+    SELECT n1, n0, round(m1, 6) AS mean1_r6, round(m0, 6) AS mean0_r6,
+           round((m1 - m0) / sqrt(e1 + e0), 6) AS t_r6,
+           round((e1 + e0) * (e1 + e0)
+                 / (e1 * e1 / (n1 - 1) + e0 * e0 / (n0 - 1)), 2)
+             AS df_r2
+    FROM m
+    """,
+)
+def q_events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the same even/odd-user
+    split (round 12, :func:`lindel_spark.profile.welch_ttest`): the
+    parametric companion to ``events_mann_whitney`` — explicit
+    (Σx, Σx², n) moment algebra (NOT the engine's var_samp, so both
+    engines run the identical formula), Welch–Satterthwaite df; one
+    map-side-combined scalar aggregate, no shuffle."""
+    from lindel_spark.profile import welch_ttest
+
+    out = welch_ttest(_mwu_pairs(spark, sf_dir), "v", "y")
+    return out.select("n1", "n0",
+                      F.round("mean1", 6).alias("mean1_r6"),
+                      F.round("mean0", 6).alias("mean0_r6"),
+                      F.round("t_stat", 6).alias("t_r6"),
+                      F.round("df_welch", 2).alias("df_r2"))
+
+
+@query(
+    "events_spearman",
+    """
+    WITH pairs AS (
+      SELECT value::DOUBLE AS x,
+             (value + (user_id % 20) * 2.0)::DOUBLE AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), rx AS (
+      SELECT x, (2 * SUM(cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cnt + 1)::BIGINT AS r2x
+      FROM (SELECT x, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY x)
+    ), ry AS (
+      SELECT y, (2 * SUM(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - cnt + 1)::BIGINT AS r2y
+      FROM (SELECT y, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY y)
+    ), r AS (
+      SELECT r2x, r2y FROM pairs
+      JOIN rx USING (x) JOIN ry USING (y)
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(r2x)::DOUBLE AS sx, SUM(r2y)::DOUBLE AS sy,
+             SUM(r2x::DOUBLE * r2x) AS qx,
+             SUM(r2y::DOUBLE * r2y) AS qy,
+             SUM(r2x::DOUBLE * r2y) AS sxy
+      FROM r
+    )
+    SELECT n, round((n * sxy - sx * sy)
+                    / sqrt((n * qx - sx * sx)
+                           * (n * qy - sy * sy)), 6) AS rho_r6
+    FROM m
+    """,
+)
+def q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the raw event value and its
+    user-noised companion (round 12,
+    :func:`lindel_spark.profile.spearman_corr`): midrank-tied Pearson
+    over ranks — the monotone-association screen beside
+    ``features_corr_matrix``'s linear Pearson; 2×midranks stay exact
+    BIGINT on both engines until the closing division; 6dp."""
+    from lindel_spark.profile import spearman_corr
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pairs = (ev.filter(F.col("value").isNotNull()
+                       & F.col("user_id").isNotNull())
+             .select(F.col("value").cast("double").alias("x"),
+                     (F.col("value")
+                      + (F.col("user_id") % 20).cast("double") * 2.0)
+                     .alias("y")))
+    out = spearman_corr(pairs, "x", "y")
+    return out.select("n", F.round("rho", 6).alias("rho_r6"))
+
+
+def _hits_cte(iterations: int) -> str:
+    """DuckDB replay of :func:`lindel_spark.graph.hits` over the
+    event-type transition graph (distinct src→dst pairs), the
+    L1-normalized iterations unrolled — same fixed-round contract as
+    the pagerank oracle. ``h0 = 1`` per node, matching the Spark
+    initializer."""
+    head = """
+    WITH e0 AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, event_type
+      FROM events
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT prev AS u, event_type AS v
+      FROM (SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS prev
+            FROM e0)
+      WHERE prev IS NOT NULL
+    ), nodes AS MATERIALIZED (
+      SELECT u AS node FROM e UNION SELECT v FROM e
+    ), h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)
+    """
+    its = []
+    for i in range(1, iterations + 1):
+        its.append(f"""
+    , ar{i} AS MATERIALIZED (
+      SELECT e.v AS node, SUM(h.hub) AS s
+      FROM e JOIN h{i - 1} h ON h.node = e.u GROUP BY e.v
+    ), a{i} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce(ar.s, 0) / (SELECT SUM(s) FROM ar{i})
+               AS authority
+      FROM nodes n LEFT JOIN ar{i} ar ON n.node = ar.node
+    ), hr{i} AS MATERIALIZED (
+      SELECT e.u AS node, SUM(a.authority) AS s
+      FROM e JOIN a{i} a ON a.node = e.v GROUP BY e.u
+    ), h{i} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce(hr.s, 0) / (SELECT SUM(s) FROM hr{i}) AS hub
+      FROM nodes n LEFT JOIN hr{i} hr ON n.node = hr.node
+    )""")
+    return head + "".join(its)
+
+
+@query(
+    "graph_hits_transitions",
+    _hits_cte(4) + """
+    SELECT h4.node, round(h4.hub, 6) AS hub_r6,
+           round(a4.authority, 6) AS auth_r6
+    FROM h4 JOIN a4 ON h4.node = a4.node
+    """,
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities (round 12,
+    :func:`lindel_spark.graph.hits`) over the event-type transition
+    graph: which behaviors FEED many destinations (hubs) vs which
+    behaviors many streams LAND on (authorities) — the directed
+    companion to ``graph_pagerank_transitions`` on the same fixture.
+    Four fixed L1-normalized iterations, unrolled in the oracle."""
+    from pyspark.sql import Window
+
+    from lindel_spark.graph import hits
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    edges = (ev.withColumn("prev", F.lag("event_type").over(w))
+             .filter(F.col("prev").isNotNull())
+             .select(F.col("prev").alias("src"),
+                     F.col("event_type").alias("dst"))
+             .distinct())
+    out = hits(edges, iterations=4)
+    return out.select("node", F.round("hub", 6).alias("hub_r6"),
+                      F.round("authority", 6).alias("auth_r6"))
+
+
+@query(
+    "graph_link_prediction",
+    """
+    WITH pp AS (
+      SELECT DISTINCT a.l_partkey::BIGINT AS a, b.l_partkey::BIGINT AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), adj AS (
+      SELECT a AS z, b AS n FROM pp
+      UNION ALL SELECT b AS z, a AS n FROM pp
+    ), deg AS (SELECT z, COUNT(*)::BIGINT AS deg FROM adj GROUP BY z),
+    mid AS (
+      SELECT adj.z, adj.n, deg.deg FROM adj JOIN deg USING (z)
+      WHERE deg.deg <= 64
+    ), w AS (
+      SELECT l.n AS u, r.n AS v, l.deg AS degz
+      FROM mid l JOIN mid r ON l.z = r.z WHERE l.n < r.n
+    ), s AS (
+      SELECT u, v, COUNT(*)::BIGINT AS cn, SUM(1.0 / ln(degz)) AS aa
+      FROM w GROUP BY u, v
+    ), cand AS (
+      SELECT s.* FROM s LEFT JOIN pp ON pp.a = s.u AND pp.b = s.v
+      WHERE pp.a IS NULL
+    ), j AS (
+      SELECT cand.cn, cand.aa,
+             cand.cn::DOUBLE / (du.deg + dv.deg - cand.cn) AS jac
+      FROM cand
+      JOIN deg du ON du.z = cand.u
+      JOIN deg dv ON dv.z = cand.v
+    )
+    SELECT cn, COUNT(*)::BIGINT AS n_pairs,
+           round(AVG(jac), 6) AS avg_jaccard_r6,
+           round(AVG(aa), 6) AS avg_aa_r6
+    FROM j GROUP BY cn
+    """,
+)
+def q_graph_link_prediction(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Neighborhood link prediction (round 12,
+    :func:`lindel_spark.graph.link_prediction`) over the co-purchase
+    graph with the hub cap at middle-degree 64 (the knob
+    ``graph_degree_profile`` exists to size): per common-neighbor
+    class, how many non-adjacent pairs and their mean Jaccard /
+    Adamic–Adar — compact enough to value-compare at sf1 while every
+    pair's exact scores feed the averages. MEANS not sums so the 6dp
+    compare is immune to large-N summation-order noise."""
+    from lindel_spark.graph import link_prediction
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    lp = link_prediction(edges, max_middle_degree=64)
+    return (lp.groupBy("cn")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.round(F.avg("jaccard"), 6).alias("avg_jaccard_r6"),
+                 F.round(F.avg("adamic_adar"), 6).alias("avg_aa_r6")))
+
+
+@query(
+    "profile_t_closeness",
+    """
+    WITH base AS (
+      SELECT o_orderstatus AS qs,
+             EXTRACT(year FROM o_orderdate)::BIGINT AS qy,
+             o_orderpriority AS s
+      FROM orders WHERE o_orderpriority IS NOT NULL
+    ), g AS (
+      SELECT s, COUNT(*)::DOUBLE
+               / (SELECT COUNT(*) FROM base) AS q
+      FROM base GROUP BY s
+    ), cls AS (
+      SELECT qs, qy, s, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2, 3
+    ), sizes AS (
+      SELECT qs, qy, COUNT(*)::BIGINT AS group_n FROM base GROUP BY 1, 2
+    ), per AS (
+      SELECT cls.qs, cls.qy, MAX(sizes.group_n) AS group_n,
+             SUM(abs(cls.c::DOUBLE / sizes.group_n - g.q)) AS sabs,
+             SUM(g.q) AS sq
+      FROM cls JOIN g USING (s) JOIN sizes USING (qs, qy)
+      GROUP BY cls.qs, cls.qy
+    )
+    SELECT qs AS o_orderstatus, qy AS order_year, group_n,
+           round(0.5 * (sabs + 1.0 - sq), 6) AS tvd_r6,
+           0.5 * (sabs + 1.0 - sq) <= 0.05 AS close
+    FROM per
+    """,
+)
+def q_profile_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (round 12,
+    :func:`lindel_spark.profile.t_closeness_report`): per
+    (orderstatus, order-year) class, the total variation distance
+    between the class's order-priority distribution and the global
+    one, gated at t = 0.05 — the posterior-shift screen that
+    completes the k-anonymity → l-diversity release trio. Absent
+    values fold in closed form, so the class×vocabulary cross never
+    materializes; 6dp."""
+    from lindel_spark.profile import t_closeness_report
+
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = od.select(
+        F.col("o_orderstatus"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderpriority")
+    out = t_closeness_report(
+        base, ["o_orderstatus", "order_year"], "o_orderpriority",
+        t=0.05)
+    return out.select("o_orderstatus", "order_year", "group_n",
+                      F.round("tvd", 6).alias("tvd_r6"), "close")
+
+
+@query(
+    "features_woe_iv",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS category,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), cat AS (
+      SELECT category, SUM(y)::BIGINT AS pos,
+             SUM(1 - y)::BIGINT AS neg
+      FROM base GROUP BY category
+    ), tot AS (
+      SELECT SUM(pos)::DOUBLE AS pt, SUM(neg)::DOUBLE AS nt,
+             COUNT(*)::DOUBLE AS k
+      FROM cat
+    )
+    SELECT category, pos, neg, (pos + neg)::BIGINT AS n,
+           round(ln(((pos + 0.5) / (pt + 0.5 * k))
+                    / ((neg + 0.5) / (nt + 0.5 * k))), 6) AS woe_r6,
+           round(((pos + 0.5) / (pt + 0.5 * k)
+                  - (neg + 0.5) / (nt + 0.5 * k))
+                 * ln(((pos + 0.5) / (pt + 0.5 * k))
+                      / ((neg + 0.5) / (nt + 0.5 * k))), 6)
+             AS iv_term_r6
+    FROM cat, tot
+    """,
+)
+def q_features_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of order priority
+    against the high-ticket label (round 12,
+    :func:`lindel_spark.features.woe_iv`): log-odds-scaled category
+    screen with Laplace 0.5 mass per side — the scorecard companion
+    to ``features_target_encoded``; smoothed masses sum to exactly 1
+    on both engines; 6dp."""
+    from lindel_spark.features import woe_iv
+
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = od.select(
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+        .alias("y")).filter(F.col("o_orderpriority").isNotNull()
+                            & F.col("y").isNotNull())
+    out = woe_iv(base, "o_orderpriority", "y", smoothing=0.5)
+    return out.select("category", "pos", "neg", "n",
+                      F.round("woe", 6).alias("woe_r6"),
+                      F.round("iv_term", 6).alias("iv_term_r6"))
+
+
+@query(
+    "events_ewma",
+    """
+    WITH e AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day_s,
+             epoch_us(ts)::BIGINT AS tus, event_id::BIGINT AS eid,
+             value::DOUBLE AS v
+      FROM events
+    ), lagged AS (
+      SELECT event_type, day_s,
+             v AS x0,
+             lag(v, 1) OVER w AS x1, lag(v, 2) OVER w AS x2,
+             lag(v, 3) OVER w AS x3, lag(v, 4) OVER w AS x4,
+             lag(v, 5) OVER w AS x5, lag(v, 6) OVER w AS x6,
+             lag(v, 7) OVER w AS x7
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY tus, eid)
+    ), s AS (
+      SELECT event_type, day_s,
+             (CASE WHEN x0 IS NOT NULL THEN 1.0 * x0 ELSE 0 END
+              + CASE WHEN x1 IS NOT NULL THEN 0.7 * x1 ELSE 0 END
+              + CASE WHEN x2 IS NOT NULL THEN 0.49 * x2 ELSE 0 END
+              + CASE WHEN x3 IS NOT NULL THEN 0.343 * x3 ELSE 0 END
+              + CASE WHEN x4 IS NOT NULL THEN 0.2401 * x4 ELSE 0 END
+              + CASE WHEN x5 IS NOT NULL THEN 0.16807 * x5 ELSE 0 END
+              + CASE WHEN x6 IS NOT NULL THEN 0.117649 * x6 ELSE 0 END
+              + CASE WHEN x7 IS NOT NULL THEN 0.0823543 * x7 ELSE 0 END)
+             /
+             (CASE WHEN x0 IS NOT NULL THEN 1.0 ELSE 0 END
+              + CASE WHEN x1 IS NOT NULL THEN 0.7 ELSE 0 END
+              + CASE WHEN x2 IS NOT NULL THEN 0.49 ELSE 0 END
+              + CASE WHEN x3 IS NOT NULL THEN 0.343 ELSE 0 END
+              + CASE WHEN x4 IS NOT NULL THEN 0.2401 ELSE 0 END
+              + CASE WHEN x5 IS NOT NULL THEN 0.16807 ELSE 0 END
+              + CASE WHEN x6 IS NOT NULL THEN 0.117649 ELSE 0 END
+              + CASE WHEN x7 IS NOT NULL THEN 0.0823543 ELSE 0 END)
+               AS ew
+      FROM lagged WHERE x0 IS NOT NULL OR x1 IS NOT NULL OR x2 IS NOT NULL
+        OR x3 IS NOT NULL OR x4 IS NOT NULL OR x5 IS NOT NULL
+        OR x6 IS NOT NULL OR x7 IS NOT NULL
+    )
+    SELECT event_type, day_s, COUNT(*)::BIGINT AS n,
+           round(AVG(ew), 6) AS avg_ewma_r6
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-window EWMA smoothing (round 12,
+    :func:`lindel_spark.timeseries.ewma`, α = 0.3, span = 8) of the
+    event value per type, summarized as per-day means of the smoothed
+    series — the FIR filter whose fixed unrolled weighted sum
+    replays identically (the recursive EWMA is sequential; the
+    truncated form is the distributable one). NULL values drop from
+    numerator AND normalizer; 6dp on per-day means."""
+    from lindel_spark.timeseries import ewma
+
+    ev = (_events(spark, sf_dir)
+          .withColumn("tus", F.unix_micros("ts"))
+          .withColumn("eid", F.col("event_id").cast("long")))
+    out = ewma(ev, ["event_type"], "tus", "value", "eid",
+               alpha=0.3, span=8)
+    return (out.filter(F.col("ewma").isNotNull())
+            .groupBy("event_type",
+                     F.date_format("ts", "yyyy-MM-dd").alias("day_s"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.avg("ewma"), 6).alias("avg_ewma_r6")))
+
+
+@query(
+    "text_dirichlet_ql",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf, ANY_VALUE(dl) AS dl
+      FROM (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term
+            FROM norm)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT SUM(tf)::DOUBLE AS total_tokens FROM postings
+    ),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, unnest(toks[1:5]) AS term
+      FROM norm WHERE doc_id % 97 = 0
+    ),
+    cfs AS (
+      SELECT term, SUM(tf)::BIGINT AS cf FROM postings
+      WHERE term IN (SELECT term FROM qterms) GROUP BY term
+    ),
+    nq AS (
+      SELECT q.query_id, COUNT(*)::BIGINT AS n_q,
+             SUM(ln(c.cf::DOUBLE / s.total_tokens)) AS lp
+      FROM qterms q JOIN cfs c USING (term) CROSS JOIN stats s
+      GROUP BY q.query_id
+    ),
+    part AS (
+      SELECT q.query_id, p.doc_id,
+             SUM(ln(1.0 + p.tf::DOUBLE * s.total_tokens
+                    / (2000.0 * c.cf::DOUBLE))) AS mp,
+             ANY_VALUE(p.dl) AS dl
+      FROM postings p
+      JOIN cfs c USING (term)
+      JOIN qterms q USING (term)
+      CROSS JOIN stats s
+      GROUP BY q.query_id, p.doc_id
+    ),
+    scored AS (
+      SELECT part.query_id, part.doc_id,
+             part.mp + nq.lp
+               + nq.n_q * ln(2000.0 / (part.dl + 2000.0)) AS score
+      FROM part JOIN nq USING (query_id)
+    )
+    SELECT query_id::BIGINT AS query_id, rank::BIGINT AS rank,
+           doc_id::BIGINT AS doc_id, round(score, 4) AS score_r4
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY round(score, 4) DESC,
+                                             doc_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q_text_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query likelihood top-5 (round 12,
+    :func:`lindel_spark.retrieval.dirichlet_ql_topk`, μ = 2000) on
+    the bm25 fixture (first five tokens of every 97th doc as
+    pseudo-queries): the language-modeling ranking via the sparse
+    ``Σ ln(1+tf·T/(μ·cf)) + n_q·ln(μ/(dl+μ))`` decomposition — only
+    matched postings plus a per-doc constant; 4dp rank rounding on
+    both engines (the bm25_topk cross-engine contract)."""
+    from lindel_spark import retrieval as LR
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = LT.tokens(LT.normalize_text(F.col("text")))
+    queries_df = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("query"))
+    res = LR.dirichlet_ql_topk(docs, queries_df, k=5, mu=2000.0,
+                               rank_round=4)
+    return res.select("query_id",
+                      F.col("rank").cast("long").alias("rank"),
+                      "doc_id", F.round("score", 4).alias("score_r4"))
+
+
+@query(
+    "text_readability",
+    """
+    WITH t AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             GREATEST(len(list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               x -> x <> '')), 1)::DOUBLE AS words,
+             GREATEST(len(list_filter(
+               list_transform(
+                 regexp_extract_all(text, '[^.!?]+[.!?]?'),
+                 s -> trim(s)), s -> s <> '')), 1)::DOUBLE AS sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE
+               AS syll
+      FROM documents
+    )
+    SELECT doc_id, words::BIGINT AS n_words, sents::BIGINT AS n_sents,
+           syll::BIGINT AS n_syllables,
+           round(206.835 - 1.015 * words / sents
+                 - 84.6 * syll / words, 4) AS flesch_r4
+    FROM t
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (round 12,
+    :func:`lindel_spark.text.flesch_reading_ease`): vowel-group
+    syllable heuristic × sentence segments × whitespace tokens, all
+    map-only column algebra — the readability axis of the quality
+    gate; both engines run the identical three regex counts; 4dp."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    c = F.col("text")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.greatest(LT.token_count(c), F.lit(1)).alias("n_words"),
+        F.greatest(F.size(LT.sentences(c)).cast("long"), F.lit(1))
+        .alias("n_sents"),
+        LT.syllable_count(c).alias("n_syllables"),
+        F.round(LT.flesch_reading_ease(c), 4).alias("flesch_r4"))
+
+
+@query(
+    "eval_conformal",
+    f"""
+    WITH pairs AS ({_EVAL_PAIR_SQL}),
+    cal AS (
+      SELECT s FROM (
+        SELECT s, row_number() OVER (ORDER BY s, y) AS rn FROM pairs
+      ) WHERE rn % 2 = 1
+    ), tst AS (
+      SELECT s FROM (
+        SELECT s, row_number() OVER (ORDER BY s, y) AS rn FROM pairs
+      ) WHERE rn % 2 = 0
+    ), nn AS (SELECT COUNT(*)::BIGINT AS n_cal FROM cal),
+    kk AS (SELECT n_cal,
+                  CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS k
+           FROM nn),
+    cum AS (
+      SELECT s, SUM(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM (SELECT s, COUNT(*)::BIGINT AS c FROM cal GROUP BY s)
+    ), qh AS (
+      SELECT MIN(s) AS qhat FROM cum, kk WHERE cum.cc >= kk.k
+    )
+    SELECT kk.n_cal, kk.k,
+           COUNT(*)::BIGINT AS n_test,
+           round(CASE WHEN kk.k > kk.n_cal THEN NULL
+                      ELSE qh.qhat END, 6) AS qhat_r6,
+           round(AVG(CASE WHEN kk.k > kk.n_cal THEN 1.0
+                          WHEN tst.s <= qh.qhat THEN 1.0
+                          ELSE 0.0 END), 6) AS coverage_r6
+    FROM tst, kk, qh GROUP BY kk.n_cal, kk.k, qh.qhat
+    """,
+)
+def q_eval_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal threshold + test coverage at α = 0.1 (round
+    12, :func:`lindel_spark.evaluation.conformal_split`) on the
+    scored-events fixture split into odd/even global ranks (a
+    deterministic exchangeable split both engines replay): the exact
+    ⌈(n+1)(1−α)⌉ order statistic from calibration, empirical
+    coverage on test — the finite-sample-guaranteed drift alarm;
+    6dp."""
+    from lindel_spark.evaluation import conformal_split
+    from lindel_spark.util import global_rank
+
+    pairs = _eval_pairs(spark, sf_dir)
+    ranked = global_rank(pairs, ["s", "y"])
+    cal = ranked.filter(F.col("rank") % 2 == 1)
+    tst = ranked.filter(F.col("rank") % 2 == 0)
+    out = conformal_split(cal, tst, "s", alpha=0.1)
+    return out.select("n_cal", "k", "n_test",
+                      F.round("qhat", 6).alias("qhat_r6"),
+                      F.round("coverage", 6).alias("coverage_r6"))
+
+
+@query(
+    "text_rake_phrases",
+    """
+    WITH norm AS (
+      SELECT list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), marked AS (
+      SELECT list_transform(toks,
+               t -> CASE WHEN t IN ('the','and','is','of','to','a',
+                                    'in','that')
+                    THEN '|' ELSE t END) AS m
+      FROM norm
+    ), ph AS (
+      SELECT trim(p) AS phrase
+      FROM (SELECT unnest(string_split(array_to_string(m, ' '), '|'))
+              AS p FROM marked)
+      WHERE trim(p) <> ''
+    ), pw_all AS (
+      SELECT len(string_split(phrase, ' '))::BIGINT AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM ph
+    ), wstat AS (
+      SELECT w, COUNT(*)::BIGINT AS freq, SUM(plen)::BIGINT AS deg
+      FROM pw_all GROUP BY w
+    ), occ AS (
+      SELECT phrase, COUNT(*)::BIGINT AS n_occurrences
+      FROM ph GROUP BY phrase
+    ), pw_d AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM occ
+    ), scores AS (
+      SELECT pw_d.phrase, SUM(deg::DOUBLE / freq) AS score
+      FROM pw_d JOIN wstat USING (w) GROUP BY pw_d.phrase
+    )
+    SELECT occ.phrase, len(string_split(occ.phrase, ' '))::BIGINT
+             AS n_words,
+           occ.n_occurrences, round(scores.score, 6) AS score_r6
+    FROM occ JOIN scores USING (phrase)
+    WHERE occ.n_occurrences >= 3
+      AND len(string_split(occ.phrase, ' ')) >= 2
+    """,
+)
+def q_text_rake_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases (round 12,
+    :func:`lindel_spark.text.rake_phrases`): stopword-delimited
+    candidate phrases scored by summed word degree/frequency — the
+    multi-word companion to ``text_textrank_keywords`` with no graph
+    and no iterations; multi-word phrases seen ≥ 3 times; 6dp."""
+    from lindel_spark.text import rake_phrases
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = rake_phrases(docs)
+    return (out.filter((F.col("n_occurrences") >= 3)
+                       & (F.col("n_words") >= 2))
+            .select("phrase", "n_words", "n_occurrences",
+                    F.round("score", 6).alias("score_r6")))
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM norm)
+      GROUP BY doc_id, term
+    ), nn AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
+    dfs AS (
+      SELECT term, COUNT(*)::BIGINT AS df FROM postings GROUP BY term
+    ), kept AS (
+      SELECT p.doc_id, p.term,
+             p.tf::DOUBLE * ln(nn.n_docs / d.df) AS w
+      FROM postings p JOIN dfs d USING (term) CROSS JOIN nn
+      WHERE d.df <= 100
+    ), norms AS (
+      SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM kept GROUP BY doc_id
+    ), dots AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w) AS dot
+      FROM kept x JOIN kept y USING (term)
+      WHERE x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT a::BIGINT AS a, b::BIGINT AS b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine_r6
+    FROM dots
+    JOIN norms na ON na.doc_id = dots.a
+    JOIN norms nb ON nb.doc_id = dots.b
+    WHERE na.nrm > 0 AND nb.nrm > 0
+      AND round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse all-pairs TF-IDF cosine join at 0.5 (round 12,
+    :func:`lindel_spark.retrieval.tfidf_cosine_pairs`, max_df = 100):
+    the LEXICAL similarity join beside the embedding and raw-set
+    ones — idf weighting favors rare-term agreement; high-df terms
+    cut before pairing (quadratic pair volume, ~zero idf weight);
+    threshold on the 6dp-rounded cosine on both engines."""
+    from lindel_spark.retrieval import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = tfidf_cosine_pairs(docs, threshold=0.5, max_df=100,
+                             round_to=6)
+    return out.select("a", "b",
+                      F.round("cosine", 6).alias("cosine_r6"))
+
+
+@query(
+    "eval_auc_by_type",
+    f"""
+    WITH pairs AS (
+      SELECT event_type,
+             LEAST(1.0, GREATEST(0.0,
+               (value + (user_id % 20) - 10.0) / 100.0)) AS s,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), counts AS (
+      SELECT event_type, s, SUM(y)::BIGINT AS pos,
+             SUM(1 - y)::BIGINT AS neg
+      FROM pairs GROUP BY event_type, s
+    ), cum AS (
+      SELECT event_type, pos, neg,
+             SUM(pos + neg) OVER (PARTITION BY event_type ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM counts
+    ), agg AS (
+      SELECT event_type, SUM(pos)::BIGINT AS n_pos,
+             SUM(neg)::BIGINT AS n_neg,
+             SUM(pos * (2 * cumc - (pos + neg) + 1))::BIGINT AS r1_2
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n_pos, n_neg,
+           round((r1_2 / 2.0 - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos::DOUBLE * n_neg), 6) AS auc_r6
+    FROM agg
+    """,
+)
+def q_eval_auc_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact ROC-AUC (round 12,
+    :func:`lindel_spark.evaluation.roc_auc_by`): the segment/fairness
+    screen on the scored-events fixture — same midrank identity as
+    ``eval_roc_auc`` but midranks from a window PARTITIONED by the
+    group (per-group distinct-score state: the scale-correct plan
+    for grouped metrics); 6dp."""
+    from lindel_spark.evaluation import roc_auc_by
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    pairs = (ev.filter(F.col("value").isNotNull()
+                       & F.col("user_id").isNotNull())
+             .select("event_type",
+                     F.least(F.lit(1.0), F.greatest(
+                         F.lit(0.0),
+                         (F.col("value")
+                          + (F.col("user_id") % 20).cast("double")
+                          - F.lit(10.0)) / F.lit(100.0))).alias("s"),
+                     F.when(F.col("value") > 50.0, 1).otherwise(0)
+                     .alias("y")))
+    out = roc_auc_by(pairs, "s", "y", "event_type")
+    return out.select("event_type", "n_pos", "n_neg",
+                      F.round("auc", 6).alias("auc_r6"))
+
+
+@query(
+    "text_script_profile",
+    """
+    WITH b AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             regexp_replace(text, '\\s+', '', 'g') AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           round(len(regexp_extract_all(body, '[A-Za-z]'))::DOUBLE
+                 / GREATEST(len(body), 1), 6) AS latin_frac_r6,
+           round(len(regexp_extract_all(body,
+                 '[\\x{0400}-\\x{04FF}]'))::DOUBLE
+                 / GREATEST(len(body), 1), 6) AS cyrillic_frac_r6,
+           round(len(regexp_extract_all(body,
+                 '[\\x{4E00}-\\x{9FFF}]'))::DOUBLE
+                 / GREATEST(len(body), 1), 6) AS cjk_frac_r6,
+           round(len(regexp_extract_all(body, '[0-9]'))::DOUBLE
+                 / GREATEST(len(body), 1), 6) AS digit_frac_r6
+    FROM b
+    """,
+)
+def q_text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-script routing profile (round 12,
+    :func:`lindel_spark.text.script_profile`): latin/cyrillic/CJK/
+    digit fractions per document — the zero-shot router in front of
+    the trained language ID (script is free where language needs a
+    model). Map-only on both engines; 6dp."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = LT.script_profile(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(p["latin_frac"], 6).alias("latin_frac_r6"),
+        F.round(p["cyrillic_frac"], 6).alias("cyrillic_frac_r6"),
+        F.round(p["cjk_frac"], 6).alias("cjk_frac_r6"),
+        F.round(p["digit_frac"], 6).alias("digit_frac_r6"))
+
+
+@query(
+    "events_proportion_test",
+    """
+    WITH base AS (
+      SELECT CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS x,
+             (user_id % 2)::INT AS g
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ), agg AS (
+      SELECT SUM(g)::BIGINT AS n1, SUM(1 - g)::BIGINT AS n0,
+             SUM(x * g)::BIGINT AS s1,
+             SUM(x * (1 - g))::BIGINT AS s0
+      FROM base
+    )
+    SELECT n1, n0,
+           round(s1::DOUBLE / n1, 6) AS p1_r6,
+           round(s0::DOUBLE / n0, 6) AS p0_r6,
+           round((s1::DOUBLE / n1 - s0::DOUBLE / n0)
+                 / sqrt(((s1 + s0)::DOUBLE / (n1 + n0))
+                        * (1.0 - (s1 + s0)::DOUBLE / (n1 + n0))
+                        * (1.0 / n1 + 1.0 / n0)), 6) AS z_r6
+    FROM agg
+    """,
+)
+def q_events_proportion_test(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test (round 12,
+    :func:`lindel_spark.profile.two_proportion_ztest`) of the
+    high-value rate between even and odd users — the conversion-rate
+    member of the stats trio (means: Welch; ranks: Mann–Whitney);
+    exact counts to the final divisions; 6dp."""
+    from lindel_spark.profile import two_proportion_ztest
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = (ev.filter(F.col("value").isNotNull()
+                      & F.col("user_id").isNotNull())
+            .select(F.when(F.col("value") > 50.0, 1).otherwise(0)
+                    .alias("x"),
+                    (F.col("user_id") % 2).cast("int").alias("g")))
+    out = two_proportion_ztest(base, "x", "g")
+    return out.select("n1", "n0",
+                      F.round("p1", 6).alias("p1_r6"),
+                      F.round("p0", 6).alias("p0_r6"),
+                      F.round("z", 6).alias("z_r6"))
+
+
+@query(
+    "events_kaplan_meier",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                   / 86400000000.0) AS t,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS e
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), counts AS (
+      SELECT t, SUM(e)::BIGINT AS d, SUM(1 - e)::BIGINT AS c
+      FROM spans GROUP BY t
+    ), cum AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER w AS call,
+             (SELECT COUNT(*) FROM spans) - (SUM(d + c) OVER w
+                                             - (d + c)) AS n_risk
+      FROM counts
+      WINDOW w AS (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT t, d, c, n_risk,
+             SUM(CASE WHEN d < n_risk
+                      THEN ln(1.0 - d::DOUBLE / n_risk)
+                      ELSE 0.0 END) OVER w2 AS lnsum,
+             SUM(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w2
+               AS dead
+      FROM cum
+      WINDOW w2 AS (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT t, n_risk::BIGINT AS n_risk, d AS n_events,
+           c AS n_censored,
+           round(CASE WHEN dead > 0 THEN 0.0 ELSE exp(lnsum) END, 6)
+             AS survival_r6
+    FROM s WHERE d > 0
+    """,
+)
+def q_events_kaplan_meier(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Kaplan–Meier retention curve (round 12,
+    :func:`lindel_spark.timeseries.kaplan_meier`) over user activity
+    spans in whole days, a user's span "dying" if it ever converted
+    (purchase) and censored otherwise: survival via
+    ``exp(Σ ln(1−d/n))`` so the product rides the distributed prefix
+    sum; exact risk-set integers; 6dp."""
+    from lindel_spark.timeseries import kaplan_meier
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    spans = (ev.groupBy("user_id")
+             .agg(F.floor((F.unix_micros(F.max("ts"))
+                           - F.unix_micros(F.min("ts")))
+                          / F.lit(86400000000.0)).alias("t"),
+                  F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("e")))
+    out = kaplan_meier(spans, "t", "e")
+    return out.select("t", "n_risk", "n_events", "n_censored",
+                      F.round("survival", 6).alias("survival_r6"))
+
+
+@query(
+    "text_heaps_fit",
+    """
+    WITH norm AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+      FROM (SELECT DISTINCT doc_id FROM norm)
+    ), first AS (
+      SELECT term, MIN(r) AS fr
+      FROM (SELECT n.doc_id, unnest(n.toks) AS term FROM norm n)
+      JOIN ranked USING (doc_id)
+      GROUP BY term
+    ), growth AS (
+      SELECT fr, COUNT(*)::BIGINT AS newv FROM first GROUP BY fr
+    ), pts AS (
+      SELECT ln(fr::DOUBLE) AS x,
+             ln(SUM(newv) OVER (ORDER BY fr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ::DOUBLE) AS y
+      FROM growth
+    ), ols AS (
+      SELECT COUNT(*)::DOUBLE AS m, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM pts
+    )
+    SELECT (SELECT COUNT(*) FROM ranked)::BIGINT AS n_docs,
+           (SELECT COUNT(*) FROM first)::BIGINT AS vocab,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+             AS beta_r6,
+           round((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx)
+                 / m, 6) AS ln_k_r6
+    FROM ols
+    """,
+)
+def q_text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (round 12,
+    :func:`lindel_spark.text.heaps_fit`): V(n) = K·n^β over the
+    corpus in doc-id order — β outside ~0.4–0.6 flags template
+    floods (β→0) or token-noise (β→1); the growth-side companion to
+    the Zipf screen. First-appearance ranks + distributed prefix
+    sums + closed-form OLS; 6dp."""
+    from lindel_spark.text import heaps_fit
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = heaps_fit(docs)
+    return out.select("n_docs", "vocab",
+                      F.round("beta", 6).alias("beta_r6"),
+                      F.round("ln_k", 6).alias("ln_k_r6"))

@@ -818,3 +818,144 @@ def retrieval_metrics(
                            F.lit(0.0)).alias("mrr_k"),
                 F.coalesce(F.col("__dcg") / F.col("idcg"),
                            F.lit(0.0)).alias("ndcg_k")))
+
+
+def dirichlet_ql_topk(docs: DataFrame, queries: DataFrame,
+                      k: int = 10, mu: float = 2000.0,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      query_id_col: str = "query_id",
+                      query_col: str = "query",
+                      rank_round: int | None = None) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-``k`` (Zhai & Lafferty
+    2004) — the language-modeling alternative to :func:`bm25_topk`
+    on the same contract: ``score(q,d) = Σ_{t∈q} ln((tf_td + μ·p_t)
+    / (dl_d + μ))`` with ``p_t`` the collection unigram probability.
+    Computed via the paper's sparse decomposition ``Σ_matched ln(1 +
+    tf·T/(μ·cf_t)) + n_q · ln(μ/(dl_d+μ)) + Σ_t ln(p_t)`` (T =
+    corpus tokens, cf = collection frequency, n_q = the query's
+    distinct IN-CORPUS terms; the last term is doc-independent and
+    folds in per query, so the returned score IS the true
+    log-likelihood, not just rank-equivalent), so only matched postings plus one per-doc constant are
+    touched — out-of-vocabulary query terms drop, candidates are
+    docs matching ≥ 1 term, exactly the BM25 plan shape (broadcast
+    query vocabulary inside the scan stage, term-keyed window for
+    cf). Ties break by ascending ``doc_id``; pass ``rank_round`` for
+    cross-engine-stable cuts (the bm25_topk contract).
+    """
+    from pyspark.sql.window import Window
+
+    qterms = queries.select(
+        F.col(query_id_col).cast("long").alias("query_id"),
+        F.explode(tokens(normalize_text(F.col(query_col))))
+        .alias("term")).distinct()
+    exploded = _exploded_terms(docs, id_col, text_col)
+    matched = exploded.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"))
+    stats = (docs.select(
+        F.size(tokens(normalize_text(F.col(text_col))))
+        .cast("long").alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.sum("__dl").cast("double").alias("total_tokens")))
+    matched = matched.withColumn(
+        "cf", F.sum("tf").over(Window.partitionBy("term")))
+    part = (matched.join(qterms, "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.log(
+                1.0 + F.col("tf").cast("double")
+                * F.col("total_tokens")
+                / (F.lit(float(mu))
+                   * F.col("cf").cast("double")))).alias("__mp"),
+                F.first("dl").alias("dl")))
+    tdim = (matched.select("term", "cf").distinct()
+            .crossJoin(F.broadcast(stats)))
+    nq = (qterms.join(tdim, "term")
+          .groupBy("query_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("__nq"),
+               F.sum(F.log(F.col("cf").cast("double")
+                           / F.col("total_tokens"))).alias("__lp")))
+    scored = (part.join(nq, "query_id")
+              .withColumn(
+                  "score",
+                  F.col("__mp") + F.col("__lp")
+                  + F.col("__nq").cast("double")
+                  * F.log(F.lit(float(mu))
+                          / (F.col("dl").cast("double")
+                             + F.lit(float(mu))))))
+    rank_by = (F.round("score", rank_round)
+               if rank_round is not None else F.col("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        rank_by.desc(), F.col("doc_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score"))
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Sparse all-pairs TF-IDF cosine similarity join: document pairs
+    ``(a, b, cosine)`` with ``a < b`` and cosine ≥ ``threshold`` over
+    ln-idf-weighted term vectors — the LEXICAL near-dup/similarity
+    join beside the embedding-space ones
+    (:func:`lindel_spark.similarity.semantic_dup_pairs`) and the
+    unweighted set-similarity join
+    (:func:`lindel_spark.dedup.setsim_join` family): weighting by
+    idf means two docs sharing rare terms score higher than two
+    sharing boilerplate.
+
+    Plan: postings (one corpus scan, map-side-combined), df via a
+    term-keyed window, then the classic term-keyed pair join — pair
+    volume is ``Σ_t df(t)²``, so terms with ``df > max_df`` are
+    DROPPED from the vector space before pairing (the standard
+    high-df cut in sparse all-pairs similarity: ubiquitous terms
+    carry ~zero idf weight but quadratic pair cost; norms are taken
+    over the KEPT space so cosine stays a true cosine there). The
+    threshold compares ``round(cos, round_to)`` so the cut is
+    summation-order-stable across engines.
+    """
+    from pyspark.sql.window import Window
+
+    postings = (_exploded_terms(docs, id_col, text_col)
+                .groupBy("doc_id", "term")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    n_docs = (docs.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")))
+    postings = postings.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    kept = (postings.filter(F.col("df") <= F.lit(int(max_df)))
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn("w", F.col("tf").cast("double")
+                        * F.log(F.col("n_docs")
+                                / F.col("df").cast("double"))))
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    a = kept.select(F.col("doc_id").alias("a"), "term",
+                    F.col("w").alias("wa"))
+    b = kept.select(F.col("doc_id").alias("b"), "term",
+                    F.col("w").alias("wb"))
+    dots = (a.join(b, "term")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    na = norms.select(F.col("doc_id").alias("a"),
+                      F.col("norm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b"),
+                      F.col("norm").alias("nb"))
+    cos = (dots.join(na, "a").join(nb, "b")
+           .withColumn("cosine",
+                       F.col("dot") / (F.col("na") * F.col("nb"))))
+    cut = (F.round("cosine", round_to) if round_to is not None
+           else F.col("cosine"))
+    return (cos.filter((F.col("na") > 0) & (F.col("nb") > 0)
+                       & (cut >= F.lit(float(threshold))))
+            .select("a", "b", "cosine"))

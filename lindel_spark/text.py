@@ -1431,3 +1431,177 @@ def trained_language_id(
                 F.when(F.col("__seen") > 0, F.col("lang"))
                 .otherwise(F.col("__fb")).alias("guess"),
                 "score"))
+
+
+def syllable_count(c: Column) -> Column:
+    """Heuristic syllable count: the number of maximal vowel groups
+    (``[aeiouy]+``) in the lower-cased text — the classic cheap
+    estimator readability formulas were calibrated against (each
+    vowel cluster ≈ one spoken nucleus; silent-e and diphthong errors
+    wash out at corpus scale). Map-only; replays in any engine with
+    ``regexp_extract_all``/``regexp_matches``."""
+    return F.size(
+        F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+
+
+def flesch_reading_ease(c: Column) -> Column:
+    """Flesch reading ease (Flesch 1948): ``206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words)`` with whitespace tokens,
+    :func:`sentences` segments and :func:`syllable_count` nuclei —
+    higher is easier (60–70 ≈ plain English). Sentence and word
+    counts floor at 1 so empty/degenerate docs stay finite. A pure
+    composable column expression: the quality-gate tier's
+    READABILITY axis beside :func:`quality_score`'s shape signals
+    (length/punct/stopwords) and the repetition signals — all
+    map-only, zero shuffles, scan-bound at 100 TB."""
+    words = F.greatest(token_count(c), F.lit(1)).cast("double")
+    sents = F.greatest(F.size(sentences(c)).cast("long"),
+                       F.lit(1)).cast("double")
+    syll = syllable_count(c).cast("double")
+    return (F.lit(206.835) - F.lit(1.015) * words / sents
+            - F.lit(84.6) * syll / words)
+
+
+def rake_phrases(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are the maximal token runs BETWEEN stopwords, each word
+    scored ``degree/frequency`` over the whole corpus (``degree`` =
+    Σ lengths of the phrases it appears in — co-occurrence credit;
+    ``frequency`` = occurrence count), a phrase scoring the sum of
+    its word scores. Returns one row per DISTINCT phrase:
+    ``(phrase, n_words, n_occurrences, score)`` — the
+    multi-word-aware companion to :func:`textrank_keywords` (which
+    ranks single words) at a fraction of the cost: no graph, no
+    iterations, two keyed aggregates.
+
+    Plan: phrase splitting is a map-only array transform (stopword
+    tokens become separators, one split — no per-token regex);
+    word stats one map-side-combined groupBy (vocabulary-sized);
+    phrase scores one explode of DISTINCT phrases joined against the
+    word dimension. Shuffle keys = words and phrases, never raw
+    rows. Default stopwords = the English list.
+    """
+    sw = tuple(stopwords) if stopwords is not None \
+        else LANG_STOPWORDS["en"]
+    swarr = F.array(*[F.lit(w) for w in sw])
+    toks = tokens(normalize_text(F.col(text_col)))
+    marked = F.transform(
+        toks, lambda t: F.when(F.array_contains(swarr, t),
+                               F.lit("|")).otherwise(t))
+    phrases_arr = F.filter(
+        F.transform(F.split(F.concat_ws(" ", marked), "\\|"),
+                    lambda p: F.trim(p)),
+        lambda p: p != F.lit(""))
+    ph = df.select(F.explode(phrases_arr).alias("phrase"))
+    # word stats over ALL occurrences (with multiplicity)
+    pw_all = ph.select(
+        F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+    wstat = pw_all.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"))
+    occ = ph.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    # score each DISTINCT phrase once (words keep within-phrase
+    # multiplicity via the explode)
+    pw_d = occ.select(
+        "phrase",
+        F.explode(F.split(F.col("phrase"), " ")).alias("w"))
+    scores = (pw_d.join(wstat, "w")
+              .groupBy("phrase")
+              .agg(F.sum(F.col("deg").cast("double")
+                         / F.col("freq").cast("double"))
+                   .alias("score")))
+    return (occ.join(scores, "phrase")
+            .select("phrase",
+                    F.size(F.split(F.col("phrase"), " "))
+                    .cast("long").alias("n_words"),
+                    "n_occurrences", "score"))
+
+
+def script_profile(c: Column) -> Column:
+    """Character-script profile of a document: a struct of the
+    LATIN / CYRILLIC / CJK / DIGIT fractions of its non-space
+    characters (Unicode-range character classes) — the zero-shot
+    multilingual router in front of :func:`trained_language_id`
+    (script is free and unambiguous where language needs a model;
+    a CJK doc should never enter a latin-trained scorer). Map-only
+    column algebra; the same four counts replay in any regex
+    engine."""
+    body = F.regexp_replace(c, r"\s+", "")
+    total = F.greatest(F.length(body), F.lit(1)).cast("double")
+    return F.struct(
+        (count_matches(body, "[A-Za-z]").cast("double") / total)
+        .alias("latin_frac"),
+        (count_matches(body, "[\\u0400-\\u04FF]").cast("double")
+         / total).alias("cyrillic_frac"),
+        (count_matches(body, "[\\u4E00-\\u9FFF]").cast("double")
+         / total).alias("cjk_frac"),
+        (count_matches(body, "[0-9]").cast("double") / total)
+        .alias("digit_frac"),
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978): ``V(n) =
+    K·n^β`` over the corpus read in ``id_col`` order — one row
+    ``(n_docs, vocab, beta, ln_k)`` from an OLS fit of ``ln V``
+    against ``ln n`` at every doc count where the vocabulary actually
+    grew. β far from the prose band (~0.4–0.6) is a corpus smell
+    (template/boilerplate floods β→0; OCR noise or id-like tokens
+    push β→1) — the growth-side companion to the Zipf rank-frequency
+    screen (:func:`zipf_fit`).
+
+    Plan: each term collapses to its FIRST document (min doc rank —
+    one vocabulary-sized aggregate over the exploded corpus);
+    ``V(n)`` is then the running count of first-appearances up to
+    rank ``n`` via the repo's distributed prefix sum, and the OLS
+    closes over the growth points (vocabulary-sized, never rows).
+    Doc ranks come from a dense rank over DISTINCT ids
+    (:func:`lindel_spark.util.prefix_sums` on the id-count table),
+    so ties/gaps in ``id_col`` don't bend the x-axis.
+    """
+    from lindel_spark.util import prefix_sums
+
+    toks = tokens(normalize_text(F.col(text_col)))
+    pairs = (df.select(F.col(id_col).cast("long").alias("__id"),
+                       F.explode(toks).alias("__t")))
+    ids = pairs.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    ranked = prefix_sums(
+        ids.select("__id", F.lit(1).alias("__one")), "__id", ["__one"]
+    ).select("__id", F.col("cum___one").alias("__rank"))
+    first = (pairs.join(ranked, "__id")
+             .groupBy("__t")
+             .agg(F.min("__rank").alias("__fr")))
+    growth = first.groupBy("__fr").agg(
+        F.count(F.lit(1)).cast("long").alias("__new"))
+    cum = prefix_sums(growth, "__fr", ["__new"])
+    pts = cum.select(
+        F.log(F.col("__fr").cast("double")).alias("x"),
+        F.log(F.col("cum___new").cast("double")).alias("y"))
+    ols = pts.agg(F.count(F.lit(1)).cast("double").alias("m"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(den > 0,
+                  (F.col("m") * F.col("sxy")
+                   - F.col("sx") * F.col("sy")) / den)
+    lnk = (F.col("sy") - beta * F.col("sx")) / F.col("m")
+    tot = first.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    nd = ids.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (nd.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(
+                ols.select(beta.alias("beta"), lnk.alias("ln_k"))))
+            .select("n_docs", "vocab", "beta", "ln_k"))

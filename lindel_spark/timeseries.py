@@ -420,3 +420,108 @@ def seasonal_decompose(
     return out.select(
         *keys, *id_cols, v.alias("value"), "phase",
         "trend", "seasonal", "resid")
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    alpha: float = 0.3,
+    span: int = 8,
+) -> DataFrame:
+    """Finite-window EWMA smoothing per series: adds ``ewma`` =
+    ``Σ_{j<span} (1−α)^j·x_{t−j} / Σ_{j<span, t−j≥0} (1−α)^j`` — the
+    ``adjust=True`` exponential moving average TRUNCATED at ``span``
+    lags (an FIR filter). The infinite-memory recursive form is
+    inherently sequential per series; the truncated form is exact
+    for its own definition, map-only after one per-key sort, and —
+    because the weighted sum is a FIXED unrolled expression, not an
+    accumulation — bit-replayable in any engine that evaluates the
+    same expression (the weights at span=8, α=0.3 already decay to
+    0.08; pick span so ``(1−α)^span`` is below your noise floor).
+    The smoothing companion to :func:`rolling_zscore` (which
+    flags excursions; this one filters them).
+
+    NULL values drop out of BOTH the numerator and the weight
+    normalizer (per-lag presence masks), so gaps don't bleed zeros
+    into the average. One window pass: hash Exchange on ``keys`` +
+    one sort; ``span`` is capped at 64 (the unrolled-lag expression
+    is linear in span).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    if not 1 <= span <= 64:
+        raise ValueError("span must be in [1, 64]")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    x = F.col(value_col).cast("double")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(span):
+        wj = float((1.0 - alpha) ** j)
+        xj = x if j == 0 else F.lag(value_col, j).over(w).cast("double")
+        num = num + F.when(xj.isNotNull(), F.lit(wj) * xj) \
+            .otherwise(F.lit(0.0))
+        den = den + F.when(xj.isNotNull(), F.lit(wj)) \
+            .otherwise(F.lit(0.0))
+    return df.withColumn(
+        "ewma", F.when(den > 0, num / den))
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator: one row per DISTINCT event
+    time ``(t, n_risk, n_events, n_censored, survival)`` with
+    ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)`` — the standard
+    retention/churn curve over (duration, 0/1-event) rows, censored
+    subjects (``event = 0``) leaving the risk set without a death.
+    The product is computed as ``exp(Σ ln(1 − d_i/n_i))`` so it
+    becomes a PREFIX SUM — the repo's distributed prefix-sum
+    machinery, never a sequential scan or unpartitioned window; a
+    time where the risk set dies out entirely yields survival 0 from
+    there on (ln(0) guarded). Exact integer risk-set algebra until
+    the ln/exp pair.
+
+    Plan: durations collapse to per-distinct-time (deaths, censored)
+    counts (distinct-time-sized); the risk set at ``t`` is
+    ``N − (all subjects with duration < t)`` — another prefix sum —
+    so both legs ride :func:`lindel_spark.util.prefix_sums`. NULL
+    durations excluded; events must be 0/1.
+    """
+    from lindel_spark.util import prefix_sums
+
+    base = (df.select(F.col(duration_col).cast("double").alias("t"),
+                      F.col(event_col).cast("int").alias("e"))
+            .filter(F.col("t").isNotNull() & F.col("e").isNotNull()))
+    counts = base.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("e")).cast("long").alias("c"))
+    cum = prefix_sums(
+        counts.withColumn("__all", F.col("d") + F.col("c")),
+        "t", ["__all"])
+    tot = cum.agg(F.max("cum___all").cast("long").alias("__n"))
+    cum = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("__n") - (F.col("cum___all")
+                                  - (F.col("d") + F.col("c"))))
+    # ln(1 - d/n): a time that wipes out its whole risk set sends the
+    # survival to exactly 0 from there on — emitted as NULL lns past
+    # that point would corrupt the prefix sum, so the term is floored
+    # and the final exp maps the -inf-like floor to 0 via a flag.
+    frac = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    term = F.when(frac < 1.0, F.log(F.lit(1.0) - frac))
+    withterm = cum.withColumn("__ln", F.coalesce(term, F.lit(0.0))) \
+        .withColumn("__dead", F.when(frac >= 1.0, 1).otherwise(0))
+    s = prefix_sums(withterm, "t", ["__ln", "__dead"])
+    surv = F.when(F.col("cum___dead") > 0, F.lit(0.0)) \
+        .otherwise(F.exp(F.col("cum___ln")))
+    return (s.filter(F.col("d") > 0)
+            .select(F.col("t"), "n_risk",
+                    F.col("d").alias("n_events"),
+                    F.col("c").alias("n_censored"),
+                    surv.alias("survival")))
