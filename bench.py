@@ -823,6 +823,50 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         ("knn_opq_refined", q_knn_opq_refined, n_emb),
     ]
 
+    # round-12 session-2 operators
+    def q_link_prediction(_):
+        from lindel_spark.graph import link_prediction
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("dst"))
+        edges = (a.join(b, "ok")
+                 .filter(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct())
+        _noop(link_prediction(edges, max_middle_degree=64))
+
+    def q_tfidf_cosine(_):
+        from lindel_spark.retrieval import tfidf_cosine_pairs
+        _noop(tfidf_cosine_pairs(docs, threshold=0.5, max_df=100))
+
+    def q_spearman(_):
+        from lindel_spark.profile import spearman_corr
+        pairs = li.select(
+            F.col("l_extendedprice").alias("x"),
+            (F.col("l_extendedprice") * F.col("l_discount")
+             + F.col("l_quantity")).alias("y"))
+        _noop(spearman_corr(pairs, "x", "y"))
+
+    def q_kaplan_meier(_):
+        from lindel_spark.sources import load_events
+        from lindel_spark.timeseries import kaplan_meier
+        ev = load_events(spark, SF_DIR).filter(
+            F.col("user_id").isNotNull())
+        spans = (ev.groupBy("user_id")
+                 .agg(F.floor((F.unix_micros(F.max("ts"))
+                               - F.unix_micros(F.min("ts")))
+                              / F.lit(86400000000.0)).alias("t"),
+                      F.max(F.when(F.col("event_type") == "purchase",
+                                   1).otherwise(0)).alias("e")))
+        _noop(kaplan_meier(spans, "t", "e"))
+
+    scan_shaped += [
+        ("link_prediction", q_link_prediction, n_li),
+        ("tfidf_cosine_pairs", q_tfidf_cosine, n_docs),
+        ("spearman_corr", q_spearman, n_li),
+        ("kaplan_meier", q_kaplan_meier, -1),
+    ]
+
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

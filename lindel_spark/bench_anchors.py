@@ -114,6 +114,12 @@ ANCHORS: dict[str, float] = {
     "kcore_copurchase": 8.06,
     "langid_trained": 10.01,
     "knn_opq_refined": 1.70,
+    # round-12 session-2 entries (first isolated measurements after
+    # the link_prediction persist fix, BASELINE.md r12 addendum)
+    "link_prediction": 2.61,
+    "tfidf_cosine_pairs": 0.95,
+    "spearman_corr": 4.60,
+    "kaplan_meier": 1.96,
 }
 
 # Entries whose documented same-code noise band already approaches or

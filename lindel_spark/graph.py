@@ -657,15 +657,25 @@ def link_prediction(
     the capped oracle, and the cap is a documented semantic knob,
     not an approximation toggle.
     """
-    e = _canonical_edges(edges, src, dst)
+    from pyspark import StorageLevel
+
+    # the canonical edge set (often a self-join + distinct at the
+    # caller) feeds FIVE consumers (two wedge sides, the anti-join,
+    # two degree lookups): persist it and the adjacency-with-degree
+    # frame once instead of recompiling the derivation per consumer
+    # (measured 21 s -> ~7 s on the sf0.1 co-purchase graph)
+    e = _canonical_edges(edges, src, dst) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     adj = (e.select(F.col("a").alias("z"), F.col("b").alias("n"))
            .unionAll(e.select(F.col("b").alias("z"),
                               F.col("a").alias("n"))))
     deg = adj.groupBy("z").agg(
-        F.count(F.lit(1)).cast("long").alias("deg"))
+        F.count(F.lit(1)).cast("long").alias("deg")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     mid = adj.join(deg, "z")
     if max_middle_degree is not None:
         mid = mid.filter(F.col("deg") <= F.lit(int(max_middle_degree)))
+    mid = mid.persist(StorageLevel.MEMORY_AND_DISK)
     left = mid.select("z", F.col("n").alias("u"),
                       F.col("deg").alias("degz"))
     right = mid.select("z", F.col("n").alias("v"))
