@@ -283,3 +283,82 @@ def woe_iv(
                     (F.col("pos") + F.col("neg")).alias("n"),
                     woe.alias("woe"),
                     ((dp - dn) * woe).alias("iv_term"))
+
+
+def best_split(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    criterion: str = "gini",
+) -> DataFrame:
+    """Exact 1-D decision stump: the threshold on a numeric feature
+    that best separates a 0/1 label — one row ``(threshold, gain,
+    n_left, n_right, pos_left, pos_right)`` where ``left`` is
+    ``feature ≤ threshold`` and ``gain`` the impurity decrease
+    (``criterion='gini'``: Gini impurity; ``'entropy'``: information
+    gain in nats). The single-feature screen behind every tree
+    learner and the natural sequel to :func:`woe_iv` (categorical)
+    for NUMERIC features — a near-zero best gain means the feature
+    carries no first-order signal at any cut.
+
+    Plan: values collapse map-side to per-distinct-value (pos, neg)
+    counts; cumulative class counts ride the distributed prefix sum
+    (:func:`lindel_spark.util.prefix_sums`), every candidate split's
+    impurity is closed-form column algebra over that frame, and the
+    argmax closes with a deterministic tie-break (max gain, then
+    SMALLEST threshold). Exact integer counts until the final
+    divisions. The largest value is excluded as a threshold (its
+    right side would be empty). NULLs excluded; labels must be 0/1.
+    """
+    if criterion not in ("gini", "entropy"):
+        raise ValueError("criterion must be 'gini' or 'entropy'")
+    from lindel_spark.util import prefix_sums
+
+    base = (df.select(F.col(feature_col).cast("double").alias("v"),
+                      F.col(label_col).cast("int").alias("y"))
+            .filter(F.col("v").isNotNull() & F.col("y").isNotNull()))
+    counts = base.groupBy("v").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n"))
+    cum = prefix_sums(counts, "v", ["p", "n"])
+    tot = cum.agg(F.max("cum_p").cast("long").alias("__tp"),
+                  F.max("cum_n").cast("long").alias("__tn"))
+    c = cum.crossJoin(F.broadcast(tot))
+    pl, nl = F.col("cum_p").cast("double"), F.col("cum_n").cast("double")
+    pr = (F.col("__tp") - F.col("cum_p")).cast("double")
+    nr = (F.col("__tn") - F.col("cum_n")).cast("double")
+    tl, tr = pl + nl, pr + nr
+    t = (F.col("__tp") + F.col("__tn")).cast("double")
+
+    if criterion == "gini":
+        def imp(p, q, s):
+            return 1.0 - (p / s) * (p / s) - (q / s) * (q / s)
+    else:
+        def imp(p, q, s):
+            def h(x):
+                f = x / s
+                return F.when(x > 0, -f * F.log(f)).otherwise(F.lit(0.0))
+            return h(p) + h(q)
+
+    parent = imp(F.col("__tp").cast("double"),
+                 F.col("__tn").cast("double"), t)
+    gain = parent - (tl / t) * imp(pl, nl, tl) \
+        - (tr / t) * imp(pr, nr, tr)
+    cand = (c.filter(tr > 0)  # the max value cannot be a threshold
+            .select(F.col("v").alias("threshold"),
+                    gain.alias("gain"),
+                    tl.cast("long").alias("n_left"),
+                    tr.cast("long").alias("n_right"),
+                    F.col("cum_p").alias("pos_left"),
+                    (F.col("__tp") - F.col("cum_p"))
+                    .alias("pos_right")))
+    best = cand.agg(F.max(F.round("gain", 12)).alias("__g"))
+    return (cand.crossJoin(F.broadcast(best))
+            .filter(F.round("gain", 12) == F.col("__g"))
+            .groupBy().agg(
+                F.min("threshold").alias("threshold"),
+                F.first(F.col("__g")).alias("gain"),
+                F.min_by("n_left", "threshold").alias("n_left"),
+                F.min_by("n_right", "threshold").alias("n_right"),
+                F.min_by("pos_left", "threshold").alias("pos_left"),
+                F.min_by("pos_right", "threshold").alias("pos_right")))

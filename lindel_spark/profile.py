@@ -1580,3 +1580,56 @@ def two_proportion_ztest(
                (p1 - p0) / F.sqrt(se2))
     return agg.select("n1", "n0", p1.alias("p1"), p0.alias("p0"),
                       z.alias("z"))
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs,
+) -> DataFrame:
+    """EXACT weighted quantiles: for each requested ``q`` the
+    smallest value whose cumulative weight reaches ``q·W`` — one row
+    ``(q, value, cum_weight)`` per quantile. The weighted complement
+    to :func:`equidepth_histogram` (row-count depth) and the KLL
+    sketch (bounded-state approximation): token-budget medians,
+    revenue percentiles, importance-weighted cuts all need the
+    WEIGHT axis, which none of the unweighted forms carry.
+
+    Plan: values collapse map-side to per-distinct-value weight sums
+    (distinct-value-sized, never rows), the cumulative rides the
+    distributed prefix sum (:func:`lindel_spark.util.prefix_sums`),
+    and ALL quantiles resolve in ONE aggregate — the q-list joins as
+    a broadcast literal frame against the cum table (q·W ≤ cum), min
+    per q. NULL values or weights are excluded; non-positive weights
+    raise in-plan (they would make the cumulative non-monotone and
+    the quantile ill-defined).
+    """
+    from lindel_spark.util import prefix_sums
+
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("qs must be non-empty fractions in (0, 1]")
+    base = (df.select(F.col(value_col).cast("double").alias("v"),
+                      F.col(weight_col).cast("double").alias("w"))
+            .filter(F.col("v").isNotNull() & F.col("w").isNotNull()))
+    # non-positive weights break monotonicity: fail loudly, in-plan
+    checked = base.withColumn(
+        "w", F.when(F.col("w") > 0, F.col("w")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("weighted_quantiles: non-positive weight "),
+                F.col("w").cast("string")))))
+    counts = checked.groupBy("v").agg(F.sum("w").alias("w"))
+    cum = prefix_sums(counts, "v", ["w"])
+    tot = cum.agg(F.max("cum_w").alias("__tw"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,) for q in sorted(qs)],
+                                "q DOUBLE")
+    joined = (cum.crossJoin(F.broadcast(tot))
+              .join(F.broadcast(qdf),
+                    F.col("cum_w") >= F.col("q") * F.col("__tw")))
+    # cum_w is monotone in v, so min(v) and min(cum_w) pick the same
+    # qualifying row
+    return (joined.groupBy("q")
+            .agg(F.min("v").alias("value"),
+                 F.min("cum_w").alias("cum_weight")))

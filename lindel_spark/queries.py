@@ -76,6 +76,8 @@ _SAMPLE_FIRST = [
     "events_proportion_test",  # new: two-proportion z
     "events_kaplan_meier",  # new: survival/retention curve
     "text_heaps_fit",  # new: vocabulary-growth law
+    "parts_weighted_quantiles",  # new: exact weighted quantiles
+    "parts_best_split",  # new: 1-D decision stump
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
@@ -12740,3 +12742,109 @@ def q_text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_docs", "vocab",
                       F.round("beta", 6).alias("beta_r6"),
                       F.round("ln_k", 6).alias("ln_k_r6"))
+
+
+@query(
+    "parts_weighted_quantiles",
+    """
+    WITH counts AS (
+      SELECT l_extendedprice::DOUBLE AS v,
+             SUM(l_quantity::DOUBLE) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY v
+    ), cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM counts
+    ), tot AS (SELECT MAX(cw) AS W FROM cum),
+    qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+    SELECT q, MIN(v) AS value, round(MIN(cw), 4) AS cum_weight_r4
+    FROM cum, tot, qs
+    WHERE cw >= q * W
+    GROUP BY q
+    """,
+)
+def q_parts_weighted_quantiles(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted price quantiles (round 12,
+    :func:`lindel_spark.profile.weighted_quantiles`): smallest price
+    whose cumulative shipped quantity reaches q·W — the weight axis
+    no unweighted quantile form carries (token-budget medians,
+    revenue percentiles); distributed prefix sum + one broadcast
+    q-list join, all quantiles in one aggregate."""
+    from lindel_spark.profile import weighted_quantiles
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = weighted_quantiles(li, "l_extendedprice", "l_quantity",
+                             [0.25, 0.5, 0.75, 0.9, 0.99])
+    return out.select("q", "value",
+                      F.round("cum_weight", 4).alias("cum_weight_r4"))
+
+
+@query(
+    "parts_best_split",
+    """
+    WITH base AS (
+      SELECT l_extendedprice::DOUBLE AS v,
+             CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS y
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+    ), counts AS (
+      SELECT v, SUM(y)::BIGINT AS p, SUM(1 - y)::BIGINT AS n
+      FROM base GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(p) OVER w AS cp, SUM(n) OVER w AS cn
+      FROM counts
+      WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+      SELECT MAX(cp)::BIGINT AS P, MAX(cn)::BIGINT AS N FROM cum
+    ), cand AS (
+      SELECT v AS threshold,
+             (1.0 - (P::DOUBLE / (P + N)) * (P::DOUBLE / (P + N))
+                  - (N::DOUBLE / (P + N)) * (N::DOUBLE / (P + N)))
+             - ((cp + cn)::DOUBLE / (P + N))
+               * (1.0 - (cp::DOUBLE / (cp + cn)) * (cp::DOUBLE / (cp + cn))
+                      - (cn::DOUBLE / (cp + cn)) * (cn::DOUBLE / (cp + cn)))
+             - ((P + N - cp - cn)::DOUBLE / (P + N))
+               * (1.0 - ((P - cp)::DOUBLE / (P + N - cp - cn))
+                        * ((P - cp)::DOUBLE / (P + N - cp - cn))
+                      - ((N - cn)::DOUBLE / (P + N - cp - cn))
+                        * ((N - cn)::DOUBLE / (P + N - cp - cn)))
+               AS gain,
+             (cp + cn)::BIGINT AS n_left,
+             (P + N - cp - cn)::BIGINT AS n_right,
+             cp::BIGINT AS pos_left, (P - cp)::BIGINT AS pos_right
+      FROM cum, tot
+      WHERE (P + N - cp - cn) > 0
+    )
+    SELECT MIN(threshold) AS threshold,
+           round(MAX(round(gain, 12)), 6) AS gain_r6,
+           MIN_BY(n_left, threshold) AS n_left,
+           MIN_BY(n_right, threshold) AS n_right,
+           MIN_BY(pos_left, threshold) AS pos_left,
+           MIN_BY(pos_right, threshold) AS pos_right
+    FROM cand
+    WHERE round(gain, 12) = (SELECT MAX(round(gain, 12)) FROM cand)
+    """,
+)
+def q_parts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D decision stump (round 12,
+    :func:`lindel_spark.features.best_split`): the price threshold
+    with the largest Gini impurity decrease against the
+    high-discount label — every candidate split's impurity is
+    closed-form algebra over the distributed prefix sum; argmax with
+    the deterministic (max gain @ 12dp, smallest threshold)
+    tie-break both engines replay; 6dp."""
+    from lindel_spark.features import best_split
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    base = li.select(
+        F.col("l_extendedprice").cast("double").alias("v"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("y"))
+    out = best_split(base, "v", "y", criterion="gini")
+    return out.select("threshold",
+                      F.round("gain", 6).alias("gain_r6"),
+                      "n_left", "n_right", "pos_left", "pos_right")
