@@ -78,6 +78,9 @@ _SAMPLE_FIRST = [
     "text_heaps_fit",  # new: vocabulary-growth law
     "parts_weighted_quantiles",  # new: exact weighted quantiles
     "parts_best_split",  # new: 1-D decision stump
+    "supplier_dbscan",  # new: exact grid DBSCAN
+    "parts_rank_rbo",  # new: rank-biased overlap
+    "text_phrase_search",  # new: positional phrase match
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
@@ -12848,3 +12851,183 @@ def q_parts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("threshold",
                       F.round("gain", 6).alias("gain_r6"),
                       "n_left", "n_right", "pos_left", "pos_right")
+
+
+@query(
+    "supplier_dbscan",
+    """
+    WITH RECURSIVE pts AS (
+      SELECT s_suppkey::BIGINT AS id,
+             ((s_suppkey % 17) * 10)::DOUBLE AS x,
+             (((s_suppkey // 17) % 13) * 10)::DOUBLE AS y
+      FROM supplier
+    ), pairs AS (
+      SELECT a.id AS a, b.id AS b
+      FROM pts a JOIN pts b
+        ON a.id <> b.id
+       AND sqrt((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)) <= 0.5
+    ), counts AS (
+      SELECT a, COUNT(*) + 1 AS n FROM pairs GROUP BY a
+    ), flags AS (
+      SELECT pts.id, COALESCE(counts.n, 1) >= 3 AS is_core
+      FROM pts LEFT JOIN counts ON pts.id = counts.a
+    ), core_edges AS (
+      SELECT p.a AS src, p.b AS dst
+      FROM pairs p
+      JOIN flags fa ON p.a = fa.id AND fa.is_core
+      JOIN flags fb ON p.b = fb.id AND fb.is_core
+      WHERE p.a < p.b
+    ), ed AS (
+      SELECT src AS u, dst AS v FROM core_edges
+      UNION ALL SELECT dst, src FROM core_edges
+    ), reach(node, lbl) AS (
+      SELECT id, id FROM flags WHERE is_core
+      UNION
+      SELECT e.v, r.lbl FROM ed e JOIN reach r ON r.node = e.u
+    ), comp AS (
+      SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node
+    ), core_out AS (
+      SELECT f.id, 'core' AS role, c.cluster
+      FROM flags f JOIN comp c ON f.id = c.node WHERE f.is_core
+    ), border AS (
+      SELECT p.a AS id, 'border' AS role, MIN(co.cluster) AS cluster
+      FROM pairs p
+      JOIN flags fa ON p.a = fa.id AND NOT fa.is_core
+      JOIN core_out co ON p.b = co.id
+      GROUP BY p.a
+    ), noise AS (
+      SELECT f.id, 'noise' AS role, NULL::BIGINT AS cluster
+      FROM flags f
+      WHERE NOT f.is_core
+        AND f.id NOT IN (SELECT id FROM border)
+    )
+    SELECT * FROM core_out
+    UNION ALL SELECT * FROM border
+    UNION ALL SELECT * FROM noise
+    """,
+)
+def q_supplier_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grid DBSCAN (round 12,
+    :func:`lindel_spark.clustering.dbscan_2d`, ε = 0.5, min_pts = 3)
+    over suppliers placed on a 17×13 modulo lattice (sites 10 apart,
+    so ε only connects co-located suppliers — component size is
+    bounded at every scale, which keeps the oracle's recursive
+    transitive closure finite): Morton-cell 3×3 neighborhood pairs +
+    star connected components on the Spark side vs the naive
+    distance join + recursive min-label fixpoint in DuckDB —
+    identical roles and min-id clusters."""
+    from lindel_spark.clustering import dbscan_2d
+
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    pts = sup.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        ((F.col("s_suppkey") % 17) * 10).cast("double").alias("x"),
+        (((F.col("s_suppkey") / 17).cast("long") % 13) * 10)
+        .cast("double").alias("y"))
+    out = dbscan_2d(pts, "id", "x", "y", eps=0.5, min_pts=3)
+    return out.select("id", "role",
+                      F.col("cluster").cast("long").alias("cluster"))
+
+
+@query(
+    "parts_rank_rbo",
+    """
+    WITH byrev AS (
+      SELECT l_partkey AS item,
+             row_number() OVER (ORDER BY SUM(l_extendedprice) DESC,
+                                l_partkey) AS rank
+      FROM lineitem GROUP BY l_partkey
+    ), bycnt AS (
+      SELECT l_partkey AS item,
+             row_number() OVER (ORDER BY COUNT(*) DESC, l_partkey)
+               AS rank
+      FROM lineitem GROUP BY l_partkey
+    ), bth AS (
+      SELECT GREATEST(a.rank, b.rank) AS m
+      FROM byrev a JOIN bycnt b USING (item)
+      WHERE GREATEST(a.rank, b.rank) <= 50
+    ), entry AS (
+      SELECT m, COUNT(*)::BIGINT AS c FROM bth GROUP BY m
+    ), depths AS (
+      SELECT d, pow(0.9, d - 1) / d AS wd
+      FROM generate_series(1, 50) AS t(d)
+    ), per_d AS (
+      SELECT depths.d, depths.wd,
+             COALESCE(SUM(entry.c), 0) AS ov
+      FROM depths LEFT JOIN entry ON entry.m <= depths.d
+      GROUP BY depths.d, depths.wd
+    )
+    SELECT 50::BIGINT AS depth,
+           MAX(CASE WHEN d = 50 THEN ov END)::BIGINT
+             AS overlap_at_depth,
+           round(0.1 * SUM(wd * ov), 6) AS rbo_r6
+    FROM per_d
+    """,
+)
+def q_parts_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap at p = 0.9, depth 50 (round 12,
+    :func:`lindel_spark.retrieval.rank_biased_overlap`) between the
+    revenue-ranked and frequency-ranked part top lists — the
+    top-weighted agreement score for comparing ranking runs
+    (Spearman weights all ranks equally; users read from the top).
+    Per-depth overlap is one cumulative over max(rank_a, rank_b);
+    6dp."""
+    from pyspark.sql import Window
+
+    from lindel_spark.retrieval import rank_biased_overlap
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    byrev = (li.groupBy("l_partkey")
+             .agg(F.sum("l_extendedprice").alias("rev"))
+             .select(F.col("l_partkey").alias("item"),
+                     F.row_number().over(
+                         Window.orderBy(F.col("rev").desc(),
+                                        F.col("l_partkey")))
+                     .alias("rank")))
+    bycnt = (li.groupBy("l_partkey")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.col("l_partkey").alias("item"),
+                     F.row_number().over(
+                         Window.orderBy(F.col("cnt").desc(),
+                                        F.col("l_partkey")))
+                     .alias("rank")))
+    out = rank_biased_overlap(byrev, bycnt, p=0.9, depth=50)
+    return out.select("depth", "overlap_at_depth",
+                      F.round("rbo", 6).alias("rbo_r6"))
+
+
+@query(
+    "text_phrase_search",
+    """
+    WITH norm AS (
+      SELECT doc_id::BIGINT AS doc_id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(toks) AS term,
+             unnest(generate_series(0, len(toks) - 1)) AS p
+      FROM norm
+    ), h AS (
+      SELECT a.doc_id, a.p AS anchor
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      WHERE a.term = 'hash' AND b.term = 'join'
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_matches
+    FROM h GROUP BY doc_id
+    """,
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search for "hash join" (round 12,
+    :func:`lindel_spark.retrieval.phrase_search`): exact contiguous
+    bigram matches per document via positional postings — the
+    capability a bag-of-words index can't answer; postings filtered
+    to the phrase terms inside the scan stage."""
+    from lindel_spark.retrieval import phrase_search
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return phrase_search(docs, "hash join")

@@ -959,3 +959,112 @@ def tfidf_cosine_pairs(
     return (cos.filter((F.col("na") > 0) & (F.col("nb") > 0)
                        & (cut >= F.lit(float(threshold))))
             .select("a", "b", "cosine"))
+
+
+def rank_biased_overlap(
+    rank_a: DataFrame,
+    rank_b: DataFrame,
+    item_col: str = "item",
+    rank_col: str = "rank",
+    p: float = 0.9,
+    depth: int = 100,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel 2010)
+    between two rankings: one row ``(depth, overlap_at_depth,
+    rbo)`` with ``RBO@D = (1−p)/(1−p^D·(1−p)·…)``-normalized — here
+    the standard truncated form ``(1−p) Σ_{d≤D} p^{d−1}·|A_d∩B_d|/d``
+    — the top-weighted agreement score for comparing two retrieval/
+    ranking runs (Spearman treats all ranks equally; RBO's geometric
+    weights match how users read result lists). ``p`` sets the
+    top-weighting (0.9 ≈ the first 10 ranks carry ~86 % of the
+    weight).
+
+    Plan: an item contributes to every depth ``d ≥ max(rank_a,
+    rank_b)``, so the per-depth overlap is a CUMULATIVE count over
+    ``max(ra, rb)`` — one equi-join on item, one distinct-depth
+    count table, the distributed prefix sum, and a closed-form
+    weighted tail sum over a broadcast depth-literal frame —
+    BOTH sides of the depth range join are ≤ ``depth`` rows by
+    construction, so the nested-loop there is a constant-size
+    broadcast, never data-scale. Ranks must be 1-based and
+    duplicate-free per side (the caller's row_number contract).
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    a = rank_a.select(F.col(item_col).alias("item"),
+                      F.col(rank_col).cast("long").alias("ra"))
+    b = rank_b.select(F.col(item_col).alias("item"),
+                      F.col(rank_col).cast("long").alias("rb"))
+    both = (a.join(b, "item")
+            .select(F.greatest("ra", "rb").alias("m"))
+            .filter(F.col("m") <= depth))
+    entry = both.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    spark = rank_a.sparkSession
+    depths = spark.range(1, depth + 1).select(
+        F.col("id").alias("d"),
+        (F.pow(F.lit(p), F.col("id").cast("double") - 1.0)
+         / F.col("id").cast("double")).alias("wd"))
+    # overlap_at(d) = Σ_{m<=d} c(m); rbo = (1-p)·Σ_d wd·overlap_at(d)
+    joined = depths.join(F.broadcast(entry),
+                         F.col("m") <= F.col("d"), "left")
+    per_d = joined.groupBy("d", "wd").agg(
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("ov"))
+    out = per_d.agg(
+        F.lit(depth).cast("long").alias("depth"),
+        F.max(F.when(F.col("d") == depth, F.col("ov")))
+        .cast("long").alias("overlap_at_depth"),
+        ((1.0 - p) * F.sum(F.col("wd") * F.col("ov").cast("double")))
+        .alias("rbo"))
+    return out
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact multi-word phrase search over positional postings:
+    documents containing the (normalized) token sequence ``phrase``
+    contiguously, returned as ``(doc_id, n_matches)`` — the
+    capability a bag-of-words index can't answer (BM25/TF-IDF score
+    term SETS; "new york" ≠ "york new"). Standard positional
+    inverted-index semantics.
+
+    Plan: the corpus explodes ONCE to (doc_id, pos, term) positional
+    postings filtered to the phrase's terms inside the scan stage
+    (the bm25 broadcast-vocabulary trick, so the shuffle is bounded
+    by phrase-term postings, never the corpus vocabulary); the i-th
+    phrase term joins at offset ``pos − i`` and a doc matches where
+    all terms land — expressed as one groupBy on (doc, anchor
+    position) counting distinct satisfied offsets. Adjacency is
+    POSITION algebra, no string rescans.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    toks = tokens(normalize_text(F.col(text_col)))
+    pos = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       F.posexplode(toks).alias("pos", "term"))
+           .filter(F.col("term").isin(terms)))
+    offsets = {t: [i for i, tt in enumerate(terms) if tt == t]
+               for t in set(terms)}
+    # anchor = pos - offset for every offset the term occupies
+    anchor_rows = None
+    for t, offs in offsets.items():
+        for i in offs:
+            r = (pos.filter(F.col("term") == t)
+                 .select("doc_id",
+                         (F.col("pos") - F.lit(i)).alias("anchor"),
+                         F.lit(i).alias("slot")))
+            anchor_rows = r if anchor_rows is None \
+                else anchor_rows.unionByName(r)
+    hits = (anchor_rows.filter(F.col("anchor") >= 0)
+            .groupBy("doc_id", "anchor")
+            .agg(F.countDistinct("slot").alias("__k"))
+            .filter(F.col("__k") == len(terms)))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"))
