@@ -860,11 +860,28 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
                                    1).otherwise(0)).alias("e")))
         _noop(kaplan_meier(spans, "t", "e"))
 
+    def q_lof(_):
+        from lindel_spark.similarity import lof
+        _noop(lof(emb, k=10))
+
+    def q_dbscan(_):
+        from lindel_spark.clustering import dbscan_2d
+        sup = spark.read.parquet(os.path.join(SF_DIR,
+                                              "supplier.parquet"))
+        pts = sup.select(
+            F.col("s_suppkey").cast("long").alias("id"),
+            ((F.col("s_suppkey") % 17) * 10).cast("double").alias("x"),
+            (((F.col("s_suppkey") / 17).cast("long") % 13) * 10)
+            .cast("double").alias("y"))
+        _noop(dbscan_2d(pts, "id", "x", "y", eps=0.5, min_pts=3))
+
     scan_shaped += [
         ("link_prediction", q_link_prediction, n_li),
         ("tfidf_cosine_pairs", q_tfidf_cosine, n_docs),
         ("spearman_corr", q_spearman, n_li),
         ("kaplan_meier", q_kaplan_meier, -1),
+        ("lof_embeddings", q_lof, n_emb),
+        ("dbscan_suppliers", q_dbscan, -1),
     ]
 
     def q_zorder_store_cycle(tmp):

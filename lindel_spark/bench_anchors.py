@@ -120,6 +120,8 @@ ANCHORS: dict[str, float] = {
     "tfidf_cosine_pairs": 0.95,
     "spearman_corr": 4.60,
     "kaplan_meier": 1.96,
+    "lof_embeddings": 1.07,
+    "dbscan_suppliers": 2.86,
 }
 
 # Entries whose documented same-code noise band already approaches or

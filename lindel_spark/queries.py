@@ -81,6 +81,7 @@ _SAMPLE_FIRST = [
     "supplier_dbscan",  # new: exact grid DBSCAN
     "parts_rank_rbo",  # new: rank-biased overlap
     "text_phrase_search",  # new: positional phrase match
+    "knn_lof_outliers",  # new: local outlier factor
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
@@ -13031,3 +13032,60 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return phrase_search(docs, "hash join")
+
+
+@query(
+    "knn_lof_outliers",
+    """
+    WITH e AS (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 1200
+    ), scored AS (
+      SELECT a.id AS p, b.id AS o,
+             GREATEST(0.0, 1.0 - list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v)))) AS d
+      FROM e a JOIN e b ON a.id != b.id
+    ), n AS (
+      SELECT p, o, d FROM (
+        SELECT p, o, d,
+               row_number() OVER (PARTITION BY p ORDER BY d, o) AS r
+        FROM scored)
+      WHERE r <= 5
+    ), kd AS (
+      SELECT p, MAX(d) AS kdist FROM n GROUP BY p
+    ), reach AS (
+      SELECT n.p, n.o, GREATEST(kdo.kdist, n.d) AS rd
+      FROM n JOIN kd kdo ON n.o = kdo.p
+    ), lrd AS (
+      SELECT p, CASE WHEN SUM(rd) > 0
+                     THEN COUNT(*)::DOUBLE / SUM(rd) END AS lrd
+      FROM reach GROUP BY p
+    ), avg_o AS (
+      SELECT n.p, AVG(lo.lrd) AS alo
+      FROM n JOIN lrd lo ON n.o = lo.p GROUP BY n.p
+    )
+    SELECT kd.p AS id, round(kd.kdist, 6) AS kdist_r6,
+           round(lrd.lrd, 6) AS lrd_r6,
+           round(avg_o.alo / lrd.lrd, 6) AS lof_r6
+    FROM kd JOIN lrd USING (p) JOIN avg_o USING (p)
+    """,
+)
+def q_knn_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor at k = 5 (round 12,
+    :func:`lindel_spark.similarity.lof`) over the first 1200
+    embeddings (the cap bounds the ORACLE's naive all-pairs replay —
+    the operator itself is the distributed knn_join plan): cosine
+    reach-distances, lrd density ratios, LOF ≈ 1 inlier / ≫ 1
+    outlier; the same sequential-fold cosine both engines compute
+    bit-for-bit; 6dp."""
+    from lindel_spark.similarity import lof
+
+    emb = (spark.read.parquet(os.path.join(sf_dir,
+                                           "embeddings.parquet"))
+           .filter(F.col("vec_id") < 1200))
+    out = lof(emb, k=5)
+    return out.select("id",
+                      F.round("kdist", 6).alias("kdist_r6"),
+                      F.round("lrd", 6).alias("lrd_r6"),
+                      F.round("lof", 6).alias("lof_r6"))

@@ -2297,3 +2297,69 @@ def silhouette_by_cell(
         F.avg("s").alias("mean_s"),
         F.min("s").alias("min_s"),
         F.max("s").alias("max_s"))
+
+
+def lof(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **knn_kwargs,
+) -> DataFrame:
+    """Local outlier factor (Breunig et al. 2000) over COSINE
+    distance ``d = 1 − cos`` — the density-ratio outlier score for
+    embedding spaces (a point is anomalous when its local density is
+    low RELATIVE to its neighbors', which global z-scores and
+    distance cutoffs both miss): ``LOF(p) = avg_{o∈kNN(p)} lrd(o) /
+    lrd(p)`` with ``lrd = k / Σ reach-dist`` and ``reach-dist(p,o) =
+    max(k-dist(o), d(p,o))``. LOF ≈ 1: inlier; ≫ 1: outlier.
+    Returns ``(id, kdist, lrd, lof)``.
+
+    Plan: the one expensive step is the self-kNN, delegated to
+    :func:`knn_join` (cell-keyed shuffle equi-join, both sides
+    distributed, no driver ceiling — pass ``n_centroids``/``nprobe``
+    through ``knn_kwargs`` to trade exactness for scan fraction at
+    scale); everything after is three id-keyed joins + two
+    map-side-combined aggregates over the k·n neighbor frame. Self
+    matches are excluded and the k-set re-ranked ``(d asc, neighbor
+    id asc)`` so duplicates can't evict the contract. A point whose
+    k-neighborhood is ALL duplicates (Σ reach = 0) has unbounded
+    lrd: emitted as NULL lrd/lof, the documented degenerate case.
+    """
+    from pyspark.sql.window import Window
+
+    nbrs = knn_join(df, df, k=k + 1, id_col=id_col, vec_col=vec_col,
+                    **knn_kwargs)
+    n = (nbrs.filter(F.col("neighbor_id") != F.col("query_id"))
+         .withColumn("d", F.greatest(F.lit(0.0),
+                                     F.lit(1.0) - F.col("cos"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d"), F.col("neighbor_id"))
+    n = (n.withColumn("__r", F.row_number().over(w))
+         .filter(F.col("__r") <= k)
+         .select("query_id", "neighbor_id", "d"))
+    from pyspark import StorageLevel
+    n = n.persist(StorageLevel.MEMORY_AND_DISK)
+    kdist = n.groupBy("query_id").agg(F.max("d").alias("kdist"))
+    kd_o = kdist.select(F.col("query_id").alias("neighbor_id"),
+                        F.col("kdist").alias("__kdo"))
+    reach = (n.join(kd_o, "neighbor_id")
+             .select("query_id", "neighbor_id",
+                     F.greatest(F.col("__kdo"), F.col("d"))
+                     .alias("__reach")))
+    lrd = (reach.groupBy("query_id")
+           .agg(F.count(F.lit(1)).cast("double").alias("__kk"),
+                F.sum("__reach").alias("__sr"))
+           .select("query_id",
+                   F.when(F.col("__sr") > 0,
+                          F.col("__kk") / F.col("__sr"))
+                   .alias("lrd")))
+    lrd_o = lrd.select(F.col("query_id").alias("neighbor_id"),
+                       F.col("lrd").alias("__lrdo"))
+    avg_o = (n.join(lrd_o, "neighbor_id")
+             .groupBy("query_id")
+             .agg(F.avg("__lrdo").alias("__avg_lrd_o")))
+    out = (kdist.join(lrd, "query_id").join(avg_o, "query_id")
+           .select(F.col("query_id").alias("id"), "kdist", "lrd",
+                   (F.col("__avg_lrd_o") / F.col("lrd")).alias("lof")))
+    return out
