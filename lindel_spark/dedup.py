@@ -1349,3 +1349,65 @@ def hamming_banded_pairs(
                     .cast("long").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC set-containment self-join: pairs ``(src, dst,
+    overlap, containment)`` with ``containment = |S(src) ∩ S(dst)| /
+    |S(src)| ≥ threshold`` over distinct word ``shingle_k``-shingle
+    sets — the sub-document detector Jaccard misses by construction
+    (a paragraph quoted inside a much larger doc has containment ≈ 1
+    but Jaccard ≈ |quote|/|doc| ≈ 0, under every symmetric
+    threshold). Both directions are emitted as separate rows; quote
+    detection reads ``src`` = the contained side.
+
+    Plan: one corpus scan to distinct per-doc shingle sets
+    (map-side-combined), overlap counts from a gram-keyed self-join
+    — volume is ``Σ_g df(g)²``, so grams with ``df > max_gram_df``
+    are dropped BEFORE pairing, the same documented high-df cut as
+    ``tfidf_cosine_pairs`` (boilerplate shingles carry quadratic
+    cost and no containment signal; set sizes are taken over the
+    KEPT gram space so the ratio stays a true containment there).
+    Docs with fewer than ``shingle_k`` tokens have no shingles and
+    never pair.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql.window import Window
+
+    from lindel_spark.text import word_ngrams
+
+    grams = (df.select(F.col(id_col).alias("id"),
+                       F.explode(word_ngrams(F.col(text_col),
+                                             shingle_k)).alias("g"))
+             .distinct())
+    grams = grams.withColumn(
+        "gdf", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    kept = grams.filter(F.col("gdf") <= F.lit(int(max_gram_df))) \
+        .select("id", "g")
+    from pyspark import StorageLevel
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    a = kept.select(F.col("id").alias("src"), "g")
+    b = kept.select(F.col("id").alias("dst"), "g")
+    ov = (a.join(b, "g")
+          .filter(F.col("src") != F.col("dst"))
+          .groupBy("src", "dst")
+          .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
+    ssz = sizes.select(F.col("id").alias("src"),
+                       F.col("sz").alias("__ssz"))
+    out = (ov.join(ssz, "src")
+           .withColumn("containment",
+                       F.col("overlap").cast("double")
+                       / F.col("__ssz").cast("double"))
+           .filter(F.col("containment") >= F.lit(float(threshold)))
+           .select("src", "dst", "overlap", "containment"))
+    return out

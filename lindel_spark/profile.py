@@ -1633,3 +1633,47 @@ def weighted_quantiles(
     return (joined.groupBy("q")
             .agg(F.min("v").alias("value"),
                  F.min("cum_w").alias("cum_weight")))
+
+
+def seeded_laplace_counts(
+    df: DataFrame,
+    keys,
+    epsilon: float,
+    salt: str = "lindel",
+    sensitivity: float = 1.0,
+) -> DataFrame:
+    """Laplace-mechanism count release with SEEDED noise: per key
+    group, ``count + Laplace(sensitivity/ε)`` where the draw comes
+    from the md5 of (key values, salt) through the inverse CDF — the
+    noise MAGNITUDE calibration of the standard ε-DP count mechanism
+    (Dwork 2006) with REPLAYABLE draws. Honest caveat, stated loud:
+    seeded noise is NOT differential privacy (an adversary who knows
+    the salt can subtract the noise; true DP requires fresh
+    randomness at release time). What this gives a pipeline is the
+    mechanism's exact shape — calibrated noise, bit-identical across
+    engines and reruns so the release is testable/replayable — with
+    the salt as the freshness knob: rotate it per release and keep
+    it secret, and the draw is as unpredictable as the salt.
+    Returns one row per group: ``(keys…, n, noisy_n)``.
+
+    Plan: one map-side-combined groupBy; the draw is pure column
+    algebra (md5 → uniform in (0,1) → signed −(s/ε)·sgn·ln(1−2|u−½|))
+    — zero extra shuffles, replays in any engine with md5 + ln.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    key_str = F.concat_ws("|", *[F.col(k).cast("string")
+                                 for k in keys], F.lit(salt))
+    # 15 hex chars = 60 bits; +0.5 keeps u strictly inside (0, 1) so
+    # |u - 1/2| < 1/2 and the ln argument stays positive
+    u = ((F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10)
+          .cast("double") + 0.5) / F.lit(float(16 ** 15)))
+    c = u - 0.5
+    mag = -(F.lit(float(sensitivity) / float(epsilon))
+            * F.signum(c) * F.log(1.0 - 2.0 * F.abs(c)))
+    return counts.select(*keys, "n",
+                         (F.col("n").cast("double") + mag)
+                         .alias("noisy_n"))

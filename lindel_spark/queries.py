@@ -82,6 +82,9 @@ _SAMPLE_FIRST = [
     "parts_rank_rbo",  # new: rank-biased overlap
     "text_phrase_search",  # new: positional phrase match
     "knn_lof_outliers",  # new: local outlier factor
+    "dedup_containment",  # new: sub-document quote detector
+    "profile_dp_counts",  # new: seeded Laplace release
+    "events_attribution",  # new: multi-touch credit
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
@@ -13089,3 +13092,145 @@ def q_knn_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("kdist", 6).alias("kdist_r6"),
                       F.round("lrd", 6).alias("lrd_r6"),
                       F.round("lof", 6).alias("lof_r6"))
+
+
+@query(
+    "dedup_containment",
+    """
+    WITH d AS (
+      SELECT doc_id::BIGINT AS id,
+             list_filter(
+               string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               t -> t <> '') AS t
+      FROM documents
+    ), g0 AS (
+      SELECT id,
+             list_distinct(list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gs
+      FROM d WHERE len(t) >= 3
+    ), g AS (
+      SELECT id, unnest(gs) AS gr FROM g0
+    ), dfs AS (
+      SELECT gr, COUNT(*)::BIGINT AS gdf FROM g GROUP BY gr
+    ), kept AS (
+      SELECT g.id, g.gr FROM g JOIN dfs USING (gr) WHERE gdf <= 500
+    ), sizes AS (
+      SELECT id, COUNT(*)::BIGINT AS sz FROM kept GROUP BY id
+    ), ov AS (
+      SELECT a.id AS src, b.id AS dst, COUNT(*)::BIGINT AS overlap
+      FROM kept a JOIN kept b ON a.gr = b.gr AND a.id <> b.id
+      GROUP BY 1, 2
+    )
+    SELECT src, dst, overlap,
+           round(overlap::DOUBLE / sz, 6) AS containment_r6
+    FROM ov JOIN sizes ON sizes.id = ov.src
+    WHERE overlap::DOUBLE / sz >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment join (round 12,
+    :func:`lindel_spark.dedup.containment_join`, k = 3, t = 0.6,
+    gram-df cap 500): the sub-document/quote detector symmetric
+    Jaccard misses by construction — |src∩dst|/|src| over distinct
+    word trigram sets, high-df boilerplate shingles cut before
+    pairing; both directions emitted; 6dp display, full-precision
+    threshold on both engines."""
+    from lindel_spark.dedup import containment_join
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = containment_join(docs, threshold=0.6, shingle_k=3,
+                           max_gram_df=500)
+    return out.select("src", "dst", "overlap",
+                      F.round("containment", 6)
+                      .alias("containment_r6"))
+
+
+@query(
+    "profile_dp_counts",
+    """
+    WITH counts AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n FROM events GROUP BY 1
+    ), drawn AS (
+      SELECT event_type, n,
+             (('0x' || substr(md5(event_type || '|' || 'lindel'),
+                              1, 15))::BIGINT + 0.5)
+               / 1152921504606846976.0 AS u
+      FROM counts
+    )
+    SELECT event_type, n,
+           round(n + (-(1.0 / 1.0) * sign(u - 0.5)
+                      * ln(1.0 - 2.0 * abs(u - 0.5))), 6)
+             AS noisy_n_r6
+    FROM drawn
+    """,
+)
+def q_profile_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism count release with seeded draws (round 12,
+    :func:`lindel_spark.profile.seeded_laplace_counts`, ε = 1):
+    md5(key, salt) → uniform → inverse-CDF Laplace — the calibrated
+    noise SHAPE of the ε-DP count mechanism with bit-replayable
+    draws (documented loudly as NOT true DP: fresh randomness is the
+    salt rotation's job); pure column algebra, zero extra shuffles;
+    6dp."""
+    from lindel_spark.profile import seeded_laplace_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = seeded_laplace_counts(ev, "event_type", epsilon=1.0,
+                                salt="lindel")
+    return out.select("event_type", "n",
+                      F.round("noisy_n", 6).alias("noisy_n_r6"))
+
+
+@query(
+    "events_attribution",
+    """
+    WITH e AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS conv
+      FROM events WHERE user_id IS NOT NULL
+    ), ep AS (
+      SELECT *, COALESCE(SUM(conv) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS epoch
+      FROM e
+    ), touches AS (
+      SELECT user_id, event_type, epoch,
+             COUNT(*) OVER (PARTITION BY user_id, epoch) AS cnt
+      FROM ep WHERE conv = 0
+    ), convs AS (
+      SELECT DISTINCT user_id, epoch FROM ep WHERE conv = 1
+    ), closed AS (
+      SELECT t.* FROM touches t
+      JOIN convs c ON t.user_id = c.user_id AND t.epoch = c.epoch
+    )
+    SELECT event_type AS touch_type,
+           round(SUM(1.0 / cnt), 6) AS credit_r6,
+           COUNT(*)::BIGINT AS n_touches,
+           COUNT(DISTINCT (user_id, epoch))::BIGINT AS n_conversions
+    FROM closed GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (round 12,
+    :func:`lindel_spark.timeseries.attribution`): each purchase's
+    unit of credit split 1/n across the user's touches since their
+    previous purchase — epoch grouping IS the touch→conversion
+    assignment (no join on the touch side, one window pass + two
+    keyed aggregates); credit conserves to the attributed-conversion
+    count; 6dp."""
+    from lindel_spark.timeseries import attribution
+
+    ev = (_events(spark, sf_dir)
+          .filter(F.col("user_id").isNotNull())
+          .withColumn("tus", F.unix_micros("ts"))
+          .withColumn("eid", F.col("event_id").cast("long")))
+    out = attribution(ev, "user_id", "tus", "event_type", "eid",
+                      conversion="purchase", model="linear")
+    return out.select("touch_type",
+                      F.round("credit", 6).alias("credit_r6"),
+                      "n_touches", "n_conversions")

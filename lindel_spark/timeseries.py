@@ -525,3 +525,78 @@ def kaplan_meier(
                     F.col("d").alias("n_events"),
                     F.col("c").alias("n_censored"),
                     surv.alias("survival")))
+
+
+def attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak: str,
+    conversion: str,
+    model: str = "linear",
+) -> DataFrame:
+    """Multi-touch attribution over per-user event streams: each
+    ``conversion`` event's unit of credit is split across the
+    non-conversion touches since the user's PREVIOUS conversion
+    (epoch-scoped, the standard formulation) under the chosen
+    ``model`` — ``'first'`` (all credit to the earliest touch),
+    ``'last'`` (latest), or ``'linear'`` (1/n each). Returns one row
+    per touch type: ``(touch_type, credit, n_touches,
+    n_conversions)`` where ``n_conversions`` counts conversions that
+    had ≥ 1 touch (credit conserves: Σ credit = that count;
+    touchless conversions attribute nothing).
+
+    Plan: one per-user window pass computes each event's epoch (the
+    running count of PRIOR conversions — prefix count, map-only
+    after the per-key sort), touches join conversions on
+    (user, epoch) implicitly by aggregation — no join at all: the
+    epoch grouping IS the assignment, one groupBy on (user, epoch)
+    for per-epoch touch counts/extents, one more keyed aggregate to
+    the type rollup. Deterministic under the (ts, tiebreak) total
+    order per user.
+    """
+    if model not in ("first", "last", "linear"):
+        raise ValueError("model must be first/last/linear")
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    is_conv = F.when(F.col(type_col) == conversion, 1).otherwise(0)
+    ev = df.withColumn("__conv", is_conv).withColumn(
+        "__epoch",
+        F.coalesce(F.sum("__conv").over(w), F.lit(0)).cast("long"))
+    touches = ev.filter(F.col("__conv") == 0)
+    convs = (ev.filter(F.col("__conv") == 1)
+             .select(F.col(user_col).alias("__u"),
+                     F.col("__epoch").alias("__e")))
+    # per (user, epoch): touch extents for the first/last rules
+    wt = Window.partitionBy(user_col, "__epoch") \
+        .orderBy(ts_col, tiebreak)
+    tagged = (touches
+              .withColumn("__rn", F.row_number().over(wt))
+              .withColumn("__cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy(user_col, "__epoch"))))
+    # an epoch's touches attribute to the conversion CLOSING it —
+    # i.e. a conversion whose own epoch equals the touch epoch
+    closed = tagged.join(
+        convs,
+        (tagged[user_col] == convs["__u"])
+        & (tagged["__epoch"] == convs["__e"]))
+    if model == "linear":
+        credit = F.lit(1.0) / F.col("__cnt").cast("double")
+    elif model == "first":
+        credit = F.when(F.col("__rn") == 1, 1.0).otherwise(0.0)
+    else:
+        credit = F.when(F.col("__rn") == F.col("__cnt"), 1.0) \
+            .otherwise(0.0)
+    per_type = (closed.withColumn("__credit", credit)
+                .groupBy(F.col(type_col).alias("touch_type"))
+                .agg(F.sum("__credit").alias("credit"),
+                     F.count(F.lit(1)).cast("long").alias("n_touches")))
+    # n_conversions = DISTINCT attributed conversions this type
+    # touched (model-independent reach, beside the model's credit)
+    per_conv = (closed.groupBy(F.col(type_col).alias("touch_type"))
+                .agg(F.countDistinct(user_col, "__epoch")
+                     .cast("long").alias("n_conversions")))
+    return per_type.join(per_conv, "touch_type")
