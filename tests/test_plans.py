@@ -615,3 +615,47 @@ def test_drift_report_broadcasts_stats_not_rows(spark):
     assert "CartesianProduct" not in p
     # the per-column stats ride broadcast joins; row frames never do
     assert "BroadcastExchange" in p
+
+
+def test_link_prediction_no_cartesian(spark, li):
+    from lindel_spark.graph import link_prediction
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok").filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    p = plan_of(link_prediction(edges, max_middle_degree=64))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tfidf_cosine_pairs_no_cartesian(docs):
+    # the only nested loop allowed is the one-row broadcast of the
+    # corpus-constants frame (the repo's standard crossJoin(broadcast)
+    # pattern); the PAIR join itself must be a term-keyed equi-join
+    from lindel_spark.retrieval import tfidf_cosine_pairs
+    p = plan_of(tfidf_cosine_pairs(docs, threshold=0.5, max_df=100))
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) \
+        or ("BroadcastHashJoin" in p)
+
+
+def test_dbscan_epsilon_pairs_cell_keyed(spark):
+    # the epsilon-neighborhood must ride the Morton-cell equi-join,
+    # never a distance cross join
+    from lindel_spark.clustering import dbscan_2d
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 5)) for i in range(100)],
+        ["id", "x", "y"])
+    p = plan_of(dbscan_2d(pts, "id", "x", "y", eps=0.5, min_pts=3))
+    assert "CartesianProduct" not in p
+
+
+def test_phrase_search_postings_filtered_in_scan(docs):
+    from lindel_spark.retrieval import phrase_search
+    p = plan_of(phrase_search(docs, "hash join"))
+    assert "CartesianProduct" not in p
+    # the phrase-vocabulary filter must sit below the explode result
+    # aggregation (term IN (...) is a pushable In predicate)
+    assert "hash" in p and "join" in p
