@@ -85,6 +85,7 @@ _SAMPLE_FIRST = [
     "dedup_containment",  # new: sub-document quote detector
     "profile_dp_counts",  # new: seeded Laplace release
     "events_attribution",  # new: multi-touch credit
+    "parts_huber_mean",  # new: robust IRLS location
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
@@ -13234,3 +13235,71 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("touch_type",
                       F.round("credit", 6).alias("credit_r6"),
                       "n_touches", "n_conversions")
+
+
+@query(
+    "parts_huber_mean",
+    """
+    WITH base AS (
+      SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ), cnt AS (
+      SELECT x, COUNT(*)::BIGINT AS c FROM base GROUP BY x
+    ), cum AS (
+      SELECT x, SUM(c) OVER (ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM cnt
+    ), med AS (
+      SELECT MIN(x) AS m0 FROM cum,
+             (SELECT MAX(cw) AS W FROM cum) t
+      WHERE cw >= 0.5 * t.W
+    ), ad AS (
+      SELECT abs(x - (SELECT m0 FROM med)) AS a FROM base
+    ), acnt AS (
+      SELECT a, COUNT(*)::BIGINT AS c FROM ad GROUP BY a
+    ), acum AS (
+      SELECT a, SUM(c) OVER (ORDER BY a
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM acnt
+    ), mad AS (
+      SELECT MIN(a) AS s FROM acum,
+             (SELECT MAX(cw) AS W FROM acum) t
+      WHERE cw >= 0.5 * t.W
+    ), r1 AS (
+      SELECT SUM(CASE WHEN abs(x - med.m0) <= 1.5 * mad.s THEN 1.0
+                      ELSE 1.5 * mad.s / abs(x - med.m0) END * x)
+           / SUM(CASE WHEN abs(x - med.m0) <= 1.5 * mad.s THEN 1.0
+                      ELSE 1.5 * mad.s / abs(x - med.m0) END) AS m
+      FROM base, med, mad
+    ), r2 AS (
+      SELECT SUM(CASE WHEN abs(x - r1.m) <= 1.5 * mad.s THEN 1.0
+                      ELSE 1.5 * mad.s / abs(x - r1.m) END * x)
+           / SUM(CASE WHEN abs(x - r1.m) <= 1.5 * mad.s THEN 1.0
+                      ELSE 1.5 * mad.s / abs(x - r1.m) END) AS m
+      FROM base, r1, mad
+    ), r3 AS (
+      SELECT SUM(CASE WHEN abs(x - r2.m) <= 1.5 * mad.s THEN 1.0
+                      ELSE 1.5 * mad.s / abs(x - r2.m) END * x)
+           / SUM(CASE WHEN abs(x - r2.m) <= 1.5 * mad.s THEN 1.0
+                      ELSE 1.5 * mad.s / abs(x - r2.m) END) AS m
+      FROM base, r2, mad
+    )
+    SELECT (SELECT COUNT(*) FROM base)::BIGINT AS n,
+           round(mad.s, 6) AS scale_r6,
+           round(r3.m, 6) AS huber_r6
+    FROM mad, r3
+    """,
+)
+def q_parts_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimator of the price location (round 12,
+    :func:`lindel_spark.profile.huber_mean`, c = 1.5, 3 IRLS rounds
+    from the median/MAD start): the efficiency-robustness compromise
+    between the mean and the median — each round one broadcast
+    scalar aggregate, unrolled in the oracle (the pagerank fixed-
+    round contract); 6dp."""
+    from lindel_spark.profile import huber_mean
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = huber_mean(li, "l_extendedprice", c=1.5, rounds=3)
+    return out.select("n", F.round("scale", 6).alias("scale_r6"),
+                      F.round("huber_mean", 6).alias("huber_r6"))

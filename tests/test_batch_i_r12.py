@@ -123,3 +123,44 @@ def test_attribution_touchless_and_trailing(spark):
     with pytest.raises(ValueError):
         attribution(_stream(spark, rows), "u", "ts", "etype", "eid",
                     conversion="buy", model="weird")
+
+
+# ---------------------------------------------------------- huber mean
+
+def test_huber_matches_numpy_irls(spark):
+    from lindel_spark.profile import huber_mean
+    rng = np.random.RandomState(3)
+    x = np.concatenate([rng.randn(300) + 10, [1000.0, -500.0]])
+    df = spark.createDataFrame([(float(v),) for v in x], ["x"])
+    r = huber_mean(df, "x", c=1.5, rounds=3).collect()[0]
+    xs = np.sort(x)
+    med = xs[int(np.ceil(0.5 * len(xs))) - 1]  # smallest >= 0.5 mass
+    ad = np.sort(np.abs(x - med))
+    mad = ad[int(np.ceil(0.5 * len(ad))) - 1]
+    m = med
+    for _ in range(3):
+        dev = np.abs(x - m)
+        w = np.where(dev <= 1.5 * mad, 1.0,
+                     np.divide(1.5 * mad, dev,
+                               out=np.zeros_like(dev), where=dev > 0))
+        m = (w * x).sum() / w.sum()
+    assert r.scale == pytest.approx(mad)
+    assert r.huber_mean == pytest.approx(m, rel=1e-12)
+    # robust: outliers moved the plain mean, not the Huber mean
+    assert abs(r.huber_mean - 10) < 0.2
+    assert abs(x.mean() - 10) > 1.0
+
+
+def test_huber_constant_column(spark):
+    from lindel_spark.profile import huber_mean
+    df = spark.createDataFrame([(5.0,)] * 20, ["x"])
+    r = huber_mean(df, "x").collect()[0]
+    assert r.huber_mean == pytest.approx(5.0)
+    assert r.scale == pytest.approx(0.0)
+
+
+def test_huber_rounds_guard(spark):
+    from lindel_spark.profile import huber_mean
+    df = spark.createDataFrame([(1.0,)], ["x"])
+    with pytest.raises(ValueError):
+        huber_mean(df, "x", rounds=0)
