@@ -770,3 +770,51 @@ def cusum_stream(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def conformal_stream_sink(
+    stream_df: DataFrame,
+    qhat: float,
+    score_col: str,
+    path: str,
+    alpha: float = 0.1,
+    checkpoint: str | None = None,
+):
+    """Serving-time conformal coverage monitor — the streaming face
+    of :func:`lindel_spark.evaluation.conformal_split`: the
+    calibration-fold threshold ``qhat`` is computed ONCE offline
+    (exact ⌈(n+1)(1−α)⌉ order statistic) and every micro-batch logs
+    its empirical coverage ``P(score ≤ qhat)`` append-only under
+    ``path`` tagged with the batch id. Exchangeability guarantees
+    per-batch expected coverage ≥ 1−α, so a sustained drop is a
+    DRIFT ALARM with a finite-sample guarantee — the
+    distribution-free sibling of :func:`drift_stream_sink`'s PSI/KL
+    (which needs a binning) and :func:`cusum_stream` (which needs a
+    target). Per batch: one map-side aggregate, zero joins, zero
+    state.
+
+    Each logged row is exactly what the batch-side coverage leg of
+    ``conformal_split`` computes on that slice (pytest-pinned:
+    stream-drain ≡ per-slice batch scoring), so α calibrated offline
+    transfers unchanged.
+    """
+    qh, a = float(qhat), float(alpha)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df
+         .select(F.col(score_col).cast("double").alias("s"))
+         .filter(F.col("s").isNotNull())
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.avg(F.when(F.col("s") <= qh, 1.0).otherwise(0.0))
+              .alias("coverage"))
+         .select("n", "coverage",
+                 F.lit(qh).alias("qhat"),
+                 F.lit(1.0 - a).alias("target"),
+                 (F.col("coverage") < F.lit(1.0 - a)).alias("below"),
+                 F.lit(batch_id).cast("long").alias("batch_id"))
+         .write.mode("append").parquet(path))
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

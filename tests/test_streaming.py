@@ -716,3 +716,45 @@ def test_cusum_stream_matches_batch(spark, events, tmp_path_factory):
             for r in batch.filter("alarm_hi OR alarm_lo").collect()}
     assert got == want
     assert len(want) > 0  # the fixture must actually alarm
+
+
+def test_conformal_stream_sink_matches_batch(spark, tmp_path_factory):
+    """Streaming conformal monitor: each micro-batch's logged
+    coverage equals the batch-mode P(s <= qhat) on that slice, and
+    the offline qhat transfers unchanged."""
+    from pyspark.sql import functions as F
+
+    from lindel_spark.evaluation import conformal_split
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet").select(
+        "event_id", F.col("value").cast("double").alias("s")).filter(
+        F.col("s").isNotNull())
+    cal = ev.filter(F.col("event_id") % 3 == 0)
+    base = conformal_split(cal, cal, "s", alpha=0.1).collect()[0]
+    qhat = base.qhat
+    assert qhat is not None
+
+    src_dir = str(tmp_path_factory.mktemp("conf_src"))
+    log_dir = str(tmp_path_factory.mktemp("conf_log") / "log")
+    slices = [ev.filter(F.col("event_id") % 3 == i) for i in (1, 2)]
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema("event_id long, s double")
+           .option("maxFilesPerTrigger", "1").parquet(src_dir))
+    q = ST.conformal_stream_sink(src, qhat, "s", log_dir, alpha=0.1) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    logged = spark.read.parquet(log_dir).collect()
+    assert len(logged) == 2 and {r.batch_id for r in logged} == {0, 1}
+    want = sorted(
+        (s.count(),
+         round(s.filter(F.col("s") <= qhat).count() / s.count(), 9))
+        for s in slices)
+    got = sorted((r.n, round(r.coverage, 9)) for r in logged)
+    assert got == want
+    for r in logged:
+        assert r.qhat == qhat and r.target == pytest.approx(0.9)
+        # exchangeable slices: coverage should sit near/above target
+        assert r.coverage > 0.8
