@@ -10224,7 +10224,7 @@ def q_profile_agreement_kappa(spark: SparkSession,
            round(b.v, 6) AS value_r6,
            round(b.trend, 6) AS trend_r6,
            round(seas.seasonal, 6) AS seasonal_r6,
-           round(b.v - b.trend - seas.seasonal, 6) AS resid_r6
+           round(b.v - b.trend - seas.seasonal, 4) AS resid_r4
     FROM b LEFT JOIN seas
       ON seas.event_type = b.event_type AND seas.phase = b.phase
     """,
@@ -10238,7 +10238,7 @@ def q_events_seasonal_decompose(spark: SparkSession,
     phase means, re-centered) + residual — the statsmodels recipe as
     key-partitioned windows and one (key, phase) aggregate; the
     deseasonalized residual is what the CUSUM/z-score anomaly tier
-    wants to score. 6dp (float means; events_cusum precedent)."""
+    wants to score. 6dp means, 4dp residual (boundary clearance)."""
     from lindel_spark.sources import load_events
     from lindel_spark.timeseries import seasonal_decompose
 
@@ -10253,7 +10253,12 @@ def q_events_seasonal_decompose(spark: SparkSession,
         F.round("value", 6).alias("value_r6"),
         F.round("trend", 6).alias("trend_r6"),
         F.round("seasonal", 6).alias("seasonal_r6"),
-        F.round("resid", 6).alias("resid_r6"))
+        # resid is the triple difference v − trend − seasonal: at
+        # sf0.1 one hour landed within an ulp of a 6dp rounding
+        # boundary (…0625 vs …0624999…) and the engines rounded
+        # apart — 4dp keeps the compare value-level with 100× the
+        # boundary clearance (the welch df_r2 precedent)
+        F.round("resid", 4).alias("resid_r4"))
 
 
 @query(
