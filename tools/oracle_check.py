@@ -90,10 +90,13 @@ def main() -> int:
 
         ram_gb = (_os.sysconf("SC_PAGE_SIZE")
                   * _os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
-        # a Spark JVM shares the host: cap DuckDB at a quarter of RAM
-        # (floor 2 GB, ceiling 16 GB) so big oracles spill to disk
+        # a Spark JVM shares the host: cap DuckDB at a third of RAM
+        # (floor 2 GB, ceiling 48 GB) so big oracles spill to disk
         # instead of malloc-failing, and halve the thread default
-        budget = max(2, min(16, int(ram_gb // 4)))
+        # (r12: the 16 GB ceiling stranded 100+ GiB on the 128 GiB
+        # host and the sf1 kcore oracle's materialized rounds hit the
+        # wall mid-window — windows pin state spill can't fully cover)
+        budget = max(2, min(48, int(ram_gb // 3)))
         con.execute("SET temp_directory='/tmp/lindel_duck_spill'")
         con.execute(f"SET memory_limit='{budget}GB'")
         con.execute(f"SET threads={max(2, (_os.cpu_count() or 8) // 2)}")
