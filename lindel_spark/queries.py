@@ -8750,14 +8750,18 @@ def q_graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+# MATERIALIZED: the k-core oracle references adj twice per unrolled
+# round (plain CTEs are INLINED by DuckDB, so 4 rounds re-derived the
+# lineitem self-join ~9x and the concurrent spills exhausted the disk
+# at sf1 - the same exponential-inlining lesson as the HITS oracle)
 _KCORE_EDGE_SQL = """
-    pp AS (
+    pp AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey::BIGINT AS a, b.l_partkey::BIGINT AS b
       FROM lineitem a
       JOIN lineitem b ON a.l_orderkey = b.l_orderkey
                      AND a.l_partkey < b.l_partkey
     ),
-    adj AS (
+    adj AS MATERIALIZED (
       SELECT a AS u, b AS v FROM pp
       UNION ALL SELECT b AS u, a AS v FROM pp
     )"""
