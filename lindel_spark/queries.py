@@ -4993,9 +4993,15 @@ def q_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what buys the raise)."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
     brute = LS.brute_force_knn(emb, queries_df, k=10)
+    # refine scales with the corpus (the knn_join_pq formula): at 10x
+    # data the 8-byte ADC's rank noise grows with the candidate pool,
+    # so a FIXED exact-refine depth silently decays below the gate
+    # (surfaced by the first sf1 sweep of the residual encoder)
     approx = LS.ivf_pq_knn(emb, queries_df, k=10, n_centroids=16,
-                           nprobe=8, refine_with=emb, refine=8)
+                           nprobe=8, refine_with=emb,
+                           refine=max(8, n // 250))
     return _recall_check(brute, approx, 0.7)
 
 
