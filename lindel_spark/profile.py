@@ -1734,3 +1734,44 @@ def huber_mean(
             (F.sum(w * F.col("x")) / F.sum(w)).alias("__m"))
     return state.select("n", F.col("__mad").alias("scale"),
                         F.col("__m").alias("huber_mean"))
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cliff's delta effect size (Cliff 1993): one row ``(n1, n0,
+    delta)`` with ``δ = P(x1 > x0) − P(x1 < x0) = 2U₁/(n1·n0) − 1``
+    — the EFFECT-SIZE companion to :func:`mann_whitney_u`'s
+    significance ``z`` (a huge n makes any shift "significant"; δ
+    says whether it MATTERS: |δ| < 0.147 negligible, > 0.474 large
+    by the standard bands), tie-aware through the same midrank
+    identity, ordinal-scale-safe (no means).
+
+    Plan: identical to the U statistic — per-distinct-value counts,
+    the distributed prefix sum, one closing scalar; exact integer
+    rank algebra to the final division. Degenerate inputs (either
+    sample empty) return NULL delta.
+    """
+    from lindel_spark.util import prefix_sums
+
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(label_col).cast("int").alias("y"))
+             .filter(F.col("v").isNotNull() & F.col("y").isNotNull()))
+    counts = pairs.groupBy("v").agg(
+        F.sum("y").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("c0"),
+    ).withColumn("cnt", (F.col("c1") + F.col("c0")).cast("long"))
+    c = prefix_sums(counts, "v", ["cnt"])
+    mid2 = 2 * F.col("cum_cnt") - F.col("cnt") + 1
+    agg = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * mid2).cast("long").alias("r1_2"))
+    n1, n0 = F.col("n1"), F.col("n0")
+    u1 = F.col("r1_2").cast("double") / 2.0 \
+        - (n1 * (n1 + 1)).cast("double") / 2.0
+    delta = F.when((n1 > 0) & (n0 > 0),
+                   2.0 * u1 / (n1 * n0).cast("double") - 1.0)
+    return agg.select("n1", "n0", delta.alias("delta"))

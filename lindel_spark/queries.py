@@ -86,6 +86,7 @@ _SAMPLE_FIRST = [
     "profile_dp_counts",  # new: seeded Laplace release
     "events_attribution",  # new: multi-touch credit
     "parts_huber_mean",  # new: robust IRLS location
+    "events_cliffs_delta",  # new: rank effect size
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
@@ -13318,3 +13319,42 @@ def q_parts_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = huber_mean(li, "l_extendedprice", c=1.5, rounds=3)
     return out.select("n", F.round("scale", 6).alias("scale_r6"),
                       F.round("huber_mean", 6).alias("huber_r6"))
+
+
+@query(
+    "events_cliffs_delta",
+    f"""
+    WITH pairs AS ({_MWU_PAIR_SQL}),
+    c AS (
+      SELECT v, SUM(y)::BIGINT AS c1, SUM(1 - y)::BIGINT AS c0,
+             COUNT(*)::BIGINT AS cnt
+      FROM pairs GROUP BY v
+    ), cum AS (
+      SELECT c1, c0, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM c
+    ), agg AS (
+      SELECT SUM(c1)::BIGINT AS n1, SUM(c0)::BIGINT AS n0,
+             SUM(c1 * (2 * cumc - cnt + 1))::BIGINT AS r1_2
+      FROM cum
+    )
+    SELECT n1, n0,
+           round(2.0 * (r1_2 / 2.0 - n1 * (n1 + 1) / 2.0)
+                 / (n1::DOUBLE * n0) - 1.0, 6) AS delta_r6
+    FROM agg
+    """,
+)
+def q_events_cliffs_delta(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size on the even/odd-user split (round
+    12, :func:`lindel_spark.profile.cliffs_delta`): the
+    does-it-MATTER companion to ``events_mann_whitney``'s
+    significance z — 2U/(n1·n0) − 1 through the same tie-aware
+    midrank identity; exact integers to the final division; 6dp."""
+    from lindel_spark.profile import cliffs_delta
+
+    out = cliffs_delta(_mwu_pairs(spark, sf_dir), "v", "y")
+    return out.select("n1", "n0",
+                      F.round("delta", 6).alias("delta_r6"))

@@ -137,3 +137,42 @@ def test_spearman_constant_null(spark):
     r = spearman_corr(spark.createDataFrame(rows, ["x", "y"]),
                       "x", "y").collect()[0]
     assert r.rho is None
+
+
+# -------------------------------------------------------- cliffs delta
+
+def test_cliffs_delta_dominance_extremes(spark):
+    from lindel_spark.profile import cliffs_delta
+    rows = [(float(i), 1) for i in range(10, 20)] \
+        + [(float(i), 0) for i in range(10)]
+    r = cliffs_delta(spark.createDataFrame(rows, ["v", "y"]),
+                     "v", "y").collect()[0]
+    assert r.delta == pytest.approx(1.0)  # group1 fully dominates
+    rows_sw = [(v, 1 - y) for v, y in rows]
+    r2 = cliffs_delta(spark.createDataFrame(rows_sw, ["v", "y"]),
+                      "v", "y").collect()[0]
+    assert r2.delta == pytest.approx(-1.0)
+
+
+def test_cliffs_delta_matches_pair_count_definition(spark):
+    from lindel_spark.profile import cliffs_delta
+    rng = np.random.RandomState(9)
+    v = np.round(rng.randn(200), 1)
+    y = rng.randint(0, 2, 200)
+    x1, x0 = v[y == 1], v[y == 0]
+    gt = sum((a > b) for a in x1 for b in x0)
+    lt = sum((a < b) for a in x1 for b in x0)
+    exp = (gt - lt) / (len(x1) * len(x0))
+    r = cliffs_delta(
+        spark.createDataFrame(
+            [(float(a), int(b)) for a, b in zip(v, y)], ["v", "y"]),
+        "v", "y").collect()[0]
+    assert r.delta == pytest.approx(exp, abs=1e-12)
+
+
+def test_cliffs_delta_all_tied_zero(spark):
+    from lindel_spark.profile import cliffs_delta
+    rows = [(5.0, i % 2) for i in range(20)]
+    r = cliffs_delta(spark.createDataFrame(rows, ["v", "y"]),
+                     "v", "y").collect()[0]
+    assert r.delta == pytest.approx(0.0)
