@@ -5006,6 +5006,34 @@ def q_knn_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(brute, approx, 0.7)
 
 
+@query("knn_ivfpq_opq_recall", _N_QUERIES_ORACLE)
+def q_knn_ivfpq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ × residual IVFADC composition (round 12, registered round
+    13 — the CORRECTNESS face SURVEY row 420 cites): mean-anchored
+    coarse cells assign in the ORIGINAL space (L2-nearest is
+    rotation-invariant), the residual ``v − C[cell]`` rotates through
+    the parametric-OPQ matrix before PQ coding, and ADC decomposes as
+    ``q·C[cell] + (R·q)·r̃`` — cell pruning, 8-byte codes, AND
+    balanced-variance subspaces at once. Self-checking like the other
+    ANN entries: refined recall@10 vs in-Spark brute force over the
+    same 0.7 floor as ``knn_ivfpq_recall`` (composition is
+    NumPy-replay- and route-parity-pinned in
+    tests/test_similarity.py)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    cents = LS.train_centroids(emb, 16, spherical=False)
+    R = LS.opq_rotation(emb, m=8)
+    books = LS.train_pq(emb, m=8, ks=256, centroids=cents, rotation=R)
+    codes = LS.ivf_pq_encode(emb, cents, books, rotation=R)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    approx = LS.ivf_pq_knn(emb, queries_df, k=10, centroids=cents,
+                           codebooks=books, codes=codes, nprobe=8,
+                           refine_with=emb, refine=max(8, n // 250),
+                           rotation=R)
+    return _recall_check(brute, approx, 0.7)
+
+
 @query("knn_join_pq_topk", _N_QUERIES_ORACLE)
 def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN through the fully-DISTRIBUTED query path
