@@ -281,10 +281,14 @@ def roc_auc_by(
     cum = counts.withColumn(
         "cumc", F.sum(F.col("pos") + F.col("neg")).over(w))
     mid2 = 2 * F.col("cumc") - (F.col("pos") + F.col("neg")) + 1
+    # DECIMAL(38,0) rank sums — LONG wraps at ~3e9 rows per group
+    # (r1_2 ~ 2n²) where DuckDB promotes to HUGEINT; see
+    # profile.mann_whitney_u (ADVICE r12)
     agg = cum.groupBy(*by).agg(
         F.sum("pos").cast("long").alias("n_pos"),
         F.sum("neg").cast("long").alias("n_neg"),
-        F.sum(F.col("pos") * mid2).cast("long").alias("r1_2"))
+        F.sum(F.col("pos").cast("decimal(19,0)")
+              * mid2.cast("decimal(19,0)")).alias("r1_2"))
     np_, nn_ = F.col("n_pos"), F.col("n_neg")
     auc = F.when(
         (np_ > 0) & (nn_ > 0),

@@ -11,6 +11,17 @@ per-node loops — so the SAME plan runs on a 25-node transition graph
 and a billion-node web graph. Lineage is truncated periodically with
 ``localCheckpoint`` so ten iterations don't compile a thousand-operator
 plan.
+
+Cache lifecycle (ADVICE r12): operators that return a LAZY frame
+built over persisted intermediates (``link_prediction``, ``hits``,
+and peers in other modules) deliberately do NOT unpersist them — the
+caller's first action is what populates and consumes the cache, so an
+in-function ``unpersist`` would drop it before use. Spark evicts
+these MEMORY_AND_DISK blocks LRU under memory pressure and frees them
+with the frame's GC (ContextCleaner), so a long session degrades to
+recompute, never to OOM; callers running many graph ops back-to-back
+can reclaim storage eagerly with ``spark.catalog.clearCache()`` (the
+bench harness does exactly this between entries).
 """
 
 from __future__ import annotations
@@ -655,7 +666,13 @@ def link_prediction(
     hub contributes no signal at 1/ln(10⁶) each but 10¹² candidate
     pairs); excluded middles are EXCLUDED FROM THE SCORES, matching
     the capped oracle, and the cap is a documented semantic knob,
-    not an approximation toggle.
+    not an approximation toggle. Under a cap, ``jaccard`` divides
+    the CAPPED common-neighbor count by the UNCAPPED full degrees
+    ``du + dv − cn`` (the denominator stays the true neighborhood
+    union — hubs still count as neighbors even when skipped as
+    middles), so it is a LOWER BOUND on the uncapped Jaccard, not
+    the Jaccard of the capped adjacency (ADVICE r12 — both the
+    Spark plan and the oracle compute exactly this).
     """
     from pyspark import StorageLevel
 

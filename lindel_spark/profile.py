@@ -1354,6 +1354,12 @@ def mann_whitney_u(
     ``σ² = n1·n0/12 · ((n+1) − Σ(t³−t)/(n(n−1)))`` over tie-group
     sizes ``t`` — the textbook correction, exact integer algebra
     until the final division so both engines agree to the ulp.
+    Rank sums grow as ~2n² (and the tie term as t³), so they
+    accumulate in DECIMAL(38,0) — Spark's exact wide-integer lane,
+    matching DuckDB's HUGEINT promotion — instead of LONG, which
+    would silently wrap past ~3·10⁹ rows while DuckDB raises
+    (exactness bound is now ~10¹² all-tied rows / ~7·10¹⁸ distinct,
+    far past any real frame).
 
     Plan: rows collapse map-side to a per-distinct-value
     ``(c1, c0)`` count table (distinct-value-sized, never rows);
@@ -1377,12 +1383,16 @@ def mann_whitney_u(
     # = cum − cnt + (cnt+1)/2 — kept as 2·midrank (integer) until the
     # final scalar so rank sums stay exact
     mid2 = 2 * F.col("cum_cnt") - F.col("cnt") + 1  # 2 × midrank
+    # per-row products cast to DECIMAL before the sum: LONG would
+    # silently wrap at ~3e9 rows (r1_2 ~ 2n²) where DuckDB's HUGEINT
+    # promotion keeps going — ADVICE r12
+    dc = F.col("cnt").cast("decimal(19,0)")
     agg = c.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c0").cast("long").alias("n0"),
-        F.sum(F.col("c1") * mid2).cast("long").alias("r1_2"),
-        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt")
-              - F.col("cnt")).cast("long").alias("tie3"),
+        F.sum(F.col("c1").cast("decimal(19,0)")
+              * mid2.cast("decimal(19,0)")).alias("r1_2"),
+        F.sum(dc * dc * dc - dc).alias("tie3"),
     )
     n1, n0 = F.col("n1"), F.col("n0")
     n = n1 + n0
@@ -1665,8 +1675,15 @@ def seeded_laplace_counts(
     keys = [keys] if isinstance(keys, str) else list(keys)
     counts = df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"))
-    key_str = F.concat_ws("|", *[F.col(k).cast("string")
-                                 for k in keys], F.lit(salt))
+    # NULL keys coalesce to an un-collidable sentinel BEFORE the
+    # seed concat: concat_ws silently skips NULLs, so (NULL) and ('')
+    # would otherwise share one draw (ADVICE r12) — the \x00 prefix
+    # cannot appear in real key text
+    key_str = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+          for k in keys],
+        F.lit(salt))
     # 15 hex chars = 60 bits; +0.5 keeps u strictly inside (0, 1) so
     # |u - 1/2| < 1/2 and the ln argument stays positive
     u = ((F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10)
@@ -1750,9 +1767,10 @@ def cliffs_delta(
     identity, ordinal-scale-safe (no means).
 
     Plan: identical to the U statistic — per-distinct-value counts,
-    the distributed prefix sum, one closing scalar; exact integer
-    rank algebra to the final division. Degenerate inputs (either
-    sample empty) return NULL delta.
+    the distributed prefix sum, one closing scalar; exact
+    DECIMAL(38,0) rank algebra to the final division (LONG would
+    wrap at ~3e9 rows — see :func:`mann_whitney_u`). Degenerate
+    inputs (either sample empty) return NULL delta.
     """
     from lindel_spark.util import prefix_sums
 
@@ -1768,7 +1786,8 @@ def cliffs_delta(
     agg = c.agg(
         F.sum("c1").cast("long").alias("n1"),
         F.sum("c0").cast("long").alias("n0"),
-        F.sum(F.col("c1") * mid2).cast("long").alias("r1_2"))
+        F.sum(F.col("c1").cast("decimal(19,0)")
+              * mid2.cast("decimal(19,0)")).alias("r1_2"))
     n1, n0 = F.col("n1"), F.col("n0")
     u1 = F.col("r1_2").cast("double") / 2.0 \
         - (n1 * (n1 + 1)).cast("double") / 2.0

@@ -13199,7 +13199,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, COUNT(*)::BIGINT AS n FROM events GROUP BY 1
     ), drawn AS (
       SELECT event_type, n,
-             (('0x' || substr(md5(event_type || '|' || 'lindel'),
+             (('0x' || substr(md5(coalesce(event_type,
+                                           chr(0) || 'null')
+                                  || '|' || 'lindel'),
                               1, 15))::BIGINT + 0.5)
                / 1152921504606846976.0 AS u
       FROM counts

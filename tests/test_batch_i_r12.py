@@ -164,3 +164,15 @@ def test_huber_rounds_guard(spark):
     df = spark.createDataFrame([(1.0,)], ["x"])
     with pytest.raises(ValueError):
         huber_mean(df, "x", rounds=0)
+
+
+def test_dp_counts_null_key_distinct_from_empty_string(spark):
+    # ADVICE r12: concat_ws skips NULLs, so without the sentinel
+    # coalesce a NULL key and '' would share one seeded draw
+    df = spark.createDataFrame(
+        [(None, 1)] * 7 + [("", 1)] * 7,
+        "k string, x int")
+    rows = {r.k: r for r in
+            seeded_laplace_counts(df, "k", epsilon=1.0).collect()}
+    assert set(rows) == {None, ""} and all(r.n == 7 for r in rows.values())
+    assert rows[None].noisy_n != rows[""].noisy_n
