@@ -450,6 +450,81 @@ def bfs_distances(
     return dist.select("node", F.col("dist").cast("int").alias("dist"))
 
 
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node: str = "node",
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source WEIGHTED single-source-shortest-path distances,
+    bounded at ``rounds`` relaxation rounds (synchronous Bellman–Ford
+    with frontier pruning — the delta-stepping-shaped bulk form):
+    returns ``(node, dist)`` — the minimum total edge weight over any
+    path of at most ``rounds`` edges from ANY source — for every node
+    reachable within the bound (unreached nodes absent). The weighted
+    companion to :func:`bfs_distances` (which this equals when every
+    weight is 1): latency graphs, cost networks, similarity graphs
+    where "two strong links" beat "one weak link".
+
+    Fixed ``rounds`` instead of convergence keeps the run
+    deterministic and SQL-replayable (the :func:`pagerank` contract —
+    an unrolled per-round MIN-relax oracle replays it value-exactly);
+    with non-negative weights and ``rounds ≥ |V| − 1`` the bound is
+    vacuous and the result is the true shortest-path distance.
+    Parallel edges collapse to their MINIMUM weight up front (the
+    only one a shortest path can use).
+
+    Plan per round: only the FRONTIER (nodes whose distance improved
+    last round) expands — one edge equi-join + one map-side-combined
+    per-node MIN over candidates + one keyed full-outer merge with
+    the running distances; no driver-side frontier, no per-round
+    action. Frontier-only relaxation is exact: a node whose distance
+    did not change contributed its out-relaxations the round it last
+    improved, and the running MIN keeps them. Settled-but-improvable
+    nodes re-enter the frontier automatically (unlike BFS a node can
+    improve after first reach). Lineage is localCheckpoint-truncated
+    every ``checkpoint_every`` rounds.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"),
+                     F.col(weight).cast("double").alias("__w"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"),
+                         F.col(src).alias("__d"),
+                         F.col(weight).cast("double").alias("__w")))
+    e = (e.groupBy("__s", "__d").agg(F.min("__w").alias("__w"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    dist = sources.select(F.col(node).alias("node")).distinct() \
+        .withColumn("dist", F.lit(0.0))
+    frontier = dist
+    for h in range(1, rounds + 1):
+        cand = (frontier.select(F.col("node").alias("__s"), "dist")
+                .join(e, "__s")
+                .groupBy(F.col("__d").alias("node"))
+                .agg(F.min(F.col("dist") + F.col("__w")).alias("__cand")))
+        merged = dist.join(cand, "node", "full_outer")
+        improved = (F.col("dist").isNull()
+                    | (F.col("__cand") < F.col("dist")))
+        # least() skips NULLs, so it is exactly "min of the present"
+        nd = merged.select(
+            "node", F.least("dist", "__cand").alias("dist"),
+            improved.alias("__imp"))
+        if h % checkpoint_every == 0 and h < rounds:
+            nd = nd.localCheckpoint()
+        frontier = nd.filter(F.col("__imp")).select("node", "dist")
+        dist = nd.select("node", "dist")
+    return dist
+
+
 def label_propagation_communities(
     edges: DataFrame,
     rounds: int = 3,

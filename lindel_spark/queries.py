@@ -9266,6 +9266,84 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_sssp_copurchase",
+    """
+    WITH pp AS MATERIALIZED (
+      SELECT a.l_partkey::BIGINT AS s, b.l_partkey::BIGINT AS d,
+             COUNT(*)::BIGINT AS cnt
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), e AS MATERIALIZED (
+      SELECT s, d, 1.0::DOUBLE / cnt AS w FROM pp
+      UNION ALL
+      SELECT d, s, 1.0::DOUBLE / cnt FROM pp
+    ), srcs AS MATERIALIZED (
+      SELECT DISTINCT l_partkey::BIGINT AS node FROM lineitem
+      WHERE l_partkey % 50 = 0
+    ), d0 AS MATERIALIZED (
+      SELECT node, 0.0::DOUBLE AS dist FROM srcs
+    ), d1 AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.d AS node, d0.dist + e.w AS dist
+        FROM d0 JOIN e ON e.s = d0.node
+      ) GROUP BY node
+    ), d2 AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.d AS node, d1.dist + e.w AS dist
+        FROM d1 JOIN e ON e.s = d1.node
+      ) GROUP BY node
+    ), d3 AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.d AS node, d2.dist + e.w AS dist
+        FROM d2 JOIN e ON e.s = d2.node
+      ) GROUP BY node
+    )
+    SELECT node, round(dist, 6) AS dist_r6 FROM d3
+    """,
+)
+def q_graph_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round weighted SSSP (round 13,
+    :func:`lindel_spark.graph.sssp_distances`): minimum-cost distance
+    from the ``l_partkey % 50 == 0`` seed parts over the co-purchase
+    graph weighted ``1 / cnt`` (strongly co-purchased = close), 3
+    relaxation rounds — "how tightly is this part tied to a seed"
+    with tie STRENGTH, where :func:`bfs_distances` only counts hops.
+    DuckDB replays the synchronous Bellman–Ford rounds as three
+    unrolled MIN-relax CTEs (MATERIALIZED — the r12 kcore lesson:
+    inlined shared CTEs re-evaluate exponentially); Spark's
+    frontier-pruned form is value-identical to full relaxation
+    because a non-improved node already contributed its
+    out-relaxations the round it last improved. Double sums are
+    structurally identical per path on both engines; 6dp."""
+    from lindel_spark.graph import sssp_distances
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select("src", "dst",
+                     (F.lit(1.0) / F.col("cnt")).alias("weight")))
+    srcs = (li.filter(F.col("l_partkey") % 50 == 0)
+            .select(F.col("l_partkey").cast("long").alias("node"))
+            .distinct())
+    out = sssp_distances(edges, srcs, rounds=3)
+    return out.select("node", F.round("dist", 6).alias("dist_r6"))
+
+
+@query(
     "basket_triples",
     """
     WITH b AS (
