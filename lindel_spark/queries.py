@@ -5034,6 +5034,28 @@ def q_knn_ivfpq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(brute, approx, 0.7)
 
 
+@query("knn_filtered_recall", _N_QUERIES_ORACLE)
+def q_knn_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered ANN (round 13,
+    :func:`lindel_spark.similarity.filtered_knn`): "nearest neighbors
+    WITHIN label < 5" — the predicate-scoped search production vector
+    systems actually run. The predicate lands BELOW the cell join
+    (Catalyst pushes it into the parquet scan; plan-asserted in
+    tests/test_plans.py), centroids come from the FULL corpus (the
+    stored-index shape — cell assignment is filter-independent so one
+    quantizer serves every filter), and recall@10 at nprobe=8/16 is
+    gated ≥ 0.7 against brute force over the SAME filtered corpus —
+    pre-filter semantics, never top-k-then-filter."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    pred = F.col("label") < 5
+    cents = LS.train_centroids(emb, 16)
+    brute = LS.brute_force_knn(emb.filter(pred), queries_df, k=10)
+    approx = LS.filtered_knn(emb, queries_df, pred, k=10,
+                             centroids=cents, nprobe=8)
+    return _recall_check(brute, approx, 0.7)
+
+
 @query("knn_join_pq_topk", _N_QUERIES_ORACLE)
 def q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN through the fully-DISTRIBUTED query path

@@ -734,6 +734,49 @@ def knn_join(
     )
 
 
+def filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    broadcast_rows: int = 65536,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Attribute-FILTERED kNN — production vector search is almost
+    always predicate-scoped ("nearest within this domain / language /
+    date range"): the ``predicate`` (a Column or SQL string) is
+    applied to the corpus BEFORE the cell-keyed join, so Catalyst
+    pushes it into the parquet scan (``PushedFilters`` — a
+    label-scoped search over a 100 TB corpus reads only the matching
+    row groups, it does not scan-then-discard; plan-asserted in
+    tests/test_plans.py) and every candidate the join scores already
+    satisfies it. This is PRE-filtering — the strategy that keeps
+    recall semantics clean: the result is exactly kNN over the
+    filtered corpus, never "top-k then filter" (post-filtering
+    returns < k rows whenever the filter hits the neighborhood).
+
+    ``centroids`` may come from the FULL corpus (the stored-index
+    shape — one quantizer serves every filter): cell assignment is
+    filter-independent, so full-corpus centroids stay valid for any
+    predicate; with ``nprobe`` unset every cell is probed and the
+    result is EXACT over the filtered corpus (the
+    :func:`knn_join` guarantee), ``nprobe`` set trades recall for a
+    ~nprobe/n_centroids scan of the SURVIVING rows. Delegates all
+    routing (broadcast-brute under ``broadcast_rows``, cell join
+    above) to :func:`knn_join`.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return knn_join(corpus.filter(pred), queries, k=k, id_col=id_col,
+                    vec_col=vec_col, centroids=centroids,
+                    n_centroids=n_centroids, nprobe=nprobe,
+                    broadcast_rows=broadcast_rows, seed=seed)
+
+
 def knn_join_pq(
     codes: DataFrame,
     queries: DataFrame,

@@ -659,3 +659,21 @@ def test_phrase_search_postings_filtered_in_scan(docs):
     # the phrase-vocabulary filter must sit below the explode result
     # aggregation (term IN (...) is a pushable In predicate)
     assert "hash" in p and "join" in p
+
+
+def test_filtered_knn_pushes_predicate_into_scan(spark):
+    """filtered_knn: the attribute predicate must reach the parquet
+    scan (PushedFilters) on the corpus side — a label-scoped search
+    over 100 TB reads matching row groups, it does not
+    scan-then-discard — and the cell join stays an equi-join."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = np.eye(4, 16)  # any (nc, d) matrix binds the plan
+    df = LS.filtered_knn(emb, emb.limit(5), F.col("label") < 5,
+                         k=3, centroids=cents, nprobe=2)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("LessThan(label,5)" in ln for ln in pushed), pushed
