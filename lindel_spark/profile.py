@@ -1696,6 +1696,74 @@ def seeded_laplace_counts(
                          .alias("noisy_n"))
 
 
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test (Kruskal & Wallis 1952): one row
+    ``(k, n, h)`` — the K-SAMPLE extension of
+    :func:`mann_whitney_u` ("do any of these k groups differ in
+    location?"), the nonparametric one-way ANOVA over midranks:
+    ``H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)`` divided by the tie
+    correction ``1 − Σ(t³−t)/(N³−N)``. Compare ``h`` against
+    χ²(k−1); with k = 2 it reduces to the squared tie-corrected
+    Mann–Whitney z.
+
+    Plan: rows collapse map-side to per-(distinct-value, group)
+    counts; value-level tie sizes and midranks come from the repo's
+    DISTRIBUTED prefix sum; ranks join back to the (value, group)
+    counts on the value (distinct-value-sized equi-join); one
+    per-group aggregate + one scalar closes. Rank sums accumulate in
+    DECIMAL(38,0) (the :func:`mann_whitney_u` overflow contract);
+    the H algebra itself is double. NULL values/groups excluded;
+    all-tied input (zero tie-corrected variance) returns NULL h.
+    """
+    from lindel_spark.util import prefix_sums
+
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(group_col).alias("g"))
+             .filter(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    vg = pairs.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cg"))
+    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("cnt"))
+    c = prefix_sums(vc, "v", ["cnt"])
+    mid2 = (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias("mid2")
+    dc = F.col("cnt").cast("decimal(19,0)")
+    tot = c.agg(F.sum("cnt").cast("long").alias("n"),
+                F.sum(dc * dc * dc - dc).alias("tie3"))
+    ranks = c.select("v", mid2)
+    per_g = (vg.join(ranks, "v")
+             .groupBy("g")
+             .agg(F.sum("cg").cast("long").alias("ng"),
+                  F.sum(F.col("cg").cast("decimal(19,0)")
+                        * F.col("mid2").cast("decimal(19,0)"))
+                  .alias("rg2")))
+    # Σ_g R_g²/n_g folds in GROUP ORDER (sorted struct array →
+    # left fold): double addition is order-sensitive, and at large N
+    # (R_g ~ N²) a nondeterministic sum order shifts h past the
+    # registry's 6dp — the oracle's SUM(... ORDER BY g) makes the
+    # identical sequence of additions
+    term = ((F.col("rg2").cast("double") / 2.0)
+            * (F.col("rg2").cast("double") / 2.0)
+            / F.col("ng").cast("double"))
+    sums = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("g").alias("g"), term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("s"))
+    nn = F.col("n").cast("double")
+    corr = 1.0 - F.col("tie3").cast("double") / (nn * nn * nn - nn)
+    h = F.when((F.col("n") > 1) & (corr > 0),
+               (12.0 / (nn * (nn + 1.0)) * F.col("s")
+                - 3.0 * (nn + 1.0)) / corr)
+    return (sums.crossJoin(F.broadcast(tot))
+            .select("k", "n", h.alias("h")))
+
+
 def huber_mean(
     df: DataFrame,
     col: str,
@@ -1794,3 +1862,51 @@ def cliffs_delta(
     delta = F.when((n1 > 0) & (n0 > 0),
                    2.0 * u1 / (n1 * n0).cast("double") - 1.0)
     return agg.select("n1", "n0", delta.alias("delta"))
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR adjustment (Benjamini &
+    Hochberg 1995): adds ``out_col`` = the BH q-value
+    ``q_(i) = min(1, min_{j ≥ i} p_(j)·n/j)`` — the multiple-testing
+    companion the per-test tier (:func:`mann_whitney_u`,
+    :func:`welch_ttest`, :func:`kruskal_wallis`, χ²) needs the moment
+    a pipeline runs one test per segment: reject q ≤ α and the
+    expected false-discovery fraction is ≤ α.
+
+    Plan: p-values collapse to a per-distinct-value count table;
+    each tie block's candidate is ``p·n/rank`` at the block's MAX
+    rank (the block minimum under the suffix min, so ties share one
+    q — exactly what the step-up produces row-wise); the suffix min
+    runs as the repo's DISTRIBUTED descending prefix min
+    (:func:`lindel_spark.util.prefix_mins` — never an unpartitioned
+    window, continuous p columns rank in parallel); q joins back on
+    the p value. NULL p rows keep NULL q; p outside [0, 1] raises
+    IN-PLAN (the kfold precedent — a silent clamp would fake
+    significance).
+    """
+    from lindel_spark.util import prefix_mins, prefix_sums
+
+    p = F.col(p_col).cast("double")
+    checked = F.when((p < 0.0) | (p > 1.0), F.raise_error(
+        F.concat(F.lit("LINDEL: bh_adjust p outside [0,1]: "),
+                 p.cast("string")))).otherwise(p)
+    base = df.withColumn("__p", checked)
+    vals = (base.filter(F.col("__p").isNotNull())
+            .groupBy("__p")
+            .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    ranked = prefix_sums(vals, "__p", ["__cnt"])
+    tot = ranked.agg(F.sum("__cnt").cast("long").alias("__n"))
+    cand = (ranked.crossJoin(F.broadcast(tot))
+            .select("__p",
+                    (F.col("__p") * F.col("__n").cast("double")
+                     / F.col("cum___cnt").cast("double"))
+                    .alias("__cand")))
+    qv = (prefix_mins(cand, "__p", ["__cand"], descending=True)
+          .select("__p", F.least(F.lit(1.0), F.col("cummin___cand"))
+                  .alias(out_col)))
+    return (base.join(qv, "__p", "left")
+            .drop("__p"))

@@ -10400,6 +10400,99 @@ def q_events_seasonal_decompose(spark: SparkSession,
         F.round("resid", 4).alias("resid_r4"))
 
 
+def _hw_oracle(m: int = 24, W: int = 48, a: float = 0.3,
+               b: float = 0.1, g: float = 0.2) -> str:
+    """Generate the unrolled Holt–Winters steps as a CHAIN of
+    MATERIALIZED CTEs — one per recursion step, each a projection
+    over the previous step's materialized columns, the same
+    named-step DAG the Spark operator builds with withColumn, so
+    every l_t/b_t/s_t is computed by the identical double expression
+    in both engines. MATERIALIZED is load-bearing twice over: DuckDB
+    inlines both plain CTEs and lateral column aliases by
+    SUBSTITUTION, so without it the step chain re-expands
+    exponentially (measured: W=8 0.2 s, W=12 3.4 s, W=16 51 s — the
+    same blowup class as the r12 kcore-oracle lesson; materializing
+    every step is linear). Generated, like _grid_oracle, because
+    hand-writing 3·(W−m) steps invites transcription bugs."""
+    first = "+".join(f"xs[{i + 1}]" for i in range(m))
+    second = "+".join(f"xs[{i + 1}]" for i in range(m, 2 * m))
+    init_season = ",\n             ".join(
+        f"xs[{i + 1}] - li AS s{i}" for i in range(m))
+    ctes = [f"""st{m - 1} AS MATERIALIZED (
+      SELECT event_type, last_ts, n_obs, xs,
+             (({first}))/{float(m)!r} AS li,
+             ((({second})) - (({first})))/{float(m * m)!r} AS bi,
+             {init_season}
+      FROM lastw
+    )"""]
+    lp, bp = "li", "bi"
+    for t in range(m, W):
+        ctes.append(f"""st{t} AS MATERIALIZED (
+      SELECT *,
+             {a!r}*(xs[{t + 1}] - s{t - m}) + {1.0 - a!r}*({lp} + {bp})
+               AS l{t},
+             {b!r}*({a!r}*(xs[{t + 1}] - s{t - m})
+                    + {1.0 - a!r}*({lp} + {bp}) - {lp})
+               + {1.0 - b!r}*{bp} AS b{t},
+             {g!r}*(xs[{t + 1}] - ({a!r}*(xs[{t + 1}] - s{t - m})
+                    + {1.0 - a!r}*({lp} + {bp}))) + {1.0 - g!r}*s{t - m}
+               AS s{t}
+      FROM st{t - 1}
+    )""")
+        lp, bp = f"l{t}", f"b{t}"
+    chain = ",\n    ".join(ctes)
+    return f"""
+    WITH hourly AS MATERIALIZED (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             SUM(value::DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, hour, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY hour DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ), lastw AS MATERIALIZED (
+      SELECT event_type, MAX(n)::BIGINT AS n_obs,
+             list(v ORDER BY hour) AS xs, MAX(hour) AS last_ts
+      FROM ranked WHERE rn <= {W} GROUP BY event_type
+      HAVING COUNT(*) = {W} AND MAX(n) >= {W}
+    ),
+    {chain}
+    SELECT event_type, last_ts, n_obs,
+           round({lp}, 6) AS level_r6,
+           round({bp}, 6) AS trend_r6,
+           round({lp} + {bp} + s{W - m}, 6) AS forecast_r6
+    FROM st{W - 1}
+    """
+
+
+@query("events_holt_winters", _hw_oracle())
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt–Winters one-step-ahead forecast (round 13,
+    :func:`lindel_spark.timeseries.holt_winters_forecast`): per
+    event type, forecast the NEXT hourly value sum from the last 48
+    hours at period 24 — the predictive leg completing gap-fill →
+    decompose → forecast. The fixed-window unrolled recursion (the
+    ewma FIR precedent) is what makes the sequential triple-smoothing
+    replayable: DuckDB evaluates the machine-generated identical
+    step list via lateral column aliases; 6dp."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.timeseries import holt_winters_forecast
+
+    ev = load_events(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.col("value").cast("double")).alias("v")))
+    out = holt_winters_forecast(hourly, ["event_type"], "hour", "v",
+                                "hour", period=24, window=48)
+    return out.select(
+        "event_type", "last_ts", "n_obs",
+        F.round("level", 6).alias("level_r6"),
+        F.round("trend", 6).alias("trend_r6"),
+        F.round("forecast", 6).alias("forecast_r6"))
+
+
 @query(
     "events_acf",
     """
@@ -11891,6 +11984,117 @@ def _mwu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & F.col("user_id").isNotNull())
             .select(F.col("value").cast("double").alias("v"),
                     (F.col("user_id") % 2).cast("int").alias("y")))
+
+
+@query(
+    "parts_bh_fdr",
+    """
+    WITH tests AS (
+      SELECT p_partkey,
+             ((p_partkey * 37) % 1000) / 999.0
+               * (((p_partkey * 37) % 1000) / 999.0) AS p
+      FROM part
+    ), c AS (
+      SELECT p, COUNT(*)::BIGINT AS cnt FROM tests GROUP BY p
+    ), cum AS (
+      SELECT p, SUM(cnt) OVER (ORDER BY p
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+      FROM c
+    ), n AS (
+      SELECT COUNT(*)::BIGINT AS n FROM tests
+    ), cand AS (
+      SELECT p, p * n::DOUBLE / rk::DOUBLE AS cand FROM cum, n
+    ), q AS (
+      SELECT p, LEAST(1.0, MIN(cand) OVER (ORDER BY p DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qv
+      FROM cand
+    )
+    SELECT COUNT(*)::BIGINT AS n_tests,
+           SUM(CASE WHEN qv <= 0.01 THEN 1 ELSE 0 END)::BIGINT
+             AS n_q_le_01,
+           SUM(CASE WHEN qv <= 0.05 THEN 1 ELSE 0 END)::BIGINT
+             AS n_q_le_05,
+           SUM(CASE WHEN qv <= 0.10 THEN 1 ELSE 0 END)::BIGINT
+             AS n_q_le_10,
+           round(MIN(qv), 6) AS min_q_r6
+    FROM tests JOIN q USING (p)
+    """,
+)
+def q_parts_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment (round 13,
+    :func:`lindel_spark.profile.bh_adjust`) over one deterministic
+    pseudo-p per part (squared scaled hash — uniform² skews toward 0
+    so the step-up actually rejects a tail, ~q ≈ rank/n under this
+    construction): suffix-min via the DISTRIBUTED descending prefix
+    min, tie blocks share their max-rank candidate. Output is
+    rejection counts at α ∈ {.01, .05, .10} + min q (counts compare
+    exactly because both engines compute bit-identical q)."""
+    from lindel_spark.profile import bh_adjust
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    u = ((F.col("p_partkey") * 37) % 1000).cast("double") / 999.0
+    tests = part.select("p_partkey", (u * u).alias("p"))
+    adj = bh_adjust(tests, "p")
+    return adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tests"),
+        F.sum(F.when(F.col("q_value") <= 0.01, 1).otherwise(0))
+        .cast("long").alias("n_q_le_01"),
+        F.sum(F.when(F.col("q_value") <= 0.05, 1).otherwise(0))
+        .cast("long").alias("n_q_le_05"),
+        F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
+        .cast("long").alias("n_q_le_10"),
+        F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "events_kruskal_wallis",
+    """
+    WITH pairs AS (
+      SELECT value::DOUBLE AS v, event_type AS g FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), vg AS (
+      SELECT v, g, COUNT(*)::BIGINT AS cg FROM pairs GROUP BY 1, 2
+    ), vc AS (
+      SELECT v, SUM(cg)::BIGINT AS cnt FROM vg GROUP BY v
+    ), cum AS (
+      SELECT v, cnt, SUM(cnt) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+      FROM vc
+    ), tot AS (
+      SELECT SUM(cnt)::BIGINT AS n,
+             SUM(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+      FROM cum
+    ), perg AS (
+      SELECT g, SUM(cg)::BIGINT AS ng,
+             SUM(cg * (2 * cumc - cnt + 1))::BIGINT AS rg2
+      FROM vg JOIN cum USING (v) GROUP BY g
+    ), s AS (
+      SELECT COUNT(*)::BIGINT AS k,
+             SUM((rg2 / 2.0) * (rg2 / 2.0) / ng ORDER BY g) AS s
+      FROM perg
+    )
+    SELECT k, n,
+           round((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0))
+                 / (1.0 - tie3::DOUBLE
+                    / (n::DOUBLE * n * n - n)), 6) AS h_r6
+    FROM s, tot
+    """,
+)
+def q_events_kruskal_wallis(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Kruskal–Wallis H across the five event types (round 13,
+    :func:`lindel_spark.profile.kruskal_wallis`): the k-sample
+    nonparametric ANOVA — do ANY event types differ in value
+    location? — completing the two-sample stats tier. Midranks via
+    the distributed prefix sum, DECIMAL rank sums, and the
+    order-sensitive Σ R_g²/n_g folded in GROUP ORDER on both engines
+    (sorted-array fold ↔ SUM(… ORDER BY g)); 6dp."""
+    from lindel_spark.profile import kruskal_wallis
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = kruskal_wallis(ev, "value", "event_type")
+    return out.select("k", "n", F.round("h", 6).alias("h_r6"))
 
 
 @query(

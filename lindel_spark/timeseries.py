@@ -600,3 +600,113 @@ def attribution(
                 .agg(F.countDistinct(user_col, "__epoch")
                      .cast("long").alias("n_conversions")))
     return per_type.join(per_conv, "touch_type")
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    period: int,
+    window: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt–Winters (triple-exponential / ETS(A,A,A)-shaped)
+    ONE-STEP-AHEAD forecast per key series — the predictive leg the
+    diagnose-only tier (:func:`seasonal_decompose`, :func:`ewma`)
+    was missing: gap-fill → decompose → FORECAST. Returns one row per
+    key: ``(keys…, last_ts, n_obs, level, trend, forecast)`` where
+    ``forecast = level + trend + season(next phase)``.
+
+    The recursion (Holt 1957 / Winters 1960, the statsmodels/
+    Hyndman FPP formulation) over the LAST ``window`` observations
+    with deterministic cold-start — ``l₀`` = first-period mean,
+    ``b₀`` = (second-period mean − first-period mean)/period,
+    ``s_i`` = xᵢ − l₀ — then for t = period…window−1::
+
+        l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(x_t − l_t)    + (1−γ)·s_{t−m}
+
+    Truncating to a FIXED window (the :func:`ewma` FIR precedent)
+    is what makes the inherently-sequential recursion replayable:
+    every step is a NAMED column over the per-key value array, so
+    the whole fold is a fixed expression DAG — bit-identical in any
+    engine that evaluates the same steps (the DuckDB oracle
+    regenerates the identical step list via lateral column aliases).
+    Per-step LET-BINDING through ``withColumn`` (the round-12
+    ``char_ngrams`` lesson) keeps the DAG linear in ``window`` —
+    naive expression nesting would double per step.
+
+    Plan shape: one hash Exchange on ``keys`` + per-key sorted
+    ``collect_list`` (bounded: each series carries exactly
+    ``window`` doubles — executor memory holds W·8 bytes per key,
+    never the series history), then map-only column algebra. Series
+    with fewer than ``window`` observations are ABSENT from the
+    output (document the cold-start elsewhere; a half-window
+    forecast is a different estimator, not a smaller one of these).
+    ``window`` must be ≥ 2·period (the trend init needs two full
+    periods) and ≤ 512 (the unrolled-step ceiling).
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    if window < 2 * period:
+        raise ValueError("window must be >= 2*period")
+    if window > 512:
+        raise ValueError("window must be <= 512 (unrolled steps)")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{nm} must be in (0, 1)")
+    keys = list(keys)
+    m, W = int(period), int(window)
+    a, b_, g_ = float(alpha), float(beta), float(gamma)
+
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    base = df.select(*keys, F.col(ts_col).alias("__ts"),
+                     F.col(tiebreak).alias("__tb"),
+                     F.col(value_col).cast("double").alias("__v"))
+    grouped = (base.groupBy(*keys)
+               .agg(F.slice(F.array_sort(
+                        F.collect_list(F.struct(
+                            F.col("__ts"), F.col("__tb"),
+                            F.col("__v")))), -W, W).alias("__last"),
+                    F.count(F.lit(1)).cast("long").alias("__n"))
+               .filter(F.col("__n") >= W)
+               .withColumn("__xs", F.transform(
+                   F.col("__last"), lambda s: s["__v"]))
+               .withColumn("last_ts", F.element_at(
+                   F.col("__last"), W)["__ts"]))
+
+    def x(i: int):  # 0-based element of the last-W value array
+        return F.element_at(F.col("__xs"), i + 1)
+
+    first = x(0)
+    for i in range(1, m):
+        first = first + x(i)
+    second = x(m)
+    for i in range(m + 1, 2 * m):
+        second = second + x(i)
+    out = grouped.withColumn("__l0", first / float(m)) \
+                 .withColumn("__b0", (second - first) / float(m * m))
+    for i in range(m):
+        out = out.withColumn(f"__s{i}", x(i) - F.col("__l0"))
+    lp, bp = "__l0", "__b0"
+    for t in range(m, W):
+        sm = F.col(f"__s{t - m}")
+        out = out.withColumn(
+            f"__l{t}",
+            a * (x(t) - sm) + (1.0 - a) * (F.col(lp) + F.col(bp)))
+        out = out.withColumn(
+            f"__b{t}",
+            b_ * (F.col(f"__l{t}") - F.col(lp)) + (1.0 - b_) * F.col(bp))
+        out = out.withColumn(
+            f"__s{t}",
+            g_ * (x(t) - F.col(f"__l{t}")) + (1.0 - g_) * sm)
+        lp, bp = f"__l{t}", f"__b{t}"
+    return out.select(
+        *keys, "last_ts", F.col("__n").alias("n_obs"),
+        F.col(lp).alias("level"), F.col(bp).alias("trend"),
+        (F.col(lp) + F.col(bp) + F.col(f"__s{W - m}")).alias("forecast"))

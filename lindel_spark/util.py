@@ -272,3 +272,54 @@ def prefix_sums(df: DataFrame, order_col: str, cols,
         out = out.withColumn(
             f"cum_{x}", F.col(f"__off_{x}") + F.sum(x).over(w))
     return out.drop("__pid", *[f"__off_{x}" for x in cols])
+
+
+def prefix_mins(df: DataFrame, order_col: str, cols,
+                descending: bool = False,
+                num_partitions: int | None = None) -> DataFrame:
+    """Running (inclusive) cumulative MINIMUM of ``cols`` under the
+    total order of ``order_col`` — :func:`prefix_sums`'s fold sibling
+    (min is associative, so the same range-partition → pinned
+    placement → per-partition totals → offset recipe applies; the
+    offset combines through ``least``, whose NULL-skipping is exactly
+    the empty-prefix identity). ``descending=True`` runs the order
+    backwards, which turns the prefix min into a SUFFIX min of the
+    ascending order — the Benjamini–Hochberg step-up shape. Same
+    duplicate-free ``order_col`` contract as :func:`prefix_sums`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    spark = df.sparkSession
+    P = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    c = (df.repartitionByRange(P, oc)
+         .withColumn("__pid", F.spark_partition_id())
+         .localCheckpoint())
+    per = (c.groupBy("__pid")
+           .agg(*[F.min(x).alias(f"__t_{x}") for x in cols])
+           .collect())
+    per = sorted((r["__pid"], r) for r in per)
+    dtypes = dict(df.dtypes)
+    offs = []
+    acc = {x: None for x in cols}
+    for pid, r in per:
+        offs.append(tuple([pid] + [acc[x] for x in cols]))
+        for x in cols:
+            t = r[f"__t_{x}"]
+            if t is not None:
+                acc[x] = t if acc[x] is None else min(acc[x], t)
+    off_df = spark.createDataFrame(
+        offs or [tuple([0] + [None for _ in cols])],
+        ", ".join(["__pid INT"]
+                  + [f"__off_{x} {dtypes[x]}" for x in cols]))
+    w = Window.partitionBy("__pid").orderBy(oc) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    out = c.join(F.broadcast(off_df), "__pid")
+    for x in cols:
+        out = out.withColumn(
+            f"cummin_{x}", F.least(F.col(f"__off_{x}"),
+                                   F.min(x).over(w)))
+    return out.drop("__pid", *[f"__off_{x}" for x in cols])
