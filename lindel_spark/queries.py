@@ -5034,6 +5034,83 @@ def q_knn_ivfpq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_check(brute, approx, 0.7)
 
 
+def _knn_graph_lpa_oracle(rounds: int = 2) -> str:
+    """DuckDB replay of the kNN-graph → LPA composition: exact top-5
+    cosine edges over the vec_id%10 subset, MUTUAL sparsifier (edge
+    kept iff present both ways), then the unrolled LPA rounds (the
+    _lpa_oracle idiom) over the symmetric edge set."""
+    head = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+    ), scored AS (
+      SELECT a.id AS src, b.id AS dst,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM e a JOIN e b ON a.id != b.id
+    ), kn AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, dst) AS rank
+        FROM scored) WHERE rank <= 5
+    ), mut AS MATERIALIZED (
+      SELECT a.src, a.dst FROM kn a
+      JOIN kn b ON a.src = b.dst AND a.dst = b.src
+    ), e0 AS MATERIALIZED (
+      SELECT src AS s, dst AS d FROM mut WHERE src < dst
+    ), sym AS MATERIALIZED (
+      SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+    ), l0 AS (
+      SELECT DISTINCT s AS node, s AS label FROM sym
+    )"""
+    its = []
+    for i in range(1, rounds + 1):
+        its.append(f"""
+    , v{i} AS MATERIALIZED (
+      SELECT sym.s AS node, l.label, COUNT(*)::BIGINT AS c
+      FROM sym JOIN l{i - 1} l ON l.node = sym.d
+      GROUP BY 1, 2
+    ), l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1
+    )""")
+    return head + "".join(its) + f"""
+    SELECT label, COUNT(*)::BIGINT AS n_nodes
+    FROM l{rounds} GROUP BY label
+    """
+
+
+@query("knn_graph_communities", _knn_graph_lpa_oracle(2))
+def q_knn_graph_communities(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Semantic-neighborhood communities (round 13,
+    :func:`lindel_spark.similarity.knn_graph` →
+    :func:`lindel_spark.graph.label_propagation_communities`): the
+    corpus-curation composition — materialize the EXACT top-5 cosine
+    graph over the vec_id%10 slice, keep MUTUAL edges (the standard
+    sparsifier: symmetric by construction, hubs stop attracting
+    one-way edges), and run 2 LPA rounds over it. One ANN join paid
+    once, then the whole graph tier applies to semantic structure.
+    Output is community sizes; exact integers end to end (cosine
+    only orders the top-k cut, which both engines rank
+    identically)."""
+    from lindel_spark.graph import label_propagation_communities
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sub = emb.filter(F.col("vec_id") % 10 == 0)
+    g = LS.knn_graph(sub, k=5, mutual=True)
+    edges = (g.filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    comm = label_propagation_communities(edges, rounds=2)
+    return comm.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
 @query("knn_filtered_recall", _N_QUERIES_ORACLE)
 def q_knn_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-filtered ANN (round 13,

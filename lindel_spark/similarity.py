@@ -734,6 +734,54 @@ def knn_join(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = False,
+    centroids: np.ndarray | None = None,
+    n_centroids: int | None = None,
+    nprobe: int | None = None,
+    broadcast_rows: int = 65536,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """k-NN GRAPH materialization — the corpus queries itself through
+    :func:`knn_join` (both sides distributed, cell-keyed, never a
+    cartesian) and the result is an EDGE LIST ``(src, dst, cos,
+    rank)`` ready for the graph tier: LPA/modularity over semantic
+    neighborhoods (corpus-curation communities), k-core/degree-profile
+    health checks, pagerank centrality over similarity structure.
+    Persist it (parquet / the z-order store) and the expensive ANN
+    join is paid once per corpus snapshot, not per analysis.
+
+    ``mutual=True`` keeps only edges present in BOTH directions (u in
+    top-k(v) AND v in top-k(u)) — the standard sparsifier before
+    community detection: mutual edges are symmetric, so the graph
+    tier's internal symmetrization is a no-op and hub rows stop
+    attracting one-way edges from everything. Implemented as one
+    self-equi-join on the reversed pair — keyed, shuffle-bounded by
+    the edge count (|corpus|·k).
+
+    Exactness follows :func:`knn_join`'s contract: with ``nprobe``
+    unset (and either ``centroids`` given or the corpus under
+    ``broadcast_rows``) every candidate pair is scored and the graph
+    is the EXACT k-NN graph; ``nprobe`` set trades edges for scan
+    fraction at IVF semantics.
+    """
+    edges = knn_join(corpus, corpus, k=k, id_col=id_col,
+                     vec_col=vec_col, centroids=centroids,
+                     n_centroids=n_centroids, nprobe=nprobe,
+                     broadcast_rows=broadcast_rows, seed=seed) \
+        .select(F.col("query_id").alias("src"),
+                F.col("neighbor_id").alias("dst"), "cos", "rank")
+    if not mutual:
+        return edges
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"))
+    return edges.join(rev, ["src", "dst"], "left_semi")
+
+
 def filtered_knn(
     corpus: DataFrame,
     queries: DataFrame,

@@ -91,3 +91,58 @@ def test_sssp_rounds_validation(spark):
     e = _edges(spark, [(1, 2, 1.0)])
     with pytest.raises(ValueError):
         sssp_distances(e, _srcs(spark, [1]), rounds=0)
+
+
+# ------------------------------------------------- kNN graph export
+
+def test_knn_graph_exact_and_mutual(spark):
+    import numpy as np
+    from lindel_spark import similarity as LS
+
+    # 2 tight clusters of 4 + one outlier chasing cluster A: directed
+    # edges from the outlier exist, mutual edges within clusters only
+    rng = np.random.RandomState(0)
+    base = {0: np.array([1.0, 0, 0, 0]), 1: np.array([0, 1.0, 0, 0])}
+    rows = []
+    for i in range(8):
+        v = base[i // 4] + rng.randn(4) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    rows.append((8, [1.0, 0.4, 0.0, 0.0]))  # outlier nearer cluster 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = LS.knn_graph(df, k=3)
+    edges = {(r.src, r.dst) for r in g.collect()}
+    assert all(len([d for s, d in edges if s == i]) == 3 for i in range(9))
+    gm = LS.knn_graph(df, k=3, mutual=True)
+    mutual = {(r.src, r.dst) for r in gm.collect()}
+    assert mutual == {(s, d) for (s, d) in mutual if (d, s) in mutual}
+    # intra-cluster pairs survive; nothing mutual crosses clusters
+    assert all((s // 4 == d // 4) or 8 in (s, d) for s, d in mutual)
+
+
+def test_knn_graph_feeds_lpa_two_clusters(spark):
+    import numpy as np
+    from lindel_spark import similarity as LS
+    from lindel_spark.graph import label_propagation_communities
+
+    rng = np.random.RandomState(1)
+    rows = []
+    for i in range(12):
+        c = i // 6
+        v = np.zeros(4); v[c] = 1.0
+        v += rng.randn(4) * 0.02
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = LS.knn_graph(df, k=3, mutual=True)
+    edges = (g.filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    comm = label_propagation_communities(edges, rounds=3)
+    labels = {r.node: r.label for r in comm.collect()}
+    # synchronous LPA legitimately 2-colors inside a dense cluster
+    # (label oscillation), so the invariant is SEPARATION: no
+    # community ever spans both planted clusters
+    la = {labels[i] for i in range(6)}
+    lb = {labels[i] for i in range(6, 12)}
+    assert la.isdisjoint(lb)
+    # and the mutual kNN graph itself never crosses clusters
+    es = {(r.src, r.dst) for r in edges.collect()}
+    assert all(s // 6 == d // 6 for s, d in es)
