@@ -116,6 +116,95 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    node: str = "node",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart): like
+    :func:`pagerank` but every teleport — the (1−d) restart AND the
+    dangling-mass fold — returns to the SEED SET uniformly instead of
+    to all nodes, so ``rank`` measures proximity to the seeds along
+    the link structure. The standard seed-expansion primitive:
+    "score every page by closeness to my trusted domains", "rank
+    event types by reachability from purchase", local community
+    scoring around a query node.
+
+    Same execution contract as :func:`pagerank` — per iteration one
+    edges⋈ranks join + map-side-combined aggregate on ``dst``,
+    dangling mass as a broadcast one-row frame, fixed ``iterations``
+    (deterministic, unrolled-SQL-replayable), localCheckpoint
+    lineage truncation. Node set = edge endpoints ∪ seeds (an
+    isolated seed still holds restart mass); total rank stays 1 by
+    construction. The one extra state over the uniform case is the
+    teleport column riding the node frame — no extra shuffle.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from pyspark import StorageLevel
+
+    w = (F.col(weight).cast("double") if weight is not None
+         else F.lit(1.0))
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+        w.alias("__w")).persist(StorageLevel.MEMORY_AND_DISK)
+    seeds = sources.select(F.col(node).alias("node")).distinct() \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    ns = seeds.count()  # bounded driver scalar (the pagerank contract)
+    if ns == 0:
+        raise ValueError("LINDEL: personalized_pagerank needs a "
+                         "non-empty seed set")
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .unionByName(seeds.select("node"))
+        .distinct()
+    )
+    tel = (nodes.join(seeds.withColumn("__is_seed", F.lit(1)),
+                      "node", "left")
+           .select("node",
+                   F.when(F.col("__is_seed").isNotNull(),
+                          F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+                   .alias("__t"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = tel.select("node", F.col("__t").alias("rank"))
+    for it in range(iterations):
+        contrib = (
+            e.join(outw, "__src")
+            .join(ranks, e["__src"] == ranks["node"])
+            .select(F.col("__dst").alias("node"),
+                    (F.col("rank") * F.col("__w") / F.col("__wout"))
+                    .alias("__c"))
+            .groupBy("node").agg(F.sum("__c").alias("__contrib"))
+        )
+        dangling = contrib.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("__contrib"), F.lit(0.0)))
+            .alias("__dangling"))
+        ranks = (
+            tel.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (F.lit(1.0 - damping) * F.col("__t")
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("__contrib"), F.lit(0.0))
+                    + F.col("__dangling") * F.col("__t")))
+                .alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

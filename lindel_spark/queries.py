@@ -7060,6 +7060,102 @@ def _pagerank_cte(iterations: int = 5, d: float = 0.85) -> str:
     return head + _pr_iter_sql(iterations, d)
 
 
+def _ppr_cte(iterations: int = 5, d: float = 0.85,
+             seed: str = "purchase") -> str:
+    """DuckDB replay of
+    :func:`lindel_spark.graph.personalized_pagerank` over the
+    event-type transition graph: the :func:`_pagerank_cte` head plus
+    a teleport column (1/|seeds| on seeds, 0 elsewhere); both the
+    restart and the dangling fold multiply by the teleport instead
+    of 1/n."""
+    head = f"""
+    WITH e0 AS (
+      SELECT user_id::BIGINT AS user_id, epoch_us(ts)::BIGINT AS tus,
+             event_id::BIGINT AS event_id, event_type
+      FROM events
+    ), trans AS (
+      SELECT prev AS src, event_type AS dst, count(*)::DOUBLE AS w
+      FROM (SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY tus, event_id) AS prev
+            FROM e0)
+      WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ), seeds AS (SELECT '{seed}' AS node),
+    nodes AS (
+      SELECT src AS node FROM trans
+      UNION SELECT dst FROM trans
+      UNION SELECT node FROM seeds
+    ), ns AS (SELECT count(*)::DOUBLE AS n FROM seeds),
+    outw AS (SELECT src, sum(w) AS wout FROM trans GROUP BY src),
+    tel AS MATERIALIZED (
+      SELECT n.node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS t
+      FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+    ), r0 AS (SELECT node, t AS rank FROM tel)
+    """
+    its = []
+    for i in range(iterations):
+        its.append(f"""
+    , r{i + 1} AS (
+      SELECT n.node, n.t,
+             (1.0 - {d}) * n.t
+             + {d} * (coalesce(c.contrib, 0)
+                      + (SELECT coalesce(sum(r.rank), 0) FROM r{i} r
+                         LEFT JOIN outw o ON r.node = o.src
+                         WHERE o.src IS NULL) * n.t)
+               AS rank
+      FROM tel n
+      LEFT JOIN (
+        SELECT t.dst AS node, sum(r.rank * t.w / o.wout) AS contrib
+        FROM trans t
+        JOIN outw o ON o.src = t.src
+        JOIN r{i} r ON r.node = t.src
+        GROUP BY t.dst
+      ) c ON n.node = c.node
+    )""")
+    return head + "".join(its)
+
+
+@query(
+    "graph_ppr_transitions",
+    _ppr_cte(5) + """
+    SELECT node, round(rank, 6) AS rank_r6 FROM r5
+    """,
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (round 13,
+    :func:`lindel_spark.graph.personalized_pagerank`) seeded at
+    'purchase' over the behavior-transition graph: rank = proximity
+    to the conversion event along transition structure — the
+    seed-expansion primitive ("score by closeness to trusted seeds")
+    the uniform pagerank can't express. Same fixed-5-iteration
+    unrolled-oracle contract; 6dp."""
+    from pyspark.sql import Window
+
+    from lindel_spark.graph import personalized_pagerank
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    trans = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy(F.col("prev").alias("src"),
+                 F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    seeds = spark.createDataFrame([("purchase",)], "node string")
+    pr = personalized_pagerank(trans, seeds, iterations=5,
+                               damping=0.85, weight="w")
+    return pr.select("node", F.round("rank", 6).alias("rank_r6"))
+
+
 @query(
     "graph_pagerank_transitions",
     _pagerank_cte(5) + """

@@ -146,3 +146,56 @@ def test_knn_graph_feeds_lpa_two_clusters(spark):
     # and the mutual kNN graph itself never crosses clusters
     es = {(r.src, r.dst) for r in edges.collect()}
     assert all(s // 6 == d // 6 for s, d in es)
+
+
+# ------------------------------------------- personalized pagerank
+
+def test_ppr_mass_conserved_and_seed_proximity(spark):
+    from lindel_spark.graph import personalized_pagerank
+
+    # chain 1 -> 2 -> 3 -> 4, seed at 1: rank decays with distance
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    r = {x.node: x.rank for x in
+         personalized_pagerank(e, s, iterations=8).collect()}
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-12)
+    assert r[1] > r[2] > r[3] > r[4] > 0
+
+
+def test_ppr_all_seeds_degenerates_to_pagerank(spark):
+    from lindel_spark.graph import pagerank, personalized_pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0), (3, 1, 1.0), (1, 3, 1.0)],
+        "src long, dst long, w double")
+    s = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    pr = {x.node: x.rank for x in
+          pagerank(e, iterations=5, weight="w").collect()}
+    ppr = {x.node: x.rank for x in
+           personalized_pagerank(e, s, iterations=5,
+                                 weight="w").collect()}
+    for n in pr:
+        assert ppr[n] == pytest.approx(pr[n], abs=1e-12)
+
+
+def test_ppr_isolated_seed_keeps_restart_mass(spark):
+    from lindel_spark.graph import personalized_pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([(99,)], "node long")  # not in graph
+    r = {x.node: x.rank for x in
+         personalized_pagerank(e, s, iterations=4).collect()}
+    assert set(r) == {1, 2, 99}
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-12)
+    assert r[99] > 0.5  # seed keeps the restart + dangling mass
+    assert r[1] == pytest.approx(0.0, abs=1e-15)  # unreachable
+
+
+def test_ppr_empty_seeds_raises(spark):
+    from lindel_spark.graph import personalized_pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    s = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError):
+        personalized_pagerank(e, s)
