@@ -51,11 +51,15 @@ Operator modules (import as submodules):
     lindel_spark.history     SCD2 builds, incremental agg maintenance
     lindel_spark.timeseries  OHLC resample, time-weighted average,
                              lag-k ACF, CUSUM change-points,
-                             rolling z-score anomalies,
+                             rolling z-score anomalies, seasonal
+                             decomposition, EWMA, Holt-Winters
+                             one-step forecast, Kaplan-Meier,
                              inter-arrival stats, gap report
-    lindel_spark.graph       PageRank, connected components,
-                             triangles, bounded BFS,
-                             label-propagation communities
+    lindel_spark.graph       PageRank (uniform + personalized),
+                             connected components, triangles,
+                             bounded BFS + weighted SSSP,
+                             label-propagation communities,
+                             k-core, HITS, link prediction
     lindel_spark.profile     table profiling, expectations, k-anonymity,
                              file min/max manifest index + pruned reads,
                              per-file bloom index for point lookups

@@ -54,11 +54,24 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-12 rotation (the driver samples the first ~50): (a) new
-    # this round; (b) operator-CHANGED this round; (c) stale-first
-    # re-entry — families the r11 driver sample did NOT cover, oldest
-    # first. Everything else stays covered by the local full-registry
-    # sweeps at three scales.
+    # round-13 rotation (the driver samples the first ~50): (a) new
+    # this round; (b) operator-CHANGED this round; then the r12
+    # blocks age downward. Everything else stays covered by the
+    # local full-registry sweeps at three scales.
+    # (a) round-13 new
+    "knn_ivfpq_opq_recall",  # new face: OPQ x residual composition
+    "graph_sssp_copurchase",  # new: bounded-round weighted SSSP
+    "knn_filtered_recall",  # new: attribute-filtered ANN
+    "events_holt_winters",  # new: additive HW one-step forecast
+    "events_kruskal_wallis",  # new: k-sample rank ANOVA
+    "parts_bh_fdr",  # new: Benjamini-Hochberg step-up q-values
+    "knn_graph_communities",  # new: kNN graph -> LPA composition
+    "graph_ppr_transitions",  # new: personalized pagerank
+    # (b) round-13 operator-changed (decimal rank sums, NULL-safe
+    # noise seed)
+    "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
+    "profile_dp_counts", "graph_link_prediction",
+    # --- r12 rotation below (driver-covered r12; keep order) ---
     # (a) round-12 new
     "events_mann_whitney",  # new: tie-corrected rank-sum test
     "graph_link_prediction",  # new: CN/Jaccard/Adamic-Adar
