@@ -1910,3 +1910,106 @@ def bh_adjust(
                   .alias(out_col)))
     return (base.join(qv, "__p", "left")
             .drop("__p"))
+
+
+#: Poisson(1) inverse-CDF thresholds, k = 0..11 (cumulative
+#: e⁻¹·Σ 1/j!); draws above the last threshold clamp to k = 12 —
+#: P(X > 12 | λ=1) < 1e-12, and the SAME truncation constant is
+#: baked into the SQL oracle, so the clamp is replay-exact, not an
+#: approximation gap between engines.
+POISSON1_CDF: list[float] = []
+
+
+def _poisson1_cdf() -> list[float]:
+    if not POISSON1_CDF:
+        import math
+        acc, fact = 0.0, 1.0
+        for k in range(12):
+            if k:
+                fact *= k
+            acc += math.exp(-1.0) / fact
+            POISSON1_CDF.append(acc)
+    return POISSON1_CDF
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    keys=(),
+    n_replicas: int = 64,
+    alpha: float = 0.05,
+    salt: str = "lindel",
+) -> DataFrame:
+    """SEEDED Poisson-bootstrap confidence interval for the mean, per
+    key group: ``(keys…, n, point_mean, ci_lo, ci_hi)`` — the
+    distributed bootstrap (Poisson(1) resampling weights approximate
+    multinomial resampling without coordinating a global sample; the
+    standard large-data bootstrap, e.g. Chamandy et al. 2012) with
+    REPLAYABLE draws: replica ``b``'s weight for a row is the
+    Poisson(1) inverse CDF of the md5-uniform of ``(id, b, salt)`` —
+    the :func:`seeded_laplace_counts` seeding idiom, so any engine
+    with md5 reproduces every weight bit-for-bit. Same honest caveat:
+    seeded ≠ fresh randomness; rotate the salt per study.
+
+    ``ci_lo``/``ci_hi`` are ORDER STATISTICS of the replica means
+    (index ``ceil(B·α/2)`` / ``ceil(B·(1−α/2))``, 1-based) — element
+    picks, not interpolation, so the bound is an actual replica mean
+    and replays exactly.
+
+    Plan: rows explode ×B (the one deliberate blow-up — B·|rows|
+    map-side, no extra shuffle beyond the (keys, b) aggregate), one
+    map-side-combined aggregate to B replica means per group, one
+    sorted-array fold per group (B doubles of driver-bounded state
+    per key). Rows with NULL value or id are excluded; replicas
+    whose weights all drew 0 (probability e⁻ⁿ — dead only for tiny
+    groups) yield NULL means and are dropped from the order
+    statistics on BOTH engines.
+    """
+    if n_replicas < 4:
+        raise ValueError("n_replicas must be >= 4")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    import math
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    B = int(n_replicas)
+    lo_i = max(1, math.ceil(B * alpha / 2.0))
+    hi_i = min(B, math.ceil(B * (1.0 - alpha / 2.0)))
+
+    rows = (df.select(*keys,
+                      F.col(value_col).cast("double").alias("__x"),
+                      F.col(id_col).cast("string").alias("__id"))
+            .filter(F.col("__x").isNotNull()
+                    & F.col("__id").isNotNull()))
+    rep = rows.select(
+        *keys, "__x", "__id",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("__b"))
+    u = ((F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("__id"),
+                          F.col("__b").cast("string"), F.lit(salt))),
+        1, 15), 16, 10).cast("double") + 0.5)
+        / F.lit(float(16 ** 15)))
+    w = F.lit(12)
+    for k in range(11, -1, -1):
+        w = F.when(u <= F.lit(_poisson1_cdf()[k]), F.lit(k)) \
+            .otherwise(w)
+    means = (rep.withColumn("__w", w)
+             .groupBy(*keys, "__b")
+             .agg((F.sum(F.col("__w").cast("double") * F.col("__x"))
+                   / F.sum(F.col("__w").cast("double"))).alias("__m")))
+    stats = rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__x").alias("point_mean"))
+    sorted_means = (means.filter(F.col("__m").isNotNull())
+                    .groupBy(*keys)
+                    .agg(F.array_sort(F.collect_list("__m"))
+                         .alias("__ms")))
+    ci = sorted_means.select(
+        *keys,
+        F.size("__ms").cast("long").alias("n_replicas"),
+        F.element_at("__ms", lo_i).alias("ci_lo"),
+        F.element_at("__ms", hi_i).alias("ci_hi"))
+    join_on = keys if keys else None
+    if join_on:
+        return stats.join(ci, join_on)
+    return stats.crossJoin(F.broadcast(ci))

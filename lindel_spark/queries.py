@@ -67,6 +67,7 @@ _SAMPLE_FIRST = [
     "parts_bh_fdr",  # new: Benjamini-Hochberg step-up q-values
     "knn_graph_communities",  # new: kNN graph -> LPA composition
     "graph_ppr_transitions",  # new: personalized pagerank
+    "events_bootstrap_ci",  # new: seeded Poisson bootstrap CI
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -12170,6 +12171,85 @@ def _mwu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & F.col("user_id").isNotNull())
             .select(F.col("value").cast("double").alias("v"),
                     (F.col("user_id") % 2).cast("int").alias("y")))
+
+
+def _bootstrap_oracle(B: int = 64, alpha: float = 0.05) -> str:
+    """DuckDB replay of
+    :func:`lindel_spark.profile.poisson_bootstrap_ci` over the
+    per-type event values: the same md5-uniform → Poisson(1)
+    inverse-CDF CASE ladder (thresholds emitted from the SAME Python
+    floats the Spark expression uses), same order-statistic element
+    picks."""
+    import math
+
+    from lindel_spark.profile import _poisson1_cdf
+
+    lo_i = max(1, math.ceil(B * alpha / 2.0))
+    hi_i = min(B, math.ceil(B * (1.0 - alpha / 2.0)))
+    ladder = " ".join(
+        f"WHEN u <= {t!r} THEN {k}"
+        for k, t in enumerate(_poisson1_cdf()))
+    return f"""
+    WITH rows AS (
+      SELECT event_type, value::DOUBLE AS x, event_id::VARCHAR AS id
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL
+    ), rep AS (
+      SELECT event_type, x, id, b.b
+      FROM rows CROSS JOIN (
+        SELECT unnest(generate_series(1, {B})) AS b) b
+    ), drawn AS (
+      SELECT event_type, x, b,
+             (('0x' || substr(md5(id || '|' || b::VARCHAR
+                                  || '|' || 'lindel'), 1, 15))::BIGINT
+              + 0.5) / 1152921504606846976.0 AS u
+      FROM rep
+    ), weighted AS (
+      SELECT event_type, x, b,
+             CASE {ladder} ELSE 12 END AS w
+      FROM drawn
+    ), means AS (
+      SELECT event_type, b,
+             SUM(w * x) / SUM(w)::DOUBLE AS m
+      FROM weighted GROUP BY 1, 2
+    ), ms AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_replicas,
+             list(m ORDER BY m) AS lm
+      FROM means WHERE m IS NOT NULL GROUP BY 1
+    ), stats AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             AVG(x) AS point_mean
+      FROM rows GROUP BY 1
+    )
+    SELECT s.event_type, s.n, round(s.point_mean, 6) AS point_mean_r6,
+           ms.n_replicas,
+           round(lm[{lo_i}], 6) AS ci_lo_r6,
+           round(lm[{hi_i}], 6) AS ci_hi_r6
+    FROM stats s JOIN ms USING (event_type)
+    """
+
+
+@query("events_bootstrap_ci", _bootstrap_oracle(64, 0.05))
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Poisson-bootstrap 95% CI for the mean event value per
+    type (round 13, :func:`lindel_spark.profile.poisson_bootstrap_ci`,
+    B = 64): the distributed bootstrap — per-row Poisson(1) weights
+    from md5(id, replica, salt), replica means, order-statistic
+    bounds — with every draw bit-replayable (the seeded_laplace
+    idiom; NOT fresh randomness, rotate the salt per study). One
+    explode ×64 + one map-side-combined aggregate; 6dp."""
+    from lindel_spark.profile import poisson_bootstrap_ci
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = poisson_bootstrap_ci(ev, "value", "event_id",
+                               keys=["event_type"], n_replicas=64,
+                               alpha=0.05)
+    return out.select(
+        "event_type", "n",
+        F.round("point_mean", 6).alias("point_mean_r6"),
+        "n_replicas",
+        F.round("ci_lo", 6).alias("ci_lo_r6"),
+        F.round("ci_hi", 6).alias("ci_hi_r6"))
 
 
 @query(

@@ -138,3 +138,96 @@ def test_bh_out_of_range_raises_in_plan(spark):
     df = spark.createDataFrame([(1, 1.5)], "id long, p double")
     with pytest.raises(Exception, match="outside"):
         bh_adjust(df, "p").collect()
+
+
+# --------------------------------------------- Poisson bootstrap CI
+
+def _u_py(ident, b, salt="lindel"):
+    import hashlib
+    h = hashlib.md5(f"{ident}|{b}|{salt}".encode()).hexdigest()
+    return (int(h[:15], 16) + 0.5) / float(16 ** 15)
+
+
+def _w_py(u):
+    from lindel_spark.profile import _poisson1_cdf
+    for k, t in enumerate(_poisson1_cdf()):
+        if u <= t:
+            return k
+    return 12
+
+
+def test_bootstrap_full_python_replay(spark):
+    import numpy as np
+    from lindel_spark.profile import poisson_bootstrap_ci
+
+    rng = np.random.RandomState(3)
+    xs = rng.rand(30) * 10
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "id long, x double")
+    B = 16
+    r = poisson_bootstrap_ci(df, "x", "id", n_replicas=B,
+                             alpha=0.1).collect()[0]
+    means = []
+    for b in range(1, B + 1):
+        ws = np.array([_w_py(_u_py(str(i), b)) for i in range(30)], float)
+        if ws.sum() > 0:
+            means.append((ws * xs).sum() / ws.sum())
+    means.sort()
+    import math
+    lo = means[max(1, math.ceil(B * 0.05)) - 1]
+    hi = means[min(B, math.ceil(B * 0.95)) - 1]
+    assert r.n == 30
+    assert r.point_mean == pytest.approx(xs.mean(), abs=1e-9)
+    assert r.n_replicas == len(means)
+    assert r.ci_lo == pytest.approx(lo, abs=1e-12)
+    assert r.ci_hi == pytest.approx(hi, abs=1e-12)
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(spark):
+    import numpy as np
+    from lindel_spark.profile import poisson_bootstrap_ci
+
+    rng = np.random.RandomState(11)
+    small = [(i, float(v)) for i, v in enumerate(rng.randn(100) + 5)]
+    big = [(i, float(v)) for i, v in enumerate(rng.randn(4000) + 5)]
+    a = poisson_bootstrap_ci(
+        spark.createDataFrame(small, "id long, x double"), "x", "id",
+        n_replicas=64).collect()[0]
+    b = poisson_bootstrap_ci(
+        spark.createDataFrame(big, "id long, x double"), "x", "id",
+        n_replicas=64).collect()[0]
+    assert a.ci_lo < 5 < a.ci_hi  # brackets the truth
+    assert b.ci_lo < 5 < b.ci_hi
+    assert (b.ci_hi - b.ci_lo) < (a.ci_hi - a.ci_lo)  # n↑ ⇒ tighter
+
+
+def test_bootstrap_grouped_and_deterministic(spark):
+    import numpy as np
+    from lindel_spark.profile import poisson_bootstrap_ci
+
+    rng = np.random.RandomState(6)
+    rows = [(g, i, float(rng.rand() * (10 if g == "a" else 1)))
+            for g in ("a", "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, x double")
+    r1 = {r.g: r for r in poisson_bootstrap_ci(
+        df, "x", "id", keys=["g"], n_replicas=32).collect()}
+    r2 = {r.g: r for r in poisson_bootstrap_ci(
+        df.repartition(9), "x", "id", keys=["g"],
+        n_replicas=32).collect()}
+    for g in ("a", "b"):
+        # replica means are double SUMS, so partitioning shifts the
+        # last ulps (the usual float-sum order sensitivity the
+        # registry's 6dp rounding absorbs) — assert to 1e-9
+        assert r1[g].ci_lo == pytest.approx(r2[g].ci_lo, abs=1e-9)
+        assert r1[g].ci_hi == pytest.approx(r2[g].ci_hi, abs=1e-9)
+    assert r1["a"].ci_hi > r1["b"].ci_hi  # scales with the data
+
+
+def test_bootstrap_validation(spark):
+    from lindel_spark.profile import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "x", "id", n_replicas=2)
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "x", "id", alpha=0.0)
