@@ -209,7 +209,7 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
     _auto_nc, _auto_np = LS.auto_ivf_config(n_emb)
     if need("knn_ivf_auto", "knn_join_dist", "knn_ivfpq_refined",
             "knn_join_pq_dist", "ivf_store_pruned_scan",
-            "ivf_store_full_scan"):
+            "ivf_store_full_scan", "knn_graph_mutual"):
         _ivf_auto_centroids = LS.train_centroids(emb, _auto_nc)
     if need("knn_pq_refined"):
         _pq_books = LS.train_pq(emb, m=8, ks=256)
@@ -882,6 +882,73 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         ("kaplan_meier", q_kaplan_meier, -1),
         ("lof_embeddings", q_lof, n_emb),
         ("dbscan_suppliers", q_dbscan, -1),
+    ]
+
+    # round-13 entries (first measurement this round becomes the
+    # anchor — the bench_anchors.py protocol)
+    def _copurchase_weighted():
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("dst"))
+        return (a.join(b, "ok")
+                .filter(F.col("src") < F.col("dst"))
+                .groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select("src", "dst",
+                        (F.lit(1.0) / F.col("cnt")).alias("weight")))
+
+    def q_sssp(_):
+        from lindel_spark.graph import sssp_distances
+        srcs = (li.filter(F.col("l_partkey") % 50 == 0)
+                .select(F.col("l_partkey").cast("long").alias("node"))
+                .distinct())
+        _noop(sssp_distances(_copurchase_weighted(), srcs, rounds=3))
+
+    def q_holt_winters(_):
+        from lindel_spark.sources import load_events
+        from lindel_spark.timeseries import holt_winters_forecast
+        ev = load_events(spark, SF_DIR)
+        hourly = (ev.groupBy("event_type",
+                             F.date_trunc("hour", "ts").alias("hour"))
+                  .agg(F.sum(F.col("value").cast("double")).alias("v")))
+        _noop(holt_winters_forecast(hourly, ["event_type"], "hour",
+                                    "v", "hour", period=24, window=48))
+
+    def q_bootstrap_ci(_):
+        from lindel_spark.profile import poisson_bootstrap_ci
+        from lindel_spark.sources import load_events
+        ev = load_events(spark, SF_DIR)
+        _noop(poisson_bootstrap_ci(ev, "value", "event_id",
+                                   keys=["event_type"],
+                                   n_replicas=64))
+
+    def q_knn_graph_mutual(_):
+        from lindel_spark.similarity import knn_graph
+        _noop(knn_graph(emb, k=10, centroids=_ivf_auto_centroids,
+                        nprobe=_auto_np, mutual=True))
+
+    def q_ppr(_):
+        from pyspark.sql import Window as _W
+
+        from lindel_spark.graph import personalized_pagerank
+        ev = _ev_long()
+        w = _W.partitionBy("user_id").orderBy("tus", "event_id")
+        trans = (ev.withColumn("prev", F.lag("event_type").over(w))
+                 .filter(F.col("prev").isNotNull())
+                 .groupBy(F.col("prev").alias("src"),
+                          F.col("event_type").alias("dst"))
+                 .agg(F.count(F.lit(1)).cast("double").alias("w")))
+        seeds = spark.createDataFrame([("purchase",)], "node string")
+        _noop(personalized_pagerank(trans, seeds, iterations=5,
+                                    weight="w"))
+
+    scan_shaped += [
+        ("sssp_copurchase", q_sssp, n_li),
+        ("holt_winters_hourly", q_holt_winters, -1),
+        ("bootstrap_ci_events", q_bootstrap_ci, -1),
+        ("knn_graph_mutual", q_knn_graph_mutual, n_emb),
+        ("ppr_transitions", q_ppr, -1),
     ]
 
     def q_zorder_store_cycle(tmp):

@@ -132,6 +132,8 @@ ANCHORS: dict[str, float] = {
 NOISE_BAND: frozenset[str] = frozenset({
     "pagerank_transitions", "textrank_keywords", "pca_power_8",
     "cc_star_simhash",
+    # r13: same per-iteration scheduling-floor class as pagerank
+    "ppr_transitions", "sssp_copurchase",
 })
 
 
