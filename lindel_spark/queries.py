@@ -68,6 +68,7 @@ _SAMPLE_FIRST = [
     "knn_graph_communities",  # new: kNN graph -> LPA composition
     "graph_ppr_transitions",  # new: personalized pagerank
     "events_bootstrap_ci",  # new: seeded Poisson bootstrap CI
+    "knn_model_roundtrip",  # new: ANN artifact persistence
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -5097,6 +5098,47 @@ def _knn_graph_lpa_oracle(rounds: int = 2) -> str:
     SELECT label, COUNT(*)::BIGINT AS n_nodes
     FROM l{rounds} GROUP BY label
     """
+
+
+@query(
+    "knn_model_roundtrip",
+    """
+    SELECT COUNT(*)::BIGINT AS n_vectors, true AS roundtrip_ok
+    FROM embeddings
+    """,
+)
+def q_knn_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN artifact persistence (round 13,
+    :func:`lindel_spark.similarity.save_ann_model` /
+    ``load_ann_model``): train the full OPQ × residual stack, persist
+    centroids + codebooks + rotation to parquet, load them back, and
+    re-encode the corpus with the LOADED matrices — the stored-code
+    invariant (codes are only meaningful relative to their quantizer)
+    survives a driver restart iff the round-trip is bit-exact, so the
+    query self-checks ``roundtrip_ok`` = encoded (cell, code) streams
+    identical under trained vs loaded artifacts."""
+    import tempfile
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = LS.train_centroids(emb, 16, spherical=False)
+    R = LS.opq_rotation(emb, m=8)
+    books = LS.train_pq(emb, m=8, ks=64, centroids=cents, rotation=R)
+    path = tempfile.mkdtemp(prefix="lindel_ann_model_")
+    LS.save_ann_model(spark, path, centroids=cents, codebooks=books,
+                      rotation=R)
+    loaded = LS.load_ann_model(spark, path)
+    a = LS.ivf_pq_encode(emb, cents, books, rotation=R) \
+        .select("vec_id", "cell", F.col("code").alias("code_a"))
+    b = LS.ivf_pq_encode(emb, loaded["centroids"], loaded["codebooks"],
+                         rotation=loaded["rotation"]) \
+        .select("vec_id", F.col("cell").alias("cell_b"),
+                F.col("code").alias("code_b"))
+    j = a.join(b, "vec_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (F.sum(F.when((F.col("cell") == F.col("cell_b"))
+                      & (F.col("code_a") == F.col("code_b")), 0)
+               .otherwise(1)) == 0).alias("roundtrip_ok"))
 
 
 @query("knn_graph_communities", _knn_graph_lpa_oracle(2))

@@ -37,6 +37,7 @@ is the high-dimensional analogue used here for 64-d embeddings.
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator
 
 import numpy as np
@@ -2453,4 +2454,91 @@ def lof(
     out = (kdist.join(lrd, "query_id").join(avg_o, "query_id")
            .select(F.col("query_id").alias("id"), "kdist", "lrd",
                    (F.col("__avg_lrd_o") / F.col("lrd")).alias("lof")))
+    return out
+
+
+def save_ann_model(
+    spark,
+    path: str,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
+) -> None:
+    """Persist trained ANN artifacts (coarse centroids, PQ codebooks,
+    OPQ rotation) as parquet under ``path`` — the missing operational
+    piece of the IVF/PQ tier: codes stored by :func:`ivf_pq_encode`
+    are only meaningful relative to the matrices that produced them
+    (the ``ivf_pq_knn(codes=...)`` invariant), so the matrices must
+    OUTLIVE the driver that trained them. Layout is engine-neutral
+    long-format rows (``idx, vec array<double>`` — one row per
+    centroid / rotation row; ``(sub, code, vec)`` for codebooks), so
+    any parquet reader can audit them; doubles survive parquet
+    bit-exactly, and :func:`load_ann_model` round-trips
+    ``array_equal`` (pytest-pinned).
+    """
+    if centroids is None and codebooks is None and rotation is None:
+        raise ValueError("LINDEL: save_ann_model: nothing to save")
+
+    def _rows2(M):
+        return [(int(i), [float(x) for x in M[i]])
+                for i in range(len(M))]
+
+    if centroids is not None:
+        spark.createDataFrame(_rows2(np.asarray(centroids, np.float64)),
+                              "idx int, vec array<double>") \
+            .repartition(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "centroids"))
+    if rotation is not None:
+        spark.createDataFrame(_rows2(np.asarray(rotation, np.float64)),
+                              "idx int, vec array<double>") \
+            .repartition(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "rotation"))
+    if codebooks is not None:
+        B = np.asarray(codebooks, np.float64)
+        rows = [(int(s), int(c), [float(x) for x in B[s, c]])
+                for s in range(B.shape[0]) for c in range(B.shape[1])]
+        spark.createDataFrame(rows, "sub int, code int, "
+                                    "vec array<double>") \
+            .repartition(1).write.mode("overwrite") \
+            .parquet(os.path.join(path, "codebooks"))
+
+
+def load_ann_model(spark, path: str) -> dict:
+    """Load :func:`save_ann_model` artifacts back as the dict
+    ``{"centroids": ndarray | None, "codebooks": ndarray | None,
+    "rotation": ndarray | None}`` — bounded driver state (the
+    matrices ARE driver-side parameters by design, same contract as
+    :func:`train_centroids`). Missing components load as None, so a
+    raw-IVF model (no books) and a PQ-only model (no cells) share
+    the layout."""
+    from py4j.protocol import Py4JJavaError
+
+    out = {"centroids": None, "codebooks": None, "rotation": None}
+
+    def _read(sub):
+        try:
+            return spark.read.parquet(os.path.join(path, sub)).collect()
+        except (Py4JJavaError, Exception) as ex:  # noqa: BLE001
+            if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" \
+                    in str(ex):
+                return None
+            raise
+
+    rows = _read("centroids")
+    if rows:
+        rows = sorted(rows, key=lambda r: r.idx)
+        out["centroids"] = np.array([r.vec for r in rows], np.float64)
+    rows = _read("rotation")
+    if rows:
+        rows = sorted(rows, key=lambda r: r.idx)
+        out["rotation"] = np.array([r.vec for r in rows], np.float64)
+    rows = _read("codebooks")
+    if rows:
+        m = max(r.sub for r in rows) + 1
+        ks = max(r.code for r in rows) + 1
+        d = len(rows[0].vec)
+        B = np.zeros((m, ks, d), np.float64)
+        for r in rows:
+            B[r.sub, r.code] = r.vec
+        out["codebooks"] = B
     return out

@@ -231,3 +231,37 @@ def test_bootstrap_validation(spark):
         poisson_bootstrap_ci(df, "x", "id", n_replicas=2)
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "x", "id", alpha=0.0)
+
+
+# -------------------------------------------- ANN model persistence
+
+def test_ann_model_roundtrip_bit_exact(spark, tmp_path):
+    import numpy as np
+    from lindel_spark import similarity as LS
+
+    rng = np.random.RandomState(7)
+    cents = rng.randn(8, 16)
+    books = rng.randn(4, 32, 4)
+    R = np.linalg.qr(rng.randn(16, 16))[0]
+    p = str(tmp_path / "model")
+    LS.save_ann_model(spark, p, centroids=cents, codebooks=books,
+                      rotation=R)
+    m = LS.load_ann_model(spark, p)
+    assert np.array_equal(m["centroids"], cents)
+    assert np.array_equal(m["codebooks"], books)
+    assert np.array_equal(m["rotation"], R)
+
+
+def test_ann_model_partial_components(spark, tmp_path):
+    import numpy as np
+    import pytest as _pt
+    from lindel_spark import similarity as LS
+
+    cents = np.eye(4, 8)
+    p = str(tmp_path / "cells_only")
+    LS.save_ann_model(spark, p, centroids=cents)
+    m = LS.load_ann_model(spark, p)
+    assert np.array_equal(m["centroids"], cents)
+    assert m["codebooks"] is None and m["rotation"] is None
+    with _pt.raises(ValueError):
+        LS.save_ann_model(spark, str(tmp_path / "empty"))
