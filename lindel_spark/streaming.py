@@ -818,3 +818,130 @@ def conformal_stream_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def holt_winters_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+):
+    """Streaming one-step-ahead Holt–Winters monitor — the continuous
+    face of :func:`lindel_spark.timeseries.holt_winters_forecast`:
+    per key the state store carries the triple-smoothing state
+    (level, trend, one seasonal slot per phase — ``period + 2``
+    doubles, O(1) forever), each arriving row is FIRST scored against
+    the forecast made before seeing it (``forecast = l + b +
+    s[phase]``, ``resid = x − forecast`` — the anomaly feed) and then
+    folded into the recursion. The first ``2·period`` rows per key
+    are the warm-up window: buffered, used for exactly the batch
+    operator's cold start (first-period mean level, period-gap trend,
+    ``x_i − l₀`` seasonals, recursion over the second period), no
+    output — so a key's stream state after warm-up equals
+    ``holt_winters_forecast(window=2·period)``'s state on those rows
+    (pytest-pinned via NumPy replay).
+
+    Ordering contract: rows sequence within a micro-batch by ``(ts,
+    tiebreak)`` and batches are assumed time-ordered per key (the
+    :func:`cusum_stream` contract — any online recursion shares it).
+    The recursion is inherently sequential, so the fold is a per-row
+    Python loop over the micro-batch — bounded by batch size, not
+    stream history, and the monitor shape (alarm on big residuals)
+    wants per-row forecasts anyway.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    m = int(period)
+    a, b_, g_ = float(alpha), float(beta), float(gamma)
+
+    key_f = stream_df.schema[key_col]
+    # tiebreak may BE the ts column (a unique timestamp) — emit it once
+    id_cols = [ts_col] if tiebreak == ts_col else [ts_col, tiebreak]
+    out_schema = T.StructType(
+        [key_f]
+        + [stream_df.schema[c] for c in id_cols]
+        + [T.StructField("value", T.DoubleType()),
+           T.StructField("forecast", T.DoubleType()),
+           T.StructField("resid", T.DoubleType())])
+    state_schema = T.StructType([
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("seasons", T.ArrayType(T.DoubleType())),
+        T.StructField("pos", T.LongType()),
+        T.StructField("buf", T.ArrayType(T.DoubleType())),
+    ])
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            level, trend, seasons, pos, buf = state.get
+            seasons = list(seasons) if seasons is not None else None
+            buf = list(buf) if buf is not None else []
+        else:
+            level, trend, seasons, pos, buf = None, None, None, 0, []
+        outs = []
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks)] if chunks else []):
+            pdf = pdf.sort_values([ts_col, tiebreak])
+            pdf = pdf[pdf[value_col].notna()]
+            if len(pdf) == 0:
+                continue
+            xs = pdf[value_col].to_numpy(dtype="float64")
+            fc = [None] * len(xs)
+            rs = [None] * len(xs)
+            for i, x in enumerate(xs):
+                if seasons is None:
+                    buf.append(float(x))
+                    pos += 1
+                    if len(buf) == 2 * m:
+                        # batch cold start over the warm-up window
+                        level = sum(buf[:m]) / float(m)
+                        trend = (sum(buf[m:2 * m]) - sum(buf[:m])) \
+                            / float(m * m)
+                        seasons = [buf[j] - level for j in range(m)]
+                        for t in range(m, 2 * m):
+                            sm = seasons[t - m]
+                            ln = a * (buf[t] - sm) \
+                                + (1.0 - a) * (level + trend)
+                            trend = b_ * (ln - level) \
+                                + (1.0 - b_) * trend
+                            seasons[t % m] = g_ * (buf[t] - ln) \
+                                + (1.0 - g_) * sm
+                            level = ln
+                        buf = []
+                    continue
+                phase = pos % m
+                f = level + trend + seasons[phase]
+                fc[i], rs[i] = f, float(x) - f
+                ln = a * (float(x) - seasons[phase]) \
+                    + (1.0 - a) * (level + trend)
+                trend = b_ * (ln - level) + (1.0 - b_) * trend
+                seasons[phase] = g_ * (float(x) - ln) \
+                    + (1.0 - g_) * seasons[phase]
+                level = ln
+                pos += 1
+            mask = [f is not None for f in fc]
+            if any(mask):
+                sel = pdf.loc[mask]
+                cols = {key_col: key[0]}
+                for c in id_cols:
+                    cols[c] = sel[c].to_numpy()
+                cols["value"] = sel[value_col].to_numpy(dtype="float64")
+                cols["forecast"] = [f for f in fc if f is not None]
+                cols["resid"] = [r for r in rs if r is not None]
+                outs.append(pd.DataFrame(cols))
+        state.update((level, trend, seasons, pos, buf))
+        yield (pd.concat(outs) if outs else pd.DataFrame(
+            columns=[key_col, *id_cols, "value", "forecast", "resid"]))
+
+    return (stream_df.groupBy(key_col).applyInPandasWithState(
+        fn, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout))

@@ -758,3 +758,63 @@ def test_conformal_stream_sink_matches_batch(spark, tmp_path_factory):
         assert r.qhat == qhat and r.target == pytest.approx(0.9)
         # exchangeable slices: coverage should sit near/above target
         assert r.coverage > 0.8
+
+
+def test_holt_winters_stream_matches_replay(spark, tmp_path_factory):
+    """Stream-drained HW monitor == a NumPy replay of the identical
+    recursion (warm-up 2*period buffered rows, then
+    forecast-before-update), on a time-partitioned 3-batch source."""
+    import numpy as np
+
+    from lindel_spark import streaming as ST
+
+    rng = np.random.RandomState(4)
+    m, n = 4, 60
+    xs = (20 + 0.3 * np.arange(n)
+          + np.array([3, -1, -2, 0] * (n // 4))
+          + rng.randn(n) * 0.1)
+    rows = [("k", int(i), float(xs[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    d = str(tmp_path_factory.mktemp("hw_src"))
+    for lo, hi, p in ((0, 20, "p1"), (20, 40, "p2"), (40, 60, "p3")):
+        (df.filter((F.col("t") >= lo) & (F.col("t") < hi))
+         .coalesce(1).write.parquet(f"{d}/{p}"))
+    src = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("recursiveFileLookup", "true").parquet(d))
+    mon = ST.holt_winters_stream(src, "k", "t", "v", "t", period=m,
+                                 alpha=0.3, beta=0.1, gamma=0.2)
+    q = (mon.writeStream.outputMode("append")
+         .format("memory").queryName("hw_t")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.t: (r.forecast, r.resid)
+           for r in spark.sql("SELECT * FROM hw_t").collect()}
+
+    # replay
+    a, b, g = 0.3, 0.1, 0.2
+    level = xs[:m].mean()
+    trend = (xs[m:2 * m].mean() - xs[:m].mean()) / m
+    seasons = [xs[j] - level for j in range(m)]
+    for t in range(m, 2 * m):
+        sm = seasons[t - m]
+        ln = a * (xs[t] - sm) + (1 - a) * (level + trend)
+        trend = b * (ln - level) + (1 - b) * trend
+        seasons[t % m] = g * (xs[t] - ln) + (1 - g) * sm
+        level = ln
+    want = {}
+    for t in range(2 * m, n):
+        ph = t % m
+        f = level + trend + seasons[ph]
+        want[t] = (f, xs[t] - f)
+        ln = a * (xs[t] - seasons[ph]) + (1 - a) * (level + trend)
+        trend = b * (ln - level) + (1 - b) * trend
+        seasons[ph] = g * (xs[t] - ln) + (1 - g) * seasons[ph]
+        level = ln
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == pytest.approx(want[t][0], abs=1e-9), t
+        assert got[t][1] == pytest.approx(want[t][1], abs=1e-9), t
+    # the monitor actually tracks: residuals are small vs the signal
+    resids = np.array([abs(v[1]) for v in want.values()])
+    assert np.median(resids) < 1.0
