@@ -75,8 +75,6 @@ _SAMPLE_FIRST = [
     "profile_dp_counts", "graph_link_prediction",
     # --- r12 rotation below (driver-covered r12; keep order) ---
     # (a) round-12 new
-    "events_mann_whitney",  # new: tie-corrected rank-sum test
-    "graph_link_prediction",  # new: CN/Jaccard/Adamic-Adar
     "graph_hits_transitions",  # new: HITS hubs/authorities
     "profile_t_closeness",  # new: TVD release-gate audit
     "features_woe_iv",  # new: WOE/IV category screen
@@ -86,7 +84,6 @@ _SAMPLE_FIRST = [
     "eval_conformal",  # new: split-conformal coverage
     "text_rake_phrases",  # new: RAKE keyphrases
     "text_tfidf_cosine_pairs",  # new: sparse lexical sim join
-    "eval_auc_by_type",  # new: per-segment exact AUC
     "text_script_profile",  # new: script-class router
     "events_proportion_test",  # new: two-proportion z
     "events_kaplan_meier",  # new: survival/retention curve
@@ -98,10 +95,8 @@ _SAMPLE_FIRST = [
     "text_phrase_search",  # new: positional phrase match
     "knn_lof_outliers",  # new: local outlier factor
     "dedup_containment",  # new: sub-document quote detector
-    "profile_dp_counts",  # new: seeded Laplace release
     "events_attribution",  # new: multi-touch credit
     "parts_huber_mean",  # new: robust IRLS location
-    "events_cliffs_delta",  # new: rank effect size
     "events_welch_ttest",  # new: unequal-variance t-test
     "events_spearman",  # new: midrank Spearman rho
     "graph_kcore",  # new: bounded-round k-core peel
