@@ -69,6 +69,7 @@ _SAMPLE_FIRST = [
     "graph_ppr_transitions",  # new: personalized pagerank
     "events_bootstrap_ci",  # new: seeded Poisson bootstrap CI
     "knn_model_roundtrip",  # new: ANN artifact persistence
+    "text_js_divergence",  # new: JS vocabulary drift
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -694,6 +695,52 @@ def q_zorder_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # DuckDB needs the 'g' flag to match Spark's replace-all regexp_replace.
 _DUCK_TOKS = "list_filter(string_split(text, ' '), t -> t != '')"
+
+@query(
+    "text_js_divergence",
+    f"""
+    WITH ta AS (
+      SELECT t, COUNT(*)::BIGINT AS ca FROM (
+        SELECT unnest({_DUCK_TOKS}) AS t FROM documents
+        WHERE doc_id % 2 = 0) GROUP BY t
+    ), tb AS (
+      SELECT t, COUNT(*)::BIGINT AS cb FROM (
+        SELECT unnest({_DUCK_TOKS}) AS t FROM documents
+        WHERE doc_id % 2 = 1) GROUP BY t
+    ), j AS (
+      SELECT coalesce(ta.ca, 0) AS ca, coalesce(tb.cb, 0) AS cb
+      FROM ta FULL OUTER JOIN tb ON ta.t = tb.t
+    ), tot AS (
+      SELECT SUM(ca)::DOUBLE AS na, SUM(cb)::DOUBLE AS nb FROM j
+    )
+    SELECT SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_a,
+           SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_b,
+           SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS vocab_shared,
+           round(0.5 * SUM(CASE WHEN ca > 0 THEN (ca / na)
+                   * log2(2.0 * (ca / na) / ((ca / na) + (cb / nb)))
+                   ELSE 0.0 END)
+                 + 0.5 * SUM(CASE WHEN cb > 0 THEN (cb / nb)
+                   * log2(2.0 * (cb / nb) / ((ca / na) + (cb / nb)))
+                   ELSE 0.0 END), 6) AS js_bits_r6
+    FROM j, tot
+    """,
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon vocabulary drift (round 13,
+    :func:`lindel_spark.text.js_divergence`) between the even- and
+    odd-doc_id halves of the corpus — the text-drift scalar pairing
+    the numeric tier's PSI/KS (bounded [0,1] bits, symmetric, finite
+    on disjoint vocabularies). Token-keyed full-outer count join +
+    one scalar; 6dp."""
+    from lindel_spark.text import js_divergence
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = js_divergence(docs.filter(F.col("doc_id") % 2 == 0),
+                        docs.filter(F.col("doc_id") % 2 == 1))
+    return out.select("vocab_a", "vocab_b", "vocab_shared",
+                      F.round("js_bits", 6).alias("js_bits_r6"))
+
 
 _TEXT_STATS_ORACLE = f"""
 WITH d AS (

@@ -1605,3 +1605,55 @@ def heaps_fit(
             .crossJoin(F.broadcast(
                 ols.select(beta.alias("beta"), lnk.alias("ln_k"))))
             .select("n_docs", "vocab", "beta", "ln_k"))
+
+
+def js_divergence(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen–Shannon divergence between two corpora's TOKEN
+    distributions: one row ``(vocab_a, vocab_b, vocab_shared,
+    js_bits)`` with ``JS = ½·KL(p‖m) + ½·KL(q‖m)``, ``m = (p+q)/2``,
+    in bits (log₂ — bounded [0, 1], symmetric, finite even on
+    disjoint vocabularies, unlike raw KL) — the TEXT-drift scalar
+    pairing the numeric tier's PSI/KS: "did this month's crawl shift
+    vocabulary?" / "does the filtered corpus still look like the
+    source?".
+
+    Plan: each side collapses map-side to a token→count table
+    (vocabulary-sized, never rows), one full-outer equi-join on the
+    token aligns them, two broadcast scalar totals normalize, one
+    scalar aggregate closes — zero-count terms contribute exactly 0
+    (the 0·log0 limit), so the full-outer NULLs are the math, not a
+    hazard. Whitespace tokens (the repo's standard
+    :func:`tokens`), same contract as the other corpus screens.
+    """
+    def counts(df, name):
+        return (df.select(F.explode(tokens(F.col(text_col)))
+                          .alias("t"))
+                .groupBy("t")
+                .agg(F.count(F.lit(1)).cast("long").alias(name)))
+
+    j = counts(corpus_a, "ca").join(counts(corpus_b, "cb"),
+                                    "t", "full_outer")
+    j = j.select(
+        F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).alias("cb"))
+    tot = j.agg(F.sum("ca").cast("double").alias("na"),
+                F.sum("cb").cast("double").alias("nb"))
+    w = j.crossJoin(F.broadcast(tot))
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    term_a = F.when(F.col("ca") > 0,
+                    p * F.log2(2.0 * p / (p + q))).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("cb") > 0,
+                    q * F.log2(2.0 * q / (p + q))).otherwise(F.lit(0.0))
+    return w.agg(
+        F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+        .cast("long").alias("vocab_a"),
+        F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+        .cast("long").alias("vocab_b"),
+        F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1)
+              .otherwise(0)).cast("long").alias("vocab_shared"),
+        (0.5 * F.sum(term_a) + 0.5 * F.sum(term_b)).alias("js_bits"))

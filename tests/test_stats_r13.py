@@ -265,3 +265,51 @@ def test_ann_model_partial_components(spark, tmp_path):
     assert m["codebooks"] is None and m["rotation"] is None
     with _pt.raises(ValueError):
         LS.save_ann_model(spark, str(tmp_path / "empty"))
+
+
+# ------------------------------------------------- JS divergence
+
+def test_js_divergence_identical_zero_disjoint_one(spark):
+    from lindel_spark.text import js_divergence
+
+    a = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    same = js_divergence(a, a).collect()[0]
+    assert same.js_bits == pytest.approx(0.0, abs=1e-12)
+    assert same.vocab_shared == 3
+    b = spark.createDataFrame([(2, "p q r")], "doc_id long, text string")
+    dis = js_divergence(a, b).collect()[0]
+    assert dis.js_bits == pytest.approx(1.0, abs=1e-12)  # disjoint = 1 bit
+    assert dis.vocab_shared == 0
+
+
+def test_js_divergence_matches_numpy(spark):
+    import numpy as np
+    from lindel_spark.text import js_divergence
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    da = " ".join(rng.choice(vocab, 500, p=np.ones(30) / 30))
+    pb = np.ones(30); pb[:5] = 8; pb /= pb.sum()
+    db = " ".join(rng.choice(vocab, 400, p=pb))
+    A = spark.createDataFrame([(1, da)], "doc_id long, text string")
+    B = spark.createDataFrame([(2, db)], "doc_id long, text string")
+    got = js_divergence(A, B).collect()[0]
+
+    def dist(s):
+        from collections import Counter
+        c = Counter(s.split())
+        tot = sum(c.values())
+        return {k: v / tot for k, v in c.items()}
+
+    p, q = dist(da), dist(db)
+    keys = set(p) | set(q)
+    js = 0.0
+    for k in keys:
+        pi, qi = p.get(k, 0.0), q.get(k, 0.0)
+        m = (pi + qi) / 2
+        if pi > 0:
+            js += 0.5 * pi * np.log2(pi / m)
+        if qi > 0:
+            js += 0.5 * qi * np.log2(qi / m)
+    assert got.js_bits == pytest.approx(js, abs=1e-9)
+    assert 0.0 < got.js_bits < 1.0
