@@ -122,6 +122,13 @@ ANCHORS: dict[str, float] = {
     "kaplan_meier": 1.96,
     "lof_embeddings": 1.07,
     "dbscan_suppliers": 2.86,
+    # round-13 first measurements (sf0.1, local[32], quiet host,
+    # median of 3 — the BENCH r13 full-suite run)
+    "sssp_copurchase": 2.49,
+    "holt_winters_hourly": 2.95,
+    "bootstrap_ci_events": 15.42,
+    "knn_graph_mutual": 5.24,
+    "ppr_transitions": 5.86,
 }
 
 # Entries whose documented same-code noise band already approaches or
