@@ -2013,3 +2013,82 @@ def poisson_bootstrap_ci(
     if join_on:
         return stats.join(ci, join_on)
     return stats.crossJoin(F.broadcast(ci))
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945): one row ``(n,
+    w_plus, z)`` for PAIRED samples — "did metric x beat metric y on
+    the same units?", the matched-pairs companion to the independent
+    two-sample :func:`mann_whitney_u` and the standard paired-eval
+    test (two models scored on the same examples). Zero differences
+    are DISCARDED (the classic Wilcoxon convention, documented);
+    ``w_plus`` is the sum of |d|-midranks over positive differences,
+    ``z`` the tie-corrected normal approximation ``(W⁺ − n(n+1)/4) /
+    √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)``.
+
+    Plan: pairwise-complete rows collapse map-side to per-distinct-
+    |d| (positive-count, total-count) tables; midranks via the
+    distributed prefix sum; DECIMAL(38,0) rank sums (the
+    :func:`mann_whitney_u` overflow contract); one scalar closes.
+    Degenerate inputs (no nonzero differences, or zero variance)
+    return NULL z.
+    """
+    from lindel_spark.util import prefix_sums
+
+    d = (F.col(x_col).cast("double") - F.col(y_col).cast("double"))
+    pairs = (df.select(d.alias("d"))
+             .filter(F.col("d").isNotNull() & (F.col("d") != 0.0)))
+    counts = (pairs.groupBy(F.abs(F.col("d")).alias("ad"))
+              .agg(F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+                   .cast("long").alias("cpos"),
+                   F.count(F.lit(1)).cast("long").alias("cnt")))
+    c = prefix_sums(counts, "ad", ["cnt"])
+    mid2 = 2 * F.col("cum_cnt") - F.col("cnt") + 1  # 2 × midrank
+    dc = F.col("cnt").cast("decimal(19,0)")
+    agg = c.agg(
+        # coalesce: an all-zero-difference input leaves the count
+        # table empty and SUM would return NULL, not 0
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        F.sum(F.col("cpos").cast("decimal(19,0)")
+              * mid2.cast("decimal(19,0)")).alias("wp2"),
+        F.sum(dc * dc * dc - dc).alias("tie3"))
+    n = F.col("n").cast("double")
+    w_plus = F.col("wp2").cast("double") / 2.0
+    var = (n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+           - F.col("tie3").cast("double") / 48.0)
+    z = F.when((F.col("n") > 0) & (var > 0),
+               (w_plus - n * (n + 1.0) / 4.0) / F.sqrt(var))
+    return agg.select("n", w_plus.alias("w_plus"), z.alias("z"))
+
+
+def mcnemar_test(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """McNemar's test for paired BINARY outcomes: one row ``(n, n10,
+    n01, chi2)`` with ``χ² = (n10 − n01)² / (n10 + n01)`` (the
+    uncorrected form; compare against χ²(1)) — "do classifiers A and
+    B disagree asymmetrically on the same examples?", the binary
+    sibling of :func:`wilcoxon_signed_rank`. Only the DISCORDANT
+    pairs carry signal; concordant pairs only set ``n``. One
+    map-side-combined aggregate, exact integers until the final
+    division; no discordant pairs → NULL chi2.
+    """
+    a = F.col(a_col).cast("int")
+    b = F.col(b_col).cast("int")
+    rows = df.filter(a.isNotNull() & b.isNotNull())
+    agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((a == 1) & (b == 0), 1).otherwise(0))
+        .cast("long").alias("n10"),
+        F.sum(F.when((a == 0) & (b == 1), 1).otherwise(0))
+        .cast("long").alias("n01"))
+    disc = F.col("n10") + F.col("n01")
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    chi2 = F.when(disc > 0, diff * diff / disc.cast("double"))
+    return agg.select("n", "n10", "n01", chi2.alias("chi2"))

@@ -70,6 +70,8 @@ _SAMPLE_FIRST = [
     "events_bootstrap_ci",  # new: seeded Poisson bootstrap CI
     "knn_model_roundtrip",  # new: ANN artifact persistence
     "text_js_divergence",  # new: JS vocabulary drift
+    "events_wilcoxon_paired",  # new: paired signed-rank test
+    "events_mcnemar_paired",  # new: paired binary McNemar
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -12394,6 +12396,114 @@ def q_parts_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
         .cast("long").alias("n_q_le_10"),
         F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "events_wilcoxon_paired",
+    """
+    WITH per AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               ::BIGINT AS x,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               ::BIGINT AS y
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), d AS (
+      SELECT (x - y)::DOUBLE AS d FROM per WHERE x - y != 0
+    ), c AS (
+      SELECT abs(d) AS ad,
+             SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS cpos,
+             COUNT(*)::BIGINT AS cnt
+      FROM d GROUP BY abs(d)
+    ), cum AS (
+      SELECT ad, cpos, cnt,
+             SUM(cnt) OVER (ORDER BY ad
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM c
+    ), agg AS (
+      SELECT COALESCE(SUM(cnt), 0)::BIGINT AS n,
+             SUM(cpos * (2 * cumc - cnt + 1))::BIGINT AS wp2,
+             SUM(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+      FROM cum
+    )
+    SELECT n, round(wp2 / 2.0, 4) AS w_plus_r4,
+           round((wp2 / 2.0 - n * (n + 1.0) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                        - tie3::DOUBLE / 48.0), 6) AS z_r6
+    FROM agg
+    """,
+)
+def q_events_wilcoxon_paired(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Wilcoxon signed-rank on paired per-user engagement (round 13,
+    :func:`lindel_spark.profile.wilcoxon_signed_rank`): click count vs
+    view count per user — the matched-pairs test ("did A beat B on
+    the same units") the independent-sample U test can't answer.
+    Differences are EXACT integers (counts, not double averages), so
+    the |d| ranking is engine-identical by construction; DECIMAL rank
+    sums, tie-corrected z; 6dp."""
+    from lindel_spark.profile import wilcoxon_signed_rank
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("y"))
+    out = wilcoxon_signed_rank(per, "x", "y")
+    return out.select("n", F.round("w_plus", 4).alias("w_plus_r4"),
+                      F.round("z", 6).alias("z_r6"))
+
+
+@query(
+    "events_mcnemar_paired",
+    """
+    WITH per AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS a,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS b
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n10,
+           SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n01,
+           round((SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END))
+                 ::DOUBLE
+                 * (SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0
+                          END))
+                 / (SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0
+                          END)), 6) AS chi2_r6
+    FROM per
+    """,
+)
+def q_events_mcnemar_paired(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """McNemar's paired-binary test (round 13,
+    :func:`lindel_spark.profile.mcnemar_test`): per user, "ever
+    purchased" vs "ever signed up" — do the two conversion flags
+    disagree asymmetrically on the same users? Only discordant pairs
+    carry signal; exact integers to the final division; 6dp."""
+    from lindel_spark.profile import mcnemar_test
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "signup", 1)
+              .otherwise(0)).alias("b"))
+    out = mcnemar_test(per, "a", "b")
+    return out.select("n", "n10", "n01",
+                      F.round("chi2", 6).alias("chi2_r6"))
 
 
 @query(

@@ -313,3 +313,76 @@ def test_js_divergence_matches_numpy(spark):
             js += 0.5 * qi * np.log2(qi / m)
     assert got.js_bits == pytest.approx(js, abs=1e-9)
     assert 0.0 < got.js_bits < 1.0
+
+
+# ------------------------------- paired tests: Wilcoxon + McNemar
+
+def _wsr_numpy(x, y):
+    import numpy as np
+    d = np.asarray(x, float) - np.asarray(y, float)
+    d = d[d != 0]
+    ad = np.abs(d)
+    order = np.sort(ad)
+    ranks = {}
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and order[j] == order[i]:
+            j += 1
+        ranks[order[i]] = (i + 1 + j) / 2.0
+        i = j
+    w_plus = sum(ranks[abs(v)] for v in d if v > 0)
+    n = len(d)
+    _, t = np.unique(ad, return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ((t**3 - t).sum()) / 48.0
+    z = (w_plus - n * (n + 1) / 4.0) / var ** 0.5
+    return n, w_plus, z
+
+
+def test_wilcoxon_matches_numpy_with_ties_and_zeros(spark):
+    import numpy as np
+    from lindel_spark.profile import wilcoxon_signed_rank
+
+    rng = np.random.RandomState(12)
+    x = np.round(rng.rand(80) * 5, 1)
+    y = np.round(x - rng.randn(80) * 0.5 - 0.45, 1)  # x tends to win
+    y[:5] = x[:5]  # planted zero differences (discarded)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    n, w, z = _wsr_numpy(x, y)
+    assert r.n == n
+    assert r.w_plus == pytest.approx(w, abs=1e-9)
+    assert r.z == pytest.approx(z, abs=1e-9)
+    assert r.z > 2  # the planted shift is detected
+
+
+def test_wilcoxon_symmetric_null_small_z(spark):
+    import numpy as np
+    from lindel_spark.profile import wilcoxon_signed_rank
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(400)
+    y = x + rng.randn(400) * 0.1  # symmetric noise, no shift
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)],
+        "x double, y double")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert abs(r.z) < 2.5
+    # all-zero differences -> NULL z
+    same = spark.createDataFrame([(1.0, 1.0)] * 10, "x double, y double")
+    out = wilcoxon_signed_rank(same, "x", "y").collect()[0]
+    assert out.n == 0 and out.z is None
+
+
+def test_mcnemar_hand_computed_and_degenerate(spark):
+    from lindel_spark.profile import mcnemar_test
+
+    rows = ([(1, 0)] * 9 + [(0, 1)] * 3 + [(1, 1)] * 20 + [(0, 0)] * 8)
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n, r.n10, r.n01) == (40, 9, 3)
+    assert r.chi2 == pytest.approx((9 - 3) ** 2 / 12.0, abs=1e-12)
+    conc = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
+    assert mcnemar_test(conc, "a", "b").collect()[0].chi2 is None
