@@ -2092,3 +2092,61 @@ def mcnemar_test(
     diff = (F.col("n10") - F.col("n01")).cast("double")
     chi2 = F.when(disc > 0, diff * diff / disc.cast("double"))
     return agg.select("n", "n10", "n01", chi2.alias("chi2"))
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """One-way ANOVA F (Fisher): one row ``(k, n, df1, df2, f_stat)``
+    — the PARAMETRIC k-sample mean test pairing
+    :func:`kruskal_wallis` (which tests location by ranks):
+    ``F = (SSB/(k−1)) / (SSW/(n−k))`` with ``SSB = Σ n_g(m_g − m)²``,
+    ``SSW = Σ (q_g − s_g²/n_g)`` from the explicit per-group
+    ``(n, Σx, Σx²)`` moment algebra (the :func:`welch_ttest`
+    convention — both engines run the identical formula, no engine
+    variance function).
+
+    Plan: one map-side-combined per-group aggregate; the
+    order-sensitive sums over groups fold in GROUP ORDER on both
+    engines (sorted-array fold ↔ ``SUM(… ORDER BY g)`` — the
+    :func:`kruskal_wallis` determinism discipline). NULLs excluded;
+    degenerate inputs (k < 2, n ≤ k, or zero within-variance) return
+    NULL f_stat.
+    """
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(group_col).alias("g"))
+             .filter(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    per = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).alias("qg"))
+    ssw_term = (F.col("qg") - F.col("sg") * F.col("sg")
+                / F.col("ng").cast("double"))
+
+    def fold(term, alias):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("g").alias("g"), term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias(alias)
+
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        fold(F.col("sg"), "s_tot"),
+        fold(ssw_term, "ssw"),
+        fold(F.col("sg") * F.col("sg") / F.col("ng").cast("double"),
+             "sb_raw"))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sb_raw") - F.col("s_tot") * F.col("s_tot") / n
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) \
+        & (F.col("ssw") > 0)
+    f = F.when(ok, (ssb / (k - 1.0)) / (F.col("ssw") / (n - k)))
+    return agg.select(
+        "k", "n", (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        f.alias("f_stat"))

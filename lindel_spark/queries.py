@@ -72,6 +72,7 @@ _SAMPLE_FIRST = [
     "text_js_divergence",  # new: JS vocabulary drift
     "events_wilcoxon_paired",  # new: paired signed-rank test
     "events_mcnemar_paired",  # new: paired binary McNemar
+    "events_anova_f",  # new: parametric k-sample F
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -12396,6 +12397,44 @@ def q_parts_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
         .cast("long").alias("n_q_le_10"),
         F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "events_anova_f",
+    """
+    WITH pairs AS (
+      SELECT value::DOUBLE AS v, event_type AS g FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), per AS (
+      SELECT g, COUNT(*)::BIGINT AS ng, SUM(v) AS sg,
+             SUM(v * v) AS qg
+      FROM pairs GROUP BY g
+    ), agg AS (
+      SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+             SUM(sg ORDER BY g) AS s_tot,
+             SUM(qg - sg * sg / ng ORDER BY g) AS ssw,
+             SUM(sg * sg / ng ORDER BY g) AS sb_raw
+      FROM per
+    )
+    SELECT k, n, (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+           round(((sb_raw - s_tot * s_tot / n) / (k - 1.0))
+                 / (ssw / (n - k)), 6) AS f_r6
+    FROM agg
+    """,
+)
+def q_events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types (round 13,
+    :func:`lindel_spark.profile.anova_oneway`): the parametric
+    k-sample mean test pairing ``events_kruskal_wallis`` — explicit
+    (n, Σx, Σx²) moment algebra, order-sensitive group sums folded in
+    GROUP ORDER on both engines; 6dp."""
+    from lindel_spark.profile import anova_oneway
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = anova_oneway(ev, "value", "event_type")
+    return out.select("k", "n", "df1", "df2",
+                      F.round("f_stat", 6).alias("f_r6"))
 
 
 @query(

@@ -386,3 +386,37 @@ def test_mcnemar_hand_computed_and_degenerate(spark):
     assert r.chi2 == pytest.approx((9 - 3) ** 2 / 12.0, abs=1e-12)
     conc = spark.createDataFrame([(1, 1)] * 5, "a int, b int")
     assert mcnemar_test(conc, "a", "b").collect()[0].chi2 is None
+
+
+# ---------------------------------------------------- one-way ANOVA
+
+def test_anova_matches_numpy(spark):
+    import numpy as np
+    from lindel_spark.profile import anova_oneway
+
+    rng = np.random.RandomState(9)
+    groups = [rng.randn(40) * 2 + d for d in (0.0, 0.5, 1.5)]
+    rows = [(float(v), f"g{i}") for i, g in enumerate(groups) for v in g]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = anova_oneway(df, "v", "g").collect()[0]
+    xs = np.concatenate(groups)
+    m = xs.mean()
+    ssb = sum(len(g) * (g.mean() - m) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / 2) / (ssw / (len(xs) - 3))
+    assert (r.k, r.n, r.df1, r.df2) == (3, 120, 2, 117)
+    assert r.f_stat == pytest.approx(f, rel=1e-9)
+
+
+def test_anova_identical_groups_and_degenerate(spark):
+    import numpy as np
+    from lindel_spark.profile import anova_oneway
+
+    xs = np.arange(30, dtype=float)
+    rows = [(float(v), g) for g in ("a", "b") for v in xs]
+    r = anova_oneway(spark.createDataFrame(rows, "v double, g string"),
+                     "v", "g").collect()[0]
+    assert abs(r.f_stat) < 1e-9
+    const = spark.createDataFrame([(1.0, "a"), (1.0, "b")] * 3,
+                                  "v double, g string")
+    assert anova_oneway(const, "v", "g").collect()[0].f_stat is None
