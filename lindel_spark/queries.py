@@ -62,6 +62,7 @@ _SAMPLE_FIRST = [
     "knn_ivfpq_opq_recall",  # new face: OPQ x residual composition
     "graph_sssp_copurchase",  # new: bounded-round weighted SSSP
     "knn_filtered_recall",  # new: attribute-filtered ANN
+    "knn_filtered_pq_recall",  # new: filtered ANN, compressed layout
     "events_holt_winters",  # new: additive HW one-step forecast
     "events_kruskal_wallis",  # new: k-sample rank ANOVA
     "parts_bh_fdr",  # new: Benjamini-Hochberg step-up q-values
@@ -5231,6 +5232,35 @@ def q_knn_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = LS.brute_force_knn(emb.filter(pred), queries_df, k=10)
     approx = LS.filtered_knn(emb, queries_df, pred, k=10,
                              centroids=cents, nprobe=8)
+    return _recall_check(brute, approx, 0.7)
+
+
+@query("knn_filtered_pq_recall", _N_QUERIES_ORACLE)
+def q_knn_filtered_pq_recall(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Attribute-filtered ANN over the COMPRESSED stored layout
+    (round 13): the billion-scale composition of
+    ``knn_filtered_recall`` — attributes ride the stored IVF-PQ code
+    rows (one id-keyed join at store-build time), the predicate
+    filters the code frame BEFORE the cell-keyed ADC join
+    (:func:`lindel_spark.similarity.knn_join_pq` passes extra columns
+    through untouched), and exact refine rescales the survivors. The
+    full-corpus quantizer stays valid under any predicate (cell
+    assignment is filter-independent). Self-checking: refined
+    recall@10 vs brute force over the same filtered corpus ≥ 0.7."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    pred = F.col("label") < 5
+    n = emb.count()
+    cents = LS.train_centroids(emb, 16, spherical=False)
+    books = LS.train_pq(emb, m=8, ks=256, centroids=cents)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    codes_attr = codes.join(emb.select("vec_id", "label"), "vec_id")
+    brute = LS.brute_force_knn(emb.filter(pred), queries_df, k=10)
+    approx = LS.knn_join_pq(codes_attr.filter(pred), queries_df,
+                            cents, books, k=10, nprobe=8,
+                            refine_with=emb,
+                            refine=max(8, n // 250))
     return _recall_check(brute, approx, 0.7)
 
 
