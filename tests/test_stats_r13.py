@@ -420,3 +420,42 @@ def test_anova_identical_groups_and_degenerate(spark):
     const = spark.createDataFrame([(1.0, "a"), (1.0, "b")] * 3,
                                   "v double, g string")
     assert anova_oneway(const, "v", "g").collect()[0].f_stat is None
+
+
+# ---------------------------------------------------- prefix_mins
+
+def test_prefix_mins_matches_numpy_both_directions(spark):
+    import numpy as np
+    from lindel_spark.util import prefix_mins
+
+    rng = np.random.RandomState(2)
+    keys = rng.permutation(200).astype(float)
+    vals = rng.randn(200)
+    df = spark.createDataFrame(
+        [(float(k), float(v)) for k, v in zip(keys, vals)],
+        "k double, v double")
+    asc = {r.k: r.cummin_v for r in
+           prefix_mins(df, "k", ["v"]).collect()}
+    desc = {r.k: r.cummin_v for r in
+            prefix_mins(df, "k", ["v"], descending=True).collect()}
+    order = np.argsort(keys)
+    run = np.minimum.accumulate(vals[order])
+    run_desc = np.minimum.accumulate(vals[order[::-1]])
+    for i, idx in enumerate(order):
+        assert asc[keys[idx]] == pytest.approx(run[i], abs=0)
+    for i, idx in enumerate(order[::-1]):
+        assert desc[keys[idx]] == pytest.approx(run_desc[i], abs=0)
+
+
+def test_prefix_mins_null_and_partition_stability(spark):
+    from lindel_spark.util import prefix_mins
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (3.0, None), (4.0, 3.0)],
+        "k double, v double")
+    got = {r.k: r.cummin_v for r in
+           prefix_mins(df, "k", ["v"], num_partitions=3).collect()}
+    assert got[1.0] is None       # empty prefix
+    assert got[2.0] == 5.0
+    assert got[3.0] == 5.0        # NULL skipped, min carries
+    assert got[4.0] == 3.0
