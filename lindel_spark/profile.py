@@ -2150,3 +2150,46 @@ def anova_oneway(
         "k", "n", (F.col("k") - 1).cast("long").alias("df1"),
         (F.col("n") - F.col("k")).cast("long").alias("df2"),
         f.alias("f_stat"))
+
+
+def cohens_d(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Cohen's d / Hedges' g effect size for two independent samples:
+    one row ``(n1, n0, d, g)`` with ``d = (m1 − m0) / s_pooled``
+    (pooled SD, the equal-weight convention) and ``g = d · J``,
+    ``J = 1 − 3/(4(n1+n0) − 9)`` (the small-sample bias correction) —
+    the PARAMETRIC effect-size companion to :func:`welch_ttest`'s
+    significance, exactly as :func:`cliffs_delta` pairs
+    :func:`mann_whitney_u` (|d| bands: 0.2 small / 0.5 medium /
+    0.8 large).
+
+    Plan: one map-side-combined aggregate over the explicit
+    ``(Σx, Σx², n)`` moment algebra per label (the
+    :func:`welch_ttest` convention — no engine variance function, so
+    both engines run the identical formula). Labels 0/1; NULLs
+    excluded; groups under 2 rows or zero pooled variance return
+    NULL d/g.
+    """
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(label_col).cast("int").alias("y"))
+             .filter(F.col("v").isNotNull() & F.col("y").isNotNull()))
+    one = pairs.agg(
+        F.sum("y").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n0"),
+        F.sum(F.col("v") * F.col("y")).alias("s1"),
+        F.sum(F.col("v") * (F.lit(1) - F.col("y"))).alias("s0"),
+        F.sum(F.col("v") * F.col("v") * F.col("y")).alias("q1"),
+        F.sum(F.col("v") * F.col("v")
+              * (F.lit(1) - F.col("y"))).alias("q0"))
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    m1, m0 = F.col("s1") / n1, F.col("s0") / n0
+    ss1 = F.col("q1") - F.col("s1") * F.col("s1") / n1
+    ss0 = F.col("q0") - F.col("s0") * F.col("s0") / n0
+    sp2 = (ss1 + ss0) / (n1 + n0 - 2.0)
+    ok = (F.col("n1") > 1) & (F.col("n0") > 1) & (sp2 > 0)
+    d = F.when(ok, (m1 - m0) / F.sqrt(sp2))
+    j = 1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)
+    return one.select("n1", "n0", d.alias("d"), (d * j).alias("g"))

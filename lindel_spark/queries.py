@@ -74,6 +74,7 @@ _SAMPLE_FIRST = [
     "events_wilcoxon_paired",  # new: paired signed-rank test
     "events_mcnemar_paired",  # new: paired binary McNemar
     "events_anova_f",  # new: parametric k-sample F
+    "events_cohens_d",  # new: pooled-SD effect size
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -12427,6 +12428,40 @@ def q_parts_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
         .cast("long").alias("n_q_le_10"),
         F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "events_cohens_d",
+    f"""
+    WITH pairs AS ({_MWU_PAIR_SQL}),
+    one AS (
+      SELECT SUM(y)::BIGINT AS n1, SUM(1 - y)::BIGINT AS n0,
+             SUM(v * y) AS s1, SUM(v * (1 - y)) AS s0,
+             SUM(v * v * y) AS q1, SUM(v * v * (1 - y)) AS q0
+      FROM pairs
+    )
+    SELECT n1, n0,
+           round(((s1 / n1) - (s0 / n0))
+                 / sqrt(((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0))
+                        / (n1 + n0 - 2.0)), 6) AS d_r6,
+           round(((s1 / n1) - (s0 / n0))
+                 / sqrt(((q1 - s1 * s1 / n1) + (q0 - s0 * s0 / n0))
+                        / (n1 + n0 - 2.0))
+                 * (1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)), 6) AS g_r6
+    FROM one
+    """,
+)
+def q_events_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g between even- and odd-user event values
+    (round 13, :func:`lindel_spark.profile.cohens_d`): the parametric
+    effect size pairing ``events_welch_ttest``'s significance — same
+    (Σx, Σx², n) moment algebra, pooled SD, small-sample J
+    correction; 6dp."""
+    from lindel_spark.profile import cohens_d
+
+    out = cohens_d(_mwu_pairs(spark, sf_dir), "v", "y")
+    return out.select("n1", "n0", F.round("d", 6).alias("d_r6"),
+                      F.round("g", 6).alias("g_r6"))
 
 
 @query(

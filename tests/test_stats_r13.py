@@ -459,3 +459,36 @@ def test_prefix_mins_null_and_partition_stability(spark):
     assert got[2.0] == 5.0
     assert got[3.0] == 5.0        # NULL skipped, min carries
     assert got[4.0] == 3.0
+
+
+# ------------------------------------------------------- Cohen's d
+
+def test_cohens_d_matches_numpy(spark):
+    import numpy as np
+    from lindel_spark.profile import cohens_d
+
+    rng = np.random.RandomState(21)
+    a = rng.randn(60) * 2 + 1.0
+    b = rng.randn(90) * 2
+    rows = [(float(v), 1) for v in a] + [(float(v), 0) for v in b]
+    r = cohens_d(spark.createDataFrame(rows, "v double, y int"),
+                 "v", "y").collect()[0]
+    sp = (((a - a.mean()) ** 2).sum() + ((b - b.mean()) ** 2).sum()) \
+        / (len(a) + len(b) - 2)
+    d = (a.mean() - b.mean()) / sp ** 0.5
+    g = d * (1 - 3 / (4 * (len(a) + len(b)) - 9))
+    assert r.d == pytest.approx(d, rel=1e-9)
+    assert r.g == pytest.approx(g, rel=1e-9)
+    assert abs(r.g) < abs(r.d)  # J shrinks toward 0
+
+
+def test_cohens_d_zero_and_degenerate(spark):
+    from lindel_spark.profile import cohens_d
+
+    rows = [(float(v), y) for y in (0, 1) for v in range(10)]
+    r = cohens_d(spark.createDataFrame(rows, "v double, y int"),
+                 "v", "y").collect()[0]
+    assert r.d == pytest.approx(0.0, abs=1e-12)
+    const = spark.createDataFrame([(1.0, 0), (1.0, 1)] * 3,
+                                  "v double, y int")
+    assert cohens_d(const, "v", "y").collect()[0].d is None
