@@ -2193,3 +2193,48 @@ def cohens_d(
     d = F.when(ok, (m1 - m0) / F.sqrt(sp2))
     j = 1.0 - 3.0 / (4.0 * (n1 + n0) - 9.0)
     return one.select("n1", "n0", d.alias("d"), (d * j).alias("g"))
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (Brown & Forsythe
+    1974 — Levene's test with the MEDIAN center, the robust default):
+    one row ``(k, n, df1, df2, w_stat)`` where ``w_stat`` is the
+    one-way ANOVA F computed on ``z = |x − median(group)|`` — "do the
+    k groups share a spread?", the assumption check for
+    :func:`anova_oneway` (and the dispersion-shift detector the mean
+    tests can't see). The group median is the LOWER median (the
+    element at position ⌈n_g/2⌉ — an element pick, not an
+    interpolation, so it replays engine-exactly).
+
+    Plan: per-(group, value) counts + a group-PARTITIONED cumulative
+    (per-group state = the group's distinct values — the
+    :func:`lindel_spark.evaluation.roc_auc_by` window contract), one
+    row per group selected as the median, one value-keyed join back,
+    then :func:`anova_oneway` on the absolute deviations (composition
+    — same moment algebra, same group-order folds).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(group_col).alias("g"))
+             .filter(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    counts = pairs.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = (Window.partitionBy("g").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("cumc", F.sum("cnt").over(w))
+    ng = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_g"))
+    pos = F.ceil(F.col("n_g").cast("double") / 2.0).cast("long")
+    med = (cum.join(ng, "g")
+           .filter((F.col("cumc") - F.col("cnt") < pos)
+                   & (pos <= F.col("cumc")))
+           .select("g", F.col("v").alias("med")))
+    z = (pairs.join(med, "g")
+         .select(F.abs(F.col("v") - F.col("med")).alias("z"), "g"))
+    out = anova_oneway(z, "z", "g")
+    return out.select("k", "n", "df1", "df2",
+                      F.col("f_stat").alias("w_stat"))

@@ -75,6 +75,7 @@ _SAMPLE_FIRST = [
     "events_mcnemar_paired",  # new: paired binary McNemar
     "events_anova_f",  # new: parametric k-sample F
     "events_cohens_d",  # new: pooled-SD effect size
+    "events_brown_forsythe",  # new: spread-homogeneity W
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -12428,6 +12429,64 @@ def q_parts_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
         .cast("long").alias("n_q_le_10"),
         F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "events_brown_forsythe",
+    """
+    WITH pairs AS (
+      SELECT value::DOUBLE AS v, event_type AS g FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), c AS (
+      SELECT g, v, COUNT(*)::BIGINT AS cnt FROM pairs GROUP BY g, v
+    ), cum AS (
+      SELECT g, v, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM c
+    ), ng AS (
+      SELECT g, SUM(cnt)::BIGINT AS n_g FROM c GROUP BY g
+    ), med AS (
+      SELECT cum.g, cum.v AS med
+      FROM cum JOIN ng ON cum.g = ng.g
+      WHERE cum.cumc - cum.cnt < ceil(ng.n_g / 2.0)
+        AND ceil(ng.n_g / 2.0) <= cum.cumc
+    ), z AS (
+      SELECT abs(pairs.v - med.med) AS z, pairs.g
+      FROM pairs JOIN med ON pairs.g = med.g
+    ), per AS (
+      SELECT g, COUNT(*)::BIGINT AS ngz, SUM(z) AS sg,
+             SUM(z * z) AS qg
+      FROM z GROUP BY g
+    ), agg AS (
+      SELECT COUNT(*)::BIGINT AS k, SUM(ngz)::BIGINT AS n,
+             SUM(sg ORDER BY g) AS s_tot,
+             SUM(qg - sg * sg / ngz ORDER BY g) AS ssw,
+             SUM(sg * sg / ngz ORDER BY g) AS sb_raw
+      FROM per
+    )
+    SELECT k, n, (k - 1)::BIGINT AS df1, (n - k)::BIGINT AS df2,
+           round(((sb_raw - s_tot * s_tot / n) / (k - 1.0))
+                 / (ssw / (n - k)), 6) AS w_r6
+    FROM agg
+    """,
+)
+def q_events_brown_forsythe(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Brown–Forsythe spread-homogeneity test across event types
+    (round 13, :func:`lindel_spark.profile.brown_forsythe`): ANOVA F
+    on |x − group LOWER median| — the assumption check for
+    ``events_anova_f`` and the dispersion-shift detector the mean
+    tests can't see. Median is an element pick (engine-exact); the
+    deviations feed the same group-order-folded moment algebra; 6dp."""
+    from lindel_spark.profile import brown_forsythe
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = brown_forsythe(ev, "value", "event_type")
+    return out.select("k", "n", "df1", "df2",
+                      F.round("w_stat", 6).alias("w_r6"))
 
 
 @query(

@@ -492,3 +492,51 @@ def test_cohens_d_zero_and_degenerate(spark):
     const = spark.createDataFrame([(1.0, 0), (1.0, 1)] * 3,
                                   "v double, y int")
     assert cohens_d(const, "v", "y").collect()[0].d is None
+
+
+# ------------------------------------------------ Brown-Forsythe
+
+def test_brown_forsythe_detects_spread_shift(spark):
+    import numpy as np
+    from lindel_spark.profile import brown_forsythe
+
+    rng = np.random.RandomState(17)
+    rows = ([(float(v), "tight") for v in rng.randn(150) * 0.5]
+            + [(float(v), "wide") for v in rng.randn(150) * 3.0])
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = brown_forsythe(df, "v", "g").collect()[0]
+    assert (r.k, r.n, r.df1, r.df2) == (2, 300, 1, 298)
+    assert r.w_stat > 30  # gross spread difference
+
+    shared = rng.randn(100)
+    same = spark.createDataFrame(
+        [(float(v), g) for g in ("a", "b") for v in shared],
+        "v double, g string")
+    # equal spreads by construction (same sample both groups): W ~ 0
+    assert brown_forsythe(same, "v", "g").collect()[0].w_stat \
+        == pytest.approx(0.0, abs=1e-9)
+
+
+def test_brown_forsythe_matches_numpy_replay(spark):
+    import numpy as np
+    from lindel_spark.profile import brown_forsythe
+
+    rng = np.random.RandomState(8)
+    ga = np.round(rng.randn(41) * 2, 1)
+    gb = np.round(rng.randn(30) * 5, 1)
+    rows = ([(float(v), "a") for v in ga] + [(float(v), "b") for v in gb])
+    r = brown_forsythe(
+        spark.createDataFrame(rows, "v double, g string"),
+        "v", "g").collect()[0]
+
+    def lower_median(x):
+        s = np.sort(x)
+        return s[int(np.ceil(len(s) / 2)) - 1]
+
+    za = np.abs(ga - lower_median(ga))
+    zb = np.abs(gb - lower_median(gb))
+    zs = np.concatenate([za, zb]); m = zs.mean()
+    ssb = len(za) * (za.mean() - m) ** 2 + len(zb) * (zb.mean() - m) ** 2
+    ssw = ((za - za.mean()) ** 2).sum() + ((zb - zb.mean()) ** 2).sum()
+    w = (ssb / 1) / (ssw / (len(zs) - 2))
+    assert r.w_stat == pytest.approx(w, rel=1e-9)
