@@ -13,7 +13,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -2238,3 +2238,27 @@ def brown_forsythe(
     out = anova_oneway(z, "z", "g")
     return out.select("k", "n", "df1", "df2",
                       F.col("f_stat").alias("w_stat"))
+
+
+def normal_sf(z: Column) -> Column:
+    """Standard-normal SURVIVAL function ``P(Z > z)`` as pure Column
+    algebra — the piece that turns the stats tier's z statistics
+    (:func:`mann_whitney_u`, :func:`wilcoxon_signed_rank`,
+    two-proportion, CUSUM) into p-values without any engine CDF:
+    the Abramowitz & Stegun 7.1.26 erf polynomial (|error| <
+    1.5·10⁻⁷, a DOCUMENTED approximation — identical constants on
+    every engine, so unlike a library CDF it replays bit-for-bit).
+
+    ``Φ(z) = ½(1 + erf(z/√2))``; the polynomial is evaluated on
+    ``x = |z|/√2`` and mirrored through symmetry for negative z.
+    """
+    x = F.abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (t * (0.254829592
+                 + t * (-0.284496736
+                        + t * (1.421413741
+                               + t * (-1.453152027
+                                      + t * 1.061405429)))))
+    erf_abs = 1.0 - poly * F.exp(-(x * x))
+    sf_pos = 0.5 * (1.0 - erf_abs)          # P(Z > |z|)
+    return F.when(z >= 0, sf_pos).otherwise(1.0 - sf_pos)

@@ -76,6 +76,7 @@ _SAMPLE_FIRST = [
     "events_anova_f",  # new: parametric k-sample F
     "events_cohens_d",  # new: pooled-SD effect size
     "events_brown_forsythe",  # new: spread-homogeneity W
+    "events_mwu_pvalue",  # new: A-S erf polynomial p-values
     # (b) round-13 operator-changed (decimal rank sums, NULL-safe
     # noise seed)
     "events_mann_whitney", "events_cliffs_delta", "eval_auc_by_type",
@@ -12429,6 +12430,64 @@ def q_parts_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
         .cast("long").alias("n_q_le_10"),
         F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "events_mwu_pvalue",
+    f"""
+    WITH pairs AS ({_MWU_PAIR_SQL}),
+    c AS (
+      SELECT v, SUM(y)::BIGINT AS c1, SUM(1 - y)::BIGINT AS c0,
+             COUNT(*)::BIGINT AS cnt
+      FROM pairs GROUP BY v
+    ), cum AS (
+      SELECT c1, c0, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM c
+    ), agg AS (
+      SELECT SUM(c1)::BIGINT AS n1, SUM(c0)::BIGINT AS n0,
+             SUM(c1 * (2 * cumc - cnt + 1))::BIGINT AS r1_2,
+             SUM(cnt * cnt * cnt - cnt)::BIGINT AS tie3
+      FROM cum
+    ), zc AS (
+      SELECT n1, n0,
+             (r1_2 / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * n0 / 2.0)
+             / sqrt(n1 * n0 / 12.0
+                    * ((n1 + n0 + 1)
+                       - tie3::DOUBLE
+                       / ((n1 + n0)::DOUBLE * (n1 + n0 - 1)))) AS z
+      FROM agg
+    ), p AS (
+      SELECT n1, n0, z,
+             1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t,
+             abs(z) / sqrt(2.0) AS x
+      FROM zc
+    )
+    SELECT n1, n0, round(z, 6) AS z_r6,
+           round(2.0 * 0.5 * (1.0 - (1.0 - (t * (0.254829592
+                 + t * (-0.284496736 + t * (1.421413741
+                 + t * (-1.453152027 + t * 1.061405429)))))
+                 * exp(-(x * x)))), 6) AS p_two_r6
+    FROM p
+    """,
+)
+def q_events_mwu_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided p-value for the Mann–Whitney z (round 13,
+    :func:`lindel_spark.profile.normal_sf` composed on
+    :func:`lindel_spark.profile.mann_whitney_u`): ``p = 2·P(Z >
+    |z|)`` through the Abramowitz–Stegun 7.1.26 erf polynomial —
+    |error| < 1.5e-7, DOCUMENTED approximation, identical constants
+    on both engines so the p replays bit-for-bit where a library CDF
+    would not; 6dp."""
+    from lindel_spark.profile import mann_whitney_u, normal_sf
+
+    out = mann_whitney_u(_mwu_pairs(spark, sf_dir), "v", "y")
+    return out.select(
+        "n1", "n0", F.round("z", 6).alias("z_r6"),
+        F.round(2.0 * normal_sf(F.abs(F.col("z"))), 6)
+        .alias("p_two_r6"))
 
 
 @query(

@@ -540,3 +540,25 @@ def test_brown_forsythe_matches_numpy_replay(spark):
     ssw = ((za - za.mean()) ** 2).sum() + ((zb - zb.mean()) ** 2).sum()
     w = (ssb / 1) / (ssw / (len(zs) - 2))
     assert r.w_stat == pytest.approx(w, rel=1e-9)
+
+
+# ------------------------------------------------------ normal_sf
+
+def test_normal_sf_matches_erfc_within_documented_error(spark):
+    import math as _m
+
+    from pyspark.sql import functions as F
+
+    from lindel_spark.profile import normal_sf
+
+    zs = [-4.0, -2.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.96, 2.58, 4.0]
+    df = spark.createDataFrame([(float(z),) for z in zs], "z double")
+    got = {r.z: r.p for r in df.select(
+        "z", normal_sf(F.col("z")).alias("p")).collect()}
+    for z in zs:
+        want = 0.5 * _m.erfc(z / _m.sqrt(2.0))
+        assert abs(got[z] - want) < 1.5e-7, (z, got[z], want)
+    # symmetry + monotone decrease
+    assert got[-1.0] + got[1.0] == pytest.approx(1.0, abs=3e-7)
+    vals = [got[z] for z in sorted(zs)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
