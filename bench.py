@@ -16,13 +16,15 @@ false 2x-bar breaches on unchanged code): the artifact now carries
 - ``canary``: one fixed cheap entry (``morton_native_i32x2``) re-timed
   BEFORE and AFTER the suite; post/pre >> 1 on identical code means
   the session itself slowed while the suite ran.
-- ``over_bar_reruns``: every entry whose in-suite median exceeds 2x of
-  its BASELINE.md anchor (``lindel_spark/bench_anchors.py``) is
-  AUTOMATICALLY re-measured in a FRESH subprocess (own JVM, setup
-  restricted to that entry via ``--only``), and both numbers land in
-  the artifact with a mechanical verdict: isolated median back inside
-  the bar -> "drift", still over -> "regression" (noise-band entries
-  like pagerank are labeled as such).
+- ``over_bar_reruns``: every entry whose in-suite median exceeds 1.5x
+  of its BASELINE.md anchor (``RERUN_BAR_X`` in
+  ``lindel_spark/bench_anchors.py``; the GRADING contract stays 2x =
+  ``OVER_BAR_X``) is AUTOMATICALLY re-measured in a FRESH subprocess
+  (own JVM, setup restricted to that entry via ``--only``), and both
+  numbers land in the artifact with a mechanical verdict: isolated
+  median back under 1.5x -> "drift", between 1.5x and 2x ->
+  "elevated_in_band" (in contract, watch), over 2x -> "regression"
+  (noise-band entries like pagerank are labeled as such).
 
 ``python bench.py --only a,b`` runs just those entries (fresh session,
 entry-scoped setup) and prints the same one-line JSON — the subprocess
@@ -97,7 +99,8 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
     from lindel_spark import similarity as LS
     from lindel_spark import text as LT
     from lindel_spark import write as LW
-    from lindel_spark.bench_anchors import ANCHORS, NOISE_BAND, OVER_BAR_X
+    from lindel_spark.bench_anchors import (
+        ANCHORS, NOISE_BAND, OVER_BAR_X, RERUN_BAR_X)
     from lindel_spark.session import get_spark
 
     def need(*names: str) -> bool:
@@ -1056,15 +1059,20 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         }), flush=True)
         return
 
-    # --- self-adjudication pass (round 11) -------------------------
-    # any anchored entry over the 2x bar is re-measured in a FRESH
-    # subprocess (own JVM, entry-scoped setup); the artifact records
-    # both numbers and a mechanical verdict, so a drifted session can
-    # no longer flag unchanged code
+    # --- self-adjudication pass (round 11; trigger lowered round 14)
+    # any anchored entry over the RERUN bar (1.5x — VERDICT r13 item 2:
+    # the 1.5-1.95x drift tail needed manual prose every round) is
+    # re-measured in a FRESH subprocess (own JVM, entry-scoped setup);
+    # the artifact records both numbers and a mechanical verdict, so a
+    # drifted session can no longer flag unchanged code.  Verdict
+    # ladder vs the 2x GRADING contract (OVER_BAR_X, unchanged):
+    #   isolated <= 1.5x -> "drift" (suite/host context, in band)
+    #   1.5x < isolated <= 2x -> "elevated_in_band" (watch, in contract)
+    #   isolated > 2x -> "regression"
     over_bar_reruns: dict[str, dict] = {}
     for name, sec in queries.items():
         anchor = ANCHORS.get(name)
-        if not anchor or sec <= OVER_BAR_X * anchor:
+        if not anchor or sec <= RERUN_BAR_X * anchor:
             continue
         rec = {"anchor": anchor, "in_suite": sec,
                "in_suite_ratio": round(sec / anchor, 3)}
@@ -1079,8 +1087,10 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
             rec["isolated_canary_pre"] = iso.get("canary", {}).get("pre")
             if name in NOISE_BAND:
                 rec["verdict"] = "noise_band"
-            elif iso_sec <= OVER_BAR_X * anchor:
+            elif iso_sec <= RERUN_BAR_X * anchor:
                 rec["verdict"] = "drift"
+            elif iso_sec <= OVER_BAR_X * anchor:
+                rec["verdict"] = "elevated_in_band"
             else:
                 rec["verdict"] = "regression"
         over_bar_reruns[name] = rec

@@ -19,16 +19,21 @@ graded against). Sources:
   record_linkage, label_propagation.
 
 The 2x bar: an entry whose median exceeds ``OVER_BAR_X * anchor`` is
-over the bar.  ``NOISE_BAND`` entries are pure scheduling-floor
-measurements whose documented run-to-run band already spans ~2x
-(BASELINE.md round-7: pagerank 4.2-7.9 s on identical code) — the
-adjudicator still re-measures them but labels the verdict
-accordingly.
+over the bar (the BASELINE.json grading contract).  The adjudicator
+triggers earlier, at ``RERUN_BAR_X`` (round-14, VERDICT r13 item 2:
+five 1.5-1.95x entries drifted unexplained in r13 and each needed
+manual prose) — any entry over the rerun bar is re-measured isolated
+so the artifact self-documents drift before it reaches the contract
+bar.  ``NOISE_BAND`` entries are pure scheduling-floor measurements
+whose documented run-to-run band already spans ~2x (BASELINE.md
+round-7: pagerank 4.2-7.9 s on identical code) — the adjudicator
+still re-measures them but labels the verdict accordingly.
 """
 
 from __future__ import annotations
 
-OVER_BAR_X = 2.0
+OVER_BAR_X = 2.0    # the grading contract (BASELINE.json)
+RERUN_BAR_X = 1.5   # isolated-rerun trigger (self-adjudication)
 
 # entry -> first-measurement seconds (sf0.1, local[32])
 ANCHORS: dict[str, float] = {

@@ -609,6 +609,11 @@ def sssp_distances(
             improved.alias("__imp"))
         if h % checkpoint_every == 0 and h < rounds:
             nd = nd.localCheckpoint()
+        else:
+            # nd feeds BOTH dist and frontier — persist so the
+            # relaxation join/agg subtree computes once per round
+            # instead of doubling between checkpoints (ADVICE r13)
+            nd = nd.persist(StorageLevel.MEMORY_AND_DISK)
         frontier = nd.filter(F.col("__imp")).select("node", "dist")
         dist = nd.select("node", "dist")
     return dist

@@ -1884,39 +1884,53 @@ def bh_adjust(
     runs as the repo's DISTRIBUTED descending prefix min
     (:func:`lindel_spark.util.prefix_mins` — never an unpartitioned
     window, continuous p columns rank in parallel); q joins back on
-    the p value. NULL p rows keep NULL q; p outside [0, 1] raises
-    IN-PLAN (the kfold precedent — a silent clamp would fake
-    significance).
+    the p value. NULL p rows keep NULL q; p outside [0, 1] OR NaN
+    raises IN-PLAN with a message naming which (the kfold precedent —
+    a silent clamp would fake significance, and this repo's
+    degenerate-stat convention is NULL, so a NaN p is an upstream
+    bug, not a passthrough case). Raises ``ValueError`` up front if
+    ``out_col`` (or the internal ``__bh_p``) already exists on the
+    input — the join-back would otherwise duplicate or clobber it.
     """
     from lindel_spark.util import prefix_mins, prefix_sums
 
+    for taken in (out_col, "__bh_p"):
+        if taken in df.columns:
+            raise ValueError(
+                f"LINDEL: bh_adjust: input already has a column "
+                f"named {taken!r}")
+
     p = F.col(p_col).cast("double")
-    checked = F.when((p < 0.0) | (p > 1.0), F.raise_error(
-        F.concat(F.lit("LINDEL: bh_adjust p outside [0,1]: "),
-                 p.cast("string")))).otherwise(p)
-    base = df.withColumn("__p", checked)
-    vals = (base.filter(F.col("__p").isNotNull())
-            .groupBy("__p")
+    checked = F.when(F.isnan(p), F.raise_error(
+        F.lit("LINDEL: bh_adjust p is NaN (degenerate upstream "
+              "tests return NULL, never NaN)"))) \
+        .when((p < 0.0) | (p > 1.0), F.raise_error(
+            F.concat(F.lit("LINDEL: bh_adjust p outside [0,1]: "),
+                     p.cast("string")))).otherwise(p)
+    base = df.withColumn("__bh_p", checked)
+    vals = (base.filter(F.col("__bh_p").isNotNull())
+            .groupBy("__bh_p")
             .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
-    ranked = prefix_sums(vals, "__p", ["__cnt"])
+    ranked = prefix_sums(vals, "__bh_p", ["__cnt"])
     tot = ranked.agg(F.sum("__cnt").cast("long").alias("__n"))
     cand = (ranked.crossJoin(F.broadcast(tot))
-            .select("__p",
-                    (F.col("__p") * F.col("__n").cast("double")
+            .select("__bh_p",
+                    (F.col("__bh_p") * F.col("__n").cast("double")
                      / F.col("cum___cnt").cast("double"))
                     .alias("__cand")))
-    qv = (prefix_mins(cand, "__p", ["__cand"], descending=True)
-          .select("__p", F.least(F.lit(1.0), F.col("cummin___cand"))
+    qv = (prefix_mins(cand, "__bh_p", ["__cand"], descending=True)
+          .select("__bh_p",
+                  F.least(F.lit(1.0), F.col("cummin___cand"))
                   .alias(out_col)))
-    return (base.join(qv, "__p", "left")
-            .drop("__p"))
+    return (base.join(qv, "__bh_p", "left")
+            .drop("__bh_p"))
 
 
 #: Poisson(1) inverse-CDF thresholds, k = 0..11 (cumulative
 #: e⁻¹·Σ 1/j!); draws above the last threshold clamp to k = 12 —
-#: P(X > 12 | λ=1) < 1e-12, and the SAME truncation constant is
-#: baked into the SQL oracle, so the clamp is replay-exact, not an
-#: approximation gap between engines.
+#: clamp probability P(X > 11 | λ=1) ≈ 8.3e-10, and the SAME
+#: truncation constant is baked into the SQL oracle, so the clamp is
+#: replay-exact, not an approximation gap between engines.
 POISSON1_CDF: list[float] = []
 
 

@@ -5166,16 +5166,23 @@ def q_knn_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a driver restart iff the round-trip is bit-exact, so the
     query self-checks ``roundtrip_ok`` = encoded (cell, code) streams
     identical under trained vs loaded artifacts."""
+    import shutil
     import tempfile
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     cents = LS.train_centroids(emb, 16, spherical=False)
     R = LS.opq_rotation(emb, m=8)
     books = LS.train_pq(emb, m=8, ks=64, centroids=cents, rotation=R)
+    # load_ann_model collects the matrices eagerly, so the on-disk
+    # artifact can be removed before the (lazy) re-encode plan runs —
+    # try/finally so repeated sweeps never leak /tmp dirs (ADVICE r13)
     path = tempfile.mkdtemp(prefix="lindel_ann_model_")
-    LS.save_ann_model(spark, path, centroids=cents, codebooks=books,
-                      rotation=R)
-    loaded = LS.load_ann_model(spark, path)
+    try:
+        LS.save_ann_model(spark, path, centroids=cents, codebooks=books,
+                          rotation=R)
+        loaded = LS.load_ann_model(spark, path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
     a = LS.ivf_pq_encode(emb, cents, books, rotation=R) \
         .select("vec_id", "cell", F.col("code").alias("code_a"))
     b = LS.ivf_pq_encode(emb, loaded["centroids"], loaded["codebooks"],

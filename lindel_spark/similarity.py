@@ -2511,18 +2511,22 @@ def load_ann_model(spark, path: str) -> dict:
     :func:`train_centroids`). Missing components load as None, so a
     raw-IVF model (no books) and a PQ-only model (no cells) share
     the layout."""
-    from py4j.protocol import Py4JJavaError
-
     out = {"centroids": None, "codebooks": None, "rotation": None}
 
+    # Component presence is checked EXPLICITLY via the Hadoop
+    # FileSystem (ADVICE r13: sniffing 'PATH_NOT_FOUND' in exception
+    # text under a blanket except was brittle across Spark error
+    # classes and could misread an unrelated failure as 'absent').
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
     def _read(sub):
-        try:
-            return spark.read.parquet(os.path.join(path, sub)).collect()
-        except (Py4JJavaError, Exception) as ex:  # noqa: BLE001
-            if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" \
-                    in str(ex):
-                return None
-            raise
+        p = os.path.join(path, sub)
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return None
+        return spark.read.parquet(p).collect()
 
     rows = _read("centroids")
     if rows:
