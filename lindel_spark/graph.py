@@ -954,3 +954,144 @@ def hits(
             .join(auth.withColumnRenamed("node", "n2"),
                   F.col("node") == F.col("n2"))
             .select("node", "hub", "authority"))
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001, the
+    bounded/deterministic bulk form): returns ``(node, betweenness)``
+    = the summed shortest-path dependency ``Σ_{s∈sources} δ_s(node)``
+    over paths of at most ``max_depth`` hops — "which nodes broker
+    the graph", the shortest-path-centrality leg the reachability
+    (:func:`bfs_distances` / :func:`sssp_distances`) and importance
+    (:func:`pagerank`) tiers don't answer. Every node REACHED from a
+    sampled source appears (non-intermediaries with betweenness 0.0);
+    a source never accumulates dependency from its own BFS. With
+    ``sources`` = all nodes and ``max_depth ≥ diameter`` this is
+    exact Brandes betweenness (undirected graphs counted once per
+    ordered source, so halve if you want the unordered convention);
+    with a deterministic sample it is the standard
+    scale-by-``n/|S|`` estimator, kept raw here so the number is
+    reproducible rather than population-scaled.
+
+    The sample IS the scale contract: state is keyed ``(source,
+    node)``, so memory is |S| × (bounded-depth reach), never |V|².
+    Fixed ``max_depth`` keeps the run deterministic and
+    SQL-replayable (the :func:`pagerank` contract — an unrolled
+    forward/backward CTE replay is value-exact).
+
+    Plan — forward pass, one round per hop: frontier ⋈ edges, then a
+    map-side-combined ``SUM(sigma)`` per ``(s, node)`` (σ = number of
+    shortest s-paths; all of them arrive the hop the node is first
+    reached, so one LEFT-ANTI against the settled set is the whole
+    BFS-DAG bookkeeping). Backward pass, one round per level ℓ =
+    ``max_depth`` … 1: level-ℓ nodes ⋈ edges ⋈ level-(ℓ−1) nodes —
+    all keyed equi-joins — accumulating Brandes' dependency
+    ``δ(v) += σ_v/σ_w · (1 + δ_w)``. The per-(s, v) sum over
+    successors w and the final per-node sum over s fold in
+    NEIGHBOR/SOURCE ORDER on both engines (``sort_array`` fold ↔
+    ``SUM(… ORDER BY …)`` — the kruskal_wallis lesson: double
+    addition order shifts the 6th decimal at sf1 magnitudes). σ rides
+    as BIGINT (exact: path counts at curation-query depths 2-4 stay
+    far under 2⁶³; the count is a sum of predecessor counts, never a
+    product blow-up per round).
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"),
+                         F.col(src).alias("__d")))
+    e = (e.filter(F.col("__s") != F.col("__d")).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+
+    # forward: bs = (s, node, dist, sigma), first-reach rows only
+    bs = (sources.select(F.col(node).alias("s")).distinct()
+          .select("s", F.col("s").alias("node"),
+                  F.lit(0).alias("dist"),
+                  F.lit(1).cast("long").alias("sigma")))
+    frontier = bs
+    levels = [bs]
+    for h in range(1, max_depth + 1):
+        cand = (frontier
+                .join(e, frontier["node"] == e["__s"])
+                .groupBy("s", F.col("__d").alias("node"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .withColumn("dist", F.lit(h)))
+        new = (cand.join(bs.select("s", "node"), ["s", "node"],
+                         "left_anti")
+               .select("s", "node", "dist", "sigma")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        bs = bs.unionByName(new)
+        if h % checkpoint_every == 0 and h < max_depth:
+            bs = bs.localCheckpoint()
+        frontier = new
+        levels.append(new)
+
+    # backward: level-(l-1) deltas from level-l (w) successors; a
+    # node's delta is written exactly once, at its own level, because
+    # the BFS DAG only carries dependency from level l to l-1
+    delta_by_level: dict[int, DataFrame] = {}
+    zero = F.lit(0.0)
+    for lvl in range(max_depth, 0, -1):
+        w = levels[lvl].select(
+            "s", F.col("node").alias("__w"),
+            F.col("sigma").alias("__sw"))
+        if lvl in delta_by_level:  # written by the lvl+1 iteration
+            w = (w.join(delta_by_level[lvl]
+                        .select("s", F.col("node").alias("__w"),
+                                F.col("__delta").alias("__dw")),
+                        ["s", "__w"], "left")
+                 .withColumn("__dw", F.coalesce("__dw", zero)))
+        else:
+            w = w.withColumn("__dw", zero)
+        v = levels[lvl - 1].select(
+            "s", F.col("node").alias("__v"),
+            F.col("sigma").alias("__sv"))
+        contrib = (w.join(e, F.col("__w") == F.col("__d"))
+                   .join(v, (F.col("__v") == F.col("__s"))
+                         & (w["s"] == v["s"]))
+                   .select(w["s"].alias("s"), "__v", "__w",
+                           (F.col("__sv").cast("double")
+                            / F.col("__sw").cast("double")
+                            * (F.lit(1.0) + F.col("__dw")))
+                           .alias("__c")))
+        d = (contrib.groupBy("s", F.col("__v").alias("node"))
+             .agg(F.aggregate(
+                 F.sort_array(F.collect_list(
+                     F.struct(F.col("__w").alias("w"),
+                              F.col("__c").alias("c")))),
+                 zero, lambda acc, x: acc + x["c"]).alias("__delta"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
+        delta_by_level[lvl - 1] = d
+
+    # stitch: every reached (s, node) with its delta (0 when never an
+    # intermediary), drop each source's own row, fold over s in order
+    deltas = None
+    for d in delta_by_level.values():
+        deltas = d if deltas is None else deltas.unionByName(d)
+    out = bs.filter(F.col("node") != F.col("s")) \
+        .select("s", "node")
+    if deltas is not None:
+        out = (out.join(deltas, ["s", "node"], "left")
+               .withColumn("__delta", F.coalesce("__delta", zero)))
+    else:  # max_depth rounds found no edges at all
+        out = out.withColumn("__delta", zero)
+    return (out.groupBy("node")
+            .agg(F.aggregate(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("s").alias("s"),
+                             F.col("__delta").alias("d")))),
+                zero, lambda acc, x: acc + x["d"])
+                .alias("betweenness")))

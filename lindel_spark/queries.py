@@ -54,10 +54,17 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-13 rotation (the driver samples the first ~50): (a) new
-    # this round; (b) operator-CHANGED this round; then the r12
+    # round-14 rotation (the driver samples the first ~50): (a) new
+    # this round; (b) operator-CHANGED this round; then the r13
     # blocks age downward. Everything else stays covered by the
     # local full-registry sweeps at three scales.
+    # (a) round-14 new
+    "graph_betweenness",  # new: sampled-source Brandes centrality
+    # (b) round-14 operator-changed (bh_adjust NaN/column guards,
+    # load_ann_model explicit existence, sssp per-round persist,
+    # knn_model_roundtrip tempdir lifecycle)
+    # -- covered by the r13 block below (parts_bh_fdr,
+    #    knn_model_roundtrip, graph_sssp_copurchase already lead)
     # (a) round-13 new
     "knn_ivfpq_opq_recall",  # new face: OPQ x residual composition
     "graph_sssp_copurchase",  # new: bounded-round weighted SSSP
@@ -9677,6 +9684,87 @@ def q_graph_sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     out = sssp_distances(edges, srcs, rounds=3)
     return out.select("node", F.round("dist", 6).alias("dist_r6"))
+
+
+@query(
+    "graph_betweenness",
+    """
+    WITH pp AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS s, b.l_partkey::BIGINT AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT s, d FROM pp UNION SELECT d, s FROM pp
+    ), srcs AS MATERIALIZED (
+      SELECT DISTINCT l_partkey::BIGINT AS node FROM lineitem
+      WHERE l_partkey % 500 = 0
+    ), b0 AS MATERIALIZED (
+      SELECT node AS s, node, 1::BIGINT AS sigma FROM srcs
+    ), l1 AS MATERIALIZED (
+      SELECT c.s, c.node, c.sigma FROM (
+        SELECT b0.s, e.d AS node, SUM(b0.sigma)::BIGINT AS sigma
+        FROM b0 JOIN e ON e.s = b0.node GROUP BY 1, 2
+      ) c
+      WHERE NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.s = c.s AND b0.node = c.node)
+    ), l2 AS MATERIALIZED (
+      SELECT c.s, c.node, c.sigma FROM (
+        SELECT l1.s, e.d AS node, SUM(l1.sigma)::BIGINT AS sigma
+        FROM l1 JOIN e ON e.s = l1.node GROUP BY 1, 2
+      ) c
+      WHERE NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.s = c.s AND b0.node = c.node)
+        AND NOT EXISTS (SELECT 1 FROM l1
+                        WHERE l1.s = c.s AND l1.node = c.node)
+    ), d1 AS MATERIALIZED (
+      SELECT w.s, v.node AS node,
+             SUM(v.sigma::DOUBLE / w.sigma::DOUBLE
+                 ORDER BY w.node) AS delta
+      FROM l2 w
+      JOIN e ON e.d = w.node
+      JOIN l1 v ON v.s = w.s AND v.node = e.s
+      GROUP BY 1, 2
+    ), reached AS MATERIALIZED (
+      SELECT l1.s, l1.node, COALESCE(d1.delta, 0.0) AS delta
+      FROM l1 LEFT JOIN d1 ON d1.s = l1.s AND d1.node = l1.node
+      UNION ALL
+      SELECT s, node, 0.0 FROM l2
+    )
+    SELECT node, round(SUM(delta ORDER BY s), 6) AS bc_r6
+    FROM reached WHERE node != s GROUP BY node
+    """,
+)
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source betweenness centrality (round 14,
+    :func:`lindel_spark.graph.betweenness_centrality`): summed
+    Brandes dependency of every part over shortest co-purchase paths
+    of <= 2 hops from the ``l_partkey % 500 == 0`` source sample —
+    "which parts broker the co-purchase graph", the
+    shortest-path-centrality leg the reachability (bfs/sssp) and
+    importance (pagerank) tiers don't answer. DuckDB replays the
+    forward BFS-with-path-counting levels as anti-joined unrolled
+    CTEs and the backward dependency pass as one level join; the
+    per-(s,v) successor sum and the final per-node source sum fold in
+    NEIGHBOR/SOURCE order on both engines (``sort_array`` fold <->
+    ``SUM(... ORDER BY ...)`` — the kruskal_wallis double-addition
+    lesson); 6dp."""
+    from lindel_spark.graph import betweenness_centrality
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    srcs = (li.filter(F.col("l_partkey") % 500 == 0)
+            .select(F.col("l_partkey").cast("long").alias("node"))
+            .distinct())
+    out = betweenness_centrality(edges, srcs, max_depth=2)
+    return out.select("node",
+                      F.round("betweenness", 6).alias("bc_r6"))
 
 
 @query(

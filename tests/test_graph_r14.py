@@ -1,0 +1,109 @@
+"""Round-14 graph additions: sampled-source betweenness centrality.
+
+Hand-computed fixtures pin Brandes' dependency accumulation
+(star / path / bridge-square), shortest-path multiplicity splitting,
+the depth bound, directedness, source exclusion (a source never
+accumulates from its OWN BFS but still brokers other sources'), and
+checkpoint parity.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark.graph import betweenness_centrality
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _srcs(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+
+def _bc(df):
+    return {r.node: round(r.betweenness, 9) for r in df.collect()}
+
+
+def test_star_center_brokers_everything(spark):
+    # center 0, leaves 1..4; all sources, depth 2: from each leaf the
+    # other 3 leaves route through 0 -> delta_s(0)=3, total 4*3=12
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    bc = _bc(betweenness_centrality(e, _srcs(spark, [0, 1, 2, 3, 4]),
+                                    max_depth=2))
+    assert bc == {0: 12.0, 1: 0.0, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_path_graph_matches_ordered_pair_counts(spark):
+    # 1-2-3-4: node 2 lies on ordered pairs (1,3),(1,4),(3,1),(4,1)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    bc = _bc(betweenness_centrality(e, _srcs(spark, [1, 2, 3, 4]),
+                                    max_depth=3))
+    assert bc == {1: 0.0, 2: 4.0, 3: 4.0, 4: 0.0}
+
+
+def test_square_splits_dependency_over_equal_paths(spark):
+    # 1-2-4 and 1-3-4 are both shortest (sigma_4 = 2): each middle
+    # node gets delta = sigma_v/sigma_w = 1/2 from source 1
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (3, 4)])
+    bc = _bc(betweenness_centrality(e, _srcs(spark, [1]), max_depth=2))
+    assert bc == {2: 0.5, 3: 0.5, 4: 0.0}
+
+
+def test_depth_bound_truncates_reach_and_dependency(spark):
+    # depth 2 from source 1 on 1-2-3-4: node 4 never reached, so
+    # node 3 stops brokering and node 2 only carries the (1,3) pair
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    bc = _bc(betweenness_centrality(e, _srcs(spark, [1]), max_depth=2))
+    assert bc == {2: 1.0, 3: 0.0}
+
+
+def test_directed_edges_respected(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    bc = _bc(betweenness_centrality(e, _srcs(spark, [1]), max_depth=2,
+                                    directed=True))
+    assert bc == {2: 1.0, 3: 0.0}
+    # reversed direction: nothing reachable from 1 at all
+    assert _bc(betweenness_centrality(
+        _edges(spark, [(2, 1), (3, 2)]), _srcs(spark, [1]),
+        max_depth=2, directed=True)) == {}
+
+
+def test_source_still_brokers_other_sources_paths(spark):
+    # sources {1,2} on 1-2-3: node 2 is excluded from its OWN BFS but
+    # carries s=1's pair (1,3); node 1 is reached by s=2 with delta 0
+    e = _edges(spark, [(1, 2), (2, 3)])
+    bc = _bc(betweenness_centrality(e, _srcs(spark, [1, 2]),
+                                    max_depth=2))
+    assert bc == {1: 0.0, 2: 1.0, 3: 0.0}
+
+
+def test_bridge_between_cliques(spark):
+    # two triangles joined by a bridge node 9: 1-2-3 and 4-5-6 with
+    # 3-9, 9-4; sources = all 7 nodes, depth 3 reaches across
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3),
+                       (4, 5), (5, 6), (4, 6),
+                       (3, 9), (9, 4)])
+    bc = _bc(betweenness_centrality(
+        e, _srcs(spark, [1, 2, 3, 4, 5, 6, 9]), max_depth=3))
+    # 9 carries every cross pair reachable in <=3 hops:
+    # (3,4),(3,5),(3,6),(1,4),(2,4) and mirrors -> delta sums:
+    # from s=3: 9 brokers {4,5,6} = 3; from s=1: {9->4} pairs (1,4)
+    # only (5,6 are 4 hops); same s=2; mirrored from s=4,5,6.
+    assert bc[9] == 3.0 + 1.0 + 1.0 + 3.0 + 1.0 + 1.0
+    assert bc[1] == 0.0 and bc[5] == 0.0
+
+
+def test_checkpoint_parity(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    a = _bc(betweenness_centrality(e, _srcs(spark, [1, 5]),
+                                    max_depth=4, checkpoint_every=1))
+    b = _bc(betweenness_centrality(e, _srcs(spark, [1, 5]),
+                                    max_depth=4, checkpoint_every=10))
+    assert a == b
+
+
+def test_rejects_bad_depth(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        betweenness_centrality(e, _srcs(spark, [1]), max_depth=0)
