@@ -60,6 +60,7 @@ _SAMPLE_FIRST = [
     # local full-registry sweeps at three scales.
     # (a) round-14 new
     "graph_betweenness",  # new: sampled-source Brandes centrality
+    "events_holt_winters_h",  # new: h-step HW horizon
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -10803,7 +10804,8 @@ def q_events_seasonal_decompose(spark: SparkSession,
 
 
 def _hw_oracle(m: int = 24, W: int = 48, a: float = 0.3,
-               b: float = 0.1, g: float = 0.2) -> str:
+               b: float = 0.1, g: float = 0.2,
+               horizon: int | None = None) -> str:
     """Generate the unrolled Holt–Winters steps as a CHAIN of
     MATERIALIZED CTEs — one per recursion step, each a projection
     over the previous step's materialized columns, the same
@@ -10843,6 +10845,24 @@ def _hw_oracle(m: int = 24, W: int = 48, a: float = 0.3,
     )""")
         lp, bp = f"l{t}", f"b{t}"
     chain = ",\n    ".join(ctes)
+    if horizon is None:
+        final = f"""
+    SELECT event_type, last_ts, n_obs,
+           round({lp}, 6) AS level_r6,
+           round({bp}, 6) AS trend_r6,
+           round({lp} + {bp} + s{W - m}, 6) AS forecast_r6
+    FROM st{W - 1}
+    """
+    else:
+        # long format: one SELECT per step h, frozen-state
+        # extrapolation lp + h*bp + season(phase of t+h) — the SAME
+        # per-step double expression the Spark array build evaluates
+        final = "\n    UNION ALL\n".join(
+            f"""    SELECT event_type, last_ts, n_obs, {h} AS step,
+           round({lp} + {float(h)!r}*{bp}
+                 + s{W - m + ((h - 1) % m)}, 6) AS forecast_r6
+    FROM st{W - 1}"""
+            for h in range(1, horizon + 1))
     return f"""
     WITH hourly AS MATERIALIZED (
       SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -10861,11 +10881,7 @@ def _hw_oracle(m: int = 24, W: int = 48, a: float = 0.3,
       HAVING COUNT(*) = {W} AND MAX(n) >= {W}
     ),
     {chain}
-    SELECT event_type, last_ts, n_obs,
-           round({lp}, 6) AS level_r6,
-           round({bp}, 6) AS trend_r6,
-           round({lp} + {bp} + s{W - m}, 6) AS forecast_r6
-    FROM st{W - 1}
+    {final}
     """
 
 
@@ -10892,6 +10908,33 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "last_ts", "n_obs",
         F.round("level", 6).alias("level_r6"),
         F.round("trend", 6).alias("trend_r6"),
+        F.round("forecast", 6).alias("forecast_r6"))
+
+
+@query("events_holt_winters_h", _hw_oracle(horizon=36))
+def q_events_holt_winters_h(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """H-step-ahead Holt–Winters horizon (round 14,
+    :func:`lindel_spark.timeseries.holt_winters_horizon`): 36 hourly
+    steps ahead per event type from the same 48-hour window at
+    period 24 — 1.5 seasonal cycles, so the wrap of the frozen last
+    season (steps 25-36 reuse phase indices 0-11) is exercised, the
+    capacity-planning question the one-step face can't answer.
+    Frozen-state extrapolation is pure algebra over the fold's final
+    level/trend/season columns; DuckDB replays each step as the
+    identical double expression; 6dp."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.timeseries import holt_winters_horizon
+
+    ev = load_events(spark, sf_dir)
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.col("value").cast("double")).alias("v")))
+    out = holt_winters_horizon(hourly, ["event_type"], "hour", "v",
+                               "hour", period=24, window=48,
+                               horizon=36)
+    return out.select(
+        "event_type", "last_ts", "n_obs", "step",
         F.round("forecast", 6).alias("forecast_r6"))
 
 

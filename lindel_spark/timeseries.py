@@ -602,7 +602,7 @@ def attribution(
     return per_type.join(per_conv, "touch_type")
 
 
-def holt_winters_forecast(
+def _hw_states(
     df: DataFrame,
     keys: Sequence[str],
     ts_col: str,
@@ -613,7 +613,7 @@ def holt_winters_forecast(
     alpha: float = 0.3,
     beta: float = 0.1,
     gamma: float = 0.2,
-) -> DataFrame:
+):
     """Additive Holt–Winters (triple-exponential / ETS(A,A,A)-shaped)
     ONE-STEP-AHEAD forecast per key series — the predictive leg the
     diagnose-only tier (:func:`seasonal_decompose`, :func:`ewma`)
@@ -706,7 +706,80 @@ def holt_winters_forecast(
             f"__s{t}",
             g_ * (x(t) - F.col(f"__l{t}")) + (1.0 - g_) * sm)
         lp, bp = f"__l{t}", f"__b{t}"
+    return out, lp, bp, m, W, keys
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    period: int,
+    window: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    out, lp, bp, m, W, keys = _hw_states(
+        df, keys, ts_col, value_col, tiebreak, period, window,
+        alpha, beta, gamma)
     return out.select(
         *keys, "last_ts", F.col("__n").alias("n_obs"),
         F.col(lp).alias("level"), F.col(bp).alias("trend"),
         (F.col(lp) + F.col(bp) + F.col(f"__s{W - m}")).alias("forecast"))
+
+
+holt_winters_forecast.__doc__ = _hw_states.__doc__
+
+
+def holt_winters_horizon(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    period: int,
+    window: int,
+    horizon: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """H-STEP-AHEAD additive Holt-Winters forecast (round 14 — the
+    capacity-planning face of :func:`holt_winters_forecast`): one row
+    per key per step, ``(keys..., last_ts, n_obs, step, forecast)``
+    with ``step`` = 1..horizon and
+
+        forecast(t+h) = level + h*trend + s_{(phase of t+h)}
+
+    — the standard frozen-state extrapolation (Hyndman FPP eq. 7.6:
+    the level/trend extend linearly, the season repeats its last
+    fitted cycle with indices wrapping mod ``period``). PURE ALGEBRA
+    over the states the fixed-window fold already computed — no new
+    recursion, so the replay contract (identical named-step DAG on
+    both engines) carries over verbatim; ``horizon == 1`` equals
+    :func:`holt_winters_forecast`'s single ``forecast`` exactly.
+
+    Plan: the fold's one Exchange + map-only DAG, then a
+    ``posexplode`` of the horizon-length forecast array — rows grow
+    x ``horizon`` AFTER aggregation (keys x horizon, never data-
+    scale). ``horizon`` is capped at 512 like the window (an
+    unbounded horizon is an arange, not a forecast).
+    """
+    if not 1 <= int(horizon) <= 512:
+        raise ValueError("horizon must be in [1, 512]")
+    out, lp, bp, m, W, keys = _hw_states(
+        df, keys, ts_col, value_col, tiebreak, period, window,
+        alpha, beta, gamma)
+    H = int(horizon)
+    fc = F.array(*[
+        (F.col(lp) + F.lit(float(h)) * F.col(bp)
+         + F.col(f"__s{W - m + ((h - 1) % m)}"))
+        for h in range(1, H + 1)])
+    return (out.select(*keys, "last_ts",
+                       F.col("__n").alias("n_obs"),
+                       F.posexplode(fc).alias("__pos", "forecast"))
+            .select(*keys, "last_ts", "n_obs",
+                    (F.col("__pos") + 1).cast("int").alias("step"),
+                    "forecast"))
