@@ -61,6 +61,7 @@ _SAMPLE_FIRST = [
     # (a) round-14 new
     "graph_betweenness",  # new: sampled-source Brandes centrality
     "events_holt_winters_h",  # new: h-step HW horizon
+    "knn_graph_search_recall",  # new: graph-walk ANN beam search
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -5229,6 +5230,29 @@ def q_knn_graph_communities(spark: SparkSession, sf_dir: str
     comm = label_propagation_communities(edges, rounds=2)
     return comm.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query("knn_graph_search_recall", _N_QUERIES_ORACLE)
+def q_knn_graph_search_recall(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Graph-walk ANN search (round 14,
+    :func:`lindel_spark.similarity.graph_knn_search`): the
+    high-recall/low-scan regime HNSW serves — seed each query from
+    its nearest IVF cell (nprobe=1, the cheapest keyed entry point),
+    then 3 beam-search hops over the persisted exact k=16
+    :func:`knn_graph` edges. Per-query cost is O(cell + beam·degree·
+    hops) — bounded by the GRAPH degree, not a corpus scan fraction
+    — which is why the index (paid once per corpus snapshot) exists.
+    Self-checking: recall@10 vs brute force gated ≥ 0.9, where the
+    nprobe=1 seed alone measures ~0.26 — the walk IS the recall."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = LS.train_centroids(emb, 16)
+    g = LS.knn_graph(emb, k=16, centroids=cents)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    walk = LS.graph_knn_search(g, emb, queries_df, k=10, hops=3,
+                               beam=48, centroids=cents)
+    return _recall_check(brute, walk, 0.9)
 
 
 @query("knn_filtered_recall", _N_QUERIES_ORACLE)

@@ -2546,3 +2546,107 @@ def load_ann_model(spark, path: str) -> dict:
             B[r.sub, r.code] = r.vec
         out["codebooks"] = B
     return out
+
+
+def graph_knn_search(
+    graph: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    hops: int = 2,
+    beam: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    n_centroids: int | None = None,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """GRAPH-WALK ANN over a persisted :func:`knn_graph` edge list —
+    the high-recall/low-scan regime HNSW-style indexes serve, as a
+    bounded bulk search: seed every query from its nearest IVF cell,
+    then expand ``hops`` rounds of beam search over the stored
+    similarity edges. Returns ``(query_id, neighbor_id, cos, rank)``,
+    rank 1..k per query, ties broken on neighbor id (the
+    :func:`brute_force_knn` contract, so recall gates compose).
+
+    Why this exists next to :func:`ivf_knn`/:func:`knn_join`: the IVF
+    family's recall knob is ``nprobe`` — paying a LINEAR scan
+    fraction (~nprobe/n_cells of the corpus) per query. The kNN
+    graph, paid once per corpus snapshot (``knn_graph`` persisted to
+    parquet/the z-order store), lets a query recover cross-cell
+    neighbors by WALKING — each hop scores at most ``beam × degree``
+    candidates regardless of corpus size, so the per-query cost is
+    O(seed cell + beam·degree·hops), not O(scan fraction). Seeding
+    from the nearest cell (``nprobe=1`` through :func:`knn_join` —
+    cell-keyed equi-join, never a cartesian) plus 2 hops over a
+    k=8-degree graph typically clears recall@10 ≥ 0.9 where nprobe=1
+    alone sits far lower (self-checked by the
+    ``knn_graph_search_recall`` registry gate).
+
+    Execution, all queries simultaneously, state keyed ``(query_id,
+    node)`` (the :func:`lindel_spark.graph.bfs_distances` frontier
+    plumbing): per hop one beam⋈edges equi-join on the node id, a
+    (query, node) dedup, a LEFT-ANTI against the visited set (never
+    rescore), one id-keyed join to the corpus for vectors, Arrow-batch
+    cosine scoring, and a per-query-partitioned top-``beam`` window
+    (keyed on query_id — thousands of independent partitions, never a
+    global sort). Deterministic end to end: seeded centroids,
+    cos-desc/id-asc tie-breaks.
+    """
+    if k < 1 or hops < 1 or beam < 1:
+        raise ValueError("k, hops and beam must all be >= 1")
+    from pyspark import StorageLevel
+
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids, _ = auto_ivf_config(corpus.count())
+        centroids = train_centroids(corpus, n_centroids, vec_col,
+                                    seed=seed)
+
+    qv = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).cast("long").alias("__nid"),
+                       F.col(vec_col).alias("__cv")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    e = graph.select(F.col("src").cast("long").alias("__es"),
+                     F.col("dst").cast("long").alias("__ed")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    # seed: top-beam within each query's nearest cell (nprobe=1 IVF —
+    # the cheapest keyed entry point; the walk recovers what the
+    # single-cell truncation lost)
+    seeds = knn_join(corpus, queries, k=beam, id_col=id_col,
+                     vec_col=vec_col, centroids=centroids, nprobe=1,
+                     seed=seed) \
+        .select("query_id", "neighbor_id", "cos")
+
+    visited = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    beam_f = (seeds.join(qv, "query_id")
+              .select("query_id", F.col("neighbor_id").alias("__node"),
+                      "__qv"))
+    w_beam = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    for _hop in range(hops):
+        cand = (beam_f.join(e, beam_f["__node"] == e["__es"])
+                .select("query_id", F.col("__ed").alias("neighbor_id"),
+                        "__qv")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .dropDuplicates(["query_id", "neighbor_id"])
+                .join(visited.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_anti"))
+        scored = (cand.join(cv, cand["neighbor_id"] == cv["__nid"])
+                  .select("query_id", "neighbor_id", "__qv",
+                          _cos_exact_udf()(F.col("__qv"),
+                                           F.col("__cv")).alias("cos"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        visited = (visited.unionByName(
+            scored.select("query_id", "neighbor_id", "cos"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        beam_f = (scored.withColumn("__rn", F.row_number().over(w_beam))
+                  .filter(F.col("__rn") <= beam)
+                  .select("query_id",
+                          F.col("neighbor_id").alias("__node"), "__qv"))
+    return (visited.withColumn("rank", F.row_number().over(w_beam))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("long").alias("rank")))

@@ -196,6 +196,20 @@ def test_tpch_q21_semi_anti_joins(spark):
     assert "Cartesian" not in p
 
 
+def test_graph_knn_search_no_cartesian(spark):
+    """The graph-walk ANN (round 14) must stay keyed end to end:
+    cell-keyed seed join, node-keyed edge expansion, id-keyed vector
+    fetch — never a cartesian or an unconditioned broadcast loop."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = LS.train_centroids(emb, 4)
+    g = LS.knn_graph(emb, k=4, centroids=cents)
+    p = plan_of(LS.graph_knn_search(g, emb, q, k=5, hops=2, beam=8,
+                                    centroids=cents))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_contamination_no_cartesian(spark, docs):
     """Decontamination must stay a shingle-keyed equi-join."""
     bench = docs.filter(F.col("doc_id") % 17 == 0)
