@@ -954,6 +954,49 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         ("ppr_transitions", q_ppr, -1),
     ]
 
+    # round-14 entries (first measurement this round becomes the
+    # anchor)
+    def q_betweenness(_):
+        from lindel_spark.graph import betweenness_centrality
+        a = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("src"))
+        b = li.select(F.col("l_orderkey").alias("ok"),
+                      F.col("l_partkey").cast("long").alias("dst"))
+        edges = (a.join(b, "ok")
+                 .filter(F.col("src") < F.col("dst"))
+                 .select("src", "dst").distinct())
+        srcs = (li.filter(F.col("l_partkey") % 500 == 0)
+                .select(F.col("l_partkey").cast("long").alias("node"))
+                .distinct())
+        _noop(betweenness_centrality(edges, srcs, max_depth=2))
+
+    def q_hw_horizon(_):
+        from lindel_spark.sources import load_events
+        from lindel_spark.timeseries import holt_winters_horizon
+        ev = load_events(spark, SF_DIR)
+        hourly = (ev.groupBy("event_type",
+                             F.date_trunc("hour", "ts").alias("hour"))
+                  .agg(F.sum(F.col("value").cast("double")).alias("v")))
+        _noop(holt_winters_horizon(hourly, ["event_type"], "hour",
+                                   "v", "hour", period=24, window=48,
+                                   horizon=36))
+
+    def q_graph_knn_search(_):
+        from lindel_spark.similarity import (graph_knn_search,
+                                             knn_graph,
+                                             train_centroids)
+        cents = train_centroids(emb, 16)
+        g = knn_graph(emb, k=16, centroids=cents)
+        qs = emb.filter(F.col("vec_id") % 50 == 0)
+        _noop(graph_knn_search(g, emb, qs, k=10, hops=3, beam=48,
+                               centroids=cents))
+
+    scan_shaped += [
+        ("betweenness_copurchase", q_betweenness, n_li),
+        ("hw_horizon_hourly", q_hw_horizon, -1),
+        ("graph_knn_search", q_graph_knn_search, n_emb),
+    ]
+
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

@@ -146,6 +146,13 @@ NOISE_BAND: frozenset[str] = frozenset({
     "cc_star_simhash",
     # r13: same per-iteration scheduling-floor class as pagerank
     "ppr_transitions", "sssp_copurchase",
+    # r14: iterative graph class — betweenness runs 2 forward BFS +
+    # 2 backward dependency rounds, the graph walk runs seed + 3
+    # hop rounds; both are fixed-round join chains whose wall time
+    # at sf0.1 is dominated by per-round scheduling floor, the
+    # pagerank band (BASELINE.md round-7: 4.2-7.9 s on identical
+    # code)
+    "betweenness_copurchase", "graph_knn_search",
 })
 
 
