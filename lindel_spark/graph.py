@@ -1095,3 +1095,76 @@ def betweenness_centrality(
                              F.col("__delta").alias("d")))),
                 zero, lambda acc, x: acc + x["d"])
                 .alias("betweenness")))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Sampled-source HARMONIC centrality (Marchiori & Latora 2000 /
+    Boldi & Vigna 2014), bounded at ``max_depth`` hops: returns
+    ``(node, harmonic)`` = ``Σ_{s∈sources, s≠node} 1/d(s, node)``
+    over nodes reached within the bound — the closeness-family
+    "how near is this node to everything" score, in the form that
+    stays well-defined on disconnected graphs (unreachable pairs
+    contribute exactly 0 instead of poisoning an average). The
+    natural companion to :func:`betweenness_centrality`: brokerage
+    vs proximity, same sampled-source estimator contract (raw sum,
+    deterministic, scale by n/|S| for the population estimate).
+
+    Plan: the per-``(source, node)`` forward BFS of
+    :func:`betweenness_centrality` without the path counting — per
+    hop one frontier⋈edges equi-join + (s, node) dedup + LEFT-ANTI
+    against the settled set (first reach IS the shortest distance).
+    The score then collapses to per-(node, dist) COUNTS over sources
+    — exact integers — and folds ``Σ_d cnt_d/d`` in ASCENDING d
+    order (≤ ``max_depth`` terms, the same fixed fold the SQL oracle
+    makes), so the only doubles are the final ≤ D additions.
+    """
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    from pyspark import StorageLevel
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"),
+                         F.col(src).alias("__d")))
+    e = (e.filter(F.col("__s") != F.col("__d")).distinct()
+         .persist(StorageLevel.MEMORY_AND_DISK))
+
+    bs = (sources.select(F.col(node).alias("s")).distinct()
+          .select("s", F.col("s").alias("node"),
+                  F.lit(0).alias("dist")))
+    frontier = bs
+    for h in range(1, max_depth + 1):
+        new = (frontier
+               .join(e, frontier["node"] == e["__s"])
+               .select("s", F.col("__d").alias("node"))
+               .distinct()
+               .join(bs.select("s", "node"), ["s", "node"],
+                     "left_anti")
+               .withColumn("dist", F.lit(h))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        bs = bs.unionByName(new)
+        if h % checkpoint_every == 0 and h < max_depth:
+            bs = bs.localCheckpoint()
+        frontier = new
+    counts = (bs.filter(F.col("dist") > 0)
+              .groupBy("node", "dist")
+              .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    return (counts.groupBy("node")
+            .agg(F.aggregate(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("dist").alias("d"),
+                             F.col("__cnt").alias("c")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"].cast("double")
+                / x["d"].cast("double"))
+                .alias("harmonic")))

@@ -1764,6 +1764,99 @@ def kruskal_wallis(
             .select("k", "n", h.alias("h")))
 
 
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test (Friedman 1937, Conover's tie-general form):
+    one row ``(n_blocks, k, q)`` — the k-sample PAIRED rank test
+    completing the tier's ladder: :func:`wilcoxon_signed_rank` is
+    the k = 2 paired test, :func:`kruskal_wallis` the k-sample
+    UNpaired one; Friedman answers "do any of k treatments differ
+    when every block (user / prompt / example) sees all k?" — the
+    repeated-measures question an LLM eval asks when k model
+    variants are scored on the same example set. Compare ``q``
+    against χ²(k−1).
+
+    Values are MIDRANKED within each block (ties share the average
+    rank); with ``A = Σ r²`` and ``C = n·k(k+1)²/4``::
+
+        q = (k−1) · Σ_j (R_j − n(k+1)/2)² / (A − C)
+
+    — the tie-corrected statistic (reduces to the classic
+    ``12/(nk(k+1))·ΣR_j² − 3n(k+1)`` when no ties). Only COMPLETE
+    blocks (all k treatments present) enter, the standard design
+    requirement; a duplicate (block, treatment) observation raises
+    IN-PLAN (silent aggregation would invent a design that isn't
+    there — the kfold precedent). All-tied input (A = C) returns
+    NULL q.
+
+    Plan: one window rank PARTITIONED BY BLOCK (partition size = k —
+    thousands of independent k-row partitions, never a global sort);
+    doubled midranks (2r + t − 1, exact integers) accumulate in
+    DECIMAL(38,0) (the :func:`mann_whitney_u` overflow contract);
+    the Σ_j over treatments folds in TREATMENT ORDER on both engines
+    (the kruskal_wallis double-addition lesson). Replay-exact when
+    values rank identically on both engines — rank integer-valued
+    measurements (counts) for hash-exact oracles; double-valued
+    measurements rank identically unless two sums differ below the
+    engines' fold order.
+    """
+    from pyspark.sql import Window
+
+    b = (df.select(F.col(block_col).alias("b"),
+                   F.col(treatment_col).alias("t"),
+                   F.col(value_col).cast("double").alias("v"))
+         .filter(F.col("b").isNotNull() & F.col("t").isNotNull()
+                 & F.col("v").isNotNull()))
+    dup = Window.partitionBy("b", "t")
+    b = b.withColumn("__dup", F.count(F.lit(1)).over(dup)) \
+        .withColumn("v", F.when(F.col("__dup") > 1, F.raise_error(
+            F.lit("LINDEL: friedman_test: duplicate (block, "
+                  "treatment) observation — one measurement per "
+                  "cell is the design"))).otherwise(F.col("v"))) \
+        .drop("__dup")
+    kt = b.agg(F.count_distinct("t").cast("long").alias("k"))
+    complete = (b.groupBy("b")
+                .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+                .crossJoin(F.broadcast(kt))
+                .filter(F.col("__nb") == F.col("k"))
+                .select("b"))
+    rows = b.join(complete, "b", "left_semi")
+    wr = Window.partitionBy("b").orderBy("v")
+    wt = Window.partitionBy("b", "v")
+    mid2 = (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1) \
+        .cast("decimal(19,0)")
+    ranked = rows.select("b", "t", mid2.alias("__m2"))
+    per_t = (ranked.groupBy("t")
+             .agg(F.sum("__m2").alias("__r2"),
+                  F.sum(F.col("__m2") * F.col("__m2")).alias("__a4"),
+                  F.count(F.lit(1)).cast("long").alias("__n")))
+    # Σ_j (R_j − n(k+1)/2)² folds in treatment order; A and n ride
+    # the same pass (A = Σ(2r)²/4, every __n equals n_blocks)
+    agg = per_t.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("__n").cast("long").alias("n"),
+        F.sum("__a4").alias("a4"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("t").alias("t"),
+            F.col("__r2").cast("double").alias("r2")))).alias("__ts"))
+    nn = F.col("n").cast("double")
+    kk = F.col("k").cast("double")
+    s = F.aggregate(
+        F.col("__ts"), F.lit(0.0),
+        lambda acc, x: acc + (x["r2"] / 2.0 - nn * (kk + 1.0) / 2.0)
+        * (x["r2"] / 2.0 - nn * (kk + 1.0) / 2.0))
+    a_minus_c = (F.col("a4").cast("double") / 4.0
+                 - nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0)
+    q = F.when((F.col("n") > 0) & (a_minus_c > 0),
+               (kk - 1.0) * s / a_minus_c)
+    return agg.select(F.col("n").alias("n_blocks"), "k",
+                      q.alias("q"))
+
+
 def huber_mean(
     df: DataFrame,
     col: str,

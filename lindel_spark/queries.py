@@ -62,6 +62,8 @@ _SAMPLE_FIRST = [
     "graph_betweenness",  # new: sampled-source Brandes centrality
     "events_holt_winters_h",  # new: h-step HW horizon
     "knn_graph_search_recall",  # new: graph-walk ANN beam search
+    "graph_harmonic",  # new: sampled-source harmonic centrality
+    "events_friedman",  # new: k-sample paired rank test
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -9790,6 +9792,151 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = betweenness_centrality(edges, srcs, max_depth=2)
     return out.select("node",
                       F.round("betweenness", 6).alias("bc_r6"))
+
+
+@query(
+    "graph_harmonic",
+    """
+    WITH pp AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS s, b.l_partkey::BIGINT AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT s, d FROM pp UNION SELECT d, s FROM pp
+    ), srcs AS MATERIALIZED (
+      SELECT DISTINCT l_partkey::BIGINT AS node FROM lineitem
+      WHERE l_partkey % 200 = 0
+    ), b0 AS MATERIALIZED (
+      SELECT node AS s, node FROM srcs
+    ), l1 AS MATERIALIZED (
+      SELECT c.s, c.node FROM (
+        SELECT DISTINCT b0.s, e.d AS node
+        FROM b0 JOIN e ON e.s = b0.node
+      ) c
+      WHERE NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.s = c.s AND b0.node = c.node)
+    ), l2 AS MATERIALIZED (
+      SELECT c.s, c.node FROM (
+        SELECT DISTINCT l1.s, e.d AS node
+        FROM l1 JOIN e ON e.s = l1.node
+      ) c
+      WHERE NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.s = c.s AND b0.node = c.node)
+        AND NOT EXISTS (SELECT 1 FROM l1
+                        WHERE l1.s = c.s AND l1.node = c.node)
+    ), cnts AS MATERIALIZED (
+      SELECT node, dist, COUNT(*)::BIGINT AS c FROM (
+        SELECT s, node, 1 AS dist FROM l1
+        UNION ALL
+        SELECT s, node, 2 AS dist FROM l2
+      ) GROUP BY 1, 2
+    )
+    SELECT node,
+           round(SUM(c::DOUBLE / dist::DOUBLE ORDER BY dist), 6)
+             AS h_r6
+    FROM cnts GROUP BY node
+    """,
+)
+def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality (round 14,
+    :func:`lindel_spark.graph.harmonic_centrality`): Σ 1/d(s, part)
+    over the ``l_partkey % 200 == 0`` source sample within 2
+    co-purchase hops — the proximity complement to
+    ``graph_betweenness``'s brokerage, well-defined on the
+    disconnected co-purchase graph (unreachable pairs contribute 0).
+    The score collapses to exact per-(node, dist) source COUNTS;
+    the only doubles are the ≤ 2 final additions, folded in
+    ascending-distance order on both engines; 6dp."""
+    from lindel_spark.graph import harmonic_centrality
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    srcs = (li.filter(F.col("l_partkey") % 200 == 0)
+            .select(F.col("l_partkey").cast("long").alias("node"))
+            .distinct())
+    out = harmonic_centrality(edges, srcs, max_depth=2)
+    return out.select("node", F.round("harmonic", 6).alias("h_r6"))
+
+
+@query(
+    "events_friedman",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT user_id AS b, event_type AS t, COUNT(*)::DOUBLE AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS MATERIALIZED (
+      SELECT COUNT(DISTINCT t)::BIGINT AS k FROM m
+    ), cb AS MATERIALIZED (
+      SELECT b FROM m GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ), r AS MATERIALIZED (
+      SELECT m.b, m.t,
+             2 * rank() OVER (PARTITION BY m.b ORDER BY m.v)
+               + COUNT(*) OVER (PARTITION BY m.b, m.v) - 1 AS m2
+      FROM m JOIN cb ON cb.b = m.b
+    ), pt AS MATERIALIZED (
+      SELECT t, SUM(m2)::HUGEINT AS r2,
+             SUM(m2::HUGEINT * m2::HUGEINT)::HUGEINT AS a4,
+             COUNT(*)::BIGINT AS n
+      FROM r GROUP BY t
+    ), dims AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS k, MAX(n)::BIGINT AS n,
+             SUM(a4)::DOUBLE AS a4
+      FROM pt
+    ), sq AS MATERIALIZED (
+      SELECT SUM((pt.r2::DOUBLE / 2.0
+                  - dims.n::DOUBLE * (dims.k::DOUBLE + 1.0) / 2.0)
+                 * (pt.r2::DOUBLE / 2.0
+                    - dims.n::DOUBLE * (dims.k::DOUBLE + 1.0) / 2.0)
+                 ORDER BY pt.t) AS s
+      FROM pt CROSS JOIN dims
+    )
+    SELECT dims.n AS n_blocks, dims.k AS k,
+           round(CASE WHEN dims.a4 / 4.0
+                        - dims.n::DOUBLE * dims.k::DOUBLE
+                          * (dims.k::DOUBLE + 1.0)
+                          * (dims.k::DOUBLE + 1.0) / 4.0 > 0
+                 THEN (dims.k::DOUBLE - 1.0) * sq.s
+                      / (dims.a4 / 4.0
+                         - dims.n::DOUBLE * dims.k::DOUBLE
+                           * (dims.k::DOUBLE + 1.0)
+                           * (dims.k::DOUBLE + 1.0) / 4.0)
+                 END, 6) AS q_r6
+    FROM dims CROSS JOIN sq
+    """,
+)
+def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures test (round 14,
+    :func:`lindel_spark.profile.friedman_test`): "does per-user
+    event FREQUENCY differ across the 5 event types?" — block =
+    user, treatment = event type, measurement = the (user, type)
+    event count. Counts are exact integers, so the within-block
+    midranks are engine-identical by construction (the
+    events_wilcoxon_paired precedent); only users with all 5 types
+    enter (complete blocks, the design requirement). DuckDB replays
+    the block-partitioned midrank window, the DECIMAL↔HUGEINT rank
+    sums, and the treatment-ordered Σ_j fold; 6dp."""
+    from lindel_spark.profile import friedman_test
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+         .groupBy(F.col("user_id").alias("b"),
+                  F.col("event_type").alias("t"))
+         .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    out = friedman_test(m, "b", "t", "v")
+    return out.select("n_blocks", "k",
+                      F.round("q", 6).alias("q_r6"))
 
 
 @query(

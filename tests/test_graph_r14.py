@@ -107,3 +107,57 @@ def test_rejects_bad_depth(spark):
     e = _edges(spark, [(1, 2)])
     with pytest.raises(ValueError):
         betweenness_centrality(e, _srcs(spark, [1]), max_depth=0)
+
+
+# ---- harmonic centrality ------------------------------------------
+
+from lindel_spark.graph import harmonic_centrality
+
+
+def _hc(df):
+    return {r.node: round(r.harmonic, 9) for r in df.collect()}
+
+
+def test_harmonic_star(spark):
+    # center 0 gets 1/1 from each leaf; each leaf gets 1 from the
+    # center + 1/2 from the 3 other leaves
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    hc = _hc(harmonic_centrality(e, _srcs(spark, [0, 1, 2, 3, 4]),
+                                 max_depth=2))
+    assert hc[0] == 4.0
+    for leaf in (1, 2, 3, 4):
+        assert hc[leaf] == 2.5
+
+
+def test_harmonic_path_and_depth_bound(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    hc = _hc(harmonic_centrality(e, _srcs(spark, [1, 2, 3, 4]),
+                                 max_depth=3))
+    assert hc[2] == pytest.approx(1 + 1 + 0.5)
+    assert hc[1] == pytest.approx(1 + 0.5 + 1 / 3)
+    assert hc[3] == pytest.approx(2.5)
+    # depth 1: only direct neighbors count
+    hc1 = _hc(harmonic_centrality(e, _srcs(spark, [1, 2, 3, 4]),
+                                  max_depth=1))
+    assert hc1[2] == 2.0 and hc1[1] == 1.0
+
+
+def test_harmonic_directed_and_unreached_absent(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    hc = _hc(harmonic_centrality(e, _srcs(spark, [1, 2, 3]),
+                                 max_depth=2, directed=True))
+    # node 1 is never reached along edge direction -> absent
+    assert 1 not in hc
+    assert hc[2] == 1.0
+    assert hc[3] == pytest.approx(1 + 0.5)
+
+
+def test_harmonic_checkpoint_parity_and_bounds(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    a = _hc(harmonic_centrality(e, _srcs(spark, [1, 5]), max_depth=4,
+                                checkpoint_every=1))
+    b = _hc(harmonic_centrality(e, _srcs(spark, [1, 5]), max_depth=4,
+                                checkpoint_every=10))
+    assert a == b
+    with pytest.raises(ValueError):
+        harmonic_centrality(e, _srcs(spark, [1]), max_depth=0)
