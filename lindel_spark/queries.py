@@ -64,6 +64,7 @@ _SAMPLE_FIRST = [
     "knn_graph_search_recall",  # new: graph-walk ANN beam search
     "graph_harmonic",  # new: sampled-source harmonic centrality
     "events_friedman",  # new: k-sample paired rank test
+    "knn_graph_search_pq_recall",  # new: PQ-scored graph walk
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -5255,6 +5256,32 @@ def q_knn_graph_search_recall(spark: SparkSession, sf_dir: str
     walk = LS.graph_knn_search(g, emb, queries_df, k=10, hops=3,
                                beam=48, centroids=cents)
     return _recall_check(brute, walk, 0.9)
+
+
+@query("knn_graph_search_pq_recall", _N_QUERIES_ORACLE)
+def q_knn_graph_search_pq_recall(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Graph-walk ANN over the COMPRESSED layout (round 14,
+    :func:`lindel_spark.similarity.graph_knn_search_pq`): the
+    billion-scale composition — the beam walk of
+    ``knn_graph_search_recall`` scoring candidates by ADC over
+    stored IVF-PQ codes (~m bytes/vector; the DiskANN/HNSW-PQ memory
+    layout as a bulk join plan), raw vectors touched only in the
+    final exact refine of the k·refine survivors. Self-checking:
+    refined recall@10 vs brute force ≥ 0.7 (the PQ-family gate)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
+    cents = LS.train_centroids(emb, 16, spherical=False)
+    books = LS.train_pq(emb, m=8, ks=64, centroids=cents)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    g = LS.knn_graph(emb, k=16)
+    brute = LS.brute_force_knn(emb, queries_df, k=10)
+    walk = LS.graph_knn_search_pq(g, codes, queries_df, cents, books,
+                                  k=10, hops=3, beam=48,
+                                  refine_with=emb,
+                                  refine=max(8, n // 250))
+    return _recall_check(brute, walk, 0.7)
 
 
 @query("knn_filtered_recall", _N_QUERIES_ORACLE)

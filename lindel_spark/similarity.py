@@ -2650,3 +2650,121 @@ def graph_knn_search(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def graph_knn_search_pq(
+    graph: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    hops: int = 2,
+    beam: int = 32,
+    refine_with: DataFrame | None = None,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = True,
+    rotation: np.ndarray | None = None,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """Graph-walk ANN over the COMPRESSED stored layout — the
+    billion-scale face of :func:`graph_knn_search`: the walk scores
+    candidates by ADC over stored IVF-PQ ``codes``
+    (:func:`ivf_pq_encode` output, ~m bytes/vector) instead of
+    fetching raw vectors, so the only full-precision reads are the
+    optional final ``refine_with`` re-scoring of ``k·refine``
+    survivors per query. Index-build time uses raw vectors once
+    (:func:`knn_graph` + the quantizer); search time touches codes
+    only — the DiskANN/HNSW-PQ memory layout as a bulk join plan.
+
+    Per hop: beam⋈edges (node-keyed equi-join) → (query, node) dedup
+    → LEFT-ANTI vs visited → one id-keyed join to the code frame →
+    the shared per-Arrow-batch ADC scorer (:func:`_adc_join_tail` —
+    LUT built once per query per batch, residual ``q·C[cell]`` term
+    riding the code rows) → per-query top-``beam`` window. Because
+    ``k ≤ beam`` (validated), per-hop truncation to the beam cannot
+    evict a final top-k candidate: anything outside its hop's
+    top-beam is dominated by ``beam ≥ k`` same-hop candidates that
+    stay in the pool. Seeding is :func:`knn_join_pq` at ``nprobe=1``
+    (the cell-keyed compressed entry point). Deterministic: seeded
+    centroids, adc-desc/id-asc tie-breaks, exact-cos final ranks
+    when ``refine_with`` is given.
+    """
+    if k < 1 or hops < 1 or beam < 1:
+        raise ValueError("k, hops and beam must all be >= 1")
+    if k > beam:
+        raise ValueError("k must be <= beam (per-hop truncation "
+                         "keeps only the beam)")
+    from pyspark import StorageLevel
+
+    C = np.ascontiguousarray(centroids)
+    books = np.ascontiguousarray(codebooks)
+
+    qv = queries.select(F.col(id_col).cast("long").alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    cb = codes.select(F.col("vec_id").cast("long").alias("neighbor_id"),
+                      F.col("cell"), F.col("code").alias("__c")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    e = graph.select(F.col("src").cast("long").alias("__es"),
+                     F.col("dst").cast("long").alias("__ed")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    seeds = knn_join_pq(codes, queries, C, books, k=beam, nprobe=1,
+                        refine_with=None, id_col=id_col,
+                        vec_col=vec_col, residual=residual,
+                        rotation=rotation) \
+        .select("query_id", "neighbor_id", "cos")
+
+    visited = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    beam_f = (seeds.join(qv, "query_id")
+              .select("query_id", F.col("neighbor_id").alias("__node"),
+                      "__qv"))
+    for _hop in range(hops):
+        cand = (beam_f.join(e, beam_f["__node"] == e["__es"])
+                .select("query_id", F.col("__ed").alias("neighbor_id"),
+                        "__qv")
+                .filter(F.col("neighbor_id") != F.col("query_id"))
+                .dropDuplicates(["query_id", "neighbor_id"])
+                .join(visited.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_anti")
+                .join(cb, "neighbor_id")
+                .select("query_id", "__qv", "neighbor_id", "__c",
+                        *(["cell"] if residual else [])))
+        scored = _adc_join_tail(cand, queries, books, k=beam,
+                                kk_out=beam, refine_with=None,
+                                id_col=id_col, vec_col=vec_col,
+                                centroids=C if residual else None,
+                                rotation=rotation) \
+            .select("query_id", "neighbor_id", "cos") \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        visited = (visited.unionByName(scored)
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        beam_f = (scored.join(qv, "query_id")
+                  .select("query_id",
+                          F.col("neighbor_id").alias("__node"),
+                          "__qv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    if refine_with is None:
+        return (visited.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "neighbor_id", "cos",
+                        F.col("rank").cast("long").alias("rank")))
+    top = (visited.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k * refine).drop("rank"))
+    vecs = refine_with.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"))
+    exact = (top.drop("cos").join(vecs, "neighbor_id")
+             .join(qv, "query_id")
+             .select("query_id", "neighbor_id",
+                     _cos_exact_udf()(F.col("__qv"),
+                                      F.col("__cv")).alias("cos")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos",
+                    F.col("rank").cast("long").alias("rank")))

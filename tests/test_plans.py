@@ -208,6 +208,15 @@ def test_graph_knn_search_no_cartesian(spark):
                                     centroids=cents))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the compressed-layout face: same keyed shape, codes instead of
+    # raw vectors
+    books = LS.train_pq(emb, m=4, ks=16, centroids=cents)
+    codes = LS.ivf_pq_encode(emb, cents, books)
+    p2 = plan_of(LS.graph_knn_search_pq(g, codes, q, cents, books,
+                                        k=5, hops=2, beam=8,
+                                        refine_with=emb, refine=4))
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
 
 
 def test_contamination_no_cartesian(spark, docs):

@@ -105,3 +105,40 @@ def test_validates_bounds(spark):
         S.graph_knn_search(g, corpus, corpus, hops=0)
     with pytest.raises(ValueError):
         S.graph_knn_search(g, corpus, corpus, beam=0)
+
+
+# ---- PQ-scored graph walk ------------------------------------------
+
+
+def test_pq_walk_refined_matches_raw_walk_closely(spark):
+    corpus = _corpus(spark, n=150)
+    queries = corpus.filter(F.col("vec_id") % 15 == 0)
+    cents = S.train_centroids(corpus, 4, spherical=False)
+    books = S.train_pq(corpus, m=4, ks=16, centroids=cents)
+    codes = S.ivf_pq_encode(corpus, cents, books)
+    g = S.knn_graph(corpus, k=12)
+    want = _pairs(S.brute_force_knn(corpus, queries, k=5))
+    got = _pairs(S.graph_knn_search_pq(
+        g, codes, queries, cents, books, k=5, hops=3, beam=48,
+        refine_with=corpus, refine=8))
+    assert len(got & want) / len(want) >= 0.8
+
+
+def test_pq_walk_rank_contract_and_validation(spark):
+    corpus = _corpus(spark, n=80)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    cents = S.train_centroids(corpus, 4, spherical=False)
+    books = S.train_pq(corpus, m=4, ks=16, centroids=cents)
+    codes = S.ivf_pq_encode(corpus, cents, books)
+    g = S.knn_graph(corpus, k=8)
+    out = S.graph_knn_search_pq(g, codes, queries, cents, books,
+                                k=4, hops=2, beam=16).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    with pytest.raises(ValueError):
+        S.graph_knn_search_pq(g, codes, queries, cents, books,
+                              k=20, beam=10)
