@@ -988,8 +988,9 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         cents = train_centroids(emb, 16)
         g = knn_graph(emb, k=16, centroids=cents)
         qs = emb.filter(F.col("vec_id") % 50 == 0)
-        _noop(graph_knn_search(g, emb, qs, k=10, hops=3, beam=48,
-                               centroids=cents))
+        _noop(graph_knn_search(g, emb, qs, k=10, hops=3,
+                               beam=max(48, n_emb // 200),
+                               centroids=cents, seed_nprobe=2))
 
     scan_shaped += [
         ("betweenness_copurchase", q_betweenness, n_li),

@@ -5243,18 +5243,25 @@ def q_knn_graph_search_recall(spark: SparkSession, sf_dir: str
     high-recall/low-scan regime HNSW serves — seed each query from
     its nearest IVF cell (nprobe=1, the cheapest keyed entry point),
     then 3 beam-search hops over the persisted exact k=16
-    :func:`knn_graph` edges. Per-query cost is O(cell + beam·degree·
+    :func:`knn_graph` edges. Per-query cost is O(cells + beam·degree·
     hops) — bounded by the GRAPH degree, not a corpus scan fraction
     — which is why the index (paid once per corpus snapshot) exists.
-    Self-checking: recall@10 vs brute force gated ≥ 0.9, where the
-    nprobe=1 seed alone measures ~0.26 — the walk IS the recall."""
+    The INDEX is fixed (k=16 graph, 16 cells); the SEARCH effort
+    scales with the corpus exactly as HNSW's ef_search does —
+    ``beam = max(48, n/200)``, 2 seed cells — measured at sf1
+    (n=20k): beam 96 → 0.94, where the fixed sf0.1 knobs sat at
+    0.79. Self-checking: recall@10 vs brute force gated ≥ 0.9, where
+    the nprobe=1 seed alone measures ~0.26 — the walk IS the
+    recall."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    n = emb.count()
     cents = LS.train_centroids(emb, 16)
     g = LS.knn_graph(emb, k=16, centroids=cents)
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     walk = LS.graph_knn_search(g, emb, queries_df, k=10, hops=3,
-                               beam=48, centroids=cents)
+                               beam=max(48, n // 200),
+                               centroids=cents, seed_nprobe=2)
     return _recall_check(brute, walk, 0.9)
 
 
@@ -5278,9 +5285,11 @@ def q_knn_graph_search_pq_recall(spark: SparkSession, sf_dir: str
     g = LS.knn_graph(emb, k=16)
     brute = LS.brute_force_knn(emb, queries_df, k=10)
     walk = LS.graph_knn_search_pq(g, codes, queries_df, cents, books,
-                                  k=10, hops=3, beam=48,
+                                  k=10, hops=3,
+                                  beam=max(48, n // 200),
                                   refine_with=emb,
-                                  refine=max(8, n // 250))
+                                  refine=max(8, n // 250),
+                                  seed_nprobe=2)
     return _recall_check(brute, walk, 0.7)
 
 

@@ -2559,6 +2559,7 @@ def graph_knn_search(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     n_centroids: int | None = None,
+    seed_nprobe: int = 1,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
     """GRAPH-WALK ANN over a persisted :func:`knn_graph` edge list —
@@ -2616,8 +2617,8 @@ def graph_knn_search(
     # the cheapest keyed entry point; the walk recovers what the
     # single-cell truncation lost)
     seeds = knn_join(corpus, queries, k=beam, id_col=id_col,
-                     vec_col=vec_col, centroids=centroids, nprobe=1,
-                     seed=seed) \
+                     vec_col=vec_col, centroids=centroids,
+                     nprobe=seed_nprobe, seed=seed) \
         .select("query_id", "neighbor_id", "cos")
 
     visited = seeds.persist(StorageLevel.MEMORY_AND_DISK)
@@ -2667,6 +2668,7 @@ def graph_knn_search_pq(
     vec_col: str = "embedding",
     residual: bool = True,
     rotation: np.ndarray | None = None,
+    seed_nprobe: int = 1,
     seed: int = DEFAULT_SEED,
 ) -> DataFrame:
     """Graph-walk ANN over the COMPRESSED stored layout — the
@@ -2711,7 +2713,8 @@ def graph_knn_search_pq(
                      F.col("dst").cast("long").alias("__ed")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-    seeds = knn_join_pq(codes, queries, C, books, k=beam, nprobe=1,
+    seeds = knn_join_pq(codes, queries, C, books, k=beam,
+                        nprobe=seed_nprobe,
                         refine_with=None, id_col=id_col,
                         vec_col=vec_col, residual=residual,
                         rotation=rotation) \
