@@ -362,3 +362,145 @@ def best_split(
                 F.min_by("n_right", "threshold").alias("n_right"),
                 F.min_by("pos_left", "threshold").alias("pos_left"),
                 F.min_by("pos_right", "threshold").alias("pos_right")))
+
+
+def linear_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    ridge: float = 0.0,
+) -> DataFrame:
+    """Multiple linear regression (OLS, optionally ridge) by the
+    normal equations: ONE map-side-combined aggregate collects the
+    full Gram moment set (n, Σxᵢ, Σxᵢxⱼ, Σxᵢy, Σy, Σy²) in a single
+    scan — (d+1)(d+2)/2 + d + 2 bounded scalars, never row data —
+    and the (d+1)×(d+1) system solves on the driver (the
+    ``train_centroids`` bounded-driver-state contract; ``d ≤ 64``
+    validated, a LINEAR PROBE not a deep model). Returns ONE row:
+    ``(n, r2, intercept, coef_<x1>, …, coef_<xd>)``.
+
+    The training-pipeline face: fit a quality-score / length /
+    toxicity LINEAR probe over per-document features at corpus scale
+    — one scan + one 65×65 solve regardless of row count. ``ridge``
+    adds λ to the feature diagonal (never the intercept), the
+    standard shrinkage for collinear feature sets.
+
+    Replay: for d ≤ 2 the driver solves via CRAMER'S RULE with the
+    exact expression structure the SQL oracle writes (determinants of
+    moment sums — bit-matching double algebra, the user_trend
+    closed-form precedent); for d > 2 it uses ``np.linalg.solve``
+    (LU), which no SQL engine replays term-for-term — registry
+    queries pin the d ≤ 2 face, pytests pin the general face against
+    NumPy's own lstsq. NULL rows (any feature or y NULL) are
+    excluded; a singular system (constant feature, duplicated
+    feature, n ≤ d) returns NULL coefficients rather than raising —
+    the caller reads NULLs as "probe not identifiable".
+    """
+    import numpy as np
+
+    if isinstance(x_cols, str):
+        x_cols = [x_cols]
+    x_cols = list(x_cols)
+    d = len(x_cols)
+    if not 1 <= d <= 64:
+        raise ValueError("linear_fit: 1 <= len(x_cols) <= 64 (a "
+                         "linear probe, not a deep model)")
+    if ridge < 0.0:
+        raise ValueError("linear_fit: ridge must be >= 0")
+
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    keep = y.isNotNull()
+    for x in xs:
+        keep = keep & x.isNotNull()
+    base = df.filter(keep)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi).alias(f"sx{i}"))
+        aggs.append(F.sum(xi * y).alias(f"sx{i}y"))
+        for j in range(i, d):
+            aggs.append(F.sum(xi * xs[j]).alias(f"sx{i}x{j}"))
+    m = base.agg(*aggs).collect()[0]  # bounded driver state
+
+    n = m["n"]
+    spark = df.sparkSession
+    names = ["n", "r2", "intercept"] + [f"coef_{c}" for c in x_cols]
+    schema = "n long, r2 double, intercept double, " + ", ".join(
+        f"`coef_{c}` double" for c in x_cols)
+    if n == 0:
+        return spark.createDataFrame(
+            [tuple([0] + [None] * (d + 2))], schema)
+
+    # normal matrix with intercept as column 0
+    A = np.zeros((d + 1, d + 1), np.float64)
+    b = np.zeros(d + 1, np.float64)
+    A[0, 0] = float(n)
+    b[0] = m["sy"]
+    for i in range(d):
+        A[0, i + 1] = A[i + 1, 0] = m[f"sx{i}"]
+        b[i + 1] = m[f"sx{i}y"]
+        for j in range(i, d):
+            A[i + 1, j + 1] = A[j + 1, i + 1] = m[f"sx{i}x{j}"]
+        A[i + 1, i + 1] += ridge
+
+    def _det3(M):
+        # explicit cofactor expansion along row 0 — the EXACT
+        # expression structure the d=2 SQL oracle writes, so Python
+        # double algebra bit-matches the engine's
+        return (M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
+                - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
+                + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0]))
+
+    coefs = None
+    if d == 1:
+        det = A[0, 0] * A[1, 1] - A[0, 1] * A[1, 0]
+        if det != 0.0:
+            coefs = [(b[0] * A[1, 1] - A[0, 1] * b[1]) / det,
+                     (A[0, 0] * b[1] - b[0] * A[1, 0]) / det]
+    elif d == 2:
+        Al = A.tolist()
+        det = _det3(Al)
+        if det != 0.0:
+            cols_ = []
+            for c in range(3):
+                M = [row[:] for row in Al]
+                for r in range(3):
+                    M[r][c] = float(b[r])
+                cols_.append(_det3(M) / det)
+            coefs = cols_
+    else:
+        try:
+            coefs = list(np.linalg.solve(A, b))
+        except np.linalg.LinAlgError:
+            coefs = None
+    if coefs is not None and not all(np.isfinite(coefs)):
+        coefs = None
+    if coefs is None:
+        return spark.createDataFrame(
+            [tuple([n] + [None] * (d + 2))], schema)
+
+    # r² from moments: SSE = Σy² − 2bᵀ(X'y) + bᵀ(X'X)b, SST = Σy² − n·ȳ²
+    # — EXPLICIT fixed-order loops, not numpy matmul (BLAS reduction
+    # order is unspecified; the SQL oracle writes these exact
+    # ascending-index additions)
+    bv = [float(c) for c in coefs]
+    bty = 0.0
+    for i in range(d + 1):
+        bty += bv[i] * float(b[i])
+    btab = 0.0
+    for i in range(d + 1):
+        ti = 0.0
+        for j in range(d + 1):
+            ti += bv[j] * float(A[j, i])
+        btab += ti * bv[i]
+    sse = float(m["syy"]) - 2.0 * bty + btab
+    # the ridge term inflates bᵀAb by λ‖β‖²; remove it for true SSE
+    if ridge:
+        sse -= ridge * sum(c * c for c in bv[1:])
+    sst = float(m["syy"]) - float(m["sy"]) * float(m["sy"]) / float(n)
+    r2 = 1.0 - sse / sst if sst > 0 else None
+    return spark.createDataFrame(
+        [tuple([n, r2] + [float(c) for c in coefs])], schema)
