@@ -219,6 +219,27 @@ def test_graph_knn_search_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p2
 
 
+def test_centrality_keyed_joins_only(spark, li):
+    """Betweenness/harmonic (round 14) are frontier-keyed equi-joins
+    end to end — no cartesian, no unconditioned broadcast loop."""
+    from lindel_spark.graph import (betweenness_centrality,
+                                    harmonic_centrality)
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok").filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    srcs = (li.filter(F.col("l_partkey") % 500 == 0)
+            .select(F.col("l_partkey").cast("long").alias("node"))
+            .distinct())
+    for df in (betweenness_centrality(edges, srcs, max_depth=2),
+               harmonic_centrality(edges, srcs, max_depth=2)):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_contamination_no_cartesian(spark, docs):
     """Decontamination must stay a shingle-keyed equi-join."""
     bench = docs.filter(F.col("doc_id") % 17 == 0)
