@@ -369,6 +369,8 @@ def linear_fit(
     y_col: str,
     x_cols,
     ridge: float = 0.0,
+    keys=(),
+    max_keys: int = 4096,
 ) -> DataFrame:
     """Multiple linear regression (OLS, optionally ridge) by the
     normal equations: ONE map-side-combined aggregate collects the
@@ -395,6 +397,13 @@ def linear_fit(
     excluded; a singular system (constant feature, duplicated
     feature, n ≤ d) returns NULL coefficients rather than raising —
     the caller reads NULLs as "probe not identifiable".
+
+    ``keys`` fits one probe PER GROUP (segment/model-variant
+    probes): the Gram aggregate gains a groupBy and the driver
+    solves each group's bounded system — driver state is
+    |groups|·(d+1)², guarded by ``max_keys`` (raises beyond it; a
+    per-unbounded-key regression is a different, sketch-shaped
+    operator). Output gains the key columns, one row per group.
     """
     import numpy as np
 
@@ -423,16 +432,48 @@ def linear_fit(
         aggs.append(F.sum(xi * y).alias(f"sx{i}y"))
         for j in range(i, d):
             aggs.append(F.sum(xi * xs[j]).alias(f"sx{i}x{j}"))
-    m = base.agg(*aggs).collect()[0]  # bounded driver state
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if keys:
+        grouped = base.groupBy(*keys).agg(*aggs)
+        rows = grouped.limit(max_keys + 1).collect()
+        if len(rows) > max_keys:
+            raise ValueError(
+                f"LINDEL: linear_fit: more than max_keys={max_keys} "
+                "groups — per-unbounded-key regression is a "
+                "different operator; raise max_keys deliberately if "
+                "the group count is genuinely bounded")
+    else:
+        rows = base.agg(*aggs).collect()
+
+    spark = df.sparkSession
+    key_schema = ""
+    if keys:
+        kf = df.select(*keys).schema
+        key_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in kf
+        ) + ", "
+    schema = key_schema + \
+        "n long, r2 double, intercept double, " + ", ".join(
+            f"`coef_{c}` double" for c in x_cols)
+
+    out_rows = []
+    for m in sorted(rows, key=lambda r: tuple(
+            str(r[k]) for k in keys)):
+        kvals = [m[k] for k in keys]
+        out_rows.append(tuple(kvals + list(_solve_one(m, d, ridge))))
+    if not out_rows and not keys:
+        out_rows = [tuple([0] + [None] * (d + 2))]
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _solve_one(m, d: int, ridge: float):
+    """(n, r2, intercept, coef…) for one Gram-moment row — the
+    bounded per-group solve behind :func:`linear_fit`."""
+    import numpy as np
 
     n = m["n"]
-    spark = df.sparkSession
-    names = ["n", "r2", "intercept"] + [f"coef_{c}" for c in x_cols]
-    schema = "n long, r2 double, intercept double, " + ", ".join(
-        f"`coef_{c}` double" for c in x_cols)
     if n == 0:
-        return spark.createDataFrame(
-            [tuple([0] + [None] * (d + 2))], schema)
+        return [0] + [None] * (d + 2)
 
     # normal matrix with intercept as column 0
     A = np.zeros((d + 1, d + 1), np.float64)
@@ -479,8 +520,7 @@ def linear_fit(
     if coefs is not None and not all(np.isfinite(coefs)):
         coefs = None
     if coefs is None:
-        return spark.createDataFrame(
-            [tuple([n] + [None] * (d + 2))], schema)
+        return [n] + [None] * (d + 2)
 
     # r² from moments: SSE = Σy² − 2bᵀ(X'y) + bᵀ(X'X)b, SST = Σy² − n·ȳ²
     # — EXPLICIT fixed-order loops, not numpy matmul (BLAS reduction
@@ -502,5 +542,4 @@ def linear_fit(
         sse -= ridge * sum(c * c for c in bv[1:])
     sst = float(m["syy"]) - float(m["sy"]) * float(m["sy"]) / float(n)
     r2 = 1.0 - sse / sst if sst > 0 else None
-    return spark.createDataFrame(
-        [tuple([n, r2] + [float(c) for c in coefs])], schema)
+    return [n, r2] + [float(c) for c in coefs]

@@ -66,6 +66,7 @@ _SAMPLE_FIRST = [
     "events_friedman",  # new: k-sample paired rank test
     "knn_graph_search_pq_recall",  # new: PQ-scored graph walk
     "events_linear_probe",  # new: multiple-OLS linear probe
+    "events_linear_probe_by_type",  # new: per-group probes
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -10050,6 +10051,84 @@ def q_events_linear_probe(spark: SparkSession, sf_dir: str
     out = linear_fit(feats, "y", ["hour", "u7"])
     return out.select(
         "n", F.round("r2", 6).alias("r2_r6"),
+        F.round("intercept", 6).alias("intercept_r6"),
+        F.round("coef_hour", 6).alias("coef_hour_r6"),
+        F.round("coef_u7", 6).alias("coef_u7_r6"))
+
+
+@query(
+    "events_linear_probe_by_type",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT event_type AS g, value::DOUBLE AS y,
+             EXTRACT(hour FROM ts)::DOUBLE AS x0,
+             (user_id % 7)::DOUBLE AS x1
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND event_type IS NOT NULL
+    ), mm AS MATERIALIZED (
+      SELECT g, COUNT(*)::BIGINT AS n, SUM(y) AS sy, SUM(y*y) AS syy,
+             SUM(x0) AS sx0, SUM(x0*y) AS sx0y, SUM(x0*x0) AS sx0x0,
+             SUM(x0*x1) AS sx0x1, SUM(x1) AS sx1, SUM(x1*y) AS sx1y,
+             SUM(x1*x1) AS sx1x1
+      FROM base GROUP BY g
+    ), dets AS MATERIALIZED (
+      SELECT *,
+        n::DOUBLE*(sx0x0*sx1x1 - sx0x1*sx0x1)
+          - sx0*(sx0*sx1x1 - sx0x1*sx1)
+          + sx1*(sx0*sx0x1 - sx0x0*sx1) AS det,
+        sy*(sx0x0*sx1x1 - sx0x1*sx0x1)
+          - sx0*(sx0y*sx1x1 - sx0x1*sx1y)
+          + sx1*(sx0y*sx0x1 - sx0x0*sx1y) AS det0,
+        n::DOUBLE*(sx0y*sx1x1 - sx0x1*sx1y)
+          - sy*(sx0*sx1x1 - sx0x1*sx1)
+          + sx1*(sx0*sx1y - sx0y*sx1) AS det1,
+        n::DOUBLE*(sx0x0*sx1y - sx0y*sx0x1)
+          - sx0*(sx0*sx1y - sx0y*sx1)
+          + sy*(sx0*sx0x1 - sx0x0*sx1) AS det2
+      FROM mm
+    ), co AS MATERIALIZED (
+      SELECT *, det0/det AS b0, det1/det AS b1, det2/det AS b2
+      FROM dets
+    ), fit AS MATERIALIZED (
+      SELECT *,
+        b0*sy + b1*sx0y + b2*sx1y AS bty,
+        b0*n::DOUBLE + b1*sx0 + b2*sx1 AS t0,
+        b0*sx0 + b1*sx0x0 + b2*sx0x1 AS t1,
+        b0*sx1 + b1*sx0x1 + b2*sx1x1 AS t2
+      FROM co
+    )
+    SELECT g AS event_type, n,
+           round(1.0 - (syy - 2.0*bty + (t0*b0 + t1*b1 + t2*b2))
+                       / (syy - sy*sy/n::DOUBLE), 6) AS r2_r6,
+           round(b0, 6) AS intercept_r6,
+           round(b1, 6) AS coef_hour_r6,
+           round(b2, 6) AS coef_u7_r6
+    FROM fit
+    """,
+)
+def q_events_linear_probe_by_type(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """Per-group linear probes (round 14,
+    :func:`lindel_spark.features.linear_fit` with ``keys``): one
+    ``value ~ hour + user_id%7`` probe PER EVENT TYPE — the
+    segment-probe shape ("does the hour effect differ by event
+    type?"). The Gram aggregate gains a groupBy; the driver solves
+    each bounded 3×3 system through the same Cramer structure the
+    oracle replays per group; 6dp."""
+    from lindel_spark.features import linear_fit
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    feats = (ev.filter(F.col("ts").isNotNull()
+                       & F.col("event_type").isNotNull())
+             .select(F.col("event_type"),
+                     F.col("value").alias("y"),
+                     F.hour("ts").cast("double").alias("hour"),
+                     (F.col("user_id") % 7).cast("double").alias("u7")))
+    out = linear_fit(feats, "y", ["hour", "u7"], keys=["event_type"])
+    return out.select(
+        "event_type", "n", F.round("r2", 6).alias("r2_r6"),
         F.round("intercept", 6).alias("intercept_r6"),
         F.round("coef_hour", 6).alias("coef_hour_r6"),
         F.round("coef_u7", 6).alias("coef_u7_r6"))

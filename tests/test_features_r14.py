@@ -95,3 +95,30 @@ def test_validates_bounds(spark):
         linear_fit(df, "y", [f"x{i}" for i in range(65)])
     with pytest.raises(ValueError):
         linear_fit(df, "y", ["x"], ridge=-1.0)
+
+
+def test_grouped_fit_per_key_probes(spark):
+    # two groups with different planted planes
+    import numpy as np
+    rng = np.random.RandomState(9)
+    rows = []
+    for g, (b0, b1) in (("a", (1.0, 2.0)), ("b", (-3.0, 0.5))):
+        X = rng.randn(200)
+        for x in X:
+            rows.append((g, float(b0 + b1 * x), float(x)))
+    df = spark.createDataFrame(rows, "g string, y double, x double")
+    out = {r.g: r for r in linear_fit(df, "y", ["x"],
+                                      keys=["g"]).collect()}
+    assert out["a"].intercept == pytest.approx(1.0, abs=1e-9)
+    assert out["a"]["coef_x"] == pytest.approx(2.0, abs=1e-9)
+    assert out["b"].intercept == pytest.approx(-3.0, abs=1e-9)
+    assert out["b"]["coef_x"] == pytest.approx(0.5, abs=1e-9)
+    assert out["a"].n == 200 and out["b"].n == 200
+
+
+def test_grouped_fit_max_keys_guard(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(20)],
+        "g long, y double, x double")
+    with pytest.raises(ValueError, match="max_keys"):
+        linear_fit(df, "y", ["x"], keys=["g"], max_keys=5)
