@@ -992,10 +992,33 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
                                beam=max(48, n_emb // 200),
                                centroids=cents, seed_nprobe=2))
 
+    def q_linear_probe(_):
+        from lindel_spark.features import linear_fit
+        from lindel_spark.sources import load_events
+        ev = load_events(spark, SF_DIR)
+        feats = ev.filter(F.col("ts").isNotNull()).select(
+            F.col("value").alias("y"),
+            F.hour("ts").cast("double").alias("hour"),
+            (F.col("user_id") % 7).cast("double").alias("u7"))
+        _noop(linear_fit(feats, "y", ["hour", "u7"]))
+
+    def q_friedman(_):
+        from lindel_spark.profile import friedman_test
+        from lindel_spark.sources import load_events
+        ev = load_events(spark, SF_DIR)
+        m = (ev.filter(F.col("user_id").isNotNull()
+                       & F.col("event_type").isNotNull())
+             .groupBy(F.col("user_id").alias("b"),
+                      F.col("event_type").alias("t"))
+             .agg(F.count(F.lit(1)).cast("double").alias("v")))
+        _noop(friedman_test(m, "b", "t", "v"))
+
     scan_shaped += [
         ("betweenness_copurchase", q_betweenness, n_li),
         ("hw_horizon_hourly", q_hw_horizon, -1),
         ("graph_knn_search", q_graph_knn_search, n_emb),
+        ("linear_probe_events", q_linear_probe, -1),
+        ("friedman_events", q_friedman, -1),
     ]
 
     def q_zorder_store_cycle(tmp):
