@@ -1764,6 +1764,77 @@ def kruskal_wallis(
             .select("k", "n", h.alias("h")))
 
 
+def dunn_posthoc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (Dunn 1964, the standard
+    follow-up when :func:`kruskal_wallis` rejects): one row per
+    UNORDERED group pair ``(g1, g2, n1, n2, z, p, q)`` where
+
+        z = (R̄₁ − R̄₂) / √((N(N+1)/12 − Στ/(12(N−1)))·(1/n₁+1/n₂))
+
+    over GLOBAL midranks (Στ = Σ(t³−t), the tie correction), p is the
+    two-sided normal p-value through :func:`normal_sf`, and q is the
+    Benjamini–Hochberg adjustment across the k(k−1)/2 pairs via
+    :func:`bh_adjust` — KW says "some group differs", Dunn says
+    WHICH, and the FDR control is what makes reading all pairs at
+    once honest.
+
+    Plan: the exact :func:`kruskal_wallis` machinery (per-distinct-
+    value counts, distributed prefix-sum midranks, DECIMAL(38,0)
+    rank sums) down to per-group scalars, then a k×k broadcast
+    self-join of the TINY per-group frame (bounded by the group
+    count, never data-scale) and pure Column algebra — every term is
+    a ratio of exact integers, so pairs replay engine-exactly.
+    NULL values/groups excluded; pairs order ``g1 < g2``.
+    """
+    from lindel_spark.util import prefix_sums
+
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(group_col).alias("g"))
+             .filter(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    vg = pairs.groupBy("v", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("cg"))
+    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("cnt"))
+    c = prefix_sums(vc, "v", ["cnt"])
+    mid2 = (2 * F.col("cum_cnt") - F.col("cnt") + 1).alias("mid2")
+    dc = F.col("cnt").cast("decimal(19,0)")
+    tot = c.agg(F.sum("cnt").cast("long").alias("n"),
+                F.sum(dc * dc * dc - dc).alias("tie3"))
+    per_g = (vg.join(c.select("v", mid2), "v")
+             .groupBy("g")
+             .agg(F.sum("cg").cast("long").alias("ng"),
+                  F.sum(F.col("cg").cast("decimal(19,0)")
+                        * F.col("mid2").cast("decimal(19,0)"))
+                  .alias("rg2")))
+    a = per_g.select(F.col("g").alias("g1"),
+                     F.col("ng").alias("n1"),
+                     F.col("rg2").alias("__r1"))
+    b = per_g.select(F.col("g").alias("g2"),
+                     F.col("ng").alias("n2"),
+                     F.col("rg2").alias("__r2"))
+    pp = (a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+          .crossJoin(F.broadcast(tot)))
+    nn = F.col("n").cast("double")
+    mean1 = F.col("__r1").cast("double") / 2.0 \
+        / F.col("n1").cast("double")
+    mean2 = F.col("__r2").cast("double") / 2.0 \
+        / F.col("n2").cast("double")
+    var = ((nn * (nn + 1.0) / 12.0
+            - F.col("tie3").cast("double") / (12.0 * (nn - 1.0)))
+           * (1.0 / F.col("n1").cast("double")
+              + 1.0 / F.col("n2").cast("double")))
+    z = F.when(var > 0, (mean1 - mean2) / F.sqrt(var))
+    # least(1, ·): the A-S polynomial can land 2·sf(0) a few 1e-8
+    # ABOVE 1.0, and bh_adjust (correctly) raises on p > 1
+    scored = pp.select("g1", "g2", "n1", "n2", z.alias("z"),
+                       F.least(F.lit(1.0),
+                               2.0 * normal_sf(F.abs(z))).alias("p"))
+    return bh_adjust(scored, "p", out_col="q")
+
+
 def friedman_test(
     df: DataFrame,
     block_col: str,

@@ -67,6 +67,7 @@ _SAMPLE_FIRST = [
     "knn_graph_search_pq_recall",  # new: PQ-scored graph walk
     "events_linear_probe",  # new: multiple-OLS linear probe
     "events_linear_probe_by_type",  # new: per-group probes
+    "events_dunn_posthoc",  # new: KW pairwise follow-up + BH
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -9975,6 +9976,106 @@ def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = friedman_test(m, "b", "t", "v")
     return out.select("n_blocks", "k",
                       F.round("q", 6).alias("q_r6"))
+
+
+@query(
+    "events_dunn_posthoc",
+    """
+    WITH pairs AS (
+      SELECT value::DOUBLE AS v, event_type AS g FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), vg AS (
+      SELECT v, g, COUNT(*)::BIGINT AS cg FROM pairs GROUP BY v, g
+    ), vc AS (
+      SELECT v, SUM(cg)::BIGINT AS cnt FROM vg GROUP BY v
+    ), cum AS (
+      SELECT v, cnt,
+             SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumc
+      FROM vc
+    ), tot AS (
+      SELECT SUM(cnt)::BIGINT AS n,
+             SUM(cnt::HUGEINT*cnt::HUGEINT*cnt::HUGEINT
+                 - cnt::HUGEINT)::HUGEINT AS tie3
+      FROM cum
+    ), per_g AS (
+      SELECT vg.g, SUM(vg.cg)::BIGINT AS ng,
+             SUM(vg.cg::HUGEINT
+                 * (2*cum.cumc - cum.cnt + 1)::HUGEINT)::HUGEINT
+               AS rg2
+      FROM vg JOIN cum ON cum.v = vg.v
+      GROUP BY vg.g
+    ), pp AS (
+      SELECT a.g AS g1, b.g AS g2, a.ng AS n1, b.ng AS n2,
+             a.rg2 AS r1, b.rg2 AS r2, tot.n, tot.tie3
+      FROM per_g a JOIN per_g b ON a.g < b.g CROSS JOIN tot
+    ), zz AS (
+      SELECT g1, g2, n1, n2,
+        (r1::DOUBLE / 2.0 / n1::DOUBLE
+         - r2::DOUBLE / 2.0 / n2::DOUBLE)
+        / sqrt((n::DOUBLE * (n::DOUBLE + 1.0) / 12.0
+                - tie3::DOUBLE / (12.0 * (n::DOUBLE - 1.0)))
+               * (1.0/n1::DOUBLE + 1.0/n2::DOUBLE)) AS z
+      FROM pp
+    ), tx AS (
+      SELECT g1, g2, n1, n2, z,
+             1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t,
+             abs(z) / sqrt(2.0) AS x
+      FROM zz
+    ), pv AS (
+      SELECT g1, g2, n1, n2, z,
+             least(1.0, 2.0 * 0.5 * (1.0 - (1.0 - (t * (0.254829592
+               + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429)))))
+               * exp(-(x * x))))) AS p
+      FROM tx
+    ), ranked AS (
+      SELECT p, COUNT(*)::BIGINT AS c FROM pv
+      WHERE p IS NOT NULL GROUP BY p
+    ), r2 AS (
+      SELECT p,
+             SUM(c) OVER (ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS maxrank,
+             (SELECT SUM(c) FROM ranked) AS ntests
+      FROM ranked
+    ), qs AS (
+      SELECT p,
+             least(1.0, MIN(p * ntests::DOUBLE / maxrank::DOUBLE)
+               OVER (ORDER BY p DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS q
+      FROM r2
+    )
+    SELECT pv.g1, pv.g2, pv.n1, pv.n2,
+           round(pv.z, 6) AS z_r6, round(pv.p, 6) AS p_r6,
+           round(qs.q, 6) AS q_r6
+    FROM pv LEFT JOIN qs ON qs.p = pv.p
+    """,
+)
+def q_events_dunn_posthoc(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Dunn's post-hoc pairwise comparisons (round 14,
+    :func:`lindel_spark.profile.dunn_posthoc`): after
+    ``events_kruskal_wallis`` says "some event type differs in
+    value", this says WHICH — all 10 type pairs, tie-corrected
+    global-midrank z, A-S polynomial p, Benjamini–Hochberg q across
+    the pairs (reading 10 tests at once without FDR control would
+    fake discoveries). Every term is a ratio of exact integers
+    through the KW midrank machinery; the polynomial and BH replay
+    bit-for-bit (the events_mwu_pvalue / parts_bh_fdr precedents);
+    6dp."""
+    from lindel_spark.profile import dunn_posthoc
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    out = dunn_posthoc(ev, "value", "event_type")
+    return out.select(
+        "g1", "g2", "n1", "n2",
+        F.round("z", 6).alias("z_r6"),
+        F.round("p", 6).alias("p_r6"),
+        F.round("q", 6).alias("q_r6"))
 
 
 @query(

@@ -63,3 +63,76 @@ def test_friedman_nulls_excluded(spark):
             (None, "A", 7.0), (3, None, 7.0), (3, "A", None)]
     r = friedman_test(_df(spark, rows), "b", "t", "v").collect()[0]
     assert r.n_blocks == 2 and r.k == 3
+
+
+# ---- Dunn post-hoc -------------------------------------------------
+
+from lindel_spark.profile import dunn_posthoc
+
+
+def _dunn_numpy(vals_by_group):
+    import numpy as np
+    import math
+    allv = []
+    for g, vs in vals_by_group.items():
+        allv += [(v, g) for v in vs]
+    xs = np.array([v for v, _ in allv], float)
+    order = np.argsort(xs, kind="stable")
+    ranks = np.empty(len(xs), float)
+    sx = xs[order]
+    i = 0
+    tie3 = 0
+    while i < len(sx):
+        j = i
+        while j < len(sx) and sx[j] == sx[i]:
+            j += 1
+        t = j - i
+        tie3 += t ** 3 - t
+        ranks[order[i:j]] = (i + j + 1) / 2.0
+        i = j
+    n = len(xs)
+    by_g = {}
+    for idx, (_, g) in enumerate(allv):
+        by_g.setdefault(g, []).append(ranks[idx])
+    out = {}
+    gs = sorted(by_g)
+    for a in range(len(gs)):
+        for b in range(a + 1, len(gs)):
+            g1, g2 = gs[a], gs[b]
+            m1 = sum(by_g[g1]) / len(by_g[g1])
+            m2 = sum(by_g[g2]) / len(by_g[g2])
+            var = (n * (n + 1) / 12.0 - tie3 / (12.0 * (n - 1))) \
+                * (1.0 / len(by_g[g1]) + 1.0 / len(by_g[g2]))
+            out[(g1, g2)] = (m1 - m2) / math.sqrt(var)
+    return out
+
+
+def test_dunn_matches_numpy_replay(spark):
+    import numpy as np
+    rng = np.random.RandomState(3)
+    groups = {"a": list(rng.randn(40)),
+              "b": list(rng.randn(50) + 2.0),
+              "c": list(rng.randn(30) + 2.1)}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g1, r.g2): r for r in
+           dunn_posthoc(df, "v", "g").collect()}
+    want = _dunn_numpy(groups)
+    assert set(got) == set(want)
+    for k, z in want.items():
+        assert got[k].z == pytest.approx(z, abs=1e-9)
+    # separated pairs significant, near-identical pair not
+    assert got[("a", "b")].q < 0.01 and got[("a", "c")].q < 0.01
+    assert got[("b", "c")].q > 0.1
+    # BH never decreases p
+    for r in got.values():
+        assert r.q >= r.p - 1e-12
+
+
+def test_dunn_identical_groups_p_near_one(spark):
+    rows = [(g, float(v)) for g in ("x", "y")
+            for v in range(30)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = dunn_posthoc(df, "v", "g").collect()[0]
+    assert abs(r.z) < 1e-9
+    assert r.p == pytest.approx(1.0, abs=1e-6)
