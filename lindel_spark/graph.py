@@ -1168,3 +1168,57 @@ def harmonic_centrality(
                 lambda acc, x: acc + x["c"].cast("double")
                 / x["d"].cast("double"))
                 .alias("harmonic")))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): one row
+    ``(n_edges, r)`` — the Pearson correlation of the degrees at the
+    two ends of every edge, over the symmetrized edge list for
+    undirected graphs (each edge contributes both orientations, the
+    standard convention). ``r > 0``: hubs attach to hubs (social
+    shape); ``r < 0``: hubs attach to leaves (web/biology shape) —
+    the one-scalar structure audit that tells a curation pipeline
+    whether its similarity/co-occurrence graph is hub-dominated
+    before the expensive tiers run (:func:`degree_profile` gives
+    the distribution; this gives the MIXING).
+
+    All moments are sums of exact integer degree products in
+    DECIMAL(38,0) (degree ≤ |V|, product ≤ |V|², sums bounded by
+    |E|·|V|² — inside 38 digits for any graph Spark can hold), so
+    ``r`` is a ratio of exact integers and replays engine-exactly —
+    no double-summation order anywhere. Plan: one degree aggregate,
+    two node-keyed joins, one scalar. Degenerate graphs (all degrees
+    equal, e.g. a cycle) have zero variance → NULL r.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("__s"),
+                         F.col(src).alias("__d")))
+    e = e.filter(F.col("__s") != F.col("__d")).distinct()
+    deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    de = (e.join(deg.select(F.col("node").alias("__s"),
+                            F.col("deg").alias("__dx")), "__s")
+          .join(deg.select(F.col("node").alias("__d"),
+                           F.col("deg").alias("__dy")), "__d"))
+    x = F.col("__dx").cast("decimal(19,0)")
+    y = F.col("__dy").cast("decimal(19,0)")
+    agg = de.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"))
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = md * F.col("sxy").cast("double") - sx * sy
+    vx = md * F.col("sxx").cast("double") - sx * sx
+    vy = md * F.col("syy").cast("double") - sy * sy
+    r = F.when((vx > 0) & (vy > 0), num / F.sqrt(vx * vy))
+    return agg.select(F.col("m").alias("n_edges"), r.alias("r"))

@@ -68,6 +68,7 @@ _SAMPLE_FIRST = [
     "events_linear_probe",  # new: multiple-OLS linear probe
     "events_linear_probe_by_type",  # new: per-group probes
     "events_dunn_posthoc",  # new: KW pairwise follow-up + BH
+    "graph_assortativity",  # new: degree-mixing audit scalar
     # (b) round-14 operator-changed (bh_adjust NaN/column guards,
     # load_ann_model explicit existence, sssp per-round persist,
     # knn_model_roundtrip tempdir lifecycle)
@@ -9976,6 +9977,61 @@ def q_events_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = friedman_test(m, "b", "t", "v")
     return out.select("n_blocks", "k",
                       F.round("q", 6).alias("q_r6"))
+
+
+@query(
+    "graph_assortativity",
+    """
+    WITH pp AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS s, b.l_partkey::BIGINT AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT s, d FROM pp UNION SELECT d, s FROM pp
+    ), deg AS MATERIALIZED (
+      SELECT s AS node, COUNT(*)::BIGINT AS deg FROM e GROUP BY s
+    ), de AS MATERIALIZED (
+      SELECT dx.deg::HUGEINT AS x, dy.deg::HUGEINT AS y
+      FROM e
+      JOIN deg dx ON dx.node = e.s
+      JOIN deg dy ON dy.node = e.d
+    ), agg AS (
+      SELECT COUNT(*)::BIGINT AS m,
+             SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+             SUM(x*y)::HUGEINT AS sxy,
+             SUM(x*x)::HUGEINT AS sxx, SUM(y*y)::HUGEINT AS syy
+      FROM de
+    )
+    SELECT m AS n_edges,
+           round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / sqrt((m::DOUBLE * sxx::DOUBLE
+                         - sx::DOUBLE * sx::DOUBLE)
+                        * (m::DOUBLE * syy::DOUBLE
+                           - sy::DOUBLE * sy::DOUBLE)), 6) AS r_r6
+    FROM agg
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """Degree assortativity (round 14,
+    :func:`lindel_spark.graph.degree_assortativity`): does the
+    co-purchase graph mix hub-to-hub or hub-to-leaf? One scalar over
+    the symmetrized edge list; every moment is an exact integer
+    degree-product sum (DECIMAL ↔ HUGEINT), so r is a ratio of
+    exact integers and replays engine-exactly; 6dp."""
+    from lindel_spark.graph import degree_assortativity
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    out = degree_assortativity(edges)
+    return out.select("n_edges", F.round("r", 6).alias("r_r6"))
 
 
 @query(

@@ -161,3 +161,39 @@ def test_harmonic_checkpoint_parity_and_bounds(spark):
     assert a == b
     with pytest.raises(ValueError):
         harmonic_centrality(e, _srcs(spark, [1]), max_depth=0)
+
+
+# ---- degree assortativity ------------------------------------------
+
+from lindel_spark.graph import degree_assortativity
+
+
+def test_assortativity_star_is_maximally_negative(spark):
+    # star: every edge joins the hub (deg 4) to a leaf (deg 1) -> -1
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    r = degree_assortativity(e).collect()[0]
+    assert r.n_edges == 8  # symmetrized
+    assert r.r == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_assortativity_cycle_degenerate_null(spark):
+    # cycle: all degrees equal -> zero variance -> NULL
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+    r = degree_assortativity(e).collect()[0]
+    assert r.r is None
+
+
+def test_assortativity_matches_numpy(spark):
+    import numpy as np
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 5), (1, 6),
+             (6, 7), (7, 8), (2, 8), (3, 8)]
+    e = _edges(spark, pairs)
+    got = degree_assortativity(e).collect()[0]
+    sym = pairs + [(b, a) for a, b in pairs]
+    deg = {}
+    for a, b in sym:
+        deg[a] = deg.get(a, 0) + 1
+    xs = np.array([deg[a] for a, b in sym], float)
+    ys = np.array([deg[b] for a, b in sym], float)
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert got.r == pytest.approx(want, abs=1e-12)
