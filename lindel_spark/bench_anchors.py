@@ -134,6 +134,14 @@ ANCHORS: dict[str, float] = {
     "bootstrap_ci_events": 15.42,
     "knn_graph_mutual": 5.24,
     "ppr_transitions": 5.86,
+    # round-14 first measurements (sf0.1, local[32], drained host —
+    # the full-suite run taken immediately after the sf1 sweep
+    # finished, BEFORE any pytest job; BASELINE.md r14 addendum)
+    "betweenness_copurchase": 1.403,
+    "hw_horizon_hourly": 3.172,
+    "graph_knn_search": 2.155,
+    "linear_probe_events": 0.484,
+    "friedman_events": 0.726,
 }
 
 # Entries whose documented same-code noise band already approaches or
