@@ -945,3 +945,88 @@ def holt_winters_stream(
         fn, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def linear_probe_stream_sink(
+    stream_df: DataFrame,
+    y_col: str,
+    x_cols,
+    path: str,
+    ridge: float = 0.0,
+    checkpoint: str | None = None,
+):
+    """Continuously-retrained linear probe
+    (:func:`lindel_spark.features.linear_fit` as a stream): every
+    micro-batch reduces to its Gram moment row (the SAME one-scan
+    aggregate the batch trainer runs — bounded scalars, never rows),
+    the moments APPEND to ``path/state``, and the probe re-solves
+    over the cumulative sums, appending one coefficient row per
+    batch to ``path/coef`` tagged ``(batch_id, n, r2, intercept,
+    coef_<x>…)``. Because Gram moments are EXACTLY mergeable
+    (they're sums), the streaming fit over slices equals the batch
+    fit over the union — pytest-pinned at 1e-9 (float add order
+    across batch boundaries is the only divergence).
+
+    The serving-time story: a quality/toxicity/length probe that
+    tracks the live corpus without ever re-reading history — per
+    batch cost is one map-side aggregate over the batch plus a read
+    of the TINY state directory (one moment row per batch seen;
+    compact by rewriting ``state`` offline if batch count grows
+    unbounded). Crash/replay-safe the append-only way: a replayed
+    batch_id overwrites its own ``state/b=<id>`` partition rather
+    than double-counting.
+    """
+    from lindel_spark.features import _solve_one
+
+    if isinstance(x_cols, str):
+        x_cols = [x_cols]
+    x_cols = list(x_cols)
+    d = len(x_cols)
+    if not 1 <= d <= 64:
+        raise ValueError("linear_probe_stream_sink: 1 <= d <= 64")
+
+    moment_cols = (["n", "sy", "syy"]
+                   + [c for i in range(d)
+                      for c in (f"sx{i}", f"sx{i}y")]
+                   + [f"sx{i}x{j}" for i in range(d)
+                      for j in range(i, d)])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        y = F.col(y_col).cast("double")
+        xs = [F.col(c).cast("double") for c in x_cols]
+        keep = y.isNotNull()
+        for x in xs:
+            keep = keep & x.isNotNull()
+        aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
+        for i, xi in enumerate(xs):
+            aggs.append(F.sum(xi).alias(f"sx{i}"))
+            aggs.append(F.sum(xi * y).alias(f"sx{i}y"))
+            for j in range(i, d):
+                aggs.append(F.sum(xi * xs[j]).alias(f"sx{i}x{j}"))
+        part = (batch_df.filter(keep).agg(*aggs)
+                .withColumn("b", F.lit(int(batch_id))))
+        # replay-safe: a replayed batch overwrites its own partition
+        # (dynamic mode — STATIC overwrite would wipe every other
+        # batch's state)
+        (part.coalesce(1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("b").parquet(path + "/state"))
+        state = spark.read.parquet(path + "/state")
+        merged = state.agg(
+            F.sum("n").cast("long").alias("n"),
+            *[F.sum(c).alias(c) for c in moment_cols if c != "n"]
+        ).collect()[0]
+        out = _solve_one(merged, d, float(ridge))
+        schema = ("batch_id long, n long, r2 double, intercept "
+                  "double, " + ", ".join(f"`coef_{c}` double"
+                                         for c in x_cols))
+        spark.createDataFrame([tuple([int(batch_id)] + list(out))],
+                              schema) \
+            .write.mode("append").parquet(path + "/coef")
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

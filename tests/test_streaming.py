@@ -818,3 +818,48 @@ def test_holt_winters_stream_matches_replay(spark, tmp_path_factory):
     # the monitor actually tracks: residuals are small vs the signal
     resids = np.array([abs(v[1]) for v in want.values()])
     assert np.median(resids) < 1.0
+
+
+def test_linear_probe_stream_equals_batch_fit(spark, tmp_path_factory):
+    """Stream-drained cumulative probe == the batch linear_fit over
+    the union (Gram moments are exactly mergeable; 1e-9 — float add
+    order across batch boundaries is the only divergence)."""
+    import numpy as np
+
+    from lindel_spark import streaming as ST
+    from lindel_spark.features import linear_fit
+
+    rng = np.random.RandomState(12)
+    n = 90
+    x0 = rng.randn(n) * 2.0
+    x1 = rng.randn(n)
+    y = 1.5 + 2.0 * x0 - 0.7 * x1 + rng.randn(n) * 0.2
+    rows = [(int(i), float(y[i]), float(x0[i]), float(x1[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "t long, y double, "
+                                     "x0 double, x1 double")
+    d = str(tmp_path_factory.mktemp("lp_src"))
+    for lo, hi, p in ((0, 30, "p1"), (30, 60, "p2"), (60, 90, "p3")):
+        (df.filter((F.col("t") >= lo) & (F.col("t") < hi))
+         .coalesce(1).write.parquet(f"{d}/{p}"))
+    src = (spark.readStream.schema(df.schema)
+           .option("maxFilesPerTrigger", "1")
+           .option("recursiveFileLookup", "true").parquet(d))
+    out = str(tmp_path_factory.mktemp("lp_out"))
+    q = ST.linear_probe_stream_sink(src, "y", ["x0", "x1"], out) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    coef = spark.read.parquet(out + "/coef")
+    last = coef.orderBy(F.col("batch_id").desc()).collect()[0]
+    assert last.n == n
+    want = linear_fit(df, "y", ["x0", "x1"]).collect()[0]
+    assert last.intercept == pytest.approx(want.intercept, abs=1e-9)
+    assert last["coef_x0"] == pytest.approx(want["coef_x0"],
+                                            abs=1e-9)
+    assert last["coef_x1"] == pytest.approx(want["coef_x1"],
+                                            abs=1e-9)
+    assert last.r2 == pytest.approx(want.r2, abs=1e-9)
+    # one coefficient row per batch, n strictly growing
+    ns = [r.n for r in coef.orderBy("batch_id").collect()]
+    assert len(ns) == 3 and ns == sorted(ns) and ns[-1] == n
