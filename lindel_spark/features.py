@@ -364,6 +364,28 @@ def best_split(
                 F.min_by("pos_right", "threshold").alias("pos_right")))
 
 
+def _gram_aggs(y_col: str, x_cols):
+    """(keep-filter Column, aggregate list) for the linear-probe Gram
+    moment set — shared by :func:`linear_fit` and the streaming
+    :func:`lindel_spark.streaming.linear_probe_stream_sink` so the
+    aliases can never drift from :func:`_solve_one`'s lookups."""
+    d = len(x_cols)
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    keep = y.isNotNull()
+    for x in xs:
+        keep = keep & x.isNotNull()
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(y).alias("sy"),
+            F.sum(y * y).alias("syy")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi).alias(f"sx{i}"))
+        aggs.append(F.sum(xi * y).alias(f"sx{i}y"))
+        for j in range(i, d):
+            aggs.append(F.sum(xi * xs[j]).alias(f"sx{i}x{j}"))
+    return keep, aggs
+
+
 def linear_fit(
     df: DataFrame,
     y_col: str,
@@ -417,21 +439,8 @@ def linear_fit(
     if ridge < 0.0:
         raise ValueError("linear_fit: ridge must be >= 0")
 
-    y = F.col(y_col).cast("double")
-    xs = [F.col(c).cast("double") for c in x_cols]
-    keep = y.isNotNull()
-    for x in xs:
-        keep = keep & x.isNotNull()
+    keep, aggs = _gram_aggs(y_col, x_cols)
     base = df.filter(keep)
-
-    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(y).alias("sy"),
-            F.sum(y * y).alias("syy")]
-    for i, xi in enumerate(xs):
-        aggs.append(F.sum(xi).alias(f"sx{i}"))
-        aggs.append(F.sum(xi * y).alias(f"sx{i}y"))
-        for j in range(i, d):
-            aggs.append(F.sum(xi * xs[j]).alias(f"sx{i}x{j}"))
     keys = [keys] if isinstance(keys, str) else list(keys)
     if keys:
         grouped = base.groupBy(*keys).agg(*aggs)
@@ -456,13 +465,15 @@ def linear_fit(
         "n long, r2 double, intercept double, " + ", ".join(
             f"`coef_{c}` double" for c in x_cols)
 
+    # (an ungrouped .agg() always yields one row — n=0 on empty
+    # input, which _solve_one maps to (0, NULL, ...) — so out_rows
+    # is only empty in the grouped-with-zero-groups case, where an
+    # empty frame is the right answer)
     out_rows = []
     for m in sorted(rows, key=lambda r: tuple(
             str(r[k]) for k in keys)):
         kvals = [m[k] for k in keys]
         out_rows.append(tuple(kvals + list(_solve_one(m, d, ridge))))
-    if not out_rows and not keys:
-        out_rows = [tuple([0] + [None] * (d + 2))]
     return spark.createDataFrame(out_rows, schema)
 
 

@@ -1201,12 +1201,22 @@ def degree_assortativity(
             edges.select(F.col(dst).alias("__s"),
                          F.col(src).alias("__d")))
     e = e.filter(F.col("__s") != F.col("__d")).distinct()
-    deg = e.groupBy(F.col("__s").alias("node")).agg(
+    # undirected (symmetrized): degree from source positions covers
+    # every endpoint. Directed: the standard OUT-IN convention —
+    # out-degree at the source end, in-degree at the target end —
+    # computed separately so sink/source-only nodes keep their edges
+    # (a single source-position degree would inner-join sinks away).
+    deg_out = e.groupBy(F.col("__s").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg"))
-    de = (e.join(deg.select(F.col("node").alias("__s"),
-                            F.col("deg").alias("__dx")), "__s")
-          .join(deg.select(F.col("node").alias("__d"),
-                           F.col("deg").alias("__dy")), "__d"))
+    if directed:
+        deg_in = e.groupBy(F.col("__d").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg"))
+    else:
+        deg_in = deg_out
+    de = (e.join(deg_out.select(F.col("node").alias("__s"),
+                                F.col("deg").alias("__dx")), "__s")
+          .join(deg_in.select(F.col("node").alias("__d"),
+                              F.col("deg").alias("__dy")), "__d"))
     x = F.col("__dx").cast("decimal(19,0)")
     y = F.col("__dy").cast("decimal(19,0)")
     agg = de.agg(

@@ -992,19 +992,10 @@ def linear_probe_stream_sink(
                       for j in range(i, d)])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from lindel_spark.features import _gram_aggs
+
         spark = batch_df.sparkSession
-        y = F.col(y_col).cast("double")
-        xs = [F.col(c).cast("double") for c in x_cols]
-        keep = y.isNotNull()
-        for x in xs:
-            keep = keep & x.isNotNull()
-        aggs = [F.count(F.lit(1)).cast("long").alias("n"),
-                F.sum(y).alias("sy"), F.sum(y * y).alias("syy")]
-        for i, xi in enumerate(xs):
-            aggs.append(F.sum(xi).alias(f"sx{i}"))
-            aggs.append(F.sum(xi * y).alias(f"sx{i}y"))
-            for j in range(i, d):
-                aggs.append(F.sum(xi * xs[j]).alias(f"sx{i}x{j}"))
+        keep, aggs = _gram_aggs(y_col, x_cols)
         part = (batch_df.filter(keep).agg(*aggs)
                 .withColumn("b", F.lit(int(batch_id))))
         # replay-safe: a replayed batch overwrites its own partition
@@ -1022,9 +1013,15 @@ def linear_probe_stream_sink(
         schema = ("batch_id long, n long, r2 double, intercept "
                   "double, " + ", ".join(f"`coef_{c}` double"
                                          for c in x_cols))
-        spark.createDataFrame([tuple([int(batch_id)] + list(out))],
-                              schema) \
-            .write.mode("append").parquet(path + "/coef")
+        # coef rows are ALSO batch-partitioned with dynamic
+        # overwrite: a replayed batch rewrites its own coefficient
+        # row instead of appending a disagreeing duplicate (the
+        # replayed solve would see a larger cumulative state)
+        (spark.createDataFrame([tuple([int(batch_id)] + list(out))],
+                               schema)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(path + "/coef"))
 
     writer = stream_df.writeStream.foreachBatch(write_batch)
     if checkpoint:

@@ -197,3 +197,26 @@ def test_assortativity_matches_numpy(spark):
     ys = np.array([deg[b] for a, b in sym], float)
     want = np.corrcoef(xs, ys)[0, 1]
     assert got.r == pytest.approx(want, abs=1e-12)
+
+
+def test_assortativity_directed_out_in_keeps_sink_edges(spark):
+    # directed 1->2, 1->3: out-deg(1)=2, in-deg(2)=in-deg(3)=1; both
+    # edges kept even though 2 and 3 have no out-edges
+    e = _edges(spark, [(1, 2), (1, 3)])
+    r = degree_assortativity(e, directed=True).collect()[0]
+    assert r.n_edges == 2
+    assert r.r is None  # zero variance on both ends -> NULL
+    # a mixed case with real variance matches numpy's out-in corr
+    import numpy as np
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 1), (2, 4)]
+    g = degree_assortativity(_edges(spark, pairs),
+                             directed=True).collect()[0]
+    assert g.n_edges == 6
+    dout, din = {}, {}
+    for a, b in pairs:
+        dout[a] = dout.get(a, 0) + 1
+        din[b] = din.get(b, 0) + 1
+    xs = np.array([dout[a] for a, b in pairs], float)
+    ys = np.array([din[b] for a, b in pairs], float)
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert g.r == pytest.approx(want, abs=1e-12)
