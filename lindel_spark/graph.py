@@ -595,6 +595,7 @@ def sssp_distances(
     dist = sources.select(F.col(node).alias("node")).distinct() \
         .withColumn("dist", F.lit(0.0))
     frontier = dist
+    pending: list[DataFrame] = []
     for h in range(1, rounds + 1):
         cand = (frontier.select(F.col("node").alias("__s"), "dist")
                 .join(e, "__s")
@@ -608,12 +609,21 @@ def sssp_distances(
             "node", F.least("dist", "__cand").alias("dist"),
             improved.alias("__imp"))
         if h % checkpoint_every == 0 and h < rounds:
+            # localCheckpoint is EAGER: once it materializes, every
+            # round persisted behind it is lineage-dead — free those
+            # blocks now instead of carrying them for the session
+            # (ADVICE r14); the tail rounds after the last checkpoint
+            # stay persisted because they back the lazy return.
             nd = nd.localCheckpoint()
+            for p in pending:
+                p.unpersist(False)
+            pending = []
         else:
             # nd feeds BOTH dist and frontier — persist so the
             # relaxation join/agg subtree computes once per round
             # instead of doubling between checkpoints (ADVICE r13)
             nd = nd.persist(StorageLevel.MEMORY_AND_DISK)
+            pending.append(nd)
         frontier = nd.filter(F.col("__imp")).select("node", "dist")
         dist = nd.select("node", "dist")
     return dist

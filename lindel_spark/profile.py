@@ -1882,16 +1882,20 @@ def friedman_test(
                    F.col(value_col).cast("double").alias("v"))
          .filter(F.col("b").isNotNull() & F.col("t").isNotNull()
                  & F.col("v").isNotNull()))
-    dup = Window.partitionBy("b", "t")
-    b = b.withColumn("__dup", F.count(F.lit(1)).over(dup)) \
-        .withColumn("v", F.when(F.col("__dup") > 1, F.raise_error(
-            F.lit("LINDEL: friedman_test: duplicate (block, "
-                  "treatment) observation — one measurement per "
-                  "cell is the design"))).otherwise(F.col("v"))) \
-        .drop("__dup")
     kt = b.agg(F.count_distinct("t").cast("long").alias("k"))
-    complete = (b.groupBy("b")
-                .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    # Duplicate guard rides the completeness path itself (ADVICE
+    # r14): the per-(b, t) cell count is raise-wrapped and SUMmed
+    # into the per-block row count, so the guard evaluates on the
+    # PRE-filter frame — a duplicate in an incomplete block raises
+    # instead of being silently dropped by the completeness filter.
+    cell = (b.groupBy("b", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .withColumn("__c", F.when(F.col("__c") > 1, F.raise_error(
+                F.lit("LINDEL: friedman_test: duplicate (block, "
+                      "treatment) observation — one measurement per "
+                      "cell is the design"))).otherwise(F.col("__c"))))
+    complete = (cell.groupBy("b")
+                .agg(F.sum("__c").cast("long").alias("__nb"))
                 .crossJoin(F.broadcast(kt))
                 .filter(F.col("__nb") == F.col("k"))
                 .select("b"))

@@ -2721,18 +2721,29 @@ def graph_knn_search_pq(
         .select("query_id", "neighbor_id", "cos")
 
     visited = seeds.persist(StorageLevel.MEMORY_AND_DISK)
+    # seen = EVERY (query, node) pair ever sent to the ADC scorer —
+    # not just the top-beam survivors _adc_join_tail keeps. Anti-
+    # joining on the full set stops beam-cut candidates from being
+    # re-reached and re-scored on later hops (ADVICE r14); results
+    # are unchanged (k ≤ beam, so a pair cut once can never enter the
+    # final top-k — it was dominated by beam same-hop survivors).
+    seen = visited.select("query_id", "neighbor_id") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     beam_f = (seeds.join(qv, "query_id")
               .select("query_id", F.col("neighbor_id").alias("__node"),
                       "__qv"))
     for _hop in range(hops):
-        cand = (beam_f.join(e, beam_f["__node"] == e["__es"])
-                .select("query_id", F.col("__ed").alias("neighbor_id"),
-                        "__qv")
-                .filter(F.col("neighbor_id") != F.col("query_id"))
-                .dropDuplicates(["query_id", "neighbor_id"])
-                .join(visited.select("query_id", "neighbor_id"),
-                      ["query_id", "neighbor_id"], "left_anti")
-                .join(cb, "neighbor_id")
+        fresh = (beam_f.join(e, beam_f["__node"] == e["__es"])
+                 .select("query_id",
+                         F.col("__ed").alias("neighbor_id"), "__qv")
+                 .filter(F.col("neighbor_id") != F.col("query_id"))
+                 .dropDuplicates(["query_id", "neighbor_id"])
+                 .join(seen, ["query_id", "neighbor_id"], "left_anti")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        seen = (seen.unionByName(
+            fresh.select("query_id", "neighbor_id"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        cand = (fresh.join(cb, "neighbor_id")
                 .select("query_id", "__qv", "neighbor_id", "__c",
                         *(["cell"] if residual else [])))
         scored = _adc_join_tail(cand, queries, books, k=beam,

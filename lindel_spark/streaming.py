@@ -974,8 +974,16 @@ def linear_probe_stream_sink(
     compact by rewriting ``state`` offline if batch count grows
     unbounded). Crash/replay-safe the append-only way: a replayed
     batch_id overwrites its own ``state/b=<id>`` partition rather
-    than double-counting.
+    than double-counting — WITH a ``checkpoint``. Without one, a
+    RESTARTED stream reuses batch ids 0, 1, … and would silently
+    overwrite early state partitions while leaving later ones, mixing
+    two runs' Gram moments into a wrong cumulative fit; the sink
+    detects exactly that (batch 0 arriving against a state directory
+    that already holds later batches) and raises (ADVICE r14) — pass
+    ``checkpoint`` for restartable streams, or clear ``path`` between
+    runs.
     """
+    from lindel_spark import fs as _fs
     from lindel_spark.features import _solve_one
 
     if isinstance(x_cols, str):
@@ -995,6 +1003,16 @@ def linear_probe_stream_sink(
         from lindel_spark.features import _gram_aggs
 
         spark = batch_df.sparkSession
+        if int(batch_id) == 0 and _fs.exists(spark, path + "/state"):
+            stale = [n for n in _fs.list_names(spark, path + "/state")
+                     if n.startswith("b=") and n != "b=0"]
+            if stale:
+                raise ValueError(
+                    "linear_probe_stream_sink: batch 0 arrived but "
+                    f"{path}/state already holds later batches "
+                    f"({sorted(stale)[:3]}…) — a restart without a "
+                    "checkpoint would mix two runs' Gram moments. "
+                    "Pass checkpoint= or clear the path.")
         keep, aggs = _gram_aggs(y_col, x_cols)
         part = (batch_df.filter(keep).agg(*aggs)
                 .withColumn("b", F.lit(int(batch_id))))
