@@ -100,7 +100,7 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
     from lindel_spark import text as LT
     from lindel_spark import write as LW
     from lindel_spark.bench_anchors import (
-        ANCHORS, NOISE_BAND, OVER_BAR_X, RERUN_BAR_X)
+        ANCHORS, NOISE_BAND, OVER_BAR_X, RERUN_BAR_X, host_factor)
     from lindel_spark.session import get_spark
 
     def need(*names: str) -> bool:
@@ -1151,12 +1151,23 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
             rec["isolated"] = iso_sec
             rec["isolated_ratio"] = round(iso_sec / anchor, 3)
             rec["isolated_reps"] = iso.get("reps", {}).get(name)
-            rec["isolated_canary_pre"] = iso.get("canary", {}).get("pre")
+            cpre = iso.get("canary", {}).get("pre")
+            rec["isolated_canary_pre"] = cpre
+            # canary-normalize (round 15): the rerun subprocess's own
+            # canary measures THIS host vs the anchor-protocol canary
+            # anchor; dividing out measured host slowness (clamped >=1
+            # — a fast host never inflates) keeps a 2x-slower rerun
+            # host from stamping unchanged code "regression" (the r14
+            # linear_probe_events false flag). Raw ratio stays above.
+            hf = host_factor(cpre)
+            rec["host_factor"] = round(hf, 3)
+            norm = iso_sec / anchor / hf
+            rec["canary_norm_ratio"] = round(norm, 3)
             if name in NOISE_BAND:
                 rec["verdict"] = "noise_band"
-            elif iso_sec <= RERUN_BAR_X * anchor:
+            elif norm <= RERUN_BAR_X:
                 rec["verdict"] = "drift"
-            elif iso_sec <= OVER_BAR_X * anchor:
+            elif norm <= OVER_BAR_X:
                 rec["verdict"] = "elevated_in_band"
             else:
                 rec["verdict"] = "regression"
@@ -1210,7 +1221,9 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         "canary": canary,
         "over_bar_reruns": {
             n: {"anchor": r.get("anchor"), "suite": r.get("in_suite"),
-                "iso": r.get("isolated"), "verdict": r.get("verdict")}
+                "iso": r.get("isolated"),
+                "norm": r.get("canary_norm_ratio"),
+                "verdict": r.get("verdict")}
             for n, r in over_bar_reruns.items()
         },
     }

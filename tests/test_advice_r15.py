@@ -69,3 +69,17 @@ def test_linear_probe_sink_restart_without_checkpoint_raises(
         q.awaitTermination(120)
     # the guard fired before writing: state is untouched
     assert spark.read.parquet(out + "/state").count() == 2
+
+
+def test_host_factor_clamps_and_normalizes():
+    from lindel_spark.bench_anchors import (
+        CANARY_PRE_ANCHOR, host_factor)
+    assert host_factor(None) == 1.0
+    assert host_factor(0.0) == 1.0
+    # fast host: clamped to 1 (never inflates a verdict)
+    assert host_factor(CANARY_PRE_ANCHOR / 2) == 1.0
+    # slow host: linear in measured canary slowness
+    assert host_factor(CANARY_PRE_ANCHOR * 2) == pytest.approx(2.0)
+    # the r14 false flag replayed through the fixed ladder: raw
+    # 2.217x with canary-pre 0.2635 normalizes inside the 2x contract
+    assert 2.217 / host_factor(0.2635) < 2.0
