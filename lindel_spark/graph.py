@@ -1137,6 +1137,36 @@ def harmonic_centrality(
     order (≤ ``max_depth`` terms, the same fixed fold the SQL oracle
     makes), so the only doubles are the final ≤ D additions.
     """
+    counts = _source_bfs_counts(edges, sources, max_depth, src, dst,
+                                node, directed, checkpoint_every)
+    return (counts.groupBy("node")
+            .agg(F.aggregate(
+                F.sort_array(F.collect_list(
+                    F.struct(F.col("dist").alias("d"),
+                             F.col("__cnt").alias("c")))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"].cast("double")
+                / x["d"].cast("double"))
+                .alias("harmonic")))
+
+
+def _source_bfs_counts(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    src: str,
+    dst: str,
+    node: str,
+    directed: bool,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Shared sampled-source forward BFS: ``(node, dist, __cnt)`` =
+    how many sources first reach ``node`` at exactly ``dist`` hops
+    (1 ≤ dist ≤ max_depth) — the per-(source, node) frontier plumbing
+    of :func:`betweenness_centrality` without the path counting,
+    collapsed to exact integer counts. Backs both
+    :func:`harmonic_centrality` (Σ cnt/d) and
+    :func:`closeness_centrality` (Σ cnt·d)."""
     if max_depth < 1:
         raise ValueError("max_depth must be >= 1")
     from pyspark import StorageLevel
@@ -1166,18 +1196,54 @@ def harmonic_centrality(
         if h % checkpoint_every == 0 and h < max_depth:
             bs = bs.localCheckpoint()
         frontier = new
-    counts = (bs.filter(F.col("dist") > 0)
-              .groupBy("node", "dist")
-              .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    return (bs.filter(F.col("dist") > 0)
+            .groupBy("node", "dist")
+            .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    directed: bool = False,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Sampled-source CLOSENESS centrality (Bavelas 1950, in the
+    disconnected-safe sampled form): returns ``(node, n_sources,
+    total_dist, closeness)`` per reached node, where ``n_sources`` =
+    how many sampled sources reach it within ``max_depth`` hops,
+    ``total_dist`` = Σ d(s, node) over exactly those sources (both
+    EXACT integers), and ``closeness = n_sources / total_dist`` —
+    the reciprocal of the average distance from the sources that can
+    see it. Completes the centrality ladder next to
+    :func:`harmonic_centrality` (which sums 1/d instead — kinder to
+    far-away nodes) and :func:`betweenness_centrality`: harmonic
+    rewards reaching MANY nodes a little, closeness rewards being
+    uniformly NEAR the ones that reach you, and restricting the
+    average to reaching sources keeps it well-defined on
+    disconnected graphs (the classic 1/Σd collapses to 0 there).
+
+    Same estimator contract as the siblings: deterministic sampled
+    sources, raw (unscaled) statistic, fixed ``max_depth`` for
+    SQL-replayability. Plan: the shared :func:`_source_bfs_counts`
+    forward BFS (per hop one frontier⋈edges equi-join + (s, node)
+    dedup + LEFT-ANTI vs settled), then per-node exact-integer sums
+    — the one double is the final division.
+    """
+    counts = _source_bfs_counts(edges, sources, max_depth, src, dst,
+                                node, directed, checkpoint_every)
     return (counts.groupBy("node")
-            .agg(F.aggregate(
-                F.sort_array(F.collect_list(
-                    F.struct(F.col("dist").alias("d"),
-                             F.col("__cnt").alias("c")))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"].cast("double")
-                / x["d"].cast("double"))
-                .alias("harmonic")))
+            .agg(F.sum("__cnt").cast("long").alias("n_sources"),
+                 F.sum(F.col("__cnt")
+                       * F.col("dist").cast("long"))
+                 .cast("long").alias("total_dist"))
+            .select("node", "n_sources", "total_dist",
+                    (F.col("n_sources").cast("double")
+                     / F.col("total_dist").cast("double"))
+                    .alias("closeness")))
 
 
 def degree_assortativity(

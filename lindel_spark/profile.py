@@ -1932,6 +1932,223 @@ def friedman_test(
                       q.alias("q"))
 
 
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950): one row ``(n_blocks, k, q)``
+    — the k-sample BINARY repeated-measures test completing the
+    paired ladder: :func:`mcnemar_test` is its k = 2 case,
+    :func:`friedman_test` its ordinal generalization. "Do k model
+    variants differ in pass rate when every block (prompt / example)
+    sees all k?" — the eval question for binary graders. Compare
+    ``q`` against χ²(k−1).
+
+    With row totals ``R_i`` (successes per block), column totals
+    ``C_j`` (successes per treatment) and ``N = ΣR_i``::
+
+        q = (k−1) · (k·ΣC_j² − N²) / (k·N − ΣR_i²)
+
+    Only COMPLETE blocks (all k treatments present) enter; a
+    duplicate (block, treatment) cell raises in-plan (the
+    :func:`friedman_test` guard, riding the completeness aggregation
+    so duplicates in incomplete blocks raise too). Degenerate input
+    (every block all-0 or all-1 → denominator 0) returns NULL q.
+
+    Plan: every moment is a SUM of exact integers (successes are
+    0/1), accumulated in DECIMAL(38,0) — map-side-combined
+    aggregates only, no window, no double until the final division;
+    replay is hash-exact by construction.
+    """
+    b = (df.select(F.col(block_col).alias("b"),
+                   F.col(treatment_col).alias("t"),
+                   (F.col(success_col).cast("double") != 0.0)
+                   .cast("long").alias("x"))
+         .filter(F.col("b").isNotNull() & F.col("t").isNotNull()
+                 & F.col(success_col).isNotNull()))
+    kt = b.agg(F.count_distinct("t").cast("long").alias("k"))
+    cell = (b.groupBy("b", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"),
+                 F.sum("x").cast("long").alias("x"))
+            .withColumn("__c", F.when(F.col("__c") > 1, F.raise_error(
+                F.lit("LINDEL: cochran_q: duplicate (block, "
+                      "treatment) observation — one measurement per "
+                      "cell is the design"))).otherwise(F.col("__c"))))
+    complete = (cell.groupBy("b")
+                .agg(F.sum("__c").cast("long").alias("__nb"))
+                .crossJoin(F.broadcast(kt))
+                .filter(F.col("__nb") == F.col("k"))
+                .select("b"))
+    rows = cell.join(complete, "b", "left_semi")
+    dec = "decimal(38,0)"
+    per_b = (rows.groupBy("b")
+             .agg(F.sum("x").cast(dec).alias("__r")))
+    per_t = (rows.groupBy("t")
+             .agg(F.sum("x").cast(dec).alias("__cj")))
+    mb = per_b.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                   F.sum("__r").cast(dec).alias("__nn"),
+                   F.sum(F.col("__r") * F.col("__r")).cast(dec)
+                   .alias("__r2"))
+    mt = per_t.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                   F.sum(F.col("__cj") * F.col("__cj")).cast(dec)
+                   .alias("__c2"))
+    j = mb.crossJoin(F.broadcast(mt))
+    kk = F.col("k").cast("double")
+    nn = F.col("__nn").cast("double")
+    num = kk * F.col("__c2").cast("double") - nn * nn
+    den = kk * nn - F.col("__r2").cast("double")
+    q = F.when(den > 0, (kk - 1.0) * num / den)
+    return j.select("n_blocks", "k", q.alias("q"))
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Page's trend test for ordered alternatives (Page 1963): one
+    row ``(n_blocks, k, l, z)`` — the MONOTONE-alternative sibling
+    of :func:`friedman_test`: where Friedman asks "do any of k
+    treatments differ?", Page asks "do they INCREASE in the
+    hypothesized order?" — the eval shape for "does quality climb
+    with model scale / checkpoint / dataset size?". Treatments are
+    taken in ASCENDING natural sort order as the hypothesized order
+    (encode the hypothesis in the labels: '1_small' < '2_mid' <
+    '3_large'). Large positive ``z`` supports the increasing trend.
+
+    ``L = Σ_j j·R_j`` over treatment ranks j = 1..k and within-block
+    MIDRANK sums R_j (ties share the average rank — duplicates and
+    completeness under the exact :func:`friedman_test` contract:
+    complete blocks only, duplicate cells raise in-plan, on the
+    pre-filter frame). ``z`` standardizes with the classic no-ties
+    moments (the standard practice; ties make it mildly
+    conservative)::
+
+        E[L]   = n·k·(k+1)² / 4
+        Var[L] = n·k²·(k+1)²·(k−1) / 144
+
+    Plan: one window midrank per block (partition size = k), DOUBLED
+    midranks (exact integers) in DECIMAL(38,0), the treatment index
+    from a broadcast k-row rank frame, one map-side-combined Σ —
+    doubles appear only in the final L/2 and z; replay-exact when
+    values rank identically on both engines (rank integer-valued
+    measurements for hash-exact oracles).
+    """
+    from pyspark.sql import Window
+
+    b = (df.select(F.col(block_col).alias("b"),
+                   F.col(treatment_col).alias("t"),
+                   F.col(value_col).cast("double").alias("v"))
+         .filter(F.col("b").isNotNull() & F.col("t").isNotNull()
+                 & F.col("v").isNotNull()))
+    kt = b.agg(F.count_distinct("t").cast("long").alias("k"))
+    cell = (b.groupBy("b", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .withColumn("__c", F.when(F.col("__c") > 1, F.raise_error(
+                F.lit("LINDEL: page_trend_test: duplicate (block, "
+                      "treatment) observation — one measurement per "
+                      "cell is the design"))).otherwise(F.col("__c"))))
+    complete = (cell.groupBy("b")
+                .agg(F.sum("__c").cast("long").alias("__nb"))
+                .crossJoin(F.broadcast(kt))
+                .filter(F.col("__nb") == F.col("k"))
+                .select("b"))
+    rows = b.join(complete, "b", "left_semi")
+    # hypothesized order: j = 1..k by ascending treatment label — a
+    # k-row broadcast frame, never a data-wide window
+    torder = (b.select("t").distinct()
+              .withColumn("__j", F.row_number().over(
+                  Window.orderBy("t")).cast("long")))
+    wr = Window.partitionBy("b").orderBy("v")
+    wt = Window.partitionBy("b", "v")
+    mid2 = (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1) \
+        .cast("decimal(19,0)")
+    ranked = rows.select("b", "t", mid2.alias("__m2")) \
+        .join(F.broadcast(torder), "t")
+    agg = ranked.agg(
+        F.count_distinct("b").cast("long").alias("n_blocks"),
+        F.max("__j").cast("long").alias("k"),
+        F.sum(F.col("__m2").cast("decimal(38,0)")
+              * F.col("__j")).alias("__l2"))
+    nn = F.col("n_blocks").cast("double")
+    kk = F.col("k").cast("double")
+    l = F.col("__l2").cast("double") / 2.0
+    mean_l = nn * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    var_l = (nn * kk * kk * (kk + 1.0) * (kk + 1.0) * (kk - 1.0)
+             / 144.0)
+    z = F.when(var_l > 0, (l - mean_l) / F.sqrt(var_l))
+    return agg.select("n_blocks", "k", l.alias("l"), z.alias("z"))
+
+
+def esd_outliers(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Generalized-ESD outlier ranking (Rosner 1983, the statistic
+    ladder without the critical-value table): ``rounds`` rows
+    ``(round, id, value, r_stat)`` — round i's row is the most
+    extreme remaining observation, ``r_stat = |x − mean| / sd``
+    computed over the sample WITH rounds 1..i−1 already removed.
+    The masking-proof version of a single z-score cut: one huge
+    outlier inflates sd and hides a second; re-estimating after each
+    removal (the whole point of ESD over Grubbs) unmasks it. Feed a
+    quality/latency column, read the top-``rounds`` anomalies with
+    their detachment scores; compare r_stat against the Rosner λ_i
+    for a formal test.
+
+    Deterministic: ties on r_stat break to the SMALLEST id. Fully
+    LAZY and SQL-replayable — each round is one map-side-combined
+    moment aggregate (n, Σx, Σx²) over the rows LEFT-ANTI the
+    removed set (a ≤ rounds-row frame), plus one aggregate-only
+    argmax ``max(struct(r_stat, −id))`` — no window, no driver
+    action; ``rounds`` is small and fixed (the pagerank contract),
+    so the unrolled-CTE oracle replays it value-exactly.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    base = (df.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(col).cast("double").alias("value"))
+            .filter(F.col("id").isNotNull()
+                    & F.col("value").isNotNull()))
+    removed = None  # grows one row per round
+    out = None
+    for i in range(1, rounds + 1):
+        cur = base if removed is None else \
+            base.join(removed.select("id"), "id", "left_anti")
+        mom = cur.agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("value").alias("__s"),
+            F.sum(F.col("value") * F.col("value")).alias("__s2"))
+        nn = F.col("__n").cast("double")
+        mu = F.col("__s") / nn
+        var = (F.col("__s2") - F.col("__s") * F.col("__s") / nn) \
+            / (nn - 1.0)
+        scored = (cur.crossJoin(F.broadcast(mom))
+                  .filter(F.col("__n") >= 3)
+                  .select("id", "value",
+                          F.when(var > 0,
+                                 F.abs(F.col("value") - mu)
+                                 / F.sqrt(var)).otherwise(F.lit(0.0))
+                          .alias("r_stat")))
+        pick = (scored.agg(F.max(F.struct(
+            F.col("r_stat"), (-F.col("id")).alias("__nid"),
+            F.col("value"))).alias("__b"))
+            .select(F.lit(i).cast("long").alias("round"),
+                    (-F.col("__b.__nid")).cast("long").alias("id"),
+                    F.col("__b.value").alias("value"),
+                    F.col("__b.r_stat").alias("r_stat"))
+            .filter(F.col("id").isNotNull()))
+        removed = pick.select("id") if removed is None else \
+            removed.unionByName(pick.select("id"))
+        out = pick if out is None else out.unionByName(pick)
+    return out
+
+
 def huber_mean(
     df: DataFrame,
     col: str,

@@ -54,10 +54,21 @@ def query(name: str, oracle: str | None):
 # first so every family eventually gets a driver-recorded green row;
 # every entry is locally hash-verified either way (tools/oracle_check.py).
 _SAMPLE_FIRST = [
-    # round-14 rotation (the driver samples the first ~50): (a) new
-    # this round; (b) operator-CHANGED this round; then the r13
-    # blocks age downward. Everything else stays covered by the
-    # local full-registry sweeps at three scales.
+    # round-15 rotation: (a) new this round; (b) operator-changed
+    # this round; then the r14/r13 blocks age downward. Everything
+    # else stays covered by the local full-registry sweeps.
+    # (a) round-15 new
+    "events_cochran_q",  # new: binary repeated-measures Q
+    "events_page_trend",  # new: ordered-alternative trend L/z
+    "events_esd_outliers",  # new: generalized-ESD outlier ladder
+    "graph_closeness",  # new: sampled-source closeness
+    # (b) round-15 operator-changed (friedman dup guard on the
+    # pre-filter frame; graph-walk PQ full seen-set; sssp
+    # checkpoint-unpersist)
+    "events_friedman",
+    "knn_graph_search_pq_recall",
+    "graph_sssp_copurchase",
+    # --- r14 rotation below ---
     # (a) round-14 new
     "graph_betweenness",  # new: sampled-source Brandes centrality
     "events_holt_winters_h",  # new: h-step HW horizon
@@ -15035,3 +15046,271 @@ def q_events_cliffs_delta(spark: SparkSession,
     out = cliffs_delta(_mwu_pairs(spark, sf_dir), "v", "y")
     return out.select("n1", "n0",
                       F.round("delta", 6).alias("delta_r6"))
+
+
+# ---------------------------------------------------------------------------
+# round 15: ordered/binary repeated measures, ESD outliers, closeness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_cochran_q",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT user_id AS b, event_type AS t,
+             (COUNT(*) > 13)::BIGINT AS x
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS MATERIALIZED (
+      SELECT COUNT(DISTINCT t)::BIGINT AS k FROM m
+    ), cb AS MATERIALIZED (
+      SELECT b FROM m GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ), rows_ AS MATERIALIZED (
+      SELECT m.* FROM m JOIN cb ON cb.b = m.b
+    ), pb AS MATERIALIZED (
+      SELECT b, SUM(x)::HUGEINT AS r FROM rows_ GROUP BY b
+    ), pt AS MATERIALIZED (
+      SELECT t, SUM(x)::HUGEINT AS cj FROM rows_ GROUP BY t
+    ), mb AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS n_blocks,
+             SUM(r)::HUGEINT AS nn, SUM(r * r)::HUGEINT AS r2
+      FROM pb
+    ), mt AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS k, SUM(cj * cj)::HUGEINT AS c2
+      FROM pt
+    )
+    SELECT mb.n_blocks, mt.k,
+           round(CASE WHEN mt.k::DOUBLE * mb.nn::DOUBLE
+                           - mb.r2::DOUBLE > 0
+                 THEN (mt.k::DOUBLE - 1.0)
+                      * (mt.k::DOUBLE * mt.c2::DOUBLE
+                         - mb.nn::DOUBLE * mb.nn::DOUBLE)
+                      / (mt.k::DOUBLE * mb.nn::DOUBLE
+                         - mb.r2::DOUBLE)
+                 END, 6) AS q_r6
+    FROM mb CROSS JOIN mt
+    """,
+)
+def q_events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (round 15,
+    :func:`lindel_spark.profile.cochran_q`): "does HEAVY USAGE
+    (> 13 events in the cell) differ across the 5 event types when
+    every user sees all 5?" — block = user, treatment = event type,
+    success = the exact integer count comparison, so every moment
+    (row/column success totals and their squares) is an exact
+    DECIMAL↔HUGEINT integer on both engines; the one double is the
+    final division; 6dp."""
+    from lindel_spark.profile import cochran_q
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+         .groupBy(F.col("user_id").alias("b"),
+                  F.col("event_type").alias("t"))
+         .agg((F.count(F.lit(1)) > 13).cast("long").alias("x")))
+    out = cochran_q(m, "b", "t", "x")
+    return out.select("n_blocks", "k",
+                      F.round("q", 6).alias("q_r6"))
+
+
+@query(
+    "events_page_trend",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT user_id AS b, event_type AS t, COUNT(*)::DOUBLE AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS MATERIALIZED (
+      SELECT COUNT(DISTINCT t)::BIGINT AS k FROM m
+    ), cb AS MATERIALIZED (
+      SELECT b FROM m GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ), torder AS MATERIALIZED (
+      SELECT t, row_number() OVER (ORDER BY t)::BIGINT AS j
+      FROM (SELECT DISTINCT t FROM m)
+    ), r AS MATERIALIZED (
+      SELECT m.b, m.t,
+             2 * rank() OVER (PARTITION BY m.b ORDER BY m.v)
+               + COUNT(*) OVER (PARTITION BY m.b, m.v) - 1 AS m2
+      FROM m JOIN cb ON cb.b = m.b
+    ), agg AS MATERIALIZED (
+      SELECT COUNT(DISTINCT r.b)::BIGINT AS n_blocks,
+             MAX(torder.j)::BIGINT AS k,
+             SUM(r.m2::HUGEINT * torder.j::HUGEINT)::HUGEINT AS l2
+      FROM r JOIN torder ON torder.t = r.t
+    )
+    SELECT n_blocks, k,
+           round(l2::DOUBLE / 2.0, 6) AS l_r6,
+           round(CASE WHEN k > 1 AND n_blocks > 0 THEN
+                 (l2::DOUBLE / 2.0
+                  - n_blocks::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+                    * (k::DOUBLE + 1.0) / 4.0)
+                 / sqrt(n_blocks::DOUBLE * k::DOUBLE * k::DOUBLE
+                        * (k::DOUBLE + 1.0) * (k::DOUBLE + 1.0)
+                        * (k::DOUBLE - 1.0) / 144.0)
+                 END, 6) AS z_r6
+    FROM agg
+    """,
+)
+def q_events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's trend test (round 15,
+    :func:`lindel_spark.profile.page_trend_test`): "does per-user
+    event frequency INCREASE along the alphabetical event-type
+    order?" — the monotone-alternative sibling of
+    ``events_friedman`` on the same complete-block design. Counts
+    are exact integers so the within-block midranks are
+    engine-identical; L2 accumulates DECIMAL↔HUGEINT; the only
+    doubles are the final L/2 and the closed-form z; 6dp."""
+    from lindel_spark.profile import page_trend_test
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+         .groupBy(F.col("user_id").alias("b"),
+                  F.col("event_type").alias("t"))
+         .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    out = page_trend_test(m, "b", "t", "v")
+    return out.select("n_blocks", "k",
+                      F.round("l", 6).alias("l_r6"),
+                      F.round("z", 6).alias("z_r6"))
+
+
+@query(
+    "events_esd_outliers",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT user_id::BIGINT AS id, COUNT(*)::DOUBLE AS value
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ),
+    m1 AS (SELECT COUNT(*)::BIGINT AS n, SUM(value) AS s,
+                  SUM(value * value) AS s2 FROM base),
+    p1 AS (
+      SELECT 1::BIGINT AS round, id, value,
+             abs(value - s / n) / sqrt((s2 - s * s / n) / (n - 1))
+               AS r_stat
+      FROM base CROSS JOIN m1 WHERE n >= 3
+      ORDER BY r_stat DESC, id ASC LIMIT 1
+    ),
+    b2 AS (SELECT base.* FROM base
+           WHERE id NOT IN (SELECT id FROM p1)),
+    m2 AS (SELECT COUNT(*)::BIGINT AS n, SUM(value) AS s,
+                  SUM(value * value) AS s2 FROM b2),
+    p2 AS (
+      SELECT 2::BIGINT AS round, id, value,
+             abs(value - s / n) / sqrt((s2 - s * s / n) / (n - 1))
+               AS r_stat
+      FROM b2 CROSS JOIN m2 WHERE n >= 3
+      ORDER BY r_stat DESC, id ASC LIMIT 1
+    ),
+    b3 AS (SELECT b2.* FROM b2
+           WHERE id NOT IN (SELECT id FROM p2)),
+    m3 AS (SELECT COUNT(*)::BIGINT AS n, SUM(value) AS s,
+                  SUM(value * value) AS s2 FROM b3),
+    p3 AS (
+      SELECT 3::BIGINT AS round, id, value,
+             abs(value - s / n) / sqrt((s2 - s * s / n) / (n - 1))
+               AS r_stat
+      FROM b3 CROSS JOIN m3 WHERE n >= 3
+      ORDER BY r_stat DESC, id ASC LIMIT 1
+    )
+    SELECT round, id, value, round(r_stat, 6) AS r_r6 FROM p1
+    UNION ALL SELECT round, id, value, round(r_stat, 6) FROM p2
+    UNION ALL SELECT round, id, value, round(r_stat, 6) FROM p3
+    """,
+)
+def q_events_esd_outliers(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Generalized-ESD outlier ranking (round 15,
+    :func:`lindel_spark.profile.esd_outliers`): the 3 most extreme
+    per-user total event counts, each round's detachment score
+    re-estimated with the prior rounds removed. Values are exact
+    integer counts (sums and sums of squares stay under 2⁵³, so the
+    double moments are bit-exact on both engines) and the unrolled
+    3-round CTE ladder replays the anti-join + argmax exactly
+    (ties → smallest id); r_stat 6dp."""
+    from lindel_spark.profile import esd_outliers
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    base = (ev.filter(F.col("user_id").isNotNull())
+            .groupBy(F.col("user_id").alias("uid"))
+            .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    out = esd_outliers(base, "cnt", "uid", rounds=3)
+    return out.select("round", "id", "value",
+                      F.round("r_stat", 6).alias("r_r6"))
+
+
+@query(
+    "graph_closeness",
+    """
+    WITH pp AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS s, b.l_partkey::BIGINT AS d
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), e AS MATERIALIZED (
+      SELECT s, d FROM pp UNION SELECT d, s FROM pp
+    ), srcs AS MATERIALIZED (
+      SELECT DISTINCT l_partkey::BIGINT AS node FROM lineitem
+      WHERE l_partkey % 200 = 0
+    ), b0 AS MATERIALIZED (
+      SELECT node AS s, node FROM srcs
+    ), l1 AS MATERIALIZED (
+      SELECT c.s, c.node FROM (
+        SELECT DISTINCT b0.s, e.d AS node
+        FROM b0 JOIN e ON e.s = b0.node
+      ) c
+      WHERE NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.s = c.s AND b0.node = c.node)
+    ), l2 AS MATERIALIZED (
+      SELECT c.s, c.node FROM (
+        SELECT DISTINCT l1.s, e.d AS node
+        FROM l1 JOIN e ON e.s = l1.node
+      ) c
+      WHERE NOT EXISTS (SELECT 1 FROM b0
+                        WHERE b0.s = c.s AND b0.node = c.node)
+        AND NOT EXISTS (SELECT 1 FROM l1
+                        WHERE l1.s = c.s AND l1.node = c.node)
+    ), cnts AS MATERIALIZED (
+      SELECT node, dist, COUNT(*)::BIGINT AS c FROM (
+        SELECT s, node, 1 AS dist FROM l1
+        UNION ALL
+        SELECT s, node, 2 AS dist FROM l2
+      ) GROUP BY 1, 2
+    )
+    SELECT node,
+           SUM(c)::BIGINT AS n_sources,
+           SUM(c * dist)::BIGINT AS total_dist,
+           round(SUM(c)::DOUBLE / SUM(c * dist)::DOUBLE, 6)
+             AS closeness_r6
+    FROM cnts GROUP BY node
+    """,
+)
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness centrality (round 15,
+    :func:`lindel_spark.graph.closeness_centrality`): reach counts
+    and total distances from the ``l_partkey % 200 == 0`` source
+    sample within 2 co-purchase hops — the same graph, sources and
+    BFS as ``graph_harmonic``, summing d instead of 1/d. Both sums
+    are exact integers; the one double is the final division; 6dp."""
+    from lindel_spark.graph import closeness_centrality
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    srcs = (li.filter(F.col("l_partkey") % 200 == 0)
+            .select(F.col("l_partkey").cast("long").alias("node"))
+            .distinct())
+    out = closeness_centrality(edges, srcs, max_depth=2)
+    return out.select("node", "n_sources", "total_dist",
+                      F.round("closeness", 6).alias("closeness_r6"))

@@ -1,0 +1,147 @@
+"""Round-15 additions, stats + centrality tier: Cochran's Q, Page's
+trend test, generalized-ESD outlier ranking, closeness centrality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lindel_spark.profile import cochran_q, esd_outliers, page_trend_test
+
+
+def _bin(spark, rows):
+    return spark.createDataFrame(rows, "b long, t string, x long")
+
+
+def test_cochran_q_hand_computed(spark):
+    # classic 3-treatment example: 4 blocks.
+    # R_i = (1, 2, 3, 1), C_j = (3, 2, 2), N = 7
+    # q = 2 * (3*17 - 49) / (3*7 - 15) = 2*2/6 = 0.666...
+    rows = [(1, "A", 1), (1, "B", 0), (1, "C", 0),
+            (2, "A", 1), (2, "B", 1), (2, "C", 0),
+            (3, "A", 1), (3, "B", 1), (3, "C", 1),
+            (4, "A", 0), (4, "B", 0), (4, "C", 1)]
+    r = cochran_q(_bin(spark, rows), "b", "t", "x").collect()[0]
+    assert r.n_blocks == 4 and r.k == 3
+    assert r.q == pytest.approx(2.0 / 3.0, abs=1e-12)
+
+
+def test_cochran_q_reduces_to_mcnemar_chi2(spark):
+    # k=2: q equals the McNemar chi2 (without continuity correction)
+    # = (b-c)^2/(b+c); discordant pairs: 3 (1,0) and 1 (0,1) -> 1.0
+    rows = []
+    pairs = [(1, 0)] * 3 + [(0, 1)] * 1 + [(1, 1)] * 2 + [(0, 0)] * 2
+    for i, (a, b_) in enumerate(pairs):
+        rows += [(i, "A", a), (i, "B", b_)]
+    r = cochran_q(_bin(spark, rows), "b", "t", "x").collect()[0]
+    assert r.q == pytest.approx((3 - 1) ** 2 / (3 + 1), abs=1e-12)
+
+
+def test_cochran_q_degenerate_returns_null(spark):
+    rows = [(b, t, 1) for b in (1, 2) for t in ("A", "B")]
+    r = cochran_q(_bin(spark, rows), "b", "t", "x").collect()[0]
+    assert r.q is None
+
+
+def test_cochran_q_incomplete_block_excluded_dup_raises(spark):
+    rows = [(1, "A", 1), (1, "B", 0), (2, "A", 1)]  # block 2 incomplete
+    r = cochran_q(_bin(spark, rows), "b", "t", "x").collect()[0]
+    assert r.n_blocks == 1
+    with pytest.raises(Exception, match="duplicate"):
+        cochran_q(_bin(spark, rows + [(2, "A", 0)]),
+                  "b", "t", "x").collect()
+
+
+def _val(spark, rows):
+    return spark.createDataFrame(rows, "b long, t string, v double")
+
+
+def test_page_trend_perfect_increase(spark):
+    # 3 blocks, k=4, values strictly increase in treatment order:
+    # every block ranks 1,2,3,4 -> R_j = (3,6,9,12),
+    # L = 1*3+2*6+3*9+4*12 = 90; E[L] = 3*4*25/4 = 75,
+    # Var[L] = 3*16*25*3/144 = 25 -> z = 3.0
+    rows = [(b, t, float(j)) for b in (1, 2, 3)
+            for j, t in enumerate("ABCD", 1)]
+    r = page_trend_test(_val(spark, rows), "b", "t", "v").collect()[0]
+    assert r.n_blocks == 3 and r.k == 4
+    assert r.l == pytest.approx(90.0, abs=1e-12)
+    assert r.z == pytest.approx(3.0, abs=1e-12)
+
+
+def test_page_trend_midranks_on_ties(spark):
+    # one block, all tied: every midrank = (k+1)/2, L = E[L] -> z = 0
+    # (needs n>=... var>0 holds for k>=2)
+    rows = [(1, t, 5.0) for t in "ABC"]
+    r = page_trend_test(_val(spark, rows), "b", "t", "v").collect()[0]
+    assert r.l == pytest.approx(1 * 2.0 * (1 + 2 + 3), abs=1e-12)
+    assert r.z == pytest.approx(0.0, abs=1e-12)
+
+
+def test_page_trend_duplicate_raises_incomplete_excluded(spark):
+    rows = [(1, "A", 1.0), (1, "B", 2.0), (9, "A", 1.0)]
+    r = page_trend_test(_val(spark, rows), "b", "t", "v").collect()[0]
+    assert r.n_blocks == 1
+    with pytest.raises(Exception, match="duplicate"):
+        page_trend_test(_val(spark, rows + [(9, "A", 3.0)]),
+                        "b", "t", "v").collect()
+
+
+def test_esd_unmasks_second_outlier(spark):
+    # 20 inliers around 0 plus outliers 100 and 90: round 1 must pick
+    # 100, round 2 must pick 90 with a LARGER r_stat than it had in
+    # round 1's inflated-sd view (the masking story), round 3 inlier.
+    vals = [(i, float(v)) for i, v in enumerate(
+        [0, 1, -1, 2, -2, 0, 1, -1, 2, -2,
+         0, 1, -1, 2, -2, 0, 1, -1, 2, -2, 100, 90])]
+    df = spark.createDataFrame(vals, "id long, x double")
+    out = {r.round: r for r in
+           esd_outliers(df, "x", "id", rounds=3).collect()}
+    assert out[1].id == 20 and out[1].value == 100.0
+    assert out[2].id == 21 and out[2].value == 90.0
+    assert out[2].r_stat > 4.0  # unmasked: sd collapsed after round 1
+    assert out[3].value in {2.0, -2.0}
+
+
+def test_esd_tie_breaks_smallest_id(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -10.0), (3, 0.0), (4, 0.0), (5, 0.0)],
+        "id long, x double")
+    out = esd_outliers(df, "x", "id", rounds=1).collect()[0]
+    # |10-0|=|−10-0|: symmetric r_stat tie -> smallest id wins
+    assert out.id == 1
+
+
+def test_closeness_star_graph(spark):
+    from lindel_spark.graph import closeness_centrality
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)],
+                                  "node long")
+    r = {x.node: x for x in closeness_centrality(
+        edges, nodes, max_depth=2).collect()}
+    # center: reached by 4 leaves at d=1 -> 4/4 = 1.0
+    assert r[0].n_sources == 4 and r[0].total_dist == 4
+    assert r[0].closeness == pytest.approx(1.0)
+    # each leaf: center at 1 + three leaves at 2 -> 4/(1+6)
+    for i in range(1, 5):
+        assert r[i].n_sources == 4 and r[i].total_dist == 7
+        assert r[i].closeness == pytest.approx(4.0 / 7.0)
+
+
+def test_closeness_matches_harmonic_reach(spark):
+    # same BFS: closeness and harmonic agree on reach counts
+    from lindel_spark.graph import (closeness_centrality,
+                                    harmonic_centrality)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)],
+        "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in (0, 2, 7)],
+                                  "node long")
+    c = {x.node: x for x in closeness_centrality(
+        edges, nodes, max_depth=3).collect()}
+    h = {x.node: x for x in harmonic_centrality(
+        edges, nodes, max_depth=3).collect()}
+    assert set(c) == set(h)
+    # node 8 reached only from 7 at d=1
+    assert c[8].n_sources == 1 and c[8].total_dist == 1
+    # node 1: from 0 at d=1, from 2 at d=1 -> 2/2
+    assert c[1].n_sources == 2 and c[1].closeness == 1.0
