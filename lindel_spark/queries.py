@@ -62,6 +62,7 @@ _SAMPLE_FIRST = [
     "events_page_trend",  # new: ordered-alternative trend L/z
     "events_esd_outliers",  # new: generalized-ESD outlier ladder
     "graph_closeness",  # new: sampled-source closeness
+    "emb_kmeans",  # new: distributed Lloyd k-means
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15314,3 +15315,89 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = closeness_centrality(edges, srcs, max_depth=2)
     return out.select("node", "n_sources", "total_dist",
                       F.round("closeness", 6).alias("closeness_r6"))
+
+
+@query(
+    "emb_kmeans",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id::BIGINT AS id,
+             list_transform(embedding::DOUBLE[],
+                            x -> floor(x * 1000000.0)) AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ), px AS MATERIALIZED (
+      SELECT id, generate_subscripts(q, 1)::BIGINT - 1 AS dim,
+             unnest(q) AS x
+      FROM base
+    ), init AS MATERIALIZED (
+      SELECT id, row_number() OVER (ORDER BY id)::BIGINT - 1 AS c
+      FROM (SELECT id FROM base ORDER BY id LIMIT 8)
+    ), c0 AS MATERIALIZED (
+      SELECT init.c, px.dim, px.x AS coord
+      FROM init JOIN px ON px.id = init.id
+    ), d1 AS MATERIALIZED (
+      SELECT px.id, c0.c,
+             SUM((px.x - c0.coord) * (px.x - c0.coord)
+                 ORDER BY px.dim) AS d2
+      FROM px JOIN c0 ON c0.dim = px.dim
+      GROUP BY 1, 2
+    ), a1 AS MATERIALIZED (
+      SELECT id, c AS cluster FROM (
+        SELECT id, c, row_number() OVER (PARTITION BY id
+                                         ORDER BY d2, c) AS rn
+        FROM d1) WHERE rn = 1
+    ), u1 AS MATERIALIZED (
+      SELECT a1.cluster AS c, px.dim, AVG(px.x) AS coord
+      FROM a1 JOIN px ON px.id = a1.id
+      GROUP BY 1, 2
+    ), c1 AS MATERIALIZED (
+      SELECT c0.c, c0.dim, COALESCE(u1.coord, c0.coord) AS coord
+      FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim
+    ), d2_ AS MATERIALIZED (
+      SELECT px.id, c1.c,
+             SUM((px.x - c1.coord) * (px.x - c1.coord)
+                 ORDER BY px.dim) AS d2
+      FROM px JOIN c1 ON c1.dim = px.dim
+      GROUP BY 1, 2
+    ), a2 AS MATERIALIZED (
+      SELECT id, c AS cluster FROM (
+        SELECT id, c, row_number() OVER (PARTITION BY id
+                                         ORDER BY d2, c) AS rn
+        FROM d2_) WHERE rn = 1
+    ), sz AS MATERIALIZED (
+      SELECT cluster, COUNT(*)::BIGINT AS n FROM a2 GROUP BY 1
+    )
+    SELECT a2.cluster, sz.n, px.dim,
+           round(AVG(px.x), 6) AS coord_r6
+    FROM a2 JOIN px ON px.id = a2.id
+    JOIN sz ON sz.cluster = a2.cluster
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED Lloyd k-means (round 15,
+    :func:`lindel_spark.clustering.kmeans_lloyd`): k = 8, 2
+    assign/update rounds over the full embedding corpus quantized to
+    exact integers (``floor(x·10⁶)`` — float→double widening, one
+    IEEE multiply and floor are engine-identical), init = the 8
+    smallest vec_ids. Quantization makes every centroid an exact
+    integer ratio; the per-pair distance folds in ascending-dim
+    order on both engines (zip_with left fold ↔ SUM(… ORDER BY
+    dim)); argmin ties break to the smallest cluster. Output: final
+    per-cluster sizes and mean vectors in the exploded (cluster, n,
+    dim, coord) form; 6dp."""
+    from lindel_spark.clustering import cluster_centroids, kmeans_lloyd
+
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet"))
+    qd = (emb.filter(F.col("vec_id").isNotNull()
+                     & F.col("embedding").isNotNull())
+          .select("vec_id",
+                  F.transform(F.col("embedding").cast("array<double>"),
+                              lambda x: F.floor(x * 1000000.0)
+                              .cast("double")).alias("embedding")))
+    assign = kmeans_lloyd(qd, k=8, rounds=2)
+    out = cluster_centroids(qd, assign)
+    return out.select("cluster", "n", "dim",
+                      F.round("coord", 6).alias("coord_r6"))
