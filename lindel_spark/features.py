@@ -477,34 +477,22 @@ def linear_fit(
     return spark.createDataFrame(out_rows, schema)
 
 
-def _solve_one(m, d: int, ridge: float):
-    """(n, r2, intercept, coef…) for one Gram-moment row — the
-    bounded per-group solve behind :func:`linear_fit`."""
+def _det3(M):
+    # explicit cofactor expansion along row 0 — the EXACT expression
+    # structure the d=2 SQL oracle writes, so Python double algebra
+    # bit-matches the engine's
+    return (M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
+            - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
+            + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0]))
+
+
+def _solve_sym(A, b, d: int):
+    """Solve the (d+1)×(d+1) normal system: Cramer with the SQL
+    oracle's exact expression structure for d ≤ 2, LU beyond.
+    Returns the coefficient list or None (singular / non-finite) —
+    shared by :func:`_solve_one` (OLS) and :func:`_logit_step`
+    (IRLS), so the two probes can never drift in replay structure."""
     import numpy as np
-
-    n = m["n"]
-    if n == 0:
-        return [0] + [None] * (d + 2)
-
-    # normal matrix with intercept as column 0
-    A = np.zeros((d + 1, d + 1), np.float64)
-    b = np.zeros(d + 1, np.float64)
-    A[0, 0] = float(n)
-    b[0] = m["sy"]
-    for i in range(d):
-        A[0, i + 1] = A[i + 1, 0] = m[f"sx{i}"]
-        b[i + 1] = m[f"sx{i}y"]
-        for j in range(i, d):
-            A[i + 1, j + 1] = A[j + 1, i + 1] = m[f"sx{i}x{j}"]
-        A[i + 1, i + 1] += ridge
-
-    def _det3(M):
-        # explicit cofactor expansion along row 0 — the EXACT
-        # expression structure the d=2 SQL oracle writes, so Python
-        # double algebra bit-matches the engine's
-        return (M[0][0] * (M[1][1] * M[2][2] - M[1][2] * M[2][1])
-                - M[0][1] * (M[1][0] * M[2][2] - M[1][2] * M[2][0])
-                + M[0][2] * (M[1][0] * M[2][1] - M[1][1] * M[2][0]))
 
     coefs = None
     if d == 1:
@@ -530,6 +518,31 @@ def _solve_one(m, d: int, ridge: float):
             coefs = None
     if coefs is not None and not all(np.isfinite(coefs)):
         coefs = None
+    return coefs
+
+
+def _solve_one(m, d: int, ridge: float):
+    """(n, r2, intercept, coef…) for one Gram-moment row — the
+    bounded per-group solve behind :func:`linear_fit`."""
+    import numpy as np
+
+    n = m["n"]
+    if n == 0:
+        return [0] + [None] * (d + 2)
+
+    # normal matrix with intercept as column 0
+    A = np.zeros((d + 1, d + 1), np.float64)
+    b = np.zeros(d + 1, np.float64)
+    A[0, 0] = float(n)
+    b[0] = m["sy"]
+    for i in range(d):
+        A[0, i + 1] = A[i + 1, 0] = m[f"sx{i}"]
+        b[i + 1] = m[f"sx{i}y"]
+        for j in range(i, d):
+            A[i + 1, j + 1] = A[j + 1, i + 1] = m[f"sx{i}x{j}"]
+        A[i + 1, i + 1] += ridge
+
+    coefs = _solve_sym(A, b, d)
     if coefs is None:
         return [n] + [None] * (d + 2)
 
@@ -554,3 +567,189 @@ def _solve_one(m, d: int, ridge: float):
     sst = float(m["syy"]) - float(m["sy"]) * float(m["sy"]) / float(n)
     r2 = 1.0 - sse / sst if sst > 0 else None
     return [n, r2] + [float(c) for c in coefs]
+
+
+def _logit_moment_aggs(y_col: str, x_cols):
+    """(keep-filter, aggregate list) for one IRLS round: with the
+    current betas riding as broadcast columns ``__b0 … __bd``, per
+    row z = b0 + Σ xᵢ·bᵢ (ascending-index additions), p = 1/(1+e^-z),
+    w = p(1−p), r = y − p; the aggregates are the weighted Gram
+    moments (Σw·xᵢ·xⱼ left-associated) and the gradient sums."""
+    d = len(x_cols)
+    y = F.col(y_col).cast("double")
+    xs = [F.col(c).cast("double") for c in x_cols]
+    keep = y.isNotNull()
+    for x in xs:
+        keep = keep & x.isNotNull()
+    z = F.col("__b0")
+    for i, x in enumerate(xs):
+        z = z + x * F.col(f"__b{i + 1}")
+    p = 1.0 / (1.0 + F.exp(-z))
+    w = p * (1.0 - p)
+    r = y - p
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(w).alias("sw"),
+            F.sum(r).alias("sr")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(w * xi).alias(f"swx{i}"))
+        aggs.append(F.sum(r * xi).alias(f"srx{i}"))
+        for j in range(i, d):
+            aggs.append(F.sum(w * xi * xs[j]).alias(f"swx{i}x{j}"))
+    return keep, aggs
+
+
+def _logit_step(m, d: int, ridge: float):
+    """One Newton/IRLS step from a weighted-moment row: solves
+    (XᵀWX + λ·diag(0,1,…))δ = Xᵀ(y−p) through the shared
+    :func:`_solve_sym` (Cramer structure for d ≤ 2). Returns the
+    delta list or None (singular)."""
+    import numpy as np
+
+    A = np.zeros((d + 1, d + 1), np.float64)
+    b = np.zeros(d + 1, np.float64)
+    A[0, 0] = float(m["sw"])
+    b[0] = float(m["sr"])
+    for i in range(d):
+        A[0, i + 1] = A[i + 1, 0] = float(m[f"swx{i}"])
+        b[i + 1] = float(m[f"srx{i}"])
+        for j in range(i, d):
+            A[i + 1, j + 1] = A[j + 1, i + 1] = float(m[f"swx{i}x{j}"])
+        A[i + 1, i + 1] += ridge
+    return _solve_sym(A, b, d)
+
+
+def logistic_fit(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    rounds: int = 4,
+    ridge: float = 0.0,
+    keys=(),
+    max_keys: int = 4096,
+) -> DataFrame:
+    """LOGISTIC probe by fixed-round IRLS (Newton-Raphson on the
+    log-likelihood — the textbook GLM fit): the binary-label sibling
+    of :func:`linear_fit` for pass/fail graders, toxicity flags,
+    dedup-keep decisions. Returns ONE row ``(n, step_norm,
+    intercept, coef_<x1>, …)`` — ``step_norm`` = Σδ² of the LAST
+    Newton step (≈0 when converged; read a large value as "raise
+    rounds or ridge").
+
+    Scale shape: each round is ONE map-side-combined aggregate over
+    the rows with the current betas broadcast as literal columns —
+    (d+1)(d+2)/2 + d + 2 bounded scalars per group, never row data —
+    plus a bounded driver solve; ``rounds + 0`` scans total, no
+    collect of anything unbounded (the :func:`linear_fit` contract).
+    β starts at 0 (deterministic); labels are taken as y ≠ 0.
+
+    Replay: z/p/w/r are built with ascending-index additions and
+    left-associated products, and the d ≤ 2 solve is the shared
+    Cramer structure (:func:`_solve_sym`), so an unrolled per-round
+    SQL oracle replays the whole ladder bit-for-bit (``exp`` has
+    hash-matched cross-engine throughout the stats tier — the
+    normal_sf/A-S precedent). Perfectly separable groups diverge in
+    ANY logistic fit — finite ``rounds`` just stops early; pass
+    ``ridge > 0`` for a finite MAP answer. Singular rounds (constant
+    feature, n too small) return NULL coefficients.
+
+    ``keys=`` fits one probe PER GROUP: the moment aggregate gains a
+    groupBy, the betas broadcast as a |groups|-row frame joined back
+    by key, driver state |groups|·(d+1) guarded by ``max_keys``.
+    """
+    if isinstance(x_cols, str):
+        x_cols = [x_cols]
+    x_cols = list(x_cols)
+    d = len(x_cols)
+    if not 1 <= d <= 64:
+        raise ValueError("logistic_fit: 1 <= len(x_cols) <= 64")
+    if ridge < 0.0:
+        raise ValueError("logistic_fit: ridge must be >= 0")
+    if rounds < 1:
+        raise ValueError("logistic_fit: rounds must be >= 1")
+
+    spark = df.sparkSession
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    y01 = (F.col(y_col).cast("double") != 0.0).cast("double")
+    base = df.withColumn("__y01", y01)
+    keep, aggs = _logit_moment_aggs("__y01", x_cols)
+    base = base.filter(keep).persist()
+
+    bcols = [f"__b{i}" for i in range(d + 1)]
+    bschema = ", ".join(f"{c} double" for c in bcols)
+
+    if keys:
+        kframe = base.select(*keys).distinct()
+        krows = kframe.limit(max_keys + 1).collect()
+        if len(krows) > max_keys:
+            base.unpersist(False)
+            raise ValueError(
+                f"LINDEL: logistic_fit: more than max_keys="
+                f"{max_keys} groups — per-unbounded-key regression "
+                "is a different operator")
+        state = {tuple(r[k] for k in keys): [0.0] * (d + 1)
+                 for r in krows}
+    else:
+        state = {(): [0.0] * (d + 1)}
+
+    dead: set = set()
+    steps: dict = {}
+    for _ in range(rounds):
+        if keys:
+            brows = [tuple(list(kv) + list(bv))
+                     for kv, bv in state.items() if kv not in dead]
+            if not brows:
+                break
+            kf = df.select(*keys).schema
+            kschema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in kf)
+            bdf = spark.createDataFrame(
+                brows, kschema + ", " + bschema)
+            cur = base.join(F.broadcast(bdf), keys)
+            mrows = cur.groupBy(*keys).agg(*aggs).collect()
+        else:
+            bdf = spark.createDataFrame([tuple(state[()])], bschema)
+            cur = base.crossJoin(F.broadcast(bdf))
+            mrows = [cur.agg(*aggs).collect()[0]]
+        for m in mrows:
+            kv = tuple(m[k] for k in keys) if keys else ()
+            delta = _logit_step(m, d, ridge) if m["n"] else None
+            if delta is None:
+                dead.add(kv)
+                continue
+            beta = state[kv]
+            state[kv] = [beta[i] + float(delta[i])
+                         for i in range(d + 1)]
+            sn = 0.0
+            for v in delta:  # ascending-index fold, oracle-shaped
+                sn += float(v) * float(v)
+            steps[kv] = sn
+
+    # group sizes for the output row (and n for dead groups)
+    if keys:
+        nrows = {tuple(r[k] for k in keys): r["__n"]
+                 for r in base.groupBy(*keys)
+                 .agg(F.count(F.lit(1)).alias("__n")).collect()}
+    else:
+        nrows = {(): base.count()}
+    base.unpersist(False)
+
+    key_schema = ""
+    if keys:
+        kf = df.select(*keys).schema
+        key_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in kf) + ", "
+    schema = key_schema + \
+        "n long, step_norm double, intercept double, " + ", ".join(
+            f"`coef_{c}` double" for c in x_cols)
+    out_rows = []
+    for kv in sorted(state, key=lambda t: tuple(str(x) for x in t)):
+        n = int(nrows.get(kv, 0))
+        if kv in dead or kv not in steps:
+            out_rows.append(tuple(list(kv) + [n]
+                                  + [None] * (d + 2)))
+        else:
+            out_rows.append(tuple(list(kv) + [n, steps[kv]]
+                                  + state[kv]))
+    return spark.createDataFrame(out_rows, schema)

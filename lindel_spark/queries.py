@@ -63,6 +63,7 @@ _SAMPLE_FIRST = [
     "events_esd_outliers",  # new: generalized-ESD outlier ladder
     "graph_closeness",  # new: sampled-source closeness
     "emb_kmeans",  # new: distributed Lloyd k-means
+    "events_logistic_probe",  # new: fixed-round IRLS logistic probe
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15401,3 +15402,118 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cluster_centroids(qd, assign)
     return out.select("cluster", "n", "dim",
                       F.round("coord", 6).alias("coord_r6"))
+
+
+def _logit_oracle(rounds: int) -> str:
+    """Machine-generated unrolled IRLS oracle for the d=2 logistic
+    probe (the holt_winters_h precedent): per round one weighted-
+    moment aggregate CTE with the current betas cross-joined, one
+    Cramer-3×3 delta CTE with the EXACT `_det3` cofactor structure
+    (:func:`lindel_spark.features._solve_sym`), one beta-update CTE.
+    All products left-associated and additions ascending-index, so
+    every double op bit-matches the Spark/driver ladder."""
+    def det(m):
+        return (f"{m}00 * ({m}11 * {m}22 - {m}12 * {m}21) "
+                f"- {m}01 * ({m}10 * {m}22 - {m}12 * {m}20) "
+                f"+ {m}02 * ({m}10 * {m}21 - {m}11 * {m}20)")
+
+    parts = ["""
+    WITH base AS MATERIALIZED (
+      SELECT (value > 34)::INT::DOUBLE AS y,
+             EXTRACT(hour FROM ts)::DOUBLE AS x0,
+             (user_id % 7)::DOUBLE AS x1
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ), b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""]
+    prev = "b0_"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT y, x0, x1,
+             1.0 / (1.0 + exp(-(b.b0 + x0 * b.b1 + x1 * b.b2)))
+               AS p
+      FROM base CROSS JOIN {prev} b
+    ), mo{r} AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(p * (1.0 - p)) AS sw,
+             SUM(y - p) AS sr,
+             SUM(p * (1.0 - p) * x0) AS swx0,
+             SUM((y - p) * x0) AS srx0,
+             SUM(p * (1.0 - p) * x0 * x0) AS swx0x0,
+             SUM(p * (1.0 - p) * x0 * x1) AS swx0x1,
+             SUM(p * (1.0 - p) * x1) AS swx1,
+             SUM((y - p) * x1) AS srx1,
+             SUM(p * (1.0 - p) * x1 * x1) AS swx1x1
+      FROM p{r}
+    ), a{r} AS (
+      SELECT n,
+             sw   AS a00, swx0 AS a01, swx1 AS a02,
+             swx0 AS a10, swx0x0 AS a11, swx0x1 AS a12,
+             swx1 AS a20, swx0x1 AS a21, swx1x1 AS a22,
+             sr AS g0, srx0 AS g1, srx1 AS g2
+      FROM mo{r}
+    ), d{r} AS (
+      SELECT n,
+        ({det('c0_')}) / ({det('a')}) AS d0,
+        ({det('c1_')}) / ({det('a')}) AS d1,
+        ({det('c2_')}) / ({det('a')}) AS d2
+      FROM (
+        SELECT n,
+               a00, a01, a02, a10, a11, a12, a20, a21, a22,
+               g0 AS c0_00, a01 AS c0_01, a02 AS c0_02,
+               g1 AS c0_10, a11 AS c0_11, a12 AS c0_12,
+               g2 AS c0_20, a21 AS c0_21, a22 AS c0_22,
+               a00 AS c1_00, g0 AS c1_01, a02 AS c1_02,
+               a10 AS c1_10, g1 AS c1_11, a12 AS c1_12,
+               a20 AS c1_20, g2 AS c1_21, a22 AS c1_22,
+               a00 AS c2_00, a01 AS c2_01, g0 AS c2_02,
+               a10 AS c2_10, a11 AS c2_11, g1 AS c2_12,
+               a20 AS c2_20, a21 AS c2_21, g2 AS c2_22
+        FROM a{r})
+    ), br{r} AS (
+      SELECT b.b0 + d.d0 AS b0, b.b1 + d.d1 AS b1,
+             b.b2 + d.d2 AS b2, d.n,
+             d.d0 * d.d0 + d.d1 * d.d1 + d.d2 * d.d2 AS sn
+      FROM {prev} b CROSS JOIN d{r} d
+    )""")
+        prev = f"br{r}"
+    parts.append(f"""
+    SELECT n, round(sn, 6) AS step_norm_r6,
+           round(b0, 6) AS intercept_r6,
+           round(b1, 6) AS coef_hour_r6,
+           round(b2, 6) AS coef_u7_r6
+    FROM {prev}
+    """)
+    return "".join(parts)
+
+
+@query("events_logistic_probe", _logit_oracle(3))
+def q_events_logistic_probe(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Logistic probe by fixed-round IRLS (round 15,
+    :func:`lindel_spark.features.logistic_fit`): P(value > 34) ~
+    hour-of-day + (user_id mod 7) over all events, 3 Newton rounds —
+    the binary-grader sibling of ``events_linear_probe``. Each round
+    is one weighted-moment aggregate (betas broadcast) + the shared
+    Cramer-3×3 driver solve; the oracle unrolls the identical
+    ladder (z/p/w ascending-index structure, `_det3` cofactors —
+    cross-engine exp has hash-matched since the A-S normal_sf
+    entries); 6dp."""
+    from lindel_spark.features import logistic_fit
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    feats = (ev.filter(F.col("value").isNotNull()
+                       & F.col("ts").isNotNull()
+                       & F.col("user_id").isNotNull())
+             .select((F.col("value") > 34).cast("double").alias("y"),
+                     F.hour("ts").cast("double").alias("hour"),
+                     (F.col("user_id") % 7).cast("double")
+                     .alias("u7")))
+    out = logistic_fit(feats, "y", ["hour", "u7"], rounds=3)
+    return out.select(
+        "n", F.round("step_norm", 6).alias("step_norm_r6"),
+        F.round("intercept", 6).alias("intercept_r6"),
+        F.round("coef_hour", 6).alias("coef_hour_r6"),
+        F.round("coef_u7", 6).alias("coef_u7_r6"))
