@@ -64,6 +64,7 @@ _SAMPLE_FIRST = [
     "graph_closeness",  # new: sampled-source closeness
     "emb_kmeans",  # new: distributed Lloyd k-means
     "events_logistic_probe",  # new: fixed-round IRLS logistic probe
+    "events_isotonic_calibration",  # new: minimax PAV calibration
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15517,3 +15518,63 @@ def q_events_logistic_probe(spark: SparkSession,
         F.round("intercept", 6).alias("intercept_r6"),
         F.round("coef_hour", 6).alias("coef_hour_r6"),
         F.round("coef_u7", 6).alias("coef_u7_r6"))
+
+
+@query(
+    "events_isotonic_calibration",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT value / 500.0 AS s,
+             CASE WHEN (value * 10) % 7 < 3 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ), bins AS MATERIALIZED (
+      SELECT LEAST(63, floor(s * 64))::BIGINT AS bin,
+             COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS pos
+      FROM pairs GROUP BY 1
+    ), pref AS MATERIALIZED (
+      SELECT bin, n, pos,
+             SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cn,
+             SUM(pos) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cp
+      FROM bins
+    ), iv AS MATERIALIZED (
+      SELECT j.bin AS jb, k.bin AS kb,
+             (k.cp - (j.cp - j.pos))::DOUBLE
+               / (k.cn - (j.cn - j.n))::DOUBLE AS avg
+      FROM pref j JOIN pref k ON j.bin <= k.bin
+    ), f AS MATERIALIZED (
+      SELECT ib, MAX(t) AS calibrated FROM (
+        SELECT i.bin AS ib, iv.jb, MIN(iv.avg) AS t
+        FROM iv JOIN bins i ON iv.jb <= i.bin AND iv.kb >= i.bin
+        GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT bins.bin, bins.n, bins.pos,
+           round(bins.pos::DOUBLE / bins.n::DOUBLE, 6) AS rate_r6,
+           round(f.calibrated, 6) AS calibrated_r6
+    FROM bins JOIN f ON f.ib = bins.bin
+    """,
+)
+def q_events_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) probability calibration (round 15,
+    :func:`lindel_spark.evaluation.isotonic_calibrate`): calibrate
+    the pseudo-label ``(value·10 mod 7) < 3`` against the
+    probability-like score ``value/500`` over 64 bins — a noisy
+    flat-ish curve, so the minimax fit genuinely POOLS violating
+    bins. Every interval average is a ratio of exact integer prefix
+    sums; the max-min lattice replays bit-for-bit; 6dp."""
+    from lindel_spark.evaluation import isotonic_calibrate
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    pairs = (ev.filter(F.col("value").isNotNull())
+             .select((F.col("value") / 500.0).alias("s"),
+                     ((F.col("value") * 10) % 7 < 3).cast("long")
+                     .alias("y")))
+    out = isotonic_calibrate(pairs, "s", "y", n_bins=64)
+    return out.select("bin", "n", "pos",
+                      F.round("rate", 6).alias("rate_r6"),
+                      F.round("calibrated", 6).alias("calibrated_r6"))
