@@ -65,6 +65,7 @@ _SAMPLE_FIRST = [
     "emb_kmeans",  # new: distributed Lloyd k-means
     "events_logistic_probe",  # new: fixed-round IRLS logistic probe
     "events_isotonic_calibration",  # new: minimax PAV calibration
+    "events_ar2_forecast",  # new: Yule-Walker AR(2) horizon
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15578,3 +15579,96 @@ def q_events_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("bin", "n", "pos",
                       F.round("rate", 6).alias("rate_r6"),
                       F.round("calibrated", 6).alias("calibrated_r6"))
+
+
+@query(
+    "events_ar2_forecast",
+    """
+    WITH seq AS MATERIALIZED (
+      SELECT event_type AS g, value::DOUBLE AS x,
+             LEAD(value::DOUBLE, 1) OVER w AS y1,
+             LEAD(value::DOUBLE, 2) OVER w AS y2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts DESC, event_id DESC)
+               AS rd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ), g AS MATERIALIZED (
+      SELECT g, COUNT(*)::BIGINT AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(x * y1) AS sxy1, SUM(x + y1) AS sp1,
+             COUNT(y1)::BIGINT AS n1,
+             SUM(x * y2) AS sxy2, SUM(x + y2) AS sp2,
+             COUNT(y2)::BIGINT AS n2,
+             MAX(CASE WHEN rd = 1 THEN x END) AS xl,
+             MAX(CASE WHEN rd = 2 THEN x END) AS xp
+      FROM seq GROUP BY g
+    ), p AS MATERIALIZED (
+      SELECT g, n, sx / n::DOUBLE AS mu,
+             (sxx - 2.0 * (sx / n::DOUBLE) * sx
+              + n::DOUBLE * (sx / n::DOUBLE) * (sx / n::DOUBLE))
+               / n::DOUBLE AS c0,
+             (sxy1 - (sx / n::DOUBLE) * sp1
+              + n1::DOUBLE * (sx / n::DOUBLE) * (sx / n::DOUBLE))
+               / n::DOUBLE AS c1,
+             (sxy2 - (sx / n::DOUBLE) * sp2
+              + n2::DOUBLE * (sx / n::DOUBLE) * (sx / n::DOUBLE))
+               / n::DOUBLE AS c2,
+             xl, xp
+      FROM g
+    ), ph AS MATERIALIZED (
+      SELECT g, n, mu, xl, xp,
+             CASE WHEN n >= 3 AND c0 * c0 - c1 * c1 != 0.0
+               THEN (c1 * c0 - c1 * c2) / (c0 * c0 - c1 * c1) END
+               AS phi1,
+             CASE WHEN n >= 3 AND c0 * c0 - c1 * c1 != 0.0
+               THEN (c0 * c2 - c1 * c1) / (c0 * c0 - c1 * c1) END
+               AS phi2
+      FROM p
+    ), f1 AS (
+      SELECT *, mu + phi1 * (xl - mu) + phi2 * (xp - mu) AS f
+      FROM ph
+    ), f2 AS (
+      SELECT ph.*, f1.f AS fp,
+             ph.mu + ph.phi1 * (f1.f - ph.mu)
+               + ph.phi2 * (ph.xl - ph.mu) AS f
+      FROM ph JOIN f1 ON f1.g = ph.g
+    ), f3 AS (
+      SELECT ph.*,
+             ph.mu + ph.phi1 * (f2.f - ph.mu)
+               + ph.phi2 * (f2.fp - ph.mu) AS f
+      FROM ph JOIN f2 ON f2.g = ph.g
+    )
+    SELECT g AS event_type, n, round(mu, 6) AS mu_r6,
+           round(phi1, 6) AS phi1_r6, round(phi2, 6) AS phi2_r6,
+           step, round(f, 6) AS forecast_r6
+    FROM (
+      SELECT *, 1::BIGINT AS step FROM f1
+      UNION ALL SELECT g, n, mu, xl, xp, phi1, phi2, f,
+                       2::BIGINT FROM f2
+      UNION ALL SELECT g, n, mu, xl, xp, phi1, phi2, f,
+                       3::BIGINT FROM f3
+    )
+    """,
+)
+def q_events_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker forecast per event type (round 15,
+    :func:`lindel_spark.timeseries.ar2_forecast`): fit the mean-
+    reverting second-order dynamics of each type's (ts, event_id)-
+    ordered value series (the ``events_acf`` sequence) and
+    extrapolate 3 steps. Closed form end to end — biased sample
+    autocovariances from one window pass, in-plan 2×2 Cramer, the
+    h-step recursion unrolled into expressions — so the oracle
+    replays every double op; 6dp."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.timeseries import ar2_forecast
+
+    ev = load_events(spark, sf_dir)
+    out = ar2_forecast(ev, ["event_type"], "ts", "value",
+                       "event_id", horizon=3)
+    return out.select("event_type", "n",
+                      F.round("mu", 6).alias("mu_r6"),
+                      F.round("phi1", 6).alias("phi1_r6"),
+                      F.round("phi2", 6).alias("phi2_r6"),
+                      "step",
+                      F.round("forecast", 6).alias("forecast_r6"))

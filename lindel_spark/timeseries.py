@@ -783,3 +783,101 @@ def holt_winters_horizon(
             .select(*keys, "last_ts", "n_obs",
                     (F.col("__pos") + 1).cast("int").alias("step"),
                     "forecast"))
+
+
+def ar2_forecast(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    horizon: int = 3,
+) -> DataFrame:
+    """AR(2) forecast per series by Yule–Walker (the closed-form
+    autoregressive tier between :func:`ewma` (no dynamics) and
+    :func:`holt_winters_forecast` (trend+season): an AR(2) captures
+    damped oscillation / mean reversion neither of those models).
+    For each key group, estimates ``x_t − μ = φ1(x_{t−1} − μ) +
+    φ2(x_{t−2} − μ)`` from the biased sample autocovariances and
+    extrapolates ``horizon`` steps from the last two observations.
+    Output: ``(*keys, n, mu, phi1, phi2, step, forecast)``, step =
+    1..horizon.
+
+    Everything is CLOSED FORM — no IRLS, no driver action: the
+    Yule–Walker 2×2 solves in-plan by Cramer (``det = c0² − c1²``;
+    ``φ1 = (c1·c0 − c1·c2)/det``, ``φ2 = (c0·c2 − c1²)/det``) and
+    the h-step recursion unrolls into expressions (the
+    :func:`holt_winters_horizon` replay contract), so a SQL oracle
+    replays every double op. Plan: ONE window pass over the
+    ``(ts, tiebreak)``-ordered series (hash Exchange on keys + one
+    per-group sort — the :func:`acf` shape) computes the lag-1/lag-2
+    leads AND the tail flags; one map-side-combined groupBy per key;
+    a posexplode emits the horizon rows.
+
+    Degenerate series (n < 3, zero variance, or a singular YW
+    system) emit rows with NULL φ/forecast — μ and n still populate
+    (read NULLs as "no AR structure identifiable").
+    """
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(ts_col, tiebreak)
+    wd = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak).desc())
+    x = F.col(value_col).cast("double")
+    seq = df.select(
+        *keys, x.alias("__x"),
+        F.lead(x, 1).over(w).alias("__y1"),
+        F.lead(x, 2).over(w).alias("__y2"),
+        F.row_number().over(wd).alias("__rd"))
+    g = seq.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y1")).alias("__sxy1"),
+        F.sum(F.col("__x") + F.col("__y1")).alias("__sp1"),
+        F.count("__y1").cast("long").alias("__n1"),
+        F.sum(F.col("__x") * F.col("__y2")).alias("__sxy2"),
+        F.sum(F.col("__x") + F.col("__y2")).alias("__sp2"),
+        F.count("__y2").cast("long").alias("__n2"),
+        F.max(F.when(F.col("__rd") == 1, F.col("__x")))
+        .alias("__last"),
+        F.max(F.when(F.col("__rd") == 2, F.col("__x")))
+        .alias("__prev"))
+    nn = F.col("n").cast("double")
+    mu = F.col("__sx") / nn
+    # biased sample autocovariances (all divided by n, the standard
+    # YW convention): c_k = (Σ x_t·x_{t+k} − μ·Σ(x_t + x_{t+k})
+    #                        + n_k·μ²) / n
+    c0 = (F.col("__sxx") - 2.0 * mu * F.col("__sx")
+          + nn * mu * mu) / nn
+    c1 = (F.col("__sxy1") - mu * F.col("__sp1")
+          + F.col("__n1").cast("double") * mu * mu) / nn
+    c2 = (F.col("__sxy2") - mu * F.col("__sp2")
+          + F.col("__n2").cast("double") * mu * mu) / nn
+    det = c0 * c0 - c1 * c1
+    phi1 = (c1 * c0 - c1 * c2) / det
+    phi2 = (c0 * c2 - c1 * c1) / det
+    ok = (F.col("n") >= 3) & (det != 0.0)
+    base = g.select(
+        *keys, "n", mu.alias("mu"),
+        F.when(ok, phi1).alias("phi1"),
+        F.when(ok, phi2).alias("phi2"),
+        F.col("__last").alias("__l"), F.col("__prev").alias("__p"))
+    # unroll the recursion: f_{s} = μ + φ1·(f_{s-1} − μ) + φ2·(f_{s-2} − μ)
+    # with f_0 = last, f_{-1} = prev — expressions only
+    p1, p2 = F.col("phi1"), F.col("phi2")
+    m = F.col("mu")
+    fs = []
+    fm1, fm2 = F.col("__l"), F.col("__p")
+    for _ in range(horizon):
+        f = m + p1 * (fm1 - m) + p2 * (fm2 - m)
+        fs.append(f)
+        fm2, fm1 = fm1, f
+    return (base.select(
+        *keys, "n", "mu", "phi1", "phi2",
+        F.posexplode(F.array(*fs)).alias("__s", "forecast"))
+        .select(*keys, "n", "mu", "phi1", "phi2",
+                (F.col("__s") + 1).cast("long").alias("step"),
+                F.when(F.col("phi1").isNotNull(), F.col("forecast"))
+                .alias("forecast")))
