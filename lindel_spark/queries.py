@@ -66,6 +66,7 @@ _SAMPLE_FIRST = [
     "events_logistic_probe",  # new: fixed-round IRLS logistic probe
     "events_isotonic_calibration",  # new: minimax PAV calibration
     "events_ar2_forecast",  # new: Yule-Walker AR(2) horizon
+    "graph_ktruss",  # new: bounded k-truss peel
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15672,3 +15673,75 @@ def q_events_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("phi2", 6).alias("phi2_r6"),
                       "step",
                       F.round("forecast", 6).alias("forecast_r6"))
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Machine-generated unrolled k-truss peel oracle: per round one
+    id-ordered triangle enumeration (same exact integer supports as
+    the Spark side's degree-ordered iterator — support is a COUNT,
+    formulation-independent) + the 3-edge fan-out count + the
+    support filter; the final support recomputes on the surviving
+    subgraph, mirroring :func:`lindel_spark.graph.ktruss`."""
+    def sup(src_cte: str, out: str) -> str:
+        return f"""
+    , tri_{out} AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM {src_cte} e1
+      JOIN {src_cte} e2 ON e2.a = e1.b
+      JOIN {src_cte} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), cnt_{out} AS (
+      SELECT a, b, COUNT(*)::BIGINT AS support FROM (
+        SELECT x AS a, y AS b FROM tri_{out}
+        UNION ALL SELECT y, z FROM tri_{out}
+        UNION ALL SELECT x, z FROM tri_{out}
+      ) GROUP BY 1, 2
+    ), {out} AS (
+      SELECT e.a, e.b, COALESCE(c.support, 0)::BIGINT AS support
+      FROM {src_cte} e
+      LEFT JOIN cnt_{out} c ON c.a = e.a AND c.b = e.b
+    )"""
+
+    parts = ["""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS a,
+                      b.l_partkey::BIGINT AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    )"""]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(sup(prev, f"s{r}"))
+        parts.append(f"""
+    , e{r} AS MATERIALIZED (
+      SELECT a, b FROM s{r} WHERE support >= {k - 2}
+    )""")
+        prev = f"e{r}"
+    parts.append(sup(prev, "sfin"))
+    parts.append("""
+    SELECT a, b, support FROM sfin
+    """)
+    return "".join(parts)
+
+
+@query("graph_ktruss", _ktruss_oracle(14, 2))
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (round 15,
+    :func:`lindel_spark.graph.ktruss`): the 14-truss of the
+    co-purchase graph after 2 peel rounds — the densely-interlocked
+    core the degree-based k-core can't isolate (a hub with many leaf
+    ties passes k-core but has no triangle support). Supports are
+    exact integer triangle counts, so the degree-ordered Spark
+    iterator and the id-ordered SQL enumeration agree value-exactly
+    by construction."""
+    from lindel_spark.graph import ktruss
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    return ktruss(edges, k=14, rounds=2)

@@ -145,3 +145,55 @@ def test_closeness_matches_harmonic_reach(spark):
     assert c[8].n_sources == 1 and c[8].total_dist == 1
     # node 1: from 0 at d=1, from 2 at d=1 -> 2/2
     assert c[1].n_sources == 2 and c[1].closeness == 1.0
+
+
+# ---- k-truss ------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_ktruss_clique_survives_tail_peels(spark):
+    from lindel_spark.graph import ktruss
+    # K4 on {0,1,2,3} plus a pendant path 3-4-5: 4-truss = the K4
+    # (every K4 edge sits in 2 triangles), tail edges peel off
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    out = ktruss(_edges(spark, k4 + [(3, 4), (4, 5)]),
+                 k=4, rounds=3).collect()
+    got = {(r.a, r.b): r.support for r in out}
+    assert set(got) == set(k4)
+    assert all(v == 2 for v in got.values())
+
+
+def test_ktruss_peel_cascades(spark):
+    from lindel_spark.graph import ktruss
+    # triangle 0-1-2 with an extra triangle 2-3-4 sharing node 2:
+    # k=3 keeps both triangles (support >= 1); the bridge (2,3)? —
+    # build: tri1 = (0,1),(1,2),(0,2); tri2 = (2,3),(3,4),(2,4)
+    tri = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    out3 = ktruss(_edges(spark, tri), k=3, rounds=2).collect()
+    assert {(r.a, r.b) for r in out3} == set(tri)
+    # k=4 needs support >= 2: nothing qualifies -> empty
+    assert ktruss(_edges(spark, tri), k=4, rounds=2).count() == 0
+
+
+def test_ktruss_two_triangles_sharing_edge(spark):
+    from lindel_spark.graph import ktruss
+    # edges of two triangles sharing (0,1): (0,1) has support 2,
+    # the other four edges support 1. k=4 first peel drops the four,
+    # second peel drops (0,1) (no triangles left) -> empty; with
+    # rounds=1 the intermediate state leaks, so rounds matter
+    e = [(0, 1), (0, 2), (1, 2), (0, 3), (1, 3)]
+    assert ktruss(_edges(spark, e), k=4, rounds=2).count() == 0
+    mid = ktruss(_edges(spark, e), k=4, rounds=1).collect()
+    assert {(r.a, r.b) for r in mid} == {(0, 1)}
+    assert mid[0].support == 0  # recomputed on the final subgraph
+
+
+def test_ktruss_validates(spark):
+    from lindel_spark.graph import ktruss
+    df = _edges(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        ktruss(df, k=2)
+    with pytest.raises(ValueError):
+        ktruss(df, k=3, rounds=0)
