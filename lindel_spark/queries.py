@@ -67,6 +67,7 @@ _SAMPLE_FIRST = [
     "events_isotonic_calibration",  # new: minimax PAV calibration
     "events_ar2_forecast",  # new: Yule-Walker AR(2) horizon
     "graph_ktruss",  # new: bounded k-truss peel
+    "knn_mmr_topk",  # new: MMR diversified re-ranking
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15745,3 +15746,93 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("src") < F.col("dst"))
              .select("src", "dst").distinct())
     return ktruss(edges, k=14, rounds=2)
+
+
+def _mmr_oracle(k: int, lam: float, pool_n: int) -> str:
+    """Machine-generated unrolled MMR greedy oracle: brute-force
+    top-``pool_n`` cosine pool per query (the _KNN_ORACLE shape),
+    then ``k`` selection steps — per step one NOT-EXISTS-filtered
+    argmax window and one GREATEST running-max-sim update. The λ and
+    (1−λ) literals are injected via repr() so the SQL doubles equal
+    Python's (1.0 − λ is NOT the decimal literal 0.3)."""
+    ls, oml = repr(float(lam)), repr(1.0 - float(lam))
+    sim = ("list_dot_product(p.v, s.v) "
+           "/ (sqrt(list_dot_product(p.v, p.v)) "
+           "* sqrt(list_dot_product(s.v, s.v)))")
+    parts = [f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id::BIGINT AS id, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), qs AS MATERIALIZED (
+      SELECT id, v FROM e WHERE id % 50 = 0
+    ), scored AS MATERIALIZED (
+      SELECT qs.id AS q, c.id AS id, c.v,
+             list_dot_product(qs.v, c.v)
+               / (sqrt(list_dot_product(qs.v, qs.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS rel
+      FROM qs JOIN e c ON qs.id != c.id
+    ), pool AS MATERIALIZED (
+      SELECT q, id, v, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY q
+          ORDER BY rel DESC, id) AS rn FROM scored)
+      WHERE rn <= {pool_n}
+    ), s1 AS MATERIALIZED (
+      SELECT q, id, v, mmr FROM (
+        SELECT q, id, v, {ls} * rel AS mmr,
+               row_number() OVER (PARTITION BY q
+                 ORDER BY {ls} * rel DESC, id) AS rn
+        FROM pool) WHERE rn = 1
+    ), m1 AS MATERIALIZED (
+      SELECT p.q, p.id, {sim} AS ms
+      FROM pool p JOIN s1 s ON s.q = p.q
+    )"""]
+    for t in range(2, k + 1):
+        excl = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM s{i} WHERE s{i}.q = p.q "
+            f"AND s{i}.id = p.id)" for i in range(1, t))
+        parts.append(f"""
+    , s{t} AS MATERIALIZED (
+      SELECT q, id, v, mmr FROM (
+        SELECT p.q, p.id, p.v,
+               {ls} * p.rel - {oml} * m.ms AS mmr,
+               row_number() OVER (PARTITION BY p.q
+                 ORDER BY {ls} * p.rel - {oml} * m.ms DESC, p.id)
+                 AS rn
+        FROM pool p JOIN m{t - 1} m ON m.q = p.q AND m.id = p.id
+        WHERE {excl}) WHERE rn = 1
+    )""")
+        if t < k:
+            parts.append(f"""
+    , m{t} AS MATERIALIZED (
+      SELECT m.q, m.id, GREATEST(m.ms, {sim}) AS ms
+      FROM m{t - 1} m
+      JOIN pool p ON p.q = m.q AND p.id = m.id
+      JOIN s{t} s ON s.q = m.q
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT q AS query_id, id AS neighbor_id, "
+        f"round(mmr, 6) AS mmr_r6, {t}::BIGINT AS rank FROM s{t}"
+        for t in range(1, k + 1))
+    parts.append("\n    " + sel + "\n    ")
+    return "".join(parts)
+
+
+@query("knn_mmr_topk", _mmr_oracle(5, 0.7, 20))
+def q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (round 15,
+    :func:`lindel_spark.similarity.mmr_rerank`): exact cosine
+    top-20 pool for every 50th vector, greedily re-ranked to a
+    diverse top-5 at λ = 0.7 — the retrieval-time dedup face. The
+    per-query greedy runs in one applyInPandas over bounded pools;
+    cosines fold sequentially (np.add.accumulate ↔
+    list_dot_product), the running max-sim is an exact elementwise
+    max, ties break to the smallest id — replay-exact; 6dp."""
+    from lindel_spark.similarity import brute_force_knn, mmr_rerank
+
+    emb = spark.read.parquet(os.path.join(sf_dir,
+                                          "embeddings.parquet"))
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    pool = brute_force_knn(emb, queries_df, k=20)
+    out = mmr_rerank(pool, emb, k=5, lam=0.7)
+    return out.select("query_id", "neighbor_id",
+                      F.round("mmr", 6).alias("mmr_r6"), "rank")

@@ -2782,3 +2782,87 @@ def graph_knn_search_pq(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cos",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "cos",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): diversify a per-query candidate pool — greedily pick the
+    item maximizing ``λ·relevance − (1−λ)·max_{s∈selected}
+    cos(item, s)`` — so a RAG/retrieval stage stops returning five
+    near-duplicates of the same document (the retrieval-time face of
+    the dedup tier). Input: ``candidates`` = ``(query_id,
+    neighbor_id, <rel_col>)`` (any ANN/BM25 top-N; keep N bounded —
+    it IS the work budget), plus the ``corpus`` for vectors.
+    Returns ``(query_id, neighbor_id, mmr, rank)``, rank 1..k in
+    selection order; the first pick scores ``λ·rel`` (empty-set
+    diversity term = 0).
+
+    Execution: one id-keyed join for vectors, then ONE
+    ``applyInPandas`` over query_id groups — thousands of
+    independent bounded pools, the embarrassingly-parallel regime
+    (the greedy loop is inherently sequential PER QUERY; k·N cosine
+    rows per group, NumPy-batched). Deterministic and
+    SQL-replayable: cosines use the ``np.add.accumulate`` sequential
+    fold (bit-identical to ``list_dot_product`` — the
+    :func:`_cos_exact_udf` contract), the running max-sim is an
+    exact elementwise max, ties break to the smallest neighbor_id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+
+    cv = corpus.select(F.col(id_col).cast("long").alias("neighbor_id"),
+                       F.col(vec_col).alias("__v"))
+    pool = (candidates.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col(rel_col).cast("double").alias("__rel"))
+        .join(cv, "neighbor_id"))
+
+    lam_f = float(lam)
+    kk = int(k)
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["__rel"].to_numpy(dtype=np.float64)
+        V = np.stack(pdf["__v"].values).astype(np.float64,
+                                               copy=False)
+        n = len(ids)
+        na = np.sqrt(np.add.accumulate(V * V, axis=1)[:, -1])
+        taken = np.zeros(n, dtype=bool)
+        maxsim = np.full(n, -np.inf)
+        out_id, out_mmr = [], []
+        for t in range(min(kk, n)):
+            if t == 0:
+                score = lam_f * rel
+            else:
+                score = lam_f * rel - (1.0 - lam_f) * maxsim
+            score = np.where(taken, -np.inf, score)
+            # argmax with smallest-id tie-break: ids ascend, argmax
+            # returns the FIRST maximal position
+            pick = int(np.argmax(score))
+            taken[pick] = True
+            out_id.append(int(ids[pick]))
+            out_mmr.append(float(score[pick]))
+            sims = (np.add.accumulate(V * V[pick], axis=1)[:, -1]
+                    / (na * na[pick]))
+            maxsim = np.maximum(maxsim, sims)
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[0],
+            "neighbor_id": out_id,
+            "mmr": out_mmr,
+            "rank": np.arange(1, len(out_id) + 1, dtype=np.int64)})
+
+    return pool.groupBy("query_id").applyInPandas(
+        _greedy,
+        "query_id long, neighbor_id long, mmr double, rank long")
