@@ -252,3 +252,33 @@ def cluster_centroids(
             .agg(F.avg("x").alias("coord"))
             .join(F.broadcast(sz), "cluster")
             .select("cluster", "n", "dim", "coord"))
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd assignment pass against a FIXED ``(c, cvec)``
+    centroid frame: ``(id, cluster, dist2)`` — the serving face of
+    :func:`kmeans_lloyd` (same broadcast-join + map-side argmin
+    plan, same ascending-dim distance fold and smallest-cluster tie
+    break), for scoring new corpora against trained centroids and
+    for the streaming monitor
+    (:func:`lindel_spark.streaming.cluster_assign_stream_sink`)."""
+    v = (df.select(F.col(id_col).cast("long").alias("id"),
+                   F.col(vec_col).cast("array<double>").alias("vec"))
+         .filter(F.col("id").isNotNull() & F.col("vec").isNotNull()))
+    cent = centroids.toDF("c", "cvec")
+    dist2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (v.crossJoin(F.broadcast(cent))
+              .select("id", F.col("c"), dist2.alias("__d2")))
+    return (scored.groupBy("id")
+            .agg(F.min(F.struct(F.col("__d2"), F.col("c")))
+                 .alias("__b"))
+            .select("id", F.col("__b.c").alias("cluster"),
+                    F.col("__b.__d2").alias("dist2")))

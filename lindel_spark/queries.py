@@ -68,6 +68,8 @@ _SAMPLE_FIRST = [
     "events_ar2_forecast",  # new: Yule-Walker AR(2) horizon
     "graph_ktruss",  # new: bounded k-truss peel
     "knn_mmr_topk",  # new: MMR diversified re-ranking
+    "events_logistic_probe_by_type",  # new: per-group IRLS probes
+    "graph_copurchase_edges",  # new: weighted bipartite projection
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15836,3 +15838,152 @@ def q_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = mmr_rerank(pool, emb, k=5, lam=0.7)
     return out.select("query_id", "neighbor_id",
                       F.round("mmr", 6).alias("mmr_r6"), "rank")
+
+
+@query(
+    "graph_copurchase_edges",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS g, l_partkey::BIGINT AS i
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), ok AS MATERIALIZED (
+      SELECT g FROM m GROUP BY g HAVING COUNT(*) <= 6
+    ), mm AS MATERIALIZED (
+      SELECT m.* FROM m JOIN ok ON ok.g = m.g
+    )
+    SELECT a.i AS src, b.i AS dst, COUNT(*)::BIGINT AS weight
+    FROM mm a JOIN mm b ON a.g = b.g AND a.i < b.i
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_graph_copurchase_edges(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Weighted bipartite projection (round 15,
+    :func:`lindel_spark.graph.project_bipartite`): the co-purchase
+    edge builder promoted to an operator — orders×parts projected to
+    weighted part-part edges, oversized baskets (> 6 parts) dropped
+    by the skew guard, weight-1 noise pruned in-plan. Exact integer
+    weights."""
+    from lindel_spark.graph import project_bipartite
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return project_bipartite(li, "l_orderkey", "l_partkey",
+                             min_weight=2, max_group_size=6)
+
+
+def _logit_oracle_by(rounds: int) -> str:
+    """Grouped variant of :func:`_logit_oracle`: the identical IRLS
+    ladder with every moment CTE gaining ``GROUP BY g`` and every
+    beta/delta join keyed on ``g`` — replays
+    ``logistic_fit(keys=...)``'s independent per-group solves."""
+    def det(m):
+        return (f"{m}00 * ({m}11 * {m}22 - {m}12 * {m}21) "
+                f"- {m}01 * ({m}10 * {m}22 - {m}12 * {m}20) "
+                f"+ {m}02 * ({m}10 * {m}21 - {m}11 * {m}20)")
+
+    parts = ["""
+    WITH base AS MATERIALIZED (
+      SELECT event_type AS g, (value > 34)::INT::DOUBLE AS y,
+             EXTRACT(hour FROM ts)::DOUBLE AS x0,
+             (user_id % 7)::DOUBLE AS x1
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND event_type IS NOT NULL
+    ), b0_ AS (
+      SELECT DISTINCT g, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2 FROM base
+    )"""]
+    prev = "b0_"
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT base.g, y, x0, x1,
+             1.0 / (1.0 + exp(-(b.b0 + x0 * b.b1 + x1 * b.b2)))
+               AS p
+      FROM base JOIN {prev} b ON b.g = base.g
+    ), mo{r} AS (
+      SELECT g, COUNT(*)::BIGINT AS n,
+             SUM(p * (1.0 - p)) AS sw,
+             SUM(y - p) AS sr,
+             SUM(p * (1.0 - p) * x0) AS swx0,
+             SUM((y - p) * x0) AS srx0,
+             SUM(p * (1.0 - p) * x0 * x0) AS swx0x0,
+             SUM(p * (1.0 - p) * x0 * x1) AS swx0x1,
+             SUM(p * (1.0 - p) * x1) AS swx1,
+             SUM((y - p) * x1) AS srx1,
+             SUM(p * (1.0 - p) * x1 * x1) AS swx1x1
+      FROM p{r} GROUP BY g
+    ), a{r} AS (
+      SELECT g, n,
+             sw   AS a00, swx0 AS a01, swx1 AS a02,
+             swx0 AS a10, swx0x0 AS a11, swx0x1 AS a12,
+             swx1 AS a20, swx0x1 AS a21, swx1x1 AS a22,
+             sr AS g0, srx0 AS g1, srx1 AS g2
+      FROM mo{r}
+    ), d{r} AS (
+      SELECT g, n,
+        ({det('c0_')}) / ({det('a')}) AS d0,
+        ({det('c1_')}) / ({det('a')}) AS d1,
+        ({det('c2_')}) / ({det('a')}) AS d2
+      FROM (
+        SELECT g, n,
+               a00, a01, a02, a10, a11, a12, a20, a21, a22,
+               g0 AS c0_00, a01 AS c0_01, a02 AS c0_02,
+               g1 AS c0_10, a11 AS c0_11, a12 AS c0_12,
+               g2 AS c0_20, a21 AS c0_21, a22 AS c0_22,
+               a00 AS c1_00, g0 AS c1_01, a02 AS c1_02,
+               a10 AS c1_10, g1 AS c1_11, a12 AS c1_12,
+               a20 AS c1_20, g2 AS c1_21, a22 AS c1_22,
+               a00 AS c2_00, a01 AS c2_01, g0 AS c2_02,
+               a10 AS c2_10, a11 AS c2_11, g1 AS c2_12,
+               a20 AS c2_20, a21 AS c2_21, g2 AS c2_22
+        FROM a{r})
+    ), br{r} AS (
+      SELECT b.g, b.b0 + d.d0 AS b0, b.b1 + d.d1 AS b1,
+             b.b2 + d.d2 AS b2, d.n,
+             d.d0 * d.d0 + d.d1 * d.d1 + d.d2 * d.d2 AS sn
+      FROM {prev} b JOIN d{r} d ON d.g = b.g
+    )""")
+        prev = f"br{r}"
+    parts.append(f"""
+    SELECT g AS event_type, n,
+           round(sn, 6) AS step_norm_r6,
+           round(b0, 6) AS intercept_r6,
+           round(b1, 6) AS coef_hour_r6,
+           round(b2, 6) AS coef_u7_r6
+    FROM {prev}
+    """)
+    return "".join(parts)
+
+
+@query("events_logistic_probe_by_type", _logit_oracle_by(3))
+def q_events_logistic_by_type(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-group logistic probes (round 15,
+    :func:`lindel_spark.features.logistic_fit` with ``keys=``): one
+    independent 3-round IRLS fit per event type — the
+    ``events_linear_probe_by_type`` sibling for binary labels. The
+    grouped oracle threads g through every moment/Cramer/update CTE;
+    6dp."""
+    from lindel_spark.features import logistic_fit
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    feats = (ev.filter(F.col("value").isNotNull()
+                       & F.col("ts").isNotNull()
+                       & F.col("user_id").isNotNull()
+                       & F.col("event_type").isNotNull())
+             .select(F.col("event_type"),
+                     (F.col("value") > 34).cast("double").alias("y"),
+                     F.hour("ts").cast("double").alias("hour"),
+                     (F.col("user_id") % 7).cast("double")
+                     .alias("u7")))
+    out = logistic_fit(feats, "y", ["hour", "u7"], rounds=3,
+                       keys="event_type")
+    return out.select(
+        "event_type", "n",
+        F.round("step_norm", 6).alias("step_norm_r6"),
+        F.round("intercept", 6).alias("intercept_r6"),
+        F.round("coef_hour", 6).alias("coef_hour_r6"),
+        F.round("coef_u7", 6).alias("coef_u7_r6"))

@@ -1045,3 +1045,59 @@ def linear_probe_stream_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def cluster_assign_stream_sink(
+    stream_df: DataFrame,
+    centroids,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+):
+    """Streaming cluster-assignment monitor: every micro-batch of
+    embeddings is assigned to FIXED centroids (a trained
+    :func:`lindel_spark.clustering.kmeans_lloyd` /
+    ``cluster_centroids`` snapshot, passed as ``[(cluster,
+    [coords…]), …]`` or a 2-D array-like) via the same broadcast
+    argmin plan as the batch :func:`assign_clusters`, and the
+    per-batch per-cluster occupancy ``(batch_id, cluster, n,
+    sum_dist2)`` appends to ``path/counts`` — the live "is the
+    corpus drifting away from its clusters" readout (rising
+    ``sum_dist2/n`` or a starving cluster = retrain signal).
+
+    Replay-safe the :func:`linear_probe_stream_sink` way: each
+    batch's rows land in their own ``b=<id>`` partition with DYNAMIC
+    partition overwrite, so a replayed batch overwrites itself and
+    never double-counts. Because assignments to fixed centroids are
+    stateless per row, the stream drained over any slicing equals
+    the batch assignment over the union — pytest-pinned exactly.
+    """
+    from lindel_spark.clustering import assign_clusters
+
+    rows = []
+    for i, c in enumerate(centroids):
+        if isinstance(c, (tuple, list)) and len(c) == 2 \
+                and not isinstance(c[1], (int, float)):
+            rows.append((int(c[0]), [float(x) for x in c[1]]))
+        else:
+            rows.append((int(i), [float(x) for x in c]))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cent = spark.createDataFrame(
+            rows, "c long, cvec array<double>")
+        assign = assign_clusters(batch_df, cent, id_col=id_col,
+                                 vec_col=vec_col)
+        out = (assign.groupBy("cluster")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("dist2").alias("sum_dist2"))
+               .withColumn("b", F.lit(int(batch_id))))
+        (out.coalesce(1).write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("b").parquet(path + "/counts"))
+
+    writer = stream_df.writeStream.foreachBatch(write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

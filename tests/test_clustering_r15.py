@@ -102,3 +102,48 @@ def test_kmeans_plan_shape(spark, sf_dir):
     p = a._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_cluster_assign_stream_equals_batch(spark, tmp_path_factory):
+    import numpy as np
+    from lindel_spark import streaming as ST
+    from lindel_spark.clustering import assign_clusters
+
+    rng = np.random.RandomState(21)
+    rows = [(i, [float(x) for x in rng.randn(3)]) for i in range(90)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    cents = [(0, [0.0, 0.0, 0.0]), (1, [2.0, 2.0, 2.0]),
+             (2, [-2.0, 0.0, 1.0])]
+    src = str(tmp_path_factory.mktemp("ca_src"))
+    out = str(tmp_path_factory.mktemp("ca_out"))
+    for lo, hi, p in ((0, 30, "p1"), (30, 60, "p2"), (60, 90, "p3")):
+        (df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+         .coalesce(1).write.parquet(f"{src}/{p}"))
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true").parquet(src))
+    q = ST.cluster_assign_stream_sink(stream, cents, out) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(out + "/counts")
+           .groupBy("cluster")
+           .agg(F.sum("n").alias("n"),
+                F.sum("sum_dist2").alias("sd")).collect())
+    cent_df = spark.createDataFrame(cents,
+                                    "c long, cvec array<double>")
+    want = (assign_clusters(df, cent_df)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("dist2").alias("sd")).collect())
+    g = {r.cluster: (r.n, r.sd) for r in got}
+    w = {r.cluster: (r.n, r.sd) for r in want}
+    assert set(g) == set(w)
+    for c in w:
+        assert g[c][0] == w[c][0]
+        assert g[c][1] == pytest.approx(w[c][1], abs=1e-9)
+    # one partition per batch
+    batches = spark.read.parquet(out + "/counts") \
+        .select("b").distinct().count()
+    assert batches == 3

@@ -197,3 +197,37 @@ def test_ktruss_validates(spark):
         ktruss(df, k=2)
     with pytest.raises(ValueError):
         ktruss(df, k=3, rounds=0)
+
+
+# ---- bipartite projection ------------------------------------------
+
+def test_project_bipartite_weights_and_guards(spark):
+    from lindel_spark.graph import project_bipartite
+    rows = [(1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "x")]
+    df = spark.createDataFrame(rows, "g long, item string")
+    out = {(r.src, r.dst): r.weight for r in
+           project_bipartite(df, "g", "item").collect()}
+    assert out == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    # min_weight prunes the weight-1 edges
+    out2 = {(r.src, r.dst): r.weight for r in
+            project_bipartite(df, "g", "item",
+                              min_weight=2).collect()}
+    assert out2 == {("a", "b"): 3}
+    # skew guard: dropping group 1 (size 3) removes the c edges and
+    # one (a,b) co-occurrence
+    out3 = {(r.src, r.dst): r.weight for r in
+            project_bipartite(df, "g", "item",
+                              max_group_size=2).collect()}
+    assert out3 == {("a", "b"): 2}
+    # duplicates within a group count once
+    dup = spark.createDataFrame(rows + [(2, "a")], "g long, item string")
+    out4 = {(r.src, r.dst): r.weight for r in
+            project_bipartite(dup, "g", "item").collect()}
+    assert out4[("a", "b")] == 3
+    with pytest.raises(ValueError):
+        project_bipartite(df, "g", "item", min_weight=0)
+    with pytest.raises(ValueError):
+        project_bipartite(df, "g", "item", max_group_size=1)
