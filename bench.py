@@ -1021,6 +1021,64 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         ("friedman_events", q_friedman, -1),
     ]
 
+    # --- round-15 entries ------------------------------------------
+
+    def q_kmeans_embeddings(_):
+        from lindel_spark.clustering import kmeans_lloyd
+        _noop(kmeans_lloyd(emb, k=8, rounds=3))
+
+    def q_logistic_probe(_):
+        from lindel_spark.features import logistic_fit
+        from lindel_spark.sources import load_events
+        ev = load_events(spark, SF_DIR)
+        feats = (ev.filter(F.col("value").isNotNull()
+                           & F.col("ts").isNotNull()
+                           & F.col("user_id").isNotNull())
+                 .select((F.col("value") > 34).cast("double")
+                         .alias("y"),
+                         F.hour("ts").cast("double").alias("hour"),
+                         (F.col("user_id") % 7).cast("double")
+                         .alias("u7")))
+        _noop(logistic_fit(feats, "y", ["hour", "u7"], rounds=3))
+
+    def q_isotonic_events(_):
+        from lindel_spark.evaluation import isotonic_calibrate
+        from lindel_spark.sources import load_events
+        ev = load_events(spark, SF_DIR)
+        pairs = (ev.filter(F.col("value").isNotNull())
+                 .select((F.col("value") / 500.0).alias("s"),
+                         ((F.col("value") * 10) % 7 < 3)
+                         .cast("long").alias("y")))
+        _noop(isotonic_calibrate(pairs, "s", "y", n_bins=64))
+
+    def q_ar2_events(_):
+        from lindel_spark.sources import load_events
+        from lindel_spark.timeseries import ar2_forecast
+        ev = load_events(spark, SF_DIR)
+        _noop(ar2_forecast(ev, ["event_type"], "ts", "value",
+                           "event_id", horizon=3))
+
+    def q_ktruss_copurchase(_):
+        from lindel_spark.graph import ktruss, project_bipartite
+        edges = project_bipartite(li, "l_orderkey", "l_partkey")
+        _noop(ktruss(edges, k=14, rounds=2))
+
+    def q_mmr_rerank(_):
+        from lindel_spark.similarity import (brute_force_knn,
+                                             mmr_rerank)
+        queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+        pool = brute_force_knn(emb, queries_df, k=20)
+        _noop(mmr_rerank(pool, emb, k=5, lam=0.7))
+
+    scan_shaped += [
+        ("kmeans_embeddings", q_kmeans_embeddings, n_emb),
+        ("logistic_probe_events", q_logistic_probe, -1),
+        ("isotonic_events", q_isotonic_events, -1),
+        ("ar2_events", q_ar2_events, -1),
+        ("ktruss_copurchase", q_ktruss_copurchase, n_li),
+        ("mmr_rerank", q_mmr_rerank, n_emb),
+    ]
+
     def q_zorder_store_cycle(tmp):
         import shutil as _sh
         store = os.path.join(tmp, "zstore")

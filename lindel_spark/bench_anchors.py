@@ -161,6 +161,10 @@ NOISE_BAND: frozenset[str] = frozenset({
     # pagerank band (BASELINE.md round-7: 4.2-7.9 s on identical
     # code)
     "betweenness_copurchase", "graph_knn_search",
+    # r15: same iterative class — k-truss runs 3 per-round
+    # triangle-support passes (each localCheckpointed), k-means 3
+    # assign/update rounds; per-round scheduling floor dominates
+    "ktruss_copurchase", "kmeans_embeddings",
 })
 
 
