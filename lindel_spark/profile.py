@@ -2661,3 +2661,92 @@ def normal_sf(z: Column) -> Column:
     erf_abs = 1.0 - poly * F.exp(-(x * x))
     sf_pos = 0.5 * (1.0 - erf_abs)          # P(Z > |z|)
     return F.when(z >= 0, sf_pos).otherwise(1.0 - sf_pos)
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    max_groups: int = 32,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for ordered alternatives (Jonckheere
+    1954): one row ``(k, n, jt, z)`` — the k-sample UNPAIRED
+    ordered-alternative test completing the grid:
+    :func:`kruskal_wallis` is unordered-unpaired,
+    :func:`page_trend_test` ordered-PAIRED; JT asks "do the
+    distributions shift UP along the hypothesized group order?"
+    without requiring blocks. Groups are taken in ascending natural
+    sort order (encode the hypothesis in the labels — the
+    :func:`page_trend_test` convention). Large positive ``z``
+    supports the increasing trend.
+
+    ``JT = Σ_{i<j} U_ij`` over ordered group pairs, with the tie ½
+    convention; per distinct value ``v`` that is ``Σ_{i<j} c_j(v) ·
+    (C_i(<v) + c_i(v)/2)`` — kept DOUBLED so every term is an exact
+    integer, accumulated in DECIMAL(38,0) (the
+    :func:`mann_whitney_u` overflow contract). ``z`` standardizes
+    with the classic no-ties moments (E = (N² − Σn_i²)/4, Var =
+    (N²(2N+3) − Σn_i²(2n_i+3))/72 — mildly conservative under
+    ties, the :func:`page_trend_test` convention).
+
+    Plan: rows collapse map-side to a per-distinct-value k-column
+    count table (k ≤ ``max_groups``, validated — one bounded driver
+    collect of the group labels); per-group cumulative counts ride
+    the repo's DISTRIBUTED :func:`lindel_spark.util.prefix_sums`
+    (range-partitioned, placement-pinned — never an unpartitioned
+    window); one scalar aggregate closes. Everything is exact
+    integers until the final divisions.
+    """
+    from lindel_spark.util import prefix_sums
+
+    pairs = (df.select(F.col(value_col).cast("double").alias("v"),
+                       F.col(group_col).alias("g"))
+             .filter(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    labels = [r.g for r in
+              pairs.select("g").distinct()
+              .limit(max_groups + 1).collect()]
+    if len(labels) > max_groups:
+        raise ValueError(
+            f"LINDEL: jonckheere_terpstra: more than max_groups="
+            f"{max_groups} groups — an ordered-alternative test "
+            "over unbounded groups is a different operator")
+    labels = sorted(labels, key=str)
+    k = len(labels)
+    if k < 2:
+        raise ValueError("jonckheere_terpstra: needs >= 2 groups")
+    cc = [f"c{i}" for i in range(k)]
+    counts = pairs.groupBy("v").agg(
+        *[F.sum((F.col("g") == F.lit(lbl)).cast("long"))
+          .cast("long").alias(c) for lbl, c in zip(labels, cc)])
+    c = prefix_sums(counts, "v", cc)
+    dec = "decimal(38,0)"
+    # doubled per-value JT contribution: Σ_{i<j} c_j·(2·C_i(<v) + c_i)
+    # — C_i(<v) = cum_i − c_i; all exact integers
+    term = None
+    for i in range(k):
+        ci_lt2 = (2 * (F.col(f"cum_{cc[i]}") - F.col(cc[i]))
+                  + F.col(cc[i])).cast(dec)
+        for j in range(i + 1, k):
+            t = F.col(cc[j]).cast(dec) * ci_lt2
+            term = t if term is None else term + t
+    agg = c.agg(
+        F.sum(term).cast(dec).alias("__jt2"),
+        *[F.sum(x).cast("long").alias(f"__n{idx}")
+          for idx, x in enumerate(cc)])
+    ns = [F.col(f"__n{i}").cast("double") for i in range(k)]
+    nn = ns[0]
+    for x in ns[1:]:
+        nn = nn + x
+    sq = ns[0] * ns[0]
+    for x in ns[1:]:
+        sq = sq + x * x
+    cb = ns[0] * ns[0] * (2.0 * ns[0] + 3.0)
+    for x in ns[1:]:
+        cb = cb + x * x * (2.0 * x + 3.0)
+    jt = F.col("__jt2").cast("double") / 2.0
+    mean = (nn * nn - sq) / 4.0
+    var = (nn * nn * (2.0 * nn + 3.0) - cb) / 72.0
+    z = F.when(var > 0, (jt - mean) / F.sqrt(var))
+    return agg.select(F.lit(k).cast("long").alias("k"),
+                      nn.cast("long").alias("n"),
+                      jt.alias("jt"), z.alias("z"))

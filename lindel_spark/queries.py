@@ -70,6 +70,7 @@ _SAMPLE_FIRST = [
     "knn_mmr_topk",  # new: MMR diversified re-ranking
     "events_logistic_probe_by_type",  # new: per-group IRLS probes
     "graph_copurchase_edges",  # new: weighted bipartite projection
+    "events_jonckheere",  # new: ordered-alternative unpaired JT
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -15987,3 +15988,83 @@ def q_events_logistic_by_type(spark: SparkSession,
         F.round("intercept", 6).alias("intercept_r6"),
         F.round("coef_hour", 6).alias("coef_hour_r6"),
         F.round("coef_u7", 6).alias("coef_u7_r6"))
+
+
+@query(
+    "events_jonckheere",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS g, COUNT(*)::DOUBLE AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), cnt AS MATERIALIZED (
+      SELECT v, g, COUNT(*)::BIGINT AS c FROM m GROUP BY 1, 2
+    ), grid AS MATERIALIZED (
+      SELECT vv.v, gg.g, COALESCE(cnt.c, 0)::BIGINT AS c
+      FROM (SELECT DISTINCT v FROM cnt) vv
+      CROSS JOIN (SELECT DISTINCT g FROM cnt) gg
+      LEFT JOIN cnt ON cnt.v = vv.v AND cnt.g = gg.g
+    ), cum AS MATERIALIZED (
+      SELECT v, g, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ::BIGINT AS cc
+      FROM grid
+    ), jt2 AS MATERIALIZED (
+      SELECT SUM(cj.c::HUGEINT
+                 * (2 * (ci.cc - ci.c) + ci.c)::HUGEINT)::HUGEINT
+               AS jt2
+      FROM cum ci JOIN cum cj ON ci.v = cj.v AND ci.g < cj.g
+    ), ns AS MATERIALIZED (
+      SELECT g, SUM(c)::BIGINT AS ng FROM cum GROUP BY g
+    ), mo AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS k,
+             SUM(ng)::BIGINT AS n,
+             SUM(ng::DOUBLE * ng::DOUBLE) AS sq,
+             SUM(ng::DOUBLE * ng::DOUBLE
+                 * (2.0 * ng::DOUBLE + 3.0)) AS cb
+      FROM ns
+    )
+    SELECT mo.k, mo.n,
+           round(jt2.jt2::DOUBLE / 2.0, 6) AS jt_r6,
+           round(CASE WHEN (mo.n::DOUBLE * mo.n::DOUBLE
+                            * (2.0 * mo.n::DOUBLE + 3.0) - mo.cb)
+                           / 72.0 > 0
+                 THEN (jt2.jt2::DOUBLE / 2.0
+                       - (mo.n::DOUBLE * mo.n::DOUBLE - mo.sq)
+                         / 4.0)
+                      / sqrt((mo.n::DOUBLE * mo.n::DOUBLE
+                              * (2.0 * mo.n::DOUBLE + 3.0) - mo.cb)
+                             / 72.0)
+                 END, 6) AS z_r6
+    FROM jt2 CROSS JOIN mo
+    """,
+)
+def q_events_jonckheere(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test (round 15,
+    :func:`lindel_spark.profile.jonckheere_terpstra`): "do per-user
+    event counts shift UP along the alphabetical event-type
+    order?" — the unpaired face of ``events_page_trend`` on the
+    same measurement. Every JT term is an exact integer
+    (DECIMAL↔HUGEINT doubled convention); the z moments replay the
+    identical double expressions; 6dp.
+
+    Note: the Spark Σn_i² / Σn_i²(2n_i+3) folds run in GROUP-LABEL
+    order (the expression chain is built over sorted labels) and the
+    oracle's SUM over ns is unordered — safe here because every term
+    is an exact small-integer product in double (no rounding), the
+    usual integer-sum exemption."""
+    from lindel_spark.profile import jonckheere_terpstra
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+         .groupBy(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("g"))
+         .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    out = jonckheere_terpstra(m, "v", "g")
+    return out.select("k", "n", F.round("jt", 6).alias("jt_r6"),
+                      F.round("z", 6).alias("z_r6"))

@@ -4,7 +4,9 @@ trend test, generalized-ESD outlier ranking, closeness centrality."""
 import pytest
 from pyspark.sql import functions as F
 
-from lindel_spark.profile import cochran_q, esd_outliers, page_trend_test
+from lindel_spark.profile import (cochran_q, esd_outliers,
+                                  jonckheere_terpstra,
+                                  page_trend_test)
 
 
 def _bin(spark, rows):
@@ -231,3 +233,73 @@ def test_project_bipartite_weights_and_guards(spark):
         project_bipartite(df, "g", "item", min_weight=0)
     with pytest.raises(ValueError):
         project_bipartite(df, "g", "item", max_group_size=1)
+
+
+# ---- Jonckheere-Terpstra -------------------------------------------
+
+def _jt_ref(groups):
+    """Reference O(n^2) JT with the tie 1/2 convention + moments."""
+    import itertools
+    ks = sorted(groups, key=str)
+    jt = 0.0
+    for gi, gj in itertools.combinations(ks, 2):
+        for a in groups[gi]:
+            for b in groups[gj]:
+                jt += 1.0 if a < b else (0.5 if a == b else 0.0)
+    ns = [len(groups[g]) for g in ks]
+    N = sum(ns)
+    mean = (N * N - sum(x * x for x in ns)) / 4.0
+    var = (N * N * (2 * N + 3)
+           - sum(x * x * (2 * x + 3) for x in ns)) / 72.0
+    z = (jt - mean) / var ** 0.5 if var > 0 else None
+    return jt, z
+
+
+def _jt_df(spark, groups):
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    return spark.createDataFrame(rows, "g string, v double")
+
+
+def test_jt_matches_reference(spark):
+    import numpy as np
+    rng = np.random.RandomState(8)
+    groups = {"1_lo": list(rng.randn(30)),
+              "2_mid": list(rng.randn(25) + 0.5),
+              "3_hi": list(rng.randn(35) + 1.0)}
+    want_jt, want_z = _jt_ref(groups)
+    r = jonckheere_terpstra(_jt_df(spark, groups), "v",
+                            "g").collect()[0]
+    assert r.k == 3 and r.n == 90
+    assert r.jt == pytest.approx(want_jt, abs=1e-9)
+    assert r.z == pytest.approx(want_z, abs=1e-9)
+    assert r.z > 3  # the trend is real
+
+
+def test_jt_ties_half_convention(spark):
+    groups = {"a": [1.0, 2.0], "b": [2.0, 3.0]}
+    want_jt, _ = _jt_ref(groups)  # pairs: (1<2)+(1<3)+(2=2)/2+(2<3)
+    r = jonckheere_terpstra(_jt_df(spark, groups), "v",
+                            "g").collect()[0]
+    assert want_jt == 3.5
+    assert r.jt == pytest.approx(3.5, abs=0.0)
+
+
+def test_jt_reversed_order_negates(spark):
+    groups = {"1": [1.0, 2.0, 3.0], "2": [4.0, 5.0, 6.0]}
+    rev = {"1": [4.0, 5.0, 6.0], "2": [1.0, 2.0, 3.0]}
+    a = jonckheere_terpstra(_jt_df(spark, groups), "v",
+                            "g").collect()[0]
+    b = jonckheere_terpstra(_jt_df(spark, rev), "v",
+                            "g").collect()[0]
+    assert a.jt == 9.0 and b.jt == 0.0
+    assert a.z == pytest.approx(-b.z, abs=1e-12)
+
+
+def test_jt_validates(spark):
+    df = _jt_df(spark, {"a": [1.0]})
+    with pytest.raises(ValueError, match=">= 2 groups"):
+        jonckheere_terpstra(df, "v", "g").collect()
+    many = spark.createDataFrame(
+        [(str(i), float(i)) for i in range(40)], "g string, v double")
+    with pytest.raises(ValueError, match="max_groups"):
+        jonckheere_terpstra(many, "v", "g", max_groups=8)
