@@ -2750,3 +2750,41 @@ def jonckheere_terpstra(
     return agg.select(F.lit(k).cast("long").alias("k"),
                       nn.cast("long").alias("n"),
                       jt.alias("jt"), z.alias("z"))
+
+
+def mood_median_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Mood's median test: one row ``(n, dof, chi2, cramers_v,
+    grand_median)`` — "do the groups differ in MEDIAN?", the
+    crudest-but-most-robust k-sample location test (only the
+    above/below-median dichotomy enters, so single wild outliers
+    and arbitrary monotone transforms change nothing — the screen
+    to run before :func:`kruskal_wallis` when the data are
+    heavy-tailed latencies or doc lengths). Values equal to the
+    grand median count as NOT above (the SAS/Minitab convention,
+    stated because ties at the median are common with integer
+    measurements).
+
+    A pure composition of shipped primitives: the grand median from
+    :func:`weighted_quantiles` (per-distinct-value counts + the
+    distributed prefix sum — never a global sort), one broadcast
+    flag, and the χ² machinery of :func:`chi_square_independence`
+    over the (group, above) contingency — exact integer counts, so
+    the statistic replays engine-exactly.
+    """
+    base = (df.select(F.col(value_col).cast("double").alias("v"),
+                      F.col(group_col).alias("g"))
+            .filter(F.col("v").isNotNull() & F.col("g").isNotNull()))
+    med = (weighted_quantiles(
+        base.withColumn("__w", F.lit(1.0)), "v", "__w", [0.5])
+        .select(F.col("value").alias("__med")))
+    flagged = (base.crossJoin(F.broadcast(med))
+               .select("g", (F.col("v") > F.col("__med"))
+                       .cast("string").alias("above"), "__med"))
+    chi = chi_square_independence(flagged, "g", "above")
+    gm = flagged.agg(F.max("__med").alias("grand_median"))
+    return chi.crossJoin(F.broadcast(gm)).select(
+        "n", "dof", "chi2", "cramers_v", "grand_median")

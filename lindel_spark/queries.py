@@ -71,6 +71,9 @@ _SAMPLE_FIRST = [
     "events_logistic_probe_by_type",  # new: per-group IRLS probes
     "graph_copurchase_edges",  # new: weighted bipartite projection
     "events_jonckheere",  # new: ordered-alternative unpaired JT
+    "events_mood_median",  # new: robust k-sample median test
+    "events_runs_test",  # new: Wald-Wolfowitz randomness audit
+    "events_durbin_watson",  # new: residual autocorrelation DW
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -16068,3 +16071,198 @@ def q_events_jonckheere(spark: SparkSession,
     out = jonckheere_terpstra(m, "v", "g")
     return out.select("k", "n", F.round("jt", 6).alias("jt_r6"),
                       F.round("z", 6).alias("z_r6"))
+
+
+@query(
+    "events_mood_median",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS g, COUNT(*)::DOUBLE AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), counts AS MATERIALIZED (
+      SELECT v, COUNT(*)::DOUBLE AS w FROM m GROUP BY v
+    ), cum AS MATERIALIZED (
+      SELECT v, SUM(w) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw
+      FROM counts
+    ), med AS MATERIALIZED (
+      SELECT MIN(v) AS gm FROM cum, (SELECT MAX(cw) AS W FROM cum) t
+      WHERE cw >= 0.5 * W
+    ), flags AS MATERIALIZED (
+      SELECT g, CASE WHEN v > (SELECT gm FROM med)
+                     THEN 'true' ELSE 'false' END AS above
+      FROM m
+    ), joint AS MATERIALIZED (
+      SELECT g, above, COUNT(*)::BIGINT AS o FROM flags GROUP BY 1, 2
+    ), ma AS MATERIALIZED (
+      SELECT g, SUM(o)::BIGINT AS cg FROM joint GROUP BY g
+    ), mb AS MATERIALIZED (
+      SELECT above, SUM(o)::BIGINT AS cb FROM joint GROUP BY above
+    ), nn AS (SELECT SUM(o)::BIGINT AS n FROM joint),
+    cells AS MATERIALIZED (
+      SELECT ma.g, mb.above,
+             COALESCE(joint.o, 0)::DOUBLE AS o,
+             ma.cg::DOUBLE * mb.cb::DOUBLE
+               / (SELECT n FROM nn)::DOUBLE AS e
+      FROM ma CROSS JOIN mb
+      LEFT JOIN joint ON joint.g = ma.g AND joint.above = mb.above
+    ), chi AS (
+      SELECT SUM((o - e) * (o - e) / e ORDER BY g, above) AS chi2
+      FROM cells WHERE e > 0
+    )
+    SELECT (SELECT n FROM nn) AS n,
+           ((SELECT COUNT(*) FROM ma) - 1)
+             * ((SELECT COUNT(*) FROM mb) - 1) AS dof,
+           round(chi.chi2, 6) AS chi2_r6,
+           (SELECT gm FROM med) AS grand_median
+    FROM chi
+    """,
+)
+def q_events_mood_median(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Mood's median test (round 15,
+    :func:`lindel_spark.profile.mood_median_test`): do the event
+    types differ in MEDIAN per-user count? Composes the shipped
+    weighted-quantiles median (per-distinct-value prefix sum) and
+    the χ² machinery over the (type, above) contingency — integer
+    counts, ratio algebra, engine-exact; 6dp."""
+    from lindel_spark.profile import mood_median_test
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+         .groupBy(F.col("user_id").alias("u"),
+                  F.col("event_type").alias("g"))
+         .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    out = mood_median_test(m, "v", "g")
+    return out.select("n", "dof",
+                      F.round("chi2", 6).alias("chi2_r6"),
+                      "grand_median")
+
+
+@query(
+    "events_runs_test",
+    """
+    WITH seq AS MATERIALIZED (
+      SELECT event_type AS g,
+             CASE WHEN value > 34 THEN 1 ELSE 0 END AS x,
+             LAG(CASE WHEN value > 34 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id) AS p
+      FROM events WHERE value IS NOT NULL
+    ), g AS MATERIALIZED (
+      SELECT g, SUM(x)::BIGINT AS n1,
+             SUM(1 - x)::BIGINT AS n0,
+             (1 + SUM(CASE WHEN p IS NOT NULL AND x != p
+                           THEN 1 ELSE 0 END))::BIGINT AS runs
+      FROM seq GROUP BY g
+    )
+    SELECT g AS event_type, n1, n0, runs,
+           round(CASE WHEN n1 > 0 AND n0 > 0 AND
+                  (2.0*n1*n0 * (2.0*n1*n0 - (n1+n0))
+                   / ((n1+n0)::DOUBLE * (n1+n0)::DOUBLE
+                      * ((n1+n0) - 1)::DOUBLE)) > 0
+                 THEN (runs::DOUBLE
+                       - (2.0*n1*n0 / (n1+n0)::DOUBLE + 1.0))
+                      / sqrt(2.0*n1*n0 * (2.0*n1*n0 - (n1+n0))
+                             / ((n1+n0)::DOUBLE * (n1+n0)::DOUBLE
+                                * ((n1+n0) - 1)::DOUBLE))
+                 END, 6) AS z_r6
+    FROM g
+    """,
+)
+def q_events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type (round 15,
+    :func:`lindel_spark.timeseries.runs_test`): is the heavy-value
+    flag (value > 34) RANDOM along each type's (ts, event_id)-ordered
+    stream, or does it clump? Exact integer run counts, closed-form
+    conditional moments; 6dp."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.timeseries import runs_test
+
+    ev = load_events(spark, sf_dir)
+    flg = (ev.filter(F.col("value").isNotNull())
+           .select(F.col("event_type"), F.col("ts"),
+                   F.col("event_id"),
+                   (F.col("value") > 34).cast("long").alias("hot")))
+    out = runs_test(flg, ["event_type"], "ts", "hot", "event_id")
+    return out.select("event_type", "n1", "n0", "runs",
+                      F.round("z", 6).alias("z_r6"))
+
+
+@query(
+    "events_durbin_watson",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT value::DOUBLE AS y,
+             EXTRACT(hour FROM ts)::DOUBLE AS x0,
+             (user_id % 7)::DOUBLE AS x1,
+             ts, event_id
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ), mm AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS n, SUM(y) AS sy, SUM(y*y) AS syy,
+             SUM(x0) AS sx0, SUM(x0*y) AS sx0y, SUM(x0*x0) AS sx0x0,
+             SUM(x0*x1) AS sx0x1, SUM(x1) AS sx1, SUM(x1*y) AS sx1y,
+             SUM(x1*x1) AS sx1x1
+      FROM base
+    ), dets AS MATERIALIZED (
+      SELECT *,
+        n::DOUBLE*(sx0x0*sx1x1 - sx0x1*sx0x1)
+          - sx0*(sx0*sx1x1 - sx0x1*sx1)
+          + sx1*(sx0*sx0x1 - sx0x0*sx1) AS det,
+        sy*(sx0x0*sx1x1 - sx0x1*sx0x1)
+          - sx0*(sx0y*sx1x1 - sx0x1*sx1y)
+          + sx1*(sx0y*sx0x1 - sx0x0*sx1y) AS det0,
+        n::DOUBLE*(sx0y*sx1x1 - sx0x1*sx1y)
+          - sy*(sx0*sx1x1 - sx0x1*sx1)
+          + sx1*(sx0*sx1y - sx0y*sx1) AS det1,
+        n::DOUBLE*(sx0x0*sx1y - sx0y*sx0x1)
+          - sx0*(sx0*sx1y - sx0y*sx1)
+          + sy*(sx0*sx0x1 - sx0x0*sx1) AS det2
+      FROM mm
+    ), co AS MATERIALIZED (
+      SELECT det0/det AS b0, det1/det AS b1, det2/det AS b2
+      FROM dets
+    ), res AS MATERIALIZED (
+      SELECT y - (b0 + x0 * b1 + x1 * b2) AS e,
+             LAG(y - (b0 + x0 * b1 + x1 * b2))
+               OVER (ORDER BY ts, event_id) AS ep
+      FROM base CROSS JOIN co
+    ), agg AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(e * e) AS see,
+             SUM(CASE WHEN ep IS NOT NULL
+                      THEN (e - ep) * (e - ep) END) AS sd
+      FROM res
+    )
+    SELECT n, round(CASE WHEN see > 0 THEN sd / see END, 6) AS dw_r6
+    FROM agg
+    """,
+)
+def q_events_durbin_watson(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Durbin-Watson residual autocorrelation (round 15,
+    :func:`lindel_spark.timeseries.durbin_watson`): are the
+    ``events_linear_probe`` residuals serially independent along
+    (ts, event_id)? Reuses the probe's exact Cramer-3×3 structure
+    for the betas, then one window lag pass; 6dp."""
+    from lindel_spark.sources import load_events
+    from lindel_spark.timeseries import durbin_watson
+
+    ev = load_events(spark, sf_dir)
+    feats = ev.filter(F.col("value").isNotNull()
+                      & F.col("ts").isNotNull()
+                      & F.col("user_id").isNotNull()).select(
+        F.col("ts"), F.col("event_id"),
+        F.col("value").alias("y"),
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("user_id") % 7).cast("double").alias("u7"))
+    out = durbin_watson(feats, "y", ["hour", "u7"], "ts",
+                        "event_id")
+    return out.select("n", F.round("dw", 6).alias("dw_r6"))

@@ -881,3 +881,114 @@ def ar2_forecast(
                 (F.col("__s") + 1).cast("long").alias("step"),
                 F.when(F.col("phi1").isNotNull(), F.col("forecast"))
                 .alias("forecast")))
+
+
+def runs_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    flag_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per series: ``(*keys, n1, n0, runs,
+    z)`` — "is this binary sequence RANDOM in time, or does it
+    clump?": too FEW runs = positive serial dependence (failures
+    arrive in bursts — retry storms, flaky hosts), too MANY =
+    oscillation. The randomness audit for pass/fail event streams
+    that :func:`acf` gives continuous metrics.
+
+    ``runs`` = 1 + Σ 1[x_t ≠ x_{t−1}] over the ``(ts, tiebreak)``-
+    ordered sequence (the :func:`acf` determinism contract);
+    ``z = (R − μ)/σ`` with the exact conditional moments ``μ =
+    2·n1·n0/N + 1``, ``σ² = 2·n1·n0·(2·n1·n0 − N) / (N²·(N−1))``.
+    Flags are taken as x ≠ 0; NULL flags are excluded BEFORE
+    sequencing (the runs of the observed subsequence). Everything
+    is exact integers until the final division — engine-exact.
+
+    Plan: one window pass per series (hash Exchange on keys + one
+    per-group sort) + one map-side-combined aggregate. Degenerate
+    series (all one symbol, or N < 2) return NULL z.
+    """
+    keys = list(keys)
+    x = (F.col(flag_col).cast("double") != 0.0).cast("long")
+    seq = (df.filter(F.col(flag_col).isNotNull())
+           .select(*keys, F.col(ts_col).alias("__ts"),
+                   F.col(tiebreak).alias("__tb"), x.alias("__x")))
+    w2 = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+    seq = seq.withColumn("__prev", F.lag("__x").over(w2))
+    g = seq.groupBy(*keys).agg(
+        F.sum("__x").cast("long").alias("n1"),
+        F.sum(1 - F.col("__x")).cast("long").alias("n0"),
+        (F.lit(1) + F.sum(
+            F.when(F.col("__prev").isNotNull()
+                   & (F.col("__x") != F.col("__prev")), 1)
+            .otherwise(0))).cast("long").alias("runs"))
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    nn = n1 + n0
+    mu = 2.0 * n1 * n0 / nn + 1.0
+    var = (2.0 * n1 * n0 * (2.0 * n1 * n0 - nn)
+           / (nn * nn * (nn - 1.0)))
+    z = F.when((F.col("n1") > 0) & (F.col("n0") > 0) & (var > 0),
+               (F.col("runs").cast("double") - mu) / F.sqrt(var))
+    return g.select(*keys, "n1", "n0", "runs", z.alias("z"))
+
+
+def durbin_watson(
+    df: DataFrame,
+    y_col: str,
+    x_cols,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Durbin–Watson residual-autocorrelation statistic for a
+    linear probe: one row ``(n, dw)`` — ``Σ(e_t − e_{t−1})² /
+    Σe_t²`` over the ``(ts, tiebreak)``-ordered residuals of a
+    :func:`lindel_spark.features.linear_fit` of ``y ~ x_cols``.
+    DW ≈ 2 means the probe's errors are serially independent;
+    DW → 0 means positive autocorrelation — the probe is missing a
+    time-varying signal and its r²/CIs overstate (the regression
+    diagnostic that pairs with the probe tier). NULL rows are
+    excluded with the probe's own keep filter, so the residual
+    series is exactly the fitted rows.
+
+    Plan: the probe's ONE Gram aggregate + bounded driver solve
+    (the :func:`linear_fit` contract), betas broadcast back as
+    literals (ŷ built with ascending-index additions — the
+    :func:`lindel_spark.features.logistic_fit` replay structure),
+    one window lag pass, one scalar aggregate. A singular probe
+    returns NULL dw.
+    """
+    from lindel_spark.features import linear_fit
+
+    if isinstance(x_cols, str):
+        x_cols = [x_cols]
+    x_cols = list(x_cols)
+    fit = linear_fit(df, y_col, x_cols).collect()[0]
+    n = int(fit["n"])
+    if n == 0 or fit["intercept"] is None:
+        spark = df.sparkSession
+        return spark.createDataFrame([(n, None)],
+                                     "n long, dw double")
+    yhat = F.lit(float(fit["intercept"]))
+    for c in x_cols:
+        yhat = yhat + F.col(c).cast("double") \
+            * F.lit(float(fit[f"coef_{c}"]))
+    keep = F.col(y_col).cast("double").isNotNull()
+    for c in x_cols:
+        keep = keep & F.col(c).cast("double").isNotNull()
+    e = (df.filter(keep)
+         .select(F.col(ts_col).alias("__ts"),
+                 F.col(tiebreak).alias("__tb"),
+                 (F.col(y_col).cast("double") - yhat).alias("__e")))
+    w = Window.orderBy("__ts", "__tb")
+    e = e.withColumn("__ep", F.lag("__e").over(w))
+    agg = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__see"),
+        F.sum(F.when(F.col("__ep").isNotNull(),
+                     (F.col("__e") - F.col("__ep"))
+                     * (F.col("__e") - F.col("__ep")))).alias("__sd"))
+    dw = F.when(F.col("__see") > 0,
+                F.col("__sd") / F.col("__see"))
+    return agg.select("n", dw.alias("dw"))

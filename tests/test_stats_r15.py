@@ -303,3 +303,28 @@ def test_jt_validates(spark):
         [(str(i), float(i)) for i in range(40)], "g string, v double")
     with pytest.raises(ValueError, match="max_groups"):
         jonckheere_terpstra(many, "v", "g", max_groups=8)
+
+
+# ---- Mood's median test ---------------------------------------------
+
+def test_mood_median_hand_computed(spark):
+    from lindel_spark.profile import mood_median_test
+    # group a: 1,2,3,4 ; group b: 5,6,7,8 -> grand median 4.0
+    # (weighted_quantiles' per-distinct-value convention);
+    # above: a->0/4, b->4/4 -> chi2 = n = 8
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + \
+           [("b", float(v)) for v in (5, 6, 7, 8)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "v", "g").collect()[0]
+    assert r.n == 8 and r.dof == 1
+    assert r.chi2 == pytest.approx(8.0, abs=1e-9)
+    assert r.grand_median == pytest.approx(4.0)
+
+
+def test_mood_median_identical_groups_zero(spark):
+    from lindel_spark.profile import mood_median_test
+    rows = [(g, float(v)) for g in ("a", "b")
+            for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median_test(df, "v", "g").collect()[0]
+    assert r.chi2 == pytest.approx(0.0, abs=1e-12)

@@ -104,3 +104,73 @@ def test_ar2_deterministic_under_repartition(spark):
     b = ar2_forecast(df.repartition(13), ["g"], "ts", "v", "id", 2) \
         .orderBy("step").collect()
     assert [r.forecast for r in a] == [r.forecast for r in b]
+
+
+# ---- runs test ------------------------------------------------------
+
+def test_runs_test_hand_computed(spark):
+    from lindel_spark.timeseries import runs_test
+    # sequence 1,1,0,0,0,1: runs = 3, n1 = 3, n0 = 3
+    # mu = 2*9/6 + 1 = 4; var = 18*(18-6)/(36*5) = 1.2
+    rows = [("a", i, i, v) for i, v in
+            enumerate([1, 1, 0, 0, 0, 1])]
+    df = spark.createDataFrame(rows,
+                               "g string, ts long, id long, x long")
+    r = runs_test(df, ["g"], "ts", "x", "id").collect()[0]
+    assert (r.n1, r.n0, r.runs) == (3, 3, 3)
+    assert r.z == pytest.approx((3 - 4.0) / (1.2 ** 0.5), abs=1e-12)
+
+
+def test_runs_test_degenerate_and_nulls(spark):
+    from lindel_spark.timeseries import runs_test
+    rows = [("a", 0, 0, 1), ("a", 1, 1, 1), ("a", 2, 2, None),
+            ("a", 3, 3, 1)]
+    df = spark.createDataFrame(
+        rows, "g string, ts long, id long, x int")
+    r = runs_test(df, ["g"], "ts", "x", "id").collect()[0]
+    assert r.n1 == 3 and r.n0 == 0 and r.runs == 1
+    assert r.z is None
+
+
+def test_runs_test_alternating_max_runs(spark):
+    from lindel_spark.timeseries import runs_test
+    rows = [("a", i, i, i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows,
+                               "g string, ts long, id long, x long")
+    r = runs_test(df, ["g"], "ts", "x", "id").collect()[0]
+    assert r.runs == 10 and r.z > 2.5
+
+
+# ---- Durbin-Watson --------------------------------------------------
+
+def test_durbin_watson_matches_numpy(spark):
+    from lindel_spark.timeseries import durbin_watson
+    rng = np.random.RandomState(6)
+    n = 200
+    x = rng.randn(n)
+    # AR(1) errors -> DW well below 2
+    e = np.zeros(n)
+    for t in range(1, n):
+        e[t] = 0.8 * e[t - 1] + rng.randn() * 0.3
+    y = 1.0 + 2.0 * x + e
+    rows = [(i, i, float(y[i]), float(x[i])) for i in range(n)]
+    df = spark.createDataFrame(rows,
+                               "ts long, id long, y double, x double")
+    r = durbin_watson(df, "y", ["x"], "ts", "id").collect()[0]
+    # NumPy replica: same OLS then DW over time order
+    X = np.vstack([np.ones(n), x]).T
+    beta = np.linalg.lstsq(X, y, rcond=None)[0]
+    res = y - X @ beta
+    want = ((np.diff(res) ** 2).sum()) / ((res ** 2).sum())
+    assert r.n == n
+    assert r.dw == pytest.approx(want, rel=1e-9)
+    assert r.dw < 1.0  # strong positive autocorrelation
+
+
+def test_durbin_watson_singular_null(spark):
+    from lindel_spark.timeseries import durbin_watson
+    df = spark.createDataFrame(
+        [(i, i, 1.0, 5.0) for i in range(10)],
+        "ts long, id long, y double, x double")
+    r = durbin_watson(df, "y", ["x"], "ts", "id").collect()[0]
+    assert r.dw is None
