@@ -2788,3 +2788,169 @@ def mood_median_test(
     gm = flagged.agg(F.max("__med").alias("grand_median"))
     return chi.crossJoin(F.broadcast(gm)).select(
         "n", "dof", "chi2", "cramers_v", "grand_median")
+
+
+def by_adjust(
+    df: DataFrame,
+    p_col: str,
+    out_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini–Yekutieli step-up FDR adjustment (Benjamini &
+    Yekutieli 2001): :func:`bh_adjust` made valid under ARBITRARY
+    dependence between the tests — q = min(1, min_{j ≥ i}
+    p_(j)·n·c(n)/j) with the harmonic penalty ``c(n) = Σ_{i≤n} 1/i``
+    (≈ ln n + γ). Use it when the per-segment tests share data
+    (overlapping windows, nested segments) and BH's positive-
+    dependence assumption is in doubt; the price is ~ln n less
+    power.
+
+    Implementation: the :func:`bh_adjust` distributed ladder
+    (per-distinct-p counts → distributed prefix sum → suffix min →
+    join back) with the candidate scaled by c(n); c(n) folds in
+    ASCENDING i order on both engines (``aggregate(sequence(1, n))``
+    ↔ ordered SUM over ``range``), so the double algebra replays.
+    The harmonic fold materializes a length-n sequence on the
+    q-ladder's one-row total frame — fine for test-count-sized
+    frames (thousands–millions of segments), which is the only
+    regime an FDR adjustment is for. Same NULL/NaN/range/collision
+    contracts as :func:`bh_adjust`.
+    """
+    from lindel_spark.util import prefix_mins, prefix_sums
+
+    for taken in (out_col, "__bh_p"):
+        if taken in df.columns:
+            raise ValueError(
+                f"LINDEL: by_adjust: input already has a column "
+                f"named {taken!r}")
+
+    p = F.col(p_col).cast("double")
+    checked = F.when(F.isnan(p), F.raise_error(
+        F.lit("LINDEL: by_adjust p is NaN (degenerate upstream "
+              "tests return NULL, never NaN)"))) \
+        .when((p < 0.0) | (p > 1.0), F.raise_error(
+            F.concat(F.lit("LINDEL: by_adjust p outside [0,1]: "),
+                     p.cast("string")))).otherwise(p)
+    base = df.withColumn("__bh_p", checked)
+    vals = (base.filter(F.col("__bh_p").isNotNull())
+            .groupBy("__bh_p")
+            .agg(F.count(F.lit(1)).cast("long").alias("__cnt")))
+    ranked = prefix_sums(vals, "__bh_p", ["__cnt"])
+    tot = (ranked.agg(F.sum("__cnt").cast("long").alias("__n"))
+           .withColumn("__h", F.aggregate(
+               F.sequence(F.lit(1).cast("long"), F.col("__n")),
+               F.lit(0.0),
+               lambda acc, i: acc + 1.0 / i.cast("double"))))
+    cand = (ranked.crossJoin(F.broadcast(tot))
+            .select("__bh_p",
+                    (F.col("__bh_p") * F.col("__n").cast("double")
+                     * F.col("__h")
+                     / F.col("cum___cnt").cast("double"))
+                    .alias("__cand")))
+    qv = (prefix_mins(cand, "__bh_p", ["__cand"], descending=True)
+          .select("__bh_p",
+                  F.least(F.lit(1.0), F.col("cummin___cand"))
+                  .alias(out_col)))
+    return (base.join(qv, "__bh_p", "left")
+            .drop("__bh_p"))
+
+
+def fisher_combine(
+    df: DataFrame,
+    p_col: str,
+) -> DataFrame:
+    """Fisher's method for combining independent p-values (Fisher
+    1925): one row ``(m, chi2, dof)`` with ``chi2 = −2·Σ ln p_i``,
+    compared against χ²(2m) — "is there an effect SOMEWHERE across
+    these m tests?", the meta-analytic complement to
+    :func:`bh_adjust`'s "WHICH tests" (run both when a pipeline
+    emits one test per segment). Sensitive to a single tiny p;
+    assumes independent tests (under shared data it anti-conserves —
+    use :func:`by_adjust`'s worst-case framing instead).
+
+    ``p = 0`` raises IN-PLAN (−2·ln 0 = ∞; a true zero means an
+    upstream test overflowed — fix it there); NULL p rows are
+    excluded. The Σ ln p folds in ASCENDING p order on both engines
+    (``sort_array`` fold ↔ ``SUM(… ORDER BY p)`` — the
+    kruskal_wallis double-addition lesson), bounded by the
+    test-count-sized input this tier operates on.
+    """
+    p = F.col(p_col).cast("double")
+    checked = F.when(F.isnan(p) | (p <= 0.0) | (p > 1.0),
+                     F.raise_error(F.concat(
+                         F.lit("LINDEL: fisher_combine p outside "
+                               "(0,1]: "), p.cast("string")))) \
+        .otherwise(p)
+    base = (df.select(checked.alias("__p"))
+            .filter(F.col("__p").isNotNull()))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.aggregate(
+            F.sort_array(F.collect_list("__p")), F.lit(0.0),
+            lambda acc, x: acc + F.log(x)).alias("__slnp"))
+    return agg.select(
+        "m",
+        F.when(F.col("m") > 0, -2.0 * F.col("__slnp"))
+        .alias("chi2"),
+        (2 * F.col("m")).cast("long").alias("dof"))
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation: one row ``(n, r_xy, r_xz,
+    r_yz, r_xy_z)`` — the x↔y Pearson correlation with the
+    confounder z linearly removed::
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1−r_xz²)·(1−r_yz²))
+
+    The "is the correlation real or just the confounder" audit for
+    feature screens (:func:`lindel_spark.features.corr_matrix` gives
+    the raw matrix; this subtracts one known driver). Rows with any
+    NULL among x/y/z are excluded (complete-case, so the three
+    correlations share one sample). Degenerate inputs (any variance
+    zero, or |r| = 1 with z) return NULL for the affected outputs.
+
+    ONE map-side-combined aggregate of raw sums; every correlation
+    is the same explicit ``(nΣxy − ΣxΣy)/sqrt(…)`` expression tree
+    as :func:`lindel_spark.timeseries.acf`, so both engines evaluate
+    identical double algebra.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    z = F.col(z_col).cast("double")
+    base = (df.select(x.alias("x"), y.alias("y"), z.alias("z"))
+            .filter(F.col("x").isNotNull() & F.col("y").isNotNull()
+                    & F.col("z").isNotNull()))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"))
+    nn = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        cov = nn * F.col(sab) - F.col(sa) * F.col(sb)
+        va = nn * F.col(saa) - F.col(sa) * F.col(sa)
+        vb = nn * F.col(sbb) - F.col(sb) * F.col(sb)
+        return F.when((va > 0) & (vb > 0),
+                      cov / F.sqrt(va * vb))
+
+    r_xy = corr("sxy", "sx", "sy", "sxx", "syy")
+    r_xz = corr("sxz", "sx", "sz", "sxx", "szz")
+    r_yz = corr("syz", "sy", "sz", "syy", "szz")
+    out = agg.select("n", r_xy.alias("r_xy"), r_xz.alias("r_xz"),
+                     r_yz.alias("r_yz"))
+    den = ((1.0 - F.col("r_xz") * F.col("r_xz"))
+           * (1.0 - F.col("r_yz") * F.col("r_yz")))
+    pc = F.when(den > 0,
+                (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
+                / F.sqrt(den))
+    return out.withColumn("r_xy_z", pc)

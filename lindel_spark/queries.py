@@ -74,6 +74,9 @@ _SAMPLE_FIRST = [
     "events_mood_median",  # new: robust k-sample median test
     "events_runs_test",  # new: Wald-Wolfowitz randomness audit
     "events_durbin_watson",  # new: residual autocorrelation DW
+    "parts_by_fdr",  # new: dependence-robust BY step-up
+    "parts_fisher_combined",  # new: Fisher meta p-combination
+    "events_partial_corr",  # new: confounder-removed correlation
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -16266,3 +16269,157 @@ def q_events_durbin_watson(spark: SparkSession,
     out = durbin_watson(feats, "y", ["hour", "u7"], "ts",
                         "event_id")
     return out.select("n", F.round("dw", 6).alias("dw_r6"))
+
+
+@query(
+    "parts_by_fdr",
+    """
+    WITH tests AS (
+      SELECT p_partkey,
+             ((p_partkey * 37) % 1000) / 999.0
+               * (((p_partkey * 37) % 1000) / 999.0) AS p
+      FROM part
+    ), kept AS (SELECT * FROM tests WHERE p > 0),
+    c AS (
+      SELECT p, COUNT(*)::BIGINT AS cnt FROM kept GROUP BY p
+    ), cum AS (
+      SELECT p, SUM(cnt) OVER (ORDER BY p
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+      FROM c
+    ), n AS (
+      SELECT COUNT(*)::BIGINT AS n FROM kept
+    ), h AS (
+      -- DuckDB's range() can't take a subquery bound: over-generate
+      -- to a fixed 2e6 cap (10x the sf1 part count) and filter
+      SELECT SUM(1.0 / i ORDER BY i) AS h
+      FROM range(1, 2000001) t(i)
+      WHERE i <= (SELECT n FROM n)
+    ), cand AS (
+      SELECT p, p * n.n::DOUBLE * h.h / rk::DOUBLE AS cand
+      FROM cum, n, h
+    ), q AS (
+      SELECT p, LEAST(1.0, MIN(cand) OVER (ORDER BY p DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS qv
+      FROM cand
+    )
+    SELECT COUNT(*)::BIGINT AS n_tests,
+           SUM(CASE WHEN qv <= 0.05 THEN 1 ELSE 0 END)::BIGINT
+             AS n_q_le_05,
+           SUM(CASE WHEN qv <= 0.10 THEN 1 ELSE 0 END)::BIGINT
+             AS n_q_le_10,
+           round(MIN(qv), 6) AS min_q_r6
+    FROM kept JOIN q USING (p)
+    """,
+)
+def q_parts_by_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR adjustment (round 15,
+    :func:`lindel_spark.profile.by_adjust`): the ``parts_bh_fdr``
+    pseudo-p battery under the dependence-robust harmonic penalty
+    c(n) = Σ 1/i (folded ascending on both engines). BY ≥ BH
+    everywhere, so the rejection counts shrink; 6dp."""
+    from lindel_spark.profile import by_adjust
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    u = ((F.col("p_partkey") * 37) % 1000).cast("double") / 999.0
+    tests = part.select("p_partkey", (u * u).alias("p")) \
+        .filter(F.col("p") > 0)
+    adj = by_adjust(tests, "p")
+    return adj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tests"),
+        F.sum(F.when(F.col("q_value") <= 0.05, 1).otherwise(0))
+        .cast("long").alias("n_q_le_05"),
+        F.sum(F.when(F.col("q_value") <= 0.10, 1).otherwise(0))
+        .cast("long").alias("n_q_le_10"),
+        F.round(F.min("q_value"), 6).alias("min_q_r6"))
+
+
+@query(
+    "parts_fisher_combined",
+    """
+    WITH tests AS (
+      SELECT ((p_partkey * 37) % 1000) / 999.0
+               * (((p_partkey * 37) % 1000) / 999.0) AS p
+      FROM part
+    ), kept AS (SELECT p FROM tests WHERE p > 0)
+    SELECT COUNT(*)::BIGINT AS m,
+           round(-2.0 * SUM(ln(p) ORDER BY p), 6) AS chi2_r6,
+           (2 * COUNT(*))::BIGINT AS dof
+    FROM kept
+    """,
+)
+def q_parts_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's combined p-value (round 15,
+    :func:`lindel_spark.profile.fisher_combine`) over the pseudo-p
+    battery: −2 Σ ln p vs χ²(2m), the is-there-an-effect-ANYWHERE
+    meta-test next to the BH/BY which-tests ladder. The Σ ln p
+    folds in ascending-p order on both engines; 6dp."""
+    from lindel_spark.profile import fisher_combine
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    u = ((F.col("p_partkey") * 37) % 1000).cast("double") / 999.0
+    tests = part.select((u * u).alias("p")).filter(F.col("p") > 0)
+    out = fisher_combine(tests, "p")
+    return out.select("m", F.round("chi2", 6).alias("chi2_r6"),
+                      "dof")
+
+
+@query(
+    "events_partial_corr",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT value::DOUBLE AS x,
+             EXTRACT(hour FROM ts)::DOUBLE AS y,
+             (user_id % 7)::DOUBLE AS z
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND user_id IS NOT NULL
+    ), agg AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(z*z) AS szz,
+             SUM(x*y) AS sxy, SUM(x*z) AS sxz, SUM(y*z) AS syz
+      FROM base
+    ), r AS MATERIALIZED (
+      SELECT n,
+        CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+          THEN (n*sxy - sx*sy)
+               / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS rxy,
+        CASE WHEN (n*sxx - sx*sx) > 0 AND (n*szz - sz*sz) > 0
+          THEN (n*sxz - sx*sz)
+               / sqrt((n*sxx - sx*sx) * (n*szz - sz*sz)) END AS rxz,
+        CASE WHEN (n*syy - sy*sy) > 0 AND (n*szz - sz*sz) > 0
+          THEN (n*syz - sy*sz)
+               / sqrt((n*syy - sy*sy) * (n*szz - sz*sz)) END AS ryz
+      FROM agg
+    )
+    SELECT n, round(rxy, 6) AS r_xy_r6, round(rxz, 6) AS r_xz_r6,
+           round(ryz, 6) AS r_yz_r6,
+           round(CASE WHEN (1.0 - rxz*rxz) * (1.0 - ryz*ryz) > 0
+                 THEN (rxy - rxz*ryz)
+                      / sqrt((1.0 - rxz*rxz) * (1.0 - ryz*ryz))
+                 END, 6) AS r_xy_z_r6
+    FROM r
+    """,
+)
+def q_events_partial_corr(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """First-order partial correlation (round 15,
+    :func:`lindel_spark.profile.partial_corr`): value↔hour with the
+    user_id%7 stratum linearly removed — one raw-sums aggregate,
+    the acf expression tree for each Pearson r, the closed-form
+    partial on top; 6dp."""
+    from lindel_spark.profile import partial_corr
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    feats = ev.filter(F.col("value").isNotNull()
+                      & F.col("ts").isNotNull()
+                      & F.col("user_id").isNotNull()).select(
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+        (F.col("user_id") % 7).cast("double").alias("z"))
+    out = partial_corr(feats, "x", "y", "z")
+    return out.select("n", F.round("r_xy", 6).alias("r_xy_r6"),
+                      F.round("r_xz", 6).alias("r_xz_r6"),
+                      F.round("r_yz", 6).alias("r_yz_r6"),
+                      F.round("r_xy_z", 6).alias("r_xy_z_r6"))

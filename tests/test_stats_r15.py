@@ -328,3 +328,72 @@ def test_mood_median_identical_groups_zero(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = mood_median_test(df, "v", "g").collect()[0]
     assert r.chi2 == pytest.approx(0.0, abs=1e-12)
+
+
+# ---- BY / Fisher / partial correlation ------------------------------
+
+def test_by_adjust_vs_reference(spark):
+    from lindel_spark.profile import bh_adjust, by_adjust
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    out = {r.p: r.q_value for r in by_adjust(df, "p").collect()}
+    m = len(ps)
+    h = sum(1.0 / i for i in range(1, m + 1))
+    # reference step-up with the harmonic penalty
+    cand = [p * m * h / (i + 1) for i, p in enumerate(sorted(ps))]
+    ref, cur = {}, float("inf")
+    for p, c in sorted(zip(sorted(ps), cand), reverse=True):
+        cur = min(cur, c)
+        ref[p] = min(1.0, cur)
+    for p in ps:
+        assert out[p] == pytest.approx(ref[p], rel=1e-12)
+    # BY >= BH everywhere (the harmonic penalty)
+    bh = {r.p: r.q_value for r in bh_adjust(df, "p").collect()}
+    assert all(out[p] >= bh[p] - 1e-15 for p in ps)
+
+
+def test_fisher_combine_hand_and_guards(spark):
+    import math
+    from lindel_spark.profile import fisher_combine
+    ps = [0.01, 0.04, 0.5, 0.9]
+    df = spark.createDataFrame([(p,) for p in ps], "p double")
+    r = fisher_combine(df, "p").collect()[0]
+    assert r.m == 4 and r.dof == 8
+    want = -2.0 * sum(math.log(p) for p in sorted(ps))
+    assert r.chi2 == pytest.approx(want, rel=1e-12)
+    bad = spark.createDataFrame([(0.0,)], "p double")
+    with pytest.raises(Exception, match="outside"):
+        fisher_combine(bad, "p").collect()
+
+
+def test_partial_corr_removes_confounder(spark):
+    import numpy as np
+    from lindel_spark.profile import partial_corr
+    rng = np.random.RandomState(10)
+    n = 500
+    z = rng.randn(n)
+    x = z + 0.1 * rng.randn(n)      # x driven by z
+    y = -z + 0.1 * rng.randn(n)     # y driven by -z
+    df = spark.createDataFrame(
+        [(float(x[i]), float(y[i]), float(z[i])) for i in range(n)],
+        "x double, y double, z double")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r.r_xy < -0.9            # raw: strongly negative via z
+    assert abs(r.r_xy_z) < 0.2      # controlled: mostly gone
+    # closed-form replica
+    rx = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    want = (rx - rxz * ryz) / ((1 - rxz ** 2) *
+                               (1 - ryz ** 2)) ** 0.5
+    assert r.r_xy_z == pytest.approx(want, rel=1e-9)
+
+
+def test_partial_corr_degenerate_null(spark):
+    from lindel_spark.profile import partial_corr
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 3.0, 5.0), (3.0, 1.0, 5.0)],
+        "x double, y double, z double")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r.r_xz is None and r.r_xy_z is None
+    assert r.r_xy is not None
