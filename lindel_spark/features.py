@@ -669,6 +669,14 @@ def logistic_fit(
 
     spark = df.sparkSession
     keys = [keys] if isinstance(keys, str) else list(keys)
+    # internal-name collision guard (the by_adjust pattern): the
+    # broadcast beta join would otherwise raise AMBIGUOUS_REFERENCE
+    # mid-fit, or silently clobber a caller's __y01
+    for taken in ["__y01"] + [f"__b{i}" for i in range(d + 1)]:
+        if taken in df.columns:
+            raise ValueError(
+                f"LINDEL: logistic_fit: input already has a column "
+                f"named {taken!r}")
     y01 = (F.col(y_col).cast("double") != 0.0).cast("double")
     base = df.withColumn("__y01", y01)
     keep, aggs = _logit_moment_aggs("__y01", x_cols)

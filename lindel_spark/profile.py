@@ -2142,7 +2142,13 @@ def esd_outliers(
                     (-F.col("__b.__nid")).cast("long").alias("id"),
                     F.col("__b.value").alias("value"),
                     F.col("__b.r_stat").alias("r_stat"))
-            .filter(F.col("id").isNotNull()))
+            .filter(F.col("id").isNotNull())
+            # each pick is a 1-row frame embedded in every later
+            # round's anti-join AND the final union: persist so one
+            # action computes each round's moment/argmax subtree
+            # once instead of O(rounds²) re-scans (review catch,
+            # round 15; stays lazy — the SQL-replay contract holds)
+            .persist())
         removed = pick.select("id") if removed is None else \
             removed.unionByName(pick.select("id"))
         out = pick if out is None else out.unionByName(pick)
@@ -2710,7 +2716,10 @@ def jonckheere_terpstra(
             f"LINDEL: jonckheere_terpstra: more than max_groups="
             f"{max_groups} groups — an ordered-alternative test "
             "over unbounded groups is a different operator")
-    labels = sorted(labels, key=str)
+    # natural sort of the (homogeneous) labels — key=str would put
+    # numeric label 10 before 2 and scramble the hypothesized order
+    # (review catch, round 15)
+    labels = sorted(labels)
     k = len(labels)
     if k < 2:
         raise ValueError("jonckheere_terpstra: needs >= 2 groups")

@@ -15603,6 +15603,7 @@ def q_events_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts DESC, event_id DESC)
                AS rd
       FROM events
+      WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     ), g AS MATERIALIZED (
       SELECT g, COUNT(*)::BIGINT AS n,

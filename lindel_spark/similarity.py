@@ -2724,9 +2724,14 @@ def graph_knn_search_pq(
     # seen = EVERY (query, node) pair ever sent to the ADC scorer —
     # not just the top-beam survivors _adc_join_tail keeps. Anti-
     # joining on the full set stops beam-cut candidates from being
-    # re-reached and re-scored on later hops (ADVICE r14); results
-    # are unchanged (k ≤ beam, so a pair cut once can never enter the
-    # final top-k — it was dominated by beam same-hop survivors).
+    # re-reached and re-scored on later hops (ADVICE r14). A cut
+    # pair itself can never enter the final top-k (k ≤ beam: it was
+    # dominated by beam same-hop survivors that stay in the pool),
+    # and this matches the uncompressed graph_knn_search's visited
+    # semantics; at hops ≥ 3 the EXPANSION FRONTIER can differ from
+    # the r14 re-scoring behavior (a cut pair no longer re-enters a
+    # weaker later beam) — the recall gate, not path identity, is
+    # the operator's contract.
     seen = visited.select("query_id", "neighbor_id") \
         .persist(StorageLevel.MEMORY_AND_DISK)
     beam_f = (seeds.join(qv, "query_id")
@@ -2840,6 +2845,12 @@ def mmr_rerank(
         n = len(ids)
         na = np.sqrt(np.add.accumulate(V * V, axis=1)[:, -1])
         taken = np.zeros(n, dtype=bool)
+        # zero-norm guard: cosine to a zero vector is 0 by
+        # convention (0/0 would be NaN, and np.argmax treats NaN as
+        # maximal — a degenerate item would win every round; review
+        # catch, round 15)
+        na_safe = np.where(na > 0.0, na, 1.0)
+        nz = na > 0.0
         maxsim = np.full(n, -np.inf)
         out_id, out_mmr = [], []
         for t in range(min(kk, n)):
@@ -2854,8 +2865,9 @@ def mmr_rerank(
             taken[pick] = True
             out_id.append(int(ids[pick]))
             out_mmr.append(float(score[pick]))
-            sims = (np.add.accumulate(V * V[pick], axis=1)[:, -1]
-                    / (na * na[pick]))
+            dots_p = np.add.accumulate(V * V[pick], axis=1)[:, -1]
+            sims = np.where(nz & nz[pick],
+                            dots_p / (na_safe * na_safe[pick]), 0.0)
             maxsim = np.maximum(maxsim, sims)
         return pd.DataFrame({
             "query_id": pdf["query_id"].iloc[0],

@@ -1069,10 +1069,15 @@ def cluster_assign_stream_sink(
     Replay-safe the :func:`linear_probe_stream_sink` way: each
     batch's rows land in their own ``b=<id>`` partition with DYNAMIC
     partition overwrite, so a replayed batch overwrites itself and
-    never double-counts. Because assignments to fixed centroids are
-    stateless per row, the stream drained over any slicing equals
-    the batch assignment over the union — pytest-pinned exactly.
+    never double-counts — and the same batch-0 RESTART guard
+    applies: a checkpoint-less restart reuses batch ids and would
+    silently mix two runs' partitions, so batch 0 arriving against a
+    counts directory that already holds later batches raises.
+    Because assignments to fixed centroids are stateless per row,
+    the stream drained over any slicing equals the batch assignment
+    over the union — pytest-pinned exactly.
     """
+    from lindel_spark import fs as _fs
     from lindel_spark.clustering import assign_clusters
 
     rows = []
@@ -1085,6 +1090,17 @@ def cluster_assign_stream_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if int(batch_id) == 0 and _fs.exists(spark, path + "/counts"):
+            stale = [n for n in _fs.list_names(spark,
+                                               path + "/counts")
+                     if n.startswith("b=") and n != "b=0"]
+            if stale:
+                raise ValueError(
+                    "cluster_assign_stream_sink: batch 0 arrived "
+                    f"but {path}/counts already holds later batches "
+                    f"({sorted(stale)[:3]}…) — a restart without a "
+                    "checkpoint would mix two runs' occupancy. Pass "
+                    "checkpoint= or clear the path.")
         cent = spark.createDataFrame(
             rows, "c long, cvec array<double>")
         assign = assign_clusters(batch_df, cent, id_col=id_col,

@@ -825,6 +825,11 @@ def ar2_forecast(
     wd = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).desc(), F.col(tiebreak).desc())
     x = F.col(value_col).cast("double")
+    # NULL observations are excluded BEFORE sequencing (the observed
+    # subsequence — the runs_test convention): counting them in n
+    # while the sums skip them would deflate mu and every
+    # autocovariance (review catch, round 15)
+    df = df.filter(F.col(value_col).isNotNull())
     seq = df.select(
         *keys, x.alias("__x"),
         F.lead(x, 1).over(w).alias("__y1"),
@@ -955,9 +960,13 @@ def durbin_watson(
     Plan: the probe's ONE Gram aggregate + bounded driver solve
     (the :func:`linear_fit` contract), betas broadcast back as
     literals (ŷ built with ascending-index additions — the
-    :func:`lindel_spark.features.logistic_fit` replay structure),
-    one window lag pass, one scalar aggregate. A singular probe
-    returns NULL dw.
+    :func:`lindel_spark.features.logistic_fit` replay structure);
+    the lag pairing rides the repo's DISTRIBUTED
+    :func:`lindel_spark.util.global_rank` (one range shuffle +
+    map-side enumeration — never an unpartitioned window; review
+    catch, round 15) followed by a rank-keyed self-join of
+    consecutive positions; one scalar aggregate closes. A singular
+    probe returns NULL dw.
     """
     from lindel_spark.features import linear_fit
 
@@ -977,13 +986,17 @@ def durbin_watson(
     keep = F.col(y_col).cast("double").isNotNull()
     for c in x_cols:
         keep = keep & F.col(c).cast("double").isNotNull()
+    from lindel_spark.util import global_rank
+
     e = (df.filter(keep)
          .select(F.col(ts_col).alias("__ts"),
                  F.col(tiebreak).alias("__tb"),
                  (F.col(y_col).cast("double") - yhat).alias("__e")))
-    w = Window.orderBy("__ts", "__tb")
-    e = e.withColumn("__ep", F.lag("__e").over(w))
-    agg = e.agg(
+    r = global_rank(e, ["__ts", "__tb"], out_col="__r")
+    prev = r.select((F.col("__r") + 1).alias("__r"),
+                    F.col("__e").alias("__ep"))
+    paired = r.join(prev, "__r", "left")
+    agg = paired.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("__e") * F.col("__e")).alias("__see"),
         F.sum(F.when(F.col("__ep").isNotNull(),

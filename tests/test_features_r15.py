@@ -106,3 +106,10 @@ def test_logistic_null_rows_excluded(spark):
     b = logistic_fit(dirty, "y", ["x0"], rounds=3).collect()[0]
     assert a.n == b.n == 100
     assert b["coef_x0"] == pytest.approx(a["coef_x0"], abs=0.0)
+
+
+def test_logistic_reserved_column_guard(spark):
+    df = spark.createDataFrame([(1.0, 1.0, 0.0)],
+                               "y double, x0 double, __b0 double")
+    with pytest.raises(ValueError, match="__b0"):
+        logistic_fit(df, "y", ["x0"])

@@ -117,3 +117,16 @@ def test_mmr_validates(spark):
         mmr_rerank(cand, corpus, k=0)
     with pytest.raises(ValueError):
         mmr_rerank(cand, corpus, lam=1.5)
+
+
+def test_mmr_zero_norm_vector_never_poisons(spark):
+    # an all-zero candidate must not NaN-poison the greedy: sims to
+    # it are 0 by convention, so it ranks purely on relevance
+    ids = [0, 1, 2]
+    rel = [0.9, 0.8, 0.1]
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]
+    cand, corpus = _pool_df(spark, ids, rel, vecs)
+    out = mmr_rerank(cand, corpus, k=3, lam=0.5) \
+        .orderBy("rank").collect()
+    assert [r.neighbor_id for r in out] == [0, 1, 2]
+    assert all(r.mmr == r.mmr for r in out)  # no NaN

@@ -397,3 +397,17 @@ def test_partial_corr_degenerate_null(spark):
     r = partial_corr(df, "x", "y", "z").collect()[0]
     assert r.r_xz is None and r.r_xy_z is None
     assert r.r_xy is not None
+
+
+def test_jt_numeric_labels_natural_order(spark):
+    # labels 1..10 as INTEGERS: key=str ordering would scramble
+    # (1, 10, 2, ...) and flip/flatten the trend
+    import numpy as np
+    rng = np.random.RandomState(3)
+    rows = []
+    for g in range(1, 11):
+        for v in rng.randn(12) + 0.4 * g:
+            rows.append((g, float(v)))
+    df = spark.createDataFrame(rows, "g long, v double")
+    r = jonckheere_terpstra(df, "v", "g").collect()[0]
+    assert r.k == 10 and r.z > 5  # strong increasing trend detected

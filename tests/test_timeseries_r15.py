@@ -174,3 +174,21 @@ def test_durbin_watson_singular_null(spark):
         "ts long, id long, y double, x double")
     r = durbin_watson(df, "y", ["x"], "ts", "id").collect()[0]
     assert r.dw is None
+
+
+def test_ar2_null_values_excluded(spark):
+    from lindel_spark.timeseries import ar2_forecast
+    xs = [2.0, None, 2.0, 4.0, 3.0, 5.0, 4.0, 6.0]
+    rows = [("a", i, i, xs[i]) for i in range(len(xs))]
+    df = spark.createDataFrame(rows,
+                               "g string, ts long, id long, v double")
+    clean = [x for x in xs if x is not None]
+    rows2 = [("a", i, i, v) for i, v in enumerate(clean)]
+    df2 = spark.createDataFrame(rows2,
+                                "g string, ts long, id long, v double")
+    a = ar2_forecast(df, ["g"], "ts", "v", "id", 2) \
+        .orderBy("step").collect()
+    b = ar2_forecast(df2, ["g"], "ts", "v", "id", 2) \
+        .orderBy("step").collect()
+    assert a[0].n == len(clean)
+    assert [r.forecast for r in a] == [r.forecast for r in b]
