@@ -2963,3 +2963,80 @@ def partial_corr(
                 (F.col("r_xy") - F.col("r_xz") * F.col("r_yz"))
                 / F.sqrt(den))
     return out.withColumn("r_xy_z", pc)
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    block_col: str,
+    item_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Cronbach's alpha internal-consistency coefficient (Cronbach
+    1951): one row ``(n_blocks, k, alpha)`` —
+
+        α = k/(k−1) · (1 − Σ_i var(item_i) / var(total))
+
+    over complete blocks (every block scored on all k items). The
+    "do these k graders/metrics measure ONE underlying thing"
+    reliability audit next to :func:`agreement_kappa` (kappa grades
+    pairwise label agreement; alpha grades a whole battery's
+    coherence on a continuous scale — α ≥ 0.8 is the conventional
+    'consistent battery' bar before averaging judge scores into one
+    quality signal).
+
+    Same design contracts as :func:`friedman_test`: complete blocks
+    only, duplicate (block, item) cells raise in-plan on the
+    PRE-filter frame. Sample variances ((Σx² − (Σx)²/n)/(n−1));
+    degenerate input (n_blocks < 2, k < 2, or zero total variance)
+    returns NULL alpha.
+
+    Plan: the completeness semi-join + per-item and per-block-total
+    moment aggregates — three map-side-combined passes over the
+    cell frame, no window; with integer-valued scores every moment
+    is exact and alpha replays engine-exactly.
+    """
+    b = (df.select(F.col(block_col).alias("b"),
+                   F.col(item_col).alias("t"),
+                   F.col(value_col).cast("double").alias("v"))
+         .filter(F.col("b").isNotNull() & F.col("t").isNotNull()
+                 & F.col("v").isNotNull()))
+    kt = b.agg(F.count_distinct("t").cast("long").alias("k"))
+    cell = (b.groupBy("b", "t")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"),
+                 F.sum("v").alias("v"))
+            .withColumn("__c", F.when(F.col("__c") > 1, F.raise_error(
+                F.lit("LINDEL: cronbach_alpha: duplicate (block, "
+                      "item) observation — one score per cell is "
+                      "the design"))).otherwise(F.col("__c"))))
+    complete = (cell.groupBy("b")
+                .agg(F.sum("__c").cast("long").alias("__nb"))
+                .crossJoin(F.broadcast(kt))
+                .filter(F.col("__nb") == F.col("k"))
+                .select("b"))
+    rows = cell.join(complete, "b", "left_semi")
+    per_item = (rows.groupBy("t")
+                .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                     F.sum("v").alias("__s"),
+                     F.sum(F.col("v") * F.col("v")).alias("__s2")))
+    nn_i = F.col("__n").cast("double")
+    var_i = (F.col("__s2") - F.col("__s") * F.col("__s") / nn_i) \
+        / (nn_i - 1.0)
+    items = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("__n").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("__n") > 1, var_i)).alias("__svar"))
+    totals = (rows.groupBy("b").agg(F.sum("v").alias("__tot"))
+              .agg(F.count(F.lit(1)).cast("long").alias("__nb"),
+                   F.sum("__tot").alias("__st"),
+                   F.sum(F.col("__tot") * F.col("__tot"))
+                   .alias("__st2")))
+    nn_b = F.col("__nb").cast("double")
+    var_t = (F.col("__st2") - F.col("__st") * F.col("__st") / nn_b) \
+        / (nn_b - 1.0)
+    j = items.crossJoin(F.broadcast(totals))
+    kk = F.col("k").cast("double")
+    alpha = F.when((F.col("k") > 1) & (F.col("n_blocks") > 1)
+                   & (var_t > 0),
+                   kk / (kk - 1.0)
+                   * (1.0 - F.col("__svar") / var_t))
+    return j.select("n_blocks", "k", alpha.alias("alpha"))

@@ -77,6 +77,7 @@ _SAMPLE_FIRST = [
     "parts_by_fdr",  # new: dependence-robust BY step-up
     "parts_fisher_combined",  # new: Fisher meta p-combination
     "events_partial_corr",  # new: confounder-removed correlation
+    "events_cronbach_alpha",  # new: battery internal consistency
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -16424,3 +16425,65 @@ def q_events_partial_corr(spark: SparkSession,
                       F.round("r_xz", 6).alias("r_xz_r6"),
                       F.round("r_yz", 6).alias("r_yz_r6"),
                       F.round("r_xy_z", 6).alias("r_xy_z_r6"))
+
+
+@query(
+    "events_cronbach_alpha",
+    """
+    WITH m AS MATERIALIZED (
+      SELECT user_id AS b, event_type AS t, COUNT(*)::DOUBLE AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS MATERIALIZED (
+      SELECT COUNT(DISTINCT t)::BIGINT AS k FROM m
+    ), cb AS MATERIALIZED (
+      SELECT b FROM m GROUP BY b
+      HAVING COUNT(*) = (SELECT k FROM kk)
+    ), rows_ AS MATERIALIZED (
+      SELECT m.* FROM m JOIN cb ON cb.b = m.b
+    ), pi AS MATERIALIZED (
+      SELECT t, COUNT(*)::BIGINT AS n, SUM(v) AS s,
+             SUM(v * v) AS s2
+      FROM rows_ GROUP BY t
+    ), it AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS k, MAX(n)::BIGINT AS n_blocks,
+             SUM(CASE WHEN n > 1 THEN
+                 (s2 - s * s / n::DOUBLE) / (n::DOUBLE - 1.0) END)
+               AS svar
+      FROM pi
+    ), tt AS MATERIALIZED (
+      SELECT COUNT(*)::BIGINT AS nb, SUM(tot) AS st,
+             SUM(tot * tot) AS st2
+      FROM (SELECT b, SUM(v) AS tot FROM rows_ GROUP BY b)
+    )
+    SELECT it.n_blocks, it.k,
+           round(CASE WHEN it.k > 1 AND it.n_blocks > 1 AND
+                      (tt.st2 - tt.st * tt.st / tt.nb::DOUBLE)
+                        / (tt.nb::DOUBLE - 1.0) > 0
+                 THEN it.k::DOUBLE / (it.k::DOUBLE - 1.0)
+                      * (1.0 - it.svar
+                         / ((tt.st2 - tt.st * tt.st / tt.nb::DOUBLE)
+                            / (tt.nb::DOUBLE - 1.0)))
+                 END, 6) AS alpha_r6
+    FROM it CROSS JOIN tt
+    """,
+)
+def q_events_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha (round 15,
+    :func:`lindel_spark.profile.cronbach_alpha`): do the 5 event
+    types measure one underlying per-user activity trait? Items =
+    types, blocks = users, scores = exact integer counts — every
+    moment exact, the variance ratios replay engine-exactly; 6dp."""
+    from lindel_spark.profile import cronbach_alpha
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    m = (ev.filter(F.col("user_id").isNotNull()
+                   & F.col("event_type").isNotNull())
+         .groupBy(F.col("user_id").alias("b"),
+                  F.col("event_type").alias("t"))
+         .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    out = cronbach_alpha(m, "b", "t", "v")
+    return out.select("n_blocks", "k",
+                      F.round("alpha", 6).alias("alpha_r6"))

@@ -411,3 +411,48 @@ def test_jt_numeric_labels_natural_order(spark):
     df = spark.createDataFrame(rows, "g long, v double")
     r = jonckheere_terpstra(df, "v", "g").collect()[0]
     assert r.k == 10 and r.z > 5  # strong increasing trend detected
+
+
+# ---- Cronbach's alpha ----------------------------------------------
+
+def test_cronbach_alpha_hand_computed(spark):
+    from lindel_spark.profile import cronbach_alpha
+    # 4 blocks x 3 perfectly-correlated items -> alpha = 1.0
+    rows = [(b, t, float(b + 1)) for b in range(4) for t in "XYZ"]
+    df = spark.createDataFrame(rows, "b long, t string, v double")
+    r = cronbach_alpha(df, "b", "t", "v").collect()[0]
+    assert r.n_blocks == 4 and r.k == 3
+    assert r.alpha == pytest.approx(1.0, abs=1e-12)
+
+
+def test_cronbach_alpha_numpy_replica(spark):
+    import numpy as np
+    from lindel_spark.profile import cronbach_alpha
+    rng = np.random.RandomState(17)
+    latent = rng.randn(50)
+    M = np.stack([latent + 0.5 * rng.randn(50) for _ in range(4)],
+                 axis=1)
+    rows = [(b, f"i{t}", float(M[b, t]))
+            for b in range(50) for t in range(4)]
+    df = spark.createDataFrame(rows, "b long, t string, v double")
+    r = cronbach_alpha(df, "b", "t", "v").collect()[0]
+    k = 4
+    svar = M.var(axis=0, ddof=1).sum()
+    vtot = M.sum(axis=1).var(ddof=1)
+    want = k / (k - 1) * (1 - svar / vtot)
+    assert r.alpha == pytest.approx(want, rel=1e-9)
+    assert r.alpha > 0.7  # the battery is genuinely coherent
+
+
+def test_cronbach_alpha_guards(spark):
+    from lindel_spark.profile import cronbach_alpha
+    rows = [(1, "X", 1.0), (1, "Y", 2.0), (2, "X", 1.0),
+            (2, "Y", 2.0)]
+    dup = rows + [(2, "X", 3.0)]
+    df = spark.createDataFrame(dup, "b long, t string, v double")
+    with pytest.raises(Exception, match="duplicate"):
+        cronbach_alpha(df, "b", "t", "v").collect()
+    # constant totals -> zero total variance -> NULL
+    const = spark.createDataFrame(rows, "b long, t string, v double")
+    r = cronbach_alpha(const, "b", "t", "v").collect()[0]
+    assert r.alpha is None
