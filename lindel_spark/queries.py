@@ -90,8 +90,6 @@ _SAMPLE_FIRST = [
     "events_holt_winters_h",  # new: h-step HW horizon
     "knn_graph_search_recall",  # new: graph-walk ANN beam search
     "graph_harmonic",  # new: sampled-source harmonic centrality
-    "events_friedman",  # new: k-sample paired rank test
-    "knn_graph_search_pq_recall",  # new: PQ-scored graph walk
     "events_linear_probe",  # new: multiple-OLS linear probe
     "events_linear_probe_by_type",  # new: per-group probes
     "events_dunn_posthoc",  # new: KW pairwise follow-up + BH
@@ -103,7 +101,6 @@ _SAMPLE_FIRST = [
     #    knn_model_roundtrip, graph_sssp_copurchase already lead)
     # (a) round-13 new
     "knn_ivfpq_opq_recall",  # new face: OPQ x residual composition
-    "graph_sssp_copurchase",  # new: bounded-round weighted SSSP
     "knn_filtered_recall",  # new: attribute-filtered ANN
     "knn_filtered_pq_recall",  # new: filtered ANN, compressed layout
     "events_holt_winters",  # new: additive HW one-step forecast
