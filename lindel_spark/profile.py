@@ -3040,3 +3040,89 @@ def cronbach_alpha(
                    kk / (kk - 1.0)
                    * (1.0 - F.col("__svar") / var_t))
     return j.select("n_blocks", "k", alpha.alias("alpha"))
+
+
+def randomization_test(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    id_col: str,
+    n_draws: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded two-sample randomization test of the mean difference:
+    one row ``(n1, n0, obs_diff, n_draws, n_ge, p)`` — the
+    assumption-free significance tier completing the two-sample
+    ladder (:func:`welch_ttest` assumes normal-ish tails,
+    :func:`mann_whitney_u` tests stochastic dominance of RANKS;
+    this tests the MEAN DIFFERENCE itself under the label-exchange
+    null, so it answers the exact question an A/B metric asks).
+    ``p = (1 + #{draws with |diff| ≥ |obs|}) / (n_draws + 1)`` — the
+    standard add-one Monte-Carlo convention, two-sided.
+
+    DETERMINISTIC Monte-Carlo (the seeded-Laplace /
+    poisson-bootstrap precedent): draw b reassigns each row to a
+    pseudo-group by one md5 bit of ``(seed, b, id)`` — binomial
+    (50/50) label randomization, the exchangeable-null variant that
+    needs NO global permutation shuffle, so every draw is a pure
+    column expression and the whole test is ONE map-side-combined
+    aggregate over ``rows × n_draws`` exploded lightweight tuples
+    (n·B map rows, zero driver loops, replayable in any engine with
+    md5). NULL values/labels/ids are excluded; empty sides give
+    NULL p.
+    """
+    if n_draws < 1:
+        raise ValueError("n_draws must be >= 1")
+    v = F.col(value_col).cast("double")
+    y = (F.col(label_col).cast("double") != 0.0).cast("int")
+    base = (df.select(v.alias("v"), y.alias("y"),
+                      F.col(id_col).cast("string").alias("id"))
+            .filter(F.col("v").isNotNull()
+                    & F.col(label_col).isNotNull()
+                    & F.col("id").isNotNull()))
+    obs = base.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("v"))).alias("__s1"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("y") == 0, F.col("v"))).alias("__s0"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("long").alias("n0"))
+    # draws: explode b = 0..B-1 per row; group bit from one md5 hex
+    # nibble of (seed, b, id) — engine-portable column algebra
+    bit = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(f"{seed}:"), F.col("b").cast("string"),
+        F.lit(":"), F.col("id"))), 1, 1), 16, 10)
+        .cast("long") % 2)
+    drawn = (base.select(
+        "v", F.explode(F.sequence(
+            F.lit(0), F.lit(int(n_draws) - 1))).alias("b"), "id")
+        .select("v", "b", bit.alias("g")))
+    per = (drawn.groupBy("b")
+           .agg(F.sum(F.when(F.col("g") == 1, F.col("v")))
+                .alias("__t1"),
+                F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+                .cast("long").alias("__m1"),
+                F.sum(F.when(F.col("g") == 0, F.col("v")))
+                .alias("__t0"),
+                F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+                .cast("long").alias("__m0")))
+    od = (F.col("__s1") / F.col("n1").cast("double")
+          - F.col("__s0") / F.col("n0").cast("double"))
+    dd = (F.col("__t1") / F.col("__m1").cast("double")
+          - F.col("__t0") / F.col("__m0").cast("double"))
+    hits = (per.crossJoin(F.broadcast(
+        obs.select("n1", "n0", od.alias("__od"))))
+        .agg(F.max("n1").alias("n1"), F.max("n0").alias("n0"),
+             F.max("__od").alias("obs_diff"),
+             F.count(F.lit(1)).cast("long").alias("n_draws"),
+             F.sum(F.when(F.col("__m1") > 0, F.when(
+                 F.col("__m0") > 0, F.when(
+                     F.abs(dd) >= F.abs(F.col("__od")), 1)
+                 .otherwise(0)).otherwise(0)).otherwise(0))
+             .cast("long").alias("n_ge")))
+    p = F.when(F.col("n1") > 0, F.when(
+        F.col("n0") > 0,
+        (1.0 + F.col("n_ge").cast("double"))
+        / (F.col("n_draws").cast("double") + 1.0)))
+    return hits.select("n1", "n0", "obs_diff", "n_draws", "n_ge",
+                       p.alias("p"))

@@ -78,6 +78,7 @@ _SAMPLE_FIRST = [
     "parts_fisher_combined",  # new: Fisher meta p-combination
     "events_partial_corr",  # new: confounder-removed correlation
     "events_cronbach_alpha",  # new: battery internal consistency
+    "events_randomization",  # new: seeded mean-diff permutation test
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -16484,3 +16485,80 @@ def q_events_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cronbach_alpha(m, "b", "t", "v")
     return out.select("n_blocks", "k",
                       F.round("alpha", 6).alias("alpha_r6"))
+
+
+@query(
+    "events_randomization",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT value::DOUBLE AS v,
+             (user_id % 2)::INT AS y,
+             event_id::VARCHAR AS id
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL
+    ), obs AS MATERIALIZED (
+      SELECT SUM(CASE WHEN y = 1 THEN v END) AS s1,
+             SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+             SUM(CASE WHEN y = 0 THEN v END) AS s0,
+             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)::BIGINT AS n0
+      FROM base
+    ), drawn AS MATERIALIZED (
+      SELECT v, b.b,
+             ('0x' || substr(md5('42:' || b.b::VARCHAR || ':' || id),
+                             1, 1))::BIGINT % 2 AS g
+      FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+    ), per AS MATERIALIZED (
+      SELECT b,
+             SUM(CASE WHEN g = 1 THEN v END) AS t1,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+             SUM(CASE WHEN g = 0 THEN v END) AS t0,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS m0
+      FROM drawn GROUP BY b
+    )
+    SELECT obs.n1, obs.n0,
+           round(obs.s1 / obs.n1::DOUBLE
+                 - obs.s0 / obs.n0::DOUBLE, 6) AS obs_diff_r6,
+           COUNT(*)::BIGINT AS n_draws,
+           SUM(CASE WHEN per.m1 > 0 AND per.m0 > 0 AND
+                    abs(per.t1 / per.m1::DOUBLE
+                        - per.t0 / per.m0::DOUBLE)
+                    >= abs(obs.s1 / obs.n1::DOUBLE
+                           - obs.s0 / obs.n0::DOUBLE)
+               THEN 1 ELSE 0 END)::BIGINT AS n_ge,
+           round((1.0 + SUM(CASE WHEN per.m1 > 0 AND per.m0 > 0 AND
+                    abs(per.t1 / per.m1::DOUBLE
+                        - per.t0 / per.m0::DOUBLE)
+                    >= abs(obs.s1 / obs.n1::DOUBLE
+                           - obs.s0 / obs.n0::DOUBLE)
+               THEN 1 ELSE 0 END)::DOUBLE)
+                 / (COUNT(*)::DOUBLE + 1.0), 6) AS p_r6
+    FROM per CROSS JOIN obs
+    GROUP BY obs.n1, obs.n0, obs.s1, obs.s0
+    """,
+)
+def q_events_randomization(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Seeded randomization test (round 15,
+    :func:`lindel_spark.profile.randomization_test`): does mean
+    event value differ between even and odd users (the
+    ``events_mann_whitney`` split), tested on the MEAN DIFFERENCE
+    itself under 64 deterministic md5-bit label reassignments —
+    zero driver loops, one n·B map-side aggregate, add-one
+    Monte-Carlo p; 6dp."""
+    from lindel_spark.profile import randomization_test
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    base = (ev.filter(F.col("value").isNotNull()
+                      & F.col("user_id").isNotNull()
+                      & F.col("event_id").isNotNull())
+            .select(F.col("event_id"),
+                    F.col("value").alias("v"),
+                    (F.col("user_id") % 2).cast("int").alias("y")))
+    out = randomization_test(base, "v", "y", "event_id",
+                             n_draws=64, seed=42)
+    return out.select("n1", "n0",
+                      F.round("obs_diff", 6).alias("obs_diff_r6"),
+                      "n_draws", "n_ge",
+                      F.round("p", 6).alias("p_r6"))

@@ -456,3 +456,58 @@ def test_cronbach_alpha_guards(spark):
     const = spark.createDataFrame(rows, "b long, t string, v double")
     r = cronbach_alpha(const, "b", "t", "v").collect()[0]
     assert r.alpha is None
+
+
+# ---- randomization test ---------------------------------------------
+
+def test_randomization_detects_real_shift(spark):
+    import numpy as np
+    from lindel_spark.profile import randomization_test
+    rng = np.random.RandomState(0)
+    rows = [(i, float(rng.randn()), 0) for i in range(150)] + \
+           [(1000 + i, float(rng.randn() + 2.0), 1)
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "id long, v double, y int")
+    r = randomization_test(df, "v", "y", "id",
+                           n_draws=99).collect()[0]
+    assert r.n1 == 150 and r.n0 == 150
+    assert r.obs_diff == pytest.approx(2.0, abs=0.5)
+    assert r.p == pytest.approx(1.0 / 100.0)  # no draw beats obs
+
+
+def test_randomization_null_is_insignificant(spark):
+    import numpy as np
+    from lindel_spark.profile import randomization_test
+    rng = np.random.RandomState(5)
+    rows = [(i, float(rng.randn()), i % 2) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v double, y int")
+    r = randomization_test(df, "v", "y", "id",
+                           n_draws=99).collect()[0]
+    assert r.p > 0.05  # same distribution: large p
+
+
+def test_randomization_deterministic_and_seeded(spark):
+    import numpy as np
+    from lindel_spark.profile import randomization_test
+    rng = np.random.RandomState(7)
+    rows = [(i, float(rng.randn() + (0.3 if i % 2 else 0)), i % 2)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double, y int")
+    a = randomization_test(df, "v", "y", "id", 50, seed=1) \
+        .collect()[0]
+    b = randomization_test(df.repartition(9), "v", "y", "id", 50,
+                           seed=1).collect()[0]
+    c = randomization_test(df, "v", "y", "id", 50, seed=2) \
+        .collect()[0]
+    assert a.n_ge == b.n_ge and a.p == b.p
+    assert (a.n_ge, a.p) != (c.n_ge, c.p) or a.obs_diff == c.obs_diff
+
+
+def test_randomization_empty_side_null(spark):
+    from lindel_spark.profile import randomization_test
+    df = spark.createDataFrame([(1, 1.0, 1), (2, 2.0, 1)],
+                               "id long, v double, y int")
+    r = randomization_test(df, "v", "y", "id", 10).collect()[0]
+    assert r.p is None
+    with pytest.raises(ValueError):
+        randomization_test(df, "v", "y", "id", 0)
