@@ -1428,3 +1428,42 @@ def project_bipartite(
     if min_weight > 1:
         pairs = pairs.filter(F.col("weight") >= min_weight)
     return pairs
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz
+    1998): ``(node, degree, triangles, coeff)`` with ``coeff =
+    2·T(v) / (deg(v)·(deg(v)−1))`` — "how clique-like is each
+    node's neighborhood", the per-node complement to the global
+    :func:`degree_assortativity` / :func:`modularity` audits: a
+    similarity graph whose high-degree nodes have near-zero
+    coefficients is hub-polluted (one doc similar to everything —
+    boilerplate), which is exactly what a dedup/curation pipeline
+    wants flagged before clustering. Every node of the canonical
+    graph appears (degree-1 nodes get coeff 0.0).
+
+    A pure composition of shipped primitives: exact per-node
+    triangle counts from the skew-safe degree-ordered
+    :func:`triangle_count` + one degree aggregate + one node-keyed
+    join. Exact integers until the final division — engine-exact.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (e.select(F.col("a").alias("node"))
+           .unionAll(e.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    tri = triangle_count(e, src="a", dst="b")
+    dd = F.col("degree").cast("double")
+    return (deg.join(tri, "node", "left")
+            .select("node", "degree",
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    .cast("long").alias("triangles"))
+            .withColumn(
+                "coeff",
+                F.when(F.col("degree") >= 2,
+                       2.0 * F.col("triangles").cast("double")
+                       / (dd * (dd - 1.0))).otherwise(F.lit(0.0))))

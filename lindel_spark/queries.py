@@ -79,6 +79,7 @@ _SAMPLE_FIRST = [
     "events_partial_corr",  # new: confounder-removed correlation
     "events_cronbach_alpha",  # new: battery internal consistency
     "events_randomization",  # new: seeded mean-diff permutation test
+    "graph_clustering_coeff",  # new: per-node neighborhood cliquishness
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -16562,3 +16563,60 @@ def q_events_randomization(spark: SparkSession,
                       F.round("obs_diff", 6).alias("obs_diff_r6"),
                       "n_draws", "n_ge",
                       F.round("p", 6).alias("p_r6"))
+
+
+@query(
+    "graph_clustering_coeff",
+    """
+    WITH pp AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey::BIGINT AS a, b.l_partkey::BIGINT AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ), w AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pp e1 JOIN pp e2 ON e1.b = e2.a
+    ), t AS (
+      SELECT x, y, z FROM w JOIN pp ON pp.a = w.x AND pp.b = w.z
+    ), tri AS (
+      SELECT node, COUNT(*)::BIGINT AS triangles FROM (
+        SELECT x AS node FROM t
+        UNION ALL SELECT y FROM t
+        UNION ALL SELECT z FROM t
+      ) GROUP BY 1
+    ), deg AS (
+      SELECT node, COUNT(*)::BIGINT AS degree FROM (
+        SELECT a AS node FROM pp UNION ALL SELECT b FROM pp
+      ) GROUP BY 1
+    )
+    SELECT deg.node, deg.degree,
+           COALESCE(tri.triangles, 0)::BIGINT AS triangles,
+           round(CASE WHEN deg.degree >= 2
+                 THEN 2.0 * COALESCE(tri.triangles, 0)::DOUBLE
+                      / (deg.degree::DOUBLE
+                         * (deg.degree::DOUBLE - 1.0))
+                 ELSE 0.0 END, 6) AS coeff_r6
+    FROM deg LEFT JOIN tri ON tri.node = deg.node
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (round 15,
+    :func:`lindel_spark.graph.clustering_coefficient`): how
+    clique-like is each part's co-purchase neighborhood — the
+    per-node hub-pollution audit (high degree + near-zero coeff =
+    boilerplate-like hub). Exact integer triangles/degrees, one
+    final division; 6dp."""
+    from lindel_spark.graph import clustering_coefficient
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").cast("long").alias("dst"))
+    edges = (a.join(b, "ok")
+             .filter(F.col("src") < F.col("dst"))
+             .select("src", "dst").distinct())
+    out = clustering_coefficient(edges)
+    return out.select("node", "degree", "triangles",
+                      F.round("coeff", 6).alias("coeff_r6"))

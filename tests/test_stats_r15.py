@@ -511,3 +511,30 @@ def test_randomization_empty_side_null(spark):
     assert r.p is None
     with pytest.raises(ValueError):
         randomization_test(df, "v", "y", "id", 0)
+
+
+# ---- clustering coefficient ----------------------------------------
+
+def test_clustering_coefficient_hand_graphs(spark):
+    from lindel_spark.graph import clustering_coefficient
+    # K4: every node coeff 1.0 (deg 3, tri 3 -> 2*3/(3*2) = 1)
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    out = {r.node: r for r in clustering_coefficient(
+        _edges(spark, k4)).collect()}
+    assert all(out[i].coeff == pytest.approx(1.0) for i in range(4))
+    assert all(out[i].triangles == 3 for i in range(4))
+    # star: center deg 4 tri 0 -> 0.0; leaves deg 1 -> 0.0
+    star = [(0, i) for i in range(1, 5)]
+    s = {r.node: r for r in clustering_coefficient(
+        _edges(spark, star)).collect()}
+    assert s[0].coeff == 0.0 and s[0].degree == 4
+    assert all(s[i].coeff == 0.0 and s[i].degree == 1
+               for i in range(1, 5))
+    # triangle + pendant: node 0 in tri with deg 3 (pendant 9):
+    # coeff = 2*1/(3*2) = 1/3
+    g = [(0, 1), (1, 2), (0, 2), (0, 9)]
+    t = {r.node: r for r in clustering_coefficient(
+        _edges(spark, g)).collect()}
+    assert t[0].coeff == pytest.approx(1.0 / 3.0)
+    assert t[1].coeff == pytest.approx(1.0)
+    assert t[9].coeff == 0.0
