@@ -374,3 +374,76 @@ def isotonic_calibrate(
                     (F.col("pos").cast("double")
                      / F.col("n").cast("double")).alias("rate"),
                     "calibrated"))
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the binned Brier score: one
+    row ``(n, reliability, resolution, uncertainty, brier_binned)``
+    with ``brier_binned = REL − RES + UNC`` — the WHY behind a bad
+    :func:`brier_score`: REL (Σ n_b(p̄_b − ō_b)²/N, want ≈ 0) says
+    the scores are miscalibrated — fix with
+    :func:`isotonic_calibrate`; RES (Σ n_b(ō_b − ō)²/N, want large)
+    says the scores can't separate outcomes at all — no calibration
+    will help, the model needs features; UNC (ō(1−ō)) is the
+    irreducible base-rate term. Scores probability-like in [0, 1]
+    (the :func:`calibration_bins` contract), labels y ≠ 0, the
+    decomposition taken over ``n_bins`` equal-width bins (the
+    identity is exact for the BINNED forecast p̄_b — the standard
+    verification practice).
+
+    Plan: ONE map-side-combined groupBy(bin) over the corpus
+    (n_bins rows of state), then pure algebra on the tiny bin frame
+    with the Σ_b folds in ASCENDING bin order (``sort_array`` fold —
+    the kruskal double-addition lesson), so both engines evaluate
+    identical double chains.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col).cast("double") != 0.0).cast("long")
+    pairs = df.select(s.alias("s"), y.alias("y")).filter(
+        F.col("s").isNotNull() & F.col(label_col).isNotNull())
+    b = F.least(F.lit(n_bins - 1),
+                F.floor(F.col("s") * n_bins).cast("int")) \
+        .cast("long").alias("bin")
+    bins = (pairs.select(b, "s", "y")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("nb"),
+                 F.sum("s").alias("ss"),
+                 F.sum("y").cast("long").alias("sy")))
+    agg = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("__sy"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("bin"), F.col("nb"), F.col("ss"),
+            F.col("sy").alias("syb")))).alias("__bs"))
+    nn = F.col("n").cast("double")
+    obar = F.col("__sy").cast("double") / nn
+    rel = F.aggregate(
+        F.col("__bs"), F.lit(0.0),
+        lambda acc, x: acc
+        + x["nb"].cast("double")
+        * (x["ss"] / x["nb"].cast("double")
+           - x["syb"].cast("double") / x["nb"].cast("double"))
+        * (x["ss"] / x["nb"].cast("double")
+           - x["syb"].cast("double") / x["nb"].cast("double"))) / nn
+    res = F.aggregate(
+        F.col("__bs"), F.lit(0.0),
+        lambda acc, x: acc
+        + x["nb"].cast("double")
+        * (x["syb"].cast("double") / x["nb"].cast("double") - obar)
+        * (x["syb"].cast("double") / x["nb"].cast("double")
+           - obar)) / nn
+    unc = obar * (1.0 - obar)
+    out = agg.select(
+        "n", rel.alias("reliability"), res.alias("resolution"),
+        unc.alias("uncertainty"))
+    return out.withColumn(
+        "brier_binned",
+        F.col("reliability") - F.col("resolution")
+        + F.col("uncertainty"))

@@ -80,6 +80,7 @@ _SAMPLE_FIRST = [
     "events_cronbach_alpha",  # new: battery internal consistency
     "events_randomization",  # new: seeded mean-diff permutation test
     "graph_clustering_coeff",  # new: per-node neighborhood cliquishness
+    "events_brier_decomposition",  # new: Murphy REL-RES+UNC split
     # (b) round-15 operator-changed (friedman dup guard on the
     # pre-filter frame; graph-walk PQ full seen-set; sssp
     # checkpoint-unpersist)
@@ -16620,3 +16621,71 @@ def q_graph_clustering_coeff(spark: SparkSession,
     out = clustering_coefficient(edges)
     return out.select("node", "degree", "triangles",
                       F.round("coeff", 6).alias("coeff_r6"))
+
+
+@query(
+    "events_brier_decomposition",
+    """
+    WITH pairs AS MATERIALIZED (
+      SELECT value / 500.0 AS s,
+             CASE WHEN (value * 10) % 7 < 3 THEN 1 ELSE 0 END AS y
+      FROM events WHERE value IS NOT NULL
+    ), bins AS MATERIALIZED (
+      SELECT LEAST(19, floor(s * 20))::BIGINT AS bin,
+             COUNT(*)::BIGINT AS nb, SUM(s) AS ss,
+             SUM(y)::BIGINT AS sy
+      FROM pairs GROUP BY 1
+    ), tot AS MATERIALIZED (
+      SELECT SUM(nb)::BIGINT AS n, SUM(sy)::BIGINT AS syt FROM bins
+    ), folds AS MATERIALIZED (
+      SELECT
+        SUM(nb::DOUBLE
+            * (ss / nb::DOUBLE - sy::DOUBLE / nb::DOUBLE)
+            * (ss / nb::DOUBLE - sy::DOUBLE / nb::DOUBLE)
+            ORDER BY bin) AS rel2,
+        SUM(nb::DOUBLE
+            * (sy::DOUBLE / nb::DOUBLE
+               - (SELECT syt FROM tot)::DOUBLE
+                 / (SELECT n FROM tot)::DOUBLE)
+            * (sy::DOUBLE / nb::DOUBLE
+               - (SELECT syt FROM tot)::DOUBLE
+                 / (SELECT n FROM tot)::DOUBLE)
+            ORDER BY bin) AS res2
+      FROM bins
+    )
+    SELECT tot.n,
+           round(folds.rel2 / tot.n::DOUBLE, 6) AS reliability_r6,
+           round(folds.res2 / tot.n::DOUBLE, 6) AS resolution_r6,
+           round((tot.syt::DOUBLE / tot.n::DOUBLE)
+                 * (1.0 - tot.syt::DOUBLE / tot.n::DOUBLE), 6)
+             AS uncertainty_r6,
+           round(folds.rel2 / tot.n::DOUBLE
+                 - folds.res2 / tot.n::DOUBLE
+                 + (tot.syt::DOUBLE / tot.n::DOUBLE)
+                   * (1.0 - tot.syt::DOUBLE / tot.n::DOUBLE), 6)
+             AS brier_binned_r6
+    FROM tot CROSS JOIN folds
+    """,
+)
+def q_events_brier_decomp(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Murphy Brier decomposition (round 15,
+    :func:`lindel_spark.evaluation.brier_decomposition`): the
+    ``events_isotonic_calibration`` score/label pair split into
+    reliability − resolution + uncertainty over 20 bins — the WHY
+    behind a bad Brier (miscalibration vs no-signal). One
+    groupBy(bin) + ascending-bin folds on both engines; 6dp."""
+    from lindel_spark.evaluation import brier_decomposition
+    from lindel_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    pairs = (ev.filter(F.col("value").isNotNull())
+             .select((F.col("value") / 500.0).alias("s"),
+                     ((F.col("value") * 10) % 7 < 3).cast("long")
+                     .alias("y")))
+    out = brier_decomposition(pairs, "s", "y", n_bins=20)
+    return out.select(
+        "n", F.round("reliability", 6).alias("reliability_r6"),
+        F.round("resolution", 6).alias("resolution_r6"),
+        F.round("uncertainty", 6).alias("uncertainty_r6"),
+        F.round("brier_binned", 6).alias("brier_binned_r6"))

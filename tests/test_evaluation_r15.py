@@ -84,3 +84,54 @@ def test_isotonic_empty_bins_skipped_and_validates(spark):
     with pytest.raises(ValueError):
         isotonic_calibrate(_score_label_df(spark, rows), "s", "y",
                            n_bins=0)
+
+
+# ---- Brier decomposition -------------------------------------------
+
+def test_brier_decomposition_identity_and_numpy(spark):
+    import numpy as np
+    from lindel_spark.evaluation import brier_decomposition
+    rng = np.random.RandomState(14)
+    n = 3000
+    s = rng.rand(n)
+    y = (rng.rand(n) < 0.3 + 0.5 * s).astype(int)
+    df = spark.createDataFrame(
+        [(float(s[i]), int(y[i])) for i in range(n)],
+        "s double, y int")
+    r = brier_decomposition(df, "s", "y", n_bins=10).collect()[0]
+    bins = np.minimum(9, np.floor(s * 10).astype(int))
+    rel = res = 0.0
+    obar = y.mean()
+    for b in range(10):
+        m = bins == b
+        if not m.any():
+            continue
+        rel += m.sum() * (s[m].mean() - y[m].mean()) ** 2
+        res += m.sum() * (y[m].mean() - obar) ** 2
+    rel, res = rel / n, res / n
+    unc = obar * (1 - obar)
+    assert r.n == n
+    assert r.reliability == pytest.approx(rel, rel=1e-9)
+    assert r.resolution == pytest.approx(res, rel=1e-9)
+    assert r.uncertainty == pytest.approx(unc, rel=1e-12)
+    assert r.brier_binned == pytest.approx(rel - res + unc,
+                                           rel=1e-9)
+    # binned-forecast Brier equals the identity directly
+    pbar = np.array([s[bins == b].mean() if (bins == b).any()
+                     else 0 for b in range(10)])
+    binned_brier = np.mean((pbar[bins] - y) ** 2)
+    assert r.brier_binned == pytest.approx(binned_brier, rel=1e-9)
+
+
+def test_brier_decomposition_perfect_and_uninformative(spark):
+    from lindel_spark.evaluation import brier_decomposition
+    # uninformative constant score 0.5 with 50/50 labels: RES = 0,
+    # REL = (0.5-0.5)^2 = 0, UNC = 0.25
+    rows = [(0.5, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = brier_decomposition(df, "s", "y", n_bins=4).collect()[0]
+    assert r.resolution == pytest.approx(0.0, abs=1e-12)
+    assert r.reliability == pytest.approx(0.0, abs=1e-12)
+    assert r.uncertainty == pytest.approx(0.25, abs=1e-12)
+    with pytest.raises(ValueError):
+        brier_decomposition(df, "s", "y", n_bins=0)
