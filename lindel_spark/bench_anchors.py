@@ -142,6 +142,15 @@ ANCHORS: dict[str, float] = {
     "graph_knn_search": 2.155,
     "linear_probe_events": 0.484,
     "friedman_events": 0.726,
+    # round-15 first measurements (sf0.1, local[32], drained host —
+    # the BENCH_LOCAL_LAST.json full-suite run taken after the sf1
+    # sweep, BEFORE pytest; BASELINE.md round-15 addendum table)
+    "kmeans_embeddings": 0.5023,
+    "logistic_probe_events": 1.3575,
+    "isotonic_events": 0.4281,
+    "ar2_events": 0.5337,
+    "ktruss_copurchase": 7.976,
+    "mmr_rerank": 0.8971,
 }
 
 # Entries whose documented same-code noise band already approaches or
