@@ -443,9 +443,17 @@ def triangle_count(
     operator stays value-level SQL-replayable.
     """
     e = _canonical_edges(edges, src, dst)
-    o = _degree_oriented(e).select("s", "d").localCheckpoint()
-    adj = o.groupBy("s").agg(F.collect_list("d").alias("nb"))
-    t = (o.join(adj.select("s", F.col("nb").alias("nb_s")), "s")
+    # adjacency is materialized once (localCheckpoint) and the
+    # oriented edge list is REGENERATED from it by explode — exploding
+    # adj yields exactly the (s, d) multiset it was built from, with
+    # nb_s already attached, so the edges⋈adj-on-s join (and its
+    # exchange of the edge list by s) disappears; one d-keyed join
+    # remains (round-15 optimization; guide §2.4)
+    adj = (_degree_oriented(e).select("s", "d")
+           .groupBy("s").agg(F.collect_list("d").alias("nb"))
+           .localCheckpoint())
+    t = (adj.select("s", F.col("nb").alias("nb_s"),
+                    F.explode("nb").alias("d"))
          .join(adj.select(F.col("s").alias("d"),
                           F.col("nb").alias("nb_d")), "d")
          .select("s", "d",
@@ -1317,9 +1325,14 @@ def _edge_support(e: DataFrame) -> DataFrame:
     to edges instead of corners: each triangle is enumerated exactly
     once at its lowest-rank oriented edge, then fans out one count to
     each of its three id-canonical edges."""
-    o = _degree_oriented(e).select("s", "d").localCheckpoint()
-    adj = o.groupBy("s").agg(F.collect_list("d").alias("nb"))
-    t = (o.join(adj.select("s", F.col("nb").alias("nb_s")), "s")
+    # same adjacency-explode shape as triangle_count (round-15): the
+    # oriented edges regenerate from the materialized adjacency with
+    # nb_s attached, dropping the edges⋈adj-on-s join
+    adj = (_degree_oriented(e).select("s", "d")
+           .groupBy("s").agg(F.collect_list("d").alias("nb"))
+           .localCheckpoint())
+    t = (adj.select("s", F.col("nb").alias("nb_s"),
+                    F.explode("nb").alias("d"))
          .join(adj.select(F.col("s").alias("d"),
                           F.col("nb").alias("nb_d")), "d")
          .select("s", "d",

@@ -2116,13 +2116,16 @@ def power_iteration_pca(
     1-D ordering) WITHOUT ever materializing the d×d covariance or
     collecting a row.
 
-    Per iteration ``w ← C·v`` is computed matrix-free:
-    ``C·v = Σ xᵢ(xᵢ·v)/n − μ(μ·v)``, i.e. one map-only per-row dot
-    (``zip_with`` + ``aggregate`` fold — exact left-to-right, no UDF)
-    and one map-side-combined groupBy on vector position whose
-    shuffle is ``d`` rows per task — never row-scale. The ONLY driver
-    state is the d-vector itself between iterations (the bounded-
-    scalar contract of ``graph.pagerank``'s dangling-mass row).
+    The Gram matrix ``G = Σ xxᵀ`` (d² scalars, with ``Σx`` and the
+    row count riding the same aggregate) is accumulated in ONE
+    distributed pass — whole-batch NumPy ``XᵀX`` per Arrow batch,
+    one d²-sized partial per task — and every iteration's
+    ``w ← C·v = (G·v)/n − μ(μ·v)`` is then d²-sized driver algebra
+    (identical operator to the matrix-free per-iteration form; only
+    float summation order differs). Driver state is bounded by d²
+    (the bounded-scalar contract of ``graph.pagerank``'s
+    dangling-mass row), and the data is scanned once however many
+    iterations run.
     Deterministic by construction: v₀ = 1/√d, fixed iteration count,
     and a sign convention (the largest-|loading| coordinate — ties to
     the smallest index — is made positive), so two runs and two
@@ -2140,11 +2143,8 @@ def power_iteration_pca(
     vecs = df.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double"))
         .alias("__v")).filter(F.col("__v").isNotNull())
-    vecs = vecs.persist()
-    try:
-        comps = _pca_power_core(vecs, iters, n_components=1)
-    finally:
-        vecs.unpersist()
+    # no persist: the Gram core scans the data exactly once
+    comps = _pca_power_core(vecs, iters, n_components=1)
     v, lam = comps[0]
     d = len(v)
     return spark.createDataFrame(
@@ -2154,31 +2154,61 @@ def power_iteration_pca(
 
 def _pca_power_core(vecs: DataFrame, iters: int,
                     n_components: int) -> list:
-    """Shared matrix-free power-iteration engine over a persisted
-    ``(__v: array<double>)`` frame: returns ``[(loadings, λ), …]`` for
-    the top ``n_components``, extracted one at a time with DRIVER-SIDE
+    """Shared power-iteration engine over a ``(__v: array<double>)``
+    frame: returns ``[(loadings, λ), …]`` for the top
+    ``n_components``, extracted one at a time with DRIVER-SIDE
     deflation — component j iterates ``C_j·v = C·v − Σ_{i<j}
-    λᵢ(vᵢ·v)vᵢ`` where only the ``C·v`` half is distributed (the same
-    one dot-product map + d-row groupBy per step) and the deflation
-    is d-dim list algebra on the driver. State between steps stays
-    ``n_components`` d-vectors — the pagerank bounded-scalar
-    contract."""
-    pe = vecs.select(F.posexplode("__v").alias("pos", "x"))
-    stats = (pe.groupBy("pos")
-             .agg(F.sum("x").alias("s"),
-                  F.sum(F.col("x") * F.col("x")).alias("ss"),
-                  F.count(F.lit(1)).cast("long").alias("c"))
-             .orderBy("pos").collect())
-    if not stats:
+    λᵢ(vᵢ·v)vᵢ``.
+
+    The Gram matrix ``G = Σ xxᵀ`` (plus ``Σx`` and the row count) is
+    accumulated in ONE distributed pass — a whole-batch NumPy
+    ``XᵀX`` per Arrow batch, one d²-sized partial per task,
+    element-wise summed through a single (pos)-keyed aggregate — and
+    every iteration then evaluates the identical matrix-free step
+    ``C·v = (G·v)/n − μ(μ·v)`` as d²-sized driver algebra (``Σᵣ
+    x[pos]·(x·v) ≡ (G·v)[pos]`` exactly, so this is the same operator
+    the per-iteration distributed formulation applied; only the
+    float summation ORDER differs, which both the oracle replay and
+    the pytest contract already tolerate). State between steps stays
+    bounded by d² — the pagerank bounded-scalar contract — and the
+    data is scanned ONCE however many components × iterations run,
+    instead of once per iteration (round-15 optimization; guide
+    §1.2/§4.2: fewer passes, vectorized native batch work)."""
+    d_row = vecs.select(F.size("__v").alias("d")).first()
+    if d_row is None:
         raise ValueError("power_iteration_pca: empty input")
-    d = len(stats)
-    n = float(stats[0].c)
-    mu = [r.s / n for r in stats]
+    d = int(d_row["d"])
+
+    def _gram(batches):
+        G = np.zeros((d, d), np.float64)
+        s = np.zeros(d, np.float64)
+        c = 0
+        for pdf in batches:
+            X = np.array([np.asarray(v, np.float64)
+                          for v in pdf["__v"]], np.float64)
+            G += X.T @ X
+            s += X.sum(axis=0)
+            c += X.shape[0]
+        if c:
+            flat = np.concatenate([G.ravel(), s, [float(c)]])
+            yield pd.DataFrame({"part": [flat.tolist()]})
+
+    parts = vecs.mapInPandas(_gram, "part array<double>")
+    cells = (parts.select(F.posexplode("part").alias("pos", "x"))
+             .groupBy("pos").agg(F.sum("x").alias("s"))
+             .orderBy("pos").collect())
+    if not cells:
+        raise ValueError("power_iteration_pca: empty input")
+    flat = [r.s for r in cells]
+    G = [flat[i * d:(i + 1) * d] for i in range(d)]
+    sx = flat[d * d:d * d + d]
+    n = float(flat[d * d + d])
+    mu = [s / n for s in sx]
     # zero-variance guard BEFORE iterating: trace(C) relative to
     # the mean squared magnitude (identical rows leave only float
     # residue in both, so an exact-zero test would never fire)
-    msq = sum(r.ss / n for r in stats)
-    trace = sum(r.ss / n - m * m for r, m in zip(stats, mu))
+    msq = sum(G[i][i] / n for i in range(d))
+    trace = sum(G[i][i] / n - m * m for i, m in enumerate(mu))
     if msq == 0.0 or trace <= 1e-12 * msq:
         raise ValueError(
             "power_iteration_pca: zero-variance input "
@@ -2188,18 +2218,10 @@ def _pca_power_core(vecs: DataFrame, iters: int,
         v = [1.0 / math.sqrt(d)] * d
         lam = 0.0
         for _ in range(iters):
-            lit_v = F.array(*[F.lit(x) for x in v])
-            dot = F.aggregate(
-                F.zip_with("__v", lit_v, lambda x, s: x * s),
-                F.lit(0.0), lambda acc, x: acc + x)
-            s_rows = (vecs
-                      .select(F.posexplode("__v").alias("pos", "x"),
-                              dot.alias("__d"))
-                      .groupBy("pos")
-                      .agg(F.sum(F.col("x") * F.col("__d")).alias("s"))
-                      .orderBy("pos").collect())
+            gv = [sum(G[i][j] * v[j] for j in range(d))
+                  for i in range(d)]
             mudot = sum(m * x for m, x in zip(mu, v))
-            w = [r.s / n - m * mudot for r, m in zip(s_rows, mu)]
+            w = [g / n - m * mudot for g, m in zip(gv, mu)]
             # driver-side deflation: subtract previous components'
             # spectral mass (d-dim algebra, no extra distributed work)
             for pv, plam in done:
@@ -2230,11 +2252,11 @@ def power_iteration_pca_topk(
 ) -> DataFrame:
     """Top-k principal components by deflated power iteration:
     ``(component, pos, loading, eigenvalue)`` — k·d rows, components
-    numbered 0..k−1 in decreasing eigenvalue. Same matrix-free
-    distributed step as :func:`power_iteration_pca`; each later
+    numbered 0..k−1 in decreasing eigenvalue. Same one-pass Gram
+    accumulation as :func:`power_iteration_pca`; each later
     component iterates against the DEFLATED operator ``C − Σλᵢvᵢvᵢᵀ``
     where the deflation term is pure d-dim driver algebra, so the
-    distributed cost is exactly k× the single-component run. Use more
+    distributed cost is ONE data scan regardless of k. Use more
     ``iters`` than the 1-component default — deflation compounds
     convergence error from earlier components into later ones.
 
@@ -2252,11 +2274,8 @@ def power_iteration_pca_topk(
     vecs = df.select(
         F.transform(F.col(vec_col), lambda x: x.cast("double"))
         .alias("__v")).filter(F.col("__v").isNotNull())
-    vecs = vecs.persist()
-    try:
-        comps = _pca_power_core(vecs, iters, n_components)
-    finally:
-        vecs.unpersist()
+    # no persist: the Gram core scans the data exactly once
+    comps = _pca_power_core(vecs, iters, n_components)
     comps = sorted(comps, key=lambda t: -t[1])
     rows = [(c, i, v[i], lam)
             for c, (v, lam) in enumerate(comps)

@@ -1338,13 +1338,15 @@ def langid_train(
     map-side-combined groupBy per call, so the model trains
     corpus-side at any scale and persists under the same
     store pattern as the BM25 index. Scoring is log-count algebra
-    over this frame (:func:`langid_scores`) — no floats are stored."""
-    grams = None
-    for n in orders:
-        g = labeled.select(
-            F.col(lang_col).alias("lang"),
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
-        grams = g if grams is None else grams.unionByName(g)
+    over this frame (:func:`langid_scores`) — no floats are stored.
+
+    All ``orders`` ride ONE scan: the per-order gram arrays concat
+    before the explode (round-15 optimization — the union-of-explodes
+    form normalized and re-scanned the corpus once per order)."""
+    grams = labeled.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.concat(*[char_ngrams(F.col(text_col), n)
+                             for n in orders])).alias("gram"))
     return grams.groupBy("lang", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
 
@@ -1367,13 +1369,19 @@ def langid_scores(
     returns ``n_seen`` (seen-gram occurrences) so callers can fall
     back when the model never saw the document's script at all.
     Everything is ``ln`` over integer counts — value-replayable in
-    any SQL engine."""
-    grams = None
-    for n in orders:
-        g = target.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
-        grams = g if grams is None else grams.unionByName(g)
+    any SQL engine.
+
+    Plan (round-15 optimization): all ``orders`` explode from ONE
+    scan — the gram arrays concat before the explode, where the
+    union-of-explodes form re-scanned and re-normalized the corpus
+    once per order. ``doc_n`` keeps aggregating from ``tg`` so the
+    expensive gram exchange is computed once and REUSED by both
+    branches (ReuseExchange; recomputing the gram arrays map-side
+    just for their sizes re-pays the normalize+slide work)."""
+    grams = target.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(*[char_ngrams(F.col(text_col), n)
+                             for n in orders])).alias("gram"))
     tg = grams.groupBy("doc_id", "gram").agg(
         F.count(F.lit(1)).cast("long").alias("m"))
     doc_n = tg.groupBy("doc_id").agg(F.sum("m").alias("n_g"))
@@ -1419,13 +1427,17 @@ def trained_language_id(
     sc = sc.withColumn("score", F.round("score", score_round))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("lang").asc())
+    # the per-doc seen total rides the SAME doc_id partitioning as
+    # the argmax window — one pass over sc instead of a second
+    # aggregate + join, which re-evaluated the whole gram pipeline
+    # (round-15 optimization; guide §2.4: share the exchange)
+    ws = Window.partitionBy("doc_id")
     best = (sc.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__seen", F.sum("n_seen").over(ws))
             .filter(F.col("__rk") == 1))
-    tot_seen = sc.groupBy("doc_id").agg(
-        F.sum("n_seen").alias("__seen"))
     fb = target.select(F.col(id_col).alias("doc_id"),
                        language_id(F.col(text_col)).alias("__fb"))
-    return (best.join(tot_seen, "doc_id").join(fb, "doc_id")
+    return (best.join(fb, "doc_id")
             .select(
                 "doc_id",
                 F.when(F.col("__seen") > 0, F.col("lang"))
