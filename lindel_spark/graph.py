@@ -756,13 +756,22 @@ def kcore(
     adj = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionAll(e.select(F.col("b").alias("u"),
                               F.col("a").alias("v"))))
-    adj = adj.localCheckpoint()
+    # pin the symmetrized edge list's partitioning to the node id at
+    # the one-time materialization: every round's u-side semi-join
+    # AND degree groupBy then reuse it instead of re-exchanging the
+    # edge list (round-15; guide §2.4 — checkpointed datasets keep
+    # their outputPartitioning)
+    adj = adj.repartition("u").localCheckpoint()
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
     alive = deg.filter(F.col("degree") >= k).select("u", "degree")
     for r in range(1, rounds):
         au = alive.select("u")
-        kept = (adj.join(au, "u")
-                .join(au.select(F.col("u").alias("v")), "v"))
+        # v-side join first, u-side join LAST: the groupBy("u")
+        # right after reuses the u join's partitioning, saving one
+        # exchange of the edge list per round (inner joins commute —
+        # the kept multiset is identical)
+        kept = (adj.join(au.select(F.col("u").alias("v")), "v")
+                .join(au, "u"))
         deg = kept.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
         alive = deg.filter(F.col("degree") >= k)
         if r % checkpoint_every == 0:

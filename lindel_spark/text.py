@@ -1066,25 +1066,29 @@ def textrank_keywords(
         tokens(normalize_text(F.col(text_col))),
         lambda t: F.length(t) >= min_token_len)
     base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
-    offs = []
+    # ONE corpus scan (round-15 optimization): the per-offset zipped
+    # pair arrays concat before a single explode — the
+    # union-of-branches form re-scanned and re-tokenized the corpus
+    # once per offset and twice more for the symmetrize union.
+    # Symmetrization moves to the vocabulary²-sized COUNT table:
+    # count(sym multiset) ≡ directed count + reversed directed count,
+    # exact integers either way.
+    zs = []
     for o in range(1, window + 1):
-        z = F.zip_with(
+        zs.append(F.zip_with(
             "__t",
             F.slice("__t", o + 1,
                     F.greatest(F.size("__t") - o, F.lit(1))),
-            lambda a, b: F.struct(a.alias("a"), b.alias("b")))
-        offs.append(
-            base.select(F.explode(z).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b"))))
-    pairs = offs[0]
-    for o in offs[1:]:
-        pairs = pairs.unionByName(o)
-    sym = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    edges = (sym.groupBy(F.col("a").alias("src"),
-                         F.col("b").alias("dst"))
-             .agg(F.count(F.lit(1)).cast("double").alias("w")))
+            lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+    pairs = (base.select(F.explode(F.concat(*zs)).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+             .filter(F.col("b").isNotNull() & (F.col("a") != F.col("b"))))
+    dcnt = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    edges = (dcnt.unionByName(
+        dcnt.select(F.col("b").alias("a"), F.col("a").alias("b"), "c"))
+        .groupBy(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .agg(F.sum("c").cast("double").alias("w")))
     pr = pagerank(edges, iterations=iterations, damping=damping,
                   weight="w")
     from pyspark.sql import Window
