@@ -73,14 +73,19 @@ def pagerank(
     n = nodes.count()  # node count: the one bounded driver scalar
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    # the edges⋈out-weights join is iteration-invariant: materialize
+    # it ONCE (round-15; guide §2.4) instead of re-joining every
+    # iteration — per iteration only the node-sized rank frame is
+    # exchanged against the cached, already-__src-partitioned edge
+    # frame. Joining first is exact (no arithmetic), so the per-edge
+    # contribution expression is unchanged.
+    eo = e.join(outw, "__src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for it in range(iterations):
         contrib = (
-            e.join(outw, "__src")
-            .join(ranks, e["__src"] == ranks["node"])
+            eo.join(ranks, eo["__src"] == ranks["node"])
             .select(F.col("__dst").alias("node"),
                     (F.col("rank") * F.col("__w") / F.col("__wout"))
                     .alias("__c"))
@@ -173,13 +178,14 @@ def personalized_pagerank(
                           F.lit(1.0 / ns)).otherwise(F.lit(0.0))
                    .alias("__t"))
            .persist(StorageLevel.MEMORY_AND_DISK))
-    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    outw = e.groupBy("__src").agg(F.sum("__w").alias("__wout"))
+    # iteration-invariant edges⋈out-weights hoisted out of the loop
+    # (round-15; guide §2.4 — see pagerank above)
+    eo = e.join(outw, "__src").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = tel.select("node", F.col("__t").alias("rank"))
     for it in range(iterations):
         contrib = (
-            e.join(outw, "__src")
-            .join(ranks, e["__src"] == ranks["node"])
+            eo.join(ranks, eo["__src"] == ranks["node"])
             .select(F.col("__dst").alias("node"),
                     (F.col("rank") * F.col("__w") / F.col("__wout"))
                     .alias("__c"))

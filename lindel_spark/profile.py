@@ -959,7 +959,12 @@ def equidepth_histogram(
     vals = (df.select(F.col(col).cast("double").alias("v"))
             .filter(F.col("v").isNotNull()))
     ranked = global_rank(vals, ["v"], out_col="__rank")
-    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # count the PRE-rank frame (round-15; guide §2.4): ranking adds a
+    # column, never a row, so this broadcast scalar is identical —
+    # but its subquery is now a bare scan+count instead of re-running
+    # the whole global_rank machinery (boundary sample + pid counts +
+    # partitioned window) a second time.
+    total = vals.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     return (ranked.crossJoin(F.broadcast(total))
             .withColumn(
                 "bin",
