@@ -778,9 +778,21 @@ def knn_graph(
                 F.col("neighbor_id").alias("dst"), "cos", "rank")
     if not mutual:
         return edges
-    rev = edges.select(F.col("dst").alias("src"),
-                       F.col("src").alias("dst"))
-    return edges.join(rev, ["src", "dst"], "left_semi")
+    # mutuality as a canonical-pair window count (round-15; guide
+    # §2.4): the old reversed-pair self-semi-join put the WHOLE ANN
+    # subtree on both sides and no exchange survived for
+    # ReuseExchange to dedupe — the scorer ran twice per call.
+    # (query, neighbor) pairs are distinct within a top-k list, so a
+    # {min,max} pair occurring twice ⟺ both directions present;
+    # src == dst rows (a vector is its own neighbor) are trivially
+    # mutual and occur once, so they pass explicitly — exactly the
+    # row set the semi-join kept.
+    from pyspark.sql import Window
+    w = Window.partitionBy(F.least("src", "dst"),
+                           F.greatest("src", "dst"))
+    return (edges.withColumn("__n", F.count(F.lit(1)).over(w))
+            .filter((F.col("__n") == 2) | (F.col("src") == F.col("dst")))
+            .drop("__n"))
 
 
 def filtered_knn(
