@@ -342,21 +342,29 @@ def _cc_star(
         if prev[0] == 0:
             break  # no edges: all singletons
         rounds += 1
-        # large-star
+        # large-star. One repartition("u") serves BOTH the per-u min
+        # aggregate and the join back (round-15; guide §2.4 — shared
+        # exchange: hash(u) satisfies the aggregate's and the join's
+        # clustering), and the keyed repartition+dropDuplicates dedup
+        # keeps the output u-partitioned for the small-star pass.
+        # Exact integer algebra throughout — identical multisets.
         sym = cur.union(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition("u")
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
+            .repartition("u").dropDuplicates()
         )
-        # small-star over the large-star output
-        sym2 = large.union(
-            large.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        d2 = sym2.filter(F.col("v") < F.col("u"))
+        # small-star over the large-star output. Every large row has
+        # v < u by construction (its v is m = min(N(x) ∪ {x}) ≤ x < its
+        # u), so the symmetrize-and-keep-smaller step is the IDENTITY
+        # on large — the old union+filter re-derived the whole
+        # large-star subtree a second time just to filter it all out.
+        d2 = large
         mins2 = d2.groupBy("u").agg(F.min("v").alias("m"))
         small = (
             d2.join(mins2, "u")
@@ -364,7 +372,7 @@ def _cc_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select(
                 F.col("u"), F.col("m").alias("v")))
-            .distinct()
+            .repartition("u").dropDuplicates()
         )
         cur = small.localCheckpoint()
         chk = _edge_checksum(cur)
