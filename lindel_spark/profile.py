@@ -1480,9 +1480,16 @@ def spearman_corr(
     """
     from lindel_spark.util import prefix_sums
 
+    from pyspark import StorageLevel
+
     pairs = (df.select(F.col(x_col).cast("double").alias("x"),
                        F.col(y_col).cast("double").alias("y"))
-             .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+             .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+             # each midranks() call runs EAGERLY (prefix_sums
+             # checkpoints and collects per-partition totals), so
+             # without the persist the paired frame is scanned three
+             # times per call (round-15; guide §2.3 — scan less)
+             .persist(StorageLevel.MEMORY_AND_DISK))
 
     def midranks(col):
         cnts = (pairs.groupBy(col)
