@@ -523,12 +523,18 @@ def kll_sketch(
             1, 15),
         16, 10,
     ).cast("long")
-    rows = df.filter(v.isNotNull()).select(
-        v.alias("v"), _kll_level(h).alias("lvl"))
-    n = rows.count()
+    base = df.filter(v.isNotNull())
+    n = base.count()
     j = _kll_threshold(n, capacity)
+    # membership `lvl >= j` ⟺ `h & (2^j - 1) == 0` (trailing zeros
+    # >= j; h == 0 passes both) — the mask form mentions the md5 hash
+    # ONCE, where the lvl CASE pushed below the project re-evaluated
+    # it three times per row (round-15; guide §2.3 cheaper per-row
+    # work). `lvl` is then computed only for the O(capacity) kept
+    # rows. j <= _KLL_MAX_LEVEL, so the cap never diverges.
     return (
-        rows.filter(F.col("lvl") >= j)
+        base.filter(h.bitwiseAND(F.lit((1 << j) - 1)) == 0)
+        .select(v.alias("v"), _kll_level(h).alias("lvl"))
         .withColumn("w", F.lit(1 << j).cast("long"))
         .withColumn("n", F.lit(n).cast("long"))
     )
@@ -620,8 +626,14 @@ def kll_sketch_grouped(
             1, 15),
         16, 10,
     ).cast("long")
-    rows = df.filter(v.isNotNull()).select(
-        *keys, v.alias("v"), _kll_level(h).alias("lvl"))
+    # hash in its own projection: the lvl CASE references it three
+    # times, and a collapsed single Project would re-evaluate the md5
+    # per reference (CollapseProject keeps the split because the
+    # producer is non-cheap and multiply-referenced) — round-15,
+    # guide §2.3 cheaper per-row work
+    rows = (df.filter(v.isNotNull())
+            .select(*keys, v.alias("v"), h.alias("__h"))
+            .select(*keys, "v", _kll_level(F.col("__h")).alias("lvl")))
     counts = rows.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"))
     spark = df.sparkSession
