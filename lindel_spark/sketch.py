@@ -735,9 +735,27 @@ def hll_sketch(
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     keys = [keys] if isinstance(keys, str) else list(keys)
-    bucket, rho = _hll_cols(F.col(col), p)
+    # staged projections so the md5 hash and the masked remainder are
+    # each EVALUATED ONCE per row: the one-Project form of `_hll_cols`
+    # re-expanded the hash per reference (bucket + the rho CASE's
+    # condition and both `rem & -rem` arms — conditional branches sit
+    # outside codegen CSE). CollapseProject keeps the splits because
+    # the producers are non-cheap and multiply-referenced. Identical
+    # expressions per reference — registers bit-unchanged (round-15;
+    # guide §2.3 cheaper per-row work).
+    rem_bits = _HLL_HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    rem = F.col("__rem")
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.round(F.log2(rem.bitwiseAND(-rem))).cast("long") + F.lit(1))
     return (df.filter(F.col(col).isNotNull())
-            .select(*keys, bucket.alias("bucket"), rho.alias("rho"))
+            .select(*keys, h.alias("__h"))
+            .select(*keys,
+                    F.shiftright(F.col("__h"), rem_bits).alias("bucket"),
+                    F.col("__h").bitwiseAND(
+                        F.lit((1 << rem_bits) - 1)).alias("__rem"))
+            .select(*keys, "bucket", rho.alias("rho"))
             .groupBy(*keys, "bucket")
             .agg(F.max("rho").alias("rho")))
 
