@@ -11,6 +11,7 @@ fine for profiling runs); pass ``approx=True`` to switch to HLL
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -324,6 +325,13 @@ def referential_integrity_report(
 # file-level min/max manifest index: build once, prune scans forever
 # ---------------------------------------------------------------------------
 
+# file-count bound for the driver-side footer fast path (overridable
+# for cluster profiles via SPARK_GRAFT_MANIFEST_DRIVER_FILES; footers
+# are O(KB) metadata reads, so the bound caps driver work, not data)
+MANIFEST_DRIVER_FILES = int(os.environ.get(
+    "SPARK_GRAFT_MANIFEST_DRIVER_FILES", "64"))
+
+
 def file_minmax_manifest(spark, path: str, cols,
                          files=None) -> DataFrame:
     """Per-file (min, max, n_rows) manifest for ``cols`` over a parquet
@@ -358,8 +366,6 @@ def file_minmax_manifest(spark, path: str, cols,
         for f in files
         if not f.rsplit("/", 1)[-1].startswith(("_", "."))
     )
-    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
-        .repartition(min(len(files), 64) or 1)
     fields = [T.StructField("file", T.StringType()),
               T.StructField("n_rows", T.LongType())]
     for c in cols:
@@ -367,38 +373,60 @@ def file_minmax_manifest(spark, path: str, cols,
                    T.StructField(f"max_{c}", T.DoubleType())]
     out_schema = T.StructType(fields)
 
-    def read_stats(batches):
+    def footer_rec(f):
         import math
 
+        md = _open_footer(f)[0].metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        rec = {"file": f, "n_rows": md.num_rows}
+        for c in cols:
+            lo, hi = None, None
+            ci = names[c]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo, hi = None, None
+                    break
+                mn, mx = float(st.min), float(st.max)
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+            if lo is not None:
+                # int64 stats beyond 2^53 round to the nearest
+                # double, which could round min UP / max DOWN
+                # and wrongly prune a file the predicate needs;
+                # pad 1 ulp outward so bounds stay conservative
+                lo = math.nextafter(lo, -math.inf)
+                hi = math.nextafter(hi, math.inf)
+            rec[f"min_{c}"], rec[f"max_{c}"] = lo, hi
+        return rec
+
+    # size-bound routing (round-15; guide §1.2/§5): a footer is an
+    # O(KB) metadata read, so for a small file list the driver reads
+    # them directly — the distributed path pays a shuffle plus a
+    # Python-worker spin-up to do ~0.1 s of work (measured 2–3 s per
+    # call at 8 files). Above the bound the job fans out across
+    # executors exactly as before; identical rows either way.
+    if len(files) <= MANIFEST_DRIVER_FILES:
+        import pandas as pd
+
+        # via pandas/Arrow: a python-LIST createDataFrame builds a
+        # 32-slice pickled RDD whose every downstream task round-trips
+        # a Python worker (measured 5–8 s to WRITE 8 rows); the Arrow
+        # path is one batch (~0.2 s). None → null exactly (verified;
+        # parquet never emits NaN min/max stats — no-stats is None)
+        pdf = pd.DataFrame([footer_rec(f) for f in files],
+                           columns=[fld.name for fld in fields])
+        return spark.createDataFrame(pdf, out_schema)
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+        .repartition(min(len(files), 64) or 1)
+
+    def read_stats(batches):
         import pandas as pd
 
         for b in batches:
-            rows = []
-            for f in b["file"]:
-                md = _open_footer(f)[0].metadata
-                names = {md.schema.column(i).name: i
-                         for i in range(md.num_columns)}
-                rec = {"file": f, "n_rows": md.num_rows}
-                for c in cols:
-                    lo, hi = None, None
-                    ci = names[c]
-                    for g in range(md.num_row_groups):
-                        st = md.row_group(g).column(ci).statistics
-                        if st is None or not st.has_min_max:
-                            lo, hi = None, None
-                            break
-                        mn, mx = float(st.min), float(st.max)
-                        lo = mn if lo is None else min(lo, mn)
-                        hi = mx if hi is None else max(hi, mx)
-                    if lo is not None:
-                        # int64 stats beyond 2^53 round to the nearest
-                        # double, which could round min UP / max DOWN
-                        # and wrongly prune a file the predicate needs;
-                        # pad 1 ulp outward so bounds stay conservative
-                        lo = math.nextafter(lo, -math.inf)
-                        hi = math.nextafter(hi, math.inf)
-                    rec[f"min_{c}"], rec[f"max_{c}"] = lo, hi
-                rows.append(rec)
+            rows = [footer_rec(f) for f in b["file"]]
             yield pd.DataFrame(rows, columns=[f.name for f in fields])
 
     return fdf.mapInPandas(read_stats, out_schema)
