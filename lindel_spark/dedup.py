@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from lindel_spark.text import doc_fingerprint, tokens
-from lindel_spark.util import ensure_parallelism
+from lindel_spark.util import ensure_parallelism, local_frame
 
 # Defaults shared with the DuckDB oracle in queries.py — change both
 # together or the correctness gate drifts.
@@ -847,8 +847,9 @@ def incremental_near_dup(
             .filter(F.col("est_jaccard") >= threshold)
         )
     else:
-        matches = sig.sparkSession.createDataFrame(
-            [], "new_id long, store_id long, est_jaccard double")
+        matches = local_frame(
+            sig.sparkSession, [],
+            "new_id long, store_id long, est_jaccard double")
 
     # --- within-batch: banded candidates + EXACT verification --------
     a, b = bnd.alias("a"), bnd.alias("b")

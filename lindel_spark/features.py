@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lindel_spark.util import global_rank
+from lindel_spark.util import global_rank, local_frame
 
 
 def standard_scale(df: DataFrame, cols, suffix: str = "_z") -> DataFrame:
@@ -474,7 +474,7 @@ def linear_fit(
             str(r[k]) for k in keys)):
         kvals = [m[k] for k in keys]
         out_rows.append(tuple(kvals + list(_solve_one(m, d, ridge))))
-    return spark.createDataFrame(out_rows, schema)
+    return local_frame(spark, out_rows, schema)
 
 
 def _det3(M):
@@ -711,12 +711,11 @@ def logistic_fit(
             kschema = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}"
                 for f in kf)
-            bdf = spark.createDataFrame(
-                brows, kschema + ", " + bschema)
+            bdf = local_frame(spark, brows, kschema + ", " + bschema)
             cur = base.join(F.broadcast(bdf), keys)
             mrows = cur.groupBy(*keys).agg(*aggs).collect()
         else:
-            bdf = spark.createDataFrame([tuple(state[()])], bschema)
+            bdf = local_frame(spark, [tuple(state[()])], bschema)
             cur = base.crossJoin(F.broadcast(bdf))
             mrows = [cur.agg(*aggs).collect()[0]]
         for m in mrows:
@@ -760,4 +759,4 @@ def logistic_fit(
         else:
             out_rows.append(tuple(list(kv) + [n, steps[kv]]
                                   + state[kv]))
-    return spark.createDataFrame(out_rows, schema)
+    return local_frame(spark, out_rows, schema)

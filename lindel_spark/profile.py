@@ -17,6 +17,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lindel_spark.util import local_frame
+
 
 def profile_table(
     df: DataFrame,
@@ -159,7 +161,7 @@ def parquet_layout_report(spark, path: str) -> DataFrame:
         for f in _fs.list_files(spark, path)
         if not f.rsplit("/", 1)[-1].startswith(("_", "."))
     )
-    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+    fdf = local_frame(spark, [(f,) for f in files], "file string") \
         .repartition(min(len(files), 64) or 1)
     out_schema = T.StructType([
         T.StructField("file", T.StringType()),
@@ -419,7 +421,7 @@ def file_minmax_manifest(spark, path: str, cols,
                            columns=[fld.name for fld in fields])
         return spark.createDataFrame(pdf, out_schema)
 
-    fdf = spark.createDataFrame([(f,) for f in files], "file string") \
+    fdf = local_frame(spark, [(f,) for f in files], "file string") \
         .repartition(min(len(files), 64) or 1)
 
     def read_stats(batches):
@@ -1236,8 +1238,8 @@ def benford_report(
                       .cast("int").alias("digit")))
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"))
-    expected = spark.createDataFrame(
-        [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
+    expected = local_frame(
+        spark, [(d, math.log10(1.0 + 1.0 / d)) for d in range(1, 10)],
         "digit INT, exp_share DOUBLE")
     joined = (F.broadcast(expected)
               .join(counts, "digit", "left")
@@ -1673,8 +1675,8 @@ def weighted_quantiles(
     cum = prefix_sums(counts, "v", ["w"])
     tot = cum.agg(F.max("cum_w").alias("__tw"))
     spark = df.sparkSession
-    qdf = spark.createDataFrame([(q,) for q in sorted(qs)],
-                                "q DOUBLE")
+    qdf = local_frame(spark, [(q,) for q in sorted(qs)],
+                      "q DOUBLE")
     joined = (cum.crossJoin(F.broadcast(tot))
               .join(F.broadcast(qdf),
                     F.col("cum_w") >= F.col("q") * F.col("__tw")))

@@ -37,6 +37,7 @@ from lindel_spark import multimodal as MM
 from lindel_spark import similarity as LS
 from lindel_spark import text as LT
 from lindel_spark import write as LW
+from lindel_spark.util import local_frame
 
 # registry: name -> (spark_fn, oracle_sql | None)
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
@@ -951,7 +952,8 @@ def q_text_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole thing — seeds, grams, counts, logs, argmax, fallback —
     value-for-value."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    seeds = spark.createDataFrame(
+    seeds = local_frame(
+        spark,
         [(c, s) for c, ss in sorted(LT.LANG_SEEDS.items()) for s in ss],
         "lang string, text string")
     model = LT.langid_train(seeds)
@@ -2557,7 +2559,8 @@ def q_knn_route_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in df.collect())
     ok = rows(a) == rows(b)
     n_q = queries_df.count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n_q, ok)], "n_queries long, recall_ok boolean")
 
 
@@ -3984,7 +3987,8 @@ def q_knn_ivf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     match = sorted(map(tuple, store_top)) == sorted(map(tuple, mem_top))
 
     corpus_rows = spark.read.parquet(store).count()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(corpus_rows, n_cand == n_expected, match, len(store_top))],
         "corpus_rows long, prune_exact boolean, "
         "store_matches_memory boolean, n_top long",
@@ -4018,7 +4022,8 @@ def q_pipeline_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
         F.sum(F.length("text")).cast("long").alias("sum_chars"),
     ).first()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(agg.n_rows, agg.sum_ids, agg.sum_chars,
           stats["files_after"] < stats["files_before"])],
         "n_rows long, sum_ids long, sum_chars long, fewer_files boolean",
@@ -4062,7 +4067,8 @@ def q_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("sum_qty"),
         F.sum("l_partkey").cast("long").alias("sum_parts"),
     ).first()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(agg.n_rows, agg.sum_qty, agg.sum_parts,
           stats["files_scanned"] < stats["files_total"])],
         "n_rows long, sum_qty long, sum_parts long, "
@@ -4112,7 +4118,8 @@ def q_knn_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("vec_id").cast("long").alias("sum_ids"),
     ).first()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(agg.n_rows, agg.sum_ids, resident_ok, appended_ok)],
         "n_rows long, sum_ids long, resident_untouched boolean, "
         "appended_in_nearest_cell boolean",
@@ -7392,7 +7399,7 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    seeds = spark.createDataFrame([("purchase",)], "node string")
+    seeds = local_frame(spark, [("purchase",)], "node string")
     pr = personalized_pagerank(trans, seeds, iterations=5,
                                damping=0.85, weight="w")
     return pr.select("node", F.round("rank", 6).alias("rank_r6"))
@@ -8109,7 +8116,8 @@ def q_zorder_store_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").cast("long").alias("sum_qty"),
         F.sum("l_suppkey").cast("long").alias("sum_supp"),
     ).first()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(agg.n_rows, agg.sum_qty, agg.sum_supp,
           stats["files_scanned"] < stats["files_total"])],
         "n_rows long, sum_qty long, sum_supp long, pruned_some boolean",
@@ -8157,7 +8165,8 @@ def q_zorder_store_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("l_suppkey"), F.lit(0)).cast("long")
         .alias("sum_supp"),
     ).first()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(agg.n_rows, agg.sum_qty, agg.sum_supp,
           stats["files_scanned"] < stats["files_total"])],
         "n_rows long, sum_qty long, sum_supp long, pruned_some boolean",
@@ -8280,7 +8289,8 @@ def q_pipeline_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).cast("double")
         .alias("sum_price"),
     ).first()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(agg.n_rows, agg.sum_price,
           stats["files_scanned"] < stats["files_total"])],
         "n_rows long, sum_price double, pruned_some boolean",
@@ -10712,7 +10722,8 @@ def q_knn_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for r in rows))
     overall = sum(r.n_vectors * r.mean_s for r in rows) / n_total
     replay_ok = abs(overall - float(s.mean())) < 1e-9
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(n_total, counts_ok, in_range, replay_ok)],
         "n_vectors long, counts_match_assignment boolean, "
         "scores_in_range boolean, numpy_replay_match boolean")
@@ -10763,7 +10774,8 @@ def q_knn_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                   <= _math.log(h.cells_used) + 1e-9)
     scan_ok = (1.0 / h.cells_used - 1e-12 <= h.expected_scan_frac
                <= h.max_share + 1e-12)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [(h.n_vectors, cells_ok, counts_match, entropy_ok, scan_ok)],
         "n_vectors long, cells_ok boolean, "
         "counts_match_assignment boolean, entropy_bounds_ok boolean, "

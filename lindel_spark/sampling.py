@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lindel_spark.util import local_frame
+
 _HASH_SPACE = float(1 << 60)
 
 
@@ -385,8 +387,8 @@ def mixture_plan(
     if total_w <= 0:
         raise ValueError("LINDEL: target_weights must sum > 0")
     spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        [(k, float(v) / total_w) for k, v in target_weights.items()],
+    tgt = local_frame(
+        spark, [(k, float(v) / total_w) for k, v in target_weights.items()],
         f"{strata_col} string, __share double")
     obs = (df.groupBy(F.col(strata_col).cast("string").alias(strata_col))
            .agg(F.sum(F.col(size_col).cast("long"))

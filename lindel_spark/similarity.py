@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lindel_spark.util import ensure_parallelism
+from lindel_spark.util import ensure_parallelism, local_frame
 
 DEFAULT_NUM_PLANES = 16
 DEFAULT_BANDS = 4
@@ -2000,9 +2000,10 @@ def propagate_labels_multi(
         ).localCheckpoint()
     if adopted is None:
         spark = labeled.sparkSession
-        return spark.createDataFrame(
-            [], f"{id_col} long, predicted_label long, votes long, "
-                f"round long")
+        return local_frame(
+            spark, [],
+            f"{id_col} long, predicted_label long, votes long, "
+            f"round long")
     return adopted
 
 
@@ -2159,8 +2160,8 @@ def power_iteration_pca(
     comps = _pca_power_core(vecs, iters, n_components=1)
     v, lam = comps[0]
     d = len(v)
-    return spark.createDataFrame(
-        [(i, v[i], lam) for i in range(d)],
+    return local_frame(
+        spark, [(i, v[i], lam) for i in range(d)],
         "pos INT, loading DOUBLE, eigenvalue DOUBLE")
 
 
@@ -2292,9 +2293,9 @@ def power_iteration_pca_topk(
     rows = [(c, i, v[i], lam)
             for c, (v, lam) in enumerate(comps)
             for i in range(len(v))]
-    return spark.createDataFrame(
-        rows, "component INT, pos INT, loading DOUBLE, "
-              "eigenvalue DOUBLE")
+    return local_frame(
+        spark, rows, "component INT, pos INT, loading DOUBLE, "
+                     "eigenvalue DOUBLE")
 
 
 def pca_scores(
@@ -2515,21 +2516,21 @@ def save_ann_model(
                 for i in range(len(M))]
 
     if centroids is not None:
-        spark.createDataFrame(_rows2(np.asarray(centroids, np.float64)),
-                              "idx int, vec array<double>") \
+        local_frame(spark, _rows2(np.asarray(centroids, np.float64)),
+                    "idx int, vec array<double>") \
             .repartition(1).write.mode("overwrite") \
             .parquet(os.path.join(path, "centroids"))
     if rotation is not None:
-        spark.createDataFrame(_rows2(np.asarray(rotation, np.float64)),
-                              "idx int, vec array<double>") \
+        local_frame(spark, _rows2(np.asarray(rotation, np.float64)),
+                    "idx int, vec array<double>") \
             .repartition(1).write.mode("overwrite") \
             .parquet(os.path.join(path, "rotation"))
     if codebooks is not None:
         B = np.asarray(codebooks, np.float64)
         rows = [(int(s), int(c), [float(x) for x in B[s, c]])
                 for s in range(B.shape[0]) for c in range(B.shape[1])]
-        spark.createDataFrame(rows, "sub int, code int, "
-                                    "vec array<double>") \
+        local_frame(spark, rows, "sub int, code int, "
+                                 "vec array<double>") \
             .repartition(1).write.mode("overwrite") \
             .parquet(os.path.join(path, "codebooks"))
 

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lindel_spark.util import local_frame
+
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
@@ -214,8 +216,8 @@ def histogram_quantiles(
         F.sum("cnt").over(w).alias("cum"),
     ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
     total = sketch.agg(F.sum("cnt").cast("double").alias("n"))
-    qdf = sketch.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double")
+    qdf = local_frame(sketch.sparkSession,
+                      [(float(q),) for q in quantiles], "q double")
     t = F.col("q") * F.col("n")
     return (
         qdf.crossJoin(F.broadcast(total))
@@ -287,8 +289,8 @@ def histogram_quantiles_grouped(
     ).withColumn("cum_prev", F.col("cum") - F.col("cnt"))
     totals = sketch.groupBy(*keys).agg(
         F.sum("cnt").cast("double").alias("n"))
-    qdf = sketch.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double")
+    qdf = local_frame(sketch.sparkSession,
+                      [(float(q),) for q in quantiles], "q double")
     t = F.col("q") * F.col("n")
     return (
         cum.join(totals, keys)
@@ -584,8 +586,8 @@ def kll_quantiles(sketch: DataFrame, quantiles) -> DataFrame:
         .withColumn("m", F.count(F.lit(1)).over(
             Window.partitionBy(F.lit(1))))
     )
-    qdf = sketch.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double")
+    qdf = local_frame(sketch.sparkSession,
+                      [(float(q),) for q in quantiles], "q double")
     return (
         qdf.join(
             F.broadcast(ranked),
@@ -637,8 +639,8 @@ def kll_sketch_grouped(
     counts = rows.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n"))
     spark = df.sparkSession
-    levels = spark.createDataFrame(
-        [(j, capacity << j) for j in range(_KLL_MAX_LEVEL + 1)],
+    levels = local_frame(
+        spark, [(j, capacity << j) for j in range(_KLL_MAX_LEVEL + 1)],
         "j long, cap_at long")
     thresholds = (
         counts.join(F.broadcast(levels), F.col("n") <= F.col("cap_at"))
@@ -671,8 +673,8 @@ def kll_quantiles_grouped(sketch: DataFrame, keys, quantiles) -> DataFrame:
         .withColumn("m", F.count(F.lit(1)).over(
             Window.partitionBy(*keys)))
     )
-    qdf = sketch.sparkSession.createDataFrame(
-        [(float(q),) for q in quantiles], "q double")
+    qdf = local_frame(sketch.sparkSession,
+                      [(float(q),) for q in quantiles], "q double")
     return (
         ranked.join(
             F.broadcast(qdf),

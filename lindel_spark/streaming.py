@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lindel_spark import write as LW
+from lindel_spark.util import local_frame
 
 
 def zorder_stream_writer(
@@ -1035,8 +1036,8 @@ def linear_probe_stream_sink(
         # overwrite: a replayed batch rewrites its own coefficient
         # row instead of appending a disagreeing duplicate (the
         # replayed solve would see a larger cumulative state)
-        (spark.createDataFrame([tuple([int(batch_id)] + list(out))],
-                               schema)
+        (local_frame(spark, [tuple([int(batch_id)] + list(out))],
+                     schema)
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("batch_id").parquet(path + "/coef"))
@@ -1101,8 +1102,7 @@ def cluster_assign_stream_sink(
                     f"({sorted(stale)[:3]}…) — a restart without a "
                     "checkpoint would mix two runs' occupancy. Pass "
                     "checkpoint= or clear the path.")
-        cent = spark.createDataFrame(
-            rows, "c long, cvec array<double>")
+        cent = local_frame(spark, rows, "c long, cvec array<double>")
         assign = assign_clusters(batch_df, cent, id_col=id_col,
                                  vec_col=vec_col)
         out = (assign.groupBy("cluster")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from lindel_spark.util import ensure_parallelism
+from lindel_spark.util import ensure_parallelism, local_frame
 
 # Minimal per-language stopword lists for the n-gram/stopword heuristic
 # language identifier. Deliberately small and public-knowledge; the
@@ -785,8 +785,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
     vocabulary runs out of adjacent pairs."""
     merges, _ = _bpe_loop(df, text_col, num_merges)
     spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "step long, left string, right string, n long")
+    return local_frame(
+        spark, merges, "step long, left string, right string, n long")
 
 
 def bpe_vocab(df: DataFrame, text_col: str = "text",

@@ -16,6 +16,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lindel_spark.util import local_frame
+
 
 def ohlc(
     df: DataFrame,
@@ -986,8 +988,8 @@ def durbin_watson(
     n = int(fit["n"])
     if n == 0 or fit["intercept"] is None:
         spark = df.sparkSession
-        return spark.createDataFrame([(n, None)],
-                                     "n long, dw double")
+        return local_frame(spark, [(n, None)],
+                           "n long, dw double")
     yhat = F.lit(float(fit["intercept"]))
     for c in x_cols:
         yhat = yhat + F.col(c).cast("double") \

@@ -16,6 +16,44 @@ def _parse_bytes(v: str) -> int:
     return int(s)
 
 
+def local_frame(spark, data, schema) -> DataFrame:
+    """Small driver-local lookup/result frame shipped as ONE Arrow
+    batch. ``spark.createDataFrame(list)`` builds a
+    defaultParallelism-slice pickled Python RDD, and EVERY action that
+    evaluates the frame (a broadcast build, a write, a collect) pays
+    one Python-worker round trip per slice — measured ~0.35 s per
+    action for a 5-row frame on local[32] vs ~0.04 s through Arrow
+    (round-15; guide §4 — eliminate the Python boundary). Rows ride a
+    pyarrow Table built against the exact Arrow schema, so integers
+    never round-trip through float64, None maps to null, and float NaN
+    stays NaN (a pandas carrier would silently fold NaN into null).
+    Falls back to the plain path if the rows don't fit the Arrow
+    converter (ragged/exotic types, lossy coercions).
+
+    Use for the metadata-sized frames operators build on the driver
+    (quantile lists, level tables, per-partition offsets, solved
+    coefficient rows) — never for data-scale input.
+    """
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType
+
+        if isinstance(schema, StructType):
+            st = schema
+        else:
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _parse_datatype_string(schema)
+        names = st.names
+        tbl = pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in data],
+            schema=to_arrow_schema(st))
+        return spark.createDataFrame(tbl)
+    except Exception:
+        return spark.createDataFrame(data, schema)
+
+
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition *up* to the cluster's parallelism if the source is
     too small to split (e.g. one small file read as a single task).
@@ -151,8 +189,8 @@ def global_rank(df: DataFrame, order_cols, out_col: str = "rank",
     for p_, cnt in counts:
         offsets.append((p_, acc))
         acc += cnt
-    off_df = F.broadcast(spark.createDataFrame(
-        offsets or [(0, 0)], "__gr_pid int, __gr_off long"))
+    off_df = F.broadcast(local_frame(
+        spark, offsets or [(0, 0)], "__gr_pid int, __gr_off long"))
     w = Window.partitionBy("__gr_pid").orderBy(*cols)
     return (
         keyed.withColumn("__gr_rn", F.row_number().over(w))
@@ -207,8 +245,8 @@ def _global_rank_checkpoint(df: DataFrame, cols, out_col: str,
         offsets.append((pid, acc))
         acc += n
     spark = df.sparkSession
-    off_df = F.broadcast(spark.createDataFrame(
-        offsets or [(0, 0)], "__gr_pid int, __gr_off long"))
+    off_df = F.broadcast(local_frame(
+        spark, offsets or [(0, 0)], "__gr_pid int, __gr_off long"))
     return (
         local.join(off_df, "__gr_pid")
         .withColumn(out_col,
@@ -260,8 +298,8 @@ def prefix_sums(df: DataFrame, order_col: str, cols,
         offs.append(tuple([pid] + [acc[x] for x in cols]))
         for x in cols:
             acc[x] += r[f"__t_{x}"] or (0.0 if frac[x] else 0)
-    off_df = spark.createDataFrame(
-        offs or [tuple([0] + [acc[x] for x in cols])],
+    off_df = local_frame(
+        spark, offs or [tuple([0] + [acc[x] for x in cols])],
         ", ".join(["__pid INT"]
                   + [f"__off_{x} " + ("DOUBLE" if frac[x] else "LONG")
                      for x in cols]))
@@ -311,8 +349,8 @@ def prefix_mins(df: DataFrame, order_col: str, cols,
             t = r[f"__t_{x}"]
             if t is not None:
                 acc[x] = t if acc[x] is None else min(acc[x], t)
-    off_df = spark.createDataFrame(
-        offs or [tuple([0] + [None for _ in cols])],
+    off_df = local_frame(
+        spark, offs or [tuple([0] + [None for _ in cols])],
         ", ".join(["__pid INT"]
                   + [f"__off_{x} {dtypes[x]}" for x in cols]))
     w = Window.partitionBy("__pid").orderBy(oc) \
