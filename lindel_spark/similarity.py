@@ -515,7 +515,17 @@ def _lloyd_step(corpus: DataFrame, C: np.ndarray,
 
 
 def _cell_assign_udf(C: np.ndarray, nprobe: int):
-    """embedding -> array of the ``nprobe`` nearest centroid ids."""
+    """embedding -> array of the ``nprobe`` nearest centroid ids.
+
+    Marked ``asNondeterministic()`` (it IS deterministic — seeded
+    centroids, argsort ties fixed) purely to stop the optimizer
+    DUPLICATING it (guide §4.4): joining on the derived ``cell``
+    column makes Catalyst push an ``isnotnull(element_at(cells(v),1))``
+    join-key guard below the projection, which re-evaluates the whole
+    centroid scorer once per corpus row in a second ArrowEvalPython
+    node (observed in every cell-join plan, round 15). The flag may
+    not change results by construction; it only pins one evaluation.
+    """
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -526,7 +536,7 @@ def _cell_assign_udf(C: np.ndarray, nprobe: int):
             top = np.argsort(-S, axis=1)[:, :nprobe].astype(np.int32)
             yield pd.Series(list(top), dtype=object)
 
-    return cells
+    return cells.asNondeterministic()
 
 
 def ivf_knn(
