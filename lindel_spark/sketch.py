@@ -128,6 +128,12 @@ def heavy_hitters(terms: DataFrame, k: int = 20,
     memory when even the vocabulary is too wide."""
     from pyspark.sql.window import Window
 
+    from lindel_spark.util import ensure_parallelism
+
+    # ensure_parallelism: the x-depth md5 bucket hashing otherwise
+    # runs in the single scan task of a one-file term source (round
+    # 15); no-op once the input has >= parallelism splits.
+    terms = ensure_parallelism(terms)
     sk = cms_sketch(terms, term_col=term_col, depth=depth, width=width)
     exact = terms.groupBy(F.col(term_col).alias("term")).agg(
         F.count(F.lit(1)).alias("exact"))

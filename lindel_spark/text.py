@@ -1005,11 +1005,16 @@ def ngram_novelty(
     map-side-combined aggregate. Both shuffles are keyed on gram /
     doc id — the BM25 plan family; no driver state, no all-pairs.
     """
-    tg = (target.select(F.col(id_col).alias("doc_id"),
-                        word_ngrams(F.col(text_col), n).alias("__g"))
+    # ensure_parallelism: a small single-file corpus otherwise runs
+    # the whole gram build + dedup in ONE scan task (measured 2.9 s
+    # single-task at sf0.1 — round 15); at scale the input already
+    # has >= parallelism splits and this is a no-op.
+    tg = (ensure_parallelism(target)
+          .select(F.col(id_col).alias("doc_id"),
+                  word_ngrams(F.col(text_col), n).alias("__g"))
           .select("doc_id", F.explode_outer("__g").alias("gram"))
           .distinct())
-    ref = (reference
+    ref = (ensure_parallelism(reference)
            .select(F.explode(word_ngrams(F.col(text_col), n))
                    .alias("gram"))
            .distinct()
