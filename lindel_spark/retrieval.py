@@ -688,33 +688,44 @@ def trigram_backoff_logprob(
         return (base.select("doc_id", F.explode(tris).alias("g"))
                 .select("doc_id", "g.w1", "g.w2", "g.w3"))
 
-    def _bigrams(df: DataFrame) -> DataFrame:
-        base = _toks(df).filter(F.size("__toks") >= 2)
-        grams = F.slice(
-            F.zip_with(
+    # ALL SIX model count tables roll up from ONE positional gram
+    # table: per token position i the row is (w1=toks[i],
+    # w2=toks[i+1] or null, w3=toks[i+2] or null), pre-aggregated to
+    # distinct-gram counts. Every level is an exact re-aggregation —
+    # trigram rows are the positions with w3 set, bigram rows the
+    # positions with w2 set, unigram rows all positions — so each
+    # count below is the same integer the per-order explodes
+    # produced, while the model corpus is scanned + tokenized ONCE
+    # (the six derived aggregates share the t3 exchange, which the
+    # engine reuses; before, the trigram/bigram/unigram explodes were
+    # three structurally different subtrees and the corpus was
+    # re-scanned for each aggregate pair — 6 passes).
+    mpos = (_toks(model).filter(F.size("__toks") >= 1)
+            .select(F.explode(F.transform(
                 "__toks",
-                F.slice("__toks", 2,
-                        F.greatest(F.size("__toks") - 1, F.lit(1))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))),
-            1, F.size("__toks") - 1)
-        return (base.select(F.explode(grams).alias("g"))
-                .select("g.w1", "g.w2"))
-
-    mtri = _trigrams(model)
-    c3 = mtri.groupBy("w1", "w2", "w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c3"))
-    p2 = mtri.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("p2"))
-    mbi = _bigrams(model)
-    c2 = (mbi.groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
-          .agg(F.count(F.lit(1)).cast("long").alias("c2")))
-    p1 = mbi.groupBy(F.col("w1").alias("w2")).agg(
-        F.count(F.lit(1)).cast("long").alias("p1"))
-    muni = _toks(model).select(F.explode("__toks").alias("w3"))
-    c1 = muni.groupBy("w3").agg(
-        F.count(F.lit(1)).cast("long").alias("c1"))
-    nv = muni.agg(F.count(F.lit(1)).cast("long").alias("n_total"),
-                  F.countDistinct("w3").cast("long").alias("v_total"))
+                lambda x, i: F.struct(
+                    x.alias("w1"),
+                    F.get("__toks", i + F.lit(1)).alias("w2"),
+                    F.get("__toks", i + F.lit(2)).alias("w3"))))
+                .alias("g"))
+            .select("g.w1", "g.w2", "g.w3"))
+    t3 = mpos.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt"))
+    c3 = (t3.filter(F.col("w3").isNotNull())
+          .select("w1", "w2", "w3", F.col("__cnt").alias("c3")))
+    p2 = (t3.filter(F.col("w3").isNotNull())
+          .groupBy("w1", "w2")
+          .agg(F.sum("__cnt").cast("long").alias("p2")))
+    c2 = (t3.filter(F.col("w2").isNotNull())
+          .groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+          .agg(F.sum("__cnt").cast("long").alias("c2")))
+    p1 = (t3.filter(F.col("w2").isNotNull())
+          .groupBy(F.col("w1").alias("w2"))
+          .agg(F.sum("__cnt").cast("long").alias("p1")))
+    c1 = (t3.groupBy(F.col("w1").alias("w3"))
+          .agg(F.sum("__cnt").cast("long").alias("c1")))
+    nv = t3.agg(F.sum("__cnt").cast("long").alias("n_total"),
+                F.countDistinct("w1").cast("long").alias("v_total"))
 
     tt = _trigrams(target)
     a = float(alpha)
