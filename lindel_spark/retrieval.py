@@ -724,8 +724,11 @@ def trigram_backoff_logprob(
           .agg(F.sum("__cnt").cast("long").alias("p1")))
     c1 = (t3.groupBy(F.col("w1").alias("w3"))
           .agg(F.sum("__cnt").cast("long").alias("c1")))
-    nv = t3.agg(F.sum("__cnt").cast("long").alias("n_total"),
-                F.countDistinct("w1").cast("long").alias("v_total"))
+    # (N, V) fold over c1 — V = c1's row count, N = its sum (c1 has
+    # exactly one row per distinct unigram) — instead of a second
+    # countDistinct pass over the t3 exchange. Same integers.
+    nv = c1.agg(F.sum("c1").cast("long").alias("n_total"),
+                F.count(F.lit(1)).cast("long").alias("v_total"))
 
     tt = _trigrams(target)
     a = float(alpha)

@@ -22,19 +22,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _basket_items(df: DataFrame, basket_col: str,
+                  item_col: str) -> DataFrame:
+    """Distinct ``(__b, __i)`` basket-item frame, persisted: every
+    consumer in this module (both self-join sides, item counts, the
+    basket count, the third-leg join) re-derives exactly this frame,
+    and without the persist each reference re-runs the upstream
+    scan/join/distinct — 18 parquet scans in the triples plan."""
+    from pyspark import StorageLevel
+
+    b = df.select(F.col(basket_col).alias("__b"),
+                  F.col(item_col).alias("__i")).distinct()
+    return b.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _pairs_with_basket(b: DataFrame) -> DataFrame:
+    """``(__b, item_a, item_b)``: unordered in-basket item pairs with
+    their basket id, ``item_a < item_b`` — the shared candidate
+    generator behind pair counts and triple candidates."""
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(y, on="__b")
+        .filter(F.col("x.__i") < F.col("y.__i"))
+        .select("__b", F.col("x.__i").alias("item_a"),
+                F.col("y.__i").alias("item_b"))
+    )
+
+
 def cooccurrence_pairs(df: DataFrame, basket_col: str,
                        item_col: str) -> DataFrame:
     """(item_a, item_b, n_baskets) for unordered item pairs sharing a
     basket, ``item_a < item_b``. Input rows may repeat (a basket
     listing an item twice counts once — set semantics)."""
-    b = df.select(F.col(basket_col).alias("__b"),
-                  F.col(item_col).alias("__i")).distinct()
-    x, y = b.alias("x"), b.alias("y")
+    b = _basket_items(df, basket_col, item_col)
     return (
-        x.join(y, on="__b")
-        .filter(F.col("x.__i") < F.col("y.__i"))
-        .groupBy(F.col("x.__i").alias("item_a"),
-                 F.col("y.__i").alias("item_b"))
+        _pairs_with_basket(b)
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
     )
 
@@ -65,13 +88,14 @@ def association_rules(
     counts. All arithmetic on bigints until the final divisions, so
     the numbers are engine-portable.
     """
-    b = df.select(F.col(basket_col).alias("__b"),
-                  F.col(item_col).alias("__i")).distinct()
+    b = _basket_items(df, basket_col, item_col)
     n_baskets = b.select("__b").distinct().count()
     item_counts = b.groupBy("__i").agg(
         F.count(F.lit(1)).cast("long").alias("__n_item"))
-    pairs = cooccurrence_pairs(df, basket_col, item_col).filter(
-        F.col("n_baskets") >= min_pair_baskets)
+    pairs = (_pairs_with_basket(b)
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+             .filter(F.col("n_baskets") >= min_pair_baskets))
     both = pairs.unionByName(
         pairs.select(F.col("item_b").alias("item_a"),
                      F.col("item_a").alias("item_b"), "n_baskets"))
@@ -125,17 +149,22 @@ def frequent_triples(
     """
     if min_support_baskets < 1:
         raise ValueError("min_support_baskets must be >= 1")
-    b = df.select(F.col(basket_col).alias("__b"),
-                  F.col(item_col).alias("__i")).distinct()
-    fp = (cooccurrence_pairs(df, basket_col, item_col)
+    from pyspark import StorageLevel
+
+    b = _basket_items(df, basket_col, item_col)
+    # ONE pair-candidate build serves both the frequent-pair counts
+    # and the surviving-occurrence probe (before, the b⋈b self-join
+    # subtree was built twice — once inside cooccurrence_pairs, once
+    # for bp — and each side re-derived b from the raw input).
+    # Persisted: the two consumers are keyed differently ((a,b)
+    # aggregate vs basket-keyed candidate join), so exchange reuse
+    # alone cannot share them.
+    bp0 = _pairs_with_basket(b).persist(StorageLevel.MEMORY_AND_DISK)
+    fp = (bp0.groupBy("item_a", "item_b")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
           .filter(F.col("n_baskets") >= min_support_baskets)
           .select("item_a", "item_b"))
-    x, y = b.alias("x"), b.alias("y")
-    bp = (x.join(y, on="__b")
-          .filter(F.col("x.__i") < F.col("y.__i"))
-          .select("__b", F.col("x.__i").alias("item_a"),
-                  F.col("y.__i").alias("item_b"))
-          .join(fp, ["item_a", "item_b"], "left_semi"))
+    bp = bp0.join(fp, ["item_a", "item_b"], "left_semi")
     z = b.select(F.col("__b").alias("__b"),
                  F.col("__i").alias("item_c"))
     cand = (bp.join(z, "__b")
