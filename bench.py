@@ -580,8 +580,12 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         qe = F.broadcast(emb.filter(F.col("vec_id") % 97 == 0).select(
             F.col("vec_id").cast("long").alias("query_id"),
             F.col("embedding").alias("__qv")))
-        ce = emb.select(F.col("vec_id").cast("long").alias("doc_id"),
-                        F.col("embedding").alias("__cv"))
+        from lindel_spark.util import ensure_parallelism as _ep2
+        # the corpus side is one parquet split at sf0.1, so the
+        # interpreted cosine fold below otherwise runs single-task
+        # (guide §2.5 input layout); values unchanged
+        ce = _ep2(emb).select(F.col("vec_id").cast("long").alias("doc_id"),
+                              F.col("embedding").alias("__cv"))
         sc = (qe.crossJoin(ce)
               .filter(F.col("query_id") != F.col("doc_id"))
               .select("query_id", "doc_id",

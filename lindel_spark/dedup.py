@@ -1105,7 +1105,11 @@ def substring_dup_spans(
     strips first in a full pipeline.
     """
     base = _substring_base(df, text_col, id_col)
-    grams = _doc_grams(base, k)
+    # one g-keyed exchange serves BOTH the duplicated-gram aggregate
+    # and the occurrence join below (hash(g) satisfies each
+    # clustering); without it the two consumers exchange structurally
+    # different subtrees and the per-gram md5 computes twice
+    grams = _doc_grams(base, k).repartition("g")
     dup = (
         grams.groupBy("g")
         .agg(F.min("id").alias("owner"),
