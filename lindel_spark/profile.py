@@ -2428,7 +2428,14 @@ def poisson_bootstrap_ci(
                       F.col(id_col).cast("string").alias("__id"))
             .filter(F.col("__x").isNotNull()
                     & F.col("__id").isNotNull()))
-    rep = rows.select(
+    # ensure_parallelism: the ×B explode multiplies the md5-per-row
+    # work B-fold INSIDE the scan task, so a single-split input
+    # serializes the whole map stage (round-16; guide §2.5 — the
+    # ngram_novelty/heavy_hitters treatment; the driver measured an
+    # 8c/32c scaling ratio of 1.03 here). No-op on an already-split
+    # input, so the replica algebra is untouched.
+    from lindel_spark.util import ensure_parallelism
+    rep = ensure_parallelism(rows).select(
         *keys, "__x", "__id",
         F.explode(F.sequence(F.lit(1), F.lit(B))).alias("__b"))
     u = ((F.conv(F.substring(
