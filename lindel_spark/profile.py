@@ -1510,16 +1510,19 @@ def spearman_corr(
     """
     from lindel_spark.util import prefix_sums
 
-    from pyspark import StorageLevel
-
     pairs = (df.select(F.col(x_col).cast("double").alias("x"),
                        F.col(y_col).cast("double").alias("y"))
-             .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-             # each midranks() call runs EAGERLY (prefix_sums
-             # checkpoints and collects per-partition totals), so
-             # without the persist the paired frame is scanned three
-             # times per call (round-15; guide §2.3 — scan less)
-             .persist(StorageLevel.MEMORY_AND_DISK))
+             .filter(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    # The paired frame is scanned three times (two eager midrank
+    # passes + the final moment aggregate), but each scan is a narrow
+    # two-column projection of the source — round 15 persisted it and
+    # the driver measured the cache-fill COSTING more than the two
+    # saved scans (bench 3.16 -> 3.55 s), while pinning a row-scale
+    # frame in executor storage with no unpersist (guide §5: cache
+    # only when recompute is dearer). The midrank COUNT tables, the
+    # expensive intermediates, are already materialized inside
+    # prefix_sums' localCheckpoint, so the rank dimension is never
+    # recomputed; the persist is dropped (round-16).
 
     def midranks(col):
         cnts = (pairs.groupBy(col)
