@@ -1309,29 +1309,28 @@ LANG_SEEDS: dict[str, tuple[str, ...]] = {
 def char_ngrams(c: Column, n: int) -> Column:
     """Array of overlapping character ``n``-grams of the NORMALIZED
     text (lowercase, whitespace-collapsed — :func:`normalize_text`),
-    1-based ``substr`` sliding window so DuckDB's
+    equivalent to a 1-based ``substr`` sliding window so DuckDB's
     ``list_transform(range(...), i -> substr(s, i, n))`` replays it
     character-for-character. Texts shorter than ``n`` yield an empty
-    array (the upper bound clamps to 1 — ``sequence(1, 0)`` would
-    DESCEND in Spark — and a length filter drops the partial gram a
-    too-short text produces).
+    array; a NULL text yields an empty array too (both conventions
+    pinned by test_char_ngrams_edges).
 
-    The normalized string is LET-BOUND through a one-element-array
-    transform (the ``quality_score`` trick) before the sliding
-    window: a lambda that closes over the raw normalize expression
-    re-evaluates the regexp PER ELEMENT — O(len²) regexp work per
-    document, measured 22 s → ~2 s on the sf0.1 corpus."""
+    Implementation (round 16): ONE compiled-regex pass per document —
+    ``(?s)(?=(.{n}))`` captures every overlapping window via a
+    zero-width lookahead, exactly ``max(len−n+1, 0)`` grams in left-
+    to-right order. The round-12 form slid a ``transform``/``filter``
+    higher-order-function window instead; Spark evaluates HOF lambdas
+    INTERPRETED, one expression-tree walk per character, which made
+    gram generation the dominant cost of the langid family (guide
+    §1.2 — per-task work; measured 3.6 s → 1.0 s for the sf0.1
+    explode, value-identical incl. the null/short-text edges). Both
+    engines' regex and ``substr`` count CODE POINTS, so multi-byte
+    text windows stay character-exact."""
     s = normalize_text(c)
-
-    def _grams(ss: Column) -> Column:
-        g = F.transform(
-            F.sequence(F.lit(1),
-                       F.greatest(F.length(ss) - F.lit(n - 1),
-                                  F.lit(1))),
-            lambda i: ss.substr(i, F.lit(n)))
-        return F.filter(g, lambda x: F.length(x) == n)
-
-    return F.element_at(F.transform(F.array(s), _grams), 1)
+    pat = "(?s)(?=(" + "." * n + "))"
+    return F.when(
+        s.isNull(), F.expr("CAST(array() AS array<string>)")
+    ).otherwise(F.regexp_extract_all(s, F.lit(pat), 1))
 
 
 def langid_train(
@@ -1351,8 +1350,11 @@ def langid_train(
 
     All ``orders`` ride ONE scan: the per-order gram arrays concat
     before the explode (round-15 optimization — the union-of-explodes
-    form normalized and re-scanned the corpus once per order)."""
-    grams = labeled.select(
+    form normalized and re-scanned the corpus once per order).
+    ``ensure_parallelism``: gram generation is the CPU-heavy per-row
+    stage, so a single-file corpus must split before it (guide §2.5;
+    no-op on an already-split input)."""
+    grams = ensure_parallelism(labeled).select(
         F.col(lang_col).alias("lang"),
         F.explode(F.concat(*[char_ngrams(F.col(text_col), n)
                              for n in orders])).alias("gram"))
@@ -1380,27 +1382,45 @@ def langid_scores(
     Everything is ``ln`` over integer counts — value-replayable in
     any SQL engine.
 
-    Plan (round-15 optimization): all ``orders`` explode from ONE
-    scan — the gram arrays concat before the explode, where the
-    union-of-explodes form re-scanned and re-normalized the corpus
-    once per order. ``doc_n`` keeps aggregating from ``tg`` so the
-    expensive gram exchange is computed once and REUSED by both
-    branches (ReuseExchange; recomputing the gram arrays map-side
-    just for their sizes re-pays the normalize+slide work)."""
-    grams = target.select(
+    Plan (round-16 optimization, replacing the round-15 shape whose
+    ``(doc, gram)`` pre-aggregate the driver measured wall-negative):
+    all ``orders`` explode from ONE scan (the gram arrays concat
+    before the explode — kept from round 15), then the exploded gram
+    OCCURRENCES join the model directly and aggregate straight to
+    ``(doc, lang)`` — ``Σ_g m_g·ln(c_g+1) = Σ_occurrences ln(c+1)``,
+    so the row-scale ``(doc, gram)`` exchange (the query's largest
+    shuffle) disappears entirely; only ~|langs|·|docs| partially
+    aggregated rows ever cross the wire (guide §2.3 — aggregate
+    before you shuffle, shuffle fewer bytes). ``doc_n`` is pure
+    LENGTH ARITHMETIC on the normalized text (order ``n`` over a
+    length-``L`` text yields ``max(L−n+1, 0)`` grams — multiplicities
+    included, exactly ``Σ m``), a map-only projection that replaces
+    the second doc-keyed re-aggregate of the gram table. Float
+    summation grouping differs from the per-distinct-gram form by
+    ulps only; the 6dp round before any consumer's argmax absorbs it
+    (verified hash-exact vs the oracle at three scales)."""
+    grams = ensure_parallelism(target).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.concat(*[char_ngrams(F.col(text_col), n)
                              for n in orders])).alias("gram"))
-    tg = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).cast("long").alias("m"))
-    doc_n = tg.groupBy("doc_id").agg(F.sum("m").alias("n_g"))
     lang_stats = model.groupBy("lang").agg(F.sum("cnt").alias("t"))
     vocab = model.select("gram").distinct().count()
-    seen = (tg.join(model, "gram")
+    seen = (grams.join(model, "gram")
             .groupBy("doc_id", "lang")
-            .agg(F.sum(F.col("m") * F.log(F.col("cnt") + F.lit(1.0)))
-                 .alias("s1"),
-                 F.sum("m").alias("n_seen")))
+            .agg(F.sum(F.log(F.col("cnt") + F.lit(1.0))).alias("s1"),
+                 F.count(F.lit(1)).cast("long").alias("n_seen")))
+    ln_ = F.length(normalize_text(F.col(text_col)))
+    ng = None
+    for n in orders:
+        term = (F.when(ln_ >= n, ln_ - F.lit(n - 1))
+                .otherwise(F.lit(0)))
+        ng = term if ng is None else ng + term
+    # docs with zero grams are absent from the gram table, hence from
+    # the old doc_n aggregate — the n_g > 0 filter keeps the output
+    # row set identical (NULL text also lands at 0 via the otherwise)
+    doc_n = (target.select(F.col(id_col).alias("doc_id"),
+                           ng.cast("long").alias("n_g"))
+             .filter(F.col("n_g") > 0))
     base = doc_n.crossJoin(F.broadcast(lang_stats))
     return (base.join(seen, ["doc_id", "lang"], "left")
             .select(
@@ -1430,28 +1450,28 @@ def trained_language_id(
     tie-break (score desc, lang asc) never hinges on the last ulp of
     a distributed float sum (the events_cusum lesson, BASELINE.md
     round 11)."""
-    from pyspark.sql import Window
-
     sc = langid_scores(model, target, id_col, text_col, orders)
     sc = sc.withColumn("score", F.round("score", score_round))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("lang").asc())
-    # the per-doc seen total rides the SAME doc_id partitioning as
-    # the argmax window — one pass over sc instead of a second
-    # aggregate + join, which re-evaluated the whole gram pipeline
-    # (round-15 optimization; guide §2.4: share the exchange)
-    ws = Window.partitionBy("doc_id")
-    best = (sc.withColumn("__rk", F.row_number().over(w))
-            .withColumn("__seen", F.sum("n_seen").over(ws))
-            .filter(F.col("__rk") == 1))
+    # argmax as ONE map-side-combined hash aggregate instead of the
+    # round-15 pair of sort-based windows (row_number + whole-frame
+    # sum — the driver measured that form wall-regressed): min over
+    # the struct (−score, lang) is exactly the (score desc, lang asc)
+    # tie-break, lang is unique per doc so the order is total, and
+    # the per-doc seen total rides the SAME aggregate (round-16;
+    # guide §2.3 — aggregate before you shuffle).
+    best = (sc.groupBy("doc_id")
+            .agg(F.min_by(F.struct(F.col("lang"), F.col("score")),
+                          F.struct((-F.col("score")).alias("__ns"),
+                                   F.col("lang"))).alias("__best"),
+                 F.sum("n_seen").alias("__seen")))
     fb = target.select(F.col(id_col).alias("doc_id"),
                        language_id(F.col(text_col)).alias("__fb"))
     return (best.join(fb, "doc_id")
             .select(
                 "doc_id",
-                F.when(F.col("__seen") > 0, F.col("lang"))
+                F.when(F.col("__seen") > 0, F.col("__best.lang"))
                 .otherwise(F.col("__fb")).alias("guess"),
-                "score"))
+                F.col("__best.score").alias("score")))
 
 
 def syllable_count(c: Column) -> Column:
