@@ -158,8 +158,35 @@ def frequent_triples(
     # for bp — and each side re-derived b from the raw input).
     # Persisted: the two consumers are keyed differently ((a,b)
     # aggregate vs basket-keyed candidate join), so exchange reuse
-    # alone cannot share them.
-    bp0 = _pairs_with_basket(b).persist(StorageLevel.MEMORY_AND_DISK)
+    # alone cannot share them. SIZE-GATED (round 16, ADVICE r15): the
+    # pair explode is the module's scale-dominant intermediate
+    # (sum of basket_size² rows) and disk-backed blocks are not
+    # LRU-evicted, so above the cap it streams — both consumers then
+    # recompute the self-join from the (persisted, basket-sized) b,
+    # trading bounded CPU for unbounded executor disk.
+    bp0 = _pairs_with_basket(b)
+    # Two-tier gate, because Catalyst's self-join size estimate is
+    # off by orders of magnitude here (measured 4 TB vs ~50 MB real
+    # at sf0.1): a metadata-small basket frame persists outright (no
+    # extra job — the bench path), a larger one pays one bounded
+    # aggregate for the EXACT pair volume Σ c·(c−1)/2 (negligible
+    # next to the self-join it gates, and it warms b's cache).
+    cap = int(__import__("os").environ.get(
+        "SPARK_GRAFT_PAIR_PERSIST_CAP", str(8 << 30)))
+    small = 256 << 20
+    try:
+        in_est = int(b._jdf.queryExecution()
+                     .optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        in_est = None  # unknown size: never risk the disk pin
+    do_persist = in_est is not None and in_est <= small
+    if in_est is not None and in_est > small:
+        vol = (b.groupBy("__b").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.sum(F.col("c") * (F.col("c") - F.lit(1)) / 2))
+               .first()[0]) or 0
+        do_persist = int(vol) * 64 <= cap  # conservative row width
+    if do_persist:
+        bp0 = bp0.persist(StorageLevel.MEMORY_AND_DISK)
     fp = (bp0.groupBy("item_a", "item_b")
           .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
           .filter(F.col("n_baskets") >= min_support_baskets)
