@@ -1070,7 +1070,11 @@ def textrank_keywords(
     toks = F.filter(
         tokens(normalize_text(F.col(text_col))),
         lambda t: F.length(t) >= min_token_len)
-    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    # ensure_parallelism: tokenize + per-offset zip_with lambdas are
+    # interpreted per element, so a single-file corpus serializes the
+    # graph build on one task (guide §2.5; no-op on split inputs)
+    base = (ensure_parallelism(df)
+            .select(toks.alias("__t")).filter(F.size("__t") >= 2))
     # ONE corpus scan (round-15 optimization): the per-offset zipped
     # pair arrays concat before a single explode — the
     # union-of-branches form re-scanned and re-tokenized the corpus

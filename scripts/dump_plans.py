@@ -79,7 +79,9 @@ INTERNAL = {"embedding_pca_component": _pca_internal}
 
 
 def main() -> None:
-    tag, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
+    argv = [a for a in sys.argv[1:] if a != "--executed"]
+    executed = "--executed" in sys.argv[1:]
+    tag, suffix, names = argv[0], argv[1], argv[2:]
     import __spark_entry__ as E
     from lindel_spark.session import get_spark
 
@@ -91,7 +93,16 @@ def main() -> None:
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name](spark, SF_DIR)
-        txt = _explain_str(df)
+        if executed:
+            # execute the query's OWN QueryExecution (collect — all
+            # registry queries return oracle-collected, query-sized
+            # results), then dump the POST-AQE executed plan — the
+            # evidence static dumps cannot carry (ReusedExchange,
+            # AQEShuffleRead, runtime join rewrites appear only here)
+            df.collect()
+            txt = df._jdf.queryExecution().executedPlan().toString()
+        else:
+            txt = _explain_str(df)
         if name in INTERNAL:
             txt += ("\n\n-- internal distributed step (the returned "
                     "frame is a driver-side LocalTableScan) --\n\n")
