@@ -793,8 +793,11 @@ def main(only: set[str] | None = None, fast: bool = False) -> None:
         edges = (a.join(b, "ok")
                  .filter(F.col("src") < F.col("dst"))
                  .select("src", "dst").distinct())
-        deg = (edges.select(F.col("src").alias("n"))
-               .unionAll(edges.select(F.col("dst").alias("n")))
+        # endpoint multiset via ONE explode (round 16): the
+        # union-of-two-selects evaluated the co-purchase self-join
+        # once per branch — identical degree table, identical k
+        # (verified k=83 both forms at sf0.1)
+        deg = (edges.select(F.explode(F.array("src", "dst")).alias("n"))
                .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
         k = int(deg.agg(
             F.expr("floor(percentile(d, 0.5) * 0.7)")).first()[0])

@@ -426,8 +426,9 @@ def _degree_oriented(e: DataFrame) -> DataFrame:
     second degree join). One degree aggregate + two broadcast-or-hash
     joins; every out-degree is bounded by O(√m), which is the whole
     point of the orientation."""
-    deg = (e.select(F.col("a").alias("n"))
-           .unionAll(e.select(F.col("b").alias("n")))
+    # endpoint multiset via ONE explode — the union-of-two-selects
+    # form re-evaluated the caller's edge subtree per branch (round 16)
+    deg = (e.select(F.explode(F.array("a", "b")).alias("n"))
            .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
     ranked = (e.join(deg.select(F.col("n").alias("a"),
                                 F.col("deg").alias("da")), "a")
@@ -782,7 +783,7 @@ def kcore(
     rounds: int = 8,
     src: str = "src",
     dst: str = "dst",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Nodes surviving ``rounds`` synchronous peels of the ``k``-core
     reduction: each round drops every node whose degree among STILL-
@@ -798,16 +799,26 @@ def kcore(
     Per round: two alive-set semi-joins on the symmetrized edge list
     + one map-side-combined degree count — all keyed on node ids, no
     driver-side state; lineage localCheckpoint-truncated every
-    ``checkpoint_every`` rounds.
+    ``checkpoint_every`` rounds. The default is 1 (round 16): the
+    alive set is referenced TWICE per round (both semi-join sides),
+    so an uncheckpointed tail re-plans — and re-computes — the prior
+    round's subtree 2^r times (the bfs_distances lesson), on top of
+    AQE's superlinear re-planning of deep iteration tails (see
+    :func:`pagerank`). The per-round materialization is the
+    node-sized alive frame only.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     e = _canonical_edges(edges, src, dst)
-    adj = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
-           .unionAll(e.select(F.col("b").alias("u"),
-                              F.col("a").alias("v"))))
+    # symmetrize by exploding a two-struct array instead of a union
+    # of two selects: union branches re-evaluate the caller's whole
+    # edge-derivation subtree once each (round 16; same multiset)
+    adj = e.select(F.explode(F.array(
+        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+        F.struct(F.col("b").alias("u"), F.col("a").alias("v"))))
+        .alias("p")).select("p.u", "p.v")
     # pin the symmetrized edge list's partitioning to the node id at
     # the one-time materialization: every round's u-side semi-join
     # AND degree groupBy then reuse it instead of re-exchanging the
@@ -1561,8 +1572,7 @@ def clustering_coefficient(
     join. Exact integers until the final division — engine-exact.
     """
     e = _canonical_edges(edges, src, dst)
-    deg = (e.select(F.col("a").alias("node"))
-           .unionAll(e.select(F.col("b").alias("node")))
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node")
            .agg(F.count(F.lit(1)).cast("long").alias("degree")))
     tri = triangle_count(e, src="a", dst="b")
