@@ -559,7 +559,12 @@ def simhash_near_dup_pairs(
 
     Returns (id_a, id_b, hamming).
     """
-    df = ensure_parallelism(df)
+    # medium CPU density (Arrow-batched token hashing, ~0.8 s/MB
+    # measured): ~half-MB per task keeps a single-file corpus from
+    # serializing while sparing a sub-MB frame the full-core fan-out
+    # whose overhead beat the work itself (round 16; driver scaling
+    # ratio 0.42 — 8 cores ran it 2.4x faster than 32)
+    df = ensure_parallelism(df, bytes_per_task=512 << 10)
     # Arrow fast path (bit-identical to the column form, pytest-
     # checked); the banding/verify core is the shared
     # :func:`hamming_banded_pairs` (round-11 refactor — one place to

@@ -48,6 +48,14 @@ from pyspark.sql import types as T
 
 from lindel_spark.util import ensure_parallelism, local_frame
 
+# CPU-density hint for ensure_parallelism at this module's vectorized
+# Arrow/NumPy scan stages (ADC scans, batch normalize, plane dots):
+# their per-byte cost is low enough that fanning a sub-MB frame across
+# every core costs more in repartition + per-task overhead than the
+# work itself (round 16; the driver's 8-core run beat 32 cores on
+# exactly these bench entries). No-op above cores x this many bytes.
+_VEC_BPT = 4 << 20
+
 DEFAULT_NUM_PLANES = 16
 DEFAULT_BANDS = 4
 DEFAULT_PROBE = 1
@@ -121,7 +129,7 @@ def brute_force_knn(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("__qv"),
     ))
-    c = ensure_parallelism(corpus).select(
+    c = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
     )
@@ -201,7 +209,7 @@ def brute_force_knn_fast(
                  "cos": cs[keep]}
             )
 
-    c = ensure_parallelism(corpus).select(
+    c = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
     )
     local = c.mapInPandas(score, out_schema)
@@ -237,7 +245,7 @@ def embedding_near_dup_pairs(
 
     Returns (id_a, id_b, cos); recall vs brute force is pytest-checked.
     """
-    corpus = ensure_parallelism(corpus)
+    corpus = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT)
     plain = corpus.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("__v"),
@@ -364,7 +372,7 @@ def normalize_quantize_fast(
             pdf["q"] = list(Q)
             yield pdf
 
-    return ensure_parallelism(df).mapInPandas(run, out_schema)
+    return ensure_parallelism(df, bytes_per_task=_VEC_BPT).mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -708,7 +716,7 @@ def knn_join(
                                     seed=seed)
     n_centroids = len(centroids)
     probe = n_centroids if nprobe is None else min(nprobe, n_centroids)
-    cb = ensure_parallelism(corpus).select(
+    cb = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.element_at(_cell_assign_udf(centroids, 1)(F.col(vec_col)), 1)
@@ -910,7 +918,7 @@ def knn_join_pq(
     probe = n_centroids if nprobe is None else min(nprobe, n_centroids)
     kk_out = k * refine if refine_with is not None else k
 
-    cb = ensure_parallelism(codes).select(
+    cb = ensure_parallelism(codes, bytes_per_task=_VEC_BPT).select(
         F.col("vec_id").cast("long").alias("neighbor_id"),
         F.col("cell"),
         F.col("code").alias("__c"),
@@ -1140,7 +1148,7 @@ def ann_knn(
     the same either way, only the physical strategy changes, so a 10M-
     query frame never has to fit one executor's broadcast budget).
     """
-    cb = ensure_parallelism(corpus).select(
+    cb = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.explode(
@@ -1350,7 +1358,7 @@ def pq_encode(
                 "code": list(codes),
             })
 
-    c = ensure_parallelism(df).select(
+    c = ensure_parallelism(df, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).alias("__v"))
     return c.mapInPandas(run, out_schema)
@@ -1440,7 +1448,7 @@ def pq_knn(
         # (unbounded) query side more than n_salt ways
         n_salt = int(codes.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "32"))
-        cb = ensure_parallelism(codes).select(
+        cb = ensure_parallelism(codes, bytes_per_task=_VEC_BPT).select(
             F.col(id_col).cast("long").alias("neighbor_id"),
             F.col("code").alias("__c"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt))
@@ -1501,7 +1509,7 @@ def pq_knn(
                                 "neighbor_id": ni[keep],
                                 "adc": sc[keep]})
 
-    c = ensure_parallelism(codes).select(
+    c = ensure_parallelism(codes, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("__id"),
         F.col("code").alias("__c"))
     local = c.mapInPandas(score, out_schema)
@@ -1558,7 +1566,7 @@ def ivf_pq_encode(
                 "code": list(_pq_codes_np(X, books)),
             })
 
-    c = ensure_parallelism(corpus).select(
+    c = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).alias("__v"))
     return c.mapInPandas(run, out_schema)
@@ -1709,7 +1717,7 @@ def ivf_pq_knn(
                 "adc": sc[keep],
             })
 
-    c = ensure_parallelism(codes).select(
+    c = ensure_parallelism(codes, bytes_per_task=_VEC_BPT).select(
         F.col("vec_id").cast("long").alias("__id"),
         F.col("cell").alias("__cell"),
         F.col("code").alias("__c"))
@@ -1728,7 +1736,7 @@ def assign_cells(corpus: DataFrame, centroids: np.ndarray,
     """(id, __v, cell): nearest-centroid assignment of every vector
     under a fixed quantizer — the distributed half of any
     centroid-bucketed operator (IVF, semantic dedup)."""
-    return ensure_parallelism(corpus).select(
+    return ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(vec_col).alias("__v"),
         F.element_at(
@@ -1859,7 +1867,7 @@ def hard_negatives(
         ab = F.broadcast(anchors.select(
             F.col(id_col).cast("long").alias("anchor_id"),
             F.col(vec_col).alias("__av")))
-        cb = ensure_parallelism(corpus).select(
+        cb = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(
             F.col(id_col).cast("long").alias("item_id"),
             F.col(vec_col).alias("__cv"))
         scored = (ab.crossJoin(cb)
@@ -2424,7 +2432,7 @@ def silhouette_by_cell(
             yield pd.DataFrame({"cell": own.astype(np.int32),
                                 "s": (b - a) / mx})
 
-    pts = ensure_parallelism(corpus).select(F.col(vec_col).alias("__v"))
+    pts = ensure_parallelism(corpus, bytes_per_task=_VEC_BPT).select(F.col(vec_col).alias("__v"))
     per = pts.mapInPandas(run, out_schema)
     return per.groupBy("cell").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors"),

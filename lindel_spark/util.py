@@ -54,7 +54,8 @@ def local_frame(spark, data, schema) -> DataFrame:
         return spark.createDataFrame(data, schema)
 
 
-def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+def ensure_parallelism(df: DataFrame, factor: int = 1,
+                       bytes_per_task: int | None = None) -> DataFrame:
     """Repartition *up* to the cluster's parallelism if the source is
     too small to split (e.g. one small file read as a single task).
 
@@ -63,6 +64,18 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     adds only ever moves a small input. Use ahead of CPU-heavy per-row
     stages (shingling, hashing, Python decode) where one under-split
     file would serialize the whole stage.
+
+    ``bytes_per_task`` (round 16) is the caller's CPU-density hint:
+    how many input bytes one task should chew. Dense interpreted
+    stages (per-character shingling, per-token lambdas) leave it None
+    — full fan-out, any under-split input costs seconds per task.
+    Vectorized Arrow/NumPy stages (ADC scans, batch normalize) pass a
+    few MB: their per-byte cost is so low that fanning a sub-MB frame
+    across every core costs MORE in repartition + per-task overhead
+    than the work itself (driver-measured: the 32-core bench ran
+    SLOWER than 8-core on exactly these entries). The cap only ever
+    applies to small inputs — above ``cores × bytes_per_task`` the
+    input splits naturally and this function is a no-op either way.
 
     The under-split check reads ``sizeInBytes`` from the *optimized
     logical plan's* statistics (catalog/file-listing based) — it never
@@ -80,6 +93,10 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         est_partitions = max(1, size // max(1, max_pb))
         if est_partitions >= target:
+            return df
+        if bytes_per_task is not None:
+            target = min(target, max(1, size // max(1, bytes_per_task)))
+        if target <= est_partitions:
             return df
     except Exception:
         # stats unavailable (e.g. Connect): pass through — never risk
