@@ -48,7 +48,11 @@ ANCHORS: dict[str, float] = {
     # round-5 first measurements (the `baseline (s)` column of the
     # r7/r8 comparison tables)
     "text_stats": 0.80,
-    "dedup_near_pairs": 1.15,
+    # re-anchored round 16 (VERDICT r15 item 8): the round-2-era
+    # 1.15 predates corpus growth; value = the driver's own r15
+    # measurement of unchanged code (repo-host round-open r16 suite
+    # read 1.07 — the spread is host factor, not code)
+    "dedup_near_pairs": 1.663,
     "dedup_simhash_pairs": 1.02,
     "knn_brute_fast": 0.87,
     "asof_join_events": 0.58,
@@ -92,14 +96,18 @@ ANCHORS: dict[str, float] = {
     "substring_dedup": 1.914,
     "hybrid_rrf_topk": 2.1225,
     "record_linkage": 0.6455,
-    "label_propagation": 3.2702,
+    # re-anchored round 16 from the driver's r15 run (repo-host
+    # round-open r16: 3.06); the r10 first measurement was optimistic
+    "label_propagation": 2.349,
     # round-11 first measurements (BENCH_r11.json clean-host run,
     # canary 0.773, zero over-bar — BASELINE.md r11/r12 addenda)
     "bpe_train_8": 1.6737,
     "bpe_encode": 0.7688,
     "kll_quantiles": 2.3467,
     "bm25_store_topk": 1.1878,
-    "cc_star_simhash": 3.7161,
+    # re-anchored round 16 from the driver's r15 run (repo-host
+    # round-open r16: 3.12)
+    "cc_star_simhash": 3.666,
     "trigram_backoff_lm": 1.3028,
     "bfs_hops_2": 1.3663,
     "frequent_triples": 1.7582,
@@ -132,7 +140,10 @@ ANCHORS: dict[str, float] = {
     "sssp_copurchase": 2.49,
     "holt_winters_hourly": 2.95,
     "bootstrap_ci_events": 15.42,
-    "knn_graph_mutual": 5.24,
+    # re-anchored round 16 from the driver's r15 run (repo-host
+    # round-open r16: 3.19); the r13 first measurement predates the
+    # r15 canonical-pair rewrite
+    "knn_graph_mutual": 3.749,
     "ppr_transitions": 5.86,
     # round-14 first measurements (sf0.1, local[32], drained host —
     # the full-suite run taken immediately after the sf1 sweep
